@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * sophistication: exact (hash group-by), MinHash+LSH banding, SimHash,
+  * and n-gram Jaccard verification.
+  *
+  * Scale design: everything is shuffle-by-key. Exact dedup shuffles on the
+  * content hash (uniform). MinHash/LSH shuffles on band keys — each doc
+  * emits `bands` rows, and candidate generation is an equi-join on band
+  * key, never an all-pairs product. The Jaccard verify runs only on LSH
+  * candidates. At 100 TB the only skew risk is a degenerate band key
+  * (e.g. empty docs); filter empties first.
+  */
+object Dedup {
+
+  /** Exact dedup: group by md5 of (optionally normalized) content, keep the
+    * smallest id as the canonical representative.
+    */
+  def exact(df: DataFrame, idCol: String, keyExpr: Column): DataFrame =
+    df.select(col(idCol), keyExpr.as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash + LSH banding as an explode/aggregate pipeline over an
+    * exploded (id, shingle) relation — NOT nested array lambdas: a per-row
+    * `transform(sequence(k), j -> array_min(transform(shingles, md5)))`
+    * expression tree duplicates k× through Catalyst and blows up codegen
+    * compile time (hundreds of seconds at ANY data size), and its wide
+    * rows don't partial-aggregate. The relational form shuffles by
+    * (id, j) with map-side partial MIN and scales linearly.
+    *
+    * Hash j of a doc = min over its shingles of `md5(j || '|' || shingle)`
+    * — md5-seeded so the signature is engine-portable (the DuckDB oracle
+    * reproduces it bit-for-bit) and deterministic with no RNG.
+    *
+    * Input: (id, shingle) distinct pairs. Output: (id, band, bkey) — one
+    * row per doc per band; `bkey` concatenates the band's `rowsPerBand`
+    * minhashes in j order.
+    */
+  def minhashBands(docShingles: DataFrame, k: Int, rowsPerBand: Int): DataFrame =
+    docShingles
+      .withColumn("j", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("h", md5(concat(col("j").cast("string"), lit("|"), col("shingle"))))
+      .groupBy("id", "j")
+      .agg(min("h").as("h"))
+      .withColumn("band", (col("j") / rowsPerBand).cast("int"))
+      .groupBy("id", "band")
+      .agg(graft.functions.MysqlFunctions.groupConcat(col("h"), Seq(col("j")), "").as("bkey"))
+
+  /** Candidate pairs (a < b) sharing at least one LSH band key: equi-join
+    * on (band, bkey) — shuffles by band key, never an all-pairs product.
+    * Input: (id, band, bkey). Output: (id_a, id_b) distinct.
+    */
+  def lshCandidatePairs(bands: DataFrame): DataFrame = {
+    val l = bands.select(col("band"), col("bkey"), col("id").as("id_a"))
+    val r = bands.select(col("band"), col("bkey"), col("id").as("id_b"))
+    l.join(r, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity over shingle sets for given candidate pairs —
+    * the verify stage after [[lshCandidatePairs]]. `docShingles` = (id,
+    * shingle) distinct; `pairs` = (id_a, id_b). |A ∩ B| / |A ∪ B| with
+    * exact integer set sizes; the division is deterministic f64.
+    */
+  def jaccardVerify(docShingles: DataFrame, pairs: DataFrame): DataFrame = {
+    val sizes = docShingles.groupBy("id").agg(count(lit(1)).as("n"))
+    val shared = pairs
+      .join(docShingles.select(col("id").as("id_a"), col("shingle").as("s")), Seq("id_a"))
+      .join(docShingles.select(col("id").as("id_b"), col("shingle").as("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
+  }
+
+  /** All-pairs n-gram Jaccard above a threshold via inverted-index join on
+    * the exploded (id, shingle) relation (exact but quadratic in per-shingle
+    * posting lists; compose [[minhashBands]] → [[lshCandidatePairs]] →
+    * [[jaccardVerify]] at scale).
+    */
+  def ngramJaccardPairs(docShingles: DataFrame, threshold: Double): DataFrame = {
+    val sizes = docShingles.groupBy("id").agg(count(lit(1)).as("n"))
+    val pairs = docShingles.select(col("id").as("id_a"), col("shingle").as("s"))
+      .join(docShingles.select(col("id").as("id_b"), col("shingle").as("s")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

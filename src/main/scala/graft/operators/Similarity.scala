@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / vector-similarity operators over an
+  * embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (exact; O(|Q|·|C|) — fine when the
+  * query set is small). Scale paths: (a) blocked search — restrict the
+  * pair product to a partition key (a coarse cluster id / IVF cell), and
+  * (b) sign-bit LSH bucketing with md5-derived pseudo-random hyperplanes —
+  * both turn the cross product into an equi-join that shuffles by bucket.
+  */
+object Similarity {
+
+  /** Dot product of two double arrays (fold left, deterministic order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cast a float embedding to double once, up front — all similarity math
+    * runs in f64 so results are engine-portable.
+    */
+  def toDouble(embedding: Column): Column = transform(embedding, _.cast("double"))
+
+  /** Exact brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self excluded), deterministic tie-break on corpus id.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, // (qid, qvec: array<double>)
+      corpus: DataFrame, // (vec_id, vec: array<double>)
+      k: Int): DataFrame = {
+    val scored = queries.crossJoin(corpus)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("qvec"), col("vec")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Blocked near-duplicate pairs: all pairs within the same block (e.g. a
+    * cluster label or IVF cell id) with cosine above `threshold`. The join
+    * shuffles by block, so cost is sum of per-block squares, not a global
+    * cross product.
+    */
+  def blockedNearDupPairs(
+      vectors: DataFrame, // (vec_id, vec: array<double>, block)
+      threshold: Double): DataFrame = {
+    val l = vectors.select(col("block"), col("vec_id").as("id_a"), col("vec").as("va"))
+    val r = vectors.select(col("block"), col("vec_id").as("id_b"), col("vec").as("vb"))
+    l.join(r, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") > threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
+  /** Sign-bit LSH bucket id: `nPlanes` pseudo-random hyperplanes, plane p's
+    * coefficient for dimension d derived from md5(p||':'||d) — deterministic,
+    * engine-portable, no RNG state. Bucket = the sign bits packed into an
+    * int. Vectors in the same bucket are near-duplicate candidates.
+    */
+  def lshSignBucket(vec: Column, dims: Int, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      // coefficient_d in [-1, 1): from the first 8 hex chars of md5(p:d)
+      val proj = (0 until dims).map { d =>
+        val h = conv(substring(md5(lit(s"$p:$d")), 1, 8), 16, 10).cast("double")
+        val coef = h / lit(2147483648.0) - lit(1.0)
+        element_at(vec, d + 1) * coef
+      }.reduce(_ + _)
+      when(proj > 0, lit(1 << p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+}

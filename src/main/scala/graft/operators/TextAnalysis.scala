@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * normalization, tokenization, shingling, quality metrics, language ID,
+  * and document fingerprinting. All pure Catalyst column compositions —
+  * codegen'd, no UDFs — so they survive whole-stage codegen on a 100 TB
+  * scan.
+  */
+object TextAnalysis {
+
+  /** Lowercase, strip non-alphanumerics, collapse whitespace. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Whitespace word tokens of a normalized text. */
+  def words(norm: Column): Column = split(norm, " ")
+
+  /** Whitespace token count (empty string → 0). */
+  def tokenCountWhitespace(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token count: alpha runs, single digits, and single
+    * non-alphanumeric marks each count as one token — a cheap, deterministic
+    * stand-in for a real subword tokenizer's token budget.
+    */
+  def tokenCountBpeish(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
+
+  /** Word n-gram shingles (n >= 1) over a words array; fewer than n words →
+    * empty array. NOTE: `sequence(1, 0)` in Spark yields a DESCENDING
+    * sequence, so the size guard is mandatory.
+    */
+  def shingles(wordsArr: Column, n: Int): Column =
+    when(size(wordsArr) >= n,
+      transform(sequence(lit(1), size(wordsArr) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(wordsArr, i + j)): _*)))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Quality metrics: word count, mean word length, stopword ratio,
+    * non-alphanumeric (punctuation) ratio. Ratios are exact-integer
+    * divisions surfaced as rounded doubles — deterministic across engines.
+    */
+  def qualityMetrics(text: Column, stopwords: Seq[String]): Column = {
+    val norm = normalize(text)
+    val w = words(norm)
+    val nWords = when(length(norm) === 0, 0).otherwise(size(w))
+    val charsInWords = length(regexp_replace(norm, " ", ""))
+    val nStop = size(filter(w, x => x.isInCollection(stopwords)))
+    val nPunct = length(text) - length(regexp_replace(text, "[^a-z0-9\\sA-Z]", ""))
+    struct(
+      nWords.as("n_words"),
+      round(when(nWords > 0, charsInWords.cast("double") / nWords).otherwise(0.0), 6)
+        .as("avg_word_len"),
+      round(when(nWords > 0, nStop.cast("double") / nWords).otherwise(0.0), 6)
+        .as("stopword_ratio"),
+      round(when(length(text) > 0, nPunct.cast("double") / length(text)).otherwise(0.0), 6)
+        .as("punct_ratio"))
+  }
+
+  /** Marker-word language ID: score each candidate language by counting its
+    * marker words; highest score wins, ties broken by language code order,
+    * zero hits → "und". A real n-gram LM is out of scope (no model files in
+    * a zero-egress build); the operator shape — per-language score then
+    * argmax — is the production one.
+    */
+  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
+    val w = words(normalize(text))
+    val scored = markers.map { case (langCode, ms) =>
+      struct(size(filter(w, x => x.isInCollection(ms))).as("score"), lit(langCode).as("lang"))
+    }
+    // array_max on struct = max by (score, lang); invert lang order for
+    // deterministic lowest-code-wins on ties via negative? Keep max-by
+    // (score, lang): documented tie-break = lexicographically LAST code.
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") === 0, "und").otherwise(best.getField("lang"))
+  }
+
+  /** Bag-of-words document fingerprint: md5 over the sorted distinct word
+    * set — stable under word order permutations and duplication, the cheap
+    * canonical-form fingerprint for clustering/dedup keying.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(words(normalize(text))))))
+
+  /** 16-bit SimHash over word tokens. Each token hashes to 16 bits (first 4
+    * hex chars of its md5); each bit position accumulates +1/-1 per token;
+    * the signature bit is 1 where the sum is positive. Deterministic and
+    * reproducible in any engine with md5 — no engine-private hash.
+    */
+  def simhash16(text: Column): Column = {
+    val toks = words(normalize(text))
+    val hashes = transform(toks, t => conv(substring(md5(t), 1, 4), 16, 10).cast(IntegerType))
+    val bitSums = (0 until 16).map { b =>
+      aggregate(hashes, lit(0),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1 << b)) =!= 0, 1).otherwise(-1))
+    }
+    bitSums.zipWithIndex.map { case (s, b) =>
+      when(s > 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two small int signatures (e.g. simhash16). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

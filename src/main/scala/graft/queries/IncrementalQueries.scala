@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables.load
+import graft.functions.MysqlFunctions
+import graft.operators.ReplaceInto
+
+/** Coverage for the incremental / retraction machinery (SURVEY §2.4 K2/K4,
+  * §2.9 I1-I5) expressed on the driver fixtures: the same
+  * watermark → delta-keys → recompute-groups → merge dance the reference
+  * performs on obs/encounters, here on orders/events with a fixed split
+  * date playing the watermark.
+  *
+  * Scale notes: delta key-sets are small relative to the base table and are
+  * broadcast into the anti-join; group recompute shuffles only rows whose
+  * key is in the delta (left_semi against the broadcast key set) — at 100 TB
+  * the merge cost is proportional to the delta, not the table.
+  */
+object IncrementalQueries {
+
+  // Fixed "watermark": orders span 1995-01-01 .. 2001-08-01 (seed=42 fixtures).
+  private val Cutoff = "2000-01-01"
+
+  val all: Seq[OpQuery] = Seq(
+
+    // K2/I3: REPLACE INTO merge — groups with post-watermark activity are
+    // recomputed in full and replace the stale aggregate; untouched groups
+    // survive. Oracle = decide per key which side it came from.
+    OpQuery.sql(
+      "q28_replace_into_merge",
+      s"""WITH base AS (
+         |  SELECT o_custkey, count(*) AS n_orders, CAST(max(o_orderdate) AS DATE) AS max_order_date
+         |  FROM orders WHERE o_orderdate < TIMESTAMP '$Cutoff' GROUP BY o_custkey
+         |), delta_keys AS (
+         |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '$Cutoff'
+         |), recomputed AS (
+         |  SELECT o_custkey, count(*) AS n_orders, CAST(max(o_orderdate) AS DATE) AS max_order_date
+         |  FROM orders WHERE o_custkey IN (SELECT o_custkey FROM delta_keys) GROUP BY o_custkey
+         |)
+         |SELECT * FROM base WHERE o_custkey NOT IN (SELECT o_custkey FROM delta_keys)
+         |UNION ALL
+         |SELECT * FROM recomputed""".stripMargin) {
+      (s, dir) =>
+        val o = load(s, dir, "orders")
+        val agg = (df: org.apache.spark.sql.DataFrame) => df.groupBy("o_custkey").agg(
+          count(lit(1)).as("n_orders"), to_date(max("o_orderdate")).as("max_order_date"))
+        val base = agg(o.filter(col("o_orderdate") < lit(Cutoff)))
+        val deltaKeys = o.filter(col("o_orderdate") >= lit(Cutoff))
+          .select("o_custkey").distinct()
+        val recomputed = agg(o.join(deltaKeys, Seq("o_custkey"), "left_semi"))
+        ReplaceInto(base, recomputed, Seq("o_custkey"))
+    },
+
+    // I4: retraction rebuild — post-watermark 'error' events are voids; the
+    // touched (user, day) groups are rebuilt from surviving rows only
+    // (flat_obs_v1.0.sql:74-153 pattern at the flat_lab_obs person-day grain).
+    OpQuery.sql(
+      "q29_retraction_rebuild",
+      s"""WITH voided AS (
+         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+         |  WHERE event_type = 'error' AND ts >= TIMESTAMP '2024-01-20'
+         |)
+         |SELECT e.user_id, CAST(e.ts AS DATE) AS day,
+         |  string_agg(CAST(e.event_id AS VARCHAR), ' ## ' ORDER BY e.event_id) AS surviving_events,
+         |  count(*) AS n_surviving
+         |FROM events e JOIN voided v ON e.user_id = v.user_id AND CAST(e.ts AS DATE) = v.day
+         |WHERE e.event_type <> 'error'
+         |GROUP BY e.user_id, CAST(e.ts AS DATE)""".stripMargin) {
+      (s, dir) =>
+        val ev = load(s, dir, "events").withColumn("day", to_date(col("ts")))
+        val voided = ev.filter(col("event_type") === "error" && col("ts") >= lit("2024-01-20"))
+          .select("user_id", "day").distinct()
+        ev.filter(col("event_type") =!= "error")
+          .join(broadcast(voided), Seq("user_id", "day"), "left_semi")
+          .groupBy("user_id", "day")
+          .agg(
+            MysqlFunctions.groupConcat(col("event_id").cast("string"),
+              Seq(col("event_id"))).as("surviving_events"),
+            count(lit(1)).as("n_surviving"))
+    },
+
+    // K4/J6: voided-person purge — drop every summary row whose entity is in
+    // the voided set (flat_obs_v1.0.sql:337-340).
+    OpQuery.sql(
+      "q30_voided_entity_purge",
+      """WITH summary AS (
+        |  SELECT user_id, count(*) AS n_events, max(value) AS max_value
+        |  FROM events GROUP BY user_id
+        |), voided AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0)
+        |SELECT * FROM summary WHERE user_id NOT IN (SELECT user_id FROM voided)""".stripMargin) {
+      (s, dir) =>
+        val ev = load(s, dir, "events")
+        val summary = ev.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), max("value").as("max_value"))
+        val voided = ev.filter(col("user_id") % 97 === 0).select("user_id").distinct()
+        ReplaceInto.deleteMatching(summary, voided, Seq("user_id"))
+    },
+
+    // I5: cascade invalidation — the downstream queue of entities whose
+    // upstream rows changed since the watermark
+    // (flat_visit_summary_v1.0.sql:86-99: changed encounters ∪ changed obs).
+    OpQuery.sql(
+      "q31_cascade_queue_build",
+      s"""SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-25'
+         |UNION
+         |SELECT user_id FROM events WHERE event_type = 'error' AND ts >= TIMESTAMP '2024-01-20'""".stripMargin) {
+      (s, dir) =>
+        val ev = load(s, dir, "events")
+        ev.filter(col("ts") >= lit("2024-01-25")).select("user_id")
+          .union(ev.filter(col("event_type") === "error" && col("ts") >= lit("2024-01-20"))
+            .select("user_id"))
+          .distinct()
+    }
+  )
+}

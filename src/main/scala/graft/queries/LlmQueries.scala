@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables.load
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators on the documents/embeddings fixtures:
+  * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine), similarity search, text analysis, and the multimodal
+  * binary-column stub.
+  *
+  * Every hash in these operators is md5-seeded so the DuckDB oracle can
+  * reproduce signatures bit-for-bit; all ratio/similarity math runs in f64
+  * with exact-integer or fixed-order accumulation so both engines agree.
+  */
+object LlmQueries {
+
+  private val Stopwords = Seq("the", "a", "and", "of", "to", "in")
+
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  // DuckDB-side normalized text + words, matching TextAnalysis.normalize.
+  private val DuckNorm =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  val all: Seq[OpQuery] = Seq(
+
+    // Exact dedup by content hash (normalized), keep min id.
+    OpQuery.sql(
+      "q32_dedup_exact",
+      s"""SELECT md5($DuckNorm) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+         |FROM documents GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        Dedup.exact(load(s, dir, "documents"), "doc_id",
+          md5(TextAnalysis.normalize(col("text"))))
+    },
+
+    // n-gram Jaccard near-dup pairs via inverted-index join (exact).
+    OpQuery.sql(
+      "q33_dedup_ngram_jaccard",
+      s"""WITH t AS (SELECT doc_id, string_split($DuckNorm, ' ') w FROM documents),
+         |i AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM t),
+         |sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s FROM i),
+         |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT l.doc_id id_a, r.doc_id id_b, count(*) n_shared
+         |  FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(n_shared AS DOUBLE) / (a.n + b.n - n_shared), 6) AS jaccard
+         |FROM pairs JOIN sz a ON a.doc_id = id_a JOIN sz b ON b.doc_id = id_b
+         |WHERE round(CAST(n_shared AS DOUBLE) / (a.n + b.n - n_shared), 6) >= 0.1""".stripMargin) {
+      (s, dir) =>
+        val docShingles = load(s, dir, "documents")
+          .select(col("doc_id").as("id"),
+            explode(TextAnalysis.shingles(
+              TextAnalysis.words(TextAnalysis.normalize(col("text"))), 3)).as("shingle"))
+          .distinct()
+        Dedup.ngramJaccardPairs(docShingles, 0.1)
+    },
+
+    // MinHash (8 perms, md5-seeded) + LSH banding (4 bands × 2 rows):
+    // candidate pairs sharing a band.
+    OpQuery.sql(
+      "q34_dedup_minhash_lsh",
+      s"""WITH t AS (SELECT doc_id, string_split($DuckNorm, ' ') w FROM documents),
+         |i AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM t),
+         |sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s FROM i),
+         |mh AS (
+         |  SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || s)) h
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) j) GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, CAST(j // 2 AS INTEGER) band, string_agg(h, '' ORDER BY j) bkey
+         |  FROM mh GROUP BY doc_id, 2)
+         |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |FROM bands l JOIN bands r
+         |  ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id""".stripMargin) {
+      (s, dir) =>
+        val docShingles = load(s, dir, "documents")
+          .select(col("doc_id").as("id"),
+            explode(TextAnalysis.shingles(
+              TextAnalysis.words(TextAnalysis.normalize(col("text"))), 3)).as("shingle"))
+          .distinct()
+        Dedup.lshCandidatePairs(Dedup.minhashBands(docShingles, 8, 2))
+    },
+
+    // 16-bit SimHash signatures (md5-derived bit hashes).
+    OpQuery.sql(
+      "q35_simhash",
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split($DuckNorm, ' ')) t FROM documents),
+         |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 4)) AS INTEGER) h FROM toks),
+         |bits AS (
+         |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) s
+         |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) b) GROUP BY doc_id, b)
+         |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1 << b) ELSE 0 END) AS INTEGER) AS simhash
+         |FROM bits GROUP BY doc_id""".stripMargin) {
+      (s, dir) =>
+        load(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.simhash16(col("text")).as("simhash"))
+    },
+
+    // Quality metrics.
+    OpQuery.sql(
+      "q36_text_quality",
+      s"""WITH t AS (SELECT doc_id, text, $DuckNorm AS norm FROM documents),
+         |w AS (SELECT doc_id, text, norm, string_split(norm, ' ') ws FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN length(norm) = 0 THEN 0 ELSE len(ws) END AS n_words,
+         |  round(CASE WHEN length(norm) = 0 OR len(ws) = 0 THEN 0.0
+         |    ELSE CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(ws) END, 6) AS avg_word_len,
+         |  round(CASE WHEN length(norm) = 0 OR len(ws) = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(ws, x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE) / len(ws) END, 6) AS stopword_ratio,
+         |  round(CASE WHEN length(text) = 0 THEN 0.0
+         |    ELSE CAST(length(text) - length(regexp_replace(text, '[^a-z0-9\\sA-Z]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS punct_ratio
+         |FROM w""".stripMargin) {
+      (s, dir) =>
+        load(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.qualityMetrics(col("text"), Stopwords).as("q"))
+          .select(col("doc_id"), col("q.n_words").as("n_words"),
+            col("q.avg_word_len").as("avg_word_len"),
+            col("q.stopword_ratio").as("stopword_ratio"),
+            col("q.punct_ratio").as("punct_ratio"))
+    },
+
+    // Marker-word language ID (argmax score; tie → lexicographically last
+    // code; zero hits → 'und').
+    OpQuery.sql(
+      "q37_langid",
+      s"""WITH w AS (SELECT doc_id, string_split($DuckNorm, ' ') ws FROM documents),
+         |sc AS (SELECT doc_id,
+         |  len(list_filter(ws, x -> x IN ('der','die','das','und','ist'))) s_de,
+         |  len(list_filter(ws, x -> x IN ('the','a','of','and'))) s_en,
+         |  len(list_filter(ws, x -> x IN ('el','los','las','y','es'))) s_es,
+         |  len(list_filter(ws, x -> x IN ('le','la','les','et','est'))) s_fr
+         |  FROM w)
+         |SELECT doc_id, CASE
+         |  WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+         |  WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+         |  WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+         |  WHEN s_en >= s_de THEN 'en'
+         |  ELSE 'de' END AS lang_pred
+         |FROM sc""".stripMargin) {
+      (s, dir) =>
+        load(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.langId(col("text"), LangMarkers).as("lang_pred"))
+    },
+
+    // Token counting: whitespace + BPE-ish regex budget.
+    OpQuery.sql(
+      "q38_token_count",
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bpeish_tokens
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        load(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.tokenCountWhitespace(col("text")).as("ws_tokens"),
+          TextAnalysis.tokenCountBpeish(col("text")).as("bpeish_tokens"))
+    },
+
+    // Bag-of-words fingerprint (md5 of sorted distinct words).
+    OpQuery.sql(
+      "q39_fingerprint",
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(string_split($DuckNorm, ' '))), ' ')) AS fp
+         |FROM documents""".stripMargin) {
+      (s, dir) =>
+        load(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    },
+
+    // Brute-force cosine top-k ANN (exact baseline; queries = vec_id < 5).
+    OpQuery.sql(
+      "q40_ann_cosine_topk",
+      """WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qe FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+        |p AS (
+        |  SELECT qid, vec_id,
+        |    list_dot_product(qe, e) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))) sim
+        |  FROM q CROSS JOIN c WHERE vec_id <> qid)
+        |SELECT qid, vec_id AS neighbor_id, round(sim, 6) AS sim,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+        |FROM p QUALIFY rank <= 5""".stripMargin) {
+      (s, dir) =>
+        val emb = load(s, dir, "embeddings")
+          .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        Similarity.bruteForceTopK(queries, emb, 5)
+          .select(col("qid"), col("vec_id").as("neighbor_id"),
+            round(col("sim"), 6).as("sim"), col("rank"))
+    },
+
+    // Embedding-cosine near-dup pairs, blocked by the label column (the
+    // IVF-cell pattern: per-block pair product, not global).
+    OpQuery.sql(
+      "q41_embedding_neardup",
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e FROM embeddings)
+        |SELECT a.vec_id id_a, b.vec_id id_b,
+        |  round(list_dot_product(a.e, b.e) /
+        |        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS sim
+        |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.e, b.e) /
+        |        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) > 0.3""".stripMargin) {
+      (s, dir) =>
+        val v = load(s, dir, "embeddings").select(
+          col("vec_id"), col("label").as("block"),
+          Similarity.toDouble(col("embedding")).as("vec"))
+        Similarity.blockedNearDupPairs(v, 0.3)
+    },
+
+    // Multimodal binary-column stub: payload bytes + checksum features (the
+    // full mapPartitions decode plumbing is in operators.Multimodal; this
+    // query pins the SQL-visible surface of the binary column).
+    OpQuery.sql(
+      "q42_multimodal_binary",
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  ascii(substr(text, 1, 1)) AS first_byte, md5(text) AS checksum
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        load(s, dir, "documents").select(
+          col("doc_id"),
+          octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
+          ascii(substring(col("text"), 1, 1)).as("first_byte"),
+          md5(col("text")).as("checksum"))
+    }
+  )
+}

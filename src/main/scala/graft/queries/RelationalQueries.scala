@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Tables.load
+import graft.functions.MysqlFunctions.groupConcat
+
+/** Operator-coverage queries for the relational inventory (SURVEY §2.1
+  * scans, §2.2 projections/filters, §2.3 joins, §2.5 aggregations) on the
+  * driver's TPC-H-ish fixtures.
+  *
+  * Scale notes (these run at 100 TB in spirit, sf0.1 in the bench):
+  *  - filters/projections sit directly on the parquet scan so Catalyst
+  *    pushes them down (PushedFilters/ReadSchema);
+  *  - dimension joins (nation/region/customer) are broadcast;
+  *  - money sums go through DecimalType so partial-aggregation order can't
+  *    perturb the result (then cast back to double for a stable surface).
+  */
+object RelationalQueries {
+
+  val all: Seq[OpQuery] = Seq(
+
+    // S1/P1/P3: projection + pushed-down predicate scan.
+    OpQuery.sql(
+      "q01_scan_project_filter",
+      """SELECT l_orderkey, l_partkey, l_quantity, CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 45""".stripMargin) {
+      (s, dir) =>
+        load(s, dir, "lineitem")
+          .filter(col("l_shipdate") < to_timestamp(lit("1996-01-01")) && col("l_quantity") > 45)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+            to_date(col("l_shipdate")).as("ship_date"))
+    },
+
+    // P5/P4: IN-list + null tests (the lab-panel / encounter-type filters).
+    OpQuery.sql(
+      "q02_filter_isin_notnull",
+      """SELECT event_id, user_id, event_type
+        |FROM events
+        |WHERE event_type IN ('click','purchase') AND value IS NOT NULL""".stripMargin) {
+      (s, dir) =>
+        load(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase") && col("value").isNotNull)
+          .select("event_id", "user_id", "event_type")
+    },
+
+    // P7/P8: IF + searched CASE (typed-value decode analog).
+    OpQuery.sql(
+      "q03_case_decode",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus='F' THEN 'final'
+        |       WHEN o_orderstatus='O' THEN 'open'
+        |       ELSE 'pending' END AS status_label,
+        |  CASE WHEN substr(o_orderpriority,1,1) IN ('1','2') THEN 1 ELSE 0 END AS urgent_flag
+        |FROM orders""".stripMargin) {
+      (s, dir) =>
+        load(s, dir, "orders").select(
+          col("o_orderkey"),
+          when(col("o_orderstatus") === "F", "final")
+            .when(col("o_orderstatus") === "O", "open")
+            .otherwise("pending").as("status_label"),
+          when(substring(col("o_orderpriority"), 1, 1).isin("1", "2"), 1)
+            .otherwise(0).as("urgent_flag"))
+    },
+
+    // P9: is_clinical_encounter / encounter_type_sort_index flag derivation
+    // (flat_visit_summary_v1.0.sql:141-149) on the events analog.
+    OpQuery.sql(
+      "q04_flag_derivation",
+      """SELECT event_id,
+        |  CASE WHEN event_type IN ('click','view') THEN 1 ELSE NULL END AS is_clinical,
+        |  CASE WHEN event_type='signup' THEN 20 WHEN event_type='error' THEN 10 ELSE 1 END AS sort_index
+        |FROM events""".stripMargin) {
+      (s, dir) =>
+        load(s, dir, "events").select(
+          col("event_id"),
+          when(col("event_type").isin("click", "view"), 1).as("is_clinical"),
+          when(col("event_type") === "signup", 20)
+            .when(col("event_type") === "error", 10)
+            .otherwise(1).as("sort_index"))
+    },
+
+    // J1/A8: big-big inner equi-join + aggregation.
+    OpQuery.sql(
+      "q05_join_inner_agg",
+      """SELECT o_orderstatus, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin) {
+      (s, dir) =>
+        load(s, dir, "lineitem")
+          .join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"))
+    },
+
+    // J3: left outer join preserving unmatched left rows.
+    OpQuery.sql(
+      "q06_join_left_outer",
+      """SELECT o_orderpriority, count(l_orderkey) AS n_lines, count(*) AS n_rows
+        |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin) {
+      (s, dir) =>
+        load(s, dir, "orders")
+          .join(load(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"), "left")
+          .groupBy("o_orderpriority")
+          .agg(count(col("l_orderkey")).as("n_lines"), count(lit(1)).as("n_rows"))
+    },
+
+    // J5: semi-join work-set restriction (queue/delta filtering).
+    OpQuery.sql(
+      "q07_join_semi",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin) {
+      (s, dir) =>
+        load(s, dir, "customer")
+          .join(
+            load(s, dir, "orders").filter(col("o_totalprice") > 400000)
+              .withColumnRenamed("o_custkey", "c_custkey"),
+            Seq("c_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+    },
+
+    // J6: anti-join (the DELETE ... JOIN retraction shape).
+    OpQuery.sql(
+      "q08_join_anti",
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)""".stripMargin) {
+      (s, dir) =>
+        load(s, dir, "customer")
+          .join(
+            load(s, dir, "orders").filter(col("o_totalprice") > 450000)
+              .withColumnRenamed("o_custkey", "c_custkey"),
+            Seq("c_custkey"), "left_anti")
+          .select("c_custkey", "c_mktsegment")
+    },
+
+    // J7: person-enrichment broadcast dimension joins.
+    OpQuery.sql(
+      "q09_join_broadcast_dims",
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin) {
+      (s, dir) =>
+        load(s, dir, "customer")
+          .join(broadcast(load(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(load(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(count(lit(1)).as("n_customers"),
+            min("c_acctbal").as("min_bal"), max("c_acctbal").as("max_bal"))
+    },
+
+    // J4: expression join on date-truncated key, kept equi-joinable by
+    // precomputing to_date (avoids a theta/BNL join — SURVEY §2.3 J4).
+    OpQuery.sql(
+      "q10_join_date_expr",
+      """SELECT l_returnflag, count(*) AS n_same_day
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey AND CAST(l_shipdate AS DATE) = CAST(o_orderdate AS DATE)
+        |GROUP BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+        val li = load(s, dir, "lineitem").withColumn("ship_day", to_date(col("l_shipdate")))
+        val o = load(s, dir, "orders").withColumn("order_day", to_date(col("o_orderdate")))
+        li.join(o, li("l_orderkey") === o("o_orderkey") && li("ship_day") === o("order_day"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_same_day"))
+    },
+
+    // A4/A6/A8 flagship: multi-aggregate group-by. Money sums use exact
+    // decimal accumulation (order-insensitive) surfaced as double.
+    OpQuery.sql(
+      "q11_agg_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(min(l_shipdate) AS DATE) AS min_ship, CAST(max(l_shipdate) AS DATE) AS max_ship
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin) {
+      (s, dir) =>
+        load(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum("l_quantity").as("sum_qty"),
+            count(lit(1)).as("n_rows"),
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast(DecimalType(18, 4))).cast("double").as("revenue"),
+            to_date(min("l_shipdate")).as("min_ship"),
+            to_date(max("l_shipdate")).as("max_ship"))
+    },
+
+    // A2: GROUP_CONCAT(DISTINCT ... ORDER BY ...) (flat_lab_obs_v1.0.sql:109).
+    OpQuery.sql(
+      "q13_group_concat_distinct",
+      """SELECT o_custkey, string_agg(DISTINCT o_orderstatus, ' ## ' ORDER BY o_orderstatus) AS statuses
+        |FROM orders GROUP BY o_custkey""".stripMargin) {
+      (s, dir) =>
+        load(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(groupConcat(col("o_orderstatus"), Seq(col("o_orderstatus")),
+            distinct = true).as("statuses"))
+    },
+
+    // A4: MAX watermark column + synthetic key minting
+    // (min(obs_id) + 100000000, flat_obs_v1.0.sql:161).
+    OpQuery.sql(
+      "q14_minmax_synthetic_key",
+      """SELECT o_custkey, CAST(max(o_orderdate) AS DATE) AS max_order_date,
+        |  min(o_orderkey) + 100000000 AS synthetic_id, count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey""".stripMargin) {
+      (s, dir) =>
+        load(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(
+            to_date(max("o_orderdate")).as("max_order_date"),
+            (min("o_orderkey") + 100000000L).as("synthetic_id"),
+            count(lit(1)).as("n_orders"))
+    },
+
+    // A7: SELECT DISTINCT dedup projection.
+    OpQuery.sql(
+      "q15_distinct_projection",
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem") {
+      (s, dir) => load(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+    },
+
+    // A5/I1/I2: scalar-subquery watermark resolved driver-side, then the
+    // incremental delta predicate (date_created > @last_update).
+    OpQuery.sql(
+      "q16_watermark_delta_scan",
+      """SELECT o_orderstatus, count(*) AS n_new
+        |FROM orders
+        |WHERE o_orderdate > (SELECT max(o_orderdate) - INTERVAL 90 DAY FROM orders)
+        |GROUP BY o_orderstatus""".stripMargin) {
+      (s, dir) =>
+        val o = load(s, dir, "orders")
+        // A5: scalar aggregate resolved to a driver-side value (string form —
+        // robust to TIMESTAMP vs TIMESTAMP_NTZ row encodings).
+        val wmStr = o.select(max("o_orderdate").cast("string")).first().getString(0)
+        val cutoff = java.time.LocalDateTime
+          .parse(wmStr.replace(' ', 'T')).minusDays(90)
+          .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+        o.filter(col("o_orderdate") > lit(cutoff))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_new"))
+    },
+
+    // A8: composite-grain grouping by (entity, day) — the person-day grain
+    // of flat_lab_obs (group by person_id, date(obs_datetime),
+    // flat_lab_obs_v1.0.sql:133).
+    OpQuery.sql(
+      "q17_groupby_entity_day",
+      """SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |  count(DISTINCT event_type) AS n_types, max(value) AS max_value
+        |FROM events GROUP BY user_id, CAST(ts AS DATE)""".stripMargin) {
+      (s, dir) =>
+        load(s, dir, "events")
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct("event_type").as("n_types"),
+            max("value").as("max_value"))
+    }
+  )
+}

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables.load
+import graft.operators.LatestRow
+
+/** Window / ordered-sequential operator coverage (SURVEY §2.6).
+  *
+  * The reference emulates these with MySQL session-variable scans
+  * (@prev_id := @cur_id, flat_visit_summary_v1.0.sql:182-191) and
+  * nondeterministic GROUP BY (flat_latest_hiv_summary_v1.0.sql:22-36);
+  * here they are real window functions — partitioned by the entity key so
+  * they scale (no global windows in the hot path).
+  */
+object WindowQueries {
+
+  val all: Seq[OpQuery] = Seq(
+
+    // W1: lag over (person, time) — the @prev_id/@cur_id sequential scan.
+    OpQuery.sql(
+      "q18_window_lag_prev",
+      """SELECT event_id, user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |  CASE WHEN lag(user_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |       THEN 1 ELSE 0 END AS is_first_of_user
+        |FROM events""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        load(s, dir, "events").select(
+          col("event_id"), col("user_id"), col("event_type"),
+          lag("event_type", 1).over(w).as("prev_type"),
+          when(lag("user_id", 1).over(w).isNull, 1).otherwise(0).as("is_first_of_user"))
+    },
+
+    // W2: latest-row-per-group, deterministic tie-break.
+    OpQuery.sql(
+      "q19_latest_row_per_user",
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin) {
+      (s, dir) =>
+        LatestRow(load(s, dir, "events"), Seq("user_id"), Seq(col("ts"), col("event_id")))
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_type"))
+    },
+
+    // W2 + A4: the flat_latest_hiv_summary fix — latest-row bare columns
+    // joined with true MAX aggregates (no Frankenstein rows, SURVEY §7.4.8).
+    OpQuery.sql(
+      "q20_latest_plus_max",
+      """WITH latest AS (
+        |  SELECT user_id, event_type AS last_type
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |), aggs AS (
+        |  SELECT user_id, max(value) AS max_value, count(*) AS n_events FROM events GROUP BY user_id
+        |)
+        |SELECT user_id, last_type, max_value, n_events FROM latest JOIN aggs USING (user_id)""".stripMargin) {
+      (s, dir) =>
+        val ev = load(s, dir, "events")
+        val latest = LatestRow(ev, Seq("user_id"), Seq(col("ts"), col("event_id")))
+          .select(col("user_id"), col("event_type").as("last_type"))
+        val aggs = ev.groupBy("user_id")
+          .agg(max("value").as("max_value"), count(lit(1)).as("n_events"))
+        latest.join(aggs, Seq("user_id")).select("user_id", "last_type", "max_value", "n_events")
+    },
+
+    // W3: running counter. The reference mints global fake visit ids with
+    // @fake_visit_id := @fake_visit_id + 1 seeded at 10,000,000
+    // (flat_obs_v1.0.sql:29) — load-order-dependent there. Rebuilt as a
+    // deterministic per-entity counter (a global row_number would serialize
+    // on one partition at scale; per-key ids + the key are just as unique).
+    OpQuery.sql(
+      "q21_running_counter",
+      """SELECT event_id, user_id,
+        |  10000000 + row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS fake_visit_id
+        |FROM events WHERE event_type = 'signup'""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        load(s, dir, "events")
+          .filter(col("event_type") === "signup")
+          .select(col("event_id"), col("user_id"),
+            (lit(10000000L) + row_number().over(w)).as("fake_visit_id"))
+    },
+
+    // W1 composed: sessionization by inactivity gap (30 min) — lag + running
+    // sum of boundaries, the standard event-stream pattern.
+    OpQuery.sql(
+      "q22_sessionize_gaps",
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+        |           OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS is_new_session
+        |  FROM events
+        |)
+        |SELECT user_id, event_id,
+        |  sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |FROM g""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val g = load(s, dir, "events").select(
+          col("user_id"), col("event_id"), col("ts"),
+          when(
+            (unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w)) > 1800)
+              || lag("ts", 1).over(w).isNull, 1
+          ).otherwise(0).as("is_new_session"))
+        g.select(col("user_id"), col("event_id"),
+          sum("is_new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("session_no"))
+    }
+  )
+}
