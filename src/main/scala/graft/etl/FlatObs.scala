@@ -1,0 +1,193 @@
+package graft.etl
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{MysqlFunctions, ObsMap}
+import graft.operators.ReplaceInto
+
+/** Stage 1: flatten `openmrs.obs` into one row per encounter (or per
+  * (person, obs_datetime) for encounter-less obs groups) with the obs map
+  * encoded as text — the Spark rebuild of `generate_flat_obs()`
+  * (flat_obs_v1.0.sql:4-352).
+  *
+  * Grain 1 (with encounter): group by encounter_id, joined to encounter for
+  * visit/type/location (flat_obs_v1.0.sql:115-153).
+  * Grain 2 (encounter-less): group by (person_id, obs_datetime), synthetic
+  * encounter_id = min(obs_id) + 100,000,000, encounter_type 99999
+  * (flat_obs_v1.0.sql:157-194).
+  *
+  * Documented deviations (SURVEY §7.4):
+  *  - fake visit ids: the reference mints a load-order-dependent counter
+  *    (@fake_visit_id := @fake_visit_id + 1, :29,:160) — here they are
+  *    deterministic: 10,000,000 + encounter_id. Unique, reproducible, and
+  *    parallelizable (a global counter would serialize on one partition).
+  *  - numeric obs values render MySQL-style ("24" not "24.0").
+  *  - the reference only materializes encounter-less groups touched by a
+  *    void (its new-encounter-less pass is commented out, :251-291); the
+  *    rebuild always includes them (fixed mode).
+  */
+object FlatObs {
+
+  val FakeVisitBase = 10000000L
+  val SyntheticEncounterBase = 100000000L
+
+  /** MySQL renders DOUBLE without a trailing ".0" (24.0 → "24"); align the
+    * obs-map string form with the reference encoding. */
+  private def mysqlNum(c: Column): Column =
+    regexp_replace(c.cast("string"), "\\.0$", "")
+
+  /** The 7-way typed-value render (flat_obs_v1.0.sql:124-132). */
+  def renderedValue: Column =
+    when(col("value_coded").isNotNull, col("value_coded").cast("string"))
+      .when(col("value_numeric").isNotNull, mysqlNum(col("value_numeric")))
+      .when(col("value_datetime").isNotNull, to_date(col("value_datetime")).cast("string"))
+      .when(col("value_boolean").isNotNull, col("value_boolean").cast("string"))
+      .when(col("value_text").isNotNull, col("value_text"))
+      .when(col("value_drug").isNotNull, col("value_drug").cast("string"))
+      .when(col("value_modifier").isNotNull, col("value_modifier"))
+
+  /** obs-map aggregate columns shared by every pass: `obs` (concept=value)
+    * and `obs_datetimes` (concept=date(obs_datetime)), both ordered by
+    * (concept_id, value_coded) with rendered-value tie-break
+    * (flat_obs_v1.0.sql:123-144). */
+  private def obsAggs(distinctEntries: Boolean = false): Seq[Column] = {
+    val rendered = renderedValue
+    val orderKeys = Seq(col("concept_id"), col("value_coded"), rendered)
+    Seq(
+      MysqlFunctions.groupConcat(
+        ObsMap.renderEntry(col("concept_id"), rendered), orderKeys,
+        distinct = distinctEntries).as("obs"),
+      MysqlFunctions.groupConcat(
+        when(rendered.isNotNull,
+          ObsMap.renderEntry(col("concept_id"), to_date(col("obs_datetime")).cast("string"))),
+        orderKeys, distinct = distinctEntries).as("obs_datetimes"),
+      max(col("date_created")).as("max_date_created"))
+  }
+
+  /** Aggregate with-encounter obs rows (already filtered) to flat rows. */
+  private def aggWithEncounter(obsRows: DataFrame, encounter: DataFrame): DataFrame =
+    obsRows
+      .filter(col("encounter_id") > 0 && col("voided") === 0)
+      .join(encounter.select("encounter_id", "visit_id", "encounter_datetime",
+        "encounter_type", "location_id"), Seq("encounter_id"))
+      .groupBy("encounter_id")
+      .agg(
+        max(col("person_id")).as("person_id"),
+        (Seq(
+          max(col("visit_id")).as("real_visit_id"),
+          max(col("encounter_datetime")).as("encounter_datetime"),
+          max(col("encounter_type")).as("encounter_type"),
+          max(col("location_id")).as("location_id")) ++ obsAggs()): _*)
+      .withColumn("visit_id",
+        coalesce(col("real_visit_id"), (lit(FakeVisitBase) + col("encounter_id")).cast("int")))
+      .select("person_id", "visit_id", "encounter_id", "encounter_datetime",
+        "encounter_type", "location_id", "obs", "obs_datetimes", "max_date_created")
+
+  /** Aggregate encounter-less obs rows to flat rows at the
+    * (person, obs_datetime) grain (flat_obs_v1.0.sql:157-194). */
+  private def aggEncounterless(obsRows: DataFrame): DataFrame =
+    obsRows
+      .filter(col("encounter_id").isNull && col("voided") === 0)
+      .groupBy("person_id", "obs_datetime")
+      .agg(
+        (min(col("obs_id")) + lit(SyntheticEncounterBase)).cast("int").as("encounter_id"),
+        obsAggs(): _*)
+      .select(
+        col("person_id"),
+        (lit(FakeVisitBase) + col("encounter_id")).cast("int").as("visit_id"),
+        col("encounter_id"),
+        col("obs_datetime").as("encounter_datetime"),
+        lit(99999).as("encounter_type"),
+        lit(null).cast("int").as("location_id"),
+        col("obs"), col("obs_datetimes"), col("max_date_created"))
+
+  private def canon(df: DataFrame): DataFrame =
+    df.select(Schemas.flatObs.fieldNames.map(col).toIndexedSeq: _*)
+
+  /** Full rebuild: every obs group, both grains, voided persons removed. */
+  def build(obs: DataFrame, encounter: DataFrame, person: DataFrame): DataFrame = {
+    val withEnc = aggWithEncounter(obs, encounter.filter(col("voided") === 0))
+    val noEnc = aggEncounterless(obs)
+    canon(removeVoidedPersons(withEnc.unionByName(noEnc), person))
+  }
+
+  /** Incremental update — the reference's delta dance
+    * (flat_obs_v1.0.sql:74-340):
+    *  1. voided_obs: voided=1 ∧ date_voided > wm ∧ date_created <= wm (:77);
+    *  2. encounters_with_updated_data: date_changed > wm, already flat (:80);
+    *  3. encounters_with_new_obs: obs date_created > wm (:199);
+    *  4. delete + re-aggregate every touched group at both grains;
+    *  5. purge voided persons (:337).
+    * All three key sets are small deltas — broadcast into semi/anti joins;
+    * recompute scans only rows of affected groups.
+    */
+  def incremental(
+      existing: DataFrame,
+      obs: DataFrame,
+      encounter: DataFrame,
+      person: DataFrame,
+      lastUpdate: Timestamp): DataFrame = {
+    val wm = lit(lastUpdate)
+
+    val voidedObs = obs.filter(
+      col("voided") === 1 && col("date_voided") > wm && col("date_created") <= wm)
+
+    // encounter-grain delta keys: voided ∪ changed ∪ new
+    val voidedEncKeys = voidedObs.filter(col("encounter_id").isNotNull)
+      .select("encounter_id").distinct()
+    val changedEncKeys = encounter
+      .filter(col("voided") === 0 && col("date_changed") > wm)
+      .select("encounter_id")
+      .join(existing.select("encounter_id"), Seq("encounter_id"), "left_semi")
+      .distinct()
+    val newObsEncKeys = obs.filter(
+      col("encounter_id") > 0 && col("voided") === 0 && col("date_created") > wm)
+      .select("encounter_id").distinct()
+    val encKeys = voidedEncKeys.union(changedEncKeys).union(newObsEncKeys).distinct()
+
+    // (person, obs_datetime)-grain delta keys (voids + new encounter-less)
+    val voidedMomentKeys = voidedObs.filter(col("encounter_id").isNull)
+      .select("person_id", "obs_datetime").distinct()
+    val newMomentKeys = obs.filter(
+      col("encounter_id").isNull && col("voided") === 0 && col("date_created") > wm)
+      .select("person_id", "obs_datetime").distinct()
+    val momentKeys = voidedMomentKeys.union(newMomentKeys).distinct()
+
+    // recompute touched groups from source-of-truth
+    val rebuiltEnc = aggWithEncounter(
+      obs.join(broadcast(encKeys), Seq("encounter_id"), "left_semi"),
+      encounter.filter(col("voided") === 0))
+    val rebuiltMoments = aggEncounterless(
+      obs.join(broadcast(momentKeys), Seq("person_id", "obs_datetime"), "left_semi"))
+
+    // deletes: groups whose members are all gone produce no rebuilt row, so
+    // delete-by-key + merge covers retraction. Voided moments delete ANY
+    // flat row at (person, datetime) — faithful to the reference's
+    // encounter-less void delete (flat_obs_v1.0.sql:110-113). New moments
+    // must only displace stale SYNTHETIC rows (whose min(obs_id) key may
+    // have shifted), never a real encounter that shares the timestamp.
+    val deletedByEnc = ReplaceInto.deleteMatching(existing, encKeys, Seq("encounter_id"))
+    val afterVoidedMoments = deletedByEnc.join(
+      broadcast(voidedMomentKeys.withColumnRenamed("obs_datetime", "encounter_datetime")),
+      Seq("person_id", "encounter_datetime"), "left_anti")
+    val deleted = afterVoidedMoments
+      .join(
+        broadcast(newMomentKeys
+          .withColumnRenamed("obs_datetime", "encounter_datetime")
+          .withColumn("__new_moment", lit(1))),
+        Seq("person_id", "encounter_datetime"), "left")
+      .filter(col("__new_moment").isNull || col("encounter_id") < SyntheticEncounterBase.toInt)
+      .drop("__new_moment")
+
+    val merged = ReplaceInto(
+      canon(deleted), rebuiltEnc.unionByName(rebuiltMoments), Seq("encounter_id"))
+    canon(removeVoidedPersons(merged, person))
+  }
+
+  /** DELETE voided persons (flat_obs_v1.0.sql:337-340). */
+  def removeVoidedPersons(flat: DataFrame, person: DataFrame): DataFrame =
+    flat.join(
+      broadcast(person.filter(col("voided") === 1).select("person_id")),
+      Seq("person_id"), "left_anti")
+}

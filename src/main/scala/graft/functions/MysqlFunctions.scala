@@ -47,7 +47,8 @@ object MysqlFunctions {
     // MySQL GROUP_CONCAT(DISTINCT ... ORDER BY ...): DISTINCT applies to the
     // rendered string; array already sorted so array_distinct keeps order.
     val deduped = if (distinct) array_distinct(sorted) else sorted
-    array_join(deduped, sep)
+    // MySQL returns NULL (not '') when every input value is NULL.
+    when(size(deduped) > 0, array_join(deduped, sep))
   }
 
   /** Faithful-mode GROUP_CONCAT with MySQL's `group_concat_max_len`

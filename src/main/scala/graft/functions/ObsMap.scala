@@ -88,16 +88,17 @@ object ObsMap {
       filter(decode(obs), e => e.getField("concept") === lit(concept)),
       e => e.getField("value"))
 
-  /** First value for `concept`, or null. */
+  /** First value for `concept`, or null (try_element_at: ANSI-safe on
+    * empty arrays). */
   def valueFor(obs: Column, concept: Int): Column =
-    element_at(valuesFor(obs, concept), 1)
+    try_element_at(valuesFor(obs, concept), lit(1))
 
   /** LAST value for `concept`, or null — matches the reference's
     * count-driven `substring_index` extraction which lands on the last
     * occurrence when a concept repeats (SURVEY §2.2 P11).
     */
   def lastValueFor(obs: Column, concept: Int): Column =
-    element_at(valuesFor(obs, concept), -1)
+    try_element_at(valuesFor(obs, concept), lit(-1))
 
   /** Does the map contain `concept=code`? The faithful decode predicate
     * `obs regexp '!!<concept>=(<code>)!!'` — the parens in the reference

