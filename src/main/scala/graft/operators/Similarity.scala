@@ -30,15 +30,19 @@ object Similarity {
 
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (self excluded), deterministic tie-break on corpus id.
+    * Norms are computed once per vector BEFORE the pair product — inside
+    * the join each pair would pay two 64-element folds just to normalize.
     */
   def bruteForceTopK(
       queries: DataFrame, // (qid, qvec: array<double>)
       corpus: DataFrame, // (vec_id, vec: array<double>)
       k: Int): DataFrame = {
-    val scored = queries.crossJoin(corpus)
+    val q = queries.withColumn("qn", norm(col("qvec")))
+    val c = corpus.withColumn("cn", norm(col("vec")))
+    val scored = q.crossJoin(c)
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        cosine(col("qvec"), col("vec")).as("sim"))
+        (dot(col("qvec"), col("vec")) / (col("qn") * col("cn"))).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -46,16 +50,19 @@ object Similarity {
   /** Blocked near-duplicate pairs: all pairs within the same block (e.g. a
     * cluster label or IVF cell id) with cosine above `threshold`. The join
     * shuffles by block, so cost is sum of per-block squares, not a global
-    * cross product.
+    * cross product; norms are precomputed per vector, not per pair.
     */
   def blockedNearDupPairs(
       vectors: DataFrame, // (vec_id, vec: array<double>, block)
       threshold: Double): DataFrame = {
-    val l = vectors.select(col("block"), col("vec_id").as("id_a"), col("vec").as("va"))
-    val r = vectors.select(col("block"), col("vec_id").as("id_b"), col("vec").as("vb"))
+    val withNorm = vectors.withColumn("nrm", norm(col("vec")))
+    val l = withNorm.select(col("block"), col("vec_id").as("id_a"),
+      col("vec").as("va"), col("nrm").as("na"))
+    val r = withNorm.select(col("block"), col("vec_id").as("id_b"),
+      col("vec").as("vb"), col("nrm").as("nb"))
     l.join(r, Seq("block"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("sim") > threshold)
       .select("id_a", "id_b", "sim")
   }

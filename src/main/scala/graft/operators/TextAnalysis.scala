@@ -32,34 +32,56 @@ object TextAnalysis {
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
 
   /** Word n-gram shingles (n >= 1) over a words array; fewer than n words →
-    * empty array. NOTE: `sequence(1, 0)` in Spark yields a DESCENDING
-    * sequence, so the size guard is mandatory.
+    * empty array.
+    *
+    * Two Spark traps handled here:
+    *  - `sequence(1, 0)` yields a DESCENDING sequence, so the size guard is
+    *    mandatory;
+    *  - a lambda that references an OUTER column expression re-evaluates it
+    *    on every element access (HOF lambdas are interpreted, no CSE) — at
+    *    3 accesses × k shingles that re-ran the normalize regexes hundreds
+    *    of times per row (35s for 5k docs). `transform(array(x), w => …)`
+    *    binds the array once as a lambda variable.
     */
   def shingles(wordsArr: Column, n: Int): Column =
-    when(size(wordsArr) >= n,
-      transform(sequence(lit(1), size(wordsArr) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(wordsArr, i + j)): _*)))
-      .otherwise(array().cast(ArrayType(StringType)))
+    try_element_at(
+      transform(array(wordsArr), w =>
+        when(size(w) >= n,
+          transform(sequence(lit(1), size(w) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
+          .otherwise(array().cast(ArrayType(StringType)))),
+      lit(1))
 
   /** Quality metrics: word count, mean word length, stopword ratio,
     * non-alphanumeric (punctuation) ratio. Ratios are exact-integer
     * divisions surfaced as rounded doubles — deterministic across engines.
     */
   def qualityMetrics(text: Column, stopwords: Seq[String]): Column = {
-    val norm = normalize(text)
-    val w = words(norm)
-    val nWords = when(length(norm) === 0, 0).otherwise(size(w))
-    val charsInWords = length(regexp_replace(norm, " ", ""))
-    val nStop = size(filter(w, x => x.isInCollection(stopwords)))
+    // nested let-bindings (see shingles): normalize runs once, split once
     val nPunct = length(text) - length(regexp_replace(text, "[^a-z0-9\\sA-Z]", ""))
-    struct(
-      nWords.as("n_words"),
-      round(when(nWords > 0, charsInWords.cast("double") / nWords).otherwise(0.0), 6)
-        .as("avg_word_len"),
-      round(when(nWords > 0, nStop.cast("double") / nWords).otherwise(0.0), 6)
-        .as("stopword_ratio"),
+    val punctRatio =
       round(when(length(text) > 0, nPunct.cast("double") / length(text)).otherwise(0.0), 6)
-        .as("punct_ratio"))
+    val inner = try_element_at(
+      transform(array(normalize(text)), norm =>
+        try_element_at(
+          transform(array(words(norm)), w => {
+            val nWords = when(length(norm) === 0, 0).otherwise(size(w))
+            val charsInWords = length(regexp_replace(norm, " ", ""))
+            val nStop = size(filter(w, x => x.isInCollection(stopwords)))
+            struct(
+              nWords.as("n_words"),
+              round(when(nWords > 0, charsInWords.cast("double") / nWords).otherwise(0.0), 6)
+                .as("avg_word_len"),
+              round(when(nWords > 0, nStop.cast("double") / nWords).otherwise(0.0), 6)
+                .as("stopword_ratio"))
+          }),
+          lit(1))),
+      lit(1))
+    struct(
+      inner.getField("n_words").as("n_words"),
+      inner.getField("avg_word_len").as("avg_word_len"),
+      inner.getField("stopword_ratio").as("stopword_ratio"),
+      punctRatio.as("punct_ratio"))
   }
 
   /** Marker-word language ID: score each candidate language by counting its
@@ -69,14 +91,18 @@ object TextAnalysis {
     * argmax — is the production one.
     */
   def langId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
-    val w = words(normalize(text))
-    val scored = markers.map { case (langCode, ms) =>
-      struct(size(filter(w, x => x.isInCollection(ms))).as("score"), lit(langCode).as("lang"))
-    }
-    // array_max on struct = max by (score, lang); invert lang order for
-    // deterministic lowest-code-wins on ties via negative? Keep max-by
-    // (score, lang): documented tie-break = lexicographically LAST code.
-    val best = array_max(array(scored: _*))
+    // bind the words array once (see shingles) — per-language filters would
+    // otherwise each re-run the normalize regexes
+    val best = try_element_at(
+      transform(array(words(normalize(text))), w => {
+        val scored = markers.map { case (langCode, ms) =>
+          struct(size(filter(w, x => x.isInCollection(ms))).as("score"),
+            lit(langCode).as("lang"))
+        }
+        // max by (score, lang): documented tie-break = lexicographically LAST code
+        array_max(array(scored: _*))
+      }),
+      lit(1))
     when(best.getField("score") === 0, "und").otherwise(best.getField("lang"))
   }
 
@@ -91,17 +117,22 @@ object TextAnalysis {
     * hex chars of its md5); each bit position accumulates +1/-1 per token;
     * the signature bit is 1 where the sum is positive. Deterministic and
     * reproducible in any engine with md5 — no engine-private hash.
+    *
+    * Single pass: ONE `aggregate` with a 16-slot array accumulator (16
+    * separate aggregates would re-hash every token 16×).
     */
   def simhash16(text: Column): Column = {
-    val toks = words(normalize(text))
-    val hashes = transform(toks, t => conv(substring(md5(t), 1, 4), 16, 10).cast(IntegerType))
-    val bitSums = (0 until 16).map { b =>
-      aggregate(hashes, lit(0),
-        (acc, h) => acc + when(h.bitwiseAND(lit(1 << b)) =!= 0, 1).otherwise(-1))
-    }
-    bitSums.zipWithIndex.map { case (s, b) =>
-      when(s > 0, lit(1 << b)).otherwise(lit(0))
-    }.reduce(_ + _)
+    val powers = array((0 until 16).map(b => lit(1 << b)): _*)
+    val hashes = transform(words(normalize(text)),
+      t => conv(substring(md5(t), 1, 4), 16, 10).cast(IntegerType))
+    val bitSums = aggregate(
+      hashes,
+      transform(powers, _ => lit(0)),
+      (acc, h) => zip_with(acc, powers,
+        (a, p) => a + when(h.bitwiseAND(p) =!= 0, 1).otherwise(-1)))
+    aggregate(
+      zip_with(bitSums, powers, (s, p) => when(s > 0, p).otherwise(lit(0))),
+      lit(0), (a, x) => a + x)
   }
 
   /** Hamming distance between two small int signatures (e.g. simhash16). */

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSuite
+import EventStreams._
+
+class EventStreamsSpec extends SparkSuite {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedTypeCounts over a MemoryStream emits closed watermarked windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = windowedTypeCounts(input.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(
+      Event(1, ts("2024-01-01 10:05:00"), "click", 1.0),
+      Event(1, ts("2024-01-01 10:40:00"), "click", 2.0),
+      Event(2, ts("2024-01-01 10:50:00"), "view", 3.0))
+    q.processAllAvailable()
+    // advance watermark past 11:10 so the 10:00 window closes
+    input.addData(Event(3, ts("2024-01-01 12:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_counts")
+      .select(col("window.start").cast("string"), col("event_type"), col("n"),
+        col("total_value"))
+      .as[(String, String, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    q.stop()
+    assert(rows.toSeq == Seq(
+      ("2024-01-01 10:00:00", "click", 2L, 3.0),
+      ("2024-01-01 10:00:00", "view", 1L, 3.0)))
+  }
+
+  test("sessionize groups by inactivity gap and closes sessions on timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+
+    // user 1: two events 10 min apart (one session), then a 2-hour gap event
+    input.addData(
+      Event(1, ts("2024-01-01 10:00:00"), "click", 1.0),
+      Event(1, ts("2024-01-01 10:10:00"), "view", 1.0),
+      Event(1, ts("2024-01-01 13:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("sessions")
+      .select(col("user_id"), col("session_start").cast("string"), col("n_events"))
+      .as[(Long, String, Int)].collect().sortBy(_._2)
+    q.stop()
+    // first session closed when the 13:00 event arrived in-batch
+    assert(rows.toSeq == Seq((1L, "2024-01-01 10:00:00", 2)))
+  }
+}
