@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the formatted physical plan of selected catalog
+  * queries and greps for the properties that matter at 100 TB — pushed
+  * filters reaching the parquet scan, pruned read schemas, broadcast
+  * joins on dimension/delta sides, whole-stage codegen coverage.
+  *
+  * Usage: runMain graft.tools.ExplainAudit [queryName ...]
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q01_scan_project_filter", "q05_join_inner_agg", "q09_join_broadcast_dims",
+        "q11_agg_pricing_summary", "q43_flat_obs_stage")
+    names.foreach { n =>
+      val q = graft.SparkEntry.catalog.find(_.name == n).getOrElse(
+        sys.error(s"unknown query $n"))
+      val plan = q.run(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(s"\n===== $n =====")
+      println(plan.linesIterator.filter(l =>
+        l.contains("PushedFilters") || l.contains("ReadSchema") ||
+          l.contains("Scan parquet") || l.contains("BroadcastHashJoin") ||
+          l.contains("SortMergeJoin") || l.contains("WholeStageCodegen") ||
+          l.contains("Exchange") || l.contains("HashAggregate") ||
+          l.contains("(") && l.length < 80 && l.trim.matches("^\\([0-9]+\\) .*"))
+        .take(40).mkString("\n"))
+    }
+    spark.stop()
+  }
+}
