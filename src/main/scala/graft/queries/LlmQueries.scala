@@ -215,6 +215,21 @@ object LlmQueries {
         Similarity.blockedNearDupPairs(v, 0.3)
     },
 
+    // Approximate aggregates — the 100 TB cardinality/quantile path
+    // (HyperLogLog++ and quantile sketches partial-aggregate map-side, so
+    // a count-distinct over trillions of keys never materializes the set).
+    // Sketch internals differ per engine → rows-only check, no SQL oracle.
+    OpQuery.rowsOnly("q45_approx_aggregates") {
+      (s, dir) =>
+        load(s, dir, "events")
+          .groupBy("event_type")
+          .agg(
+            approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+            percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
+            percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_value"),
+            count(lit(1)).as("n"))
+    },
+
     // Multimodal binary-column stub: payload bytes + checksum features (the
     // full mapPartitions decode plumbing is in operators.Multimodal; this
     // query pins the SQL-visible surface of the binary column).
