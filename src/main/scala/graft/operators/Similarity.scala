@@ -84,4 +84,53 @@ object Similarity {
     }
     bits.reduce(_ + _)
   }
+
+  // ---- IVF (inverted-file) index: the coarse-quantization scale path ----
+
+  /** Deterministic coarse centroids: the k lowest-id vectors. (A k-means
+    * refinement is a straightforward extension — iterate
+    * assign → groupBy(cell).avg — but seeded selection keeps the index
+    * reproducible with no RNG, which the oracle/test story needs.)
+    */
+  def ivfCentroids(vectors: DataFrame, k: Int): DataFrame =
+    vectors.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cell"), col("vec").as("cvec"))
+
+  /** Assign each vector to its nearest centroid (max cosine, tie → lowest
+    * cell id). Centroids are tiny → broadcast; one pass over the corpus.
+    */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
+    vectors.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("vec"), col("cvec")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("vec"), col("cell"))
+  }
+
+  /** IVF search: probe the `nProbe` nearest cells per query, exact top-k
+    * within the probed cells only. At scale the candidate join shuffles by
+    * cell — each query scans |corpus| * nProbe / k instead of everything.
+    */
+  def ivfSearch(
+      queries: DataFrame, // (qid, qvec)
+      assigned: DataFrame, // (vec_id, vec, cell) from ivfAssign
+      centroids: DataFrame,
+      nProbe: Int,
+      k: Int): DataFrame = {
+    val wProbe = Window.partitionBy("qid").orderBy(col("csim").desc, col("cell"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("qvec"), col("cvec")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nProbe)
+      .select(col("qid"), col("qvec"), col("cell"))
+    val candidates = probes.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+    val wTop = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    candidates
+      .withColumn("sim", cosine(col("qvec"), col("vec")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id", "sim", "rank")
+  }
 }

@@ -215,6 +215,37 @@ object LlmQueries {
         Similarity.blockedNearDupPairs(v, 0.3)
     },
 
+    // IVF-bucketed ANN — the scale path: probe 3 of 16 coarse cells per
+    // query instead of scanning the corpus (assignment + probing are
+    // deterministic: seeded centroids, cosine argmax with id tie-break).
+    OpQuery.rowsOnly("q46_ann_ivf") {
+      (s, dir) =>
+        val emb = load(s, dir, "embeddings")
+          .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
+        val centroids = Similarity.ivfCentroids(emb, 16)
+        val assigned = Similarity.ivfAssign(emb, centroids)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        Similarity.ivfSearch(queries, assigned, centroids, nProbe = 3, k = 5)
+          .select(col("qid"), col("vec_id").as("neighbor_id"),
+            round(col("sim"), 6).as("sim"), col("rank"))
+    },
+
+    // Semi-structured props parsing (events.props is a JSON string) — the
+    // training-data-pipeline metadata path.
+    OpQuery.sql(
+      "q47_json_extract",
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k_value,
+        |  CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) >= 50 THEN 'hi' ELSE 'lo' END AS k_band
+        |FROM events""".stripMargin) {
+      (s, dir) =>
+        load(s, dir, "events").select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_value"),
+          when(get_json_object(col("props"), "$.k").cast("int") >= 50, "hi")
+            .otherwise("lo").as("k_band"))
+    },
+
     // Approximate aggregates — the 100 TB cardinality/quantile path
     // (HyperLogLog++ and quantile sketches partial-aggregate map-side, so
     // a count-distinct over trillions of keys never materializes the set).
