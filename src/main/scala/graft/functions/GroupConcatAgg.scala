@@ -1,0 +1,136 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import scala.collection.mutable
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MySQL `GROUP_CONCAT(expr ORDER BY keys SEPARATOR sep)` as a native
+  * Catalyst aggregate (SURVEY §2.10's optional custom) — the byte-faithful
+  * path: enforces `group_concat_max_len` truncation exactly like the
+  * reference's `set session group_concat_max_len=100000`
+  * (flat_obs_v1.0.sql:25), including MySQL's behavior of truncating the
+  * JOINED string, not dropping whole entries.
+  *
+  * The pure-Catalyst composition [[MysqlFunctions.groupConcat]]
+  * (collect_list + array_sort + array_join) remains the default — it
+  * whole-stage-codegens and needs no custom serialization. This aggregate
+  * exists for (a) byte-fidelity truncation, (b) SQL surface parity
+  * (`SELECT group_concat(v, k) …` after [[SqlFunctions.register]]), and
+  * (c) as the UDAF-tier reference implementation.
+  *
+  * Buffer = (sortKey row, value) pairs; partial aggregation merges buffers
+  * (map-side combine applies); ordering happens once at eval.
+  */
+case class GroupConcatAgg(
+    value: Expression,
+    sortKey: Expression,
+    separator: String = " ## ",
+    maxLen: Int = 100000,
+    distinct: Boolean = false,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.ArrayBuffer[(InternalRow, UTF8String)]] {
+
+  override def children: Seq[Expression] = Seq(value, sortKey)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+
+  private lazy val keyType = sortKey.dataType
+  private lazy val keyOrdering = TypeUtils.getInterpretedOrdering(keyType)
+  private lazy val keyProjection = UnsafeProjection.create(Seq(sortKey))
+  private lazy val keyFields = keyType match {
+    case s: StructType => s.size
+    case _ => 1
+  }
+
+  override def createAggregationBuffer(): mutable.ArrayBuffer[(InternalRow, UTF8String)] =
+    mutable.ArrayBuffer.empty
+
+  override def update(
+      buffer: mutable.ArrayBuffer[(InternalRow, UTF8String)],
+      input: InternalRow): mutable.ArrayBuffer[(InternalRow, UTF8String)] = {
+    val v = value.eval(input)
+    if (v != null) {
+      // copy: projection output and eval results alias reused buffers
+      val keyRow = keyProjection(input).copy()
+      buffer += ((keyRow, v.asInstanceOf[UTF8String].clone()))
+    }
+    buffer
+  }
+
+  override def merge(
+      buffer: mutable.ArrayBuffer[(InternalRow, UTF8String)],
+      other: mutable.ArrayBuffer[(InternalRow, UTF8String)])
+      : mutable.ArrayBuffer[(InternalRow, UTF8String)] = buffer ++= other
+
+  override def eval(buffer: mutable.ArrayBuffer[(InternalRow, UTF8String)]): Any = {
+    if (buffer.isEmpty) return null // MySQL: NULL when no non-null values
+    val sorted = buffer.sortWith { case ((ka, va), (kb, vb)) =>
+      val c = keyOrdering.compare(ka.get(0, keyType), kb.get(0, keyType))
+      if (c != 0) c < 0 else va.compareTo(vb) < 0 // deterministic tie-break
+    }
+    val values = sorted.map(_._2.toString)
+    val deduped = if (distinct) values.distinct else values
+    val joined = deduped.mkString(separator)
+    UTF8String.fromString(
+      if (joined.length > maxLen) joined.substring(0, maxLen) else joined)
+  }
+
+  override def serialize(buffer: mutable.ArrayBuffer[(InternalRow, UTF8String)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.size)
+    buffer.foreach { case (k, v) =>
+      val kBytes = k.asInstanceOf[UnsafeRow].getBytes
+      out.writeInt(kBytes.length); out.write(kBytes)
+      val vBytes = v.getBytes
+      out.writeInt(vBytes.length); out.write(vBytes)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[(InternalRow, UTF8String)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.ArrayBuffer.empty[(InternalRow, UTF8String)]
+    (0 until n).foreach { _ =>
+      val kLen = in.readInt(); val kBytes = new Array[Byte](kLen); in.readFully(kBytes)
+      val row = new UnsafeRow(1)
+      row.pointTo(kBytes, kLen)
+      val vLen = in.readInt(); val vBytes = new Array[Byte](vLen); in.readFully(vBytes)
+      buf += ((row, UTF8String.fromBytes(vBytes)))
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): GroupConcatAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): GroupConcatAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GroupConcatAgg =
+    copy(value = newChildren(0), sortKey = newChildren(1))
+  override def prettyName: String = "group_concat"
+}
+
+object GroupConcatAgg {
+  import org.apache.spark.sql.GraftColumnBridge
+
+  /** Column-API surface: `group_concat(value, sortKeys…)` with MySQL
+    * truncation semantics. (Spark 4: Column <-> Expression bridging goes
+    * through the GraftColumnBridge shim.) */
+  def apply(value: Column, sortKeys: Seq[Column], sep: String, maxLen: Int,
+      distinct: Boolean): Column = {
+    val keyExpr = GraftColumnBridge.expression(
+      org.apache.spark.sql.functions.struct(sortKeys: _*))
+    GraftColumnBridge.column(
+      GroupConcatAgg(GraftColumnBridge.expression(value.cast("string")), keyExpr,
+        sep, maxLen, distinct).toAggregateExpression())
+  }
+}
