@@ -215,6 +215,33 @@ object LlmQueries {
         Similarity.blockedNearDupPairs(v, 0.3)
     },
 
+    // Composed quality filter — the keep/drop decision a pretraining
+    // pipeline actually applies (Gopher-style threshold rules over the
+    // quality metrics).
+    OpQuery.sql(
+      "q48_quality_filter",
+      s"""WITH t AS (SELECT doc_id, text, $DuckNorm AS norm FROM documents),
+         |w AS (SELECT doc_id, text, norm, string_split(norm, ' ') ws FROM t),
+         |m AS (SELECT doc_id,
+         |  CASE WHEN length(norm) = 0 THEN 0 ELSE len(ws) END AS n_words,
+         |  round(CASE WHEN length(norm) = 0 OR len(ws) = 0 THEN 0.0
+         |    ELSE CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(ws) END, 6) AS awl,
+         |  round(CASE WHEN length(norm) = 0 OR len(ws) = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(ws, x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE) / len(ws) END, 6) AS swr
+         |  FROM w)
+         |SELECT doc_id,
+         |  CASE WHEN n_words BETWEEN 10 AND 100000 AND awl BETWEEN 2 AND 12
+         |            AND swr >= 0.01 THEN 1 ELSE 0 END AS keep
+         |FROM m""".stripMargin) {
+      (s, dir) =>
+        val m = load(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.qualityMetrics(col("text"), Stopwords).as("q"))
+        m.select(col("doc_id"),
+          when(col("q.n_words").between(10, 100000) &&
+            col("q.avg_word_len").between(2, 12) &&
+            col("q.stopword_ratio") >= 0.01, 1).otherwise(0).as("keep"))
+    },
+
     // IVF-bucketed ANN — the scale path: probe 3 of 16 coarse cells per
     // query instead of scanning the corpus (assignment + probing are
     // deterministic: seeded centroids, cosine argmax with id tie-break).
