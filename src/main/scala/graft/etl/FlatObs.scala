@@ -144,11 +144,26 @@ object FlatObs {
     val newObsEncKeys = obs.filter(
       col("encounter_id") > 0 && col("voided") === 0 && col("date_created") > wm)
       .select("encounter_id").distinct()
-    val encKeys = voidedEncKeys.union(changedEncKeys).union(newObsEncKeys).distinct()
 
     // (person, obs_datetime)-grain delta keys (voids + new encounter-less)
     val voidedMomentKeys = voidedObs.filter(col("encounter_id").isNull)
       .select("person_id", "obs_datetime").distinct()
+
+    // The encounter-less void delete matches flat rows on
+    // (person, encounter_datetime) — which can hit a REAL encounter's row
+    // that shares the timestamp. The reference deletes it and never
+    // rebuilds it (flat_obs_v1.0.sql:110-113 followed by a pass that only
+    // re-adds the encounter-less grain :157-194 — data loss, quirk
+    // register). Fixed here: real encounters caught by a voided moment are
+    // added to the rebuild key set.
+    val collidingEncKeys = existing
+      .join(broadcast(voidedMomentKeys
+        .withColumnRenamed("obs_datetime", "encounter_datetime")),
+        Seq("person_id", "encounter_datetime"), "left_semi")
+      .filter(col("encounter_id") < SyntheticEncounterBase.toInt)
+      .select("encounter_id")
+    val encKeys = voidedEncKeys.union(changedEncKeys).union(newObsEncKeys)
+      .union(collidingEncKeys).distinct()
     val newMomentKeys = obs.filter(
       col("encounter_id").isNull && col("voided") === 0 && col("date_created") > wm)
       .select("person_id", "obs_datetime").distinct()

@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two double arrays (fold left, deterministic order). */
+  /** Dot product of two double arrays — the codegen'd primitive loop
+    * (graft.functions.DotProductExpr); left-to-right accumulation, so
+    * bit-identical to the interpreted `aggregate(zip_with(...))` form.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -60,8 +63,13 @@ object Similarity {
       col("vec").as("va"), col("nrm").as("na"))
     val r = withNorm.select(col("block"), col("vec_id").as("id_b"),
       col("vec").as("vb"), col("nrm").as("nb"))
+    // Enumerate pairs on the (few, large) blocks, then REPARTITION by pair
+    // before the expensive dot products: with k blocks the join output
+    // lands on ≤ k partitions (and AQE may coalesce further), serializing
+    // the similarity math; the cheap extra shuffle spreads it evenly.
     l.join(r, Seq("block"))
       .filter(col("id_a") < col("id_b"))
+      .repartition(col("id_a"), col("id_b"))
       .withColumn("sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("sim") > threshold)
       .select("id_a", "id_b", "sim")

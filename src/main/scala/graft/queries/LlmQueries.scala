@@ -55,11 +55,13 @@ object LlmQueries {
          |FROM pairs JOIN sz a ON a.doc_id = id_a JOIN sz b ON b.doc_id = id_b
          |WHERE round(CAST(n_shared AS DOUBLE) / (a.n + b.n - n_shared), 6) >= 0.1""".stripMargin) {
       (s, dir) =>
+        // cache: the shingle relation feeds both join sides + the size agg —
+        // without it the normalize/shingle pipeline runs 3x
         val docShingles = load(s, dir, "documents")
           .select(col("doc_id").as("id"),
             explode(TextAnalysis.shingles(
               TextAnalysis.words(TextAnalysis.normalize(col("text"))), 3)).as("shingle"))
-          .distinct()
+          .distinct().cache()
         Dedup.ngramJaccardPairs(docShingles, 0.1)
     },
 
@@ -84,7 +86,7 @@ object LlmQueries {
           .select(col("doc_id").as("id"),
             explode(TextAnalysis.shingles(
               TextAnalysis.words(TextAnalysis.normalize(col("text"))), 3)).as("shingle"))
-          .distinct()
+          .distinct().cache()
         Dedup.lshCandidatePairs(Dedup.minhashBands(docShingles, 8, 2))
     },
 

@@ -80,20 +80,28 @@ class RetractionPropertySpec extends SparkSuite {
       }
       val okLab = canonical(lab) == canonical(FlatLabObs.build(asOf(obs, cuts.last), p))
 
-      // voided values never resurrect: every fully-voided obs value is absent
+      // voided values never resurrect: for each person, every fully-voided
+      // (concept, value) — no surviving non-voided source row for THAT
+      // person — must be absent from that person's obs strings.
       val finalObs = asOf(obs, cuts.last)
       val voidedValues = finalObs.filter(col("voided") === 1)
         .join(finalObs.filter(col("voided") === 0),
           Seq("person_id", "concept_id", "value_coded"), "left_anti")
-        .select(concat(lit("!!"), col("concept_id"), lit("="), col("value_coded"), lit("!!")))
-        .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSet
-      val surviving = flat.select("obs").collect().flatMap(r => Option(r.getString(0))).mkString(" ")
-      val okNoResurrect = voidedValues.forall(v => !surviving.contains(v))
+        .select(col("person_id"),
+          concat(lit("!!"), col("concept_id"), lit("="), col("value_coded"), lit("!!"))
+            .as("entry"))
+        .collect().map(r => (r.getInt(0), r.getString(1)))
+      val survivingByPerson = flat.select("person_id", "obs").collect()
+        .groupBy(_.getInt(0))
+        .view.mapValues(_.flatMap(r => Option(r.getString(1))).mkString(" ")).toMap
+      val okNoResurrect = voidedValues.forall { case (p, v) =>
+        !survivingByPerson.getOrElse(p, "").contains(v)
+      }
 
       okObs && okLab && okNoResurrect
     }
     val result = ScTest.check(
-      ScTest.Parameters.default.withMinSuccessfulTests(5).withWorkers(1), prop)
+      ScTest.Parameters.default.withMinSuccessfulTests(8).withWorkers(1), prop)
     assert(result.passed, s"property failed: ${result.status}")
   }
 }
