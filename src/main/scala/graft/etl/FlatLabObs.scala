@@ -99,10 +99,10 @@ object FlatLabObs {
 
     val rebuilt = aggLabs(
       labRows(obs).withColumn("test_date", to_date(col("obs_datetime")))
-        .join(broadcast(days), Seq("person_id", "test_date"), "left_semi"))
+        .join(days, Seq("person_id", "test_date"), "left_semi"))
     val deleted = existing
       .withColumn("test_date", to_date(col("test_datetime")))
-      .join(broadcast(days), Seq("person_id", "test_date"), "left_anti")
+      .join(days, Seq("person_id", "test_date"), "left_anti")
       .drop("test_date")
     canon(FlatObs.removeVoidedPersons(
       ReplaceInto(canon(deleted), rebuilt, Seq("encounter_id")), person))

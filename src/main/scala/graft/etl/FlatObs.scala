@@ -119,8 +119,11 @@ object FlatObs {
     *  3. encounters_with_new_obs: obs date_created > wm (:199);
     *  4. delete + re-aggregate every touched group at both grains;
     *  5. purge voided persons (:337).
-    * All three key sets are small deltas — broadcast into semi/anti joins;
-    * recompute scans only rows of affected groups.
+    * The delta key sets drive semi/anti joins with no forced broadcast
+    * hint: on a steady-state tick they are tiny and AQE converts the join
+    * to broadcast at runtime; on a cold/full-delta run they are the whole
+    * table and a forced hint would OOM the driver. Recompute scans only
+    * rows of affected groups either way.
     */
   def incremental(
       existing: DataFrame,
@@ -157,8 +160,8 @@ object FlatObs {
     // register). Fixed here: real encounters caught by a voided moment are
     // added to the rebuild key set.
     val collidingEncKeys = existing
-      .join(broadcast(voidedMomentKeys
-        .withColumnRenamed("obs_datetime", "encounter_datetime")),
+      .join(voidedMomentKeys
+        .withColumnRenamed("obs_datetime", "encounter_datetime"),
         Seq("person_id", "encounter_datetime"), "left_semi")
       .filter(col("encounter_id") < SyntheticEncounterBase.toInt)
       .select("encounter_id")
@@ -171,10 +174,10 @@ object FlatObs {
 
     // recompute touched groups from source-of-truth
     val rebuiltEnc = aggWithEncounter(
-      obs.join(broadcast(encKeys), Seq("encounter_id"), "left_semi"),
+      obs.join(encKeys, Seq("encounter_id"), "left_semi"),
       encounter.filter(col("voided") === 0))
     val rebuiltMoments = aggEncounterless(
-      obs.join(broadcast(momentKeys), Seq("person_id", "obs_datetime"), "left_semi"))
+      obs.join(momentKeys, Seq("person_id", "obs_datetime"), "left_semi"))
 
     // deletes: groups whose members are all gone produce no rebuilt row, so
     // delete-by-key + merge covers retraction. Voided moments delete ANY
@@ -184,13 +187,13 @@ object FlatObs {
     // have shifted), never a real encounter that shares the timestamp.
     val deletedByEnc = ReplaceInto.deleteMatching(existing, encKeys, Seq("encounter_id"))
     val afterVoidedMoments = deletedByEnc.join(
-      broadcast(voidedMomentKeys.withColumnRenamed("obs_datetime", "encounter_datetime")),
+      voidedMomentKeys.withColumnRenamed("obs_datetime", "encounter_datetime"),
       Seq("person_id", "encounter_datetime"), "left_anti")
     val deleted = afterVoidedMoments
       .join(
-        broadcast(newMomentKeys
+        newMomentKeys
           .withColumnRenamed("obs_datetime", "encounter_datetime")
-          .withColumn("__new_moment", lit(1))),
+          .withColumn("__new_moment", lit(1)),
         Seq("person_id", "encounter_datetime"), "left")
       .filter(col("__new_moment").isNull || col("encounter_id") < SyntheticEncounterBase.toInt)
       .drop("__new_moment")
@@ -203,6 +206,6 @@ object FlatObs {
   /** DELETE voided persons (flat_obs_v1.0.sql:337-340). */
   def removeVoidedPersons(flat: DataFrame, person: DataFrame): DataFrame =
     flat.join(
-      broadcast(person.filter(col("voided") === 1).select("person_id")),
+      person.filter(col("voided") === 1).select("person_id"),
       Seq("person_id"), "left_anti")
 }

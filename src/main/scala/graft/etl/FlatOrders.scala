@@ -79,7 +79,7 @@ object FlatOrders {
       .select("encounter_id").distinct()
     val keys = voidedKeys.union(newKeys).distinct()
 
-    val rebuilt = aggOrders(orders.join(broadcast(keys), Seq("encounter_id"), "left_semi"),
+    val rebuilt = aggOrders(orders.join(keys, Seq("encounter_id"), "left_semi"),
       encounter)
     val merged = ReplaceInto(
       ReplaceInto.deleteMatching(existing, keys, Seq("encounter_id")),

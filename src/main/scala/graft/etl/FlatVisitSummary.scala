@@ -256,7 +256,7 @@ object FlatVisitSummary {
       person: DataFrame,
       queue: Option[DataFrame] = None): DataFrame = {
     val scoped = queue match {
-      case Some(q) => flatObs.join(broadcast(q.select("person_id").distinct()),
+      case Some(q) => flatObs.join(q.select("person_id").distinct(),
         Seq("person_id"), "left_semi")
       case None => flatObs
     }
@@ -264,7 +264,7 @@ object FlatVisitSummary {
       .filter(col("encounter_type").isin(ClinicalEncounterTypes.map(Integer.valueOf): _*))
       .join(flatOrders.select("encounter_id", "orders"), Seq("encounter_id"), "left")
     clinical
-      .join(broadcast(person.select("person_id", "uuid")), Seq("person_id"))
+      .join(person.select("person_id", "uuid"), Seq("person_id"))
       .select(Seq(
         col("person_id"), col("uuid"), col("visit_id"), col("encounter_id"),
         col("encounter_datetime"), col("encounter_type"),
@@ -288,7 +288,7 @@ object FlatVisitSummary {
       .select(col("patient_id").as("person_id"))
       .union(flatObs.filter(col("max_date_created") > wm).select("person_id"))
       .distinct()
-    val kept = existing.join(broadcast(queue), Seq("person_id"), "left_anti")
+    val kept = existing.join(queue, Seq("person_id"), "left_anti")
     kept.unionByName(build(flatObs, flatOrders, person, Some(queue)))
   }
 }

@@ -38,7 +38,7 @@ object ReplaceInto {
       }
     val incomingKeys = deduped.select(keys.map(col): _*).distinct()
     existing
-      .join(broadcast(incomingKeys), keys, "left_anti")
+      .join(incomingKeys, keys, "left_anti")
       .unionByName(deduped.select(existing.columns.map(col): _*))
   }
 
@@ -46,5 +46,5 @@ object ReplaceInto {
     * whose key is NOT in `deleteKeys`.
     */
   def deleteMatching(target: DataFrame, deleteKeys: DataFrame, keys: Seq[String]): DataFrame =
-    target.join(broadcast(deleteKeys.select(keys.map(col): _*).distinct()), keys, "left_anti")
+    target.join(deleteKeys.select(keys.map(col): _*).distinct(), keys, "left_anti")
 }
