@@ -57,11 +57,15 @@ object FlatOrders {
   def build(orders: DataFrame, encounter: DataFrame, person: DataFrame): DataFrame =
     canon(FlatObs.removeVoidedPersons(aggOrders(orders, encounter), person))
 
-  /** Incremental (flat_orders_v1.0.sql:45-98): voided-order capture
-    * (voided=1 ∧ date_voided > wm ∧ date_created > wm — note the reference
-    * uses `>` here, unlike flat_obs' `<=`; kept faithful), delete + rebuild
-    * touched encounters, add encounters with new orders, purge voided
-    * persons.
+  /** Incremental (flat_orders_v1.0.sql:45-98): voided-order capture,
+    * delete + rebuild touched encounters, add encounters with new orders,
+    * purge voided persons.
+    *
+    * Fixed-mode deviation (§7.4 policy): the reference's voided capture
+    * requires `date_created > @last_update` (:48) — a void of an order
+    * created BEFORE the watermark is never captured, leaving its flat row
+    * permanently stale. The rebuild captures on `date_voided > wm` alone,
+    * which the incremental ≡ full-rebuild property requires.
     */
   def incremental(
       existing: DataFrame,
@@ -71,7 +75,7 @@ object FlatOrders {
       lastUpdate: Timestamp): DataFrame = {
     val wm = lit(lastUpdate)
     val voidedKeys = orders.filter(
-      col("voided") === 1 && col("date_voided") > wm && col("date_created") > wm)
+      col("voided") === 1 && col("date_voided") > wm)
       .filter(col("encounter_id").isNotNull)
       .select("encounter_id").distinct()
     val newKeys = orders.filter(

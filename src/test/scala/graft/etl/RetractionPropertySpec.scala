@@ -61,7 +61,7 @@ class RetractionPropertySpec extends SparkSuite {
   private def canonical(df: DataFrame): Seq[String] =
     df.orderBy(df.columns.map(col): _*).collect().map(_.toString).toSeq
 
-  test("random timelines: chained incrementals == full rebuild (flat_obs + flat_lab_obs)") {
+  test("random timelines: chained incrementals == full rebuild (flat_obs/lab/orders)") {
     val prop = Prop.forAllNoShrink(Gen.listOfN(40, genEvent)) { events =>
       val obs = toObs(events)
       val enc = encounters
@@ -79,6 +79,29 @@ class RetractionPropertySpec extends SparkSuite {
         lab = FlatLabObs.incremental(lab, asOf(obs, b), p, a)
       }
       val okLab = canonical(lab) == canonical(FlatLabObs.build(asOf(obs, cuts.last), p))
+
+      // flat_orders over the same timeline shape (orders derived from the
+      // encounter-bearing events; voids included)
+      val ordersDf = {
+        val rows = events.zipWithIndex.collect {
+          case (e, i) if e.enc.isDefined =>
+            Row(i + 1, e.person, Integer.valueOf(e.enc.get), e.concept,
+              ts(e.createdDay),
+              e.voidedDay.map(_ => Integer.valueOf(1)).getOrElse(Integer.valueOf(0)),
+              e.voidedDay.map(d => ts(d)).orNull)
+        }
+        spark.createDataFrame(sc.parallelize(rows, 2), Schemas.orders)
+      }
+      def ordersAsOf(t: Timestamp) = ordersDf.filter(col("date_created") <= lit(t))
+        .withColumn("voided",
+          when(col("voided") === 1 && col("date_voided") <= lit(t), 1).otherwise(0))
+        .withColumn("date_voided", when(col("voided") === 1, col("date_voided")))
+      var ford = FlatOrders.build(ordersAsOf(cuts.head), enc, p)
+      cuts.sliding(2).foreach { case Seq(a, b) =>
+        ford = FlatOrders.incremental(ford, ordersAsOf(b), enc, p, a)
+      }
+      val okOrders =
+        canonical(ford) == canonical(FlatOrders.build(ordersAsOf(cuts.last), enc, p))
 
       // voided values never resurrect: for each person, every fully-voided
       // (concept, value) — no surviving non-voided source row for THAT
@@ -98,7 +121,7 @@ class RetractionPropertySpec extends SparkSuite {
         !survivingByPerson.getOrElse(p, "").contains(v)
       }
 
-      okObs && okLab && okNoResurrect
+      okObs && okLab && okOrders && okNoResurrect
     }
     val result = ScTest.check(
       ScTest.Parameters.default.withMinSuccessfulTests(8).withWorkers(1), prop)
