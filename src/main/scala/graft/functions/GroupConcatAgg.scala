@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.TypeUtils
-import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** MySQL `GROUP_CONCAT(expr ORDER BY keys SEPARATOR sep)` as a native
@@ -44,10 +44,6 @@ case class GroupConcatAgg(
   private lazy val keyType = sortKey.dataType
   private lazy val keyOrdering = TypeUtils.getInterpretedOrdering(keyType)
   private lazy val keyProjection = UnsafeProjection.create(Seq(sortKey))
-  private lazy val keyFields = keyType match {
-    case s: StructType => s.size
-    case _ => 1
-  }
 
   override def createAggregationBuffer(): mutable.ArrayBuffer[(InternalRow, UTF8String)] =
     mutable.ArrayBuffer.empty
