@@ -163,6 +163,26 @@ class EtlStagesSpec extends SparkSuite {
     assert(r.getAs[String]("tb_status") == null)
   }
 
+  test("FlatVisitSummary.withLabRows stages padded lab rows (SURVEY 2.7 union shape)") {
+    import spark.implicits._
+    val clinical = Seq((1, 500, 100, ts("2015-01-10 09:00:00"), 21, 3, "!!1836=1065!!",
+      "x", 1, 1, "1005"))
+      .toDF("person_id", "visit_id", "encounter_id", "encounter_datetime",
+        "encounter_type", "location_id", "obs", "obs_datetimes",
+        "is_clinical_encounter", "encounter_type_sort_index", "orders")
+    val labs = Seq((1, 100000001, ts("2015-01-11 00:00:00"), 99999, null: Integer,
+      "!!856=1200!!", ts("2015-01-11 12:00:00"), "e", "o"))
+      .toDF("person_id", "encounter_id", "test_datetime", "encounter_type",
+        "location_id", "obs", "max_date_created", "encounter_ids", "obs_ids")
+    val staged = FlatVisitSummary.withLabRows(clinical, labs)
+    assert(staged.count() == 2)
+    val labRow = staged.filter(col("encounter_type") === 99999).collect()(0)
+    assert(labRow.getAs[Int]("is_clinical_encounter") == 0)
+    assert(labRow.getAs[Int]("encounter_type_sort_index") == 1)
+    assert(labRow.isNullAt(labRow.fieldIndex("visit_id")))
+    assert(labRow.getAs[String]("obs") == "!!856=1200!!")
+  }
+
   test("FlatLatestHivSummary: latest bare columns + true MAX aggregates, no duplicates") {
     import spark.implicits._
     val vs = Seq(
