@@ -137,4 +137,17 @@ object TextAnalysis {
 
   /** Hamming distance between two small int signatures (e.g. simhash16). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** PII/URL scrubbing — the redaction pass a pretraining pipeline runs
+    * before anything else. Regex-only (codegen'd, engine-portable):
+    * emails → <EMAIL>, http(s) URLs → <URL>, long digit runs (phone/id
+    * numbers) → <NUM>. Order matters: URLs before digit runs so ports and
+    * path numbers don't get double-redacted.
+    */
+  def scrubPii(text: Column): Column = {
+    val noUrl = regexp_replace(text, "https?://[^\\s]+", "<URL>")
+    val noEmail = regexp_replace(noUrl,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(noEmail, "[0-9]{7,}", "<NUM>")
+  }
 }

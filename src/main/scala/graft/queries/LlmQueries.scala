@@ -290,6 +290,30 @@ object LlmQueries {
             count(lit(1)).as("n"))
     },
 
+    // PII/URL scrubbing — redaction before any downstream processing.
+    // The corpus has no real PII, so the scrub must be a no-op here except
+    // where the synthetic text happens to contain digit runs; the oracle
+    // proves the transform (incl. its no-op-ness) is identical.
+    OpQuery.sql(
+      "q53_text_scrub",
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g') AS scrubbed,
+        |  md5(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g')) AS scrub_hash
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        val scrubbed = TextAnalysis.scrubPii(col("text"))
+        load(s, dir, "documents")
+          .select(col("doc_id"), scrubbed.as("scrubbed"), md5(scrubbed).as("scrub_hash"))
+    },
+
     // Multimodal binary-column stub: payload bytes + checksum features (the
     // full mapPartitions decode plumbing is in operators.Multimodal; this
     // query pins the SQL-visible surface of the binary column).
