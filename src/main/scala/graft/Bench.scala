@@ -11,8 +11,19 @@ import org.apache.spark.sql.SparkSession
   * hot paths once, so the timed numbers measure steady-state execution —
   * the regime that matters for a long-lived cluster — rather than
   * first-invocation Janino/JIT compile cost.
+  *
+  * Queries are forced through the `noop` sink, not `.count()`: a count
+  * lets Catalyst prune every projection the count doesn't need, so
+  * projection-only queries (regex scrubbing, CASE decodes, token counts)
+  * would time a bare scan instead of the expressions under test. The noop
+  * sink materializes every output row in full with zero I/O cost.
   */
 object Bench {
+
+  /** Execute the full plan, all columns, no output I/O. */
+  private def force(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -29,13 +40,13 @@ object Bench {
     if (warmup) {
       val warmupDir = "/root/testdata/sf0.001"
       SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmupDir).count() catch { case _: Throwable => () }
+        try force(fn(spark, warmupDir)) catch { case _: Throwable => () }
       }
     }
 
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -275,18 +275,37 @@ object FlatVisitSummary {
   /** Incremental: queue = persons with changed encounters ∪ persons whose
     * flat_obs rows changed (flat_visit_summary_v1.0.sql:86-99), delete
     * their summaries, rebuild them (:117, :533).
+    *
+    * The reference queue is retraction-blind: voiding an obs rewrites the
+    * flat_obs row but `max_date_created` = max(date_created) of SURVIVING
+    * rows stays <= wm, and an encounter whose obs are all voided vanishes
+    * from flat_obs leaving no trace — so stale decode columns and phantom
+    * summary rows would survive. Fixed-mode additions (policy: fixed,
+    * flagged — same call as FlatOrders.incremental):
+    *   (a) persons touched by voids since the watermark (`obs.date_voided
+    *       > wm` — the raw obs source is already in Pipeline.tick's hands);
+    *   (b) persons holding summary rows whose encounter_id is no longer
+    *       present in flat_obs (catches encounter-level retraction however
+    *       it was caused). Anti-join on encounter_id: shuffle-by-key, no
+    *       driver materialization — scales with the delta, not the table.
     */
   def incremental(
       existing: DataFrame,
       flatObs: DataFrame,
       flatOrders: DataFrame,
+      obs: DataFrame,
       encounter: DataFrame,
       person: DataFrame,
       lastUpdate: Timestamp): DataFrame = {
     val wm = lit(lastUpdate)
+    val retracted = existing.select("person_id", "encounter_id")
+      .join(flatObs.select("encounter_id"), Seq("encounter_id"), "left_anti")
+      .select("person_id")
     val queue = encounter.filter(col("date_changed") > wm)
       .select(col("patient_id").as("person_id"))
       .union(flatObs.filter(col("max_date_created") > wm).select("person_id"))
+      .union(obs.filter(col("date_voided") > wm).select("person_id"))
+      .union(retracted)
       .distinct()
     val kept = existing.join(queue, Seq("person_id"), "left_anti")
     kept.unionByName(build(flatObs, flatOrders, person, Some(queue)))

@@ -104,7 +104,7 @@ class Pipeline(spark: SparkSession, root: String) {
         val ford = readFlat("flat_orders").get
         readFlat("flat_visit_summary") match {
           case Some(existing) =>
-            FlatVisitSummary.incremental(existing, fo, ford, encounter, person, wm)
+            FlatVisitSummary.incremental(existing, fo, ford, obs, encounter, person, wm)
           case None => FlatVisitSummary.build(fo, ford, person)
         }
       })

@@ -73,9 +73,17 @@ case class GroupConcatAgg(
     }
     val values = sorted.map(_._2.toString)
     val deduped = if (distinct) values.distinct else values
-    val joined = deduped.mkString(separator)
-    UTF8String.fromString(
-      if (joined.length > maxLen) joined.substring(0, maxLen) else joined)
+    val joined = UTF8String.fromString(deduped.mkString(separator))
+    // MySQL's group_concat_max_len counts BYTES, not UTF-16 code units.
+    // Truncate on UTF-8 bytes, backing off to the start of any code point
+    // that straddles the limit so the result is always valid UTF-8.
+    if (joined.numBytes <= maxLen) joined
+    else {
+      val bytes = joined.getBytes
+      var end = maxLen
+      while (end > 0 && (bytes(end) & 0xc0) == 0x80) end -= 1
+      UTF8String.fromBytes(bytes, 0, end)
+    }
   }
 
   override def serialize(buffer: mutable.ArrayBuffer[(InternalRow, UTF8String)]): Array[Byte] = {

@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{CreateStruct, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, CreateStruct, Expression, Literal}
+import org.apache.spark.sql.types.StringType
 
 /** SQL-surface registration: expose the engine's MySQL-compat functions to
   * `spark.sql(...)` so a reference user's GROUP_CONCAT / obs-map SQL runs
@@ -18,9 +19,13 @@ object SqlFunctions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
 
-    // group_concat(value, sortKey...) — MySQL semantics incl. 100k truncation
+    // group_concat(value, sortKey...) — MySQL semantics incl. 100k truncation.
+    // The value is cast to string here (MySQL coerces any argument type);
+    // without it GroupConcatAgg.update's UTF8String cast would throw on the
+    // doc's own `group_concat(concept_id, ...)` example (an int column).
     registry.createOrReplaceTempFunction("group_concat", exprs =>
-      GroupConcatAgg(exprs.head, CreateStruct(exprs.tail.toIndexedSeq)), "scala_udf")
+      GroupConcatAgg(Cast(exprs.head, StringType), CreateStruct(exprs.tail.toIndexedSeq)),
+      "scala_udf")
 
     // obs_value_for(obs, conceptId) — first value for a concept
     registry.createOrReplaceTempFunction("obs_value_for", exprs =>

@@ -96,8 +96,8 @@ object WindowQueries {
         |  FROM events
         |)
         |SELECT user_id, event_id,
-        |  sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  CAST(sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
         |FROM g""".stripMargin) {
       (s, dir) =>
         val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))

@@ -92,9 +92,55 @@ class IncrementalEquivalenceSpec extends SparkSuite {
 
     val fo2 = FlatObs.build(obsAsOf(obs, t2), encAsOf(enc, t2), person)
     val ford2 = FlatOrders.build(ordersAsOf(orders, t2), encAsOf(enc, t2), person)
-    val vs2inc = FlatVisitSummary.incremental(vs1, fo2, ford2, encAsOf(enc, t2), person, t1)
+    val vs2inc = FlatVisitSummary.incremental(
+      vs1, fo2, ford2, obsAsOf(obs, t2), encAsOf(enc, t2), person, t1)
     val vs2full = FlatVisitSummary.build(fo2, ford2, person)
     assert(sortedRows(vs2inc) == sortedRows(vs2full))
+  }
+
+  test("visit summary incremental: retraction-only deltas (void with no new rows)") {
+    // The reference queue (encounter.date_changed > wm ∪ flat_obs
+    // .max_date_created > wm) is blind to deltas that consist ONLY of voids:
+    // p1's pregnant obs is voided (stale decode column), p3's single obs is
+    // voided so its encounter vanishes from flat_obs entirely (phantom
+    // summary row). p2 is the untouched control.
+    import org.apache.spark.sql.Row
+    val d1 = ts("2015-01-01 10:00:00") // creations
+    val dv = ts("2015-02-10 10:00:00") // voids land between t1 and t2
+    val t1 = ts("2015-02-01 00:00:00")
+    val t2 = ts("2015-06-01 00:00:00")
+
+    def df(rows: Seq[Row], schema: org.apache.spark.sql.types.StructType) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+
+    val person = df(Seq(Row(1, "u-1", 0), Row(2, "u-2", 0), Row(3, "u-3", 0)), Schemas.person)
+    val enc = df(Seq(
+      Row(1, 1, 10, d1, 21, 1, d1, null, 0),
+      Row(2, 2, 20, d1, 21, 1, d1, null, 0),
+      Row(3, 3, 30, d1, 21, 1, d1, null, 0)), Schemas.encounter)
+    val obs = df(Seq(
+      Row(1, 1, 1, 6743, d1, null, 70.0, null, null, null, null, null, d1, 0, null),
+      Row(2, 1, 1, 1836, d1, 1065, null, null, null, null, null, null, d1, 1, dv),
+      Row(3, 2, 2, 6743, d1, null, 80.0, null, null, null, null, null, d1, 0, null),
+      Row(4, 3, 3, 1836, d1, 1066, null, null, null, null, null, null, d1, 1, dv)),
+      Schemas.obs)
+    val noOrders = df(Seq.empty[Row], Schemas.orders)
+
+    val fo1 = FlatObs.build(obsAsOf(obs, t1), encAsOf(enc, t1), person)
+    val ford = FlatOrders.build(noOrders, encAsOf(enc, t1), person)
+    val vs1 = FlatVisitSummary.build(fo1, ford, person)
+    // sanity: before the voids, p1 decodes pregnant and p3 has a row
+    assert(vs1.filter(col("person_id") === 1 && col("pregnant") === "Yes").count() == 1)
+    assert(vs1.filter(col("person_id") === 3).count() == 1)
+
+    val fo2 = FlatObs.build(obsAsOf(obs, t2), encAsOf(enc, t2), person)
+    val vs2inc = FlatVisitSummary.incremental(
+      vs1, fo2, ford, obsAsOf(obs, t2), encAsOf(enc, t2), person, t1)
+    val vs2full = FlatVisitSummary.build(fo2, ford, person)
+    assert(sortedRows(vs2inc) == sortedRows(vs2full))
+    assert(vs2inc.filter(col("person_id") === 1 && col("pregnant").isNotNull).count() == 0)
+    assert(vs2inc.filter(col("person_id") === 3).count() == 0)
+    assert(vs2inc.filter(col("person_id") === 2).count() == 1)
   }
 
   test("pipeline tick twice: idempotent on unchanged sources") {

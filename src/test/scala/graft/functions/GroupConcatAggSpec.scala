@@ -31,6 +31,36 @@ class GroupConcatAggSpec extends SparkSuite {
     assert(out == "cc ## aa")
   }
 
+  test("truncation counts UTF-8 bytes and never splits a code point") {
+    import spark.implicits._
+    // "é" is 2 bytes, "日" is 3 bytes in UTF-8. MySQL's group_concat_max_len
+    // counts bytes; cutting mid-code-point is not allowed.
+    val df = Seq((1, 1, "ééé"), (1, 2, "日日日")).toDF("g", "k", "v")
+    def cutAt(maxLen: Int): String =
+      df.groupBy("g").agg(
+        GroupConcatAgg(col("v"), Seq(col("k")), "##", maxLen, distinct = false).as("s"))
+        .collect()(0).getString(1)
+    // full string = "ééé##日日日" = 6 + 2 + 9 = 17 bytes
+    assert(cutAt(17) == "ééé##日日日")
+    assert(cutAt(16) == "ééé##日日")  // 14 bytes; byte 16 would split 日 #3
+    assert(cutAt(11) == "ééé##日")    // byte 11 exactly ends 日 #1
+    assert(cutAt(10) == "ééé##")      // bytes 9-10 are inside 日 #1
+    assert(cutAt(7) == "ééé#")        // ASCII separator cuts cleanly
+    assert(cutAt(5) == "éé")          // byte 5 is inside é #3
+    assert(cutAt(3) == "é")           // byte 3 would split é #2
+  }
+
+  test("SQL surface: group_concat coerces non-string value columns") {
+    SqlFunctions.register(spark)
+    import spark.implicits._
+    // the scaladoc's own example shape: an INT value column
+    Seq((1, 2, 1065), (1, 1, 6743), (2, 1, 5096)).toDF("g", "k", "c")
+      .createOrReplaceTempView("t_int")
+    val gc = spark.sql("SELECT g, group_concat(c, k) s FROM t_int GROUP BY g ORDER BY g")
+      .collect().map(_.getString(1))
+    assert(gc.toSeq == Seq("6743 ## 1065", "5096"))
+  }
+
   test("SQL surface: group_concat / obs_value_for / obs_contains registered") {
     SqlFunctions.register(spark)
     import spark.implicits._

@@ -5,16 +5,20 @@ compare (schema by sorted column names, rows as sorted multisets).
 
 Usage: python3 tools/check.py [sfdir] [outdir] [--skip-verify]
 """
-import sys, json, glob, os
+import sys, json, glob, subprocess
 import duckdb
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
 if "--skip-verify" not in sys.argv:
-    rc = os.system(
-        f'cd /root/repo && sbt -batch "runMain graft.Verify {sfdir} {outdir}" 2>&1 | tail -3')
-    if rc != 0:
+    # No shell pipe: `os.system('sbt ... | tail')` returned tail's status, so
+    # a failed Verify run silently compared stale parquet from a prior run.
+    proc = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.Verify {sfdir} {outdir}"],
+        cwd="/root/repo", stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    print("\n".join(proc.stdout.splitlines()[-3:]))
+    if proc.returncode != 0:
         sys.exit("verify run failed")
 
 con = duckdb.connect()
