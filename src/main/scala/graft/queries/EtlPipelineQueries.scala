@@ -1,8 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.core.Tables.load
-import graft.etl.{FlatObs, FlatLatestHivSummary, Schemas}
+import graft.etl.{FlatLabObs, FlatLatestHivSummary, FlatObs, FlatOrders, FlatVisitSummary, Schemas}
 
 /** End-to-end checks of the ETL stages themselves, driven through the real
   * stage code on an EAV mapping of the TPC-H fixtures:
@@ -53,6 +54,95 @@ object EtlPipelineQueries {
       col("c_name").as("uuid"),
       (col("c_custkey") % 97 === 0).cast("int").as("voided"))
     (obs, encounter, person)
+  }
+
+  // ---- q56 scaffolding: the visit-summary decode projection driven from
+  // one code table, so the Spark input obs-string and the DuckDB oracle's
+  // expected labels derive from the same source and cannot drift. ----
+
+  /** Per decoded concept: candidate codes + which modular key picks one
+    * ("o" = o_orderkey, "c" = o_custkey). Code index = key % codes.size. */
+  private val conceptPicks: Seq[(Int, Seq[Int], String)] = Seq(
+    (374, Seq(190, 6495, 780, 5279, 1713), "o"),
+    (1048, Seq(1065, 1066, 1175), "c"),
+    (1151, Seq(5526, 1708, 6046), "o"),
+    (1272, Seq(1107, 5488, 1356, 5483, 5485), "c"),
+    (1353, Seq(1356, 1354, 6767, 1360, 1357), "c"),
+    (1363, Seq(1065, 1066, 1175), "o"),
+    (1565, Seq(1427, 1066, 92), "o"),
+    (1571, Seq(628, 814, 6285, 6286, 797, 802), "c"),
+    (1836, Seq(1065, 1066, 6765, 50), "c"),
+    (5271, Seq(1065, 1066, 6765), "o"),
+    (6150, Seq(1066, 6182, 6183, 6151), "o"),
+    (6171, Seq(1413, 6169, 1410, 6168), "c"),
+    (6175, Seq(1107, 5978, 512, 620), "c"),
+    (6181, Seq(6180, 6090, 1505, 105), "o"),
+    (6758, Seq(1447, 6757, 6765, 6368), "c"),
+    (6760, Seq(1384, 1385, 1386, 1175), "o"),
+    (6761, Seq(1384, 1385, 1386, 1175), "c"),
+    (6780, Seq(1065, 1066, 1175), "c"),
+    (6781, Seq(1065, 1066, 1175), "o"),
+    (6784, Seq(1065, 1066), "o"),
+    (6785, Seq(1065, 1066, 1175), "c"),
+    (6794, Seq(6790, 1852), "o"))
+
+  /** Decoded output column → (concept, decode table). 6760 feeds two
+    * columns (cur_arv_adherence and arvs_adherence use different label
+    * sets over the same entry — flat_visit_summary_v1.0.sql:231 vs :352). */
+  private val decodedCols: Seq[(String, Int, Seq[(String, String)])] = Seq(
+    ("patient_source", 1353, FlatVisitSummary.patientSource),
+    ("cur_arv_adherence", 6760, FlatVisitSummary.curArvAdherence),
+    ("pregnant", 1836, FlatVisitSummary.pregnant),
+    ("fp_status", 5271, FlatVisitSummary.fpStatus),
+    ("fp_method", 374, FlatVisitSummary.fpMethod),
+    ("why_not_on_fp", 6758, FlatVisitSummary.whyNotOnFp),
+    ("tb_status", 6150, FlatVisitSummary.tbStatus),
+    ("side_effects", 6175, FlatVisitSummary.sideEffects),
+    ("who_stage", 6794, FlatVisitSummary.whoStage),
+    ("ctx_adherence", 6761, FlatVisitSummary.ctxAdherence),
+    ("ctx_dispensed", 1565, FlatVisitSummary.ctxDispensed),
+    ("inh_dispensed", 6785, FlatVisitSummary.inhDispensed),
+    ("other_medications_dispensed", 6784, FlatVisitSummary.otherMedsDispensed),
+    ("arvs_adherence", 6760, FlatVisitSummary.arvsAdherence),
+    ("why_arvs_adherence_poor", 6171, FlatVisitSummary.whyArvsAdherencePoor),
+    ("currentregmen", 1571, FlatVisitSummary.currentRegimen),
+    ("refferal_hospitalized", 1272, FlatVisitSummary.refferalHospitalized),
+    ("breastfing_mode", 1151, FlatVisitSummary.breastfingMode),
+    ("at_risk_population", 6181, FlatVisitSummary.atRiskPopulation),
+    ("pwp_disclosure", 1048, FlatVisitSummary.pwpDisclosure),
+    ("pwp_partner_tested", 1363, FlatVisitSummary.pwpPartnerTested),
+    ("condoms_dispensed", 6781, FlatVisitSummary.condomsDispensed),
+    ("sti_screened", 6780, FlatVisitSummary.stiScreened))
+
+  /** First-match label, mirroring regexpDecode's searched-CASE order (so
+    * the who_stage duplicate-code arms resolve the same way). */
+  private def label(concept: Int, code: Int, table: Seq[(String, String)]): String =
+    table.find(_._1 == s"$concept=$code").map(_._2)
+      .getOrElse(sys.error(s"no decode arm $concept=$code"))
+
+  private def keyCol(key: String): Column =
+    if (key == "o") col("o_orderkey") else col("o_custkey")
+  private def keySql(key: String): String =
+    if (key == "o") "o_orderkey" else "o_custkey"
+
+  /** Spark side: one obs-map entry per decoded concept, code chosen by the
+    * modular key. */
+  private def entryCol(concept: Int, codes: Seq[Int], key: String): Column = {
+    val code = codes.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (cd, i)) =>
+        when(keyCol(key) % codes.size === i, lit(cd.toString)).otherwise(acc)
+    }
+    concat(lit(s"!!$concept="), code, lit("!!"))
+  }
+
+  /** Oracle side: expected label as a CASE over the same modular key. */
+  private def labelCaseSql(colName: String, concept: Int,
+      table: Seq[(String, String)]): String = {
+    val (_, codes, key) = conceptPicks.find(_._1 == concept).get
+    val whens = codes.zipWithIndex.map { case (cd, i) =>
+      s"WHEN $i THEN '${label(concept, cd, table).replace("'", "''")}'"
+    }.mkString(" ")
+    s"CASE ${keySql(key)} % ${codes.size} $whens END AS $colName"
   }
 
   val all: Seq[OpQuery] = Seq(
@@ -139,6 +229,211 @@ object EtlPipelineQueries {
           lit("1").as("who_stage"),
           lit(null).cast("string").as("tb_status"))
         FlatLatestHivSummary.build(vs)
+    },
+
+    // The full flat_orders stage (flat_orders_v1.0.sql:57-76 semantics):
+    // voided filter, left join to encounter, plain GROUP_CONCAT of concept
+    // ids + date-rendered order_datetimes, max() row pickers, voided-person
+    // purge. Concepts repeat within an encounter (partkey % 50) so the
+    // (concept, order_id) ordering is genuinely exercised.
+    OpQuery.sql(
+      "q54_flat_orders_stage",
+      """WITH ord AS (
+        |  SELECT CAST(l_orderkey*8+l_linenumber AS INT) order_id,
+        |         CAST(o_custkey AS INT) patient_id,
+        |         CAST(l_orderkey AS INT) encounter_id,
+        |         CAST(1000 + l_partkey % 50 AS INT) concept_id,
+        |         l_shipdate date_created,
+        |         CASE WHEN l_suppkey % 11 = 0 THEN 1 ELSE 0 END voided
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |enc AS (SELECT CAST(o_orderkey AS INT) encounter_id, o_orderdate,
+        |               CASE WHEN o_orderstatus='F' THEN 21 WHEN o_orderstatus='O' THEN 22 ELSE 35 END etype
+        |        FROM orders),
+        |flat AS (
+        |  SELECT o.encounter_id,
+        |    max(o.patient_id) AS person_id,
+        |    max(o.order_id) AS order_id,
+        |    max(e.o_orderdate) AS encounter_datetime,
+        |    max(e.etype) AS encounter_type,
+        |    max(1) AS location_id,
+        |    string_agg(CAST(concept_id AS VARCHAR), ' ## '
+        |               ORDER BY concept_id, o.order_id) AS orders,
+        |    string_agg('!!' || concept_id || '=' || CAST(CAST(date_created AS DATE) AS VARCHAR) || '!!',
+        |               ' ## ' ORDER BY concept_id, o.order_id,
+        |                 '!!' || concept_id || '=' || CAST(CAST(date_created AS DATE) AS VARCHAR) || '!!') AS order_datetimes,
+        |    max(date_created) AS max_date_created
+        |  FROM ord o LEFT JOIN enc e USING (encounter_id)
+        |  WHERE o.encounter_id >= 1 AND o.voided = 0
+        |  GROUP BY o.encounter_id)
+        |SELECT * FROM flat WHERE person_id % 97 <> 0""".stripMargin) {
+      (s, dir) =>
+        val (_, encounter, person) = eavSources(s, dir)
+        val li = load(s, dir, "lineitem")
+        val o = load(s, dir, "orders")
+        val orderRows = li.join(o.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+          .select(
+            (col("l_orderkey") * 8 + col("l_linenumber")).cast("int").as("order_id"),
+            col("o_custkey").cast("int").as("patient_id"),
+            col("l_orderkey").cast("int").as("encounter_id"),
+            (lit(1000) + col("l_partkey") % 50).cast("int").as("concept_id"),
+            col("l_shipdate").as("date_created"),
+            when(col("l_suppkey") % 11 === 0, 1).otherwise(0).as("voided"),
+            lit(null).cast("timestamp").as("date_voided"))
+        FlatOrders.build(orderRows, encounter, person)
+    },
+
+    // The full flat_lab_obs stage (flat_lab_obs_v1.0.sql:102-134 semantics):
+    // lab-panel filter, 1271/1107 orders=NONE exclusion, (person, day)
+    // grain, DISTINCT obs map, synthetic encounter id, the unordered-in-the-
+    // reference encounter_ids/obs_ids rendered with the documented
+    // deterministic (concept, obs_id) sort, voided-person purge.
+    OpQuery.sql(
+      "q55_flat_lab_obs_stage",
+      """WITH lab AS (
+        |  SELECT CAST(l_orderkey*8+l_linenumber AS INT) obs_id,
+        |         CAST(o_custkey AS INT) person_id,
+        |         CAST(l_orderkey AS INT) src_encounter_id,
+        |         concept_id, value_coded,
+        |         CASE WHEN concept_id = 1271 THEN CAST(value_coded AS VARCHAR)
+        |              ELSE regexp_replace(CAST(l_quantity AS VARCHAR), '\.0$', '') END rendered,
+        |         CAST(l_shipdate AS DATE) test_date,
+        |         l_shipdate date_created
+        |  FROM (
+        |    SELECT *,
+        |      CASE l_partkey % 10 WHEN 0 THEN 856 WHEN 1 THEN 5497 WHEN 2 THEN 730
+        |           WHEN 3 THEN 21 WHEN 4 THEN 653 WHEN 5 THEN 790 WHEN 6 THEN 887
+        |           WHEN 7 THEN 1030 WHEN 8 THEN 1040 ELSE 1271 END concept_id,
+        |      CASE WHEN l_partkey % 10 = 9 THEN
+        |             CASE WHEN l_suppkey % 3 = 0 THEN 1107 ELSE 5497 END END value_coded,
+        |      CASE WHEN l_suppkey % 13 = 0 THEN 1 ELSE 0 END voided
+        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |  WHERE voided = 0 AND NOT (concept_id = 1271 AND value_coded = 1107)),
+        |g1 AS (
+        |  SELECT person_id, test_date,
+        |    CAST(min(obs_id) + 100000000 AS INT) encounter_id,
+        |    max(date_created) max_date_created,
+        |    string_agg('!!' || concept_id || '=' || COALESCE(CAST(value_coded AS VARCHAR), '')
+        |               || '=' || COALESCE(CAST(src_encounter_id AS VARCHAR), '') || '!!',
+        |               ' ## ' ORDER BY concept_id, obs_id) encounter_ids,
+        |    string_agg('!!' || concept_id || '=' || obs_id || '!!',
+        |               ' ## ' ORDER BY concept_id, obs_id) obs_ids
+        |  FROM lab GROUP BY 1, 2),
+        |g2 AS (
+        |  SELECT person_id, test_date,
+        |    string_agg(entry, ' ## '
+        |               ORDER BY concept_id, value_coded NULLS FIRST, rendered) obs
+        |  FROM (SELECT DISTINCT person_id, test_date, concept_id, value_coded, rendered,
+        |               '!!' || concept_id || '=' || rendered || '!!' entry FROM lab)
+        |  GROUP BY 1, 2)
+        |SELECT g1.person_id, g1.encounter_id,
+        |       CAST(test_date AS TIMESTAMP) test_datetime,
+        |       99999 encounter_type, CAST(NULL AS INT) location_id, g2.obs,
+        |       g1.max_date_created, g1.encounter_ids, g1.obs_ids
+        |FROM g1 JOIN g2 USING (person_id, test_date)
+        |WHERE g1.person_id % 97 <> 0""".stripMargin) {
+      (s, dir) =>
+        val li = load(s, dir, "lineitem")
+        val o = load(s, dir, "orders")
+        val c = load(s, dir, "customer")
+        val person = c.select(
+          col("c_custkey").cast("int").as("person_id"),
+          col("c_name").as("uuid"),
+          (col("c_custkey") % 97 === 0).cast("int").as("voided"))
+        val panel = Seq(856, 5497, 730, 21, 653, 790, 887, 1030, 1040)
+        val conceptId = panel.zipWithIndex.foldLeft(lit(1271)) { case (acc, (cpt, i)) =>
+          when(col("l_partkey") % 10 === i, cpt).otherwise(acc)
+        }
+        val obsRows = li.join(o.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+          .withColumn("concept_id", conceptId.cast("int"))
+          .select(
+            (col("l_orderkey") * 8 + col("l_linenumber")).cast("int").as("obs_id"),
+            col("o_custkey").cast("int").as("person_id"),
+            col("l_orderkey").cast("int").as("encounter_id"),
+            col("concept_id"),
+            col("l_shipdate").as("obs_datetime"),
+            when(col("concept_id") === 1271,
+              when(col("l_suppkey") % 3 === 0, 1107).otherwise(5497))
+              .cast("int").as("value_coded"),
+            when(col("concept_id") =!= 1271, col("l_quantity")).as("value_numeric"),
+            lit(null).cast("timestamp").as("value_datetime"),
+            lit(null).cast("int").as("value_boolean"),
+            lit(null).cast("string").as("value_text"),
+            lit(null).cast("int").as("value_drug"),
+            lit(null).cast("string").as("value_modifier"),
+            col("l_shipdate").as("date_created"),
+            when(col("l_suppkey") % 13 === 0, 1).otherwise(0).as("voided"),
+            lit(null).cast("timestamp").as("date_voided"))
+        FlatLabObs.build(obsRows, person)
+    },
+
+    // The flat_visit_summary decode projection
+    // (flat_visit_summary_v1.0.sql:182-531) through the real stage code:
+    // 22 decode tables, the 5 tests-ordered membership decodes, the
+    // weight/height/enrollment/tca value extractions, the §7.4.5
+    // no_of_day_hospitalized quirk, clinical-encounter filter, and the
+    // person-uuid join. The input obs map and the oracle's expected labels
+    // are generated from ONE code table (conceptPicks/decodedCols above).
+    OpQuery.sql(
+      "q56_visit_summary_stage",
+      s"""SELECT CAST(o_custkey AS INT) person_id, c_name uuid,
+         |  CAST(o_orderkey*10 AS INT) visit_id, CAST(o_orderkey AS INT) encounter_id,
+         |  CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) encounter_datetime,
+         |  CASE WHEN o_orderstatus='F' THEN 21 ELSE 22 END encounter_type,
+         |  CAST(1 AS INT) is_clinical_encounter,
+         |  CAST(1 + o_orderkey % 5 AS INT) location_id,
+         |  CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) enrollment_date,
+         |  CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) hiv_start_date,
+         |  CAST(50 + o_orderkey % 70 AS VARCHAR) weight,
+         |  CAST(150 + o_custkey % 40 AS VARCHAR) height,
+         |  CASE WHEN o_orderkey % 2 = 0 THEN 'Yes' ELSE 'No' END cd4_cd4percentage_done,
+         |  CASE WHEN o_orderkey % 3 = 0 THEN 'Yes' ELSE 'No' END hgb_done,
+         |  CASE WHEN o_orderkey % 5 = 0 THEN 'Yes' ELSE 'No' END rpr_done,
+         |  CASE WHEN o_orderkey % 7 = 0 THEN 'Yes' ELSE 'No' END tb_sputum_done,
+         |  CASE WHEN o_orderkey % 11 = 0 THEN 'Yes' ELSE 'No' END other_test_done,
+         |  CASE WHEN o_orderkey % 4 = 0 THEN 'PMTCT/PPCT' END pmtct_ppct,
+         |  CASE WHEN o_orderkey % 6 = 0 THEN '' END no_of_day_hospitalized,
+         |  CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) tca,
+         |  ${decodedCols.map { case (n, cpt, t) => labelCaseSql(n, cpt, t) }
+             .mkString(",\n         |  ")}
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |WHERE o_orderstatus IN ('F', 'O')""".stripMargin) {
+      (s, dir) =>
+        val o = load(s, dir, "orders")
+        val c = load(s, dir, "customer")
+        val person = c.select(
+          col("c_custkey").cast("int").as("person_id"), col("c_name").as("uuid"))
+        val entries: Seq[Column] =
+          conceptPicks.map { case (cpt, codes, key) => entryCol(cpt, codes, key) } ++ Seq(
+            when(col("o_orderkey") % 2 === 0, lit("!!1271=5497!!")),
+            when(col("o_orderkey") % 3 === 0, lit("!!1271=21!!")),
+            when(col("o_orderkey") % 5 === 0, lit("!!1271=1569!!")),
+            when(col("o_orderkey") % 7 === 0, lit("!!1271=1883!!")),
+            when(col("o_orderkey") % 11 === 0, lit("!!1271=5622!!")),
+            when(col("o_orderkey") % 4 === 0, lit("!!1592=1405!!")),
+            when(col("o_orderkey") % 6 === 0, lit("!!1534=3!!")),
+            concat(lit("!!6743="),
+              (lit(50) + col("o_orderkey") % 70).cast("string"), lit("!!")),
+            concat(lit("!!6744="),
+              (lit(150) + col("o_custkey") % 40).cast("string"), lit("!!")),
+            concat(lit("!!6746="),
+              to_date(col("o_orderdate")).cast("string"), lit("!!")),
+            concat(lit("!!5096="),
+              date_add(to_date(col("o_orderdate")), 30).cast("string"), lit("!!")))
+        val flatObs = o.select(
+          col("o_custkey").cast("int").as("person_id"),
+          (col("o_orderkey") * 10).cast("int").as("visit_id"),
+          col("o_orderkey").cast("int").as("encounter_id"),
+          to_date(col("o_orderdate")).cast("timestamp").as("encounter_datetime"),
+          when(col("o_orderstatus") === "F", 21)
+            .when(col("o_orderstatus") === "O", 22).otherwise(35).as("encounter_type"),
+          (lit(1) + col("o_orderkey") % 5).cast("int").as("location_id"),
+          concat_ws(" ## ", entries: _*).as("obs"))
+        val flatOrders = o.select(
+          col("o_orderkey").cast("int").as("encounter_id"),
+          concat(lit("ord-"), col("o_orderkey")).as("orders"))
+        FlatVisitSummary.build(flatObs, flatOrders, person)
     }
   )
 }

@@ -245,9 +245,41 @@ object LlmQueries {
     },
 
     // IVF-bucketed ANN — the scale path: probe 3 of 16 coarse cells per
-    // query instead of scanning the corpus (assignment + probing are
-    // deterministic: seeded centroids, cosine argmax with id tie-break).
-    OpQuery.rowsOnly("q46_ann_ivf") {
+    // query instead of scanning the corpus. The whole pipeline is
+    // deterministic (centroids = 16 lowest-id vectors, cosine argmax with
+    // cell-id tie-break), so DuckDB can replay it exactly.
+    OpQuery.sql(
+      "q46_ann_ivf",
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, e AS cvec FROM v ORDER BY vec_id LIMIT 16),
+        |asg AS (
+        |  SELECT vec_id, e, cell FROM (
+        |    SELECT v.vec_id, v.e, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_dot_product(v.e, c.cvec) /
+        |        (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+        |        c.cell) rn
+        |    FROM v, cent c) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT qid, qvec, cell FROM (
+        |    SELECT q.vec_id qid, q.e qvec, c.cell,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_dot_product(q.e, c.cvec) /
+        |        (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+        |        c.cell) rn
+        |    FROM v q, cent c WHERE q.vec_id < 5) t WHERE rn <= 3),
+        |cand AS (
+        |  SELECT p.qid, a.vec_id,
+        |    list_dot_product(p.qvec, a.e) /
+        |    (sqrt(list_dot_product(p.qvec, p.qvec)) * sqrt(list_dot_product(a.e, a.e))) sim
+        |  FROM probes p JOIN asg a USING (cell)
+        |  WHERE a.vec_id <> p.qid)
+        |SELECT qid, vec_id AS neighbor_id, round(sim, 6) AS sim,
+        |       CAST(rank AS INTEGER) AS rank
+        |FROM (SELECT qid, vec_id, sim,
+        |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rank
+        |      FROM cand) t
+        |WHERE rank <= 5""".stripMargin) {
       (s, dir) =>
         val emb = load(s, dir, "embeddings")
           .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
@@ -278,16 +310,41 @@ object LlmQueries {
     // Approximate aggregates — the 100 TB cardinality/quantile path
     // (HyperLogLog++ and quantile sketches partial-aggregate map-side, so
     // a count-distinct over trillions of keys never materializes the set).
-    // Sketch internals differ per engine → rows-only check, no SQL oracle.
-    OpQuery.rowsOnly("q45_approx_aggregates") {
+    // Sketch internals differ per engine, so instead of emitting the raw
+    // sketch values the query emits their ACCURACY INVARIANTS — HLL within
+    // 3×rsd of the exact distinct count, percentile_approx's result sitting
+    // at the right rank fraction — which a DuckDB oracle CAN assert, plus
+    // the exact aggregates themselves.
+    OpQuery.sql(
+      "q45_approx_aggregates",
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS exact_users,
+        |  true AS approx_users_ok, true AS p50_ok, true AS p99_ok
+        |FROM events GROUP BY event_type""".stripMargin) {
       (s, dir) =>
-        load(s, dir, "events")
-          .groupBy("event_type")
+        val ev = load(s, dir, "events")
+        val agg = ev.groupBy("event_type")
           .agg(
             approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+            countDistinct(col("user_id")).as("exact_users"),
             percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
             percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_value"),
             count(lit(1)).as("n"))
+        // rank fraction of each approx percentile within its group: the
+        // returned value must be an element near the requested quantile
+        val fracs = ev.join(agg.select("event_type", "p50_value", "p99_value"),
+            Seq("event_type"))
+          .groupBy("event_type")
+          .agg(
+            (sum(when(col("value") <= col("p50_value"), 1).otherwise(0)) /
+              count(lit(1))).as("p50_frac"),
+            (sum(when(col("value") <= col("p99_value"), 1).otherwise(0)) /
+              count(lit(1))).as("p99_frac"))
+        agg.join(fracs, Seq("event_type")).select(
+          col("event_type"), col("n"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            lit(3 * 0.01) * col("exact_users")).as("approx_users_ok"),
+          col("p50_frac").between(0.45, 0.55).as("p50_ok"),
+          (col("p99_frac") >= 0.985).as("p99_ok"))
     },
 
     // PII/URL scrubbing — redaction before any downstream processing.
