@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video payloads are opaque
   * `binary` columns travelling next to typed metadata. The Spark-side
   * machinery — schema, partition-sized batching, per-partition decode calls,
-  * feature schema — is real; the actual media decode is STUBBED (this
-  * container ships no image/audio codecs) behind [[MediaDecoder]] with a
-  * deterministic fake so tests pin the plumbing.
+  * feature schema — is real. Image HEADER parsing (format + dimensions from
+  * PNG/JPEG/GIF magic bytes) is real too, pure-JVM ([[HeaderDecoder]]);
+  * full pixel decode would need codecs this container doesn't ship and
+  * stays behind [[StubDecoder]].
   *
   * Scale notes: payloads stay in executor space end-to-end (no collect);
   * decode runs once per row inside `mapPartitions` so per-partition
@@ -25,6 +26,7 @@ object Multimodal {
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
+      format: String,
       n_bytes: Int,
       checksum: String,
       width: Int,
@@ -50,6 +52,88 @@ object Multimodal {
     }
   }
 
+  // ---- real header parsing (no codec deps) ----
+
+  private def be32(p: Array[Byte], i: Int): Int =
+    ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) | ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+  private def be16(p: Array[Byte], i: Int): Int = ((p(i) & 0xff) << 8) | (p(i + 1) & 0xff)
+  private def le16(p: Array[Byte], i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+
+  /** Sniff the container format from magic bytes. */
+  def detectFormat(p: Array[Byte]): String =
+    if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G')
+      "png"
+    else if (p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) "jpeg"
+    else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') "gif"
+    else "unknown"
+
+  /** (width, height) from the image header:
+    *  - PNG: IHDR is always the first chunk — big-endian u32 at offsets
+    *    16/20 (PNG spec §11.2.2).
+    *  - GIF: logical screen descriptor — little-endian u16 at offsets 6/8.
+    *  - JPEG: walk the marker segments to the first SOFn (C0-CF minus
+    *    C4/C8/CC); height/width are big-endian u16 at payload offsets 3/5.
+    */
+  def imageDims(p: Array[Byte]): Option[(Int, Int)] = detectFormat(p) match {
+    case "png" if p.length >= 24 => Some((be32(p, 16), be32(p, 20)))
+    case "gif" => Some((le16(p, 6), le16(p, 8)))
+    case "jpeg" => jpegDims(p)
+    case _ => None
+  }
+
+  private def jpegDims(p: Array[Byte]): Option[(Int, Int)] = {
+    var i = 2 // past SOI
+    while (i + 9 < p.length) {
+      if ((p(i) & 0xff) != 0xff) return None
+      val marker = p(i + 1) & 0xff
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) i += 2 // standalone
+      else {
+        if (marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+          return Some((be16(p, i + 7), be16(p, i + 5)))
+        i += 2 + be16(p, i + 2)
+      }
+    }
+    None
+  }
+
+  /** The real header decoder: parsed dimensions, 1 frame for stills,
+    * (0, 0, 0) for payloads without a recognized image header.
+    */
+  object HeaderDecoder extends MediaDecoder {
+    def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) =
+      imageDims(payload) match {
+        case Some((w, h)) => (w, h, 1)
+        case None => (0, 0, 0)
+      }
+  }
+
+  // ---- deterministic header builders (test fixtures / oracle parity) ----
+
+  private def be32bytes(v: Int) =
+    Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def be16bytes(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+  private def le16bytes(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+
+  /** Minimal valid PNG header (29 bytes): signature + IHDR. */
+  def pngHeader(w: Int, h: Int): Array[Byte] =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R') ++
+      be32bytes(w) ++ be32bytes(h) ++ Array[Byte](8, 2, 0, 0, 0)
+
+  /** Minimal JPEG header (39 bytes): SOI + JFIF APP0 + SOF0. */
+  def jpegHeader(w: Int, h: Int): Array[Byte] =
+    Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xe0.toByte, 0x00, 0x10, 'J', 'F', 'I', 'F', 0x00,
+      0x01, 0x02, 0x00, 0x00, 0x48, 0x00, 0x48, 0x00, 0x00,
+      0xff.toByte, 0xc0.toByte, 0x00, 0x11, 0x08) ++
+      be16bytes(h) ++ be16bytes(w) ++
+      Array[Byte](0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+
+  /** Minimal GIF89a header (13 bytes): signature + logical screen. */
+  def gifHeader(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes ++ le16bytes(w) ++ le16bytes(h) ++ Array[Byte](0x00, 0x00, 0x00)
+
   /** Per-partition feature extraction. The decoder is constructed once per
     * partition (closure-captured object), mirroring real codec-handle reuse.
     */
@@ -63,7 +147,8 @@ object Multimodal {
         val (w, h, f) = decoder.decode(r.kind, r.payload)
         md.reset()
         val sum = md.digest(r.payload).map("%02x".format(_)).mkString
-        MediaFeatures(r.media_id, r.kind, r.payload.length, sum, w, h, f)
+        MediaFeatures(r.media_id, r.kind, detectFormat(r.payload),
+          r.payload.length, sum, w, h, f)
       }
     }
   }

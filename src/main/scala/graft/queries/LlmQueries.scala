@@ -90,6 +90,46 @@ object LlmQueries {
         Dedup.lshCandidatePairs(Dedup.minhashBands(docShingles, 8, 2))
     },
 
+    // The composed near-dup SCALE path: MinHash bands → LSH candidate
+    // pairs → exact Jaccard verify on candidates only. Same outputs as the
+    // quadratic q33 wherever LSH recalls the pair, but cost scales with
+    // candidates (band-key equi-join), not posting-list squares — this is
+    // the form to run at 100 TB; q33 remains the small-sf exactness check.
+    OpQuery.sql(
+      "q57_dedup_lsh_verified",
+      s"""WITH t AS (SELECT doc_id, string_split($DuckNorm, ' ') w FROM documents),
+         |i AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM t),
+         |sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s FROM i),
+         |mh AS (
+         |  SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || s)) h
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) j) GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, CAST(j // 2 AS INTEGER) band, string_agg(h, '' ORDER BY j) bkey
+         |  FROM mh GROUP BY doc_id, 2),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id id_a, r.doc_id id_b
+         |  FROM bands l JOIN bands r
+         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+         |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+         |shared AS (
+         |  SELECT id_a, id_b, count(*) n_shared
+         |  FROM cand JOIN sh a ON a.doc_id = id_a
+         |            JOIN sh b ON b.doc_id = id_b AND b.s = a.s
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(n_shared AS DOUBLE) / (a.n + b.n - n_shared), 6) AS jaccard
+         |FROM shared JOIN sz a ON a.doc_id = id_a JOIN sz b ON b.doc_id = id_b
+         |WHERE round(CAST(n_shared AS DOUBLE) / (a.n + b.n - n_shared), 6) >= 0.1""".stripMargin) {
+      (s, dir) =>
+        val docShingles = load(s, dir, "documents")
+          .select(col("doc_id").as("id"),
+            explode(TextAnalysis.shingles(
+              TextAnalysis.words(TextAnalysis.normalize(col("text"))), 3)).as("shingle"))
+          .distinct().cache()
+        val pairs = Dedup.lshCandidatePairs(Dedup.minhashBands(docShingles, 8, 2))
+        Dedup.jaccardVerify(docShingles, pairs).filter(col("jaccard") >= 0.1)
+    },
+
     // 16-bit SimHash signatures (md5-derived bit hashes).
     OpQuery.sql(
       "q35_simhash",
@@ -385,6 +425,38 @@ object LlmQueries {
           octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
           ascii(substring(col("text"), 1, 1)).as("first_byte"),
           md5(col("text")).as("checksum"))
+    },
+
+    // Real multimodal decode: per-doc image payloads with hand-built
+    // PNG/JPEG/GIF headers (dims derived from doc_id) flow through the
+    // mapPartitions decoder, which must recover format + dimensions from
+    // the magic bytes alone. The oracle recomputes the expected values
+    // from the same doc_id arithmetic — an independent check that the
+    // binary parsing (BE PNG, LE GIF, JPEG SOF marker walk) is right.
+    OpQuery.sql(
+      "q58_multimodal_decode",
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+        |  CAST(100 + doc_id % 900 AS INT) AS width,
+        |  CAST(50 + doc_id % 500 AS INT) AS height,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 29 WHEN 1 THEN 39 ELSE 13 END AS INT) AS n_bytes
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val media = load(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long].map { id =>
+            val w = (100 + id % 900).toInt
+            val h = (50 + id % 500).toInt
+            val payload = (id % 3) match {
+              case 0 => Multimodal.pngHeader(w, h)
+              case 1 => Multimodal.jpegHeader(w, h)
+              case _ => Multimodal.gifHeader(w, h)
+            }
+            Multimodal.MediaRow(id, "image", payload)
+          }
+        Multimodal.extractFeatures(media, Multimodal.HeaderDecoder)
+          .select(col("media_id").as("doc_id"), col("format"),
+            col("width"), col("height"), col("n_bytes"))
     }
   )
 }

@@ -100,5 +100,25 @@ class OperatorsSpec extends SparkSuite {
     assert(feats(0).n_bytes == 5)
     assert(feats(0).checksum == "5d41402abc4b2a76b9719d911017c592") // md5("hello")
     assert(feats.forall(f => f.width >= 64 && f.height >= 64 && f.n_frames >= 1))
+    assert(feats.forall(_.format == "unknown")) // text bytes are no image
+  }
+
+  test("Multimodal header decoder: real dims from PNG/JPEG/GIF magic bytes") {
+    import spark.implicits._
+    // hand-built headers with known dimensions, via the distributed path
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", Multimodal.pngHeader(640, 480)),
+      Multimodal.MediaRow(2L, "image", Multimodal.jpegHeader(1920, 1080)),
+      Multimodal.MediaRow(3L, "image", Multimodal.gifHeader(320, 200)),
+      Multimodal.MediaRow(4L, "image", "not an image".getBytes)).toDS().repartition(2)
+    val f = Multimodal.extractFeatures(media, Multimodal.HeaderDecoder)
+      .collect().sortBy(_.media_id)
+    assert(f.map(x => (x.format, x.width, x.height)).toSeq == Seq(
+      ("png", 640, 480), ("jpeg", 1920, 1080), ("gif", 320, 200), ("unknown", 0, 0)))
+    // byte-level checks: big-endian PNG, little-endian GIF, SOF-walk JPEG
+    assert(Multimodal.imageDims(Multimodal.pngHeader(1, 65537)).contains((1, 65537)))
+    assert(Multimodal.imageDims(Multimodal.gifHeader(513, 1)).contains((513, 1)))
+    assert(Multimodal.imageDims(Multimodal.jpegHeader(65535, 1)).contains((65535, 1)))
+    assert(Multimodal.imageDims(Array[Byte](0x42, 0x4d)).isEmpty) // BMP: not handled
   }
 }
