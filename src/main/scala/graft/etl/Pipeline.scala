@@ -1,7 +1,8 @@
 package graft.etl
 
+import java.nio.charset.StandardCharsets
 import java.sql.Timestamp
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Watermark
@@ -18,7 +19,7 @@ import graft.operators.Watermark
   *   → flat_latest_hiv_summary            (from flat_visit_summary)
   *
   * Each run: resolve watermark (flat_log → fallback → epoch) → incremental
-  * update → atomic snapshot swap (write new dir, rename over old — the
+  * update → versioned snapshot write + atomic `_CURRENT` pointer swap (the
   * REPLACE-INTO-equivalent sink; a production deployment would use a
   * Delta/Iceberg MERGE instead) → append run row to flat_log.
   */
@@ -32,26 +33,58 @@ class Pipeline(spark: SparkSession, root: String) {
   private def path(name: String) = s"$root/$name"
   private val logPath = path("flat_log")
 
-  def readFlat(name: String): Option[DataFrame] = {
-    val p = new Path(path(name))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(path(name))) else None
+  // ---- versioned snapshot layout ----
+  // Each write lands in a fresh `v_<n>` directory under the table path;
+  // `_CURRENT` is a one-line pointer file naming the live version. The
+  // pointer is replaced with FileContext.rename(OVERWRITE) — a single
+  // atomic rename on HDFS and local filesystems — so a concurrent reader
+  // either resolves the old version or the new one, never a missing or
+  // half-written table (the directory-swap this replaces had a window
+  // where the table path did not exist at all). The previous version is
+  // retained one generation for readers whose lazy plans still reference
+  // its files; older versions are purged.
+
+  private def hadoopConf = spark.sparkContext.hadoopConfiguration
+  private def pointerPath(name: String) = new Path(path(name), "_CURRENT")
+
+  private def currentVersion(name: String): Option[String] = {
+    val ptr = pointerPath(name)
+    val fs = ptr.getFileSystem(hadoopConf)
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        Some(new String(buf.toByteArray, StandardCharsets.UTF_8).trim)
+      } finally in.close()
+    }
   }
 
-  /** Atomic snapshot swap: write to a temp dir, then rename into place.
-    * Readers never observe a half-written table.
-    */
+  def readFlat(name: String): Option[DataFrame] =
+    currentVersion(name).map(v =>
+      spark.read.parquet(new Path(path(name), v).toString))
+
   def writeSnapshot(df: DataFrame, name: String): Unit = {
-    val target = new Path(path(name))
-    val tmp = new Path(path(name) + ".tmp")
-    val old = new Path(path(name) + ".old")
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    df.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(target)) fs.rename(target, old)
-    fs.rename(tmp, target)
-    if (fs.exists(old)) fs.delete(old, true)
+    val dir = new Path(path(name))
+    val fs = dir.getFileSystem(hadoopConf)
+    val prev = currentVersion(name)
+    val next = "v_" + (prev.map(_.stripPrefix("v_").toLong + 1).getOrElse(0L))
+    df.write.mode("overwrite").parquet(new Path(dir, next).toString)
+
+    val tmp = new Path(dir, "_CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(next.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    FileContext.getFileContext(dir.toUri, hadoopConf)
+      .rename(tmp, pointerPath(name), Options.Rename.OVERWRITE)
+
+    // purge everything but the live version and its predecessor
+    val keep = Set(next) ++ prev
+    fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("v_") && !keep.contains(n))
+        fs.delete(st.getPath, true)
+    }
   }
 
   /** The new watermark recorded after a run is the max source

@@ -41,11 +41,12 @@ object RunPipeline {
     }
 
     val t0 = System.currentTimeMillis()
-    new Pipeline(spark, outDir).tick(obs, enc, orders, person)
+    val pipe = new Pipeline(spark, outDir)
+    pipe.tick(obs, enc, orders, person)
     val secs = (System.currentTimeMillis() - t0) / 1000.0
     Seq("flat_obs", "flat_orders", "flat_lab_obs", "flat_visit_summary",
       "flat_latest_hiv_summary").foreach { t =>
-      println(f"$t%-26s ${spark.read.parquet(s"$outDir/$t").count()}%8d rows")
+      println(f"$t%-26s ${pipe.readFlat(t).get.count()}%8d rows")
     }
     println(f"pipeline tick completed in $secs%.1f s")
     spark.stop()
