@@ -263,6 +263,28 @@ object FlatObs {
     canon(removeVoidedPersons(merged, person))
   }
 
+  /** Persons whose flat rows [[incremental]] could touch for a given
+    * watermark — a SUPERSET of the delta (safe for bucket-overwrite
+    * writes, [[graft.operators.BucketedSink.overwriteChanged]]): creators
+    * and voiders of obs, changed/new encounters, plus voided persons whose
+    * rows the purge removes.
+    */
+  def touchedPersons(
+      obs: DataFrame,
+      encounter: DataFrame,
+      person: DataFrame,
+      lastUpdate: Timestamp): DataFrame = {
+    val wm = lit(lastUpdate)
+    obs.filter(col("date_voided") > wm).select("person_id")
+      .union(obs.filter(col("date_created") > wm).select("person_id"))
+      .union(encounter.filter(col("date_changed") > wm)
+        .select(col("patient_id").as("person_id")))
+      .union(encounter.filter(col("date_created") > wm)
+        .select(col("patient_id").as("person_id")))
+      .union(person.filter(col("voided") === 1).select("person_id"))
+      .distinct()
+  }
+
   /** DELETE voided persons (flat_obs_v1.0.sql:337-340). */
   def removeVoidedPersons(flat: DataFrame, person: DataFrame): DataFrame =
     flat.join(

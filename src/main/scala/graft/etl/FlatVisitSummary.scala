@@ -165,10 +165,20 @@ object FlatVisitSummary {
     graft.functions.MysqlFunctions.regexpDecode(obs, table, default)
 
   /** All values of `concept` joined " ## " — the SUBSTRING_INDEX surgery's
-    * actual yield on a concept-sorted map (flat_visit_summary_v1.0.sql:202). */
+    * actual yield on a concept-sorted map (flat_visit_summary_v1.0.sql:202).
+    *
+    * Implemented as ONE codegen'd regexp_extract_all scan rather than
+    * [[ObsMap.valuesFor]]: the array-parse form re-splits and re-parses the
+    * whole map per extraction call inside interpreted HOF lambdas, and this
+    * projection extracts six times per row. The entry-boundary lookahead
+    * keeps values containing "!!" intact, matching the split-based parser.
+    */
   private def extractAll(obs: Column, concept: Int): Column =
     when(obs.contains(s"!!$concept="),
-      array_join(ObsMap.valuesFor(obs, concept), " ## "))
+      array_join(
+        regexp_extract_all(obs,
+          lit(s"(?:^| ## )!!$concept=(.*?)!!(?= ## |$$)"), lit(1)),
+        " ## "))
 
   /** "Tests ordered" membership decode: 1271=<code> → Yes else No
     * (flat_visit_summary_v1.0.sql:425-449). */

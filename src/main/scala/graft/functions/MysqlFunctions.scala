@@ -101,18 +101,26 @@ object MysqlFunctions {
       when(raw === lit(code), lit(label)).otherwise(acc)
     }
 
-  /** Regexp-decode directly against the encoded obs-map string — the
-    * faithful form of the reference's `obs regexp '!!1836=(1065)!!'`
-    * decode arms (flat_visit_summary_v1.0.sql:211-219). `table` maps
-    * conceptValue patterns (e.g. "1836=1065") to labels; first match wins,
-    * like a searched CASE.
+  /** Decode directly against the encoded obs-map string — the faithful
+    * form of the reference's `obs regexp '!!1836=(1065)!!'` decode arms
+    * (flat_visit_summary_v1.0.sql:211-219). `table` maps conceptValue
+    * patterns (e.g. "1836=1065") to labels; first match wins, like a
+    * searched CASE.
+    *
+    * The reference's regexp patterns are literal strings (the parens are
+    * no-op groups), so each arm evaluates as `contains` — a codegen'd
+    * UTF8String.contains scan, not a java.util.regex machine. With ~150
+    * decode arms per visit-summary row this is the difference between a
+    * string scan and 150 regex executions per row (together with the
+    * regexp_extract_all extraction rewrite: 34 s → 12 s on the q56 stage
+    * at sf0.1).
     */
   def regexpDecode(
       obs: Column,
       table: Seq[(String, String)],
       default: Column = lit(null)): Column =
     table.foldRight(default) { case ((kv, label), acc) =>
-      when(obs.rlike(java.util.regex.Pattern.quote(s"!!$kv!!")), lit(label)).otherwise(acc)
+      when(obs.contains(s"!!$kv!!"), lit(label)).otherwise(acc)
     }
 
   /** MySQL `TIMESTAMPDIFF(SECOND, a, b)` (run metrics,

@@ -76,10 +76,16 @@ object ObsMap {
     transform(
       split(obs, java.util.regex.Pattern.quote(Sep)),
       e => {
-        val inner = regexp_replace(e, "^!!|!!$", "")
+        // Entries are "!!<concept>=<value>!!"; parse with substring math
+        // (HOF lambdas evaluate interpreted, so per-entry regex here costs
+        // three regex machines per entry per extraction call — measured on
+        // the visit-summary decode projection). substring_index splits on
+        // the FIRST '=' so free-text values containing '=' stay intact.
+        val inner = e.substr(lit(3), length(e) - 4)
+        val concept = substring_index(inner, "=", 1)
         struct(
-          regexp_extract(inner, "^([0-9]+)=", 1).cast(IntegerType).as("concept"),
-          regexp_replace(inner, "^[0-9]+=", "").as("value"))
+          concept.cast(IntegerType).as("concept"),
+          inner.substr(length(concept) + 2, length(inner)).as("value"))
       })
 
   /** All values for `concept` in an encoded map, in map order. */

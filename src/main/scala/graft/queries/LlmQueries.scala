@@ -130,6 +130,57 @@ object LlmQueries {
         Dedup.jaccardVerify(docShingles, pairs).filter(col("jaccard") >= 0.1)
     },
 
+    // Dedup cluster assignment: connected components over the LSH-verified
+    // pair list (min-label propagation, shuffle-per-round) — the step that
+    // picks ONE canonical doc per near-dup cluster. Oracle: DuckDB
+    // recursive CTE computing min reachable id over the same pairs.
+    OpQuery.sql(
+      "q59_dedup_clusters",
+      s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, string_split($DuckNorm, ' ') w FROM documents),
+         |i AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM t),
+         |sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s FROM i),
+         |mh AS (
+         |  SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || s)) h
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) j) GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, CAST(j // 2 AS INTEGER) band, string_agg(h, '' ORDER BY j) bkey
+         |  FROM mh GROUP BY doc_id, 2),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id id_a, r.doc_id id_b
+         |  FROM bands l JOIN bands r
+         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+         |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+         |shared AS (
+         |  SELECT id_a, id_b, count(*) n_shared
+         |  FROM cand JOIN sh a ON a.doc_id = id_a
+         |            JOIN sh b ON b.doc_id = id_b AND b.s = a.s
+         |  GROUP BY 1, 2),
+         |verified AS (
+         |  SELECT id_a, id_b
+         |  FROM shared JOIN sz a ON a.doc_id = id_a JOIN sz b ON b.doc_id = id_b
+         |  WHERE round(CAST(n_shared AS DOUBLE) / (a.n + b.n - n_shared), 6) >= 0.1),
+         |edges AS (SELECT id_a s, id_b d FROM verified
+         |          UNION SELECT id_b, id_a FROM verified),
+         |reach(id, lbl) AS (
+         |  SELECT DISTINCT s, s FROM edges
+         |  UNION
+         |  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id)
+         |SELECT CAST(id AS BIGINT) AS id, CAST(min(lbl) AS BIGINT) AS cluster,
+         |       (id = min(lbl)) AS is_canonical
+         |FROM reach GROUP BY id""".stripMargin) {
+      (s, dir) =>
+        val docShingles = load(s, dir, "documents")
+          .select(col("doc_id").as("id"),
+            explode(TextAnalysis.shingles(
+              TextAnalysis.words(TextAnalysis.normalize(col("text"))), 3)).as("shingle"))
+          .distinct().cache()
+        val pairs = Dedup.jaccardVerify(docShingles,
+            Dedup.lshCandidatePairs(Dedup.minhashBands(docShingles, 8, 2)))
+          .filter(col("jaccard") >= 0.1)
+        graft.operators.Cluster.dedupAssignments(pairs)
+    },
+
     // 16-bit SimHash signatures (md5-derived bit hashes).
     OpQuery.sql(
       "q35_simhash",

@@ -1,0 +1,72 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+import graft.etl.{FlatObs, OpenMrsFixture}
+
+/** The bucket-overwrite sink on the incremental-equivalence timeline:
+  * a tick's write must touch only the buckets of changed persons (file
+  * sets of the other bucket directories stay byte-identical) while the
+  * read-back equals a full rebuild.
+  */
+class BucketedSinkSpec extends SparkSuite {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def obsAsOf(obs: DataFrame, t: Timestamp): DataFrame =
+    obs.filter(col("date_created") <= lit(t))
+      .withColumn("voided",
+        when(col("voided") === 1 && col("date_voided") <= lit(t), 1).otherwise(0))
+      .withColumn("date_voided", when(col("voided") === 1, col("date_voided")))
+
+  private def encAsOf(enc: DataFrame, t: Timestamp): DataFrame =
+    enc.filter(col("date_created") <= lit(t))
+      .withColumn("date_changed",
+        when(col("date_changed") <= lit(t), col("date_changed")))
+
+  private def bucketFiles(path: String): Map[String, Set[String]] = {
+    val root = new java.io.File(path)
+    root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+      .map(d => d.getName ->
+        d.listFiles().map(f => s"${f.getName}:${f.length}").toSet).toMap
+  }
+
+  test("incremental tick overwrites only touched buckets; read-back == rebuild") {
+    val fx = OpenMrsFixture.generate(spark, nPersons = 40, seed = 19L)
+    val (obs, enc, person) = (fx("obs").cache(), fx("encounter").cache(), fx("person"))
+    val t1 = ts("2015-02-01 00:00:00")
+    val t2 = ts("2015-06-01 00:00:00")
+    val nBuckets = 16
+    val path = java.nio.file.Files.createTempDirectory("graft-bucketed").toString + "/flat_obs"
+
+    // tick 1: full write at t1
+    val flat1 = FlatObs.build(obsAsOf(obs, t1), encAsOf(enc, t1), person)
+    BucketedSink.writeFull(flat1, path, "person_id", nBuckets)
+    val before = bucketFiles(path)
+
+    // tick 2: incremental at t2, bucket-overwrite with the touched-person set
+    val merged = FlatObs.incremental(
+      BucketedSink.read(spark, path), obsAsOf(obs, t2), encAsOf(enc, t2), person, t1)
+    val touched = FlatObs.touchedPersons(obsAsOf(obs, t2), encAsOf(enc, t2), person, t1)
+    BucketedSink.overwriteChanged(merged, path, "person_id", nBuckets, touched)
+    val after = bucketFiles(path)
+
+    // correctness: the bucketed table equals a full rebuild on t2 sources
+    val expected = FlatObs.build(obsAsOf(obs, t2), encAsOf(enc, t2), person)
+    def rows(df: DataFrame) =
+      df.orderBy(df.columns.map(col): _*).collect().map(_.toString).toSeq
+    assert(rows(BucketedSink.read(spark, path)) == rows(expected))
+
+    // delta-sized write: some buckets rewritten, the rest byte-identical
+    val touchedBuckets = touched
+      .select(BucketedSink.bucketOf(col("person_id"), nBuckets).as("b"))
+      .distinct().collect().map(r => s"__bucket=${r.getInt(0)}").toSet
+    val rewritten = after.keySet.filter(k => before.get(k) != after.get(k))
+    assert(rewritten.subsetOf(touchedBuckets))
+    val untouched = before.keySet -- touchedBuckets
+    assert(untouched.nonEmpty, "fixture must leave some buckets untouched")
+    untouched.foreach { k => assert(before(k) == after(k), s"$k was rewritten") }
+  }
+}
