@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.Watermark
+import graft.operators.{BucketedSink, Watermark}
 
 /** The stage DAG runner: the five flat tables maintained as idempotent
   * incremental jobs over parquet, with the `flat_log` watermark store —
@@ -61,9 +61,27 @@ class Pipeline(spark: SparkSession, root: String) {
     }
   }
 
+  // ---- optional bucketed layout (flat_obs) ----
+  // `graft.sink.buckets` = N > 0 switches the flat_obs sink to
+  // BucketedSink: incremental ticks dynamically overwrite only the
+  // buckets of touched persons (O(delta) write) instead of snapshotting
+  // the whole table. Pick the mode when the table is first created —
+  // the layouts are distinct directories and don't migrate.
+
+  def sinkBuckets: Int =
+    spark.conf.getOption("graft.sink.buckets").map(_.toInt).getOrElse(0)
+  private def bucketedDataPath(name: String) = new Path(path(name), "buckets")
+  private def bucketedExists(name: String): Boolean = {
+    val p = bucketedDataPath(name)
+    p.getFileSystem(hadoopConf).exists(p)
+  }
+
   def readFlat(name: String): Option[DataFrame] =
-    currentVersion(name).map(v =>
-      spark.read.parquet(new Path(path(name), v).toString))
+    if (bucketedExists(name))
+      Some(BucketedSink.read(spark, bucketedDataPath(name).toString))
+    else
+      currentVersion(name).map(v =>
+        spark.read.parquet(new Path(path(name), v).toString))
 
   def writeSnapshot(df: DataFrame, name: String): Unit = {
     val dir = new Path(path(name))
@@ -102,12 +120,13 @@ class Pipeline(spark: SparkSession, root: String) {
       version: String,
       flatName: String,
       newWatermark: Timestamp,
-      run: Timestamp => DataFrame): Unit = {
+      run: Timestamp => DataFrame,
+      write: (DataFrame, Timestamp) => Unit = null): Unit = {
     val start = new Timestamp(System.currentTimeMillis())
     val log = Watermark.readLog(spark, logPath)
     val wm = Watermark.resolve(log, version, readFlat(flatName))
     val result = run(wm)
-    writeSnapshot(result, flatName)
+    if (write == null) writeSnapshot(result, flatName) else write(result, wm)
     val secs = ((System.currentTimeMillis() - start.getTime) / 1000).toShort
     Watermark.appendRun(spark, logPath, version, newWatermark, secs)
   }
@@ -115,11 +134,20 @@ class Pipeline(spark: SparkSession, root: String) {
   /** One full pipeline tick over the given source snapshot. */
   def tick(obs: DataFrame, encounter: DataFrame, orders: DataFrame, person: DataFrame): Unit = {
     val encObsMax = maxTs(Seq(encounter -> "date_created", obs -> "date_created"))
+    val flatObsWrite: (DataFrame, Timestamp) => Unit =
+      if (sinkBuckets > 0) { (result, wm) =>
+        val p = bucketedDataPath("flat_obs").toString
+        if (!bucketedExists("flat_obs"))
+          BucketedSink.writeFull(result, p, "person_id", sinkBuckets)
+        else
+          BucketedSink.overwriteChanged(result, p, "person_id", sinkBuckets,
+            FlatObs.touchedPersons(obs, encounter, person, wm))
+      } else null
     runStage(flatObsVersion, "flat_obs", encObsMax, wm =>
       readFlat("flat_obs") match {
         case Some(existing) => FlatObs.incremental(existing, obs, encounter, person, wm)
         case None => FlatObs.build(obs, encounter, person)
-      })
+      }, flatObsWrite)
     runStage(flatOrdersVersion, "flat_orders",
       maxTs(Seq(orders -> "date_created")), wm =>
         readFlat("flat_orders") match {

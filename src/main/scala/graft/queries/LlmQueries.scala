@@ -196,6 +196,54 @@ object LlmQueries {
           .select(col("doc_id"), TextAnalysis.simhash16(col("text")).as("simhash"))
     },
 
+    // Corpus-frequency boilerplate detection: top-20 most frequent
+    // trigrams (ALL occurrences, not per-doc-distinct) — map-side partial
+    // counts make this a cheap full-corpus pass at any scale; ordering is
+    // total (count desc, shingle asc) so top-k is deterministic, and Spark
+    // plans orderBy+limit as a distributed TakeOrdered, never a global
+    // sort materialization.
+    OpQuery.sql(
+      "q60_top_ngrams",
+      s"""WITH t AS (SELECT doc_id, string_split($DuckNorm, ' ') w FROM documents),
+         |i AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM t),
+         |g AS (SELECT w[i]||' '||w[i+1]||' '||w[i+2] AS shingle FROM i),
+         |c AS (SELECT shingle, count(*) n FROM g GROUP BY shingle)
+         |SELECT shingle, n FROM c
+         |ORDER BY n DESC, shingle LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        load(s, dir, "documents")
+          .select(explode(TextAnalysis.shingles(
+            TextAnalysis.words(TextAnalysis.normalize(col("text"))), 3)).as("shingle"))
+          .groupBy("shingle").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("shingle"))
+          .limit(20)
+    },
+
+    // Deterministic train/val/test split — the md5-bucket sampling
+    // primitive every pipeline needs: engine-portable (no RNG state),
+    // stable under re-runs and repartitioning, per-row independent so it
+    // parallelizes trivially. Bucket = first 8 hex chars of
+    // md5(doc_id) mod 100.
+    OpQuery.sql(
+      "q61_split_assignment",
+      """SELECT doc_id, lang,
+        |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |       % 100 AS INT) AS bucket,
+        |  CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |            % 100 < 80 THEN 'train'
+        |       WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |            % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100).cast("int")
+        load(s, dir, "documents").select(
+          col("doc_id"), col("lang"), bucket.as("bucket"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+    },
+
     // Quality metrics.
     OpQuery.sql(
       "q36_text_quality",

@@ -69,4 +69,29 @@ class BucketedSinkSpec extends SparkSuite {
     assert(untouched.nonEmpty, "fixture must leave some buckets untouched")
     untouched.foreach { k => assert(before(k) == after(k), s"$k was rewritten") }
   }
+
+  test("pipeline with bucketed flat_obs sink matches the versioned sink") {
+    import graft.etl.Pipeline
+    val fx = OpenMrsFixture.generate(spark, nPersons = 20, seed = 23L)
+    val (obs, enc, orders, person) =
+      (fx("obs").cache(), fx("encounter").cache(), fx("orders").cache(), fx("person"))
+    def rows(df: DataFrame) =
+      df.orderBy(df.columns.map(col): _*).collect().map(_.toString).toSeq
+
+    val dirA = java.nio.file.Files.createTempDirectory("graft-vsn").toString
+    val pipeA = new Pipeline(spark, dirA)
+    pipeA.tick(obs, enc, orders, person)
+    val expected = rows(pipeA.readFlat("flat_obs").get)
+    val expectedSummary = rows(pipeA.readFlat("flat_latest_hiv_summary").get)
+
+    val dirB = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+    try {
+      spark.conf.set("graft.sink.buckets", "8")
+      val pipeB = new Pipeline(spark, dirB)
+      pipeB.tick(obs, enc, orders, person) // full write
+      pipeB.tick(obs, enc, orders, person) // idempotent bucket overwrite
+      assert(rows(pipeB.readFlat("flat_obs").get) == expected)
+      assert(rows(pipeB.readFlat("flat_latest_hiv_summary").get) == expectedSummary)
+    } finally spark.conf.unset("graft.sink.buckets")
+  }
 }
