@@ -97,4 +97,20 @@ object EventStreams {
   def deltaStream(spark: org.apache.spark.sql.SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)
+
+  /** Streaming exact dedup on a content key — the ingest-time form of
+    * `Dedup.exact`: duplicates arriving within the watermark horizon of
+    * their first occurrence are dropped; the horizon bounds the dedup
+    * state (an unbounded `dropDuplicates` would grow state forever on a
+    * 100 TB/day stream). Batch composition works too — on a batch frame
+    * Catalyst plans it as a plain aggregate.
+    */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      horizon: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(keyCols)
 }

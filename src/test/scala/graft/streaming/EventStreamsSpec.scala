@@ -58,4 +58,28 @@ class EventStreamsSpec extends SparkSuite {
     // first session closed when the 13:00 event arrived in-batch
     assert(rows.toSeq == Seq((1L, "2024-01-01 10:00:00", 2)))
   }
+
+  test("dedupStream drops in-horizon duplicates, state bounded by watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupStream(
+        input.toDF(), Seq("user_id", "event_type"), "ts", "1 hour")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(
+      Event(1, ts("2024-01-01 10:00:00"), "click", 1.0),
+      Event(1, ts("2024-01-01 10:20:00"), "click", 2.0), // dup within horizon
+      Event(2, ts("2024-01-01 10:05:00"), "click", 3.0))
+    q.processAllAvailable()
+    input.addData(
+      Event(1, ts("2024-01-01 10:30:00"), "click", 4.0)) // still duplicate
+    q.processAllAvailable()
+    val rows = spark.table("deduped")
+      .select(col("user_id"), col("value")).as[(Long, Double)]
+      .collect().sortBy(_._1)
+    q.stop()
+    assert(rows.toSeq == Seq((1L, 1.0), (2L, 3.0)))
+  }
 }
