@@ -16,27 +16,30 @@ import org.apache.spark.sql.types.StringType
   */
 object SqlFunctions {
 
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-
-    // group_concat(value, sortKey...) — MySQL semantics incl. 100k truncation.
-    // The value is cast to string here (MySQL coerces any argument type);
-    // without it GroupConcatAgg.update's UTF8String cast would throw on the
-    // doc's own `group_concat(concept_id, ...)` example (an int column).
-    registry.createOrReplaceTempFunction("group_concat", exprs =>
-      GroupConcatAgg(Cast(exprs.head, StringType), CreateStruct(exprs.tail.toIndexedSeq)),
-      "scala_udf")
-
+  /** name → expression builder, shared by [[register]] (session-level
+    * temp functions) and [[graft.GraftExtensions]] (config-level
+    * injection via `spark.sql.extensions`).
+    */
+  val injections: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // group_concat(value, sortKey...) — MySQL semantics incl. 100k
+    // truncation. The value is cast to string here (MySQL coerces any
+    // argument type); without it GroupConcatAgg.update's UTF8String cast
+    // would throw on the doc's own `group_concat(concept_id, ...)`
+    // example (an int column).
+    "group_concat" -> { exprs =>
+      GroupConcatAgg(Cast(exprs.head, StringType),
+        CreateStruct(exprs.tail.toIndexedSeq))
+    },
     // obs_value_for(obs, conceptId) — first value for a concept
-    registry.createOrReplaceTempFunction("obs_value_for", exprs =>
-      colToExpr(exprs, (obs, c) => ObsMap.valueFor(obs, c)), "scala_udf")
-
+    "obs_value_for" -> { exprs =>
+      colToExpr(exprs, (obs, c) => ObsMap.valueFor(obs, c))
+    },
     // obs_values_for(obs, conceptId) — all values (array)
-    registry.createOrReplaceTempFunction("obs_values_for", exprs =>
-      colToExpr(exprs, (obs, c) => ObsMap.valuesFor(obs, c)), "scala_udf")
-
+    "obs_values_for" -> { exprs =>
+      colToExpr(exprs, (obs, c) => ObsMap.valuesFor(obs, c))
+    },
     // obs_contains(obs, conceptId, code) — decode predicate
-    registry.createOrReplaceTempFunction("obs_contains", exprs => {
+    "obs_contains" -> { exprs =>
       val concept = literalInt(exprs(1), "obs_contains concept")
       val code = exprs(2) match {
         case Literal(v, _) => String.valueOf(v)
@@ -44,7 +47,13 @@ object SqlFunctions {
           s"obs_contains code must be a literal, got $other")
       }
       toExpr(ObsMap.containsEntry(col(exprs.head), concept, code))
-    }, "scala_udf")
+    })
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    injections.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 
   private def col(e: Expression) =
