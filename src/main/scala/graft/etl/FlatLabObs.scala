@@ -40,32 +40,48 @@ object FlatLabObs {
         !(col("concept_id") === NoneOrderConcept && col("value_coded") === NoneOrderValue) &&
         col("voided") === 0)
 
-  private def aggLabs(rows: DataFrame): DataFrame =
+  private def aggLabs(rows: DataFrame): DataFrame = {
+    // Two sort orders → two collects (down from four): the DISTINCT obs
+    // map sorts by (concept, value_coded, rendered); encounter_ids and
+    // obs_ids both sort by the unique (concept, obs_id) and derive from
+    // one shared collect (PhysicalAggregation dedups the identical
+    // collect_list references — see FlatObs.obsAggs).
+    val rendered = FlatObs.renderedValue
+    val obsKeyed = struct(
+      col("concept_id").as("c"), col("value_coded").as("vc"), rendered.as("r"))
+    val obsCollected = sort_array(collect_list(when(rendered.isNotNull, obsKeyed)))
+    val obsEntries = array_distinct(transform(obsCollected,
+      x => concat(lit(ObsMap.Boundary), x.getField("c"), lit("="),
+        x.getField("r"), lit(ObsMap.Boundary))))
+    val idKeyed = struct(
+      col("concept_id").as("c"), col("obs_id").as("oid"),
+      col("value_coded").cast("string").as("vc"),
+      col("encounter_id").cast("string").as("enc"))
+    val idCollected = sort_array(collect_list(when(col("concept_id").isNotNull, idKeyed)))
+    val encEntries = transform(idCollected,
+      x => concat(lit(ObsMap.Boundary), x.getField("c"), lit("="),
+        coalesce(x.getField("vc"), lit("")), lit("="),
+        coalesce(x.getField("enc"), lit("")), lit(ObsMap.Boundary)))
+    val obsIdEntries = transform(idCollected,
+      x => concat(lit(ObsMap.Boundary), x.getField("c"), lit("="),
+        x.getField("oid"), lit(ObsMap.Boundary)))
     rows
       .withColumn("test_date", to_date(col("obs_datetime")))
       .groupBy("person_id", "test_date")
       .agg(
         (min(col("obs_id")) + lit(FlatObs.SyntheticEncounterBase)).cast("int")
           .as("encounter_id"),
-        MysqlFunctions.groupConcat(
-          ObsMap.renderEntry(col("concept_id"), FlatObs.renderedValue),
-          Seq(col("concept_id"), col("value_coded"), FlatObs.renderedValue),
-          distinct = true).as("obs"),
+        when(size(obsEntries) > 0, array_join(obsEntries, ObsMap.Sep)).as("obs"),
         max(col("date_created")).as("max_date_created"),
-        MysqlFunctions.groupConcat(
-          concat(lit(ObsMap.Boundary), col("concept_id"), lit("="),
-            coalesce(col("value_coded").cast("string"), lit("")), lit("="),
-            coalesce(col("encounter_id").cast("string"), lit("")), lit(ObsMap.Boundary)),
-          Seq(col("concept_id"), col("obs_id"))).as("encounter_ids"),
-        MysqlFunctions.groupConcat(
-          ObsMap.renderEntry(col("concept_id"), col("obs_id").cast("string")),
-          Seq(col("concept_id"), col("obs_id"))).as("obs_ids"))
+        when(size(encEntries) > 0, array_join(encEntries, ObsMap.Sep)).as("encounter_ids"),
+        when(size(obsIdEntries) > 0, array_join(obsIdEntries, ObsMap.Sep)).as("obs_ids"))
       .select(
         col("person_id"), col("encounter_id"),
         col("test_date").cast("timestamp").as("test_datetime"),
         lit(99999).as("encounter_type"),
         lit(null).cast("int").as("location_id"),
         col("obs"), col("max_date_created"), col("encounter_ids"), col("obs_ids"))
+  }
 
   private def canon(df: DataFrame): DataFrame =
     df.select(Schemas.flatLabObs.fieldNames.map(col).toIndexedSeq: _*)

@@ -50,18 +50,38 @@ object FlatObs {
   /** obs-map aggregate columns shared by every pass: `obs` (concept=value)
     * and `obs_datetimes` (concept=date(obs_datetime)), both ordered by
     * (concept_id, value_coded) with rendered-value tie-break
-    * (flat_obs_v1.0.sql:123-144). */
+    * (flat_obs_v1.0.sql:123-144).
+    *
+    * Both map columns derive from ONE sorted collect: they share the sort
+    * keys and their entry strings are pure functions of the collected
+    * struct fields, and PhysicalAggregation dedups the two references to
+    * the identical collect_list — so the aggregation carries one struct
+    * stream per row instead of two (the dominant state in the stage's
+    * ObjectHashAggregate). Tie order is unchanged: for rows equal in
+    * (concept, value_coded, rendered) the old per-column sort compared
+    * the entry string "!!<concept>=<date>!!", which with concept equal is
+    * exactly comparing the date string — the struct's last field.
+    */
   private def obsAggs(distinctEntries: Boolean = false): Seq[Column] = {
     val rendered = renderedValue
-    val orderKeys = Seq(col("concept_id"), col("value_coded"), rendered)
+    val keyed = struct(
+      col("concept_id").as("c"), col("value_coded").as("vc"), rendered.as("r"),
+      to_date(col("obs_datetime")).cast("string").as("d"))
+    // GROUP_CONCAT skips rows whose rendered value is NULL
+    val collected = sort_array(collect_list(when(rendered.isNotNull, keyed)))
+    def dedup(arr: Column) = if (distinctEntries) array_distinct(arr) else arr
+    val obsEntries = dedup(transform(collected,
+      x => concat(lit(ObsMap.Boundary), x.getField("c"), lit("="),
+        x.getField("r"), lit(ObsMap.Boundary))))
+    val dtEntries = dedup(filter(
+      transform(collected,
+        x => when(x.getField("d").isNotNull,
+          concat(lit(ObsMap.Boundary), x.getField("c"), lit("="),
+            x.getField("d"), lit(ObsMap.Boundary)))),
+      e => e.isNotNull))
     Seq(
-      MysqlFunctions.groupConcat(
-        ObsMap.renderEntry(col("concept_id"), rendered), orderKeys,
-        distinct = distinctEntries).as("obs"),
-      MysqlFunctions.groupConcat(
-        when(rendered.isNotNull,
-          ObsMap.renderEntry(col("concept_id"), to_date(col("obs_datetime")).cast("string"))),
-        orderKeys, distinct = distinctEntries).as("obs_datetimes"),
+      when(size(obsEntries) > 0, array_join(obsEntries, ObsMap.Sep)).as("obs"),
+      when(size(dtEntries) > 0, array_join(dtEntries, ObsMap.Sep)).as("obs_datetimes"),
       max(col("date_created")).as("max_date_created"))
   }
 

@@ -27,7 +27,23 @@ import graft.operators.ReplaceInto
   */
 object FlatOrders {
 
-  private def aggOrders(orderRows: DataFrame, encounter: DataFrame): DataFrame =
+  private def aggOrders(orderRows: DataFrame, encounter: DataFrame): DataFrame = {
+    // Both map columns share the (concept, order_id) sort and derive from
+    // ONE sorted collect (PhysicalAggregation dedups the identical
+    // collect_list — see FlatObs.obsAggs for the tie-order argument; here
+    // the date string is the struct's last field, matching the old
+    // per-column entry-string tie-break).
+    val keyed = struct(
+      col("concept_id").as("c"), col("order_id").as("oid"),
+      to_date(col("date_created")).cast("string").as("d"))
+    val collected = sort_array(collect_list(when(col("concept_id").isNotNull, keyed)))
+    val orderEntries = transform(collected, x => x.getField("c").cast("string"))
+    val dtEntries = filter(
+      transform(collected,
+        x => when(x.getField("d").isNotNull,
+          concat(lit(ObsMap.Boundary), x.getField("c"), lit("="),
+            x.getField("d"), lit(ObsMap.Boundary)))),
+      e => e.isNotNull)
     orderRows
       .filter(col("encounter_id") >= 1 && col("voided") === 0)
       .join(
@@ -40,15 +56,12 @@ object FlatOrders {
         max(col("encounter_datetime")).as("encounter_datetime"),
         max(col("encounter_type")).as("encounter_type"),
         max(col("location_id")).as("location_id"),
-        MysqlFunctions.groupConcat(
-          col("concept_id").cast("string"), Seq(col("concept_id"), col("order_id")))
-          .as("orders"),
-        MysqlFunctions.groupConcat(
-          ObsMap.renderEntry(col("concept_id"), to_date(col("date_created")).cast("string")),
-          Seq(col("concept_id"), col("order_id"))).as("order_datetimes"),
+        when(size(orderEntries) > 0, array_join(orderEntries, ObsMap.Sep)).as("orders"),
+        when(size(dtEntries) > 0, array_join(dtEntries, ObsMap.Sep)).as("order_datetimes"),
         max(col("date_created")).as("max_date_created"))
       .select("person_id", "encounter_id", "order_id", "encounter_datetime",
         "encounter_type", "location_id", "orders", "order_datetimes", "max_date_created")
+  }
 
   private def canon(df: DataFrame): DataFrame =
     df.select(Schemas.flatOrders.fieldNames.map(col).toIndexedSeq: _*)
