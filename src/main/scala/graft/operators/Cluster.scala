@@ -45,17 +45,15 @@ object Cluster {
         .join(labels.select(col("id").as("src"), col("cluster")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min("cluster").as("nmin"))
+      // carry prev alongside so convergence reads off the checkpointed
+      // result — no extra join/shuffle per round just to detect change
       val next = labels
         .join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster").as("__prev"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
         .localCheckpoint(true)
-      val changed = next.join(
-          labels.select(col("id"), col("cluster").as("prev")), Seq("id"))
-        .filter(col("cluster") =!= col("prev"))
-        .limit(1).count()
-      labels = next
-      converged = changed == 0
+      converged = next.filter(col("cluster") =!= col("__prev")).limit(1).count() == 0
+      labels = next.select("id", "cluster")
       iter += 1
     }
     labels
