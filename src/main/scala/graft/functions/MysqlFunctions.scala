@@ -118,10 +118,20 @@ object MysqlFunctions {
   def regexpDecode(
       obs: Column,
       table: Seq[(String, String)],
-      default: Column = lit(null)): Column =
-    table.foldRight(default) { case ((kv, label), acc) =>
+      default: Column = lit(null)): Column = {
+    val arms = table.foldRight(default) { case ((kv, label), acc) =>
       when(obs.contains(s"!!$kv!!"), lit(label)).otherwise(acc)
     }
+    // Single-concept tables (all of the reference's are) get a presence
+    // guard: one "!!<concept>=" scan short-circuits the whole arm chain
+    // when the concept is absent from the row — the common case on real
+    // encounters, where a 40-arm regimen table would otherwise scan the
+    // map 40 times to conclude nothing matched.
+    val concepts = table.map(_._1.takeWhile(_ != '=')).distinct
+    if (concepts.sizeIs == 1)
+      when(obs.contains(s"!!${concepts.head}="), arms).otherwise(default)
+    else arms
+  }
 
   /** MySQL `TIMESTAMPDIFF(SECOND, a, b)` (run metrics,
     * flat_obs_v1.0.sql:345). */
