@@ -244,6 +244,55 @@ object LlmQueries {
             .otherwise("test").as("split"))
     },
 
+    // Within-document repetition ratio (Gopher-style repetition signal):
+    // 1 - distinct/total over the doc's 3-gram multiset. Pure per-row
+    // array math — no shuffle at all, scales embarrassingly.
+    OpQuery.sql(
+      "q62_repetition_ratio",
+      s"""WITH t AS (SELECT doc_id, string_split($DuckNorm, ' ') w FROM documents),
+         |i AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM t),
+         |g AS (SELECT doc_id, list(w[i]||' '||w[i+1]||' '||w[i+2]) sh FROM i GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  CAST(COALESCE(len(g.sh), 0) AS INT) AS n_ngrams,
+         |  round(CASE WHEN COALESCE(len(g.sh), 0) = 0 THEN 0.0
+         |    ELSE 1.0 - CAST(len(list_distinct(g.sh)) AS DOUBLE) / len(g.sh) END, 6)
+         |    AS dup_ratio
+         |FROM t LEFT JOIN g ON t.doc_id = g.doc_id""".stripMargin) {
+      (s, dir) =>
+        val sh = TextAnalysis.shingles(
+          TextAnalysis.words(TextAnalysis.normalize(col("text"))), 3)
+        load(s, dir, "documents").select(
+          col("doc_id"),
+          size(sh).as("n_ngrams"),
+          round(when(size(sh) === 0, 0.0).otherwise(
+            lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh)), 6)
+            .as("dup_ratio"))
+    },
+
+    // Per-label embedding centroids at the (label, dimension) grain — the
+    // relational form of vector mean-pooling: posexplode → shuffle by
+    // (label, pos) with map-side partial sums. Sums accumulate in DECIMAL
+    // (order-independent) then surface as double, so both engines agree
+    // bit-for-bit regardless of aggregation order.
+    OpQuery.sql(
+      "q63_label_centroids",
+      """SELECT label, CAST(pos AS INT) AS pos,
+        |  round(CAST(sum(CAST(v AS DECIMAL(27, 10))) / count(*) AS DOUBLE), 6) AS c
+        |FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) v,
+        |             generate_subscripts(embedding, 1) - 1 pos
+        |      FROM embeddings)
+        |GROUP BY label, pos""".stripMargin) {
+      (s, dir) =>
+        load(s, dir, "embeddings")
+          .select(col("label"),
+            posexplode(graft.operators.Similarity.toDouble(col("embedding"))))
+          .groupBy("label", "pos")
+          .agg(round(
+            (sum(col("col").cast("decimal(27,10)")) / count(lit(1))).cast("double"), 6)
+            .as("c"))
+          .select(col("label"), col("pos").cast("int").as("pos"), col("c"))
+    },
+
     // Quality metrics.
     OpQuery.sql(
       "q36_text_quality",
