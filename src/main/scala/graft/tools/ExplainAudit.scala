@@ -20,7 +20,10 @@ object ExplainAudit {
     val dir = "/root/testdata/sf0.001"
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q01_scan_project_filter", "q05_join_inner_agg", "q09_join_broadcast_dims",
-        "q11_agg_pricing_summary", "q43_flat_obs_stage")
+        "q11_agg_pricing_summary", "q43_flat_obs_stage",
+        // round-2 scale paths: LSH band-key equi-join (never all-pairs),
+        // the shared-collect stage agg, the (label, pos) partial-agg grain
+        "q57_dedup_lsh_verified", "q55_flat_lab_obs_stage", "q63_label_centroids")
     names.foreach { n =>
       val q = graft.SparkEntry.catalog.find(_.name == n).getOrElse(
         sys.error(s"unknown query $n"))
