@@ -79,23 +79,28 @@ class IncrementalEquivalenceSpec extends SparkSuite {
     assert(sortedRows(fl) == sortedRows(fullLabs))
   }
 
-  test("visit summary incremental == full rebuild over flat_obs deltas") {
-    val fx = OpenMrsFixture.generate(spark, nPersons = 25, seed = 11L)
-    val (obs, enc, orders, person) =
-      (fx("obs").cache(), fx("encounter").cache(), fx("orders").cache(), fx("person"))
-    val t1 = ts("2015-02-01 00:00:00")
-    val t2 = ts("2015-06-01 00:00:00")
+  test("visit summary incremental == full rebuild over flat_obs deltas (seed sweep)") {
+    // multiple seeds so the invariant doesn't hold by fixture luck — the
+    // retraction-blind queue bug (fixed mode, see FlatVisitSummary
+    // .incremental) was invisible on the single original seed
+    Seq(11L, 19L, 43L).foreach { seed =>
+      val fx = OpenMrsFixture.generate(spark, nPersons = 25, seed = seed)
+      val (obs, enc, orders, person) =
+        (fx("obs").cache(), fx("encounter").cache(), fx("orders").cache(), fx("person"))
+      val t1 = ts("2015-02-01 00:00:00")
+      val t2 = ts("2015-06-01 00:00:00")
 
-    val fo1 = FlatObs.build(obsAsOf(obs, t1), encAsOf(enc, t1), person)
-    val ford1 = FlatOrders.build(ordersAsOf(orders, t1), encAsOf(enc, t1), person)
-    val vs1 = FlatVisitSummary.build(fo1, ford1, person)
+      val fo1 = FlatObs.build(obsAsOf(obs, t1), encAsOf(enc, t1), person)
+      val ford1 = FlatOrders.build(ordersAsOf(orders, t1), encAsOf(enc, t1), person)
+      val vs1 = FlatVisitSummary.build(fo1, ford1, person)
 
-    val fo2 = FlatObs.build(obsAsOf(obs, t2), encAsOf(enc, t2), person)
-    val ford2 = FlatOrders.build(ordersAsOf(orders, t2), encAsOf(enc, t2), person)
-    val vs2inc = FlatVisitSummary.incremental(
-      vs1, fo2, ford2, obsAsOf(obs, t2), encAsOf(enc, t2), person, t1)
-    val vs2full = FlatVisitSummary.build(fo2, ford2, person)
-    assert(sortedRows(vs2inc) == sortedRows(vs2full))
+      val fo2 = FlatObs.build(obsAsOf(obs, t2), encAsOf(enc, t2), person)
+      val ford2 = FlatOrders.build(ordersAsOf(orders, t2), encAsOf(enc, t2), person)
+      val vs2inc = FlatVisitSummary.incremental(
+        vs1, fo2, ford2, obsAsOf(obs, t2), encAsOf(enc, t2), person, t1)
+      val vs2full = FlatVisitSummary.build(fo2, ford2, person)
+      assert(sortedRows(vs2inc) == sortedRows(vs2full), s"seed $seed")
+    }
   }
 
   test("visit summary incremental: retraction-only deltas (void with no new rows)") {
