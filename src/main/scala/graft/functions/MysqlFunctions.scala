@@ -53,14 +53,16 @@ object MysqlFunctions {
 
   /** Faithful-mode GROUP_CONCAT with MySQL's `group_concat_max_len`
     * truncation (default raised to 100000 by the reference,
-    * flat_obs_v1.0.sql:25). Truncates the *joined* string at maxLen chars.
+    * flat_obs_v1.0.sql:25). Delegates to [[GroupConcatAgg]], whose
+    * truncation counts UTF-8 BYTES like MySQL (a `substring` would count
+    * UTF-16 code units and overshoot on multibyte text).
     */
   def groupConcatTruncated(
       value: Column,
       orderKeys: Seq[Column],
       sep: String = " ## ",
       maxLen: Int = 100000): Column =
-    substring(groupConcat(value, orderKeys, sep), 1, maxLen)
+    GroupConcatAgg(value, orderKeys, sep, maxLen, distinct = false)
 
   /** MySQL `IF(cond, a, b)`. */
   def mysqlIf(cond: Column, a: Column, b: Column): Column =
