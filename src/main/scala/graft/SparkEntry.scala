@@ -15,8 +15,8 @@ object SparkEntry {
 
   val catalog: Seq[OpQuery] =
     RelationalQueries.all ++ WindowQueries.all ++ ObsMapQueries.all ++
-      IncrementalQueries.all ++ LlmQueries.all ++ EtlPipelineQueries.all ++
-      CompletenessQueries.all
+      IncrementalQueries.all ++ LlmQueries.all ++ CurationQueries.all ++
+      EtlPipelineQueries.all ++ CompletenessQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

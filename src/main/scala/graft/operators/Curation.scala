@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs between dedup
+  * and the final shuffle: benchmark decontamination, stratified sampling,
+  * and sequence packing. All deterministic and engine-portable (md5
+  * bucketing, no RNG state), so re-runs and the DuckDB oracle reproduce
+  * results bit-for-bit.
+  *
+  * Scale design:
+  *  - decontamination joins the CORPUS against the EVAL set — the eval
+  *    side is bounded (benchmarks are thousands of docs, not billions),
+  *    so its distinct-shingle set broadcasts and the corpus side streams
+  *    map-side with zero shuffle of corpus bytes;
+  *  - stratified sampling is a pure per-row filter (md5 of the id) — no
+  *    shuffle, embarrassingly parallel, stable under repartitioning;
+  *  - sequence packing shuffles once by pack bucket; each bucket packs
+  *    independently (the standard sharded-packing design — global greedy
+  *    packing would serialize on a single running total).
+  */
+object Curation {
+
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minOverlap` distinct shingles with an evaluation set.
+    *
+    * `corpusShingles` / `evalShingles` = (id, shingle) DISTINCT pairs
+    * (shingle n should be large enough to be discriminative — 5-grams
+    * here vs the 3-grams dedup uses). The eval shingle set is broadcast:
+    * eval benchmarks are small by construction, so contamination checking
+    * a 100 TB corpus is one map-side semi-join plus a groupBy on the few
+    * ids that overlap at all — corpus rows with no eval hit never shuffle.
+    *
+    * Output: (id, n_overlap, contaminated) for EVERY corpus id, including
+    * zero-overlap ones (the left join back to ids is on the corpus's own
+    * id set, shuffle on uniform ids).
+    */
+  def decontaminate(
+      corpusIds: DataFrame,
+      corpusShingles: DataFrame,
+      evalShingles: DataFrame,
+      minOverlap: Int = 1): DataFrame = {
+    val evalSet = broadcast(evalShingles.select("shingle").distinct())
+    val overlaps = corpusShingles
+      .join(evalSet, Seq("shingle"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_overlap"))
+    corpusIds
+      .join(overlaps, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+
+  /** Deterministic md5 sampling bucket in [0, buckets): the primitive under
+    * split assignment and stratified sampling. Engine-portable (first 8 hex
+    * chars of md5 of the id rendered as a string) and per-row independent.
+    */
+  def samplingBucket(id: Column, buckets: Int, salt: String = ""): Column =
+    (conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % buckets).cast("int")
+
+  /** Stratified sampling: keep each row with a per-stratum rate (e.g.
+    * down-sample dominant languages, keep the tail whole) — the mixture-
+    * rebalancing step of corpus assembly. `rates` maps stratum values to
+    * keep-rates in [0, 1]; unlisted strata use `defaultRate`.
+    *
+    * Decision = samplingBucket(id, 1e6, salt) < rate * 1e6 — a pure
+    * per-row predicate: no shuffle, reproducible under re-runs and
+    * repartitioning, and independent of every other row, so the sample is
+    * exactly re-derivable (a seeded `df.sample` is neither engine-portable
+    * nor stable under partition changes). The rate table compiles to a
+    * literal CASE chain — codegen'd, no join.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      stratum: Column,
+      id: Column,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0,
+      salt: String = ""): DataFrame = {
+    val rate = rates.foldRight(lit(defaultRate)) { case ((k, r), acc) =>
+      when(stratum === lit(k), lit(r)).otherwise(acc)
+    }
+    df.filter(samplingBucket(id, 1000000, salt) < (rate * 1000000).cast("int"))
+  }
+
+  /** Sequence packing: lay documents end-to-end into fixed `budget`-token
+    * training sequences. Docs are sharded into `buckets` independent pack
+    * streams by md5(id), then packed in id order within each stream: a doc
+    * STARTS in the sequence containing its cumulative token offset (docs
+    * may straddle a boundary — the downstream tokenizer splits them, as in
+    * standard packed-pretraining loaders).
+    *
+    * One shuffle (by bucket) + one window sort per bucket. Buckets scale
+    * the parallelism: 100 TB / `buckets` must fit a single task's sort,
+    * so size `buckets` ~ corpus_tokens / 10^9 in production. The window's
+    * running sum is the only sequential dependency, and it is per-bucket.
+    *
+    * Output: (id, bucket, seq_id, seq_offset) — seq_id numbers sequences
+    * within the bucket, seq_offset is the doc's first-token position
+    * within its starting sequence.
+    */
+  def packSequences(
+      df: DataFrame,
+      id: Column,
+      tokens: Column,
+      budget: Int,
+      buckets: Int): DataFrame = {
+    val w = Window.partitionBy("bucket").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(id.as("id"), tokens.as("n_tokens"),
+        samplingBucket(id, buckets, "pack").as("bucket"))
+      .withColumn("cum", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(
+        col("id"), col("bucket"),
+        floor(col("cum") / budget).cast("long").as("seq_id"),
+        (col("cum") % budget).cast("long").as("seq_offset"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Tables.load
+import graft.operators.{Curation, TextAnalysis}
+
+/** Corpus-curation queries: benchmark decontamination, stratified
+  * sampling, and sequence packing over the documents fixture — the steps
+  * between dedup and the final training shuffle. All md5-deterministic so
+  * the DuckDB oracle replays them exactly.
+  */
+object CurationQueries {
+
+  // DuckDB-side normalized text, matching TextAnalysis.normalize.
+  private val DuckNorm =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  // DuckDB-side md5 sampling bucket, matching Curation.samplingBucket.
+  private def duckBucket(salt: String, buckets: Int): String =
+    s"CAST(CAST(concat('0x', substr(md5('$salt' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % $buckets AS INT)"
+
+  val all: Seq[OpQuery] = Seq(
+
+    // Benchmark decontamination: train-split docs sharing any distinct
+    // 5-gram with the test split get flagged. The eval shingle set
+    // broadcasts (benchmarks are small by construction), so at 100 TB the
+    // corpus side is one map-side semi-join — corpus rows with no eval hit
+    // never shuffle.
+    OpQuery.sql(
+      "q64_decontaminate",
+      s"""WITH d AS (SELECT doc_id, ${duckBucket("", 100)} AS b, $DuckNorm AS norm FROM documents),
+         |t AS (SELECT doc_id, b, string_split(norm, ' ') w FROM d),
+         |i AS (SELECT doc_id, b, w, unnest(generate_series(1, len(w)-4)) AS i FROM t),
+         |sh AS (SELECT DISTINCT doc_id, b,
+         |         w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS s FROM i),
+         |ev AS (SELECT DISTINCT s FROM sh WHERE b >= 90),
+         |ov AS (SELECT sh.doc_id, count(*) n FROM sh JOIN ev USING (s)
+         |       WHERE sh.b < 80 GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap,
+         |       coalesce(ov.n, 0) >= 1 AS contaminated
+         |FROM d LEFT JOIN ov ON d.doc_id = ov.doc_id
+         |WHERE d.b < 80""".stripMargin) {
+      (s, dir) =>
+        val withSplit = load(s, dir, "documents").select(
+          col("doc_id").as("id"), col("text"),
+          Curation.samplingBucket(col("doc_id"), 100).as("b"))
+        def shingles(d: DataFrame): DataFrame = d.select(
+          col("id"),
+          explode(TextAnalysis.shingles(
+            TextAnalysis.words(TextAnalysis.normalize(col("text"))), 5)).as("shingle"))
+          .distinct()
+        val train = withSplit.filter(col("b") < 80)
+        Curation.decontaminate(
+            train.select("id"), shingles(train),
+            shingles(withSplit.filter(col("b") >= 90)))
+          .select(col("id").as("doc_id"), col("n_overlap"), col("contaminated"))
+    },
+
+    // Stratified sampling: per-language keep-rates rebalance the corpus
+    // mixture (down-sample dominant en, keep the tail whole). Pure per-row
+    // md5 predicate — zero shuffle, exactly re-derivable.
+    OpQuery.sql(
+      "q65_stratified_sample",
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, ${duckBucket("mix1", 1000000)} AS bkt FROM documents)
+         |WHERE bkt < CAST(1000000 * CASE lang
+         |  WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.8 WHEN 'es' THEN 0.25
+         |  ELSE 1.0 END AS INT)""".stripMargin) {
+      (s, dir) =>
+        Curation.stratifiedSample(
+            load(s, dir, "documents"),
+            col("lang"), col("doc_id"),
+            Map("en" -> 0.5, "zh" -> 0.8, "es" -> 0.25),
+            defaultRate = 1.0, salt = "mix1")
+          .select("doc_id", "lang")
+    },
+
+    // Sequence packing: documents laid end-to-end into 2048-token training
+    // sequences across 8 independent pack streams (shard by md5, window
+    // cum-sum within shard — the one sequential dependency is per-bucket).
+    OpQuery.sql(
+      "q66_sequence_pack",
+      s"""WITH d AS (SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         |    ${duckBucket("pack", 8)} AS bucket
+         |  FROM documents),
+         |c AS (SELECT doc_id, bucket,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM d)
+         |SELECT doc_id, bucket, CAST(cum // 2048 AS BIGINT) AS seq_id,
+         |       CAST(cum % 2048 AS BIGINT) AS seq_offset
+         |FROM c""".stripMargin) {
+      (s, dir) =>
+        Curation.packSequences(
+            load(s, dir, "documents"),
+            col("doc_id"),
+            TextAnalysis.tokenCountWhitespace(col("text")).cast("long"),
+            budget = 2048, buckets = 8)
+          .select(col("id").as("doc_id"), col("bucket"), col("seq_id"), col("seq_offset"))
+    }
+  )
+}
