@@ -24,36 +24,56 @@ object Cluster {
 
   /** edges: (id_a, id_b) undirected pairs. Returns (id, cluster) for every
     * node in the edge list, cluster = min reachable node id.
+    *
+    * Round structure: self-loops are folded into the adjacency, so
+    * `min over neighbors-with-self` IS `least(own label, neighbor min)` —
+    * one join + one aggregate per round instead of join/agg/join. The
+    * adjacency is pre-partitioned by the join key once (the checkpoint
+    * preserves its partitioning), so each round only shuffles the label
+    * side + the aggregate. Convergence needs no comparison join either:
+    * labels only ever decrease, so the label sum is stationary exactly at
+    * the fixed point — a single-stage aggregate on the fresh checkpoint
+    * (DECIMAL accumulation: a 100 TB corpus's id sum overflows i64).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // Symmetrize in ONE pass over the edge input: a union of two swapped
+    // projections carries the (possibly expensive) upstream pair pipeline
+    // in BOTH branches and evaluates it twice — for the q59 LSH-verified
+    // pairs that doubled the whole query. Then checkpoint FIRST:
+    // nodes/adj/labels all derive from sym, and without the cut each
+    // would re-run the upstream pipeline again.
     val sym = edges
-      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .union(edges
-        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .select(explode(array(
+        struct(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst")),
+        struct(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .localCheckpoint(true)
+    val nodes = sym.select(col("src")).distinct()
+    val adj = sym.union(nodes.select(col("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint(true)
 
-    var labels = sym.select(col("src").as("id")).distinct()
+    var labels = nodes.select(col("src").as("id"))
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
 
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // min neighbor label per node
-      val neighborMin = sym
+      val next = adj
         .join(labels.select(col("id").as("src"), col("cluster")), Seq("src"))
         .groupBy(col("dst").as("id"))
-        .agg(min("cluster").as("nmin"))
-      // carry prev alongside so convergence reads off the checkpointed
-      // result — no extra join/shuffle per round just to detect change
-      val next = labels
-        .join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("cluster").as("__prev"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .agg(min("cluster").as("cluster"))
         .localCheckpoint(true)
-      converged = next.filter(col("cluster") =!= col("__prev")).limit(1).count() == 0
-      labels = next.select("id", "cluster")
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
       iter += 1
     }
     labels

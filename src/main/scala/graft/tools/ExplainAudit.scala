@@ -23,7 +23,10 @@ object ExplainAudit {
         "q11_agg_pricing_summary", "q43_flat_obs_stage",
         // round-2 scale paths: LSH band-key equi-join (never all-pairs),
         // the shared-collect stage agg, the (label, pos) partial-agg grain
-        "q57_dedup_lsh_verified", "q55_flat_lab_obs_stage", "q63_label_centroids")
+        "q57_dedup_lsh_verified", "q55_flat_lab_obs_stage", "q63_label_centroids",
+        // curation ops: broadcast eval semi-join, zero-shuffle sample,
+        // one-shuffle sharded packing
+        "q64_decontaminate", "q65_stratified_sample", "q66_sequence_pack")
     names.foreach { n =>
       val q = graft.SparkEntry.catalog.find(_.name == n).getOrElse(
         sys.error(s"unknown query $n"))

@@ -42,6 +42,34 @@ class CurationSpec extends SparkSuite {
       again.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("plan shapes: broadcast eval set, shuffle-free sample, one-shuffle pack") {
+    import spark.implicits._
+    val docs = (1 to 200).map(i => (i.toLong, s"w$i " * 8, "en")).toDF("id", "text", "lang")
+    def sh(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("id"), explode(TextAnalysis.shingles(
+        TextAnalysis.words(TextAnalysis.normalize(col("text"))), 5)).as("shingle"))
+      .distinct()
+    // eval side must broadcast: the 100 TB corpus never shuffles for it
+    val decon = Curation.decontaminate(docs.select("id"), sh(docs), sh(docs.limit(5)))
+    decon.write.format("noop").mode("overwrite").save()
+    assert(decon.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      s"eval set should broadcast:\n${decon.queryExecution.executedPlan}")
+    // sampling is a pure per-row filter: no Exchange anywhere
+    val sampled = Curation.stratifiedSample(
+      docs.toDF("doc_id", "text", "lang"), col("lang"), col("doc_id"), Map("en" -> 0.5))
+    sampled.write.format("noop").mode("overwrite").save()
+    assert(Bucketing.isShuffleFree(sampled),
+      s"sampling must not shuffle:\n${sampled.queryExecution.executedPlan}")
+    // packing shuffles exactly once (by pack bucket); the window reuses it
+    val packed = Curation.packSequences(
+      docs.toDF("doc_id", "text", "lang"), col("doc_id"), lit(8L), 64, 4)
+    packed.write.format("noop").mode("overwrite").save()
+    val nExchanges = "Exchange hashpartitioning".r
+      .findAllIn(packed.queryExecution.executedPlan.toString).size
+    assert(nExchanges == 1,
+      s"expected exactly one shuffle:\n${packed.queryExecution.executedPlan}")
+  }
+
   test("packSequences is gapless and order-faithful within each bucket") {
     import spark.implicits._
     val df = (1 to 300).map(i => (i.toLong, s"doc $i ${"w " * (i % 50)}"))
