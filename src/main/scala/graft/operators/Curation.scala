@@ -88,6 +88,57 @@ object Curation {
     df.filter(samplingBucket(id, 1000000, salt) < (rate * 1000000).cast("int"))
   }
 
+  /** Mixture-rate computation: given target corpus shares per source
+    * (e.g. "wikipedia should be 20% of training tokens"), derive the
+    * per-source repetition weight `rate = share × total_tokens /
+    * source_tokens`. One aggregate over the corpus grouped by source
+    * (map-side partial sums; source cardinality is tiny) — token sums
+    * accumulate in DECIMAL so the result is aggregation-order-independent.
+    * Sources without a target keep rate 1.0 (natural share).
+    */
+  def mixtureRates(
+      df: DataFrame,
+      source: Column,
+      tokens: Column,
+      targetShares: Map[String, Double]): DataFrame = {
+    val perSource = df.groupBy(source.as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokens.cast("decimal(27,0)")).as("n_tokens"))
+    val share = targetShares.foldRight(lit(null).cast("double")) { case ((k, v), acc) =>
+      when(col("source") === lit(k), lit(v)).otherwise(acc)
+    }
+    val total = perSource.agg(sum(col("n_tokens")).as("total_tokens"))
+    perSource.crossJoin(broadcast(total)).select(
+      col("source"), col("n_docs"),
+      col("n_tokens").cast("long").as("n_tokens"),
+      round(coalesce(
+        share * col("total_tokens").cast("double") / col("n_tokens").cast("double"),
+        lit(1.0)), 6).as("rate"))
+  }
+
+  /** Deterministic fractional repetition: emit `floor(w)` copies of each
+    * row plus one more with probability `frac(w)` — md5-decided, so
+    * w = 0.3 IS 30% downsampling, w = 2.5 is 2 or 3 copies, and the
+    * realized corpus is exactly re-derivable (no RNG state). The standard
+    * way a pipeline applies mixture weights: upsample high-quality
+    * sources, downsample the rest, in one pass.
+    *
+    * Per-row explode, no shuffle. Output = input row + `copy_idx`
+    * (1-based); rows whose weight rounds down to 0 copies disappear.
+    * (`sequence(1, 0)` would yield a DESCENDING range in Spark, so the
+    * copies >= 1 guard is mandatory, not cosmetic.)
+    */
+  def upsample(df: DataFrame, id: Column, weight: Column, salt: String = "up"): DataFrame = {
+    // floor, not a bare cast: Spark truncates double→int, DuckDB rounds —
+    // floor() is the one form both engines agree on
+    val copies = (floor(weight) +
+      when(samplingBucket(id, 1000000, salt) <
+        floor((weight - floor(weight)) * 1000000).cast("int"), 1).otherwise(0)).cast("int")
+    df.withColumn("copy_idx",
+        explode(when(copies >= 1, sequence(lit(1), copies))
+          .otherwise(array().cast("array<int>"))))
+  }
+
   /** Sequence packing: lay documents end-to-end into fixed `budget`-token
     * training sequences. Docs are sharded into `buckets` independent pack
     * streams by md5(id), then packed in id order within each stream: a doc

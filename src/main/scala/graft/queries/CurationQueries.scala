@@ -76,6 +76,53 @@ object CurationQueries {
           .select("doc_id", "lang")
     },
 
+    // Mixture-rate computation: target corpus shares per source → the
+    // per-source repetition weight (share × total_tokens / source_tokens).
+    // One small groupBy + a broadcast of the grand total.
+    OpQuery.sql(
+      "q67_mixture_rates",
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+        |    sum(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE len(string_split_regex(trim(text), '\s+')) END AS DECIMAL(27,0)))
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT sum(n_tokens) AS total FROM s)
+        |SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(coalesce(
+        |    CASE source WHEN 'src0' THEN 0.2 WHEN 'src1' THEN 0.05 END
+        |      * CAST(total AS DOUBLE) / CAST(n_tokens AS DOUBLE), 1.0), 6) AS rate
+        |FROM s CROSS JOIN t""".stripMargin) {
+      (s, dir) =>
+        Curation.mixtureRates(
+          load(s, dir, "documents"),
+          col("source"),
+          TextAnalysis.tokenCountWhitespace(col("text")),
+          Map("src0" -> 0.2, "src1" -> 0.05))
+    },
+
+    // Deterministic fractional repetition: per-language weights applied as
+    // floor(w) copies + one md5-decided extra — down- and up-sampling in
+    // one per-row pass (en halved, zh ~2.5x, rest kept).
+    OpQuery.sql(
+      "q68_upsample",
+      s"""WITH d AS (SELECT doc_id, lang,
+         |    CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 2.5 ELSE 1.0 END AS w,
+         |    ${duckBucket("up", 1000000)} AS bkt
+         |  FROM documents),
+         |c AS (SELECT doc_id, lang,
+         |    CAST(floor(w) + CASE WHEN bkt < CAST(floor((w - floor(w)) * 1000000) AS INT)
+         |      THEN 1 ELSE 0 END AS INT) AS copies
+         |  FROM d)
+         |SELECT doc_id, lang, CAST(unnest(generate_series(1, copies)) AS INT) AS copy_idx
+         |FROM c WHERE copies >= 1""".stripMargin) {
+      (s, dir) =>
+        val w = when(col("lang") === "en", 0.5)
+          .when(col("lang") === "zh", 2.5).otherwise(1.0)
+        Curation.upsample(
+          load(s, dir, "documents").select(col("doc_id"), col("lang")),
+          col("doc_id"), w)
+    },
+
     // Sequence packing: documents laid end-to-end into 2048-token training
     // sequences across 8 independent pack streams (shard by md5, window
     // cum-sum within shard — the one sequential dependency is per-bucket).

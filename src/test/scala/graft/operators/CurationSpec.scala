@@ -42,6 +42,37 @@ class CurationSpec extends SparkSuite {
       again.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("mixtureRates derives rate = share * total / source_tokens") {
+    import spark.implicits._
+    // src_a: 100 tokens, src_b: 300 tokens -> total 400
+    val df = Seq(("a1", "src_a", "w " * 99 + "w"), ("b1", "src_b", "w " * 299 + "w"))
+      .toDF("id", "source", "text")
+    val out = Curation.mixtureRates(df, col("source"),
+        TextAnalysis.tokenCountWhitespace(col("text")), Map("src_a" -> 0.5))
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("src_a") == (("src_a", 1L, 100L, 2.0))) // 0.5 * 400 / 100
+    assert(out("src_b") == (("src_b", 1L, 300L, 1.0))) // no target -> natural
+  }
+
+  test("upsample emits floor(w) copies plus an md5-decided fractional one") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i.toLong, if (i % 2 == 0) "keep3" else "drop"))
+      .toDF("doc_id", "kind")
+    val w = when(col("kind") === "keep3", 3.0).otherwise(0.25)
+    val out = Curation.upsample(df, col("doc_id"), w)
+    val byKind = out.groupBy("kind").count().as[(String, Long)].collect().toMap
+    assert(byKind("keep3") == 1500L) // exactly 3 copies each
+    assert(byKind("drop") > 50 && byKind("drop") < 200) // ~125 of 500
+    // copy indices are dense 1..n per doc
+    val idx = out.filter(col("kind") === "keep3").groupBy("doc_id")
+      .agg(sort_array(collect_list("copy_idx")).as("idx"))
+      .select("idx").distinct().as[Seq[Int]].collect()
+    assert(idx.toSeq == Seq(Seq(1, 2, 3)))
+    // deterministic under repartitioning
+    val again = Curation.upsample(df.repartition(13), col("doc_id"), w)
+    assert(out.count() == again.count())
+  }
+
   test("plan shapes: broadcast eval set, shuffle-free sample, one-shuffle pack") {
     import spark.implicits._
     val docs = (1 to 200).map(i => (i.toLong, s"w$i " * 8, "en")).toDF("id", "text", "lang")
