@@ -110,6 +110,40 @@ object WindowQueries {
         g.select(col("user_id"), col("event_id"),
           sum("is_new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .as("session_no"))
+    },
+
+    // As-of join: every click carries the value of the user's most recent
+    // purchase at-or-before it. Spark lacks ASOF JOIN; the operator is the
+    // union+running-last formulation (one shuffle by key, no join) — see
+    // operators/AsOfJoin.scala. Oracle mirrors it with a window over the
+    // same union, ordered on epoch_us to match Spark's microsecond
+    // timestamps (the parquet carries nanos, which DuckDB keeps).
+    OpQuery.sql(
+      "q69_asof_join",
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, 1 AS side,
+        |         CAST(NULL AS BIGINT) AS seq, CAST(NULL AS DOUBLE) AS p,
+        |         event_id
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), 0, event_id, value, NULL
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT event_id, user_id, last_purchase FROM (
+        |  SELECT event_id, user_id, side,
+        |    last_value(p IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY tsu, side, seq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+        |  FROM u)
+        |WHERE side = 1""".stripMargin) {
+      (s, dir) =>
+        val ev = load(s, dir, "events")
+        graft.operators.AsOfJoin.asof(
+            left = ev.filter(col("event_type") === "click")
+              .select("event_id", "user_id", "ts"),
+            right = ev.filter(col("event_type") === "purchase")
+              .select(col("user_id"), col("ts"), col("value"), col("event_id")),
+            key = "user_id", ts = "ts", payload = "value", seq = "event_id")
+          .select(col("event_id"), col("user_id"), col("value").as("last_purchase"))
     }
   )
 }

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+class AsOfJoinSpec extends SparkSuite {
+
+  test("asof matches the naive per-row latest-prior lookup, incl. ties and null payloads") {
+    import spark.implicits._
+    // key 1: normal history; key 2: right row exactly at left ts (visible);
+    // key 3: no prior right row; key 4: latest prior payload is NULL
+    val left = Seq(
+      (101L, 1L, 50L), (102L, 1L, 10L),
+      (201L, 2L, 30L),
+      (301L, 3L, 5L),
+      (401L, 4L, 40L)).toDF("event_id", "k", "t")
+    val right = Seq(
+      (11L, 1L, 20L, Some(1.5)), (12L, 1L, 45L, Some(2.5)), (13L, 1L, 45L, Some(3.5)),
+      (21L, 2L, 30L, Some(9.0)),
+      (31L, 3L, 7L, Some(4.0)),
+      (41L, 4L, 35L, None)).toDF("rid", "k", "t", "v")
+
+    val out = AsOfJoin.asof(left, right, key = "k", ts = "t", payload = "v", seq = "rid")
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+
+    assert(out(101L) == Some(3.5)) // two right rows at t=45: highest seq wins
+    assert(out(102L) == None)      // nothing at or before t=10
+    assert(out(201L) == Some(9.0)) // equal ts is visible
+    assert(out(301L) == None)
+    assert(out(401L) == None)      // matched row exists but payload is NULL
+
+    // cross-check against the naive (quadratic) formulation on the same data
+    val r2 = right.toDF("rid", "k2", "rt", "v")
+    val naiveBest = left
+      .join(r2, col("k") === col("k2") && col("rt") <= col("t"), "left")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_id")
+          .orderBy(col("rt").desc_nulls_last, col("rid").desc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(out == naiveBest)
+  }
+}
