@@ -144,6 +144,32 @@ object WindowQueries {
               .select(col("user_id"), col("ts"), col("value"), col("event_id")),
             key = "user_id", ts = "ts", payload = "value", seq = "event_id")
           .select(col("event_id"), col("user_id"), col("value").as("last_purchase"))
+    },
+
+    // Range join: every view event inside a 10-minute incident window
+    // opened by an error event. Spark would plan the bare range predicate
+    // as a nested-loop join; operators/RangeJoin.scala quantizes the time
+    // axis and equi-joins on bucket + residual filter. The oracle is
+    // DuckDB's native range join (IEJoin) over the same predicate —
+    // an independent engine-level check of the bucketization.
+    OpQuery.sql(
+      "q70_range_join",
+      """SELECT v.event_id AS view_id, e.event_id AS incident_id
+        |FROM (SELECT event_id, epoch_us(ts) AS x FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT event_id, epoch_us(ts) AS lo, epoch_us(ts) + 600000000 AS hi
+        |      FROM events WHERE event_type = 'error') e
+        |ON v.x >= e.lo AND v.x < e.hi""".stripMargin) {
+      (s, dir) =>
+        val ev = load(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), unix_micros(col("ts")).as("x"))
+        val incidents = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("incident_id"),
+            unix_micros(col("ts")).as("lo"),
+            (unix_micros(col("ts")) + 600000000L).as("hi"))
+        graft.operators.RangeJoin.intervalJoin(
+            views, "x", incidents, "lo", "hi", bucketWidth = 600000000L)
+          .select("view_id", "incident_id")
     }
   )
 }
