@@ -88,6 +88,24 @@ object Curation {
     df.filter(samplingBucket(id, 1000000, salt) < (rate * 1000000).cast("int"))
   }
 
+  /** Document chunking: split text into fixed-size overlapping windows
+    * with character offsets — the text-splitting primitive under RAG
+    * indexing and long-document pretraining. Pure per-row explode (no
+    * shuffle); chunk starts step by `chunkChars - overlap`, the last
+    * chunk may run short, empty docs yield no chunks.
+    */
+  def chunk(df: DataFrame, text: Column, chunkChars: Int, overlap: Int): DataFrame = {
+    require(overlap < chunkChars, "overlap must be smaller than the chunk size")
+    val step = chunkChars - overlap
+    val starts = when(length(text) > 0,
+      sequence(lit(1), length(text), lit(step))) // guard: sequence(1,0) DESCENDS
+      .otherwise(array().cast("array<int>"))
+    df.withColumn("chunk_start", explode(starts))
+      .withColumn("chunk_idx", ((col("chunk_start") - 1) / step).cast("int"))
+      .withColumn("chunk_text", text.substr(col("chunk_start"), lit(chunkChars)))
+      .withColumn("chunk_len", length(col("chunk_text")))
+  }
+
   /** Mixture-rate computation: given target corpus shares per source
     * (e.g. "wikipedia should be 20% of training tokens"), derive the
     * per-source repetition weight `rate = share × total_tokens /

@@ -76,6 +76,21 @@ object CurationQueries {
           .select("doc_id", "lang")
     },
 
+    // Document chunking: 200-char windows with 40-char overlap, plus
+    // offsets — per-row explode, shuffle-free.
+    OpQuery.sql(
+      "q71_chunking",
+      """SELECT doc_id, CAST(i AS INT) AS chunk_start,
+        |  CAST((i - 1) // 160 AS INT) AS chunk_idx,
+        |  substr(text, i, 200) AS chunk_text,
+        |  CAST(length(substr(text, i, 200)) AS INT) AS chunk_len
+        |FROM (SELECT doc_id, text, unnest(generate_series(1, length(text), 160)) AS i
+        |      FROM documents WHERE length(text) > 0)""".stripMargin) {
+      (s, dir) =>
+        Curation.chunk(load(s, dir, "documents"), col("text"), chunkChars = 200, overlap = 40)
+          .select("doc_id", "chunk_start", "chunk_idx", "chunk_text", "chunk_len")
+    },
+
     // Mixture-rate computation: target corpus shares per source → the
     // per-source repetition weight (share × total_tokens / source_tokens).
     // One small groupBy + a broadcast of the grand total.

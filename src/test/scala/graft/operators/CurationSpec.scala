@@ -101,6 +101,24 @@ class CurationSpec extends SparkSuite {
       s"expected exactly one shuffle:\n${packed.queryExecution.executedPlan}")
   }
 
+  test("chunk covers the text exactly with the configured overlap") {
+    import spark.implicits._
+    val df = Seq((1L, "a" * 500), (2L, "xy"), (3L, "")).toDF("doc_id", "text")
+    val out = Curation.chunk(df, col("text"), chunkChars = 200, overlap = 40)
+      .select("doc_id", "chunk_idx", "chunk_start", "chunk_len")
+      .as[(Long, Int, Int, Int)].collect().sorted.toSeq
+    // doc 1: starts 1, 161, 321, 481 -> lens 200, 200, 180, 20
+    assert(out == Seq(
+      (1L, 0, 1, 200), (1L, 1, 161, 200), (1L, 2, 321, 180), (1L, 3, 481, 20),
+      (2L, 0, 1, 2)))
+    // reassembly: dropping each chunk's overlap prefix reconstructs the doc
+    val text = Curation.chunk(df.filter(col("doc_id") === 1), col("text"), 200, 40)
+      .orderBy("chunk_start")
+      .select("chunk_text").as[String].collect()
+      .zipWithIndex.map { case (c, i) => if (i == 0) c else c.drop(40) }.mkString
+    assert(text == "a" * 500)
+  }
+
   test("packSequences is gapless and order-faithful within each bucket") {
     import spark.implicits._
     val df = (1 to 300).map(i => (i.toLong, s"doc $i ${"w " * (i % 50)}"))
