@@ -40,4 +40,37 @@ class AsOfJoinSpec extends SparkSuite {
       .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
     assert(out == naiveBest)
   }
+
+  test("property: asof equals the naive formulation on random histories") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    val genRows = for {
+      nL <- Gen.choose(1, 40)
+      nR <- Gen.choose(0, 40)
+      lefts <- Gen.listOfN(nL, Gen.zip(Gen.choose(1L, 5L), Gen.choose(0L, 30L)))
+      rights <- Gen.listOfN(nR, Gen.zip(Gen.choose(1L, 5L), Gen.choose(0L, 30L),
+        Gen.option(Gen.choose(0.0, 9.0))))
+    } yield (lefts, rights)
+
+    val prop = Prop.forAll(genRows) { case (lefts, rights) =>
+      val left = lefts.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("event_id", "k", "t")
+      val right = rights.zipWithIndex.map { case ((k, t, v), i) => (1000L + i, k, t, v) }
+        .toDF("rid", "k", "t", "v")
+      val out = AsOfJoin.asof(left, right, "k", "t", "v", "rid")
+        .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+      val r2 = right.toDF("rid", "k2", "rt", "v")
+      val naive = left
+        .join(r2, col("k") === col("k2") && col("rt") <= col("t"), "left")
+        .withColumn("rn", row_number().over(Window.partitionBy("event_id")
+          .orderBy(col("rt").desc_nulls_last, col("rid").desc_nulls_last)))
+        .filter(col("rn") === 1)
+        .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+      out == naive
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
