@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables.load
 import graft.operators.{Curation, TextAnalysis}
@@ -136,6 +137,85 @@ object CurationQueries {
         Curation.upsample(
           load(s, dir, "documents").select(col("doc_id"), col("lang")),
           col("doc_id"), w)
+    },
+
+    // The capstone: the full corpus-assembly pipeline composed end-to-end —
+    // quality filter → exact dedup (keep min id per content hash) → train
+    // split → benchmark decontamination (vs the test split) → stratified
+    // per-language sampling → sequence packing. Every stage is
+    // deterministic, so the DuckDB oracle replays the entire pipeline and
+    // the final packed layout must match bit-for-bit.
+    OpQuery.sql(
+      "q72_curation_pipeline",
+      s"""WITH d AS (SELECT doc_id, lang, text, $DuckNorm AS norm,
+         |    ${duckBucket("", 100)} AS b FROM documents),
+         |w AS (SELECT *, string_split(norm, ' ') AS ws FROM d),
+         |m AS (SELECT doc_id, lang, text, norm, b, ws,
+         |    CASE WHEN length(norm) = 0 THEN 0 ELSE len(ws) END AS n_words,
+         |    round(CASE WHEN length(norm) = 0 OR len(ws) = 0 THEN 0.0
+         |      ELSE CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(ws) END, 6) AS awl,
+         |    round(CASE WHEN length(norm) = 0 OR len(ws) = 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(ws, x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE) / len(ws) END, 6) AS swr
+         |  FROM w),
+         |q AS (SELECT * FROM m
+         |  WHERE n_words BETWEEN 10 AND 100000 AND awl BETWEEN 2 AND 12 AND swr >= 0.01),
+         |dd AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(norm)) AS keep_id FROM q),
+         |train AS (SELECT * FROM dd WHERE doc_id = keep_id AND b < 80),
+         |evi AS (SELECT ws, unnest(generate_series(1, len(ws)-4)) AS i FROM w WHERE b >= 90),
+         |evsh AS (SELECT DISTINCT ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS s FROM evi),
+         |tri AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-4)) AS i FROM train),
+         |trsh AS (SELECT DISTINCT doc_id,
+         |    ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS s FROM tri),
+         |contam AS (SELECT DISTINCT trsh.doc_id FROM trsh JOIN evsh USING (s)),
+         |clean AS (SELECT t.* FROM train t LEFT JOIN contam c ON t.doc_id = c.doc_id
+         |          WHERE c.doc_id IS NULL),
+         |samp AS (SELECT * FROM (
+         |    SELECT doc_id, lang, text,
+         |      ${duckBucket("mix1", 1000000)} AS bkt FROM clean)
+         |  WHERE bkt < CAST(1000000 * CASE lang
+         |    WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.8 WHEN 'es' THEN 0.25
+         |    ELSE 1.0 END AS INT)),
+         |tok AS (SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         |    ${duckBucket("pack", 4)} AS bucket
+         |  FROM samp),
+         |c AS (SELECT doc_id, bucket,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM tok)
+         |SELECT doc_id, bucket, CAST(cum // 1024 AS BIGINT) AS seq_id,
+         |       CAST(cum % 1024 AS BIGINT) AS seq_offset
+         |FROM c""".stripMargin) {
+      (s, dir) =>
+        val stopwords = Seq("the", "a", "and", "of", "to", "in")
+        val withB = load(s, dir, "documents").select(
+          col("doc_id"), col("lang"), col("text"),
+          Curation.samplingBucket(col("doc_id"), 100).as("b"))
+        val q = withB
+          .withColumn("q", TextAnalysis.qualityMetrics(col("text"), stopwords))
+          .filter(col("q.n_words").between(10, 100000) &&
+            col("q.avg_word_len").between(2, 12) && col("q.stopword_ratio") >= 0.01)
+        val train = q
+          .withColumn("keep_id", min("doc_id").over(
+            Window.partitionBy(md5(TextAnalysis.normalize(col("text"))))))
+          .filter(col("doc_id") === col("keep_id") && col("b") < 80)
+        def shingles(d: DataFrame): DataFrame = d.select(
+          col("doc_id").as("id"),
+          explode(TextAnalysis.shingles(
+            TextAnalysis.words(TextAnalysis.normalize(col("text"))), 5)).as("shingle"))
+          .distinct()
+        val clean = train.join(
+          Curation.decontaminate(train.select(col("doc_id").as("id")),
+              shingles(train), shingles(withB.filter(col("b") >= 90)))
+            .filter(col("contaminated")).select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        val samp = Curation.stratifiedSample(clean, col("lang"), col("doc_id"),
+          Map("en" -> 0.5, "zh" -> 0.8, "es" -> 0.25), defaultRate = 1.0, salt = "mix1")
+        Curation.packSequences(samp, col("doc_id"),
+            TextAnalysis.tokenCountWhitespace(col("text")).cast("long"),
+            budget = 1024, buckets = 4)
+          .select(col("id").as("doc_id"), col("bucket"), col("seq_id"), col("seq_offset"))
     },
 
     // Sequence packing: documents laid end-to-end into 2048-token training
