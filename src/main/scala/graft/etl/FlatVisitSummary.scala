@@ -229,6 +229,85 @@ object FlatVisitSummary {
     decode(obs, stiScreened).as("sti_screened"),
     try_to_timestamp(extractAll(obs, 5096)).as("tca"))
 
+  // ---- typed decode path ----
+  //
+  // The string decode above re-scans the encoded obs text once per guard
+  // and per matching arm (~180 contains scans per row) because the string
+  // IS the reference's interface. When the input carries the obs map in
+  // typed form — `obs_entries: map<int, array<string>>`, values in entry
+  // order — the same decode runs as one map lookup per table plus
+  // array_contains on a tiny array per arm. All codegen'd (GetMapValue /
+  // ArrayContains; repeated lookups dedup via subexpression elimination),
+  // and crucially NO per-row string parse anywhere: the map is built at
+  // the source (or in flat_obs's aggregation, which already collects the
+  // entry structs). A parse-the-string-back variant was measured SLOWER
+  // than the contains chain — interpreted HOF parsing deoptimizes the
+  // wide codegen'd projection; the typed path only wins because the map
+  // arrives materialized.
+
+  /** First-match decode against the typed obs map. `try_element_at` yields
+    * null for absent concepts; array_contains(null, x) is null, so a
+    * missing concept falls through every arm to the default — the same
+    * short-circuit the string path's presence guard provides.
+    */
+  private def decodeT(m: Column, table: Seq[(String, String)], default: Column = lit(null))
+      : Column =
+    table.foldRight(default) { case ((kv, label), acc) =>
+      val Array(c, code) = kv.split("=", 2)
+      when(array_contains(try_element_at(m, lit(c.toInt)), code), lit(label)).otherwise(acc)
+    }
+
+  /** Typed [[extractAll]]: the concept's values joined " ## ". */
+  private def extractAllT(m: Column, concept: Int): Column = {
+    val vals = try_element_at(m, lit(concept))
+    when(vals.isNotNull, array_join(vals, ObsMap.Sep))
+  }
+
+  private def testDoneT(m: Column, code: Int): Column =
+    when(array_contains(try_element_at(m, lit(1271)), code.toString), "Yes").otherwise("No")
+
+  /** [[decodeColumns]] over `obs_entries: map<int, array<string>>` —
+    * column-for-column identical output (q73 shares q56's oracle; the
+    * equivalence spec fuzzes both paths against each other).
+    */
+  def decodeColumnsTyped(m: Column): Seq[Column] = Seq(
+    try_to_timestamp(extractAllT(m, 6746)).as("enrollment_date"),
+    try_to_timestamp(extractAllT(m, 6746)).as("hiv_start_date"),
+    decodeT(m, patientSource, extractAllT(m, 1353)).as("patient_source"),
+    extractAllT(m, 6743).as("weight"),
+    extractAllT(m, 6744).as("height"),
+    decodeT(m, curArvAdherence).as("cur_arv_adherence"),
+    decodeT(m, pregnant).as("pregnant"),
+    decodeT(m, fpStatus).as("fp_status"),
+    decodeT(m, fpMethod).as("fp_method"),
+    decodeT(m, whyNotOnFp).as("why_not_on_fp"),
+    decodeT(m, tbStatus).as("tb_status"),
+    decodeT(m, sideEffects).as("side_effects"),
+    decodeT(m, whoStage).as("who_stage"),
+    decodeT(m, ctxAdherence).as("ctx_adherence"),
+    decodeT(m, ctxDispensed).as("ctx_dispensed"),
+    decodeT(m, inhDispensed).as("inh_dispensed"),
+    decodeT(m, otherMedsDispensed).as("other_medications_dispensed"),
+    decodeT(m, arvsAdherence).as("arvs_adherence"),
+    decodeT(m, whyArvsAdherencePoor).as("why_arvs_adherence_poor"),
+    decodeT(m, pmtctPpct).as("pmtct_ppct"),
+    decodeT(m, currentRegimen).as("currentregmen"),
+    testDoneT(m, 5497).as("cd4_cd4percentage_done"),
+    testDoneT(m, 21).as("hgb_done"),
+    testDoneT(m, 1569).as("rpr_done"),
+    testDoneT(m, 1883).as("tb_sputum_done"),
+    testDoneT(m, 5622).as("other_test_done"),
+    decodeT(m, refferalHospitalized).as("refferal_hospitalized"),
+    // §7.4.5 quirk: presence of 1534 yields '' (never a value)
+    when(map_contains_key(m, lit(1534)), lit("")).as("no_of_day_hospitalized"),
+    decodeT(m, breastfingMode).as("breastfing_mode"),
+    decodeT(m, atRiskPopulation).as("at_risk_population"),
+    decodeT(m, pwpDisclosure).as("pwp_disclosure"),
+    decodeT(m, pwpPartnerTested).as("pwp_partner_tested"),
+    decodeT(m, condomsDispensed).as("condoms_dispensed"),
+    decodeT(m, stiScreened).as("sti_screened"),
+    try_to_timestamp(extractAllT(m, 5096)).as("tca"))
+
   /** is_clinical_encounter / encounter_type_sort_index derivations
     * (flat_visit_summary_v1.0.sql:141-149). */
   def isClinicalEncounter(encounterType: Column): Column =
@@ -259,6 +338,11 @@ object FlatVisitSummary {
   /** Build the summary for a set of persons (null queue = all persons).
     * flat_obs ⟕ flat_orders on encounter_id, clinical encounters only,
     * decode projection, person uuid broadcast-joined.
+    *
+    * Decode path auto-selects on the input: when flat_obs carries the
+    * typed `obs_entries` map column, decoding runs the map-lookup form
+    * ([[decodeColumnsTyped]]); otherwise the reference-faithful string
+    * scan ([[decodeColumns]]).
     */
   def build(
       flatObs: DataFrame,
@@ -273,13 +357,16 @@ object FlatVisitSummary {
     val clinical = scoped
       .filter(col("encounter_type").isin(ClinicalEncounterTypes.map(Integer.valueOf): _*))
       .join(flatOrders.select("encounter_id", "orders"), Seq("encounter_id"), "left")
+    val decoded =
+      if (flatObs.columns.contains("obs_entries")) decodeColumnsTyped(col("obs_entries"))
+      else decodeColumns(col("obs"))
     clinical
       .join(person.select("person_id", "uuid"), Seq("person_id"))
       .select(Seq(
         col("person_id"), col("uuid"), col("visit_id"), col("encounter_id"),
         col("encounter_datetime"), col("encounter_type"),
         isClinicalEncounter(col("encounter_type")).as("is_clinical_encounter"),
-        col("location_id")) ++ decodeColumns(col("obs")): _*)
+        col("location_id")) ++ decoded: _*)
   }
 
   /** Incremental: queue = persons with changed encounters ∪ persons whose

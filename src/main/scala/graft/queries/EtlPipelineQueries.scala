@@ -125,15 +125,17 @@ object EtlPipelineQueries {
   private def keySql(key: String): String =
     if (key == "o") "o_orderkey" else "o_custkey"
 
-  /** Spark side: one obs-map entry per decoded concept, code chosen by the
-    * modular key. */
-  private def entryCol(concept: Int, codes: Seq[Int], key: String): Column = {
-    val code = codes.zipWithIndex.foldLeft(lit(null).cast("string")) {
+  /** The code picked for a concept by the modular key, as a string. */
+  private def pickedCode(codes: Seq[Int], key: String): Column =
+    codes.zipWithIndex.foldLeft(lit(null).cast("string")) {
       case (acc, (cd, i)) =>
         when(keyCol(key) % codes.size === i, lit(cd.toString)).otherwise(acc)
     }
-    concat(lit(s"!!$concept="), code, lit("!!"))
-  }
+
+  /** Spark side: one obs-map entry per decoded concept, code chosen by the
+    * modular key. */
+  private def entryCol(concept: Int, codes: Seq[Int], key: String): Column =
+    concat(lit(s"!!$concept="), pickedCode(codes, key), lit("!!"))
 
   /** Oracle side: expected label as a CASE over the same modular key. */
   private def labelCaseSql(colName: String, concept: Int,
@@ -144,6 +146,50 @@ object EtlPipelineQueries {
     }.mkString(" ")
     s"CASE ${keySql(key)} % ${codes.size} $whens END AS $colName"
   }
+
+  /** The q56/q73 oracle: expected visit-summary output recomputed from
+    * the same modular-key code tables the Spark inputs derive from. Shared
+    * verbatim by the string-decode (q56) and typed-decode (q73) queries —
+    * the two paths must produce identical output.
+    */
+  private val visitSummaryOracle: String =
+    s"""SELECT CAST(o_custkey AS INT) person_id, c_name uuid,
+       |  CAST(o_orderkey*10 AS INT) visit_id, CAST(o_orderkey AS INT) encounter_id,
+       |  CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) encounter_datetime,
+       |  CASE WHEN o_orderstatus='F' THEN 21 ELSE 22 END encounter_type,
+       |  CAST(1 AS INT) is_clinical_encounter,
+       |  CAST(1 + o_orderkey % 5 AS INT) location_id,
+       |  CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) enrollment_date,
+       |  CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) hiv_start_date,
+       |  CAST(50 + o_orderkey % 70 AS VARCHAR) weight,
+       |  CAST(150 + o_custkey % 40 AS VARCHAR) height,
+       |  CASE WHEN o_orderkey % 2 = 0 THEN 'Yes' ELSE 'No' END cd4_cd4percentage_done,
+       |  CASE WHEN o_orderkey % 3 = 0 THEN 'Yes' ELSE 'No' END hgb_done,
+       |  CASE WHEN o_orderkey % 5 = 0 THEN 'Yes' ELSE 'No' END rpr_done,
+       |  CASE WHEN o_orderkey % 7 = 0 THEN 'Yes' ELSE 'No' END tb_sputum_done,
+       |  CASE WHEN o_orderkey % 11 = 0 THEN 'Yes' ELSE 'No' END other_test_done,
+       |  CASE WHEN o_orderkey % 4 = 0 THEN 'PMTCT/PPCT' END pmtct_ppct,
+       |  CASE WHEN o_orderkey % 6 = 0 THEN '' END no_of_day_hospitalized,
+       |  CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) tca,
+       |  ${decodedCols.map { case (n, cpt, t) => labelCaseSql(n, cpt, t) }
+           .mkString(",\n       |  ")}
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |WHERE o_orderstatus IN ('F', 'O')""".stripMargin
+
+  /** The q56/q73 flat_obs scaffold minus the obs column(s). */
+  private def visitSummaryBase(o: DataFrame): DataFrame = o.select(
+    col("o_custkey").cast("int").as("person_id"),
+    (col("o_orderkey") * 10).cast("int").as("visit_id"),
+    col("o_orderkey").cast("int").as("encounter_id"),
+    to_date(col("o_orderdate")).cast("timestamp").as("encounter_datetime"),
+    when(col("o_orderstatus") === "F", 21)
+      .when(col("o_orderstatus") === "O", 22).otherwise(35).as("encounter_type"),
+    (lit(1) + col("o_orderkey") % 5).cast("int").as("location_id"),
+    col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+
+  private def visitSummaryOrders(o: DataFrame): DataFrame = o.select(
+    col("o_orderkey").cast("int").as("encounter_id"),
+    concat(lit("ord-"), col("o_orderkey")).as("orders"))
 
   val all: Seq[OpQuery] = Seq(
 
@@ -375,30 +421,7 @@ object EtlPipelineQueries {
     // no_of_day_hospitalized quirk, clinical-encounter filter, and the
     // person-uuid join. The input obs map and the oracle's expected labels
     // are generated from ONE code table (conceptPicks/decodedCols above).
-    OpQuery.sql(
-      "q56_visit_summary_stage",
-      s"""SELECT CAST(o_custkey AS INT) person_id, c_name uuid,
-         |  CAST(o_orderkey*10 AS INT) visit_id, CAST(o_orderkey AS INT) encounter_id,
-         |  CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) encounter_datetime,
-         |  CASE WHEN o_orderstatus='F' THEN 21 ELSE 22 END encounter_type,
-         |  CAST(1 AS INT) is_clinical_encounter,
-         |  CAST(1 + o_orderkey % 5 AS INT) location_id,
-         |  CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) enrollment_date,
-         |  CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) hiv_start_date,
-         |  CAST(50 + o_orderkey % 70 AS VARCHAR) weight,
-         |  CAST(150 + o_custkey % 40 AS VARCHAR) height,
-         |  CASE WHEN o_orderkey % 2 = 0 THEN 'Yes' ELSE 'No' END cd4_cd4percentage_done,
-         |  CASE WHEN o_orderkey % 3 = 0 THEN 'Yes' ELSE 'No' END hgb_done,
-         |  CASE WHEN o_orderkey % 5 = 0 THEN 'Yes' ELSE 'No' END rpr_done,
-         |  CASE WHEN o_orderkey % 7 = 0 THEN 'Yes' ELSE 'No' END tb_sputum_done,
-         |  CASE WHEN o_orderkey % 11 = 0 THEN 'Yes' ELSE 'No' END other_test_done,
-         |  CASE WHEN o_orderkey % 4 = 0 THEN 'PMTCT/PPCT' END pmtct_ppct,
-         |  CASE WHEN o_orderkey % 6 = 0 THEN '' END no_of_day_hospitalized,
-         |  CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) tca,
-         |  ${decodedCols.map { case (n, cpt, t) => labelCaseSql(n, cpt, t) }
-             .mkString(",\n         |  ")}
-         |FROM orders JOIN customer ON o_custkey = c_custkey
-         |WHERE o_orderstatus IN ('F', 'O')""".stripMargin) {
+    OpQuery.sql("q56_visit_summary_stage", visitSummaryOracle) {
       (s, dir) =>
         val o = load(s, dir, "orders")
         val c = load(s, dir, "customer")
@@ -421,19 +444,53 @@ object EtlPipelineQueries {
               to_date(col("o_orderdate")).cast("string"), lit("!!")),
             concat(lit("!!5096="),
               date_add(to_date(col("o_orderdate")), 30).cast("string"), lit("!!")))
-        val flatObs = o.select(
-          col("o_custkey").cast("int").as("person_id"),
-          (col("o_orderkey") * 10).cast("int").as("visit_id"),
-          col("o_orderkey").cast("int").as("encounter_id"),
-          to_date(col("o_orderdate")).cast("timestamp").as("encounter_datetime"),
-          when(col("o_orderstatus") === "F", 21)
-            .when(col("o_orderstatus") === "O", 22).otherwise(35).as("encounter_type"),
-          (lit(1) + col("o_orderkey") % 5).cast("int").as("location_id"),
-          concat_ws(" ## ", entries: _*).as("obs"))
-        val flatOrders = o.select(
-          col("o_orderkey").cast("int").as("encounter_id"),
-          concat(lit("ord-"), col("o_orderkey")).as("orders"))
-        FlatVisitSummary.build(flatObs, flatOrders, person)
+        val flatObs = visitSummaryBase(o)
+          .withColumn("obs", concat_ws(" ## ", entries: _*))
+          .drop("o_orderkey", "o_custkey", "o_orderdate")
+        FlatVisitSummary.build(flatObs, visitSummaryOrders(o), person)
+    },
+
+    // The SAME decode projection through the typed path: flat_obs carries
+    // `obs_entries map<int, array<string>>` (built at the source — never
+    // parsed from the string) and FlatVisitSummary.build decodes it with
+    // map lookups + array_contains instead of ~180 per-row string scans.
+    // The oracle is q56's VERBATIM — the two decode paths must emit
+    // identical output, and the bench shows the typed form's speedup.
+    OpQuery.sql("q73_visit_summary_typed", visitSummaryOracle) {
+      (s, dir) =>
+        val o = load(s, dir, "orders")
+        val c = load(s, dir, "customer")
+        val person = c.select(
+          col("c_custkey").cast("int").as("person_id"), col("c_name").as("uuid"))
+        def one(v: Column): Column = array(v)
+        val entryStructs: Seq[Column] =
+          conceptPicks.map { case (cpt, codes, key) =>
+            struct(lit(cpt).as("k"), one(pickedCode(codes, key)).as("v"))
+          } ++ Seq(
+            struct(lit(1271).as("k"), filter(array(
+              when(col("o_orderkey") % 2 === 0, "5497"),
+              when(col("o_orderkey") % 3 === 0, "21"),
+              when(col("o_orderkey") % 5 === 0, "1569"),
+              when(col("o_orderkey") % 7 === 0, "1883"),
+              when(col("o_orderkey") % 11 === 0, "5622")), x => x.isNotNull).as("v")),
+            struct(lit(1592).as("k"),
+              when(col("o_orderkey") % 4 === 0, one(lit("1405"))).as("v")),
+            struct(lit(1534).as("k"),
+              when(col("o_orderkey") % 6 === 0, one(lit("3"))).as("v")),
+            struct(lit(6743).as("k"),
+              one((lit(50) + col("o_orderkey") % 70).cast("string")).as("v")),
+            struct(lit(6744).as("k"),
+              one((lit(150) + col("o_custkey") % 40).cast("string")).as("v")),
+            struct(lit(6746).as("k"),
+              one(to_date(col("o_orderdate")).cast("string")).as("v")),
+            struct(lit(5096).as("k"),
+              one(date_add(to_date(col("o_orderdate")), 30).cast("string")).as("v")))
+        val obsEntries = map_from_entries(filter(array(entryStructs: _*),
+          e => e.getField("v").isNotNull && size(e.getField("v")) > 0))
+        val flatObs = visitSummaryBase(o)
+          .withColumn("obs_entries", obsEntries)
+          .drop("o_orderkey", "o_custkey", "o_orderdate")
+        FlatVisitSummary.build(flatObs, visitSummaryOrders(o), person)
     }
   )
 }
