@@ -95,14 +95,40 @@ object Similarity {
 
   // ---- IVF (inverted-file) index: the coarse-quantization scale path ----
 
-  /** Deterministic coarse centroids: the k lowest-id vectors. (A k-means
-    * refinement is a straightforward extension — iterate
-    * assign → groupBy(cell).avg — but seeded selection keeps the index
-    * reproducible with no RNG, which the oracle/test story needs.)
+  /** Deterministic coarse centroid seeds: the k lowest-id vectors —
+    * reproducible with no RNG, which the oracle/test story needs. Refine
+    * with [[ivfRefine]] before building the index; raw seeds give
+    * arbitrary cell populations and poor recall per probe.
     */
   def ivfCentroids(vectors: DataFrame, k: Int): DataFrame =
     vectors.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cell"), col("vec").as("cvec"))
+
+  /** Deterministic Lloyd (k-means) refinement of coarse centroids:
+    * `iters` rounds of assign → per-cell mean. Per-dimension sums
+    * accumulate in DECIMAL(27,10) (order-independent, same trick as the
+    * label-centroid query) and surface as double, so the refined
+    * centroids — and every downstream cosine/rank — are bit-identical
+    * across partitionings and engines. Each round is one broadcast-join
+    * assignment pass plus one shuffle at the (cell, dim) grain; cells
+    * that win no vectors drop out (k can only shrink), which is Lloyd's
+    * standard empty-cell behavior made deterministic.
+    */
+  def ivfRefine(vectors: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    var cents = seeds
+    for (_ <- 1 to iters) {
+      cents = ivfAssign(vectors, cents)
+        .select(col("cell"), posexplode(col("vec")))
+        .groupBy("cell", "pos")
+        .agg((sum(col("col").cast("decimal(27,10)")) / count(lit(1)))
+          .cast("double").as("v"))
+        .groupBy("cell")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("v")))),
+          s => s.getField("v")).as("cvec"))
+    }
+    cents
+  }
 
   /** Assign each vector to its nearest centroid (max cosine, tie → lowest
     * cell id). Centroids are tiny → broadcast; one pass over the corpus.

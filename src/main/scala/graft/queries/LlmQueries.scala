@@ -433,13 +433,42 @@ object LlmQueries {
     },
 
     // IVF-bucketed ANN — the scale path: probe 3 of 16 coarse cells per
-    // query instead of scanning the corpus. The whole pipeline is
-    // deterministic (centroids = 16 lowest-id vectors, cosine argmax with
-    // cell-id tie-break), so DuckDB can replay it exactly.
+    // query instead of scanning the corpus. Centroids = 16 lowest-id
+    // seeds refined by TWO deterministic Lloyd iterations (assign →
+    // per-cell DECIMAL-mean); the whole pipeline — seeds, both
+    // refinement rounds, final assignment, probes, ranks — is replayed
+    // verbatim by the oracle, so a drift anywhere in the iteration math
+    // breaks the hash.
     OpQuery.sql(
       "q46_ann_ivf",
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
-        |cent AS (SELECT vec_id AS cell, e AS cvec FROM v ORDER BY vec_id LIMIT 16),
+        |cent0 AS (SELECT vec_id AS cell, e AS cvec FROM v ORDER BY vec_id LIMIT 16),
+        |asg0 AS (
+        |  SELECT vec_id, e, cell FROM (
+        |    SELECT v.vec_id, v.e, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_dot_product(v.e, c.cvec) /
+        |        (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+        |        c.cell) rn
+        |    FROM v, cent0 c) t WHERE rn = 1),
+        |cent1 AS (
+        |  SELECT cell, list(mv ORDER BY pos) cvec FROM (
+        |    SELECT cell, pos, CAST(sum(CAST(x AS DECIMAL(27, 10))) / count(*) AS DOUBLE) mv
+        |    FROM (SELECT cell, unnest(e) x, generate_subscripts(e, 1) - 1 pos FROM asg0)
+        |    GROUP BY cell, pos) GROUP BY cell),
+        |asg1 AS (
+        |  SELECT vec_id, e, cell FROM (
+        |    SELECT v.vec_id, v.e, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_dot_product(v.e, c.cvec) /
+        |        (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+        |        c.cell) rn
+        |    FROM v, cent1 c) t WHERE rn = 1),
+        |cent AS (
+        |  SELECT cell, list(mv ORDER BY pos) cvec FROM (
+        |    SELECT cell, pos, CAST(sum(CAST(x AS DECIMAL(27, 10))) / count(*) AS DOUBLE) mv
+        |    FROM (SELECT cell, unnest(e) x, generate_subscripts(e, 1) - 1 pos FROM asg1)
+        |    GROUP BY cell, pos) GROUP BY cell),
         |asg AS (
         |  SELECT vec_id, e, cell FROM (
         |    SELECT v.vec_id, v.e, c.cell,
@@ -471,7 +500,8 @@ object LlmQueries {
       (s, dir) =>
         val emb = load(s, dir, "embeddings")
           .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
-        val centroids = Similarity.ivfCentroids(emb, 16)
+        val seeds = Similarity.ivfCentroids(emb, 16)
+        val centroids = Similarity.ivfRefine(emb, seeds, iters = 2)
         val assigned = Similarity.ivfAssign(emb, centroids)
         val queries = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("vec").as("qvec"))

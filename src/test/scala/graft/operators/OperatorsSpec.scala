@@ -121,4 +121,43 @@ class OperatorsSpec extends SparkSuite {
     assert(Multimodal.imageDims(Multimodal.jpegHeader(65535, 1)).contains((65535, 1)))
     assert(Multimodal.imageDims(Array[Byte](0x42, 0x4d)).isEmpty) // BMP: not handled
   }
+
+  test("IVF refine: one Lloyd iteration computes exact per-cell means") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(0.0, 2.0)), (1L, Seq(10.0, 0.0)),
+      (2L, Seq(0.0, 4.0)), (3L, Seq(12.0, 0.0))).toDF("vec_id", "vec")
+    val seeds = Similarity.ivfCentroids(vecs, 2)
+    // assignment by cosine: {0,2} -> cell 0, {1,3} -> cell 1
+    val refined = Similarity.ivfRefine(vecs, seeds, 1)
+      .orderBy("cell").as[(Long, Seq[Double])].collect().toSeq
+    assert(refined == Seq((0L, Seq(0.0, 3.0)), (1L, Seq(11.0, 0.0))))
+  }
+
+  test("IVF refine improves quantization on the embeddings fixture, deterministically") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
+    val seeds = Similarity.ivfCentroids(emb, 16)
+    val refined = Similarity.ivfRefine(emb, seeds, 2)
+    // (sumsq of cell populations, mean cosine to assigned centroid):
+    // sumsq is the expected candidate-scan cost per probe, meanCos the
+    // quantization quality / recall proxy
+    def metrics(cents: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val asg = Similarity.ivfAssign(emb, cents)
+      val ss = asg.groupBy("cell").count()
+        .agg(sum(col("count") * col("count"))).collect()(0).getLong(0)
+      val mc = asg.join(cents, Seq("cell"))
+        .select(avg(Similarity.cosine(col("vec"), col("cvec"))))
+        .collect()(0).getDouble(0)
+      (ss, mc)
+    }
+    val (ssSeed, mcSeed) = metrics(seeds)
+    val (ssRef, mcRef) = metrics(refined)
+    assert(ssRef < ssSeed, s"probe cost did not improve: $ssSeed -> $ssRef")
+    assert(mcRef > mcSeed + 0.05, s"quantization did not improve: $mcSeed -> $mcRef")
+    // bit-determinism: DECIMAL sums make a re-run identical
+    val again = Similarity.ivfRefine(emb, seeds, 2)
+    assert(refined.orderBy("cell").collect().toSeq ==
+      again.orderBy("cell").collect().toSeq)
+  }
 }
