@@ -71,10 +71,8 @@ class Pipeline(spark: SparkSession, root: String) {
   def sinkBuckets: Int =
     spark.conf.getOption("graft.sink.buckets").map(_.toInt).getOrElse(0)
   private def bucketedDataPath(name: String) = new Path(path(name), "buckets")
-  private def bucketedExists(name: String): Boolean = {
-    val p = bucketedDataPath(name)
-    p.getFileSystem(hadoopConf).exists(p)
-  }
+  private def bucketedExists(name: String): Boolean =
+    BucketedSink.exists(hadoopConf, bucketedDataPath(name).toString)
 
   def readFlat(name: String): Option[DataFrame] =
     if (bucketedExists(name))

@@ -1,39 +1,136 @@
 package graft.operators
 
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Bucket-partitioned incremental sink — the "write O(delta), not
   * O(table)" path (a poor man's Delta/Iceberg MERGE on plain parquet).
   *
-  * The table is laid out as `__bucket=K/` partitions, K = pmod(hash(key),
-  * nBuckets). A full rebuild writes every bucket; an incremental tick
-  * computes the buckets containing touched keys and dynamically overwrites
-  * ONLY those partition directories — at 100 TB with a steady-state delta
-  * touching a few thousand persons, that is a few buckets instead of the
-  * whole table. Unchanged bucket directories are left byte-identical.
+  * Layout: bucket data lives in append-only EPOCH directories
+  * (`e_<n>/__bucket=K/`), one epoch per write; `_MANIFEST` is a single
+  * pointer file mapping every bucket to the epoch holding its current
+  * data. A full rebuild writes every bucket into a fresh epoch; an
+  * incremental tick writes ONLY the buckets containing touched keys into
+  * a fresh epoch — at 100 TB with a steady-state delta touching a few
+  * thousand persons, that is a few buckets instead of the whole table —
+  * then commits by atomically replacing the manifest
+  * (FileContext.rename OVERWRITE, a single atomic rename on HDFS and
+  * local filesystems).
   *
-  * Tradeoff vs [[graft.etl.Pipeline.writeSnapshot]]'s versioned pointer:
-  * dynamic partition overwrite mutates the live directory per bucket, so a
-  * reader racing the write can see bucket A new + bucket B old (Delta's
-  * manifest commit is what removes this window in production). Single-
-  * writer, reader-after-tick deployments — the reference's cron model —
-  * are unaffected.
+  * The commit point is the manifest swap, so a concurrent reader
+  * resolves either the old bucket→epoch map or the new one, never a mix
+  * of bucket A new + bucket B old (the race the previous in-place
+  * dynamic-partition-overwrite layout had, and the one a Delta/Iceberg
+  * manifest commit removes in production). Epochs referenced by the
+  * previous manifest generation are retained one write for readers whose
+  * lazy plans already resolved them; older unreferenced epochs are
+  * purged.
   */
 object BucketedSink {
 
   def bucketOf(key: Column, nBuckets: Int): Column = pmod(hash(key), lit(nBuckets))
 
-  /** Full write: every bucket. */
-  def writeFull(df: DataFrame, path: String, keyCol: String, nBuckets: Int): Unit =
-    df.withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
-      .write.mode("overwrite").partitionBy("__bucket").parquet(path)
+  private def manifestPath(path: String) = new Path(path, "_MANIFEST")
 
-  /** Incremental write: overwrite only buckets holding a touched key.
-    * `merged` is the complete post-tick table (so dropped rows vanish from
-    * their rewritten bucket); `touchedKeys` is a one-column DataFrame of
-    * the keys this tick changed, created, or retracted — a SUPERSET is
-    * safe (extra buckets rewritten identically), a miss is not.
+  def exists(conf: Configuration, path: String): Boolean = {
+    val p = manifestPath(path)
+    p.getFileSystem(conf).exists(p)
+  }
+
+  /** bucket id → epoch dir name, or None before the first writeFull. */
+  private def readManifest(conf: Configuration, path: String): Option[Map[Int, String]] = {
+    val p = manifestPath(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        Some(new String(buf.toByteArray, StandardCharsets.UTF_8)
+          .split("\n").filter(_.nonEmpty)
+          .map { line =>
+            val Array(b, e) = line.split("\t")
+            b.toInt -> e
+          }.toMap)
+      } finally in.close()
+    }
+  }
+
+  private def writeManifest(conf: Configuration, path: String, m: Map[Int, String]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val tmp = new Path(dir, "_MANIFEST.tmp")
+    val body = m.toSeq.sortBy(_._1).map { case (b, e) => s"$b\t$e" }.mkString("\n")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    FileContext.getFileContext(dir.toUri, conf)
+      .rename(tmp, manifestPath(path), Options.Rename.OVERWRITE)
+  }
+
+  private def nextEpoch(conf: Configuration, path: String): String = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val n =
+      if (!fs.exists(dir)) 0L
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .collect { case e if e.startsWith("e_") => e.stripPrefix("e_").toLong + 1 }
+        .foldLeft(0L)(math.max)
+    s"e_$n"
+  }
+
+  /** The buckets an epoch write actually materialized (empty buckets
+    * produce no partition directory). */
+  private def writtenBuckets(conf: Configuration, epochDir: Path): Seq[Int] = {
+    val fs = epochDir.getFileSystem(conf)
+    if (!fs.exists(epochDir)) Seq.empty
+    else fs.listStatus(epochDir).map(_.getPath.getName)
+      .collect { case b if b.startsWith("__bucket=") => b.stripPrefix("__bucket=").toInt }
+      .toSeq
+  }
+
+  /** Delete epoch dirs referenced by neither the live manifest nor the
+    * previous generation (whose readers may still hold resolved plans). */
+  private def purge(conf: Configuration, path: String,
+      live: Map[Int, String], prev: Map[Int, String]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val keep = (live.values ++ prev.values).toSet
+    fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("e_") && !keep.contains(n))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  private def conf(df: DataFrame): Configuration =
+    df.sparkSession.sparkContext.hadoopConfiguration
+
+  /** Full write: every bucket into a fresh epoch, manifest remapped
+    * wholesale. */
+  def writeFull(df: DataFrame, path: String, keyCol: String, nBuckets: Int): Unit = {
+    val c = conf(df)
+    val prev = readManifest(c, path).getOrElse(Map.empty)
+    val epoch = nextEpoch(c, path)
+    df.withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
+      .write.mode("overwrite").partitionBy("__bucket")
+      .parquet(new Path(path, epoch).toString)
+    val manifest = writtenBuckets(c, new Path(path, epoch)).map(_ -> epoch).toMap
+    writeManifest(c, path, manifest)
+    purge(c, path, manifest, prev)
+  }
+
+  /** Incremental write: only buckets holding a touched key land in the
+    * new epoch; untouched buckets keep pointing at their old epochs (the
+    * files are not rewritten, or even read). `merged` is the complete
+    * post-tick table (so dropped rows vanish from their rewritten
+    * bucket); `touchedKeys` is a one-column DataFrame of the keys this
+    * tick changed, created, or retracted — a SUPERSET is safe (extra
+    * buckets rewritten identically), a miss is not.
     */
   def overwriteChanged(
       merged: DataFrame,
@@ -41,18 +138,38 @@ object BucketedSink {
       keyCol: String,
       nBuckets: Int,
       touchedKeys: DataFrame): Unit = {
-    val buckets = touchedKeys
+    val c = conf(merged)
+    val prev = readManifest(c, path).getOrElse(throw new IllegalStateException(
+      s"no manifest at $path — writeFull before overwriteChanged"))
+    // ≤ nBuckets ints: a scalar-sized driver read, same class as a
+    // watermark lookup, not a data materialization
+    val touched = touchedKeys
       .select(bucketOf(col(touchedKeys.columns.head), nBuckets).as("__bucket"))
-      .distinct()
+      .distinct().collect().map(_.getInt(0)).toSet
+    val epoch = nextEpoch(c, path)
     merged.withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
-      .join(buckets, Seq("__bucket"), "left_semi")
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__bucket").parquet(path)
+      .filter(col("__bucket").isInCollection(touched))
+      .write.mode("overwrite").partitionBy("__bucket")
+      .parquet(new Path(path, epoch).toString)
+    // touched buckets that materialized nothing (every row gone) drop out
+    // of the manifest entirely
+    val written = writtenBuckets(c, new Path(path, epoch)).map(_ -> epoch).toMap
+    val manifest = (prev -- touched) ++ written
+    writeManifest(c, path, manifest)
+    purge(c, path, manifest, prev)
   }
 
-  /** Read the bucketed table back (partition column dropped — callers see
-    * the logical schema). */
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop("__bucket")
+  /** Read the live table: resolve the manifest once, load each
+    * referenced epoch's bucket directories, union. The partition column
+    * is dropped — callers see the logical schema. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val c = spark.sparkContext.hadoopConfiguration
+    val manifest = readManifest(c, path).getOrElse(throw new IllegalStateException(
+      s"no manifest at $path"))
+    manifest.groupBy(_._2).toSeq.sortBy(_._1).map { case (epoch, buckets) =>
+      val base = new Path(path, epoch).toString
+      spark.read.option("basePath", base)
+        .parquet(buckets.keys.toSeq.sorted.map(b => s"$base/__bucket=$b"): _*)
+    }.reduce(_ unionByName _).drop("__bucket")
+  }
 }

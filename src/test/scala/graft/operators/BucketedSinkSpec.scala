@@ -26,12 +26,20 @@ class BucketedSinkSpec extends SparkSuite {
       .withColumn("date_changed",
         when(col("date_changed") <= lit(t), col("date_changed")))
 
-  private def bucketFiles(path: String): Map[String, Set[String]] = {
-    val root = new java.io.File(path)
-    root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
-      .map(d => d.getName ->
-        d.listFiles().map(f => s"${f.getName}:${f.length}").toSet).toMap
+  private def manifest(path: String): Map[Int, String] = {
+    val src = scala.io.Source.fromFile(s"$path/_MANIFEST")
+    try src.getLines().filter(_.nonEmpty).map { l =>
+      val Array(b, e) = l.split("\t"); b.toInt -> e
+    }.toMap finally src.close()
   }
+
+  /** bucket → the (epoch-qualified) file set the live manifest resolves
+    * it to: an untouched bucket keeps the same epoch and files. */
+  private def bucketFiles(path: String): Map[String, Set[String]] =
+    manifest(path).map { case (b, e) =>
+      val d = new java.io.File(s"$path/$e/__bucket=$b")
+      s"__bucket=$b" -> d.listFiles().map(f => s"$e/${f.getName}:${f.length}").toSet
+    }
 
   test("incremental tick overwrites only touched buckets; read-back == rebuild") {
     val fx = OpenMrsFixture.generate(spark, nPersons = 40, seed = 19L)
@@ -68,6 +76,36 @@ class BucketedSinkSpec extends SparkSuite {
     val untouched = before.keySet -- touchedBuckets
     assert(untouched.nonEmpty, "fixture must leave some buckets untouched")
     untouched.foreach { k => assert(before(k) == after(k), s"$k was rewritten") }
+  }
+
+  test("manifest commit is atomic: an in-flight reader resolves old-complete, never mixed") {
+    val fx = OpenMrsFixture.generate(spark, nPersons = 40, seed = 31L)
+    val (obs, enc, person) = (fx("obs").cache(), fx("encounter").cache(), fx("person"))
+    val t1 = ts("2015-02-01 00:00:00")
+    val t2 = ts("2015-06-01 00:00:00")
+    val nBuckets = 16
+    val path = java.nio.file.Files.createTempDirectory("graft-atomic").toString + "/flat_obs"
+    def rows(df: DataFrame) =
+      df.orderBy(df.columns.map(col): _*).collect().map(_.toString).toSeq
+
+    val flat1 = FlatObs.build(obsAsOf(obs, t1), encAsOf(enc, t1), person)
+    BucketedSink.writeFull(flat1, path, "person_id", nBuckets)
+    // reader opens BEFORE the next commit: its plan resolves the old
+    // manifest and old epoch files now
+    val inFlight = BucketedSink.read(spark, path)
+
+    val merged = FlatObs.incremental(
+      BucketedSink.read(spark, path), obsAsOf(obs, t2), encAsOf(enc, t2), person, t1)
+    BucketedSink.overwriteChanged(merged, path, "person_id", nBuckets,
+      FlatObs.touchedPersons(obsAsOf(obs, t2), encAsOf(enc, t2), person, t1))
+
+    // after the swap: a fresh reader sees the new table, complete
+    val expected2 = FlatObs.build(obsAsOf(obs, t2), encAsOf(enc, t2), person)
+    assert(rows(BucketedSink.read(spark, path)) == rows(expected2))
+    // the in-flight reader still materializes the OLD table, complete —
+    // its epochs are retained one generation; it never observes a mix of
+    // new and old buckets
+    assert(rows(inFlight) == rows(flat1))
   }
 
   test("pipeline with bucketed flat_obs sink matches the versioned sink") {
