@@ -63,8 +63,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // end-to-end incremental pipeline tick (typed obs + bucketed sink):
+    // full build vs delta tick wall time and write volume
+    val tick =
+      if (sys.env.getOrElse("SPARK_GRAFT_TICK", "1") == "0") ""
+      else scala.util.Try(graft.tools.PipelineBench.run(spark)) match {
+        case scala.util.Success(m) =>
+          m.map { case (k, v) => "\"" + k + "\":" + v }
+            .mkString(""","tick":{""", ",", "}")
+        case scala.util.Failure(_) => ""
+      }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs$tick,"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
