@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import graft.etl.{FlatObs, Pipeline, Schemas}
+import graft.etl.{FlatLatestHivSummary, FlatObs, FlatOrders, FlatVisitSummary, Pipeline, Schemas}
 import graft.operators.LatestRow
 
 /** Streaming mode for the ETL: the reference's cron-style `CALL` loop IS
@@ -30,6 +30,42 @@ object IncrementalEtlStream {
   def currentState(versions: DataFrame): DataFrame =
     LatestRow(versions, Seq("obs_id"), Seq(col("date_created"), col("date_voided")))
 
+  /** Merge one micro-batch into flat_obs: incremental against the
+    * existing snapshot when one exists, full build otherwise. Returns the
+    * next flat_obs and the per-batch watermark used (None on first build
+    * or an empty batch).
+    *
+    * The watermark sits just below the batch's earliest event —
+    * date_created for inserts, date_voided for retractions — so every
+    * arriving version registers on its delta path (new: date_created >
+    * wm; void: date_voided > wm with the original row's date_created <=
+    * wm).
+    */
+  private def mergeFlatObs(
+      batch: DataFrame,
+      snapshot: DataFrame,
+      encounter: DataFrame,
+      person: DataFrame,
+      pipeline: Pipeline): (DataFrame, Option[java.sql.Timestamp]) =
+    pipeline.readFlat("flat_obs") match {
+      case Some(existing) =>
+        val wmRow = batch.agg(
+          min(when(col("voided") === 1, col("date_voided"))
+            .otherwise(col("date_created"))).cast("string")).first()
+        if (wmRow.isNullAt(0)) (existing, None)
+        else {
+          val wm = new java.sql.Timestamp(
+            java.sql.Timestamp.valueOf(wmRow.getString(0)).getTime - 1)
+          (FlatObs.incremental(existing, snapshot, encounter, person, wm), Some(wm))
+        }
+      case None => (FlatObs.build(snapshot, encounter, person), None)
+    }
+
+  private def obsSnapshot(spark: SparkSession, obsDir: String): DataFrame =
+    currentState(
+      spark.read.schema(Schemas.obs)
+        .option("recursiveFileLookup", "true").parquet(obsDir))
+
   /** Process all unseen obs files into the flat_obs snapshot at `pipeline`
     * root, then stop (Trigger.AvailableNow). Repeated calls = repeated
     * `CALL generate_flat_obs()`.
@@ -50,28 +86,61 @@ object IncrementalEtlStream {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val snapshot = currentState(
-          spark.read.schema(Schemas.obs)
-            .option("recursiveFileLookup", "true").parquet(obsDir))
-        val next = pipeline.readFlat("flat_obs") match {
-          case Some(existing) =>
-            // Per-batch watermark: just below the batch's earliest event —
-            // date_created for inserts, date_voided for retractions — so
-            // every arriving version registers on its delta path
-            // (new: date_created > wm; void: date_voided > wm with the
-            // original row's date_created <= wm).
-            val wmRow = batch.agg(
-              min(when(col("voided") === 1, col("date_voided"))
-                .otherwise(col("date_created"))).cast("string")).first()
-            if (wmRow.isNullAt(0)) existing
-            else {
-              val wm = new java.sql.Timestamp(
-                java.sql.Timestamp.valueOf(wmRow.getString(0)).getTime - 1)
-              FlatObs.incremental(existing, snapshot, encounter, person, wm)
-            }
-          case None => FlatObs.build(snapshot, encounter, person)
-        }
+        val (next, _) = mergeFlatObs(
+          batch, obsSnapshot(spark, obsDir), encounter, person, pipeline)
         pipeline.writeSnapshot(next, "flat_obs")
+        ()
+      }
+      .start()
+    query.awaitTermination()
+  }
+
+  /** The full downstream cascade in one micro-batch loop: each batch
+    * merges flat_obs, then drives flat_visit_summary's person-queue
+    * incremental (including the retraction-only queue via the raw obs
+    * snapshot) and rebuilds flat_latest_hiv_summary from it — the same
+    * stage code and cascade order as `Pipeline.tick`, with the stream's
+    * checkpointed offsets as the only progress state. `orders` is a
+    * static dimension here (its flat stage builds once); a second file
+    * stream on orders would slot in identically.
+    */
+  def runCascadeOnce(
+      spark: SparkSession,
+      obsDir: String,
+      encounter: DataFrame,
+      orders: DataFrame,
+      person: DataFrame,
+      pipeline: Pipeline,
+      checkpointDir: String): Unit = {
+    val stream = spark.readStream
+      .schema(Schemas.obs)
+      .option("recursiveFileLookup", "true")
+      .parquet(obsDir)
+
+    val query = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val snapshot = obsSnapshot(spark, obsDir)
+        val (next, wmOpt) = mergeFlatObs(
+          batch, snapshot, encounter, person, pipeline)
+        pipeline.writeSnapshot(next, "flat_obs")
+        if (pipeline.readFlat("flat_orders").isEmpty)
+          pipeline.writeSnapshot(
+            FlatOrders.build(orders, encounter, person), "flat_orders")
+        val fo = pipeline.readFlat("flat_obs").get
+        val ford = pipeline.readFlat("flat_orders").get
+        val summary = (pipeline.readFlat("flat_visit_summary"), wmOpt) match {
+          case (Some(existing), Some(wm)) =>
+            FlatVisitSummary.incremental(
+              existing, fo, ford, snapshot, encounter, person, wm)
+          case _ => FlatVisitSummary.build(fo, ford, person)
+        }
+        pipeline.writeSnapshot(summary, "flat_visit_summary")
+        pipeline.writeSnapshot(
+          FlatLatestHivSummary.build(
+            pipeline.readFlat("flat_visit_summary").get),
+          "flat_latest_hiv_summary")
         ()
       }
       .start()
