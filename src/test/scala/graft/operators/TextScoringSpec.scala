@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** The pluggable scoring contract: the default impls must agree with the
+  * TextAnalysis stand-ins (so every existing oracle still binds), and a
+  * model-backed function must slot into an unchanged caller.
+  */
+class TextScoringSpec extends SparkSuite {
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  // a caller parameterized ONLY by the contract — swapping scorers must
+  // not touch this function
+  private def langMix(docs: DataFrame, lid: TextScoring.LangId,
+      tc: TextScoring.TokenCounter): DataFrame =
+    docs.select(lid(col("text")).as("l"), tc(col("text")).as("n_tokens"))
+      .groupBy(col("l.lang").as("lang"))
+      .agg(sum("n_tokens").as("tokens"))
+
+  test("default impls agree with the TextAnalysis stand-ins") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lid = new TextScoring.MarkerLangId(markers)
+    val diff = docs.select(
+        TextAnalysis.langId(col("text"), markers).as("want"),
+        lid(col("text")).getField("lang").as("got"),
+        TextAnalysis.tokenCountBpeish(col("text")).as("wantN"),
+        TextScoring.BpeishTokenCounter(col("text")).as("gotN"))
+      .filter(col("want") =!= col("got") || col("wantN") =!= col("gotN"))
+    assert(diff.count() == 0)
+  }
+
+  test("a model-backed function plugs into an unchanged caller") {
+    import spark.implicits._
+    val docs = Seq(
+      "bonjour le monde", "hello there world", "hallo und danke")
+      .toDF("text")
+    // stand-in for an ONNX/JNI classifier: any String => (lang, score)
+    val model = new TextScoring.FunctionLangId(s =>
+      if (s.contains("bonjour")) ("fr", 0.99)
+      else if (s.contains("hallo")) ("de", 0.97)
+      else ("en", 0.8))
+    val counter = new TextScoring.FunctionTokenCounter(_.split("\\s+").length)
+    val got = langMix(docs, model, counter)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("de", 3L), ("en", 3L), ("fr", 3L)))
+    // and the same caller with the default contract impls still runs
+    val dflt = langMix(docs, new TextScoring.MarkerLangId(markers),
+      TextScoring.BpeishTokenCounter).collect()
+    assert(dflt.nonEmpty)
+  }
+}
