@@ -43,7 +43,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // best-of-2 left ~12% of queries with >10% run-to-run swing (heavy
+    // stage queries); best-of-3 settles them for ~70s extra at sf0.1
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
 
     if (warmup) {
       val warmupDir = "/root/testdata/sf0.001"

@@ -386,6 +386,28 @@ object FlatVisitSummary {
     *       it was caused). Anti-join on encounter_id: shuffle-by-key, no
     *       driver materialization — scales with the delta, not the table.
     */
+  /** The person queue [[incremental]] rebuilds — exposed so an O(delta)
+    * sink can rewrite only these persons' buckets (a SUPERSET of the
+    * rows that can change: kept rows are untouched by construction).
+    */
+  def touchedPersons(
+      existing: DataFrame,
+      flatObs: DataFrame,
+      obs: DataFrame,
+      encounter: DataFrame,
+      lastUpdate: Timestamp): DataFrame = {
+    val wm = lit(lastUpdate)
+    val retracted = existing.select("person_id", "encounter_id")
+      .join(flatObs.select("encounter_id"), Seq("encounter_id"), "left_anti")
+      .select("person_id")
+    encounter.filter(col("date_changed") > wm)
+      .select(col("patient_id").as("person_id"))
+      .union(flatObs.filter(col("max_date_created") > wm).select("person_id"))
+      .union(obs.filter(col("date_voided") > wm).select("person_id"))
+      .union(retracted)
+      .distinct()
+  }
+
   def incremental(
       existing: DataFrame,
       flatObs: DataFrame,
@@ -394,16 +416,7 @@ object FlatVisitSummary {
       encounter: DataFrame,
       person: DataFrame,
       lastUpdate: Timestamp): DataFrame = {
-    val wm = lit(lastUpdate)
-    val retracted = existing.select("person_id", "encounter_id")
-      .join(flatObs.select("encounter_id"), Seq("encounter_id"), "left_anti")
-      .select("person_id")
-    val queue = encounter.filter(col("date_changed") > wm)
-      .select(col("patient_id").as("person_id"))
-      .union(flatObs.filter(col("max_date_created") > wm).select("person_id"))
-      .union(obs.filter(col("date_voided") > wm).select("person_id"))
-      .union(retracted)
-      .distinct()
+    val queue = touchedPersons(existing, flatObs, obs, encounter, lastUpdate)
     val kept = existing.join(queue, Seq("person_id"), "left_anti")
     kept.unionByName(build(flatObs, flatOrders, person, Some(queue)))
   }

@@ -157,6 +157,19 @@ class Pipeline(spark: SparkSession, root: String) {
         case Some(existing) => FlatLabObs.incremental(existing, obs, person, wm)
         case None => FlatLabObs.build(obs, person)
       })
+    // like flat_obs, the summary is person-keyed, so the bucketed-sink
+    // mode applies with its own touched-person queue
+    val visitWrite: (DataFrame, Timestamp) => Unit =
+      if (sinkBuckets > 0) { (result, wm) =>
+        val p = bucketedDataPath("flat_visit_summary").toString
+        if (!bucketedExists("flat_visit_summary"))
+          BucketedSink.writeFull(result, p, "person_id", sinkBuckets)
+        else
+          BucketedSink.overwriteChanged(result, p, "person_id", sinkBuckets,
+            FlatVisitSummary.touchedPersons(
+              readFlat("flat_visit_summary").get, readFlat("flat_obs").get,
+              obs, encounter, wm))
+      } else null
     runStage(flatVisitSummaryVersion, "flat_visit_summary",
       maxTs(Seq(readFlat("flat_obs").get -> "max_date_created")), wm => {
         val fo = readFlat("flat_obs").get
@@ -166,7 +179,7 @@ class Pipeline(spark: SparkSession, root: String) {
             FlatVisitSummary.incremental(existing, fo, ford, obs, encounter, person, wm)
           case None => FlatVisitSummary.build(fo, ford, person)
         }
-      })
+      }, visitWrite)
     writeSnapshot(
       FlatLatestHivSummary.build(readFlat("flat_visit_summary").get),
       "flat_latest_hiv_summary")

@@ -63,20 +63,31 @@ object PipelineBench {
       val tickFull = (System.nanoTime() - s1) / 1e9
 
       val bucketsDir = root.resolve("flat_obs").resolve("buckets")
+      val visitDir = root.resolve("flat_visit_summary").resolve("buckets")
       val fullBytes = dirBytes(bucketsDir.resolve("e_0"))
+      val fullVisitBytes = dirBytes(visitDir.resolve("e_0"))
 
       val (obs2, enc2, ord2, _) = views(t2)
       val s2 = System.nanoTime()
       pipe.tick(obs2, enc2, ord2, person)
       val tickIncr = (System.nanoTime() - s2) / 1e9
       val incrBytes = dirBytes(bucketsDir) - fullBytes
+      val incrVisitBytes = dirBytes(visitDir) - fullVisitBytes
 
-      // gate: incremental-through-buckets == from-scratch rebuild at t2
+      // gate: incremental-through-buckets == from-scratch rebuild at t2,
+      // for both bucketed stages
       val got = signature(
         graft.operators.BucketedSink.read(spark, bucketsDir.toString))
       val want = signature(graft.etl.FlatObs.build(obs2, enc2, person))
       require(got == want,
         s"tick bench equivalence failed: bucketed=$got rebuild=$want")
+      val gotVisit = signature(
+        graft.operators.BucketedSink.read(spark, visitDir.toString))
+      val wantVisit = signature(graft.etl.FlatVisitSummary.build(
+        graft.etl.FlatObs.build(obs2, enc2, person),
+        graft.etl.FlatOrders.build(ord2, enc2, person), person))
+      require(gotVisit == wantVisit,
+        s"visit summary equivalence failed: bucketed=$gotVisit rebuild=$wantVisit")
 
       Seq(obs1, enc1, ord1, obs2, enc2, ord2, person).foreach(_.unpersist())
       Seq(
@@ -86,6 +97,11 @@ object PipelineBench {
         "flat_obs_incr_bytes" -> incrBytes.toDouble,
         "incr_write_fraction" ->
           (if (fullBytes > 0) incrBytes.toDouble / fullBytes else 0.0),
+        "visit_full_bytes" -> fullVisitBytes.toDouble,
+        "visit_incr_bytes" -> incrVisitBytes.toDouble,
+        "visit_incr_write_fraction" ->
+          (if (fullVisitBytes > 0) incrVisitBytes.toDouble / fullVisitBytes
+           else 0.0),
         "n_persons" -> nPersons.toDouble)
     } finally {
       prevConf.foreach {

@@ -120,6 +120,7 @@ class BucketedSinkSpec extends SparkSuite {
     val pipeA = new Pipeline(spark, dirA)
     pipeA.tick(obs, enc, orders, person)
     val expected = rows(pipeA.readFlat("flat_obs").get)
+    val expectedVisit = rows(pipeA.readFlat("flat_visit_summary").get)
     val expectedSummary = rows(pipeA.readFlat("flat_latest_hiv_summary").get)
 
     val dirB = java.nio.file.Files.createTempDirectory("graft-bkt").toString
@@ -129,6 +130,7 @@ class BucketedSinkSpec extends SparkSuite {
       pipeB.tick(obs, enc, orders, person) // full write
       pipeB.tick(obs, enc, orders, person) // idempotent bucket overwrite
       assert(rows(pipeB.readFlat("flat_obs").get) == expected)
+      assert(rows(pipeB.readFlat("flat_visit_summary").get) == expectedVisit)
       assert(rows(pipeB.readFlat("flat_latest_hiv_summary").get) == expectedSummary)
     } finally spark.conf.unset("graft.sink.buckets")
   }
