@@ -95,6 +95,30 @@ object FlatLabObs {
     * reference; kept that way) plus, in fixed mode, person-days with new
     * lab obs. Deletes match on date(test_datetime) = obs day (:96-98).
     */
+  /** Persons whose flat_lab_obs rows can change this tick — a SUPERSET
+    * of the (person, test_date) delta grain (safe for bucket-overwrite
+    * writes): creators and voiders of panel obs since the watermark,
+    * plus voided persons whose rows the purge removes.
+    */
+  def touchedPersons(
+      obs: DataFrame,
+      person: DataFrame,
+      lastUpdate: Timestamp,
+      existing: Option[DataFrame] = None): DataFrame = {
+    val wm = lit(lastUpdate)
+    val panel = col("concept_id").isin(LabConcepts.map(Integer.valueOf): _*)
+    val purge = existing match { // see FlatObs.touchedPersons
+      case Some(table) => person.filter(col("voided") === 1)
+        .join(table.select("person_id"), Seq("person_id"), "left_semi")
+        .select("person_id")
+      case None => person.filter(col("voided") === 1).select("person_id")
+    }
+    obs.filter(panel && col("date_voided") > wm).select("person_id")
+      .union(obs.filter(panel && col("date_created") > wm).select("person_id"))
+      .union(purge)
+      .distinct()
+  }
+
   def incremental(
       existing: DataFrame,
       obs: DataFrame,

@@ -335,15 +335,26 @@ object FlatObs {
       obs: DataFrame,
       encounter: DataFrame,
       person: DataFrame,
-      lastUpdate: Timestamp): DataFrame = {
+      lastUpdate: Timestamp,
+      existing: Option[DataFrame] = None): DataFrame = {
     val wm = lit(lastUpdate)
+    // The voided-person purge only moves rows that are still present:
+    // with `existing` given, the purge set narrows to voided persons the
+    // table actually holds (a cheap columnar person_id scan) instead of
+    // re-touching every long-voided person's bucket on every tick.
+    val purge = existing match {
+      case Some(table) => person.filter(col("voided") === 1)
+        .join(table.select("person_id"), Seq("person_id"), "left_semi")
+        .select("person_id")
+      case None => person.filter(col("voided") === 1).select("person_id")
+    }
     obs.filter(col("date_voided") > wm).select("person_id")
       .union(obs.filter(col("date_created") > wm).select("person_id"))
       .union(encounter.filter(col("date_changed") > wm)
         .select(col("patient_id").as("person_id")))
       .union(encounter.filter(col("date_created") > wm)
         .select(col("patient_id").as("person_id")))
-      .union(person.filter(col("voided") === 1).select("person_id"))
+      .union(purge)
       .distinct()
   }
 

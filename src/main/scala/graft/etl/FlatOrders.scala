@@ -80,6 +80,32 @@ object FlatOrders {
     * permanently stale. The rebuild captures on `date_voided > wm` alone,
     * which the incremental ≡ full-rebuild property requires.
     */
+  /** Persons whose flat_orders rows can change this tick — a SUPERSET of
+    * the delta (safe for bucket-overwrite writes): creators and voiders
+    * of orders since the watermark, plus voided persons whose rows the
+    * purge removes. Encounter changes don't queue here because the
+    * reference's delta keys come from orders alone.
+    */
+  def touchedPersons(
+      orders: DataFrame,
+      person: DataFrame,
+      lastUpdate: Timestamp,
+      existing: Option[DataFrame] = None): DataFrame = {
+    val wm = lit(lastUpdate)
+    val purge = existing match { // see FlatObs.touchedPersons
+      case Some(table) => person.filter(col("voided") === 1)
+        .join(table.select("person_id"), Seq("person_id"), "left_semi")
+        .select("person_id")
+      case None => person.filter(col("voided") === 1).select("person_id")
+    }
+    orders.filter(col("date_voided") > wm)
+      .select(col("patient_id").as("person_id"))
+      .union(orders.filter(col("date_created") > wm)
+        .select(col("patient_id").as("person_id")))
+      .union(purge)
+      .distinct()
+  }
+
   def incremental(
       existing: DataFrame,
       orders: DataFrame,

@@ -129,47 +129,57 @@ class Pipeline(spark: SparkSession, root: String) {
     Watermark.appendRun(spark, logPath, version, newWatermark, secs)
   }
 
-  /** One full pipeline tick over the given source snapshot. */
+  /** Bucketed-sink write hook for a person-keyed flat table: full write
+    * into a fresh epoch on first run, then touched-bucket-only epochs
+    * committed by the manifest swap. `touched` supplies the stage's
+    * proven-superset person queue at the stage watermark. Null (snapshot
+    * mode) when bucketing is off.
+    */
+  private def bucketedWrite(
+      name: String,
+      touched: Timestamp => DataFrame): (DataFrame, Timestamp) => Unit =
+    if (sinkBuckets <= 0) null
+    else { (result, wm) =>
+      val p = bucketedDataPath(name).toString
+      if (!bucketedExists(name))
+        BucketedSink.writeFull(result, p, "person_id", sinkBuckets)
+      else
+        BucketedSink.overwriteChanged(result, p, "person_id", sinkBuckets,
+          touched(wm))
+    }
+
+  /** One full pipeline tick over the given source snapshot. Every
+    * person-keyed flat table honors `graft.sink.buckets`; only the small
+    * latest-summary (one row per person, rebuilt wholesale from the
+    * summary) stays on the versioned-snapshot sink.
+    */
   def tick(obs: DataFrame, encounter: DataFrame, orders: DataFrame, person: DataFrame): Unit = {
     val encObsMax = maxTs(Seq(encounter -> "date_created", obs -> "date_created"))
-    val flatObsWrite: (DataFrame, Timestamp) => Unit =
-      if (sinkBuckets > 0) { (result, wm) =>
-        val p = bucketedDataPath("flat_obs").toString
-        if (!bucketedExists("flat_obs"))
-          BucketedSink.writeFull(result, p, "person_id", sinkBuckets)
-        else
-          BucketedSink.overwriteChanged(result, p, "person_id", sinkBuckets,
-            FlatObs.touchedPersons(obs, encounter, person, wm))
-      } else null
     runStage(flatObsVersion, "flat_obs", encObsMax, wm =>
       readFlat("flat_obs") match {
         case Some(existing) => FlatObs.incremental(existing, obs, encounter, person, wm)
         case None => FlatObs.build(obs, encounter, person)
-      }, flatObsWrite)
+      },
+      bucketedWrite("flat_obs",
+        wm => FlatObs.touchedPersons(obs, encounter, person, wm,
+          readFlat("flat_obs"))))
     runStage(flatOrdersVersion, "flat_orders",
       maxTs(Seq(orders -> "date_created")), wm =>
         readFlat("flat_orders") match {
           case Some(existing) => FlatOrders.incremental(existing, orders, encounter, person, wm)
           case None => FlatOrders.build(orders, encounter, person)
-        })
+        },
+      bucketedWrite("flat_orders",
+        wm => FlatOrders.touchedPersons(orders, person, wm,
+          readFlat("flat_orders"))))
     runStage(flatLabObsVersion, "flat_lab_obs", encObsMax, wm =>
       readFlat("flat_lab_obs") match {
         case Some(existing) => FlatLabObs.incremental(existing, obs, person, wm)
         case None => FlatLabObs.build(obs, person)
-      })
-    // like flat_obs, the summary is person-keyed, so the bucketed-sink
-    // mode applies with its own touched-person queue
-    val visitWrite: (DataFrame, Timestamp) => Unit =
-      if (sinkBuckets > 0) { (result, wm) =>
-        val p = bucketedDataPath("flat_visit_summary").toString
-        if (!bucketedExists("flat_visit_summary"))
-          BucketedSink.writeFull(result, p, "person_id", sinkBuckets)
-        else
-          BucketedSink.overwriteChanged(result, p, "person_id", sinkBuckets,
-            FlatVisitSummary.touchedPersons(
-              readFlat("flat_visit_summary").get, readFlat("flat_obs").get,
-              obs, encounter, wm))
-      } else null
+      },
+      bucketedWrite("flat_lab_obs",
+        wm => FlatLabObs.touchedPersons(obs, person, wm,
+          readFlat("flat_lab_obs"))))
     runStage(flatVisitSummaryVersion, "flat_visit_summary",
       maxTs(Seq(readFlat("flat_obs").get -> "max_date_created")), wm => {
         val fo = readFlat("flat_obs").get
@@ -179,7 +189,11 @@ class Pipeline(spark: SparkSession, root: String) {
             FlatVisitSummary.incremental(existing, fo, ford, obs, encounter, person, wm)
           case None => FlatVisitSummary.build(fo, ford, person)
         }
-      }, visitWrite)
+      },
+      bucketedWrite("flat_visit_summary",
+        wm => FlatVisitSummary.touchedPersons(
+          readFlat("flat_visit_summary").get, readFlat("flat_obs").get,
+          obs, encounter, wm)))
     writeSnapshot(
       FlatLatestHivSummary.build(readFlat("flat_visit_summary").get),
       "flat_latest_hiv_summary")

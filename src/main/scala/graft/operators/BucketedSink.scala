@@ -111,12 +111,17 @@ object BucketedSink {
     df.sparkSession.sparkContext.hadoopConfiguration
 
   /** Full write: every bucket into a fresh epoch, manifest remapped
-    * wholesale. */
+    * wholesale. Rows are hash-partitioned on the bucket id before the
+    * write so each bucket directory holds ONE file — without it every
+    * shuffle task writes a sliver into every bucket (tasks × buckets
+    * small files, footer overhead dominating the bytes at small scale
+    * and file-listing cost at large). */
   def writeFull(df: DataFrame, path: String, keyCol: String, nBuckets: Int): Unit = {
     val c = conf(df)
     val prev = readManifest(c, path).getOrElse(Map.empty)
     val epoch = nextEpoch(c, path)
     df.withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
+      .repartition(col("__bucket"))
       .write.mode("overwrite").partitionBy("__bucket")
       .parquet(new Path(path, epoch).toString)
     val manifest = writtenBuckets(c, new Path(path, epoch)).map(_ -> epoch).toMap
@@ -149,6 +154,7 @@ object BucketedSink {
     val epoch = nextEpoch(c, path)
     merged.withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
       .filter(col("__bucket").isInCollection(touched))
+      .repartition(col("__bucket")) // one file per bucket (see writeFull)
       .write.mode("overwrite").partitionBy("__bucket")
       .parquet(new Path(path, epoch).toString)
     // touched buckets that materialized nothing (every row gone) drop out

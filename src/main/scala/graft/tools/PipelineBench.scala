@@ -62,47 +62,49 @@ object PipelineBench {
       pipe.tick(obs1, enc1, ord1, person)
       val tickFull = (System.nanoTime() - s1) / 1e9
 
-      val bucketsDir = root.resolve("flat_obs").resolve("buckets")
-      val visitDir = root.resolve("flat_visit_summary").resolve("buckets")
-      val fullBytes = dirBytes(bucketsDir.resolve("e_0"))
-      val fullVisitBytes = dirBytes(visitDir.resolve("e_0"))
+      val bucketed = Seq("flat_obs", "flat_orders", "flat_lab_obs",
+        "flat_visit_summary")
+      def bucketsDir(name: String) = root.resolve(name).resolve("buckets")
+      val fullBytes = bucketed.map(n => n -> dirBytes(bucketsDir(n).resolve("e_0"))).toMap
 
       val (obs2, enc2, ord2, _) = views(t2)
       val s2 = System.nanoTime()
       pipe.tick(obs2, enc2, ord2, person)
       val tickIncr = (System.nanoTime() - s2) / 1e9
-      val incrBytes = dirBytes(bucketsDir) - fullBytes
-      val incrVisitBytes = dirBytes(visitDir) - fullVisitBytes
+      val incrBytes = bucketed.map(n =>
+        n -> (dirBytes(bucketsDir(n)) - fullBytes(n))).toMap
 
-      // gate: incremental-through-buckets == from-scratch rebuild at t2,
-      // for both bucketed stages
-      val got = signature(
-        graft.operators.BucketedSink.read(spark, bucketsDir.toString))
-      val want = signature(graft.etl.FlatObs.build(obs2, enc2, person))
-      require(got == want,
-        s"tick bench equivalence failed: bucketed=$got rebuild=$want")
-      val gotVisit = signature(
-        graft.operators.BucketedSink.read(spark, visitDir.toString))
-      val wantVisit = signature(graft.etl.FlatVisitSummary.build(
-        graft.etl.FlatObs.build(obs2, enc2, person),
-        graft.etl.FlatOrders.build(ord2, enc2, person), person))
-      require(gotVisit == wantVisit,
-        s"visit summary equivalence failed: bucketed=$gotVisit rebuild=$wantVisit")
+      // gate: every bucketed stage's incremental == a from-scratch
+      // rebuild at t2 — a fast bench that drifted from the batch
+      // semantics would be worse than no bench
+      import graft.etl.{FlatLabObs, FlatObs, FlatOrders, FlatVisitSummary}
+      val rebuilds: Map[String, () => org.apache.spark.sql.DataFrame] = Map(
+        "flat_obs" -> (() => FlatObs.build(obs2, enc2, person)),
+        "flat_orders" -> (() => FlatOrders.build(ord2, enc2, person)),
+        "flat_lab_obs" -> (() => FlatLabObs.build(obs2, person)),
+        "flat_visit_summary" -> (() => FlatVisitSummary.build(
+          FlatObs.build(obs2, enc2, person),
+          FlatOrders.build(ord2, enc2, person), person)))
+      bucketed.foreach { n =>
+        val got = signature(
+          graft.operators.BucketedSink.read(spark, bucketsDir(n).toString))
+        val want = signature(rebuilds(n)())
+        require(got == want, s"$n equivalence failed: bucketed=$got rebuild=$want")
+      }
 
       Seq(obs1, enc1, ord1, obs2, enc2, ord2, person).foreach(_.unpersist())
       Seq(
         "full_build_sec" -> tickFull,
         "incr_tick_sec" -> tickIncr,
-        "flat_obs_full_bytes" -> fullBytes.toDouble,
-        "flat_obs_incr_bytes" -> incrBytes.toDouble,
-        "incr_write_fraction" ->
-          (if (fullBytes > 0) incrBytes.toDouble / fullBytes else 0.0),
-        "visit_full_bytes" -> fullVisitBytes.toDouble,
-        "visit_incr_bytes" -> incrVisitBytes.toDouble,
-        "visit_incr_write_fraction" ->
-          (if (fullVisitBytes > 0) incrVisitBytes.toDouble / fullVisitBytes
-           else 0.0),
-        "n_persons" -> nPersons.toDouble)
+        "n_persons" -> nPersons.toDouble) ++
+        bucketed.flatMap { n =>
+          Seq(
+            s"${n}_full_bytes" -> fullBytes(n).toDouble,
+            s"${n}_incr_bytes" -> incrBytes(n).toDouble,
+            s"${n}_incr_fraction" ->
+              (if (fullBytes(n) > 0) incrBytes(n).toDouble / fullBytes(n)
+               else 0.0))
+        }
     } finally {
       prevConf.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)

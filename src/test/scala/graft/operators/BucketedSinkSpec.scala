@@ -130,6 +130,10 @@ class BucketedSinkSpec extends SparkSuite {
       pipeB.tick(obs, enc, orders, person) // full write
       pipeB.tick(obs, enc, orders, person) // idempotent bucket overwrite
       assert(rows(pipeB.readFlat("flat_obs").get) == expected)
+      assert(rows(pipeB.readFlat("flat_orders").get) ==
+        rows(pipeA.readFlat("flat_orders").get))
+      assert(rows(pipeB.readFlat("flat_lab_obs").get) ==
+        rows(pipeA.readFlat("flat_lab_obs").get))
       assert(rows(pipeB.readFlat("flat_visit_summary").get) == expectedVisit)
       assert(rows(pipeB.readFlat("flat_latest_hiv_summary").get) == expectedSummary)
     } finally spark.conf.unset("graft.sink.buckets")
