@@ -142,10 +142,21 @@ object BucketedSink {
       path: String,
       keyCol: String,
       nBuckets: Int,
-      touchedKeys: DataFrame): Unit = {
+      touchedKeys: DataFrame,
+      maxEpochs: Int = 16): Unit = {
     val c = conf(merged)
     val prev = readManifest(c, path).getOrElse(throw new IllegalStateException(
       s"no manifest at $path — writeFull before overwriteChanged"))
+    // Compaction: untouched buckets keep pointing at older epochs, so
+    // after K ticks a read unions up to K epoch frames. Once the live
+    // manifest references `maxEpochs` epochs, fold the whole table into
+    // one fresh epoch (same atomic commit) instead of adding another —
+    // amortized O(table / maxEpochs) extra write per tick, bounded read
+    // fan-in always.
+    if (prev.values.toSet.size >= maxEpochs) {
+      writeFull(merged, path, keyCol, nBuckets)
+      return
+    }
     // ≤ nBuckets ints: a scalar-sized driver read, same class as a
     // watermark lookup, not a data materialization
     val touched = touchedKeys

@@ -108,6 +108,34 @@ class BucketedSinkSpec extends SparkSuite {
     assert(rows(inFlight) == rows(flat1))
   }
 
+  test("epoch compaction bounds read fan-in across many ticks") {
+    import spark.implicits._
+    val nBuckets = 8
+    val path = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    def epochsReferenced(): Int = {
+      val src = scala.io.Source.fromFile(s"$path/_MANIFEST")
+      try src.getLines().filter(_.nonEmpty).map(_.split("\t")(1)).toSet.size
+      finally src.close()
+    }
+    var cur = (1 to 100).map(i => (i, "v0")).toDF("person_id", "v")
+    BucketedSink.writeFull(cur, path, "person_id", nBuckets)
+    // 6 ticks touching a rotating pair of persons, maxEpochs = 3: the
+    // manifest must never reference more than 3 epochs, and the read
+    // must always equal the accumulated table
+    (1 to 6).foreach { t =>
+      val touched = Seq(t, t + 50).toDF("person_id")
+      cur = cur.join(touched, Seq("person_id"), "left_anti")
+        .unionByName(cur.join(touched, Seq("person_id"), "left_semi")
+          .withColumn("v", concat(col("v"), lit(s"-t$t"))))
+        .localCheckpoint(true)
+      BucketedSink.overwriteChanged(cur, path, "person_id", nBuckets,
+        touched, maxEpochs = 3)
+      assert(epochsReferenced() <= 3, s"tick $t: ${epochsReferenced()} epochs")
+      assert(BucketedSink.read(spark, path).orderBy("person_id").collect().toSeq ==
+        cur.orderBy("person_id").collect().toSeq)
+    }
+  }
+
   test("pipeline with bucketed flat_obs sink matches the versioned sink") {
     import graft.etl.Pipeline
     val fx = OpenMrsFixture.generate(spark, nPersons = 20, seed = 23L)
