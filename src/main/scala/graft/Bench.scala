@@ -73,7 +73,9 @@ object Bench {
         case scala.util.Success(m) =>
           m.map { case (k, v) => "\"" + k + "\":" + v }
             .mkString(""","tick":{""", ",", "}")
-        case scala.util.Failure(_) => ""
+        case scala.util.Failure(e) =>
+          System.err.println(s"tick bench failed (omitted from metrics): $e")
+          ""
       }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs$tick,"sf":"$sfDir"}"""

@@ -183,6 +183,9 @@ object BucketedSink {
     val c = spark.sparkContext.hadoopConfiguration
     val manifest = readManifest(c, path).getOrElse(throw new IllegalStateException(
       s"no manifest at $path"))
+    // a table whose every row was deleted leaves no parquet to carry a
+    // schema — not representable in this layout (nor in plain parquet)
+    require(manifest.nonEmpty, s"bucketed table at $path is empty")
     manifest.groupBy(_._2).toSeq.sortBy(_._1).map { case (epoch, buckets) =>
       val base = new Path(path, epoch).toString
       spark.read.option("basePath", base)
