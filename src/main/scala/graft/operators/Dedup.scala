@@ -63,6 +63,26 @@ object Dedup {
       .distinct()
   }
 
+  /** Candidate pairs involving at least one NEW doc, against a STORED
+    * band index: new-vs-stored equi-join on (band, bkey) plus
+    * new-vs-new — the corpus's bands are read from the index, never
+    * recomputed, so a daily ingest's dedup cost scales with the delta
+    * (|new| × bands joined against the index), not the corpus. The
+    * batch analogue of the ETL stages' watermark incrementals. Callers
+    * keep new ids disjoint from stored ids; output (id_a < id_b)
+    * distinct, same shape as [[lshCandidatePairs]].
+    */
+  def lshCandidatePairsIncremental(
+      storedBands: DataFrame, newBands: DataFrame): DataFrame = {
+    val s = storedBands.select(col("band"), col("bkey"), col("id").as("id_s"))
+    val n = newBands.select(col("band"), col("bkey"), col("id").as("id_n"))
+    val newVsStored = n.join(s, Seq("band", "bkey"))
+      .select(least(col("id_n"), col("id_s")).as("id_a"),
+        greatest(col("id_n"), col("id_s")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    newVsStored.union(lshCandidatePairs(newBands)).distinct()
+  }
+
   /** Exact Jaccard similarity over shingle sets for given candidate pairs —
     * the verify stage after [[lshCandidatePairs]]. `docShingles` = (id,
     * shingle) distinct; `pairs` = (id_a, id_b). |A ∩ B| / |A ∪ B| with

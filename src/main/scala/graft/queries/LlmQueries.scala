@@ -130,6 +130,51 @@ object LlmQueries {
         Dedup.jaccardVerify(docShingles, pairs).filter(col("jaccard") >= 0.1)
     },
 
+    // Incremental LSH dedup: docs with doc_id % 10 == 0 play the "new
+    // ingest"; their bands join a STORED band index (the other 90%,
+    // whose minhashes an incremental pipeline would read, not
+    // recompute) plus new-vs-new. Per-doc band keys are independent, so
+    // the result is exactly the full-corpus q57 pairs restricted to
+    // those involving a new doc — which is what the oracle asserts.
+    OpQuery.sql(
+      "q74_dedup_incremental",
+      s"""WITH t AS (SELECT doc_id, string_split($DuckNorm, ' ') w FROM documents),
+         |i AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM t),
+         |sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s FROM i),
+         |mh AS (
+         |  SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || s)) h
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) j) GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, CAST(j // 2 AS INTEGER) band, string_agg(h, '' ORDER BY j) bkey
+         |  FROM mh GROUP BY doc_id, 2),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id id_a, r.doc_id id_b
+         |  FROM bands l JOIN bands r
+         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+         |  WHERE l.doc_id % 10 = 0 OR r.doc_id % 10 = 0),
+         |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+         |shared AS (
+         |  SELECT id_a, id_b, count(*) n_shared
+         |  FROM cand JOIN sh a ON a.doc_id = id_a
+         |            JOIN sh b ON b.doc_id = id_b AND b.s = a.s
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(n_shared AS DOUBLE) / (a.n + b.n - n_shared), 6) AS jaccard
+         |FROM shared JOIN sz a ON a.doc_id = id_a JOIN sz b ON b.doc_id = id_b
+         |WHERE round(CAST(n_shared AS DOUBLE) / (a.n + b.n - n_shared), 6) >= 0.1""".stripMargin) {
+      (s, dir) =>
+        val docShingles = load(s, dir, "documents")
+          .select(col("doc_id").as("id"),
+            explode(TextAnalysis.shingles(
+              TextAnalysis.words(TextAnalysis.normalize(col("text"))), 3)).as("shingle"))
+          .distinct().cache()
+        val isNew = col("id") % 10 === 0
+        val stored = Dedup.minhashBands(docShingles.filter(!isNew), 8, 2)
+        val fresh = Dedup.minhashBands(docShingles.filter(isNew), 8, 2)
+        val pairs = Dedup.lshCandidatePairsIncremental(stored, fresh)
+        Dedup.jaccardVerify(docShingles, pairs).filter(col("jaccard") >= 0.1)
+    },
+
     // Dedup cluster assignment: connected components over the LSH-verified
     // pair list (min-label propagation, shuffle-per-round) — the step that
     // picks ONE canonical doc per near-dup cluster. Oracle: DuckDB
