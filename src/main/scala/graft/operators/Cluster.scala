@@ -59,7 +59,7 @@ object Cluster {
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
 
     var iter = 0

@@ -39,7 +39,7 @@ object ReplaceInto {
     val incomingKeys = deduped.select(keys.map(col): _*).distinct()
     existing
       .join(incomingKeys, keys, "left_anti")
-      .unionByName(deduped.select(existing.columns.map(col): _*))
+      .unionByName(deduped.select(existing.columns.toIndexedSeq.map(col): _*))
   }
 
   /** `DELETE t FROM t JOIN keys` (SURVEY §2.4 K4 / §2.3 J6): keep all rows

@@ -84,7 +84,7 @@ object Skew {
       saltBuckets: Int,
       joinType: String = "inner"): DataFrame = {
     val saltedLeft = skewed.withColumn(
-      "__salt", pmod(hash(struct(skewed.columns.map(col): _*)), lit(saltBuckets)))
+      "__salt", pmod(hash(struct(skewed.columns.toIndexedSeq.map(col): _*)), lit(saltBuckets)))
     val replicatedRight = other.withColumn(
       "__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedLeft.join(replicatedRight, Seq(key, "__salt"), joinType).drop("__salt")

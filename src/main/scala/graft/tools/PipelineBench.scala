@@ -31,7 +31,7 @@ object PipelineBench {
     * don't hash; the string obs columns cover the same content). */
   private def signature(df: DataFrame): (Long, Long) = {
     val cols = df.columns.filter(_ != "obs_entries").sorted
-    val r = df.select(hash(cols.map(col): _*).cast("long").as("h"))
+    val r = df.select(hash(cols.toIndexedSeq.map(col): _*).cast("long").as("h"))
       .agg(count(lit(1)).as("n"), sum(col("h")).as("s")).collect()(0)
     (r.getLong(0), r.getLong(1))
   }

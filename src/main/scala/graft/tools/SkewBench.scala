@@ -101,7 +101,7 @@ object SkewBench {
       if (salt > 0) spark.conf.set(graft.etl.FlatObs.SaltConfKey, salt.toString)
       else spark.conf.unset(graft.etl.FlatObs.SaltConfKey)
       val df = graft.etl.FlatObs.build(obs, enc, person)
-      val r = df.select(hash(df.columns.sorted.map(col): _*).cast("long").as("h"))
+      val r = df.select(hash(df.columns.sorted.toIndexedSeq.map(col): _*).cast("long").as("h"))
         .agg(count(lit(1)), sum(col("h"))).collect()(0)
       (r.getLong(0), r.getLong(1))
     }
