@@ -18,7 +18,7 @@ import org.apache.spark.sql.SparkSession
   * would time a bare scan instead of the expressions under test. The noop
   * sink materializes every output row in full with zero I/O cost.
   *
-  * Each query is timed SPARK_GRAFT_REPS times (default 2) and the best is
+  * Each query is timed SPARK_GRAFT_REPS times (default 3) and the best is
   * reported — single-run numbers at this scale swing ±30-50% with JIT and
   * page-cache state, which made round-over-round comparisons unattributable.
   * The full metrics JSON is also written to `target/bench.json` so the
@@ -74,8 +74,13 @@ object Bench {
           m.map { case (k, v) => "\"" + k + "\":" + v }
             .mkString(""","tick":{""", ",", "}")
         case scala.util.Failure(e) =>
-          System.err.println(s"tick bench failed (omitted from metrics): $e")
-          ""
+          // a failed equivalence gate is a correctness signal, not an
+          // environment hiccup — it must survive into the artifact
+          System.err.println(s"tick bench failed: $e")
+          val msg = String.valueOf(e.getMessage)
+            .replace("\\", "\\\\").replace("\"", "\\\"")
+            .replace("\n", " ").take(300)
+          s""","tick_error":"$msg""""
       }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs$tick,"sf":"$sfDir"}"""

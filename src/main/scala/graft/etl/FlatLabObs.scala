@@ -107,12 +107,7 @@ object FlatLabObs {
       existing: Option[DataFrame] = None): DataFrame = {
     val wm = lit(lastUpdate)
     val panel = col("concept_id").isin(LabConcepts.map(Integer.valueOf): _*)
-    val purge = existing match { // see FlatObs.touchedPersons
-      case Some(table) => person.filter(col("voided") === 1)
-        .join(table.select("person_id"), Seq("person_id"), "left_semi")
-        .select("person_id")
-      case None => person.filter(col("voided") === 1).select("person_id")
-    }
+    val purge = FlatObs.voidedPurgeSet(person, existing)
     obs.filter(panel && col("date_voided") > wm).select("person_id")
       .union(obs.filter(panel && col("date_created") > wm).select("person_id"))
       .union(purge)

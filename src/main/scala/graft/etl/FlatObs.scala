@@ -338,16 +338,7 @@ object FlatObs {
       lastUpdate: Timestamp,
       existing: Option[DataFrame] = None): DataFrame = {
     val wm = lit(lastUpdate)
-    // The voided-person purge only moves rows that are still present:
-    // with `existing` given, the purge set narrows to voided persons the
-    // table actually holds (a cheap columnar person_id scan) instead of
-    // re-touching every long-voided person's bucket on every tick.
-    val purge = existing match {
-      case Some(table) => person.filter(col("voided") === 1)
-        .join(table.select("person_id"), Seq("person_id"), "left_semi")
-        .select("person_id")
-      case None => person.filter(col("voided") === 1).select("person_id")
-    }
+    val purge = voidedPurgeSet(person, existing)
     obs.filter(col("date_voided") > wm).select("person_id")
       .union(obs.filter(col("date_created") > wm).select("person_id"))
       .union(encounter.filter(col("date_changed") > wm)
@@ -357,6 +348,20 @@ object FlatObs {
       .union(purge)
       .distinct()
   }
+
+  /** The voided-person purge only moves rows that are still present:
+    * with `existing` given, the purge set narrows to voided persons the
+    * table actually holds (a cheap columnar person_id scan) instead of
+    * re-touching every long-voided person's bucket on every tick.
+    * Shared by every stage's `touchedPersons`.
+    */
+  def voidedPurgeSet(person: DataFrame, existing: Option[DataFrame]): DataFrame =
+    existing match {
+      case Some(table) => person.filter(col("voided") === 1)
+        .join(table.select("person_id"), Seq("person_id"), "left_semi")
+        .select("person_id")
+      case None => person.filter(col("voided") === 1).select("person_id")
+    }
 
   /** DELETE voided persons (flat_obs_v1.0.sql:337-340). */
   def removeVoidedPersons(flat: DataFrame, person: DataFrame): DataFrame =

@@ -92,12 +92,7 @@ object FlatOrders {
       lastUpdate: Timestamp,
       existing: Option[DataFrame] = None): DataFrame = {
     val wm = lit(lastUpdate)
-    val purge = existing match { // see FlatObs.touchedPersons
-      case Some(table) => person.filter(col("voided") === 1)
-        .join(table.select("person_id"), Seq("person_id"), "left_semi")
-        .select("person_id")
-      case None => person.filter(col("voided") === 1).select("person_id")
-    }
+    val purge = FlatObs.voidedPurgeSet(person, existing)
     orders.filter(col("date_voided") > wm)
       .select(col("patient_id").as("person_id"))
       .union(orders.filter(col("date_created") > wm)

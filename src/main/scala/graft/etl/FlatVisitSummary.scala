@@ -408,6 +408,10 @@ object FlatVisitSummary {
       .distinct()
   }
 
+  /** `queue`: pass a precomputed (ideally cached) [[touchedPersons]]
+    * frame when the caller also needs it — e.g. the bucketed sink's
+    * touched-key set — so the retraction anti-join inside it executes
+    * once, not once per consumer. */
   def incremental(
       existing: DataFrame,
       flatObs: DataFrame,
@@ -415,9 +419,11 @@ object FlatVisitSummary {
       obs: DataFrame,
       encounter: DataFrame,
       person: DataFrame,
-      lastUpdate: Timestamp): DataFrame = {
-    val queue = touchedPersons(existing, flatObs, obs, encounter, lastUpdate)
-    val kept = existing.join(queue, Seq("person_id"), "left_anti")
-    kept.unionByName(build(flatObs, flatOrders, person, Some(queue)))
+      lastUpdate: Timestamp,
+      queue: Option[DataFrame] = None): DataFrame = {
+    val q = queue.getOrElse(
+      touchedPersons(existing, flatObs, obs, encounter, lastUpdate))
+    val kept = existing.join(q, Seq("person_id"), "left_anti")
+    kept.unionByName(build(flatObs, flatOrders, person, Some(q)))
   }
 }

@@ -180,20 +180,31 @@ class Pipeline(spark: SparkSession, root: String) {
       bucketedWrite("flat_lab_obs",
         wm => FlatLabObs.touchedPersons(obs, person, wm,
           readFlat("flat_lab_obs"))))
+    // the summary queue contains an O(table) retraction anti-join; when
+    // the bucketed sink also needs it as the touched-key set, compute it
+    // once, cached, and share it between the merge and the write hook
+    var visitQueue: DataFrame = null
     runStage(flatVisitSummaryVersion, "flat_visit_summary",
       maxTs(Seq(readFlat("flat_obs").get -> "max_date_created")), wm => {
         val fo = readFlat("flat_obs").get
         val ford = readFlat("flat_orders").get
         readFlat("flat_visit_summary") match {
           case Some(existing) =>
-            FlatVisitSummary.incremental(existing, fo, ford, obs, encounter, person, wm)
+            if (sinkBuckets > 0)
+              visitQueue = FlatVisitSummary
+                .touchedPersons(existing, fo, obs, encounter, wm).cache()
+            FlatVisitSummary.incremental(
+              existing, fo, ford, obs, encounter, person, wm, Option(visitQueue))
           case None => FlatVisitSummary.build(fo, ford, person)
         }
       },
       bucketedWrite("flat_visit_summary",
-        wm => FlatVisitSummary.touchedPersons(
-          readFlat("flat_visit_summary").get, readFlat("flat_obs").get,
-          obs, encounter, wm)))
+        wm =>
+          if (visitQueue != null) visitQueue
+          else FlatVisitSummary.touchedPersons(
+            readFlat("flat_visit_summary").get, readFlat("flat_obs").get,
+            obs, encounter, wm)))
+    if (visitQueue != null) visitQueue.unpersist()
     writeSnapshot(
       FlatLatestHivSummary.build(readFlat("flat_visit_summary").get),
       "flat_latest_hiv_summary")

@@ -38,7 +38,21 @@ object BucketedSink {
 
   def exists(conf: Configuration, path: String): Boolean = {
     val p = manifestPath(path)
-    p.getFileSystem(conf).exists(p)
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) true
+    else {
+      // a bucketed dir WITHOUT a manifest is the pre-manifest in-place
+      // layout (top-level __bucket=K dirs); silently answering "no"
+      // would orphan that data behind a fresh full rebuild
+      val dir = new Path(path)
+      if (fs.exists(dir) && fs.listStatus(dir)
+          .exists(_.getPath.getName.startsWith("__bucket=")))
+        throw new IllegalStateException(
+          s"$path holds a legacy in-place bucket layout (no _MANIFEST); " +
+            "migrate it by re-running a full write, then remove the old " +
+            "top-level __bucket=* directories")
+      false
+    }
   }
 
   /** bucket id → epoch dir name, or None before the first writeFull. */
@@ -147,6 +161,14 @@ object BucketedSink {
     val c = conf(merged)
     val prev = readManifest(c, path).getOrElse(throw new IllegalStateException(
       s"no manifest at $path — writeFull before overwriteChanged"))
+    // ≤ nBuckets ints: a scalar-sized driver read, same class as a
+    // watermark lookup, not a data materialization
+    val touched = touchedKeys
+      .select(bucketOf(col(touchedKeys.columns.head), nBuckets).as("__bucket"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    // a no-delta tick (common steady state) changes nothing: skip the
+    // write job, the identical-manifest rewrite, and the purge
+    if (touched.isEmpty) return
     // Compaction: untouched buckets keep pointing at older epochs, so
     // after K ticks a read unions up to K epoch frames. Once the live
     // manifest references `maxEpochs` epochs, fold the whole table into
@@ -157,11 +179,6 @@ object BucketedSink {
       writeFull(merged, path, keyCol, nBuckets)
       return
     }
-    // ≤ nBuckets ints: a scalar-sized driver read, same class as a
-    // watermark lookup, not a data materialization
-    val touched = touchedKeys
-      .select(bucketOf(col(touchedKeys.columns.head), nBuckets).as("__bucket"))
-      .distinct().collect().map(_.getInt(0)).toSet
     val epoch = nextEpoch(c, path)
     merged.withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
       .filter(col("__bucket").isInCollection(touched))

@@ -107,12 +107,16 @@ object Similarity {
   /** Deterministic Lloyd (k-means) refinement of coarse centroids:
     * `iters` rounds of assign → per-cell mean. Per-dimension sums
     * accumulate in DECIMAL(27,10) (order-independent, same trick as the
-    * label-centroid query) and surface as double, so the refined
-    * centroids — and every downstream cosine/rank — are bit-identical
-    * across partitionings and engines. Each round is one broadcast-join
-    * assignment pass plus one shuffle at the (cell, dim) grain; cells
-    * that win no vectors drop out (k can only shrink), which is Lloyd's
-    * standard empty-cell behavior made deterministic.
+    * label-centroid query), surface as double, and the divide-by-count
+    * runs in f64 — NOT as a decimal quotient, whose scale-11 rounding
+    * Spark applies but other engines (DuckDB divides decimals in
+    * double) do not. Exact sum → IEEE double division is the
+    * engine-portable formulation, so the refined centroids — and every
+    * downstream cosine/rank — are bit-identical across partitionings
+    * and engines. Each round is one broadcast-join assignment pass plus
+    * one shuffle at the (cell, dim) grain; cells that win no vectors
+    * drop out (k can only shrink), which is Lloyd's standard empty-cell
+    * behavior made deterministic.
     */
   def ivfRefine(vectors: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
     var cents = seeds
@@ -120,8 +124,8 @@ object Similarity {
       cents = ivfAssign(vectors, cents)
         .select(col("cell"), posexplode(col("vec")))
         .groupBy("cell", "pos")
-        .agg((sum(col("col").cast("decimal(27,10)")) / count(lit(1)))
-          .cast("double").as("v"))
+        .agg((sum(col("col").cast("decimal(27,10)")).cast("double") /
+          count(lit(1))).as("v"))
         .groupBy("cell")
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("v")))),

@@ -498,7 +498,7 @@ object LlmQueries {
         |    FROM v, cent0 c) t WHERE rn = 1),
         |cent1 AS (
         |  SELECT cell, list(mv ORDER BY pos) cvec FROM (
-        |    SELECT cell, pos, CAST(sum(CAST(x AS DECIMAL(27, 10))) / count(*) AS DOUBLE) mv
+        |    SELECT cell, pos, CAST(sum(CAST(x AS DECIMAL(27, 10))) AS DOUBLE) / count(*) mv
         |    FROM (SELECT cell, unnest(e) x, generate_subscripts(e, 1) - 1 pos FROM asg0)
         |    GROUP BY cell, pos) GROUP BY cell),
         |asg1 AS (
@@ -511,7 +511,7 @@ object LlmQueries {
         |    FROM v, cent1 c) t WHERE rn = 1),
         |cent AS (
         |  SELECT cell, list(mv ORDER BY pos) cvec FROM (
-        |    SELECT cell, pos, CAST(sum(CAST(x AS DECIMAL(27, 10))) / count(*) AS DOUBLE) mv
+        |    SELECT cell, pos, CAST(sum(CAST(x AS DECIMAL(27, 10))) AS DOUBLE) / count(*) mv
         |    FROM (SELECT cell, unnest(e) x, generate_subscripts(e, 1) - 1 pos FROM asg1)
         |    GROUP BY cell, pos) GROUP BY cell),
         |asg AS (

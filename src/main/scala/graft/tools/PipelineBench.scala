@@ -4,14 +4,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end pipeline tick bench: a full five-stage build at t1, then an
-  * incremental tick at t2 over a ~3% delta, with the typed obs path and
-  * the manifest-committed bucketed flat_obs sink on — the configuration a
-  * production deployment would run. Reports wall seconds per tick and
-  * flat_obs bytes written (full epoch vs delta epochs), proving the
-  * incremental write volume is O(delta), not O(table). The incremental
-  * result is hash-checked against a from-scratch rebuild on the t2
-  * sources before any number is reported — a fast bench that drifted
-  * from the batch semantics would be worse than no bench.
+  * incremental tick at t2 over a ~2% active-person delta, with the typed
+  * obs path and the manifest-committed bucketed sinks on every
+  * person-keyed stage — the configuration a production deployment would
+  * run. Reports wall seconds per tick and per-stage bytes written (full
+  * epoch vs delta epochs), proving the incremental write volume is
+  * O(delta), not O(table). Every bucketed stage is hash-checked against
+  * a from-scratch rebuild on the t2 sources before any number is
+  * reported — a fast bench that drifted from the batch semantics would
+  * be worse than no bench.
   *
   * Standalone: `runMain graft.tools.PipelineBench`; also folded into
   * `graft.Bench`'s JSON as the "tick" object (SPARK_GRAFT_TICK=0 skips).
