@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import graft.etl.{FlatLatestHivSummary, FlatObs, FlatOrders, FlatVisitSummary, Pipeline, Schemas}
+import graft.etl.{FlatLabObs, FlatLatestHivSummary, FlatObs, FlatOrders, FlatVisitSummary, Pipeline, Schemas}
 import graft.operators.LatestRow
 
 /** Streaming mode for the ETL: the reference's cron-style `CALL` loop IS
@@ -96,13 +96,14 @@ object IncrementalEtlStream {
   }
 
   /** The full downstream cascade in one micro-batch loop: each batch
-    * merges flat_obs, then drives flat_visit_summary's person-queue
-    * incremental (including the retraction-only queue via the raw obs
-    * snapshot) and rebuilds flat_latest_hiv_summary from it — the same
-    * stage code and cascade order as `Pipeline.tick`, with the stream's
-    * checkpointed offsets as the only progress state. `orders` is a
-    * static dimension here (its flat stage builds once); a second file
-    * stream on orders would slot in identically.
+    * merges flat_obs, drives flat_lab_obs' person-day incremental from
+    * the same snapshot and watermark, then flat_visit_summary's
+    * person-queue incremental (including the retraction-only queue via
+    * the raw obs snapshot), and rebuilds flat_latest_hiv_summary — the
+    * same stage code and cascade order as `Pipeline.tick`, with the
+    * stream's checkpointed offsets as the only progress state. `orders`
+    * is a static dimension here (its flat stage builds once); a second
+    * file stream on orders would slot in identically.
     */
   def runCascadeOnce(
       spark: SparkSession,
@@ -125,6 +126,12 @@ object IncrementalEtlStream {
         val (next, wmOpt) = mergeFlatObs(
           batch, snapshot, encounter, person, pipeline)
         pipeline.writeSnapshot(next, "flat_obs")
+        val lab = (pipeline.readFlat("flat_lab_obs"), wmOpt) match {
+          case (Some(existing), Some(wm)) =>
+            FlatLabObs.incremental(existing, snapshot, person, wm)
+          case _ => FlatLabObs.build(snapshot, person)
+        }
+        pipeline.writeSnapshot(lab, "flat_lab_obs")
         if (pipeline.readFlat("flat_orders").isEmpty)
           pipeline.writeSnapshot(
             FlatOrders.build(orders, encounter, person), "flat_orders")

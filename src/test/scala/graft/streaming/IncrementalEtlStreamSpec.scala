@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.SparkSuite
-import graft.etl.{FlatLatestHivSummary, FlatObs, FlatOrders, FlatVisitSummary, OpenMrsFixture, Pipeline, Schemas}
+import graft.etl.{FlatLabObs, FlatLatestHivSummary, FlatObs, FlatOrders, FlatVisitSummary, OpenMrsFixture, Pipeline, Schemas}
 
 class IncrementalEtlStreamSpec extends SparkSuite {
 
@@ -66,7 +66,7 @@ class IncrementalEtlStreamSpec extends SparkSuite {
       full.orderBy("encounter_id").collect().toSeq)
   }
 
-  test("streamed three-stage cascade equals the batch build on the same timeline") {
+  test("streamed four-stage cascade equals the batch build on the same timeline") {
     val fx = OpenMrsFixture.generate(spark, nPersons = 25, seed = 7L)
     val (obs, enc, orders, person) =
       (fx("obs").cache(), fx("encounter").cache(), fx("orders").cache(), fx("person").cache())
@@ -109,6 +109,8 @@ class IncrementalEtlStreamSpec extends SparkSuite {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.orderBy(df.columns.map(col): _*).collect().map(_.toString).toSeq
     assert(rows(pipe.readFlat("flat_obs").get) == rows(fullFo))
+    assert(rows(pipe.readFlat("flat_lab_obs").get) ==
+      rows(FlatLabObs.build(snapshot, person)))
     assert(rows(pipe.readFlat("flat_visit_summary").get) == rows(fullSummary))
     assert(rows(pipe.readFlat("flat_latest_hiv_summary").get) == rows(fullLatest))
   }
