@@ -3,7 +3,7 @@ package graft.etl
 import java.sql.Timestamp
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.{MysqlFunctions, ObsMap}
+import graft.functions.ObsMap
 import graft.operators.ReplaceInto
 
 /** Stage 1c: flatten lab-panel obs per (person, day) — the Spark rebuild of

@@ -32,20 +32,14 @@ object FlatObs {
   val FakeVisitBase = 10000000L
   val SyntheticEncounterBase = 100000000L
 
-  /** MySQL renders DOUBLE without a trailing ".0" (24.0 → "24"); align the
-    * obs-map string form with the reference encoding. */
-  private def mysqlNum(c: Column): Column =
-    regexp_replace(c.cast("string"), "\\.0$", "")
-
-  /** The 7-way typed-value render (flat_obs_v1.0.sql:124-132). */
+  /** The 7-way typed-value render (flat_obs_v1.0.sql:124-132) — the one
+    * shared implementation, MySQL numeric rendering included, lives in
+    * [[ObsMap.renderTypedValue]]. */
   def renderedValue: Column =
-    when(col("value_coded").isNotNull, col("value_coded").cast("string"))
-      .when(col("value_numeric").isNotNull, mysqlNum(col("value_numeric")))
-      .when(col("value_datetime").isNotNull, to_date(col("value_datetime")).cast("string"))
-      .when(col("value_boolean").isNotNull, col("value_boolean").cast("string"))
-      .when(col("value_text").isNotNull, col("value_text"))
-      .when(col("value_drug").isNotNull, col("value_drug").cast("string"))
-      .when(col("value_modifier").isNotNull, col("value_modifier"))
+    ObsMap.renderTypedValue(
+      col("value_coded"), col("value_numeric"), col("value_datetime"),
+      col("value_boolean"), col("value_text"), col("value_drug"),
+      col("value_modifier"))
 
   /** obs-map aggregate columns shared by every pass: `obs` (concept=value)
     * and `obs_datetimes` (concept=date(obs_datetime)), both ordered by
@@ -62,30 +56,35 @@ object FlatObs {
     * the entry string "!!<concept>=<date>!!", which with concept equal is
     * exactly comparing the date string — the struct's last field.
     */
-  private def obsAggs(distinctEntries: Boolean = false, typed: Boolean = false): Seq[Column] = {
+  private def obsAggs(typed: Boolean = false): Seq[Column] = {
     val rendered = renderedValue
     val keyed = struct(
       col("concept_id").as("c"), col("value_coded").as("vc"), rendered.as("r"),
       to_date(col("obs_datetime")).cast("string").as("d"))
-    // GROUP_CONCAT skips rows whose rendered value is NULL
-    val collected = sort_array(collect_list(when(rendered.isNotNull, keyed)))
-    def dedup(arr: Column) = if (distinctEntries) array_distinct(arr) else arr
-    val obsEntries = dedup(transform(collected,
+    // GROUP_CONCAT skips rows whose entry is NULL — which in MySQL's
+    // CONCAT('!!', concept_id, '=', rendered, '!!') means a null rendered
+    // value OR a null concept_id. The concept guard also keeps the typed
+    // map free of null keys (map_from_entries would throw); the row still
+    // counts toward max_date_created, exactly as in MySQL's GROUP BY.
+    val collected = sort_array(collect_list(
+      when(rendered.isNotNull && col("concept_id").isNotNull, keyed)))
+    val obsEntries = transform(collected,
       x => concat(lit(ObsMap.Boundary), x.getField("c"), lit("="),
-        x.getField("r"), lit(ObsMap.Boundary))))
-    val dtEntries = dedup(filter(
+        x.getField("r"), lit(ObsMap.Boundary)))
+    val dtEntries = filter(
       transform(collected,
         x => when(x.getField("d").isNotNull,
           concat(lit(ObsMap.Boundary), x.getField("c"), lit("="),
             x.getField("d"), lit(ObsMap.Boundary)))),
-      e => e.isNotNull))
+      e => e.isNotNull)
     Seq(
       when(size(obsEntries) > 0, array_join(obsEntries, ObsMap.Sep)).as("obs"),
       when(size(dtEntries) > 0, array_join(dtEntries, ObsMap.Sep)).as("obs_datetimes"),
       max(col("date_created")).as("max_date_created")) ++
       (if (typed)
-        Seq(entriesMap(dedup(transform(collected,
-          x => struct(x.getField("c").as("c"), x.getField("r").as("r"))))).as("obs_entries"))
+        Seq(entriesMap(transform(collected,
+          x => struct(x.getField("c").as("c"), x.getField("r").as("r"))))
+          .as("obs_entries"))
       else Nil)
   }
 
@@ -258,13 +257,21 @@ object FlatObs {
     val voidedObs = obs.filter(
       col("voided") === 1 && col("date_voided") > wm && col("date_created") <= wm)
 
-    // encounter-grain delta keys: voided ∪ changed ∪ new
+    // encounter-grain delta keys: voided ∪ changed ∪ new.
+    // The reference's changed-encounter set keeps only unvoided
+    // encounters already present in the flat table (flat_obs_v1.0.sql:80)
+    // — which silently misses encounter-level voids (the flat row is
+    // never retracted) and unvoids (the row is never materialized).
+    // Fixed mode (policy: fixed, flagged): every encounter with
+    // date_changed > wm enters the key set regardless of voided state or
+    // flat presence; delete-by-key plus the voided=0 rebuild join then
+    // retracts voided encounters and materializes unvoided ones, matching
+    // a full rebuild.
     val voidedEncKeys = voidedObs.filter(col("encounter_id").isNotNull)
       .select("encounter_id").distinct()
     val changedEncKeys = encounter
-      .filter(col("voided") === 0 && col("date_changed") > wm)
+      .filter(col("date_changed") > wm)
       .select("encounter_id")
-      .join(existing.select("encounter_id"), Seq("encounter_id"), "left_semi")
       .distinct()
     val newObsEncKeys = obs.filter(
       col("encounter_id") > 0 && col("voided") === 0 && col("date_created") > wm)

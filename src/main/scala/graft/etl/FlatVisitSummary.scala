@@ -335,9 +335,18 @@ object FlatVisitSummary {
         lit(1).as("encounter_type_sort_index"),
         lit(null).cast("string").as("orders")))
 
-  /** Build the summary for a set of persons (null queue = all persons).
-    * flat_obs ⟕ flat_orders on encounter_id, clinical encounters only,
-    * decode projection, person uuid broadcast-joined.
+  /** Build the summary for a set of persons (null queue = all persons):
+    * clinical encounters only, decode projection, person uuid
+    * broadcast-joined.
+    *
+    * The reference left-joins flat_orders here only to stage an `orders`
+    * column onto clinical rows for the lab-union shape
+    * (flat_visit_summary_v1.0.sql staging; [[withLabRows]] documents
+    * that shape) — the final insert's columns never read it. This build
+    * emits the final shape directly, so the join would be a pure wasted
+    * shuffle on the heaviest stage (Catalyst cannot prune it: the right
+    * side's uniqueness is unprovable) and is skipped; `flatOrders` stays
+    * in the signature for the reference-shaped call sites.
     *
     * Decode path auto-selects on the input: when flat_obs carries the
     * typed `obs_entries` map column, decoding runs the map-lookup form
@@ -349,6 +358,7 @@ object FlatVisitSummary {
       flatOrders: DataFrame,
       person: DataFrame,
       queue: Option[DataFrame] = None): DataFrame = {
+    val _ = flatOrders // staged-shape parameter; see scaladoc
     val scoped = queue match {
       case Some(q) => flatObs.join(q.select("person_id").distinct(),
         Seq("person_id"), "left_semi")
@@ -356,7 +366,6 @@ object FlatVisitSummary {
     }
     val clinical = scoped
       .filter(col("encounter_type").isin(ClinicalEncounterTypes.map(Integer.valueOf): _*))
-      .join(flatOrders.select("encounter_id", "orders"), Seq("encounter_id"), "left")
     val decoded =
       if (flatObs.columns.contains("obs_entries")) decodeColumnsTyped(col("obs_entries"))
       else decodeColumns(col("obs"))

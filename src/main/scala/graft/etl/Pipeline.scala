@@ -109,9 +109,12 @@ class Pipeline(spark: SparkSession, root: String) {
     * wall-clock, so source rows racing the run are re-read next tick.
     */
   private def maxTs(dfs: Seq[(DataFrame, String)]): Timestamp =
+    // read the aggregate as a Timestamp (an absolute instant) — a
+    // string round-trip would re-parse the session-tz rendering in the
+    // driver JVM's default zone, shifting the stored watermark by the
+    // offset between them and silently skipping late-committing rows
     dfs.flatMap { case (df, c) =>
-      Option(df.agg(max(col(c)).cast("string")).first().getString(0))
-        .map(Timestamp.valueOf)
+      Option(df.agg(max(col(c))).first().getTimestamp(0))
     }.reduceOption((a, b) => if (a.after(b)) a else b).getOrElse(Watermark.Epoch)
 
   private def runStage(
@@ -119,10 +122,17 @@ class Pipeline(spark: SparkSession, root: String) {
       flatName: String,
       newWatermark: Timestamp,
       run: Timestamp => DataFrame,
-      write: (DataFrame, Timestamp) => Unit = null): Unit = {
+      write: (DataFrame, Timestamp) => Unit = null,
+      tableFallback: Boolean = true): Unit = {
     val start = new Timestamp(System.currentTimeMillis())
     val log = Watermark.readLog(spark, logPath)
-    val wm = Watermark.resolve(log, version, readFlat(flatName))
+    // tableFallback=false for stages whose table carries no
+    // max_date_created (visit summary): a log miss then resolves to
+    // Epoch — a full requeue, the safe recovery — instead of crashing
+    // on a missing column (and a fallback on some OTHER table's max
+    // would overshoot and silently skip this tick's delta).
+    val wm = Watermark.resolve(log, version,
+      if (tableFallback) readFlat(flatName) else None)
     val result = run(wm)
     if (write == null) writeSnapshot(result, flatName) else write(result, wm)
     val secs = ((System.currentTimeMillis() - start.getTime) / 1000).toShort
@@ -172,11 +182,16 @@ class Pipeline(spark: SparkSession, root: String) {
       bucketedWrite("flat_orders",
         wm => FlatOrders.touchedPersons(orders, person, wm,
           readFlat("flat_orders"))))
-    runStage(flatLabObsVersion, "flat_lab_obs", encObsMax, wm =>
-      readFlat("flat_lab_obs") match {
-        case Some(existing) => FlatLabObs.incremental(existing, obs, person, wm)
-        case None => FlatLabObs.build(obs, person)
-      },
+    // lab watermark from the obs actually visible to the lab delta, NOT
+    // encObsMax: advancing on the strength of an encounter row alone
+    // would widen the window where a lab obs committing just after the
+    // snapshot is permanently skipped
+    runStage(flatLabObsVersion, "flat_lab_obs",
+      maxTs(Seq(obs -> "date_created")), wm =>
+        readFlat("flat_lab_obs") match {
+          case Some(existing) => FlatLabObs.incremental(existing, obs, person, wm)
+          case None => FlatLabObs.build(obs, person)
+        },
       bucketedWrite("flat_lab_obs",
         wm => FlatLabObs.touchedPersons(obs, person, wm,
           readFlat("flat_lab_obs"))))
@@ -203,7 +218,8 @@ class Pipeline(spark: SparkSession, root: String) {
           if (visitQueue != null) visitQueue
           else FlatVisitSummary.touchedPersons(
             readFlat("flat_visit_summary").get, readFlat("flat_obs").get,
-            obs, encounter, wm)))
+            obs, encounter, wm)),
+      tableFallback = false)
     if (visitQueue != null) visitQueue.unpersist()
     writeSnapshot(
       FlatLatestHivSummary.build(readFlat("flat_visit_summary").get),

@@ -34,6 +34,19 @@ object ObsMap {
     * set per obs row; render it as a string, dates via `date()` i.e.
     * date-only (flat_obs_v1.0.sql:127).
     */
+  /** MySQL renders DOUBLE in plain decimal notation without trailing
+    * zeros (24.0 → "24", 120.50 → "120.5", 1e7 → "10000000"). A direct
+    * double→string cast diverges at ±1e7 (Spark switches to scientific
+    * notation where MySQL and DuckDB print plain digits; clinically real
+    * for viral loads). Render through DECIMAL(30,10): plain notation
+    * always, a dot always present (so the trailing-zero strip can never
+    * eat integer zeros), deterministic across engines.
+    */
+  private def mysqlNum(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c.cast("decimal(30,10)").cast("string"), "0+$", ""),
+      "\\.$", "")
+
   def renderTypedValue(
       valueCoded: Column,
       valueNumeric: Column,
@@ -43,7 +56,7 @@ object ObsMap {
       valueDrug: Column,
       valueModifier: Column): Column =
     when(valueCoded.isNotNull, valueCoded.cast(StringType))
-      .when(valueNumeric.isNotNull, valueNumeric.cast(StringType))
+      .when(valueNumeric.isNotNull, mysqlNum(valueNumeric))
       .when(valueDatetime.isNotNull, to_date(valueDatetime).cast(StringType))
       .when(valueBoolean.isNotNull, valueBoolean.cast(IntegerType).cast(StringType))
       .when(valueText.isNotNull, valueText)

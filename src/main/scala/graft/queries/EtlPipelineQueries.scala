@@ -214,12 +214,12 @@ object EtlPipelineQueries {
         |    max(e.etype) AS encounter_type,
         |    1 AS location_id,
         |    string_agg('!!' || concept_id || '=' ||
-        |               regexp_replace(CAST(value_numeric AS VARCHAR), '\.0$', '') || '!!',
+        |               regexp_replace(regexp_replace(CAST(CAST(value_numeric AS DECIMAL(30,10)) AS VARCHAR), '0+$', ''), '\.$', '') || '!!',
         |               ' ## ' ORDER BY concept_id,
-        |                        regexp_replace(CAST(value_numeric AS VARCHAR), '\.0$', '')) AS obs,
+        |                        regexp_replace(regexp_replace(CAST(CAST(value_numeric AS DECIMAL(30,10)) AS VARCHAR), '0+$', ''), '\.$', '')) AS obs,
         |    string_agg('!!' || concept_id || '=' || CAST(CAST(obs_datetime AS DATE) AS VARCHAR) || '!!',
         |               ' ## ' ORDER BY concept_id,
-        |                        regexp_replace(CAST(value_numeric AS VARCHAR), '\.0$', ''),
+        |                        regexp_replace(regexp_replace(CAST(CAST(value_numeric AS DECIMAL(30,10)) AS VARCHAR), '0+$', ''), '\.$', ''),
         |                        '!!' || concept_id || '=' || CAST(CAST(obs_datetime AS DATE) AS VARCHAR) || '!!') AS obs_datetimes,
         |    max(o.date_created) AS max_date_created
         |  FROM obs o JOIN enc e USING (encounter_id)
@@ -342,7 +342,7 @@ object EtlPipelineQueries {
         |         CAST(l_orderkey AS INT) src_encounter_id,
         |         concept_id, value_coded,
         |         CASE WHEN concept_id = 1271 THEN CAST(value_coded AS VARCHAR)
-        |              ELSE regexp_replace(CAST(l_quantity AS VARCHAR), '\.0$', '') END rendered,
+        |              ELSE regexp_replace(regexp_replace(CAST(CAST(l_quantity AS DECIMAL(30,10)) AS VARCHAR), '0+$', ''), '\.$', '') END rendered,
         |         CAST(l_shipdate AS DATE) test_date,
         |         l_shipdate date_created
         |  FROM (

@@ -148,6 +148,69 @@ class IncrementalEquivalenceSpec extends SparkSuite {
     assert(vs2inc.filter(col("person_id") === 2).count() == 1)
   }
 
+  test("flat_obs incremental: encounter-level voids retract, unvoids materialize") {
+    // The reference's changed-encounter set keeps only unvoided encounters
+    // already flat, so an encounter voided after the watermark left a
+    // stale flat row and an unvoided one was never materialized. Fixed
+    // mode: both flow through date_changed > wm.
+    import org.apache.spark.sql.Row
+    val d1 = ts("2015-01-01 10:00:00")
+    val dc = ts("2015-02-10 10:00:00") // the void/unvoid lands between cuts
+    val t1 = ts("2015-02-01 00:00:00")
+    val t2 = ts("2015-06-01 00:00:00")
+    def df(rows: Seq[Row], schema: org.apache.spark.sql.types.StructType) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+
+    val person = df(Seq(Row(1, "u-1", 0), Row(2, "u-2", 0)), Schemas.person)
+    // at t1: encounter 100 live, encounter 200 voided; at t2 they swap
+    // (date_changed = dc marks both flips)
+    val enc1 = df(Seq(
+      Row(100, 1, 10, d1, 21, 1, d1, null, 0),
+      Row(200, 2, 20, d1, 21, 1, d1, null, 1)), Schemas.encounter)
+    val enc2 = df(Seq(
+      Row(100, 1, 10, d1, 21, 1, d1, dc, 1),
+      Row(200, 2, 20, d1, 21, 1, d1, dc, 0)), Schemas.encounter)
+    val obs = df(Seq(
+      Row(1, 1, 100, 6743, d1, null, 70.0, null, null, null, null, null, d1, 0, null),
+      Row(2, 2, 200, 6743, d1, null, 80.0, null, null, null, null, null, d1, 0, null)),
+      Schemas.obs)
+
+    val flat1 = FlatObs.build(obs, enc1, person)
+    assert(sortedRows(flat1.select("encounter_id")).toString.contains("100"))
+    val inc = FlatObs.incremental(flat1, obs, enc2, person, t1)
+    val full = FlatObs.build(obs, enc2, person)
+    assert(sortedRows(inc) == sortedRows(full))
+    assert(inc.filter(col("encounter_id") === 100).count() == 0) // retracted
+    assert(inc.filter(col("encounter_id") === 200).count() == 1) // materialized
+  }
+
+  test("numeric rendering: plain notation at 1e7; null-concept rows excluded from maps") {
+    import org.apache.spark.sql.Row
+    val d1 = ts("2015-01-01 10:00:00")
+    val d2 = ts("2015-01-02 10:00:00")
+    def df(rows: Seq[Row], schema: org.apache.spark.sql.types.StructType) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val person = df(Seq(Row(1, "u-1", 0)), Schemas.person)
+    val enc = df(Seq(Row(100, 1, 10, d1, 21, 1, d1, null, 0)), Schemas.encounter)
+    // viral load of exactly 1e7 (Spark's double->string would print
+    // "1.0E7"), a fractional value, and a NULL-concept row (later
+    // date_created: must count toward max_date_created but produce no
+    // map entry — MySQL CONCAT with a null concept is NULL)
+    val obs = df(Seq(
+      Row(1, 1, 100, 856, d1, null, 1.0e7, null, null, null, null, null, d1, 0, null),
+      Row(2, 1, 100, 6743, d1, null, 72.5, null, null, null, null, null, d1, 0, null),
+      Row(3, 1, 100, null, d1, null, null, null, null, "stray", null, null, d2, 0, null)),
+      Schemas.obs)
+    try {
+      spark.conf.set(FlatObs.TypedConfKey, "true") // typed path must not throw
+      val row = FlatObs.build(obs, enc, person).collect()(0)
+      assert(row.getAs[String]("obs") == "!!856=10000000!! ## !!6743=72.5!!")
+      assert(row.getAs[Timestamp]("max_date_created") == d2)
+      val entries = row.getAs[Map[Int, Seq[String]]]("obs_entries")
+      assert(entries == Map(856 -> Seq("10000000"), 6743 -> Seq("72.5")))
+    } finally spark.conf.unset(FlatObs.TypedConfKey)
+  }
+
   test("pipeline tick twice: idempotent on unchanged sources") {
     val fx = OpenMrsFixture.generate(spark, nPersons = 15, seed = 3L)
     val dir = java.nio.file.Files.createTempDirectory("graft-pipe").toString
