@@ -28,8 +28,13 @@ object Bucketing {
       .sortBy(bucketKey)
       .saveAsTable(tableName)
 
-  /** True when the executed plan of `df` contains no shuffle exchange —
-    * the assertion that bucketing actually removed the shuffle. */
+  /** True when the executed plan of `df` contains no SHUFFLE exchange —
+    * the assertion that bucketing actually removed the shuffle. Broadcast
+    * and reused exchanges are not shuffles and must not fail the check
+    * (an auto-broadcast dim join is shuffle-free). */
   def isShuffleFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange")
+    !df.queryExecution.executedPlan.toString
+      .replace("BroadcastExchange", "")
+      .replace("ReusedExchange", "")
+      .contains("Exchange")
 }

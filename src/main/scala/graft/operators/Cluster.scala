@@ -61,6 +61,9 @@ object Cluster {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
+    // no edges (clean corpus / empty delta): sum() is null — the correct
+    // answer is the empty assignment table, not an NPE in compareTo
+    if (prevSum == null) return labels
 
     var iter = 0
     var converged = false
@@ -76,6 +79,11 @@ object Cluster {
       labels = next
       iter += 1
     }
+    // silently returning partial labels would mark several docs of one
+    // component canonical — duplicates retained with no signal
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "a component's diameter exceeds maxIter; raise it")
     labels
   }
 

@@ -97,8 +97,13 @@ object Curation {
   def chunk(df: DataFrame, text: Column, chunkChars: Int, overlap: Int): DataFrame = {
     require(overlap < chunkChars, "overlap must be smaller than the chunk size")
     val step = chunkChars - overlap
+    // last start caps at length - overlap: a start beyond that yields a
+    // tail shorter than the overlap, i.e. a window wholly contained in
+    // the previous chunk — pure duplicated text in the output.
+    // greatest(..., 1) both keeps short docs to one chunk and guards
+    // sequence(1, 0), which DESCENDS.
     val starts = when(length(text) > 0,
-      sequence(lit(1), length(text), lit(step))) // guard: sequence(1,0) DESCENDS
+      sequence(lit(1), greatest(length(text) - overlap, lit(1)), lit(step)))
       .otherwise(array().cast("array<int>"))
     df.withColumn("chunk_start", explode(starts))
       .withColumn("chunk_idx", ((col("chunk_start") - 1) / step).cast("int"))

@@ -80,7 +80,15 @@ object Dedup {
       .select(least(col("id_n"), col("id_s")).as("id_a"),
         greatest(col("id_n"), col("id_s")).as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
-    newVsStored.union(lshCandidatePairs(newBands)).distinct()
+    // new-vs-new inlined (not via lshCandidatePairs) so the union is
+    // deduped ONCE — composing would shuffle the new pairs through a
+    // second distinct
+    val newVsNew = n.join(
+        newBands.select(col("band"), col("bkey"), col("id").as("id_b")),
+        Seq("band", "bkey"))
+      .filter(col("id_n") < col("id_b"))
+      .select(col("id_n").as("id_a"), col("id_b"))
+    newVsStored.union(newVsNew).distinct()
   }
 
   /** Exact Jaccard similarity over shingle sets for given candidate pairs —

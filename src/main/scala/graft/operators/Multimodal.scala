@@ -83,7 +83,9 @@ object Multimodal {
 
   private def jpegDims(p: Array[Byte]): Option[(Int, Int)] = {
     var i = 2 // past SOI
-    while (i + 9 < p.length) {
+    // the SOF read touches indices i..i+8, so i+9 <= length suffices — a
+    // strict < would reject a header ending exactly at the width bytes
+    while (i + 9 <= p.length) {
       if ((p(i) & 0xff) != 0xff) return None
       val marker = p(i + 1) & 0xff
       if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) i += 2 // standalone

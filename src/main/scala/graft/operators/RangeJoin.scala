@@ -36,11 +36,18 @@ object RangeJoin {
       hi: String,
       bucketWidth: Long): DataFrame = {
     val p = points.withColumn("__b", floor(col(x) / bucketWidth).cast("long"))
+    // last covered bucket: floor(hi / w), NOT floor((hi - 1) / w) — the
+    // minus-one form is only valid on integer axes; a fractional hi
+    // (e.g. 10.5) still covers points in bucket floor(10.5/w), which the
+    // tighter bound would skip. When hi sits exactly on a bucket
+    // boundary this explodes one extra candidate bucket whose points all
+    // fail the residual x < hi — a few spurious candidates, never a
+    // missed match.
     val i = intervals
       .filter(col(hi) > col(lo)) // sequence() would DESCEND on an empty interval
       .withColumn("__b", explode(sequence(
         floor(col(lo) / bucketWidth).cast("long"),
-        floor((col(hi) - 1) / bucketWidth).cast("long"))))
+        floor(col(hi) / bucketWidth).cast("long"))))
     p.join(i, Seq("__b"))
       .filter(col(x) >= col(lo) && col(x) < col(hi))
       .drop("__b")

@@ -85,26 +85,24 @@ object TextAnalysis {
   }
 
   /** Marker-word language ID: score each candidate language by counting its
-    * marker words; highest score wins, ties broken by language code order,
-    * zero hits → "und". A real n-gram LM is out of scope (no model files in
-    * a zero-egress build); the operator shape — per-language score then
-    * argmax — is the production one.
+    * marker words; highest score wins, ties broken by language code order
+    * (lexicographically LAST code), zero hits → "und". A real n-gram LM is
+    * out of scope (no model files in a zero-egress build); the operator
+    * shape — per-language score then argmax — is the production one, and
+    * [[TextScoring.FunctionLangId]] is the model adapter.
+    *
+    * Limitation (by construction): [[normalize]] strips every non-ASCII
+    * character before matching, so markers containing accented or
+    * non-Latin characters can never match — usable marker sets are
+    * ASCII-only, which biases toward ASCII-written languages. A model
+    * scorer through the TextScoring contract is the fix, not a bigger
+    * marker table.
+    *
+    * One implementation: this delegates to [[TextScoring.MarkerLangId]]
+    * (which also exposes the score).
     */
-  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
-    // bind the words array once (see shingles) — per-language filters would
-    // otherwise each re-run the normalize regexes
-    val best = try_element_at(
-      transform(array(words(normalize(text))), w => {
-        val scored = markers.map { case (langCode, ms) =>
-          struct(size(filter(w, x => x.isInCollection(ms))).as("score"),
-            lit(langCode).as("lang"))
-        }
-        // max by (score, lang): documented tie-break = lexicographically LAST code
-        array_max(array(scored: _*))
-      }),
-      lit(1))
-    when(best.getField("score") === 0, "und").otherwise(best.getField("lang"))
-  }
+  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column =
+    new TextScoring.MarkerLangId(markers)(text).getField("lang")
 
   /** Bag-of-words document fingerprint: md5 over the sorted distinct word
     * set — stable under word order permutations and duplication, the cheap

@@ -32,7 +32,8 @@ object Watermark {
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logSchema)
 
   def readLog(spark: SparkSession, path: String): DataFrame =
-    if (exists(path)) spark.read.schema(logSchema).parquet(path) else emptyLog(spark)
+    if (exists(spark, path)) spark.read.schema(logSchema).parquet(path)
+    else emptyLog(spark)
 
   /** Resolve the high-water mark for `tableVersion`. `fallback` is the
     * already-loaded flat table's max(date_created) source, if any.
@@ -68,9 +69,13 @@ object Watermark {
       .write.mode("append").parquet(path)
   }
 
-  private def exists(path: String): Boolean = {
+  // the SESSION's hadoop configuration — a fresh Configuration() would
+  // miss spark.hadoop.* settings (s3a credentials, fs.defaultFS), making
+  // the log look absent and silently degrading every run to a full
+  // rebuild from the Epoch watermark
+  private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p)
   }
 }

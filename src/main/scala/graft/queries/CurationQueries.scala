@@ -85,7 +85,8 @@ object CurationQueries {
         |  CAST((i - 1) // 160 AS INT) AS chunk_idx,
         |  substr(text, i, 200) AS chunk_text,
         |  CAST(length(substr(text, i, 200)) AS INT) AS chunk_len
-        |FROM (SELECT doc_id, text, unnest(generate_series(1, length(text), 160)) AS i
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(1, greatest(length(text) - 40, 1), 160)) AS i
         |      FROM documents WHERE length(text) > 0)""".stripMargin) {
       (s, dir) =>
         Curation.chunk(load(s, dir, "documents"), col("text"), chunkChars = 200, overlap = 40)
