@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.SparkSuite
+
+/** Plan-shape regression gate: the scale properties ExplainAudit prints are
+  * asserted here for EVERY catalog query, so a refactor that silently
+  * degrades a plan (a new cartesian product, a lost filter pushdown, a
+  * full-width scan under a narrow projection) fails the suite instead of
+  * surfacing as a 100 TB incident.
+  *
+  * The physical plan is built (`executedPlan`) but not executed; fixture
+  * scale is irrelevant to plan shape except where AQE would re-plan at
+  * runtime — these assertions are on the static plan, which is the
+  * conservative side (AQE only ever removes exchanges / converts to
+  * broadcast, never introduces a nested loop).
+  */
+class PlanShapeSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** The only queries allowed to plan an all-pairs join, each for a stated
+    * reason; this list is exact — every other catalog query (including the
+    * minhash family, whose DuckDB oracles spell CROSS JOIN against a
+    * literal seed list) plans pure equi-joins.
+    */
+  private val allPairsAllowed: Map[String, String] = Map(
+    // labeled exact brute-force ANN baseline (SCALE.md); q41/q46 are its
+    // bucketed scale-path twins and are NOT exempt from the equi-join rule
+    "q40_ann_cosine_topk" -> "labeled brute-force baseline",
+    // probe x broadcast centroid list: the nested loop's build side is the
+    // k-row centroid table, bounded by construction
+    "q46_ann_ivf" -> "broadcast of bounded centroid list",
+    // per-source rates x broadcast 1-row global token total
+    "q67_mixture_rates" -> "broadcast of a single-row global aggregate")
+
+  private def planOf(name: String): String = {
+    val q = graft.SparkEntry.catalog.find(_.name == name).get
+    q.run(spark, dir).queryExecution.executedPlan.toString
+  }
+
+  test("no catalog query plans an unlabeled cartesian / nested-loop join") {
+    val offenders = graft.SparkEntry.catalog.flatMap { q =>
+      val plan = q.run(spark, dir).queryExecution.executedPlan.toString
+      val allPairs = plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin")
+      if (allPairs && !allPairsAllowed.contains(q.name)) Some(q.name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unlabeled all-pairs join planned by: ${offenders.mkString(", ")}")
+  }
+
+  test("filter pushdown and column pruning reach the parquet scan") {
+    val plan = planOf("q01_scan_project_filter")
+    // the filter arrives at the scan as a data filter, not post-scan only
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters in:\n$plan")
+    assert(!plan.contains("PushedFilters: []"),
+      "scan has an empty pushed-filter list — pushdown regressed")
+    // the narrow projection must prune the 16-column lineitem schema; only
+    // the ReadSchema struct itself is inspected (the scan line also lists
+    // DataFilters/PushedFilters, whose commas are not columns)
+    val read = plan.linesIterator.find(_.contains("ReadSchema"))
+      .flatMap(l => "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(l))
+      .map(_.group(1)).getOrElse("")
+    assert(read.nonEmpty && read.count(_ == ',') < 6,
+      s"scan reads unpruned schema: <$read>")
+  }
+
+  test("dimension joins broadcast the small side") {
+    val plan = planOf("q09_join_broadcast_dims")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+
+  test("the LSH verify path joins on band/pair keys only (equi-joins)") {
+    val plan = planOf("q57_dedup_lsh_verified")
+    assert(!plan.contains("CartesianProduct"),
+      "LSH candidate generation degraded to a cartesian product")
+  }
+}
