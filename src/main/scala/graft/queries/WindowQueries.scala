@@ -146,6 +146,88 @@ object WindowQueries {
           .select(col("event_id"), col("user_id"), col("value").as("last_purchase"))
     },
 
+    // As-of, forward direction with a tolerance bound: the NEXT purchase
+    // within one hour after each click (pandas merge_asof
+    // direction='forward', tolerance=1h). Same union+running-last plan,
+    // scanned descending; the matched right row's timestamp travels in
+    // the struct so the tolerance gate nulls far matches without a join.
+    // The oracle mirrors the struct trick (struct_pack) so a purchase
+    // with a NULL value would still match consistently.
+    OpQuery.sql(
+      "q75_asof_forward",
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, 1 AS side,
+        |         CAST(NULL AS BIGINT) AS seq,
+        |         CAST(NULL AS STRUCT(v DOUBLE, t BIGINT)) AS p, event_id
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), 0, event_id,
+        |         struct_pack(v := value, t := epoch_us(ts)), NULL
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT event_id, user_id,
+        |  CASE WHEN m.t - tsu <= 3600000000 THEN m.v END AS next_purchase
+        |FROM (
+        |  SELECT event_id, user_id, side, tsu,
+        |    last_value(p IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY tsu DESC, side ASC, seq DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        |  FROM u)
+        |WHERE side = 1""".stripMargin) {
+      (s, dir) =>
+        val ev = load(s, dir, "events")
+        graft.operators.AsOfJoin.asof(
+            left = ev.filter(col("event_type") === "click")
+              .select("event_id", "user_id", "ts"),
+            right = ev.filter(col("event_type") === "purchase")
+              .select(col("user_id"), col("ts"), col("value"), col("event_id")),
+            key = "user_id", ts = "ts", payload = "value", seq = "event_id",
+            direction = "forward", tolerance = Some(3600000000L))
+          .select(col("event_id"), col("user_id"), col("value").as("next_purchase"))
+    },
+
+    // As-of, nearest direction: the purchase closest in time to each
+    // click, either side, exact-distance ties resolving backward. Two
+    // windows over ONE shuffle (opposite in-partition sort orders), zero
+    // joins. The oracle evaluates both scans and replays the same
+    // null/tie cascade.
+    OpQuery.sql(
+      "q76_asof_nearest",
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, 1 AS side,
+        |         CAST(NULL AS BIGINT) AS seq,
+        |         CAST(NULL AS STRUCT(v DOUBLE, t BIGINT)) AS p, event_id
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), 0, event_id,
+        |         struct_pack(v := value, t := epoch_us(ts)), NULL
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT event_id, user_id,
+        |  CASE WHEN b IS NULL THEN f.v
+        |       WHEN f IS NULL THEN b.v
+        |       WHEN tsu - b.t <= f.t - tsu THEN b.v
+        |       ELSE f.v END AS nearest_purchase
+        |FROM (
+        |  SELECT event_id, user_id, side, tsu,
+        |    last_value(p IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY tsu ASC, side ASC, seq ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b,
+        |    last_value(p IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY tsu DESC, side ASC, seq DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f
+        |  FROM u)
+        |WHERE side = 1""".stripMargin) {
+      (s, dir) =>
+        val ev = load(s, dir, "events")
+        graft.operators.AsOfJoin.asof(
+            left = ev.filter(col("event_type") === "click")
+              .select("event_id", "user_id", "ts"),
+            right = ev.filter(col("event_type") === "purchase")
+              .select(col("user_id"), col("ts"), col("value"), col("event_id")),
+            key = "user_id", ts = "ts", payload = "value", seq = "event_id",
+            direction = "nearest")
+          .select(col("event_id"), col("user_id"), col("value").as("nearest_purchase"))
+    },
+
     // Range join: every view event inside a 10-minute incident window
     // opened by an error event. Spark would plan the bare range predicate
     // as a nested-loop join; operators/RangeJoin.scala quantizes the time
