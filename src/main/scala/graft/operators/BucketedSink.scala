@@ -29,6 +29,14 @@ import org.apache.spark.sql.functions._
   * previous manifest generation are retained one write for readers whose
   * lazy plans already resolved them; older unreferenced epochs are
   * purged.
+  *
+  * Sizing `nBuckets` is load-bearing, not cosmetic: an incremental
+  * epoch rewrites WHOLE touched buckets, so for a uniformly-hashed
+  * delta of D keys the expected write fraction is 1 - exp(-D/nBuckets)
+  * — pick nBuckets ≈ 10x the steady-state delta key count to bound an
+  * incremental write near 10% of the table (delta keys clustered by
+  * recency do even better). A bucket count far below the delta size
+  * silently degrades every "incremental" write to a near-full rewrite.
   */
 object BucketedSink {
 

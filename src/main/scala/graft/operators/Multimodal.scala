@@ -167,4 +167,107 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRow]
   }
+
+  // ---- frame sampling / resize over a raw video container ----
+  // A real pipeline decodes video with a codec; the container format here
+  // ("RAWV": magic + be16 w/h/frameCount + frameCount dense w*h grayscale
+  // planes) is the deterministic stand-in, but everything downstream of
+  // the byte level — binary columns through explode-shaped mapPartitions,
+  // per-frame rows, nearest-neighbor pixel math, partition-bounded memory
+  // — is exactly the machinery real frame extraction runs on.
+
+  /** One extracted frame: dense `w*h` grayscale bytes, row-major. */
+  final case class FrameRow(media_id: Long, frame_idx: Int, w: Int, h: Int,
+      px: Array[Byte])
+
+  private val RawvMagic = "RAWV".getBytes("US-ASCII")
+
+  /** Deterministic raw-video payload: pixel(f, y, x) =
+    * (mediaId + 31f + 7y + x) mod 256 — reproducible from the id alone,
+    * which is what lets an external oracle replay sampling + resize.
+    */
+  def rawVideo(mediaId: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
+    val out = new Array[Byte](10 + w * h * frames)
+    System.arraycopy(RawvMagic, 0, out, 0, 4)
+    out(4) = (w >> 8).toByte; out(5) = w.toByte
+    out(6) = (h >> 8).toByte; out(7) = h.toByte
+    out(8) = (frames >> 8).toByte; out(9) = frames.toByte
+    var f = 0
+    var i = 10
+    while (f < frames) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out(i) = ((mediaId + 31L * f + 7L * y + x) % 256).toByte
+          i += 1; x += 1
+        }
+        y += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  /** (w, h, frames) from a RAWV header; None for any other payload. */
+  def rawVideoDims(p: Array[Byte]): Option[(Int, Int, Int)] =
+    if (p.length >= 10 && p.startsWith(RawvMagic))
+      Some((be16(p, 4), be16(p, 6), be16(p, 8)))
+    else None
+
+  /** Every videos-fixture doc (doc_id % 3 == 0) as a small RAWV clip with
+    * id-derived dims: w = 4 + id%5, h = 3 + id%4, frames = 1 + id%7.
+    */
+  def videosFromDocuments(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.filter(col("doc_id") % 3 === 0).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        MediaRow(id, "video",
+          rawVideo(id, 4 + (id % 5).toInt, 3 + (id % 4).toInt, 1 + (id % 7).toInt))
+      })
+  }
+
+  /** Sample every `everyN`-th frame (0, N, 2N, …) of each clip into
+    * per-frame rows. Iterator-composed flatMap: a task holds one payload
+    * plus one emitted frame at a time, never a clip's full frame list —
+    * the shape that keeps 100 GB of video per partition out of task
+    * memory. Non-RAWV payloads yield no rows (a real pipeline routes
+    * undecodable media to a quarantine sink instead).
+    */
+  def sampleFrames(videos: Dataset[MediaRow], everyN: Int): Dataset[FrameRow] = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    import videos.sparkSession.implicits._
+    videos.mapPartitions(_.flatMap { v =>
+      rawVideoDims(v.payload).iterator.flatMap { case (w, h, frames) =>
+        (0 until frames by everyN).iterator.map { f =>
+          val px = new Array[Byte](w * h)
+          System.arraycopy(v.payload, 10 + f * w * h, px, 0, w * h)
+          FrameRow(v.media_id, f, w, h, px)
+        }
+      }
+    })
+  }
+
+  /** Nearest-neighbor resize to `ow` x `oh`: out(y, x) = in(y*h/oh, x*w/ow)
+    * — the integer-ratio sampling every thumbnailer starts from, and fully
+    * real here (no codec needed on dense grayscale planes).
+    */
+  def resizeNearest(frames: Dataset[FrameRow], ow: Int, oh: Int): Dataset[FrameRow] = {
+    require(ow >= 1 && oh >= 1, s"target dims must be >= 1, got ${ow}x$oh")
+    import frames.sparkSession.implicits._
+    frames.mapPartitions(_.map { fr =>
+      val out = new Array[Byte](ow * oh)
+      var y = 0
+      while (y < oh) {
+        val iy = y * fr.h / oh
+        var x = 0
+        while (x < ow) {
+          out(y * ow + x) = fr.px(iy * fr.w + x * fr.w / ow)
+          x += 1
+        }
+        y += 1
+      }
+      FrameRow(fr.media_id, fr.frame_idx, ow, oh, out)
+    })
+  }
 }

@@ -689,6 +689,44 @@ object LlmQueries {
         Multimodal.extractFeatures(media, Multimodal.HeaderDecoder)
           .select(col("media_id").as("doc_id"), col("format"),
             col("width"), col("height"), col("n_bytes"))
+    },
+
+    // Video frame-sample + thumbnail resize over the RAWV stand-in
+    // container: every third doc is a clip with id-derived dims; sample
+    // every 2nd frame, nearest-neighbor-resize to 3x2, checksum the
+    // output pixels. The pixel function is pure id arithmetic, so the
+    // oracle replays sampling + the resize index map + the checksum in
+    // SQL — a full value check on real byte-level plumbing (the decode
+    // itself is the documented deterministic fake; see Multimodal).
+    OpQuery.sql(
+      "q77_frame_sample_resize",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(4 + doc_id % 5 AS BIGINT) AS w,
+        |    CAST(3 + doc_id % 4 AS BIGINT) AS h,
+        |    CAST(1 + doc_id % 7 AS INT) AS frames
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |f AS (SELECT id, w, h, unnest(generate_series(0, frames - 1, 2)) AS fi FROM v),
+        |y AS (SELECT *, unnest(generate_series(0, 1)) AS oy FROM f),
+        |x AS (SELECT *, unnest(generate_series(0, 2)) AS ox FROM y),
+        |px AS (SELECT id, fi,
+        |    (id + fi * 31 + ((oy * h) // 2) * 7 + ((ox * w) // 3)) % 256 AS b
+        |  FROM x)
+        |SELECT id AS media_id,
+        |  count(DISTINCT fi) AS n_frames_sampled,
+        |  CAST(sum(b) AS BIGINT) AS px_checksum
+        |FROM px GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val videos = Multimodal.videosFromDocuments(s, load(s, dir, "documents"))
+        val thumbs = Multimodal.resizeNearest(
+          Multimodal.sampleFrames(videos, everyN = 2), ow = 3, oh = 2)
+        thumbs
+          .map(fr => (fr.media_id, fr.frame_idx,
+            fr.px.foldLeft(0L)((acc, b) => acc + (b & 0xff))))
+          .toDF("media_id", "frame_idx", "fsum")
+          .groupBy("media_id")
+          .agg(count(lit(1)).as("n_frames_sampled"),
+            sum(col("fsum")).as("px_checksum"))
     }
   )
 }

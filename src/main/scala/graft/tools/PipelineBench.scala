@@ -40,12 +40,25 @@ object PipelineBench {
   def run(spark: SparkSession): Seq[(String, Double)] = {
     val nPersons = sys.env.getOrElse("SPARK_GRAFT_TICK_PERSONS", "2000").toInt
     val salt = sys.env.getOrElse("SPARK_GRAFT_TICK_SALT", "0")
+    // Bucket-count sizing is what makes the O(delta) write claim true:
+    // an incremental epoch rewrites WHOLE touched buckets, so expected
+    // write fraction ≈ 1 - exp(-deltaKeys/buckets) — buckets must exceed
+    // the steady-state delta key count by ~10x for a ~10% bound. The old
+    // fixed-256 setting silently broke that rule past ~5k persons (2%
+    // delta = 400 keys touched 80% of 256 buckets) and benched a
+    // near-full rewrite; a fixed 4096 obeys it but drowns the toy-scale
+    // wall time in per-file costs (4096 near-empty parquet files per
+    // stage — measured 23s -> 89s full build at 2000 persons). The
+    // default applies the rule to THIS fixture's 2% delta:
+    // buckets = persons/5 = 10x the expected delta keys.
+    val buckets = sys.env.getOrElse("SPARK_GRAFT_TICK_BUCKETS",
+      math.max(64, nPersons / 5).toString)
     val root = java.nio.file.Files.createTempDirectory("graft-tickbench")
     val prevConf = Seq("graft.etl.typedObs", "graft.sink.buckets",
       graft.etl.FlatObs.SaltConfKey).map(k => k -> spark.conf.getOption(k))
     try {
       spark.conf.set("graft.etl.typedObs", "true")
-      spark.conf.set("graft.sink.buckets", "256")
+      spark.conf.set("graft.sink.buckets", buckets)
       if (salt != "0") spark.conf.set(graft.etl.FlatObs.SaltConfKey, salt)
 
       val src = BenchFixtures.sources(spark, nPersons)

@@ -122,6 +122,34 @@ class OperatorsSpec extends SparkSuite {
     assert(Multimodal.imageDims(Array[Byte](0x42, 0x4d)).isEmpty) // BMP: not handled
   }
 
+  test("Multimodal frame sampling + nearest-neighbor resize, byte-exact") {
+    import spark.implicits._
+    // clip 7: 4x3, 5 frames; sampling every 2nd keeps frames 0, 2, 4
+    val videos = Seq(
+      Multimodal.MediaRow(7L, "video", Multimodal.rawVideo(7L, 4, 3, 5)),
+      Multimodal.MediaRow(8L, "video", "not a video".getBytes)).toDS().repartition(2)
+    val frames = Multimodal.sampleFrames(videos, everyN = 2)
+      .collect().sortBy(f => (f.media_id, f.frame_idx))
+    assert(frames.map(f => (f.media_id, f.frame_idx, f.w, f.h)).toSeq ==
+      Seq((7L, 0, 4, 3), (7L, 2, 4, 3), (7L, 4, 4, 3))) // non-RAWV: no rows
+    // raw frame bytes match the generator formula
+    assert(frames(1).px.toSeq == (for (y <- 0 until 3; x <- 0 until 4)
+      yield ((7L + 31 * 2 + 7 * y + x) % 256).toByte))
+
+    // resize 4x3 -> 2x2: out(y,x) = in(y*3/2, x*4/2) = in({0,1}, {0,2})
+    val small = Multimodal.resizeNearest(
+        Multimodal.sampleFrames(videos, everyN = 2), ow = 2, oh = 2)
+      .collect().sortBy(f => (f.media_id, f.frame_idx)).head
+    assert((small.w, small.h) == (2, 2))
+    assert(small.px.toSeq == (for (y <- Seq(0, 1); x <- Seq(0, 2))
+      yield ((7L + 7 * y + x) % 256).toByte))
+
+    // wrap-around: pixel values pass 256 without sign surprises
+    val big = Multimodal.rawVideo(250L, 3, 2, 1)
+    assert(Multimodal.rawVideoDims(big).contains((3, 2, 1)))
+    assert(big.drop(10).map(_ & 0xff).toSeq == Seq(250, 251, 252, 1, 2, 3))
+  }
+
   test("IVF refine: one Lloyd iteration computes exact per-cell means") {
     import spark.implicits._
     val vecs = Seq(
