@@ -88,6 +88,32 @@ object Curation {
     df.filter(samplingBucket(id, 1000000, salt) < (rate * 1000000).cast("int"))
   }
 
+  /** Deterministic FIXED-SIZE per-group sample: the k rows with the
+    * smallest md5(salt + id) per group — a seeded shuffle ranking, so
+    * "25 eval docs per source" is stable across runs, partitionings, and
+    * engines (rate-based [[stratifiedSample]] can't pin exact counts; a
+    * seeded `df.sample` pins neither count nor membership). Groups
+    * smaller than k pass through whole.
+    *
+    * One shuffle on the group key; the rank<=k filter compiles to
+    * Spark's WindowGroupLimit, which keeps a bounded k-row heap per
+    * group on the map side instead of fully sorting each group — the
+    * same property that makes distributed TakeOrdered scale.
+    */
+  def fixedSizeSample(
+      df: DataFrame,
+      group: Column,
+      id: Column,
+      k: Int,
+      salt: String = "fss"): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(group)
+      .orderBy(md5(concat(lit(salt), id.cast("string"))), id)
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+
   /** Document chunking: split text into fixed-size overlapping windows
     * with character offsets — the text-splitting primitive under RAG
     * indexing and long-document pretraining. Pure per-row explode (no

@@ -77,6 +77,26 @@ object CurationQueries {
           .select("doc_id", "lang")
     },
 
+    // Deterministic fixed-size per-group sample: exactly 25 docs per
+    // source (fewer if a source is smaller), membership pinned by a
+    // seeded md5 ranking — the "stable eval slice per source" primitive
+    // rate-based sampling can't provide. The rank<=k filter plans as
+    // WindowGroupLimit (bounded per-group heap, no full group sort).
+    OpQuery.sql(
+      "q78_fixed_size_sample",
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY md5('fss' || CAST(doc_id AS VARCHAR)), doc_id) AS r
+        |  FROM documents)
+        |WHERE r <= 25""".stripMargin) {
+      (s, dir) =>
+        Curation.fixedSizeSample(
+            load(s, dir, "documents"),
+            col("source"), col("doc_id"), k = 25)
+          .select("doc_id", "source")
+    },
+
     // Document chunking: 200-char windows with 40-char overlap, plus
     // offsets — per-row explode, shuffle-free.
     OpQuery.sql(

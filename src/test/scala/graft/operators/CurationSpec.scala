@@ -42,6 +42,29 @@ class CurationSpec extends SparkSuite {
       again.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("fixedSizeSample: exact per-group counts, stable membership, grouped limit plan") {
+    import spark.implicits._
+    // group a: 40 rows, b: 7 (< k, passes whole), c: 12
+    val rows = (1 to 40).map(i => (i.toLong, "a")) ++
+      (41 to 47).map(i => (i.toLong, "b")) ++ (48 to 59).map(i => (i.toLong, "c"))
+    val df = rows.toDF("id", "g")
+    val got = Curation.fixedSizeSample(df, col("g"), col("id"), k = 10)
+      .as[(Long, String)].collect().toSet
+    val counts = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(counts == Map("a" -> 10, "b" -> 7, "c" -> 10))
+
+    // membership is a pure function of (salt, id): repartitioning must
+    // not move the sample
+    val reGot = Curation.fixedSizeSample(df.repartition(7, col("id")),
+      col("g"), col("id"), k = 10).as[(Long, String)].collect().toSet
+    assert(reGot == got)
+
+    // rank<=k plans as a grouped limit, not a full per-group sort pass
+    val plan = Curation.fixedSizeSample(df, col("g"), col("id"), k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
   test("mixtureRates derives rate = share * total / source_tokens") {
     import spark.implicits._
     // src_a: 100 tokens, src_b: 300 tokens -> total 400
