@@ -168,6 +168,87 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  // ---- audio: real WAV (RIFF) header parsing ----
+  // Same class of realness as the image headers: the container format is
+  // a published spec, the parse is pure JVM, and what a real pipeline
+  // derives from it (sample rate, channels, bit depth, duration) falls
+  // out of the fmt/data chunks without any codec.
+
+  /** Audio metadata from a WAV header. `n_samples` = per-channel sample
+    * frames; duration_ms = n_samples * 1000 / sample_rate. */
+  final case class WavMeta(sample_rate: Int, channels: Int, bits: Int,
+      n_samples: Long)
+
+  private def le32(p: Array[Byte], i: Int): Long =
+    (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+      ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+
+  /** Parse a RIFF/WAVE header: walk chunks to `fmt ` (PCM layout) and
+    * `data` (payload size). None for non-WAV or truncated payloads. */
+  def wavMeta(p: Array[Byte]): Option[WavMeta] = {
+    if (p.length < 44 ||
+      !(p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F') ||
+      !(p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')) return None
+    var i = 12
+    var rate = 0; var ch = 0; var bits = 0; var dataLen = -1L
+    while (i + 8 <= p.length && (rate == 0 || dataLen < 0)) {
+      val id = new String(p, i, 4, "US-ASCII")
+      val len = le32(p, i + 4)
+      id match {
+        case "fmt " if i + 24 <= p.length =>
+          ch = le16(p, i + 10)
+          rate = le32(p, i + 12).toInt
+          bits = le16(p, i + 22)
+        case "data" => dataLen = len
+        case _ => ()
+      }
+      // chunks are word-aligned: odd sizes carry a pad byte; a malformed
+      // declared length (negative after truncation, or non-advancing)
+      // ends the walk instead of looping or indexing out of range
+      val next = i.toLong + 8L + len + (len & 1L)
+      i = if (next <= i || next > Int.MaxValue) p.length else next.toInt
+    }
+    if (rate <= 0 || ch <= 0 || bits <= 0 || dataLen < 0) None
+    else Some(WavMeta(rate, ch, bits, dataLen / (ch.toLong * (bits / 8))))
+  }
+
+  /** Minimal valid PCM WAV header + silent payload for `nSamples`
+    * per-channel frames (fixture / oracle parity, like [[pngHeader]]). */
+  def wavBytes(rate: Int, channels: Int, bits: Int, nSamples: Int): Array[Byte] = {
+    val dataLen = nSamples * channels * (bits / 8)
+    val out = new Array[Byte](44 + dataLen)
+    def put(i: Int, s: String): Unit = s.getBytes("US-ASCII").copyToArray(out, i)
+    def putLe32(i: Int, v: Long): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+    }
+    def putLe16(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+    }
+    put(0, "RIFF"); putLe32(4, 36L + dataLen); put(8, "WAVE")
+    put(12, "fmt "); putLe32(16, 16); putLe16(20, 1) // PCM
+    putLe16(22, channels); putLe32(24, rate)
+    putLe32(28, rate.toLong * channels * (bits / 8)) // byte rate
+    putLe16(32, channels * (bits / 8)); putLe16(34, bits)
+    put(36, "data"); putLe32(40, dataLen)
+    out
+  }
+
+  /** Per-partition audio metadata extraction — the audio twin of
+    * [[extractFeatures]]; undecodable payloads keep zeros rather than
+    * dropping (metadata queries want the row; filters come after). */
+  def extractAudioMeta(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val m = wavMeta(r.payload)
+      (r.media_id, r.payload.length,
+        m.map(_.sample_rate).getOrElse(0), m.map(_.channels).getOrElse(0),
+        m.map(_.bits).getOrElse(0), m.map(_.n_samples).getOrElse(0L),
+        m.map(x => x.n_samples * 1000L / x.sample_rate).getOrElse(0L))
+    }).toDF("media_id", "n_bytes", "sample_rate", "channels", "bits",
+      "n_samples", "duration_ms")
+  }
+
   // ---- frame sampling / resize over a raw video container ----
   // A real pipeline decodes video with a codec; the container format here
   // ("RAWV": magic + be16 w/h/frameCount + frameCount dense w*h grayscale

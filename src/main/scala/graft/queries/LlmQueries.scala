@@ -727,6 +727,38 @@ object LlmQueries {
           .groupBy("media_id")
           .agg(count(lit(1)).as("n_frames_sampled"),
             sum(col("fsum")).as("px_checksum"))
+    },
+
+    // Audio metadata: REAL RIFF/WAVE chunk-walk parsing (fmt + data) over
+    // id-derived PCM fixtures — sample rate, channels, bit depth, frame
+    // count, duration, all recomputed independently by the oracle from
+    // the id arithmetic (44-byte header + n*ch*(bits/8) payload;
+    // duration_ms = n * 1000 // rate).
+    OpQuery.sql(
+      "q79_audio_decode",
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(44 + (500 + doc_id % 1000) * (1 + doc_id % 2)
+        |       * (CASE WHEN doc_id % 4 < 2 THEN 1 ELSE 2 END) AS INTEGER) AS n_bytes,
+        |  CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |  CAST(CASE WHEN doc_id % 4 < 2 THEN 8 ELSE 16 END AS INTEGER) AS bits,
+        |  CAST(500 + doc_id % 1000 AS BIGINT) AS n_samples,
+        |  CAST((500 + doc_id % 1000) * 1000 // (8000 * (1 + doc_id % 3)) AS BIGINT)
+        |    AS duration_ms
+        |FROM documents WHERE doc_id % 3 = 1""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val audio = load(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            Multimodal.MediaRow(id, "audio", Multimodal.wavBytes(
+              rate = 8000 * (1 + (id % 3).toInt),
+              channels = 1 + (id % 2).toInt,
+              bits = if (id % 4 < 2) 8 else 16,
+              nSamples = 500 + (id % 1000).toInt))
+          })
+        Multimodal.extractAudioMeta(audio)
     }
   )
 }

@@ -150,6 +150,29 @@ class OperatorsSpec extends SparkSuite {
     assert(big.drop(10).map(_ & 0xff).toSeq == Seq(250, 251, 252, 1, 2, 3))
   }
 
+  test("Multimodal WAV parse: real RIFF chunk walk, incl. hostile headers") {
+    // round-trip through the builder
+    val w = Multimodal.wavBytes(rate = 16000, channels = 2, bits = 16, nSamples = 8000)
+    assert(Multimodal.wavMeta(w).contains(
+      Multimodal.WavMeta(16000, 2, 16, 8000L)))
+    assert(w.length == 44 + 8000 * 2 * 2)
+
+    // fmt not first: an unknown odd-sized chunk (pad byte honored) before it
+    val junk = "LIST".getBytes ++ Array[Byte](3, 0, 0, 0, 1, 2, 3, 0)
+    val shuffled = w.take(12) ++ junk ++ w.drop(12)
+    assert(Multimodal.wavMeta(shuffled).contains(
+      Multimodal.WavMeta(16000, 2, 16, 8000L)))
+
+    // hostile: declared chunk length larger than the payload must not
+    // throw or loop — parse just fails
+    val evil = w.clone()
+    evil(16) = 0xff.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0x7f.toByte
+    assert(Multimodal.wavMeta(evil).isEmpty)
+    assert(Multimodal.wavMeta("RIFFxxxxWAVE".getBytes).isEmpty) // no chunks
+    assert(Multimodal.wavMeta(Multimodal.pngHeader(4, 4)).isEmpty)
+  }
+
   test("IVF refine: one Lloyd iteration computes exact per-cell means") {
     import spark.implicits._
     val vecs = Seq(
