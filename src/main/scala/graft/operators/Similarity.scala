@@ -171,4 +171,119 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("qid", "vec_id", "sim", "rank")
   }
+
+  // ---- Product quantization: the memory-compressed ANN scale path ----
+  // IVF bounds which vectors a query scans; PQ bounds the BYTES each
+  // scanned vector costs: vectors are split into m contiguous subvectors,
+  // each subspace trains its own small codebook (the same deterministic
+  // seed + Lloyd machinery as IVF, applied per subspace), and a vector is
+  // stored as m small cell ids — at 100 TB that is m bytes instead of
+  // 4*dim, the difference between an index that fits executor memory and
+  // one that doesn't. Search is asymmetric-distance (ADC): the query
+  // stays full-precision, each subspace contributes a looked-up partial
+  // dot against the code's centroid, and the approximate cosine is the
+  // fixed-order sum of the m partials against the reconstruction norm.
+  // Everything is deterministic (seeds = k lowest ids, decimal-sum Lloyd
+  // means, fixed-order partial folds), so an external engine can replay
+  // training, encoding, and ranking bit-for-bit — the property the q80
+  // oracle checks.
+
+  /** (vec_id, sub, svec): contiguous `dim/m`-wide subvectors, one row per
+    * (vector, subspace). */
+  def pqSubvectors(vectors: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sd = dim / m
+    vectors.select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("vec"), s * sd + 1, lit(sd)))))
+      .select(col("vec_id"), col("pos").cast("int").as("sub"), col("col").as("svec"))
+  }
+
+  /** Per-subspace nearest-codeword assignment (max cosine within the
+    * subspace, tie → lowest cell). `codebooks` = (sub, cell, cvec),
+    * tiny (m*k rows) → broadcast. */
+  def pqAssign(subvecs: DataFrame, codebooks: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "sub").orderBy(col("csim").desc, col("cell"))
+    subvecs.join(broadcast(codebooks), Seq("sub"))
+      .withColumn("csim", cosine(col("svec"), col("cvec")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("sub"), col("svec"), col("cell"))
+  }
+
+  /** Train m codebooks of k codewords each: seeds are the k lowest-id
+    * vectors' subvectors (every subspace seeds from the same ids), then
+    * `iters` Lloyd rounds per subspace — the [[ivfRefine]] decimal-sum /
+    * f64-divide formulation at the (sub, cell, pos) grain. Returns
+    * (sub, cell, cvec). */
+  def pqTrain(vectors: DataFrame, m: Int, dim: Int, k: Int, iters: Int): DataFrame = {
+    val subs = pqSubvectors(vectors, m, dim)
+    var books = pqSubvectors(vectors.orderBy("vec_id").limit(k), m, dim)
+      .select(col("sub"), col("vec_id").as("cell"), col("svec").as("cvec"))
+    for (_ <- 1 to iters) {
+      books = pqAssign(subs, books)
+        .select(col("sub"), col("cell"), posexplode(col("svec")))
+        .groupBy("sub", "cell", "pos")
+        .agg((sum(col("col").cast("decimal(27,10)")).cast("double") /
+          count(lit(1))).as("v"))
+        .groupBy("sub", "cell")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("v")))),
+          s => s.getField("v")).as("cvec"))
+    }
+    books
+  }
+
+  /** Encode the corpus: (vec_id, sub, cell) — the m-byte-per-vector form
+    * that IS the stored index. */
+  def pqEncode(vectors: DataFrame, codebooks: DataFrame, m: Int, dim: Int): DataFrame =
+    pqAssign(pqSubvectors(vectors, m, dim), codebooks)
+      .select("vec_id", "sub", "cell")
+
+  /** ADC top-k: approximate cosine between each full-precision query and
+    * each code's RECONSTRUCTION (concatenated codewords) —
+    * `sum_s dot(q_s, c_{s,code_s}) / (|q| * sqrt(sum_s |c_{s,code_s}|^2))`.
+    * Per (query, subspace) the dot against each codeword is computed once
+    * (the classic m*k-entry lookup table), then each encoded vector costs
+    * m scalar lookups instead of a dim-wide dot. Both cross-subspace sums
+    * fold in explicit sub order (p0 + p1 + ...) so the float result is
+    * independent of aggregation order — identical across partitionings
+    * and engines.
+    */
+  def pqSearch(
+      queries: DataFrame, // (qid, qvec)
+      codes: DataFrame, // (vec_id, sub, cell) from pqEncode
+      codebooks: DataFrame,
+      m: Int,
+      dim: Int,
+      k: Int): DataFrame = {
+    // m*k-entry LUT per query: partial dots against every codeword
+    val lut = pqSubvectors(
+        queries.select(col("qid").as("vec_id"), col("qvec").as("vec")), m, dim)
+      .select(col("vec_id").as("qid"), col("sub"), col("svec"))
+      .join(broadcast(codebooks), Seq("sub"))
+      .select(col("qid"), col("sub"), col("cell"),
+        dot(col("svec"), col("cvec")).as("pdot"))
+    // reconstruction norm parts, fixed-order fold over subspaces
+    val cn = codebooks.select(col("sub"), col("cell"),
+      dot(col("cvec"), col("cvec")).as("cn2"))
+    def subCols(v: String) = (0 until m).map(s =>
+      first(when(col("sub") === s, col(v)), ignoreNulls = true).as(s"__$v$s"))
+    def subSum(v: String) = (0 until m).map(s => col(s"__$v$s"))
+      .reduce(_ + _)
+    val xn2 = codes.join(broadcast(cn), Seq("sub", "cell"))
+      .groupBy("vec_id").agg(subCols("cn2").head, subCols("cn2").tail: _*)
+      .select(col("vec_id"), subSum("cn2").as("xn2"))
+    val qdot = codes.join(lut, Seq("sub", "cell"))
+      .groupBy("qid", "vec_id").agg(subCols("pdot").head, subCols("pdot").tail: _*)
+      .select(col("qid"), col("vec_id"), subSum("pdot").as("qdot"))
+    val qn = queries.select(col("qid"), norm(col("qvec")).as("qn"))
+    val wTop = Window.partitionBy("qid").orderBy(col("asim").desc, col("vec_id"))
+    qdot.join(xn2, Seq("vec_id")).join(qn, Seq("qid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("asim", col("qdot") / (col("qn") * sqrt(col("xn2"))))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id", "asim", "rank")
+  }
 }

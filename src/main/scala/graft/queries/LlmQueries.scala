@@ -759,6 +759,79 @@ object LlmQueries {
               nSamples = 500 + (id % 1000).toInt))
           })
         Multimodal.extractAudioMeta(audio)
+    },
+
+    // Product-quantized ANN: m=4 subspace codebooks (k=8, one Lloyd
+    // round), corpus stored as 4 cell ids per vector, ADC search with
+    // fixed-order partial-dot folds. The oracle replays the ENTIRE
+    // deterministic pipeline — subvector split, seeded codebook
+    // training, encoding, lookup tables, reconstruction norms, ranking —
+    // so training, compression, and search are all value-checked against
+    // an independent engine.
+    OpQuery.sql(
+      "q80_ann_pq",
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+        |sgrid AS (SELECT unnest(generate_series(0, 3)) s),
+        |subs AS (SELECT vec_id, s, list_slice(e, s*16 + 1, s*16 + 16) sv FROM v, sgrid),
+        |book0 AS (
+        |  SELECT s, vec_id AS cell, sv AS cvec FROM subs
+        |  WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 8)),
+        |asg0 AS (
+        |  SELECT vec_id, s, sv, cell FROM (
+        |    SELECT u.vec_id, u.s, u.sv, b.cell,
+        |      row_number() OVER (PARTITION BY u.vec_id, u.s ORDER BY
+        |        list_dot_product(u.sv, b.cvec) /
+        |        (sqrt(list_dot_product(u.sv, u.sv)) * sqrt(list_dot_product(b.cvec, b.cvec))) DESC,
+        |        b.cell) rn
+        |    FROM subs u JOIN book0 b ON u.s = b.s) t WHERE rn = 1),
+        |book AS (
+        |  SELECT s, cell, list(mv ORDER BY pos) cvec FROM (
+        |    SELECT s, cell, pos, CAST(sum(CAST(x AS DECIMAL(27, 10))) AS DOUBLE) / count(*) mv
+        |    FROM (SELECT s, cell, unnest(sv) x, generate_subscripts(sv, 1) - 1 pos FROM asg0)
+        |    GROUP BY s, cell, pos) GROUP BY s, cell),
+        |codes AS (
+        |  SELECT vec_id, s, cell FROM (
+        |    SELECT u.vec_id, u.s, b.cell,
+        |      row_number() OVER (PARTITION BY u.vec_id, u.s ORDER BY
+        |        list_dot_product(u.sv, b.cvec) /
+        |        (sqrt(list_dot_product(u.sv, u.sv)) * sqrt(list_dot_product(b.cvec, b.cvec))) DESC,
+        |        b.cell) rn
+        |    FROM subs u JOIN book b ON u.s = b.s) t WHERE rn = 1),
+        |cn AS (SELECT s, cell, list_dot_product(cvec, cvec) cn2 FROM book),
+        |xn2 AS (
+        |  SELECT vec_id,
+        |    max(CASE WHEN s = 0 THEN cn2 END) + max(CASE WHEN s = 1 THEN cn2 END)
+        |    + max(CASE WHEN s = 2 THEN cn2 END) + max(CASE WHEN s = 3 THEN cn2 END) AS xn2
+        |  FROM codes JOIN cn USING (s, cell) GROUP BY vec_id),
+        |lut AS (
+        |  SELECT u.vec_id qid, u.s, b.cell, list_dot_product(u.sv, b.cvec) pdot
+        |  FROM subs u JOIN book b ON u.s = b.s WHERE u.vec_id < 5),
+        |qd AS (
+        |  SELECT qid, vec_id,
+        |    max(CASE WHEN s = 0 THEN pdot END) + max(CASE WHEN s = 1 THEN pdot END)
+        |    + max(CASE WHEN s = 2 THEN pdot END) + max(CASE WHEN s = 3 THEN pdot END) AS qdot
+        |  FROM codes JOIN lut USING (s, cell) GROUP BY qid, vec_id),
+        |qn AS (SELECT vec_id qid, sqrt(list_dot_product(e, e)) qn FROM v WHERE vec_id < 5)
+        |SELECT qid, vec_id AS neighbor_id, round(asim, 6) AS asim,
+        |       CAST(rank AS INTEGER) AS rank
+        |FROM (
+        |  SELECT qid, vec_id, asim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY asim DESC, vec_id) rank
+        |  FROM (
+        |    SELECT d.qid, d.vec_id, d.qdot / (n.qn * sqrt(x.xn2)) AS asim
+        |    FROM qd d JOIN xn2 x USING (vec_id) JOIN qn n USING (qid)
+        |    WHERE d.vec_id <> d.qid) raw) ranked
+        |WHERE rank <= 5""".stripMargin) {
+      (s, dir) =>
+        val emb = load(s, dir, "embeddings")
+          .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
+        val books = Similarity.pqTrain(emb, m = 4, dim = 64, k = 8, iters = 1)
+        val codes = Similarity.pqEncode(emb, books, m = 4, dim = 64)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        Similarity.pqSearch(queries, codes, books, m = 4, dim = 64, k = 5)
+          .select(col("qid"), col("vec_id").as("neighbor_id"),
+            round(col("asim"), 6).as("asim"), col("rank"))
     }
   )
 }

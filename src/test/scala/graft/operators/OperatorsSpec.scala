@@ -173,6 +173,46 @@ class OperatorsSpec extends SparkSuite {
     assert(Multimodal.wavMeta(Multimodal.pngHeader(4, 4)).isEmpty)
   }
 
+  test("PQ: subspace codebooks, complete codes, ADC finds cluster neighbors") {
+    import spark.implicits._
+    // dim=4, m=2: each half lands in one of two clean clusters, with a
+    // small id-dependent jitter so every cosine/rank tie breaks by value
+    def half(sel: Int, jit: Double): Seq[Double] =
+      if (sel == 0) Seq(10.0 + jit, 1.0) else Seq(1.0, 10.0 + jit)
+    val vecs = (0 until 8).map { i =>
+      (i.toLong, half(i % 2, i * 0.01) ++ half((i / 2) % 2, i * 0.02))
+    }.toDF("vec_id", "vec")
+
+    val books = Similarity.pqTrain(vecs, m = 2, dim = 4, k = 2, iters = 2)
+    val bookRows = books.collect()
+    assert(bookRows.length == 4) // 2 subspaces x 2 surviving codewords
+    assert(bookRows.forall(_.getSeq[Double](2).length == 2))
+
+    val codes = Similarity.pqEncode(vecs, books, m = 2, dim = 4)
+    val codeMap = codes.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(codeMap.size == 16) // one code per (vector, subspace)
+    // same first-half cluster => same sub-0 codeword
+    assert((0 until 8).groupBy(_ % 2).values.forall(g =>
+      g.map(i => codeMap((i.toLong, 0))).distinct.size == 1))
+
+    // ADC top-1 lands in the query's own (a, b) cluster combo
+    val queries = vecs.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val top1 = Similarity.pqSearch(queries, codes, books, m = 2, dim = 4, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def combo(i: Long) = (i % 2, (i / 2) % 2)
+    top1.foreach { case (q, n) => assert(combo(q) == combo(n) && q != n) }
+
+    // fixed-order folds: repartitioning must not move a single bit
+    val a = Similarity.pqSearch(queries, codes, books, 2, 4, 3)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Similarity.pqSearch(queries.repartition(5), codes.repartition(7),
+        books, 2, 4, 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
   test("IVF refine: one Lloyd iteration computes exact per-cell means") {
     import spark.implicits._
     val vecs = Seq(
