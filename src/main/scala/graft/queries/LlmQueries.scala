@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables.load
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, FrequencySketch, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators on the documents/embeddings fixtures:
   * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard,
@@ -832,6 +832,50 @@ object LlmQueries {
         Similarity.pqSearch(queries, codes, books, m = 4, dim = 64, k = 5)
           .select(col("qid"), col("vec_id").as("neighbor_id"),
             round(col("asim"), 6).as("asim"), col("rank"))
+    },
+
+    // Count-min sketch: token frequencies from a (3 x 512)-counter grid
+    // instead of exact per-token counts — the mergeable sketch behind
+    // "how often does this n-gram appear" at 100 TB. The md5 slot hash
+    // is engine-portable, so the oracle rebuilds the SAME sketch and the
+    // estimates (including any collision overestimates) match exactly;
+    // the exact counts ride along for the est >= exact invariant.
+    OpQuery.sql(
+      "q81_count_min_sketch",
+      s"""WITH occ AS (
+         |  SELECT unnest(string_split($DuckNorm, ' ')) AS tok FROM documents),
+         |occ2 AS (SELECT tok FROM occ WHERE tok <> ''),
+         |g AS (SELECT d, tok FROM occ2, (SELECT unnest(generate_series(0, 2)) AS d)),
+         |sk AS (
+         |  SELECT d, slot, count(*) AS n FROM (
+         |    SELECT d, CAST(CAST(concat('0x', substr(md5('cm' || CAST(d AS VARCHAR) || '|' || tok), 1, 8)) AS BIGINT) % 512 AS INT) AS slot
+         |    FROM g) h
+         |  GROUP BY d, slot),
+         |exact AS (SELECT tok, count(*) AS exact_n FROM occ2 GROUP BY tok),
+         |top AS (SELECT tok, exact_n FROM exact ORDER BY exact_n DESC, tok LIMIT 20),
+         |est AS (
+         |  SELECT t.tok, min(coalesce(s.n, 0)) AS est_n FROM (
+         |    SELECT tok, d,
+         |      CAST(CAST(concat('0x', substr(md5('cm' || CAST(d AS VARCHAR) || '|' || tok), 1, 8)) AS BIGINT) % 512 AS INT) AS slot
+         |    FROM top, (SELECT unnest(generate_series(0, 2)) AS d)) t
+         |  LEFT JOIN sk s ON s.d = t.d AND s.slot = t.slot
+         |  GROUP BY t.tok)
+         |SELECT top.tok AS token, CAST(top.exact_n AS BIGINT) AS exact_n,
+         |  CAST(est.est_n AS BIGINT) AS est_n
+         |FROM top JOIN est ON est.tok = top.tok""".stripMargin) {
+      (s, dir) =>
+        val occ = load(s, dir, "documents")
+          .select(explode(TextAnalysis.words(
+            TextAnalysis.normalize(col("text")))).as("tok"))
+          .filter(col("tok") =!= "")
+          .cache()
+        val sketch = FrequencySketch.countMinBuild(occ, col("tok"), width = 512, depth = 3)
+        val top = occ.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("tok")).limit(20)
+        FrequencySketch.countMinEstimate(
+            sketch, top.select("tok"), col("tok"), width = 512, depth = 3)
+          .join(top.withColumnRenamed("tok", "token"), Seq("token"))
+          .select(col("token"), col("exact_n"), col("est_n"))
     }
   )
 }

@@ -173,6 +173,39 @@ class OperatorsSpec extends SparkSuite {
     assert(Multimodal.wavMeta(Multimodal.pngHeader(4, 4)).isEmpty)
   }
 
+  test("count-min sketch: overestimates only, merge == rebuild, absent token -> 0") {
+    import spark.implicits._
+    val words = Seq.fill(50)("alpha") ++ Seq.fill(20)("beta") ++
+      Seq.fill(5)("gamma") ++ (1 to 40).map(i => s"filler$i")
+    val occ = words.toDF("tok").repartition(4)
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    // cramped sketch (4x2): collisions guaranteed — estimates must still
+    // never undercount
+    val cramped = FrequencySketch.countMinBuild(occ, col("tok"), width = 4, depth = 2)
+    val est = FrequencySketch.countMinEstimate(cramped,
+        occ.distinct(), col("tok"), width = 4, depth = 2)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (t, n) => assert(est(t) >= n, s"undercounted $t") }
+
+    // counters are additive: sketches of two halves merge into the full one
+    val indexed = words.zipWithIndex.map { case (t, i) => (t, i) }.toDF("tok", "i")
+    val h1 = FrequencySketch.countMinBuild(indexed.filter(col("i") < 40), col("tok"), 4, 2)
+    val h2 = FrequencySketch.countMinBuild(indexed.filter(col("i") >= 40), col("tok"), 4, 2)
+    val merged = FrequencySketch.countMinMerge(h1, h2)
+      .as[(Int, Int, Long)].collect().toSet
+    val full = cramped.as[(Int, Int, Long)].collect().toSet
+    assert(merged == full)
+
+    // a roomy sketch estimates an absent token at 0 (its slots were never
+    // hit) and exact-counts the heavy hitter
+    val roomy = FrequencySketch.countMinBuild(occ, col("tok"), width = 4096, depth = 3)
+    val est2 = FrequencySketch.countMinEstimate(roomy,
+        Seq("alpha", "never-seen").toDF("tok"), col("tok"), 4096, 3)
+      .as[(String, Long)].collect().toMap
+    assert(est2("alpha") == 50L && est2("never-seen") == 0L)
+  }
+
   test("PQ: subspace codebooks, complete codes, ADC finds cluster neighbors") {
     import spark.implicits._
     // dim=4, m=2: each half lands in one of two clean clusters, with a
