@@ -274,7 +274,11 @@ object Similarity {
     val xn2 = codes.join(broadcast(cn), Seq("sub", "cell"))
       .groupBy("vec_id").agg(subCols("cn2").head, subCols("cn2").tail: _*)
       .select(col("vec_id"), subSum("cn2").as("xn2"))
-    val qdot = codes.join(lut, Seq("sub", "cell"))
+    // broadcast, not shuffle: (sub, cell) has only m*k distinct values, so
+    // shuffling the (huge) code table on it would collapse parallelism onto
+    // m*k keys; the LUT is |Q|*m*k rows — bounded by the query batch —
+    // and the per-code fan-out happens map-side
+    val qdot = codes.join(broadcast(lut), Seq("sub", "cell"))
       .groupBy("qid", "vec_id").agg(subCols("pdot").head, subCols("pdot").tail: _*)
       .select(col("qid"), col("vec_id"), subSum("pdot").as("qdot"))
     val qn = queries.select(col("qid"), norm(col("qvec")).as("qn"))
