@@ -68,7 +68,14 @@ object AsOfJoin {
     // windows sort by the original ts column, so this never reorders
     def tsNum(c: Column, dt: DataType): Column = dt match {
       case TimestampType => unix_micros(c)
-      case TimestampNTZType => unix_micros(c.cast(TimestampType)) // session TZ is UTC
+      case TimestampNTZType =>
+        // field extraction on NTZ never consults the session time zone,
+        // unlike cast-to-TimestampType, whose offset distorts tolerance /
+        // nearest distances across a DST transition in non-UTC sessions
+        unix_date(c.cast(DateType)).cast(LongType) * lit(86400000000L) +
+          hour(c).cast(LongType) * lit(3600000000L) +
+          minute(c).cast(LongType) * lit(60000000L) +
+          (date_part(lit("SECOND"), c) * lit(1000000L)).cast(LongType)
       case DateType => unix_micros(c.cast(TimestampType))
       case ByteType | ShortType | IntegerType | LongType => c.cast(LongType)
       case _ => c.cast(DoubleType)

@@ -184,7 +184,9 @@ object Multimodal {
       ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
 
   /** Parse a RIFF/WAVE header: walk chunks to `fmt ` (PCM layout) and
-    * `data` (payload size). None for non-WAV or truncated payloads. */
+    * `data` (payload size). None for non-WAV payloads or non-byte-aligned
+    * sample depths; a data chunk declaring more bytes than the payload
+    * holds is clamped, so n_samples counts samples actually present. */
   def wavMeta(p: Array[Byte]): Option[WavMeta] = {
     if (p.length < 44 ||
       !(p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F') ||
@@ -199,7 +201,11 @@ object Multimodal {
           ch = le16(p, i + 10)
           rate = le32(p, i + 12).toInt
           bits = le16(p, i + 22)
-        case "data" => dataLen = len
+        case "data" =>
+          // trust the header only as far as the payload goes: a truncated
+          // file declares more data bytes than are present, and n_samples
+          // must reflect bytes we could actually read, not the claim
+          dataLen = math.min(len, math.max(0L, (p.length - i - 8).toLong))
         case _ => ()
       }
       // chunks are word-aligned: odd sizes carry a pad byte; a malformed
@@ -208,7 +214,9 @@ object Multimodal {
       val next = i.toLong + 8L + len + (len & 1L)
       i = if (next <= i || next > Int.MaxValue) p.length else next.toInt
     }
-    if (rate <= 0 || ch <= 0 || bits <= 0 || dataLen < 0) None
+    // sub-byte sample depths (4-bit ADPCM and friends) would make bits/8
+    // zero and divide by it; this parser only claims byte-aligned PCM
+    if (rate <= 0 || ch <= 0 || bits < 8 || bits % 8 != 0 || dataLen < 0) None
     else Some(WavMeta(rate, ch, bits, dataLen / (ch.toLong * (bits / 8))))
   }
 

@@ -200,4 +200,30 @@ class AsOfJoinSpec extends SparkSuite {
     val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(12), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("NTZ ts: tolerance math is session-time-zone independent across DST") {
+    import spark.implicits._
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // America/New_York springs forward 2025-03-09 (wall 02:00 -> 03:00),
+      // so the wall-clock span 01:30 -> 03:30 covers only 1h of epoch time
+      // there. A session-TZ cast would measure 1h and wrongly pass the
+      // 1.5h tolerance; NTZ distances must use the 2h wall-clock span.
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val left = Seq((1L, 1L, "2025-03-09 03:30:00")).toDF("event_id", "k", "s")
+        .withColumn("t", col("s").cast("timestamp_ntz")).drop("s")
+      val right = Seq((11L, 1L, "2025-03-09 01:30:00", 7.0)).toDF("rid", "k", "s", "v")
+        .withColumn("t", col("s").cast("timestamp_ntz")).drop("s")
+      val tol = 5400L * 1000000L // 1.5h in micros
+
+      def run() = AsOfJoin
+        .asof(left, right, "k", "t", "v", "rid", tolerance = Some(tol))
+        .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+      val ny = run()
+      assert(ny(1L).isEmpty) // 2h wall distance > 1.5h tolerance
+
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      assert(run() == ny) // same answer in any session zone
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
 }

@@ -171,6 +171,21 @@ class OperatorsSpec extends SparkSuite {
     assert(Multimodal.wavMeta(evil).isEmpty)
     assert(Multimodal.wavMeta("RIFFxxxxWAVE".getBytes).isEmpty) // no chunks
     assert(Multimodal.wavMeta(Multimodal.pngHeader(4, 4)).isEmpty)
+
+    // sub-byte sample depth (4-bit ADPCM): bits/8 would be 0 — must return
+    // None, never divide by zero
+    val adpcm = w.clone()
+    adpcm(34) = 4; adpcm(35) = 0
+    assert(Multimodal.wavMeta(adpcm).isEmpty)
+    val bits12 = w.clone() // non-byte-aligned depth
+    bits12(34) = 12; bits12(35) = 0
+    assert(Multimodal.wavMeta(bits12).isEmpty)
+
+    // truncated payload: data chunk declares 8000 frames but only 100
+    // frames of bytes follow — n_samples counts what's actually there
+    val truncated = w.take(44 + 100 * 2 * 2)
+    assert(Multimodal.wavMeta(truncated).contains(
+      Multimodal.WavMeta(16000, 2, 16, 100L)))
   }
 
   test("count-min sketch: overestimates only, merge == rebuild, absent token -> 0") {
