@@ -62,16 +62,19 @@ object Bench {
       }
       q.name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 0.1ms resolution keeps the artifact line compact enough to survive
+    // a log-tail scrape (full-precision doubles tripled its length)
+    def r4(v: Double): Double = math.round(v * 1e4) / 1e4
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = r4(results.map(_._2).sum)
     // end-to-end incremental pipeline tick (typed obs + bucketed sink):
     // full build vs delta tick wall time and write volume
     val tick =
       if (sys.env.getOrElse("SPARK_GRAFT_TICK", "1") == "0") ""
       else scala.util.Try(graft.tools.PipelineBench.run(spark)) match {
         case scala.util.Success(m) =>
-          m.map { case (k, v) => "\"" + k + "\":" + v }
+          m.map { case (k, v) => "\"" + k + "\":" + (math.round(v * 1e4) / 1e4) }
             .mkString(""","tick":{""", ",", "}")
         case scala.util.Failure(e) =>
           // a failed equivalence gate is a correctness signal, not an
@@ -87,7 +90,11 @@ object Bench {
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
-    println(json)
+    // the JSON must be the LAST stdout line: the driver's artifact scrape
+    // tails the log, and anything printed after it (or a line cut mid-way)
+    // has left BENCH_r0x.json unparsed three rounds running
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }
