@@ -188,27 +188,49 @@ object Similarity {
   // training, encoding, and ranking bit-for-bit — the property the q80
   // oracle checks.
 
+  /** Squared L2 distance as three codegen'd dots — `|a|^2 - 2ab + |b|^2`,
+    * a fixed-shape scalar expression, so bit-identical across engines
+    * (used for residual codeword assignment, where cosine would ignore
+    * the magnitude the quantizer exists to capture, and a zero residual
+    * would make it 0/0).
+    */
+  def sqDist(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
   /** (vec_id, sub, svec): contiguous `dim/m`-wide subvectors, one row per
-    * (vector, subspace). */
-  def pqSubvectors(vectors: DataFrame, m: Int, dim: Int): DataFrame = {
+    * (vector, subspace); `carry` names extra vector-grain columns to keep
+    * (e.g. the IVF cell id riding along with a residual). */
+  def pqSubvectors(vectors: DataFrame, m: Int, dim: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     val sd = dim / m
-    vectors.select(col("vec_id"), posexplode(
+    vectors.select(col("vec_id") +: carry.map(col) :+ posexplode(
         transform(sequence(lit(0), lit(m - 1)),
-          s => slice(col("vec"), s * sd + 1, lit(sd)))))
-      .select(col("vec_id"), col("pos").cast("int").as("sub"), col("col").as("svec"))
+          s => slice(col("vec"), s * sd + 1, lit(sd)))): _*)
+      .select(col("vec_id") +: carry.map(col) :+
+        col("pos").cast("int").as("sub") :+ col("col").as("svec"): _*)
   }
 
-  /** Per-subspace nearest-codeword assignment (max cosine within the
-    * subspace, tie → lowest cell). `codebooks` = (sub, cell, cvec),
-    * tiny (m*k rows) → broadcast. */
-  def pqAssign(subvecs: DataFrame, codebooks: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id", "sub").orderBy(col("csim").desc, col("cell"))
+  /** Per-subspace nearest-codeword assignment. `metric` picks the
+    * nearest-of rule: "cosine" (max cosine, the q80-era default) or "l2"
+    * (min squared distance — the right objective for residuals, whose
+    * magnitudes carry the information); ties → lowest cell either way.
+    * `codebooks` = (sub, cell, cvec), tiny (m*k rows) → broadcast. */
+  def pqAssign(subvecs: DataFrame, codebooks: DataFrame,
+      metric: String = "cosine", carry: Seq[String] = Nil): DataFrame = {
+    val score = metric match {
+      case "cosine" => cosine(col("svec"), col("cvec"))
+      case "l2" => sqDist(col("svec"), col("cvec"))
+      case other => throw new IllegalArgumentException(s"metric: $other")
+    }
+    val ord = if (metric == "l2") col("__score").asc else col("__score").desc
+    val w = Window.partitionBy("vec_id", "sub").orderBy(ord, col("cell"))
     subvecs.join(broadcast(codebooks), Seq("sub"))
-      .withColumn("csim", cosine(col("svec"), col("cvec")))
+      .withColumn("__score", score)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("sub"), col("svec"), col("cell"))
+      .select(col("vec_id") +: carry.map(col) :+
+        col("sub") :+ col("svec") :+ col("cell"): _*)
   }
 
   /** Train m codebooks of k codewords each: seeds are the k lowest-id
@@ -216,12 +238,13 @@ object Similarity {
     * `iters` Lloyd rounds per subspace — the [[ivfRefine]] decimal-sum /
     * f64-divide formulation at the (sub, cell, pos) grain. Returns
     * (sub, cell, cvec). */
-  def pqTrain(vectors: DataFrame, m: Int, dim: Int, k: Int, iters: Int): DataFrame = {
+  def pqTrain(vectors: DataFrame, m: Int, dim: Int, k: Int, iters: Int,
+      metric: String = "cosine"): DataFrame = {
     val subs = pqSubvectors(vectors, m, dim)
     var books = pqSubvectors(vectors.orderBy("vec_id").limit(k), m, dim)
       .select(col("sub"), col("vec_id").as("cell"), col("svec").as("cvec"))
     for (_ <- 1 to iters) {
-      books = pqAssign(subs, books)
+      books = pqAssign(subs, books, metric)
         .select(col("sub"), col("cell"), posexplode(col("svec")))
         .groupBy("sub", "cell", "pos")
         .agg((sum(col("col").cast("decimal(27,10)")).cast("double") /
@@ -286,6 +309,105 @@ object Similarity {
     qdot.join(xn2, Seq("vec_id")).join(qn, Seq("qid"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("asim", col("qdot") / (col("qn") * sqrt(col("xn2"))))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id", "asim", "rank")
+  }
+
+  // ---- IVFPQ: both scale bounds at once ----
+  // IVF bounds WHICH vectors a query scans (nProbe/nCells of the corpus);
+  // PQ bounds the BYTES each scanned vector costs (m codes instead of
+  // 4*dim). Composed the classic way: quantize the RESIDUAL vec - c(cell)
+  // — residuals have far smaller spread than raw vectors, so the same
+  // codebook budget buys much less reconstruction error — and search by
+  // probing nProbe cells, then ADC only within them. Reconstruction is
+  // x̂ = c + r̂, so the approximate cosine decomposes into broadcast-sized
+  // lookup tables:
+  //   dot(q, x̂)  = dot(q, c) + Σ_s dot(q_s, cw_{s,code_s})        (LUT)
+  //   |x̂|^2      = |c|^2 + 2 Σ_s dot(c_s, cw) + Σ_s |cw|^2        (CR, RN2)
+  // Every table is tiny (|Q|·m·k, nCells·m·k, m·k) and broadcast; the code
+  // table — the only corpus-sized thing — is touched once, map-side.
+
+  /** Residuals w.r.t. each vector's assigned centroid:
+    * (vec_id, ivf_cell, vec = vec - cvec). `assigned` from [[ivfAssign]].
+    */
+  def ivfResiduals(assigned: DataFrame, centroids: DataFrame): DataFrame =
+    assigned.join(broadcast(centroids), Seq("cell"))
+      .select(col("vec_id"), col("cell").as("ivf_cell"),
+        zip_with(col("vec"), col("cvec"), (a, b) => a - b).as("vec"))
+
+  /** Encode residuals against L2-trained codebooks, keeping the IVF cell:
+    * (vec_id, ivf_cell, sub, code) — the stored IVFPQ index (one small
+    * int cell id + m small int codes per vector). */
+  def ivfPqEncode(residuals: DataFrame, codebooks: DataFrame,
+      m: Int, dim: Int): DataFrame =
+    pqAssign(pqSubvectors(residuals, m, dim, carry = Seq("ivf_cell")),
+        codebooks, metric = "l2", carry = Seq("ivf_cell"))
+      .select(col("vec_id"), col("ivf_cell"), col("sub"), col("cell").as("code"))
+
+  /** IVFPQ search: probe the `nProbe` nearest IVF cells per query (full
+    * cosine against the tiny centroid set), then ADC-rank ONLY codes in
+    * probed cells. The probe set (|Q|·nProbe rows) is broadcast against
+    * the code table, so non-probed cells are dropped map-side — the scan
+    * is |corpus|·nProbe/nCells code rows, each costing m lookups. All
+    * cross-subspace folds run in explicit sub order, so ranks are
+    * engine-replayable (the q82 oracle recomputes the whole pipeline).
+    */
+  def ivfPqSearch(
+      queries: DataFrame, // (qid, qvec)
+      codes: DataFrame, // (vec_id, ivf_cell, sub, code) from ivfPqEncode
+      centroids: DataFrame, // (cell, cvec) — refined IVF centroids
+      codebooks: DataFrame, // (sub, cell, cvec) — residual codebooks
+      m: Int,
+      dim: Int,
+      nProbe: Int,
+      k: Int): DataFrame = {
+    val wProbe = Window.partitionBy("qid").orderBy(col("csim").desc, col("cell"))
+    // per probed cell: dot(q, c) and |c|^2 ride along for the ADC identity
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("qvec"), col("cvec")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nProbe)
+      .select(col("qid"), col("cell").as("ivf_cell"),
+        dot(col("qvec"), col("cvec")).as("qcdot"),
+        dot(col("cvec"), col("cvec")).as("cn2"))
+    // LUT: dot(q_s, codeword) for every (query, sub, codeword)
+    val lut = pqSubvectors(
+        queries.select(col("qid").as("vec_id"), col("qvec").as("vec")), m, dim)
+      .select(col("vec_id").as("qid"), col("sub"), col("svec"))
+      .join(broadcast(codebooks), Seq("sub"))
+      .select(col("qid"), col("sub"), col("cell").as("code"),
+        dot(col("svec"), col("cvec")).as("pdot"))
+    // CR: dot(c_s, codeword) for every (cell, sub, codeword) — the
+    // centroid-codeword cross term of |c + r̂|^2
+    val cr = pqSubvectors(
+        centroids.select(col("cell").as("vec_id"), col("cvec").as("vec")), m, dim)
+      .select(col("vec_id").as("ivf_cell"), col("sub"), col("svec"))
+      .join(broadcast(codebooks), Seq("sub"))
+      .select(col("ivf_cell"), col("sub"), col("cell").as("code"),
+        dot(col("svec"), col("cvec")).as("crdot"))
+    val rn2 = codebooks.select(col("sub"), col("cell").as("code"),
+      dot(col("cvec"), col("cvec")).as("rn2"))
+
+    def subCols(v: String) = (0 until m).map(s =>
+      first(when(col("sub") === s, col(v)), ignoreNulls = true).as(s"__$v$s"))
+    def subSum(v: String) = (0 until m).map(s => col(s"__$v$s")).reduce(_ + _)
+
+    val cand = codes
+      .join(broadcast(probes), Seq("ivf_cell")) // map-side probe filter
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .join(broadcast(cr), Seq("ivf_cell", "sub", "code"))
+      .join(broadcast(rn2), Seq("sub", "code"))
+    val aggCols = Seq(first(col("qcdot")).as("qcdot"), first(col("cn2")).as("cn2")) ++
+      subCols("pdot") ++ subCols("crdot") ++ subCols("rn2")
+    val agg = cand.groupBy("qid", "vec_id").agg(aggCols.head, aggCols.tail: _*)
+    val qn = queries.select(col("qid"), norm(col("qvec")).as("qn"))
+    val wTop = Window.partitionBy("qid").orderBy(col("asim").desc, col("vec_id"))
+    agg.join(broadcast(qn), Seq("qid"))
+      .withColumn("asim",
+        (col("qcdot") + subSum("pdot")) /
+          (col("qn") * sqrt(col("cn2") + lit(2.0) * subSum("crdot") + subSum("rn2"))))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select("qid", "vec_id", "asim", "rank")

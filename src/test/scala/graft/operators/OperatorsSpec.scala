@@ -299,4 +299,69 @@ class OperatorsSpec extends SparkSuite {
     assert(refined.orderBy("cell").collect().toSeq ==
       again.orderBy("cell").collect().toSeq)
   }
+
+  test("IVFPQ: exact residuals, complete codes, probed-cell-only neighbors, bit-stable") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
+    val cents = Similarity.ivfRefine(emb, Similarity.ivfCentroids(emb, 8), 1)
+    val assigned = Similarity.ivfAssign(emb, cents)
+    val residuals = Similarity.ivfResiduals(assigned, cents)
+
+    // residual identity: r(i) is the IEEE subtraction vec(i) - c(i)
+    val centMap = cents.as[(Long, Seq[Double])].collect().toMap
+    val asgMap = assigned.select(col("vec_id"), col("cell"))
+      .as[(Long, Long)].collect().toMap
+    val vecMap = emb.as[(Long, Seq[Double])].collect().toMap
+    val resRows = residuals.select(col("vec_id"), col("ivf_cell"), col("vec"))
+      .as[(Long, Long, Seq[Double])].collect()
+    assert(resRows.length == vecMap.size)
+    resRows.foreach { case (id, cell, r) =>
+      assert(cell == asgMap(id))
+      val expect = vecMap(id).zip(centMap(cell)).map { case (a, b) => a - b }
+      assert(r == expect, s"residual drift for vec $id")
+    }
+
+    val m = 4
+    val books = Similarity.pqTrain(residuals, m = m, dim = 64, k = 4,
+      iters = 1, metric = "l2")
+    val codes = Similarity.ivfPqEncode(residuals, books, m = m, dim = 64)
+    // exactly one code per (vector, subspace); the carried cell matches
+    val codeRows = codes.as[(Long, Long, Int, Long)].collect()
+    assert(codeRows.length == vecMap.size * m)
+    assert(codeRows.map(c => (c._1, c._3)).distinct.length == codeRows.length)
+    codeRows.foreach { case (id, cell, _, _) => assert(cell == asgMap(id)) }
+
+    // probed-cell restriction: recompute each query's top-nProbe cells in
+    // the driver; every returned neighbor must live in one of them
+    val nProbe = 2
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      def d(x: Seq[Double], y: Seq[Double]) =
+        x.zip(y).foldLeft(0.0) { case (s, (p, q)) => s + p * q }
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    val probeSets = (0L until 4L).map { q =>
+      q -> centMap.toSeq.map { case (cell, cv) => (cos(vecMap(q), cv), cell) }
+        .sortBy { case (sim, cell) => (-sim, cell) }.take(nProbe).map(_._2).toSet
+    }.toMap
+    val out = Similarity.ivfPqSearch(queries, codes, cents, books,
+        m = m, dim = 64, nProbe = nProbe, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (qid, nid, rank) =>
+      assert(qid != nid && rank >= 1 && rank <= 5)
+      assert(probeSets(qid).contains(asgMap(nid)),
+        s"neighbor $nid of query $qid is outside the probed cells")
+    }
+
+    // fixed-order folds: repartitioning must not move a single bit
+    val a = Similarity.ivfPqSearch(queries, codes, cents, books, m, 64, nProbe, 5)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Similarity.ivfPqSearch(queries.repartition(5),
+        codes.repartition(7), cents, books, m, 64, nProbe, 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
 }

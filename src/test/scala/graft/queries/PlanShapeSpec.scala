@@ -30,6 +30,9 @@ class PlanShapeSpec extends SparkSuite {
     // probe x broadcast centroid list: the nested loop's build side is the
     // k-row centroid table, bounded by construction
     "q46_ann_ivf" -> "broadcast of bounded centroid list",
+    // same probe-vs-broadcast-centroids loop as q46; the PQ stages beyond
+    // it (codebook train/encode/ADC) are pure equi-joins
+    "q82_ann_ivfpq" -> "broadcast of bounded centroid list",
     // per-source rates x broadcast 1-row global token total
     "q67_mixture_rates" -> "broadcast of a single-row global aggregate")
 
