@@ -1,6 +1,9 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -10,11 +13,10 @@ import graft.operators.{Dedup, TextAnalysis}
   * Structured Streaming twin of `Dedup.lshCandidatePairsIncremental`
   * (q74): each micro-batch of newly ingested documents is shingled,
   * minhashed, banded, and joined against the PERSISTED band index of
-  * everything ingested before it; verified pairs are appended to the
-  * output and the batch's own bands/shingles are appended to the index.
-  * Per-batch cost scales with |batch| x bands joined against the index —
-  * never with corpus², and the corpus index is only ever appended to,
-  * never recomputed.
+  * everything committed before it; verified pairs and the batch's own
+  * bands/shingles are staged, then committed. Per-batch cost scales
+  * with |batch| x bands joined against the index — never with corpus²,
+  * and the corpus index is only ever appended to, never recomputed.
   *
   * The index is two parquet tables: `bands/` (id, band, bkey — candidate
   * generation) and `shingles/` (id, shingle — exact-Jaccard verify).
@@ -22,14 +24,77 @@ import graft.operators.{Dedup, TextAnalysis}
   * production variant could instead re-fetch the two documents' text at
   * verify time and keep only the (much smaller) band index hot.
   *
-  * Delivery: checkpointed offsets make ingestion at-least-once; a batch
-  * retried after a crash mid-append can duplicate pairs/index rows (plain
-  * parquet append is not transactional). Idempotence needs a
-  * MERGE-capable sink keyed on (id_a, id_b) / (id, band); on plain
-  * parquet, dedup on read. Each pair is otherwise emitted exactly once —
-  * in the batch where its LATER document arrives.
+  * Delivery is EXACTLY-ONCE end-to-end, the same manifest-commit trick
+  * as `BucketedSink`: every output lands in per-batch staging
+  * directories (`pairsDir/b_<id>`, `bands/b_<id>`, `shingles/b_<id>`,
+  * written with overwrite so a rerun replaces a crashed attempt's
+  * partial files), and the single commit point is an atomic rename of
+  * the `_COMMITTED` batch-id manifest under `indexDir` — covering all
+  * three sinks at once. Readers ([[readPairs]]/[[readBands]]/
+  * [[readShingles]] and the candidate join itself) resolve ONLY
+  * committed batches, so a batch retried after any mid-write crash sees
+  * the exact pre-batch index its first attempt saw, rewrites its
+  * staging dirs wholesale, and commits once; a batch redelivered after
+  * a successful commit is skipped outright. Structured Streaming's
+  * checkpointed batch ids are the idempotence key — a direct-call
+  * backfill loop owns the same uniqueness contract.
   */
 object StreamingDedup {
+
+  private def committedFile(indexDir: String) = new Path(indexDir, "_COMMITTED")
+
+  /** Batch ids whose outputs are committed — the only ones readers see. */
+  def committedBatches(conf: Configuration, indexDir: String): Seq[Long] = {
+    val p = committedFile(indexDir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        new String(buf.toByteArray, StandardCharsets.UTF_8)
+          .split("\n").filter(_.nonEmpty).map(_.toLong).toSeq.sorted
+      } finally in.close()
+    }
+  }
+
+  /** Single atomic commit point: rewrite the manifest via tmp + rename
+    * (OVERWRITE) — one rename, no window where the file is absent. */
+  private def commit(conf: Configuration, indexDir: String, ids: Seq[Long]): Unit = {
+    val dir = new Path(indexDir)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val tmp = new Path(dir, "_COMMITTED.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(ids.distinct.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    FileContext.getFileContext(dir.toUri, conf)
+      .rename(tmp, committedFile(indexDir), Options.Rename.OVERWRITE)
+  }
+
+  private def batchDirs(base: Path, ids: Seq[Long]): Seq[String] =
+    ids.sorted.map(i => new Path(base, s"b_$i").toString)
+
+  private def readCommitted(
+      spark: SparkSession, indexDir: String, base: Path): DataFrame = {
+    val ids = committedBatches(
+      spark.sparkContext.hadoopConfiguration, indexDir)
+    require(ids.nonEmpty, s"no committed batches under $indexDir")
+    spark.read.parquet(batchDirs(base, ids): _*)
+  }
+
+  /** All committed verified pairs (id_a, id_b, jaccard). */
+  def readPairs(spark: SparkSession, indexDir: String, pairsDir: String): DataFrame =
+    readCommitted(spark, indexDir, new Path(pairsDir))
+
+  /** The committed band index (id, band, bkey). */
+  def readBands(spark: SparkSession, indexDir: String): DataFrame =
+    readCommitted(spark, indexDir, new Path(indexDir, "bands"))
+
+  /** The committed shingle store (id, shingle). */
+  def readShingles(spark: SparkSession, indexDir: String): DataFrame =
+    readCommitted(spark, indexDir, new Path(indexDir, "shingles"))
 
   /** Shingle + band one frame of (doc_id, text). */
   private def prep(docs: DataFrame, shingleN: Int, k: Int, rowsPerBand: Int)
@@ -44,7 +109,7 @@ object StreamingDedup {
   }
 
   /** Start the ingest loop over a streaming frame of (doc_id, text).
-    * Emits verified pairs (id_a, id_b, jaccard >= threshold) to
+    * Emits verified pairs (id_a, id_b, jaccard >= threshold) under
     * `pairsDir`; maintains the band/shingle index under `indexDir`.
     * Caller owns doc_id uniqueness across the stream's lifetime.
     */
@@ -61,17 +126,22 @@ object StreamingDedup {
     docsStream.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestBatch(batch, indexDir, pairsDir, shingleN, k, rowsPerBand, threshold)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, indexDir, pairsDir,
+          shingleN, k, rowsPerBand, threshold)
       }
       .start()
 
-  /** One micro-batch: candidates vs the pre-batch index + new-vs-new,
-    * verify, append outputs, then grow the index. Also the unit a batch
-    * backfill calls directly in a loop.
+  /** One micro-batch: candidates vs the committed index + new-vs-new,
+    * verify, stage outputs, commit atomically. Also the unit a batch
+    * backfill calls directly in a loop (with caller-unique batch ids).
+    * Idempotent per batch id: a redelivery after commit is a no-op, a
+    * retry after a mid-write crash overwrites the staging dirs and
+    * commits once.
     */
   def ingestBatch(
       batch: DataFrame,
+      batchId: Long,
       indexDir: String,
       pairsDir: String,
       shingleN: Int,
@@ -79,33 +149,42 @@ object StreamingDedup {
       rowsPerBand: Int,
       threshold: Double): Unit = {
     val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val done = committedBatches(conf, indexDir)
+    if (done.contains(batchId)) return // redelivered after commit
     // the batch frame re-evaluates per action and is consumed by three
-    // (pairs, bands append, shingles append) — materialize it once
+    // (pairs, bands staging, shingles staging) — materialize it once
     val (newShingles, newBands) =
       prep(batch.select("doc_id", "text"), shingleN, k, rowsPerBand)
     newShingles.cache(); newBands.cache()
     try {
-      val bandsPath = new Path(indexDir, "bands").toString
-      val shinglesPath = new Path(indexDir, "shingles").toString
-      val fs = new Path(indexDir).getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      val hasIndex = fs.exists(new Path(bandsPath))
+      val bandsBase = new Path(indexDir, "bands")
+      val shinglesBase = new Path(indexDir, "shingles")
 
       val candidates =
-        if (hasIndex)
+        if (done.nonEmpty)
           Dedup.lshCandidatePairsIncremental(
-            spark.read.parquet(bandsPath), newBands)
+            spark.read.parquet(batchDirs(bandsBase, done): _*), newBands)
         else Dedup.lshCandidatePairs(newBands)
-      // verify joins need both sides' shingles: stored ∪ this batch
+      // verify joins need both sides' shingles: committed ∪ this batch
       val allShingles =
-        if (hasIndex) spark.read.parquet(shinglesPath).unionByName(newShingles)
+        if (done.nonEmpty)
+          spark.read.parquet(batchDirs(shinglesBase, done): _*)
+            .unionByName(newShingles)
         else newShingles
+
+      // stage all three outputs under this batch's own dirs; overwrite
+      // replaces whatever a crashed earlier attempt left behind
       Dedup.jaccardVerify(allShingles, candidates)
         .filter(col("jaccard") >= threshold)
-        .write.mode("append").parquet(pairsDir)
+        .write.mode("overwrite")
+        .parquet(new Path(pairsDir, s"b_$batchId").toString)
+      newBands.write.mode("overwrite")
+        .parquet(new Path(bandsBase, s"b_$batchId").toString)
+      newShingles.write.mode("overwrite")
+        .parquet(new Path(shinglesBase, s"b_$batchId").toString)
 
-      newBands.write.mode("append").parquet(bandsPath)
-      newShingles.write.mode("append").parquet(shinglesPath)
+      commit(conf, indexDir, done :+ batchId) // the one atomic step
     } finally {
       newShingles.unpersist(); newBands.unpersist()
     }
