@@ -179,24 +179,34 @@ object BucketedSink {
     if (touched.isEmpty) return
     // Compaction: untouched buckets keep pointing at older epochs, so
     // after K ticks a read unions up to K epoch frames. Once the live
-    // manifest references `maxEpochs` epochs, fold the whole table into
-    // one fresh epoch (same atomic commit) instead of adding another —
-    // amortized O(table / maxEpochs) extra write per tick, bounded read
-    // fan-in always.
-    if (prev.values.toSet.size >= maxEpochs) {
-      writeFull(merged, path, keyCol, nBuckets)
-      return
-    }
+    // manifest references `maxEpochs` epochs, fold the SMALLEST
+    // maxEpochs/4 (min 1) epochs' buckets into this tick's epoch — their
+    // rows come out of `merged` like any touched bucket, the same single
+    // atomic manifest swap commits delta and fold together, and the
+    // drained epochs purge a generation later. Smallest-first keeps the
+    // per-tick fold near delta-sized (a big early full epoch is folded
+    // only once organic touches have drained it below its juniors) and,
+    // unlike the previous fold-everything fallback, there is never an
+    // O(table) rewrite spike: each tick writes touched + the smallest
+    // epochs' buckets, and the epoch count still never exceeds maxEpochs.
+    val fold: Set[Int] =
+      if (prev.values.toSet.size < maxEpochs) Set.empty
+      else prev.groupBy(_._2).toSeq
+        .map { case (e, m) => (m.size, e.stripPrefix("e_").toLong, m.keys.toSet) }
+        .sortBy { case (n, eNum, _) => (n, eNum) } // size, then oldest
+        .take(math.max(1, maxEpochs / 4))
+        .flatMap(_._3).toSet
+    val rewrite = touched ++ fold
     val epoch = nextEpoch(c, path)
     merged.withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
-      .filter(col("__bucket").isInCollection(touched))
+      .filter(col("__bucket").isInCollection(rewrite))
       .repartition(col("__bucket")) // one file per bucket (see writeFull)
       .write.mode("overwrite").partitionBy("__bucket")
       .parquet(new Path(path, epoch).toString)
     // touched buckets that materialized nothing (every row gone) drop out
     // of the manifest entirely
     val written = writtenBuckets(c, new Path(path, epoch)).map(_ -> epoch).toMap
-    val manifest = (prev -- touched) ++ written
+    val manifest = (prev -- rewrite) ++ written
     writeManifest(c, path, manifest)
     purge(c, path, manifest, prev)
   }

@@ -37,10 +37,18 @@ class BucketedSinkPropertySpec extends SparkSuite {
       val model = mutable.Map[(Int, Int), String]((0, 0) -> "anchor")
       def table() = model.toSeq.map { case ((p, k), v) => (p, k, v) }
         .toDF("person_id", "k", "v")
-      def epochsReferenced(): Int = {
+      def manifest(): Map[Int, String] = {
         val src = scala.io.Source.fromFile(s"$path/_MANIFEST")
-        try src.getLines().filter(_.nonEmpty).map(_.split("\t")(1)).toSet.size
+        try src.getLines().filter(_.nonEmpty)
+          .map { l => val Array(b, e) = l.split("\t"); b.toInt -> e }.toMap
         finally src.close()
+      }
+      def newestEpochBuckets(): Int = {
+        val dir = new java.io.File(path)
+        val newest = dir.listFiles().map(_.getName)
+          .filter(_.startsWith("e_")).maxBy(_.stripPrefix("e_").toLong)
+        new java.io.File(dir, newest).listFiles()
+          .count(_.getName.startsWith("__bucket="))
       }
       BucketedSink.writeFull(table(), path, "person_id", 8)
       ticks.forall { tick =>
@@ -51,12 +59,22 @@ class BucketedSinkPropertySpec extends SparkSuite {
           }
         }
         val touched = tick.map(_.person).distinct.toDF("person_id")
+        // per-tick write budget: touched buckets + (when compaction
+        // triggers at maxEpochs=3 live epochs) the smallest live epoch —
+        // NEVER the old fold-everything rebuild
+        val before = manifest()
+        val touchedBuckets = touched
+          .select(BucketedSink.bucketOf(col("person_id"), 8)).distinct().count()
+        val foldBudget =
+          if (before.values.toSet.size < 3) 0
+          else before.groupBy(_._2).map(_._2.size).min
         BucketedSink.overwriteChanged(
           table(), path, "person_id", 8, touched, maxEpochs = 3)
         val got = BucketedSink.read(spark, path)
           .as[(Int, Int, String)].collect().toSet
         val want = model.map { case ((p, k), v) => (p, k, v) }.toSet
-        epochsReferenced() <= 3 && got == want
+        manifest().values.toSet.size <= 3 && got == want &&
+          newestEpochBuckets() <= touchedBuckets + foldBudget
       }
     }
     val result = ScTest.check(

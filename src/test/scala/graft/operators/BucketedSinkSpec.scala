@@ -119,9 +119,20 @@ class BucketedSinkSpec extends SparkSuite {
     }
     var cur = (1 to 100).map(i => (i, "v0")).toDF("person_id", "v")
     BucketedSink.writeFull(cur, path, "person_id", nBuckets)
+    // buckets materialized by the newest epoch = this tick's write volume
+    def newestEpochBuckets(): Int = {
+      val dir = new java.io.File(path)
+      val newest = dir.listFiles().map(_.getName)
+        .filter(_.startsWith("e_")).maxBy(_.stripPrefix("e_").toLong)
+      new java.io.File(dir, newest).listFiles()
+        .count(_.getName.startsWith("__bucket="))
+    }
     // 6 ticks touching a rotating pair of persons, maxEpochs = 3: the
-    // manifest must never reference more than 3 epochs, and the read
-    // must always equal the accumulated table
+    // manifest must never reference more than 3 epochs, the read must
+    // always equal the accumulated table, and — now that compaction
+    // folds the smallest epoch instead of rebuilding — no tick may
+    // rewrite the whole table (2 touched persons + a fold land in well
+    // under the 8 buckets the old writeFull fallback rewrote)
     (1 to 6).foreach { t =>
       val touched = Seq(t, t + 50).toDF("person_id")
       cur = cur.join(touched, Seq("person_id"), "left_anti")
@@ -131,6 +142,8 @@ class BucketedSinkSpec extends SparkSuite {
       BucketedSink.overwriteChanged(cur, path, "person_id", nBuckets,
         touched, maxEpochs = 3)
       assert(epochsReferenced() <= 3, s"tick $t: ${epochsReferenced()} epochs")
+      assert(newestEpochBuckets() < nBuckets,
+        s"tick $t rewrote all $nBuckets buckets — a full-rebuild spike")
       assert(BucketedSink.read(spark, path).orderBy("person_id").collect().toSeq ==
         cur.orderBy("person_id").collect().toSeq)
     }
