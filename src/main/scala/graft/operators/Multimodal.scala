@@ -359,4 +359,178 @@ object Multimodal {
       FrameRow(fr.media_id, fr.frame_idx, ow, oh, out)
     })
   }
+
+  // ---- PNG: REAL pixel decode for one public format ----
+  // Unlike the generic StubDecoder, this is a complete 8-bit-grayscale
+  // PNG codec in pure JVM (PNG spec, RFC 2083): zlib via java.util.zip,
+  // per-chunk CRC32s verified, and all five scanline filters
+  // reconstructed. The encoder deliberately cycles filters row-by-row so
+  // a decoder that shortcuts reconstruction cannot round-trip — the q83
+  // oracle recomputes resized-pixel checksums from the id arithmetic, so
+  // a single wrong reconstructed byte anywhere breaks the hash.
+
+  private val PngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G',
+    0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** PNG/RFC-2083 Paeth predictor: nearest of left/up/upper-left to
+    * left + up - upperLeft, ties resolved a, b, c. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode a dense row-major grayscale plane as a REAL PNG (bit depth 8,
+    * color type 0): zlib-deflated scanlines, CRC'd chunks. Row y uses
+    * filter y%5, so every filter (None/Sub/Up/Average/Paeth) appears in
+    * any image of 5+ rows. */
+  def pngGray(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+    require(w >= 1 && h >= 1 && px.length == w * h,
+      s"need $w*$h=${w * h} pixels, got ${px.length}")
+    val raw = new Array[Byte]((w + 1) * h)
+    var y = 0
+    while (y < h) {
+      val f = y % 5
+      raw(y * (w + 1)) = f.toByte
+      var x = 0
+      while (x < w) {
+        val cur = px(y * w + x) & 0xff
+        val left = if (x > 0) px(y * w + x - 1) & 0xff else 0
+        val up = if (y > 0) px((y - 1) * w + x) & 0xff else 0
+        val ul = if (x > 0 && y > 0) px((y - 1) * w + x - 1) & 0xff else 0
+        val filt = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - ((left + up) >> 1)
+          case _ => cur - paeth(left, up, ul)
+        }
+        raw(y * (w + 1) + 1 + x) = (filt & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    val idatBuf = new java.io.ByteArrayOutputStream()
+    try {
+      deflater.setInput(raw); deflater.finish()
+      val buf = new Array[Byte](4096)
+      while (!deflater.finished())
+        idatBuf.write(buf, 0, deflater.deflate(buf))
+    } finally deflater.end()
+    def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+      val t = tpe.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      be32bytes(data.length) ++ t ++ data ++ be32bytes(crc.getValue.toInt)
+    }
+    val ihdr = be32bytes(w) ++ be32bytes(h) ++ Array[Byte](8, 0, 0, 0, 0)
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idatBuf.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Decode an 8-bit grayscale PNG: signature check, chunk walk with CRC
+    * verification, concatenated IDATs inflated, all five filters
+    * reconstructed. None for anything else — wrong signature, unsupported
+    * depth/color/interlace, CRC mismatch, or a truncated/corrupt deflate
+    * stream. Returns (w, h, row-major pixels). */
+  def pngDecodeGray(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (p.length < 8 || !p.startsWith(PngSig)) return None
+    var i = 8
+    var w = 0; var h = 0
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!seenIend) {
+      if (i + 12 > p.length) return None // truncated chunk frame
+      val len = be32(p, i)
+      val tpe = new String(p, i + 4, 4, "US-ASCII")
+      if (len < 0 || i + 12 + len > p.length) return None
+      val crc = new java.util.zip.CRC32()
+      crc.update(p, i + 4, 4 + len)
+      val stored = (be32(p, i + 8 + len).toLong) & 0xffffffffL
+      if (crc.getValue != stored) return None
+      tpe match {
+        case "IHDR" =>
+          seenIhdr = true
+          w = be32(p, i + 8); h = be32(p, i + 12)
+          // bit depth 8, color type 0 (grayscale), deflate, adaptive
+          // filtering, no interlace — everything else is out of contract
+          if (w <= 0 || h <= 0 || len != 13 || p(i + 16) != 8 ||
+            p(i + 17) != 0 || p(i + 18) != 0 || p(i + 19) != 0 ||
+            p(i + 20) != 0) return None
+        case "IDAT" => idat.write(p, i + 8, len)
+        case "IEND" => seenIend = true
+        case _ => () // ancillary chunks pass through
+      }
+      i += 12 + len
+    }
+    if (!seenIhdr || w.toLong * h > Int.MaxValue - h) return None
+    val raw = new Array[Byte]((w + 1) * h)
+    val inflater = new java.util.zip.Inflater()
+    try {
+      inflater.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, off, raw.length - off)
+        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        off += n
+      }
+      if (off != raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inflater.end()
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (w + 1)) & 0xff
+      if (f > 4) return None
+      var x = 0
+      while (x < w) {
+        val cur = raw(y * (w + 1) + 1 + x) & 0xff
+        val left = if (x > 0) px(y * w + x - 1) & 0xff else 0
+        val up = if (y > 0) px((y - 1) * w + x) & 0xff else 0
+        val ul = if (x > 0 && y > 0) px((y - 1) * w + x - 1) & 0xff else 0
+        val recon = f match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + ((left + up) >> 1)
+          case _ => cur + paeth(left, up, ul)
+        }
+        px(y * w + x) = (recon & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, px))
+  }
+
+  /** PNG stills as frame rows (frame_idx 0), ready for [[resizeNearest]];
+    * undecodable payloads yield no rows (quarantine-sink semantics, like
+    * [[sampleFrames]]). */
+  def decodePngFrames(media: Dataset[MediaRow]): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      pngDecodeGray(r.payload).iterator.map { case (w, h, px) =>
+        FrameRow(r.media_id, 0, w, h, px)
+      }
+    })
+  }
+
+  /** Every images-fixture doc (doc_id % 3 == 2) as a REAL grayscale PNG
+    * with id-derived dims and pixels — w = 5 + id%4, h = 4 + id%3,
+    * pixel(y, x) = (id + 3x + 7y) mod 256 — the still-image twin of
+    * [[videosFromDocuments]], but the payload is genuinely compressed
+    * and filtered, not a stand-in container. */
+  def imagesFromDocuments(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.filter(col("doc_id") % 3 === 2).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 5 + (id % 4).toInt
+        val h = 4 + (id % 3).toInt
+        val px = Array.tabulate(w * h)(i =>
+          ((id + 3L * (i % w) + 7L * (i / w)) % 256).toByte)
+        MediaRow(id, "image", pngGray(w, h, px))
+      })
+  }
 }

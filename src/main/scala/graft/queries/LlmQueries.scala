@@ -1021,6 +1021,40 @@ object LlmQueries {
             m = 4, dim = 64, nProbe = 3, k = 5)
           .select(col("qid"), col("vec_id").as("neighbor_id"),
             round(col("asim"), 6).as("asim"), col("rank"))
+    },
+
+    // REAL PNG pixel decode -> nearest-neighbor thumbnail. The Spark
+    // path round-trips genuinely compressed bytes: id-derived grayscale
+    // planes are PNG-encoded (zlib deflate, rows cycling all five PNG
+    // filters, CRC'd chunks), decoded back (chunk walk + CRC verify +
+    // Inflater + full filter reconstruction), resized, and checksummed.
+    // The oracle recomputes the resized checksums straight from the id
+    // arithmetic — one wrong reconstructed byte anywhere in the codec
+    // breaks the hash (same pattern as q77's RAWV frames, minus the
+    // stand-in container: this payload is a spec-compliant PNG).
+    OpQuery.sql(
+      "q83_png_decode_resize",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(5 + doc_id % 4 AS BIGINT) AS w,
+        |    CAST(4 + doc_id % 3 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |y AS (SELECT *, unnest(generate_series(0, 1)) AS oy FROM v),
+        |x AS (SELECT *, unnest(generate_series(0, 2)) AS ox FROM y),
+        |px AS (SELECT id,
+        |    (id + 3 * ((ox * w) // 3) + 7 * ((oy * h) // 2)) % 256 AS b
+        |  FROM x)
+        |SELECT id AS media_id, CAST(count(*) AS INTEGER) AS n_px,
+        |  CAST(sum(b) AS BIGINT) AS px_checksum
+        |FROM px GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val imgs = Multimodal.imagesFromDocuments(s, load(s, dir, "documents"))
+        val thumbs = Multimodal.resizeNearest(
+          Multimodal.decodePngFrames(imgs), ow = 3, oh = 2)
+        thumbs
+          .map(fr => (fr.media_id, fr.px.length,
+            fr.px.foldLeft(0L)((acc, b) => acc + (b & 0xff))))
+          .toDF("media_id", "n_px", "px_checksum")
     }
   )
 }

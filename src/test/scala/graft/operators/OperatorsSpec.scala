@@ -188,6 +188,34 @@ class OperatorsSpec extends SparkSuite {
       Multimodal.WavMeta(16000, 2, 16, 100L)))
   }
 
+  test("PNG codec: filtered round-trip byte-exact; CRC/truncation/format rejected") {
+    // 7 rows: every filter type (row % 5) appears, including the
+    // second-row-onward Up/Average/Paeth paths that need a prior row
+    val (w, h) = (6, 7)
+    val px = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
+    val png = Multimodal.pngGray(w, h, px)
+    // a real PNG: signature, and genuinely deflated (not a stub tag)
+    assert(png.take(8).toSeq ==
+      Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte, 0x0d, 0x0a, 0x1a, 0x0a))
+    val got = Multimodal.pngDecodeGray(png)
+    assert(got.exists { case (gw, gh, gpx) =>
+      gw == w && gh == h && gpx.toSeq == px.toSeq })
+
+    // single-pixel and single-row edges
+    assert(Multimodal.pngDecodeGray(Multimodal.pngGray(1, 1, Array[Byte](42)))
+      .exists(_._3.toSeq == Seq(42.toByte)))
+
+    // corrupt one IDAT byte: the chunk CRC must catch it
+    val corrupt = png.clone()
+    corrupt(45) = (corrupt(45) ^ 0x5a).toByte
+    assert(Multimodal.pngDecodeGray(corrupt).isEmpty)
+    // truncated mid-IDAT
+    assert(Multimodal.pngDecodeGray(png.take(png.length - 20)).isEmpty)
+    // the 29-byte RGB header fixture is not a decodable grayscale PNG
+    assert(Multimodal.pngDecodeGray(Multimodal.pngHeader(4, 4)).isEmpty)
+    assert(Multimodal.pngDecodeGray(Multimodal.jpegHeader(4, 4)).isEmpty)
+  }
+
   test("count-min sketch: overestimates only, merge == rebuild, absent token -> 0") {
     import spark.implicits._
     val words = Seq.fill(50)("alpha") ++ Seq.fill(20)("beta") ++
