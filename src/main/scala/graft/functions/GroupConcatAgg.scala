@@ -26,6 +26,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Buffer = (sortKey row, value) pairs; partial aggregation merges buffers
   * (map-side combine applies); ordering happens once at eval.
+  *
+  * MEMORY BOUND: truncation keeps the sorted PREFIX, so a row whose start
+  * offset in the joined sorted sequence already exceeds `maxLen` bytes can
+  * never surface — later inserts only push it further right (and for
+  * `distinct`, a buffer-internal dedup-by-value first keeps each value's
+  * minimal sort position, which is all the final dedup consults). The
+  * buffer therefore compacts itself once it crosses a self-tuning
+  * threshold: sort, dedup if distinct, drop everything past the first
+  * `maxLen` bytes. A one-key-millions-of-rows group holds O(maxLen) bytes
+  * of values in executor memory instead of the whole group, and the eval
+  * result is bit-identical to the unbounded computation (spec-asserted).
   */
 case class GroupConcatAgg(
     value: Expression,
@@ -35,7 +46,9 @@ case class GroupConcatAgg(
     distinct: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.ArrayBuffer[(InternalRow, UTF8String)]] {
+  extends TypedImperativeAggregate[GroupConcatAgg.ConcatBuf] {
+
+  import GroupConcatAgg.ConcatBuf
 
   override def children: Seq[Expression] = Seq(value, sortKey)
   override def nullable: Boolean = true
@@ -44,34 +57,64 @@ case class GroupConcatAgg(
   private lazy val keyType = sortKey.dataType
   private lazy val keyOrdering = TypeUtils.getInterpretedOrdering(keyType)
   private lazy val keyProjection = UnsafeProjection.create(Seq(sortKey))
+  private lazy val sepBytes = UTF8String.fromString(separator).numBytes
 
-  override def createAggregationBuffer(): mutable.ArrayBuffer[(InternalRow, UTF8String)] =
-    mutable.ArrayBuffer.empty
+  override def createAggregationBuffer(): ConcatBuf = new ConcatBuf
 
-  override def update(
-      buffer: mutable.ArrayBuffer[(InternalRow, UTF8String)],
-      input: InternalRow): mutable.ArrayBuffer[(InternalRow, UTF8String)] = {
+  override def update(buffer: ConcatBuf, input: InternalRow): ConcatBuf = {
     val v = value.eval(input)
     if (v != null) {
       // copy: projection output and eval results alias reused buffers
       val keyRow = keyProjection(input).copy()
-      buffer += ((keyRow, v.asInstanceOf[UTF8String].clone()))
+      buffer.rows += ((keyRow, v.asInstanceOf[UTF8String].clone()))
+      maybeCompact(buffer)
     }
     buffer
   }
 
-  override def merge(
-      buffer: mutable.ArrayBuffer[(InternalRow, UTF8String)],
-      other: mutable.ArrayBuffer[(InternalRow, UTF8String)])
-      : mutable.ArrayBuffer[(InternalRow, UTF8String)] = buffer ++= other
+  override def merge(buffer: ConcatBuf, other: ConcatBuf): ConcatBuf = {
+    buffer.rows ++= other.rows
+    maybeCompact(buffer)
+    buffer
+  }
 
-  override def eval(buffer: mutable.ArrayBuffer[(InternalRow, UTF8String)]): Any = {
-    if (buffer.isEmpty) return null // MySQL: NULL when no non-null values
-    val sorted = buffer.sortWith { case ((ka, va), (kb, vb)) =>
+  private def sortRows(rows: mutable.ArrayBuffer[(InternalRow, UTF8String)]) =
+    rows.sortWith { case ((ka, va), (kb, vb)) =>
       val c = keyOrdering.compare(ka.get(0, keyType), kb.get(0, keyType))
       if (c != 0) c < 0 else va.compareTo(vb) < 0 // deterministic tie-break
     }
-    val values = sorted.map(_._2.toString)
+
+  /** For `distinct`, only each value's MINIMAL sort position matters
+    * downstream; on a sorted buffer that is its first occurrence. */
+  private def dedupSorted(sorted: mutable.ArrayBuffer[(InternalRow, UTF8String)]) = {
+    val seen = mutable.HashSet.empty[UTF8String]
+    sorted.filter { case (_, v) => seen.add(v) }
+  }
+
+  /** Drop rows that can never reach the first `maxLen` output bytes. */
+  private def maybeCompact(buffer: ConcatBuf): Unit = {
+    if (buffer.rows.length < buffer.nextCompactAt) return
+    val sorted = sortRows(buffer.rows)
+    val pruned = if (distinct) dedupSorted(sorted) else sorted
+    val kept = mutable.ArrayBuffer.empty[(InternalRow, UTF8String)]
+    var cum = 0L
+    val it = pruned.iterator
+    while (it.hasNext && cum <= maxLen) {
+      val e = it.next()
+      kept += e
+      cum += e._2.numBytes + sepBytes
+    }
+    buffer.rows.clear()
+    buffer.rows ++= kept
+    // doubling keeps compaction amortized-linear even when values are so
+    // small (or the separator empty) that little can be dropped
+    buffer.nextCompactAt =
+      math.max(GroupConcatAgg.MinCompactAt, buffer.rows.length * 2)
+  }
+
+  override def eval(buffer: ConcatBuf): Any = {
+    if (buffer.rows.isEmpty) return null // MySQL: NULL when no non-null values
+    val values = sortRows(buffer.rows).map(_._2.toString)
     val deduped = if (distinct) values.distinct else values
     val joined = UTF8String.fromString(deduped.mkString(separator))
     // MySQL's group_concat_max_len counts BYTES, not UTF-16 code units.
@@ -86,11 +129,11 @@ case class GroupConcatAgg(
     }
   }
 
-  override def serialize(buffer: mutable.ArrayBuffer[(InternalRow, UTF8String)]): Array[Byte] = {
+  override def serialize(buffer: ConcatBuf): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeInt(buffer.size)
-    buffer.foreach { case (k, v) =>
+    out.writeInt(buffer.rows.size)
+    buffer.rows.foreach { case (k, v) =>
       val kBytes = k.asInstanceOf[UnsafeRow].getBytes
       out.writeInt(kBytes.length); out.write(kBytes)
       val vBytes = v.getBytes
@@ -99,16 +142,16 @@ case class GroupConcatAgg(
     out.flush(); bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[(InternalRow, UTF8String)] = {
+  override def deserialize(bytes: Array[Byte]): ConcatBuf = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf = mutable.ArrayBuffer.empty[(InternalRow, UTF8String)]
+    val buf = new ConcatBuf
     (0 until n).foreach { _ =>
       val kLen = in.readInt(); val kBytes = new Array[Byte](kLen); in.readFully(kBytes)
       val row = new UnsafeRow(1)
       row.pointTo(kBytes, kLen)
       val vLen = in.readInt(); val vBytes = new Array[Byte](vLen); in.readFully(vBytes)
-      buf += ((row, UTF8String.fromBytes(vBytes)))
+      buf.rows += ((row, UTF8String.fromBytes(vBytes)))
     }
     buf
   }
@@ -125,6 +168,18 @@ case class GroupConcatAgg(
 
 object GroupConcatAgg {
   import org.apache.spark.sql.GraftColumnBridge
+
+  /** Aggregation state: the (key, value) rows plus the self-tuning
+    * compaction trigger (serialized state carries only the rows — a
+    * deserialized buffer re-tunes from the default). */
+  final class ConcatBuf {
+    val rows = mutable.ArrayBuffer.empty[(InternalRow, UTF8String)]
+    var nextCompactAt: Int = MinCompactAt
+  }
+
+  /** Below this row count the buffer never bothers compacting — small
+    * groups (the overwhelmingly common case) pay zero overhead. */
+  val MinCompactAt = 8192
 
   /** Column-API surface: `group_concat(value, sortKeys…)` with MySQL
     * truncation semantics. (Spark 4: Column <-> Expression bridging goes

@@ -50,6 +50,53 @@ class GroupConcatAggSpec extends SparkSuite {
     assert(cutAt(3) == "é")           // byte 3 would split é #2
   }
 
+  test("hot group: buffer stays bounded, output identical to the unbounded result") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+
+    val n = 200000
+    val maxLen = 1000
+    // drive the aggregate directly so the buffer is observable: one
+    // pathological group of 200k rows, inserted in DESCENDING key order
+    // (every insert sorts before everything kept so far — the worst case
+    // for a prefix-keeping compactor)
+    def run(distinct: Boolean): (String, Int) = {
+      val agg = GroupConcatAgg(
+        BoundReference(0, StringType, nullable = true),
+        BoundReference(1, IntegerType, nullable = false),
+        ", ", maxLen, distinct)
+      val buf = agg.createAggregationBuffer()
+      var maxSeen = 0
+      (n to 1 by -1).foreach { i =>
+        // duplicates every other row exercise the distinct dedup path
+        val v = UTF8String.fromString(
+          "value%09d".format(if (distinct) i / 2 else i))
+        agg.update(buf, InternalRow(v, i))
+        maxSeen = math.max(maxSeen, buf.rows.length)
+      }
+      (agg.eval(buf).asInstanceOf[UTF8String].toString, maxSeen)
+    }
+    val (got, maxSeen) = run(distinct = false)
+    // unbounded reference computed independently: sort, join, byte-cut
+    val want = (1 to n).map(i => "value%09d".format(i)).mkString(", ").take(maxLen)
+    assert(got == want)
+    // the buffer must be bounded by the compaction threshold dynamics —
+    // far below the 200k rows an unbounded buffer would hold (each kept
+    // row costs ~15 value bytes + separator against the 1000-byte cap,
+    // so compaction settles near MinCompactAt)
+    assert(maxSeen <= 2 * GroupConcatAgg.MinCompactAt,
+      s"buffer grew to $maxSeen rows — compaction is not engaging")
+
+    val (gotD, maxSeenD) = run(distinct = true)
+    // key order is 1..n; distinct keeps each value's first occurrence
+    val wantD = (1 to n).map(i => "value%09d".format(i / 2))
+      .distinct.mkString(", ").take(maxLen)
+    assert(gotD == wantD)
+    assert(maxSeenD <= 2 * GroupConcatAgg.MinCompactAt)
+  }
+
   test("SQL surface: group_concat coerces non-string value columns") {
     SqlFunctions.register(spark)
     import spark.implicits._
