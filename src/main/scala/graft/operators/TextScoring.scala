@@ -55,6 +55,27 @@ object TextScoring {
     def apply(text: Column): Column = TextAnalysis.tokenCountBpeish(text)
   }
 
+  /** A plain-JVM marker-argmax scorer function — the stand-in for the
+    * ONNX/JNI model call a production [[FunctionLangId]] would wrap.
+    * Semantics mirror [[MarkerLangId]] exactly (normalize, count marker
+    * hits, argmax with ties to the lexicographically last code, zero
+    * hits → "und"/0), so swapping the codegen'd column for this UDF is
+    * oracle-checkable end-to-end (q84 runs q37's exact DuckDB oracle
+    * against it). */
+  def markerModelFunction(
+      markers: Seq[(String, Seq[String])]): String => (String, Double) = {
+    val sets = markers.map { case (l, ms) => (l, ms.toSet) }
+    text => {
+      val norm = text.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("[^a-z0-9\\s]", " ").replaceAll("\\s+", " ").trim
+      val ws = if (norm.isEmpty) Array.empty[String] else norm.split(" ")
+      val (score, lang) = sets
+        .map { case (l, set) => (ws.count(set), l) }
+        .maxBy { case (n, l) => (n, l) } // ties → lexicographically last
+      if (score == 0) ("und", 0.0) else (lang, score.toDouble)
+    }
+  }
+
   /** Adapter for a model-backed scorer: any `String => (lang, score)`
     * function — e.g. a fastText/CLD3-style classifier behind a JNI or
     * ONNX runtime call. Runs as a scalar UDF (one JVM call per row,

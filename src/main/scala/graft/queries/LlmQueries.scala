@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables.load
-import graft.operators.{Dedup, FrequencySketch, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, FrequencySketch, Multimodal, Similarity, TextAnalysis, TextScoring}
 
 /** Training-data pipeline operators on the documents/embeddings fixtures:
   * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard,
@@ -26,6 +26,25 @@ object LlmQueries {
   // DuckDB-side normalized text + words, matching TextAnalysis.normalize.
   private val DuckNorm =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  // Shared by q37 (codegen'd marker-argmax columns) and q84 (the same
+  // semantics behind the FunctionLangId model-UDF adapter): one oracle,
+  // two execution tiers — the swap contract checked end-to-end.
+  private val LangIdOracle =
+    s"""WITH w AS (SELECT doc_id, string_split($DuckNorm, ' ') ws FROM documents),
+       |sc AS (SELECT doc_id,
+       |  len(list_filter(ws, x -> x IN ('der','die','das','und','ist'))) s_de,
+       |  len(list_filter(ws, x -> x IN ('the','a','of','and'))) s_en,
+       |  len(list_filter(ws, x -> x IN ('el','los','las','y','es'))) s_es,
+       |  len(list_filter(ws, x -> x IN ('le','la','les','et','est'))) s_fr
+       |  FROM w)
+       |SELECT doc_id, CASE
+       |  WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+       |  WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+       |  WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+       |  WHEN s_en >= s_de THEN 'en'
+       |  ELSE 'de' END AS lang_pred
+       |FROM sc""".stripMargin
 
   val all: Seq[OpQuery] = Seq(
 
@@ -365,20 +384,7 @@ object LlmQueries {
     // code; zero hits → 'und').
     OpQuery.sql(
       "q37_langid",
-      s"""WITH w AS (SELECT doc_id, string_split($DuckNorm, ' ') ws FROM documents),
-         |sc AS (SELECT doc_id,
-         |  len(list_filter(ws, x -> x IN ('der','die','das','und','ist'))) s_de,
-         |  len(list_filter(ws, x -> x IN ('the','a','of','and'))) s_en,
-         |  len(list_filter(ws, x -> x IN ('el','los','las','y','es'))) s_es,
-         |  len(list_filter(ws, x -> x IN ('le','la','les','et','est'))) s_fr
-         |  FROM w)
-         |SELECT doc_id, CASE
-         |  WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-         |  WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
-         |  WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
-         |  WHEN s_en >= s_de THEN 'en'
-         |  ELSE 'de' END AS lang_pred
-         |FROM sc""".stripMargin) {
+      LangIdOracle) {
       (s, dir) =>
         load(s, dir, "documents")
           .select(col("doc_id"), TextAnalysis.langId(col("text"), LangMarkers).as("lang_pred"))
@@ -1055,6 +1061,24 @@ object LlmQueries {
           .map(fr => (fr.media_id, fr.px.length,
             fr.px.foldLeft(0L)((acc, b) => acc + (b & 0xff))))
           .toDF("media_id", "n_px", "px_checksum")
+    },
+
+    // The model-swap contract driven end-to-end: q37's language-ID
+    // pipeline with the codegen'd marker columns replaced by a
+    // FunctionLangId scalar UDF (the adapter an ONNX/JNI classifier
+    // plugs into), wrapping the plain-JVM marker scorer. Same DuckDB
+    // oracle as q37 — the swap changes the execution tier, not one
+    // output byte — and the q37-vs-q84 bench delta is the recorded
+    // cost of leaving whole-stage codegen for a model column.
+    OpQuery.sql(
+      "q84_langid_model_udf",
+      LangIdOracle) {
+      (s, dir) =>
+        val scorer = new TextScoring.FunctionLangId(
+          TextScoring.markerModelFunction(LangMarkers))
+        load(s, dir, "documents")
+          .select(col("doc_id"),
+            scorer(col("text")).getField("lang").as("lang_pred"))
     }
   )
 }

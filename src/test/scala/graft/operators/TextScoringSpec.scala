@@ -55,4 +55,18 @@ class TextScoringSpec extends SparkSuite {
       TextScoring.BpeishTokenCounter).collect()
     assert(dflt.nonEmpty)
   }
+
+  test("markerModelFunction through FunctionLangId reproduces the codegen'd column") {
+    // the q37-vs-q84 contract: swapping the Catalyst marker columns for
+    // the UDF-wrapped JVM scorer must not change one prediction on the
+    // real fixture (both also bind to the same DuckDB oracle)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val udfScorer = new TextScoring.FunctionLangId(
+      TextScoring.markerModelFunction(markers))
+    val diff = docs.select(
+        TextAnalysis.langId(col("text"), markers).as("want"),
+        udfScorer(col("text")).getField("lang").as("got"))
+      .filter(col("want") =!= col("got"))
+    assert(diff.count() == 0)
+  }
 }
