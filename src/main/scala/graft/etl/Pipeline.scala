@@ -139,23 +139,43 @@ class Pipeline(spark: SparkSession, root: String) {
     Watermark.appendRun(spark, logPath, version, newWatermark, secs)
   }
 
-  /** Bucketed-sink write hook for a person-keyed flat table: full write
-    * into a fresh epoch on first run, then touched-bucket-only epochs
-    * committed by the manifest swap. `touched` supplies the stage's
-    * proven-superset person queue at the stage watermark. Null (snapshot
-    * mode) when bucketing is off.
+  /** One bucketed stage's shared tick state: the proven-superset person
+    * queue, its collected bucket-id set (≤ nBuckets ints), and the
+    * stored table PRUNED to those buckets. The queue defines which rows
+    * can change; a person's rows live only in their bucket, so the
+    * incremental merge never needs to read (or rewrite) any other
+    * bucket's files — that file-level prune is what makes the tick's
+    * wall time O(delta + touched buckets) rather than O(table): the
+    * 20k-person bench showed the O(delta) WRITE alone left the tick at
+    * full-build wall time because the keep-side READ still scanned
+    * every bucket.
     */
+  private final case class BucketedDelta(
+      queue: DataFrame, buckets: Set[Int], prunedExisting: DataFrame) {
+    def release(): Unit = queue.unpersist()
+  }
+
+  private def bucketedDelta(name: String, queue: DataFrame): BucketedDelta = {
+    val q = queue.cache()
+    val p = bucketedDataPath(name).toString
+    val buckets = BucketedSink.collectBuckets(q, sinkBuckets)
+    BucketedDelta(q, buckets, BucketedSink.readBuckets(spark, p, buckets))
+  }
+
+  /** Bucketed-sink write hook: full write into a fresh epoch on first
+    * run, then touched-bucket-only epochs committed by the manifest
+    * swap. Null (snapshot mode) when bucketing is off. */
   private def bucketedWrite(
       name: String,
-      touched: Timestamp => DataFrame): (DataFrame, Timestamp) => Unit =
+      delta: () => BucketedDelta): (DataFrame, Timestamp) => Unit =
     if (sinkBuckets <= 0) null
-    else { (result, wm) =>
+    else { (result, _) =>
       val p = bucketedDataPath(name).toString
       if (!bucketedExists(name))
         BucketedSink.writeFull(result, p, "person_id", sinkBuckets)
       else
         BucketedSink.overwriteChanged(result, p, "person_id", sinkBuckets,
-          touched(wm))
+          delta().buckets)
     }
 
   /** One full pipeline tick over the given source snapshot. Every
@@ -164,24 +184,38 @@ class Pipeline(spark: SparkSession, root: String) {
     * summary) stays on the versioned-snapshot sink.
     */
   def tick(obs: DataFrame, encounter: DataFrame, orders: DataFrame, person: DataFrame): Unit = {
+    val bucketed = sinkBuckets > 0
     val encObsMax = maxTs(Seq(encounter -> "date_created", obs -> "date_created"))
+    // per-stage shared delta state (queue computed once per stage, its
+    // buckets shared between the pruned merge read and the write)
+    var delta: BucketedDelta = null
+    def noteDelta(d: BucketedDelta): BucketedDelta = { delta = d; d }
+
     runStage(flatObsVersion, "flat_obs", encObsMax, wm =>
       readFlat("flat_obs") match {
+        case Some(existing) if bucketed && bucketedExists("flat_obs") =>
+          val d = noteDelta(bucketedDelta("flat_obs",
+            FlatObs.touchedPersons(obs, encounter, person, wm, Some(existing))))
+          FlatObs.incremental(d.prunedExisting, obs, encounter, person, wm)
         case Some(existing) => FlatObs.incremental(existing, obs, encounter, person, wm)
         case None => FlatObs.build(obs, encounter, person)
       },
-      bucketedWrite("flat_obs",
-        wm => FlatObs.touchedPersons(obs, encounter, person, wm,
-          readFlat("flat_obs"))))
+      bucketedWrite("flat_obs", () => delta))
+    if (delta != null) { delta.release(); delta = null }
+
     runStage(flatOrdersVersion, "flat_orders",
       maxTs(Seq(orders -> "date_created")), wm =>
         readFlat("flat_orders") match {
+          case Some(existing) if bucketed && bucketedExists("flat_orders") =>
+            val d = noteDelta(bucketedDelta("flat_orders",
+              FlatOrders.touchedPersons(orders, person, wm, Some(existing))))
+            FlatOrders.incremental(d.prunedExisting, orders, encounter, person, wm)
           case Some(existing) => FlatOrders.incremental(existing, orders, encounter, person, wm)
           case None => FlatOrders.build(orders, encounter, person)
         },
-      bucketedWrite("flat_orders",
-        wm => FlatOrders.touchedPersons(orders, person, wm,
-          readFlat("flat_orders"))))
+      bucketedWrite("flat_orders", () => delta))
+    if (delta != null) { delta.release(); delta = null }
+
     // lab watermark from the obs actually visible to the lab delta, NOT
     // encObsMax: advancing on the strength of an encounter row alone
     // would widen the window where a lab obs committing just after the
@@ -189,38 +223,46 @@ class Pipeline(spark: SparkSession, root: String) {
     runStage(flatLabObsVersion, "flat_lab_obs",
       maxTs(Seq(obs -> "date_created")), wm =>
         readFlat("flat_lab_obs") match {
+          case Some(existing) if bucketed && bucketedExists("flat_lab_obs") =>
+            val d = noteDelta(bucketedDelta("flat_lab_obs",
+              FlatLabObs.touchedPersons(obs, person, wm, Some(existing))))
+            FlatLabObs.incremental(d.prunedExisting, obs, person, wm)
           case Some(existing) => FlatLabObs.incremental(existing, obs, person, wm)
           case None => FlatLabObs.build(obs, person)
         },
-      bucketedWrite("flat_lab_obs",
-        wm => FlatLabObs.touchedPersons(obs, person, wm,
-          readFlat("flat_lab_obs"))))
-    // the summary queue contains an O(table) retraction anti-join; when
-    // the bucketed sink also needs it as the touched-key set, compute it
-    // once, cached, and share it between the merge and the write hook
-    var visitQueue: DataFrame = null
+      bucketedWrite("flat_lab_obs", () => delta))
+    if (delta != null) { delta.release(); delta = null }
+
     runStage(flatVisitSummaryVersion, "flat_visit_summary",
       maxTs(Seq(readFlat("flat_obs").get -> "max_date_created")), wm => {
         val fo = readFlat("flat_obs").get
         val ford = readFlat("flat_orders").get
         readFlat("flat_visit_summary") match {
+          case Some(existing)
+              if bucketed && bucketedExists("flat_visit_summary") =>
+            // the queue's retraction anti-join scans existing + fo in
+            // full (single columns); the WIDE reads below are pruned to
+            // the queue's buckets. flat_obs/flat_orders share the
+            // person_id hash and bucket count, so the queued persons'
+            // upstream rows live in the same bucket ids.
+            val d = noteDelta(bucketedDelta("flat_visit_summary",
+              FlatVisitSummary.touchedPersons(existing, fo, obs, encounter, wm)))
+            val foPruned = BucketedSink.readBuckets(
+              spark, bucketedDataPath("flat_obs").toString, d.buckets)
+            val fordPruned = BucketedSink.readBuckets(
+              spark, bucketedDataPath("flat_orders").toString, d.buckets)
+            FlatVisitSummary.incremental(d.prunedExisting, foPruned, fordPruned,
+              obs, encounter, person, wm, Some(d.queue))
           case Some(existing) =>
-            if (sinkBuckets > 0)
-              visitQueue = FlatVisitSummary
-                .touchedPersons(existing, fo, obs, encounter, wm).cache()
             FlatVisitSummary.incremental(
-              existing, fo, ford, obs, encounter, person, wm, Option(visitQueue))
+              existing, fo, ford, obs, encounter, person, wm, None)
           case None => FlatVisitSummary.build(fo, ford, person)
         }
       },
-      bucketedWrite("flat_visit_summary",
-        wm =>
-          if (visitQueue != null) visitQueue
-          else FlatVisitSummary.touchedPersons(
-            readFlat("flat_visit_summary").get, readFlat("flat_obs").get,
-            obs, encounter, wm)),
+      bucketedWrite("flat_visit_summary", () => delta),
       tableFallback = false)
-    if (visitQueue != null) visitQueue.unpersist()
+    if (delta != null) { delta.release(); delta = null }
+
     writeSnapshot(
       FlatLatestHivSummary.build(readFlat("flat_visit_summary").get),
       "flat_latest_hiv_summary")

@@ -159,21 +159,45 @@ object BucketedSink {
     * tick changed, created, or retracted — a SUPERSET is safe (extra
     * buckets rewritten identically), a miss is not.
     */
+  /** Distinct bucket ids of the given one-column key frame — ≤ nBuckets
+    * ints in the driver, the same scalar class as a watermark lookup,
+    * not a data materialization. */
+  def collectBuckets(keys: DataFrame, nBuckets: Int): Set[Int] =
+    keys.select(bucketOf(col(keys.columns.head), nBuckets).as("__bucket"))
+      .distinct().collect().map(_.getInt(0)).toSet
+
   def overwriteChanged(
       merged: DataFrame,
       path: String,
       keyCol: String,
       nBuckets: Int,
       touchedKeys: DataFrame,
+      maxEpochs: Int): Unit =
+    overwriteChanged(merged, path, keyCol, nBuckets,
+      collectBuckets(touchedKeys, nBuckets), maxEpochs)
+
+  def overwriteChanged(
+      merged: DataFrame,
+      path: String,
+      keyCol: String,
+      nBuckets: Int,
+      touchedKeys: DataFrame): Unit =
+    overwriteChanged(merged, path, keyCol, nBuckets,
+      collectBuckets(touchedKeys, nBuckets), 16)
+
+  /** As above, with the touched-bucket set already collected — callers
+    * that also bucket-prune their merge input ([[readBuckets]]) compute
+    * the set once and share it. */
+  def overwriteChanged(
+      merged: DataFrame,
+      path: String,
+      keyCol: String,
+      nBuckets: Int,
+      touched: Set[Int],
       maxEpochs: Int = 16): Unit = {
     val c = conf(merged)
     val prev = readManifest(c, path).getOrElse(throw new IllegalStateException(
       s"no manifest at $path — writeFull before overwriteChanged"))
-    // ≤ nBuckets ints: a scalar-sized driver read, same class as a
-    // watermark lookup, not a data materialization
-    val touched = touchedKeys
-      .select(bucketOf(col(touchedKeys.columns.head), nBuckets).as("__bucket"))
-      .distinct().collect().map(_.getInt(0)).toSet
     // a no-delta tick (common steady state) changes nothing: skip the
     // write job, the identical-manifest rewrite, and the purge
     if (touched.isEmpty) return
@@ -225,6 +249,26 @@ object BucketedSink {
       val base = new Path(path, epoch).toString
       spark.read.option("basePath", base)
         .parquet(buckets.keys.toSeq.sorted.map(b => s"$base/__bucket=$b"): _*)
+    }.reduce(_ unionByName _).drop("__bucket")
+  }
+
+  /** Read ONLY the given buckets of the live table — the file-level prune
+    * that makes an incremental merge's stored-side read O(touched
+    * buckets) instead of O(table). A key's row can only live in its own
+    * bucket, so a merge over a touched-key superset needs exactly these
+    * directories; no other file is listed, opened, or scanned. An empty
+    * selection yields an empty frame with the table's schema. */
+  def readBuckets(spark: SparkSession, path: String, buckets: Set[Int]): DataFrame = {
+    val c = spark.sparkContext.hadoopConfiguration
+    val manifest = readManifest(c, path).getOrElse(throw new IllegalStateException(
+      s"no manifest at $path"))
+    require(manifest.nonEmpty, s"bucketed table at $path is empty")
+    val sel = manifest.filter { case (b, _) => buckets.contains(b) }
+    if (sel.isEmpty) read(spark, path).limit(0)
+    else sel.groupBy(_._2).toSeq.sortBy(_._1).map { case (epoch, bs) =>
+      val base = new Path(path, epoch).toString
+      spark.read.option("basePath", base)
+        .parquet(bs.keys.toSeq.sorted.map(b => s"$base/__bucket=$b"): _*)
     }.reduce(_ unionByName _).drop("__bucket")
   }
 }
