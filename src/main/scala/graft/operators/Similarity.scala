@@ -412,4 +412,40 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("qid", "vec_id", "asim", "rank")
   }
+
+  /** IVFPQ + exact rerank — the production two-stage search: the
+    * compressed index ([[ivfPqSearch]]) narrows each query to
+    * `nCandidates` ids cheaply, then ONLY those candidates' full vectors
+    * are fetched (the candidate list broadcasts into the corpus scan —
+    * a map-side semi-fetch of |Q|·nCandidates rows, never a shuffle of
+    * the corpus) and reranked by exact cosine. Quantization error decides
+    * which ~N make the cut, full precision decides the final ranks —
+    * this is what closes most of the ADC recall gap without giving up
+    * either scale bound.
+    */
+  def ivfPqSearchRerank(
+      queries: DataFrame, // (qid, qvec)
+      codes: DataFrame,
+      centroids: DataFrame,
+      codebooks: DataFrame,
+      vectors: DataFrame, // (vec_id, vec) — the full-precision corpus
+      m: Int,
+      dim: Int,
+      nProbe: Int,
+      nCandidates: Int,
+      k: Int): DataFrame = {
+    require(nCandidates >= k, s"nCandidates=$nCandidates must be >= k=$k")
+    val cand = ivfPqSearch(queries, codes, centroids, codebooks,
+        m, dim, nProbe, nCandidates)
+      .select(col("qid"), col("vec_id"))
+    val q = queries.select(col("qid"), col("qvec"), norm(col("qvec")).as("qn"))
+    val wTop = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    vectors.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("sim",
+        dot(col("qvec"), col("vec")) / (col("qn") * norm(col("vec"))))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id", "sim", "rank")
+  }
 }

@@ -27,6 +27,123 @@ object LlmQueries {
   private val DuckNorm =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
 
+  // The full IVFPQ replay (coarse IVF training -> residuals -> L2 PQ
+  // codebooks -> encoding -> probes -> decomposed-ADC scores), shared by
+  // q82 (ADC top-k) and q85 (ADC top-N + exact rerank): one training
+  // pipeline, two search tails.
+  private val IvfPqCtes =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+      |cent0 AS (SELECT vec_id AS cell, e AS cvec FROM v ORDER BY vec_id LIMIT 16),
+      |asg0 AS (
+      |  SELECT vec_id, e, cell FROM (
+      |    SELECT v.vec_id, v.e, c.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_dot_product(v.e, c.cvec) /
+      |        (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+      |        c.cell) rn
+      |    FROM v, cent0 c) t WHERE rn = 1),
+      |cent1 AS (
+      |  SELECT cell, list(mv ORDER BY pos) cvec FROM (
+      |    SELECT cell, pos, CAST(sum(CAST(x AS DECIMAL(27, 10))) AS DOUBLE) / count(*) mv
+      |    FROM (SELECT cell, unnest(e) x, generate_subscripts(e, 1) - 1 pos FROM asg0)
+      |    GROUP BY cell, pos) GROUP BY cell),
+      |asg1 AS (
+      |  SELECT vec_id, e, cell FROM (
+      |    SELECT v.vec_id, v.e, c.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_dot_product(v.e, c.cvec) /
+      |        (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+      |        c.cell) rn
+      |    FROM v, cent1 c) t WHERE rn = 1),
+      |cent AS (
+      |  SELECT cell, list(mv ORDER BY pos) cvec FROM (
+      |    SELECT cell, pos, CAST(sum(CAST(x AS DECIMAL(27, 10))) AS DOUBLE) / count(*) mv
+      |    FROM (SELECT cell, unnest(e) x, generate_subscripts(e, 1) - 1 pos FROM asg1)
+      |    GROUP BY cell, pos) GROUP BY cell),
+      |asg AS (
+      |  SELECT vec_id, e, cell FROM (
+      |    SELECT v.vec_id, v.e, c.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_dot_product(v.e, c.cvec) /
+      |        (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+      |        c.cell) rn
+      |    FROM v, cent c) t WHERE rn = 1),
+      |res AS (
+      |  SELECT vec_id, cell AS ivf_cell, list(x - cx ORDER BY pos) rvec FROM (
+      |    SELECT a.vec_id, a.cell, unnest(a.e) x, unnest(c.cvec) cx,
+      |           generate_subscripts(a.e, 1) pos
+      |    FROM asg a JOIN cent c USING (cell))
+      |  GROUP BY vec_id, cell),
+      |sgrid AS (SELECT unnest(generate_series(0, 3)) s),
+      |rsubs AS (SELECT vec_id, ivf_cell, s,
+      |    list_slice(rvec, s*16 + 1, s*16 + 16) sv FROM res, sgrid),
+      |rbook0 AS (
+      |  SELECT s, vec_id AS pcell, sv AS cvec FROM rsubs
+      |  WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 8)),
+      |rasg0 AS (
+      |  SELECT s, sv, pcell FROM (
+      |    SELECT u.vec_id, u.s, u.sv, b.pcell,
+      |      row_number() OVER (PARTITION BY u.vec_id, u.s ORDER BY
+      |        list_dot_product(u.sv, u.sv) - 2*list_dot_product(u.sv, b.cvec)
+      |          + list_dot_product(b.cvec, b.cvec) ASC,
+      |        b.pcell) rn
+      |    FROM rsubs u JOIN rbook0 b ON u.s = b.s) t WHERE rn = 1),
+      |rbook AS (
+      |  SELECT s, pcell, list(mv ORDER BY pos) cvec FROM (
+      |    SELECT s, pcell, pos, CAST(sum(CAST(x AS DECIMAL(27, 10))) AS DOUBLE) / count(*) mv
+      |    FROM (SELECT s, pcell, unnest(sv) x, generate_subscripts(sv, 1) - 1 pos FROM rasg0)
+      |    GROUP BY s, pcell, pos) GROUP BY s, pcell),
+      |codes AS (
+      |  SELECT vec_id, ivf_cell, s, pcell AS code FROM (
+      |    SELECT u.vec_id, u.ivf_cell, u.s, b.pcell,
+      |      row_number() OVER (PARTITION BY u.vec_id, u.s ORDER BY
+      |        list_dot_product(u.sv, u.sv) - 2*list_dot_product(u.sv, b.cvec)
+      |          + list_dot_product(b.cvec, b.cvec) ASC,
+      |        b.pcell) rn
+      |    FROM rsubs u JOIN rbook b ON u.s = b.s) t WHERE rn = 1),
+      |probes AS (
+      |  SELECT qid, cell AS ivf_cell,
+      |    list_dot_product(qvec, cvec) qcdot,
+      |    list_dot_product(cvec, cvec) cn2
+      |  FROM (
+      |    SELECT q.vec_id qid, q.e qvec, c.cell, c.cvec,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_dot_product(q.e, c.cvec) /
+      |        (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+      |        c.cell) rn
+      |    FROM v q, cent c WHERE q.vec_id < 5) t WHERE rn <= 3),
+      |qsubs AS (SELECT vec_id AS qid, s, list_slice(e, s*16 + 1, s*16 + 16) sv
+      |  FROM v, sgrid WHERE vec_id < 5),
+      |lut AS (SELECT u.qid, u.s, b.pcell AS code, list_dot_product(u.sv, b.cvec) pdot
+      |  FROM qsubs u JOIN rbook b ON u.s = b.s),
+      |csubs AS (SELECT cell AS ivf_cell, s, list_slice(cvec, s*16 + 1, s*16 + 16) sv
+      |  FROM cent, sgrid),
+      |cr AS (SELECT u.ivf_cell, u.s, b.pcell AS code, list_dot_product(u.sv, b.cvec) crdot
+      |  FROM csubs u JOIN rbook b ON u.s = b.s),
+      |rn2 AS (SELECT s, pcell AS code, list_dot_product(cvec, cvec) rn2 FROM rbook),
+      |cand AS (
+      |  SELECT p.qid, c.vec_id, p.qcdot, p.cn2, c.s, l.pdot, r.crdot, n.rn2
+      |  FROM codes c
+      |  JOIN probes p ON p.ivf_cell = c.ivf_cell
+      |  JOIN lut l ON l.qid = p.qid AND l.s = c.s AND l.code = c.code
+      |  JOIN cr r ON r.ivf_cell = c.ivf_cell AND r.s = c.s AND r.code = c.code
+      |  JOIN rn2 n ON n.s = c.s AND n.code = c.code
+      |  WHERE c.vec_id <> p.qid),
+      |qn AS (SELECT vec_id qid, sqrt(list_dot_product(e, e)) qn FROM v WHERE vec_id < 5),
+      |agg AS (
+      |  SELECT qid, vec_id, max(qcdot) qcdot, max(cn2) cn2,
+      |    max(CASE WHEN s = 0 THEN pdot END) + max(CASE WHEN s = 1 THEN pdot END)
+      |    + max(CASE WHEN s = 2 THEN pdot END) + max(CASE WHEN s = 3 THEN pdot END) AS pdsum,
+      |    max(CASE WHEN s = 0 THEN crdot END) + max(CASE WHEN s = 1 THEN crdot END)
+      |    + max(CASE WHEN s = 2 THEN crdot END) + max(CASE WHEN s = 3 THEN crdot END) AS crsum,
+      |    max(CASE WHEN s = 0 THEN rn2 END) + max(CASE WHEN s = 1 THEN rn2 END)
+      |    + max(CASE WHEN s = 2 THEN rn2 END) + max(CASE WHEN s = 3 THEN rn2 END) AS rnsum
+      |  FROM cand GROUP BY qid, vec_id),
+      |adc AS (
+      |  SELECT a.qid, a.vec_id,
+      |    (a.qcdot + a.pdsum) / (n.qn * sqrt(a.cn2 + 2*a.crsum + a.rnsum)) AS asim
+      |  FROM agg a JOIN qn n USING (qid))""".stripMargin
+
   // Shared by q37 (codegen'd marker-argmax columns) and q84 (the same
   // semantics behind the FunctionLangId model-UDF adapter): one oracle,
   // two execution tiers — the swap contract checked end-to-end.
@@ -894,122 +1011,12 @@ object LlmQueries {
     // tables, and ranking — so a drift anywhere breaks the hash.
     OpQuery.sql(
       "q82_ann_ivfpq",
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
-        |cent0 AS (SELECT vec_id AS cell, e AS cvec FROM v ORDER BY vec_id LIMIT 16),
-        |asg0 AS (
-        |  SELECT vec_id, e, cell FROM (
-        |    SELECT v.vec_id, v.e, c.cell,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        list_dot_product(v.e, c.cvec) /
-        |        (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
-        |        c.cell) rn
-        |    FROM v, cent0 c) t WHERE rn = 1),
-        |cent1 AS (
-        |  SELECT cell, list(mv ORDER BY pos) cvec FROM (
-        |    SELECT cell, pos, CAST(sum(CAST(x AS DECIMAL(27, 10))) AS DOUBLE) / count(*) mv
-        |    FROM (SELECT cell, unnest(e) x, generate_subscripts(e, 1) - 1 pos FROM asg0)
-        |    GROUP BY cell, pos) GROUP BY cell),
-        |asg1 AS (
-        |  SELECT vec_id, e, cell FROM (
-        |    SELECT v.vec_id, v.e, c.cell,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        list_dot_product(v.e, c.cvec) /
-        |        (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
-        |        c.cell) rn
-        |    FROM v, cent1 c) t WHERE rn = 1),
-        |cent AS (
-        |  SELECT cell, list(mv ORDER BY pos) cvec FROM (
-        |    SELECT cell, pos, CAST(sum(CAST(x AS DECIMAL(27, 10))) AS DOUBLE) / count(*) mv
-        |    FROM (SELECT cell, unnest(e) x, generate_subscripts(e, 1) - 1 pos FROM asg1)
-        |    GROUP BY cell, pos) GROUP BY cell),
-        |asg AS (
-        |  SELECT vec_id, e, cell FROM (
-        |    SELECT v.vec_id, v.e, c.cell,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        list_dot_product(v.e, c.cvec) /
-        |        (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
-        |        c.cell) rn
-        |    FROM v, cent c) t WHERE rn = 1),
-        |res AS (
-        |  SELECT vec_id, cell AS ivf_cell, list(x - cx ORDER BY pos) rvec FROM (
-        |    SELECT a.vec_id, a.cell, unnest(a.e) x, unnest(c.cvec) cx,
-        |           generate_subscripts(a.e, 1) pos
-        |    FROM asg a JOIN cent c USING (cell))
-        |  GROUP BY vec_id, cell),
-        |sgrid AS (SELECT unnest(generate_series(0, 3)) s),
-        |rsubs AS (SELECT vec_id, ivf_cell, s,
-        |    list_slice(rvec, s*16 + 1, s*16 + 16) sv FROM res, sgrid),
-        |rbook0 AS (
-        |  SELECT s, vec_id AS pcell, sv AS cvec FROM rsubs
-        |  WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 8)),
-        |rasg0 AS (
-        |  SELECT s, sv, pcell FROM (
-        |    SELECT u.vec_id, u.s, u.sv, b.pcell,
-        |      row_number() OVER (PARTITION BY u.vec_id, u.s ORDER BY
-        |        list_dot_product(u.sv, u.sv) - 2*list_dot_product(u.sv, b.cvec)
-        |          + list_dot_product(b.cvec, b.cvec) ASC,
-        |        b.pcell) rn
-        |    FROM rsubs u JOIN rbook0 b ON u.s = b.s) t WHERE rn = 1),
-        |rbook AS (
-        |  SELECT s, pcell, list(mv ORDER BY pos) cvec FROM (
-        |    SELECT s, pcell, pos, CAST(sum(CAST(x AS DECIMAL(27, 10))) AS DOUBLE) / count(*) mv
-        |    FROM (SELECT s, pcell, unnest(sv) x, generate_subscripts(sv, 1) - 1 pos FROM rasg0)
-        |    GROUP BY s, pcell, pos) GROUP BY s, pcell),
-        |codes AS (
-        |  SELECT vec_id, ivf_cell, s, pcell AS code FROM (
-        |    SELECT u.vec_id, u.ivf_cell, u.s, b.pcell,
-        |      row_number() OVER (PARTITION BY u.vec_id, u.s ORDER BY
-        |        list_dot_product(u.sv, u.sv) - 2*list_dot_product(u.sv, b.cvec)
-        |          + list_dot_product(b.cvec, b.cvec) ASC,
-        |        b.pcell) rn
-        |    FROM rsubs u JOIN rbook b ON u.s = b.s) t WHERE rn = 1),
-        |probes AS (
-        |  SELECT qid, cell AS ivf_cell,
-        |    list_dot_product(qvec, cvec) qcdot,
-        |    list_dot_product(cvec, cvec) cn2
-        |  FROM (
-        |    SELECT q.vec_id qid, q.e qvec, c.cell, c.cvec,
-        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |        list_dot_product(q.e, c.cvec) /
-        |        (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
-        |        c.cell) rn
-        |    FROM v q, cent c WHERE q.vec_id < 5) t WHERE rn <= 3),
-        |qsubs AS (SELECT vec_id AS qid, s, list_slice(e, s*16 + 1, s*16 + 16) sv
-        |  FROM v, sgrid WHERE vec_id < 5),
-        |lut AS (SELECT u.qid, u.s, b.pcell AS code, list_dot_product(u.sv, b.cvec) pdot
-        |  FROM qsubs u JOIN rbook b ON u.s = b.s),
-        |csubs AS (SELECT cell AS ivf_cell, s, list_slice(cvec, s*16 + 1, s*16 + 16) sv
-        |  FROM cent, sgrid),
-        |cr AS (SELECT u.ivf_cell, u.s, b.pcell AS code, list_dot_product(u.sv, b.cvec) crdot
-        |  FROM csubs u JOIN rbook b ON u.s = b.s),
-        |rn2 AS (SELECT s, pcell AS code, list_dot_product(cvec, cvec) rn2 FROM rbook),
-        |cand AS (
-        |  SELECT p.qid, c.vec_id, p.qcdot, p.cn2, c.s, l.pdot, r.crdot, n.rn2
-        |  FROM codes c
-        |  JOIN probes p ON p.ivf_cell = c.ivf_cell
-        |  JOIN lut l ON l.qid = p.qid AND l.s = c.s AND l.code = c.code
-        |  JOIN cr r ON r.ivf_cell = c.ivf_cell AND r.s = c.s AND r.code = c.code
-        |  JOIN rn2 n ON n.s = c.s AND n.code = c.code
-        |  WHERE c.vec_id <> p.qid),
-        |qn AS (SELECT vec_id qid, sqrt(list_dot_product(e, e)) qn FROM v WHERE vec_id < 5),
-        |agg AS (
-        |  SELECT qid, vec_id, max(qcdot) qcdot, max(cn2) cn2,
-        |    max(CASE WHEN s = 0 THEN pdot END) + max(CASE WHEN s = 1 THEN pdot END)
-        |    + max(CASE WHEN s = 2 THEN pdot END) + max(CASE WHEN s = 3 THEN pdot END) AS pdsum,
-        |    max(CASE WHEN s = 0 THEN crdot END) + max(CASE WHEN s = 1 THEN crdot END)
-        |    + max(CASE WHEN s = 2 THEN crdot END) + max(CASE WHEN s = 3 THEN crdot END) AS crsum,
-        |    max(CASE WHEN s = 0 THEN rn2 END) + max(CASE WHEN s = 1 THEN rn2 END)
-        |    + max(CASE WHEN s = 2 THEN rn2 END) + max(CASE WHEN s = 3 THEN rn2 END) AS rnsum
-        |  FROM cand GROUP BY qid, vec_id)
+      IvfPqCtes + """
         |SELECT qid, vec_id AS neighbor_id, round(asim, 6) AS asim,
         |       CAST(rank AS INTEGER) AS rank
-        |FROM (
-        |  SELECT qid, vec_id, asim,
-        |    row_number() OVER (PARTITION BY qid ORDER BY asim DESC, vec_id) rank
-        |  FROM (
-        |    SELECT a.qid, a.vec_id,
-        |      (a.qcdot + a.pdsum) / (n.qn * sqrt(a.cn2 + 2*a.crsum + a.rnsum)) AS asim
-        |    FROM agg a JOIN qn n USING (qid)) raw) ranked
+        |FROM (SELECT qid, vec_id, asim,
+        |        row_number() OVER (PARTITION BY qid ORDER BY asim DESC, vec_id) rank
+        |      FROM adc) ranked
         |WHERE rank <= 5""".stripMargin) {
       (s, dir) =>
         val emb = load(s, dir, "embeddings")
@@ -1027,6 +1034,52 @@ object LlmQueries {
             m = 4, dim = 64, nProbe = 3, k = 5)
           .select(col("qid"), col("vec_id").as("neighbor_id"),
             round(col("asim"), 6).as("asim"), col("rank"))
+    },
+
+    // IVFPQ + exact rerank — the production two-stage search: the
+    // compressed index narrows each query to 20 candidates by ADC, then
+    // only those 20 full vectors are fetched (candidate list broadcast
+    // into the corpus scan — a map-side semi-fetch, never a corpus
+    // shuffle) and reranked by exact cosine. Same training replay as
+    // q82; the oracle additionally replays candidate selection and the
+    // full-precision rerank.
+    OpQuery.sql(
+      "q85_ann_ivfpq_rerank",
+      IvfPqCtes + """,
+        |cand20 AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid ORDER BY asim DESC, vec_id) rnk
+        |    FROM adc) t WHERE rnk <= 20)
+        |SELECT qid, vec_id AS neighbor_id, round(sim, 6) AS sim,
+        |       CAST(rank AS INTEGER) AS rank
+        |FROM (
+        |  SELECT qid, vec_id, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rank
+        |  FROM (
+        |    SELECT c.qid, c.vec_id,
+        |      list_dot_product(q.e, x.e) /
+        |      (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(x.e, x.e))) AS sim
+        |    FROM cand20 c
+        |    JOIN v x ON x.vec_id = c.vec_id
+        |    JOIN v q ON q.vec_id = c.qid) exact) ranked
+        |WHERE rank <= 5""".stripMargin) {
+      (s, dir) =>
+        val emb = load(s, dir, "embeddings")
+          .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
+        val seeds = Similarity.ivfCentroids(emb, 16)
+        val centroids = Similarity.ivfRefine(emb, seeds, iters = 2)
+        val assigned = Similarity.ivfAssign(emb, centroids)
+        val residuals = Similarity.ivfResiduals(assigned, centroids)
+        val books = Similarity.pqTrain(residuals, m = 4, dim = 64, k = 8,
+          iters = 1, metric = "l2")
+        val codes = Similarity.ivfPqEncode(residuals, books, m = 4, dim = 64)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        Similarity.ivfPqSearchRerank(queries, codes, centroids, books, emb,
+            m = 4, dim = 64, nProbe = 3, nCandidates = 20, k = 5)
+          .select(col("qid"), col("vec_id").as("neighbor_id"),
+            round(col("sim"), 6).as("sim"), col("rank"))
     },
 
     // REAL PNG pixel decode -> nearest-neighbor thumbnail. The Spark

@@ -116,5 +116,17 @@ class AnnRecallSpec extends SparkSuite {
     // same-cluster members apart by their noise — production systems
     // rerank the ADC top-N with full vectors to close that gap
     assert(rIvfPq > 0.45, f"IVFPQ recall degenerate: $rIvfPq%.3f")
+
+    // (c) the rerank stage closes most of that gap: exact cosine over the
+    // ADC top-30 should approach the IVF probe ceiling (every true
+    // neighbor in a probed cell that survives the candidate cut is
+    // ranked perfectly)
+    val rRerank = recall(
+      Similarity.ivfPqSearchRerank(queries, ivfpqCodes, refined, resBooks,
+        emb, m, dim = Dim, nProbe = 3, nCandidates = 30, k = K))
+    info(f"IVFPQ+rerank recall@$K: $rIvfPq%.3f -> $rRerank%.3f")
+    assert(rRerank > rIvfPq + 0.1,
+      f"rerank did not lift recall: $rIvfPq%.3f -> $rRerank%.3f")
+    assert(rRerank > 0.8, f"reranked recall too low: $rRerank%.3f")
   }
 }

@@ -33,6 +33,7 @@ class PlanShapeSpec extends SparkSuite {
     // same probe-vs-broadcast-centroids loop as q46; the PQ stages beyond
     // it (codebook train/encode/ADC) are pure equi-joins
     "q82_ann_ivfpq" -> "broadcast of bounded centroid list",
+    "q85_ann_ivfpq_rerank" -> "broadcast of bounded centroid list",
     // per-source rates x broadcast 1-row global token total
     "q67_mixture_rates" -> "broadcast of a single-row global aggregate")
 
