@@ -55,6 +55,49 @@ object Curation {
         (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
   }
 
+  /** Bloom slot i of a shingle: md5("bf<i>|" + shingle) first 8 hex chars
+    * mod `mBits` — deterministic, engine-portable (same conv trick as the
+    * count-min sketch). */
+  def bloomSlot(shingle: Column, i: Int, mBits: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"bf$i|"), shingle)), 1, 8), 16, 10)
+      .cast("long"), lit(mBits.toLong))
+
+  /** Bloom-filter decontamination — the memory-bounded twin of
+    * [[decontaminate]]. Instead of broadcasting the eval shingle SET
+    * (strings — gigabytes for a large eval suite), broadcast only its
+    * bloom slots: `kHashes` md5-derived slots per shingle over an
+    * `mBits`-slot space, ≤ mBits longs no matter how big the benchmark
+    * suite grows. A corpus shingle counts as contaminated when ALL k of
+    * its slots are set — deterministic FALSE POSITIVES at the usual
+    * bloom rate (over-removal, the safe direction for decontamination)
+    * and NO false negatives. The probe is k chained broadcast semi-joins
+    * on the slot table, so corpus rows still never shuffle on the eval
+    * side; everything is md5-derived, so an external engine rebuilds the
+    * identical filter — false positives included (q86's oracle).
+    */
+  def decontaminateBloom(
+      corpusIds: DataFrame,
+      corpusShingles: DataFrame,
+      evalShingles: DataFrame,
+      mBits: Int,
+      kHashes: Int,
+      minOverlap: Int = 1): DataFrame = {
+    val slots = (0 until kHashes)
+      .map(i => evalShingles.select(bloomSlot(col("shingle"), i, mBits).as("slot")))
+      .reduce(_ union _).distinct()
+    val bloomHits = (0 until kHashes).foldLeft(corpusShingles) { (acc, i) =>
+      acc.join(broadcast(slots),
+        bloomSlot(col("shingle"), i, mBits) === col("slot"), "left_semi")
+    }
+    val overlaps = bloomHits.groupBy("id").agg(count(lit(1)).as("n_overlap"))
+    corpusIds
+      .join(overlaps, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+
   /** Deterministic md5 sampling bucket in [0, buckets): the primitive under
     * split assignment and stratified sampling. Engine-portable (first 8 hex
     * chars of md5 of the id rendered as a string) and per-row independent.

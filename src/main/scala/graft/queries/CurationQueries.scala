@@ -58,6 +58,53 @@ object CurationQueries {
           .select(col("id").as("doc_id"), col("n_overlap"), col("contaminated"))
     },
 
+    // Bloom-filter decontamination — q64's memory-bounded scale twin: the
+    // eval suite broadcasts as <= 4096 bloom slots (3 md5 hashes per
+    // shingle) instead of the shingle strings, the corpus probes it with
+    // 3 chained broadcast semi-joins (still no corpus shuffle on the eval
+    // side), and false positives land deterministically — the oracle
+    // rebuilds the IDENTICAL filter, so even the over-removals must
+    // match bit-for-bit.
+    OpQuery.sql(
+      "q86_decontaminate_bloom",
+      s"""WITH d AS (SELECT doc_id, ${duckBucket("", 100)} AS b, $DuckNorm AS norm FROM documents),
+         |t AS (SELECT doc_id, b, string_split(norm, ' ') w FROM d),
+         |i AS (SELECT doc_id, b, w, unnest(generate_series(1, len(w)-4)) AS i FROM t),
+         |sh AS (SELECT DISTINCT doc_id, b,
+         |         w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS s FROM i),
+         |kg AS (SELECT unnest(generate_series(0, 2)) AS hk),
+         |bits AS (SELECT DISTINCT
+         |    CAST(CAST(concat('0x', substr(md5('bf' || CAST(hk AS VARCHAR) || '|' || s), 1, 8)) AS BIGINT) % 4096 AS BIGINT) AS slot
+         |  FROM sh, kg WHERE b >= 90),
+         |probe AS (SELECT sh.doc_id, sh.s, kg.hk,
+         |    CAST(CAST(concat('0x', substr(md5('bf' || CAST(kg.hk AS VARCHAR) || '|' || sh.s), 1, 8)) AS BIGINT) % 4096 AS BIGINT) AS slot
+         |  FROM sh, kg WHERE sh.b < 80),
+         |hits AS (SELECT doc_id, s FROM (
+         |    SELECT p.doc_id, p.s, count(*) AS nhit
+         |    FROM probe p JOIN bits USING (slot) GROUP BY p.doc_id, p.s) t
+         |  WHERE nhit = 3),
+         |ov AS (SELECT doc_id, count(*) AS n FROM hits GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap,
+         |       coalesce(ov.n, 0) >= 1 AS contaminated
+         |FROM d LEFT JOIN ov ON d.doc_id = ov.doc_id
+         |WHERE d.b < 80""".stripMargin) {
+      (s, dir) =>
+        val withSplit = load(s, dir, "documents").select(
+          col("doc_id").as("id"), col("text"),
+          Curation.samplingBucket(col("doc_id"), 100).as("b"))
+        def shingles(d: DataFrame): DataFrame = d.select(
+          col("id"),
+          explode(TextAnalysis.shingles(
+            TextAnalysis.words(TextAnalysis.normalize(col("text"))), 5)).as("shingle"))
+          .distinct()
+        val train = withSplit.filter(col("b") < 80)
+        Curation.decontaminateBloom(
+            train.select("id"), shingles(train),
+            shingles(withSplit.filter(col("b") >= 90)),
+            mBits = 4096, kHashes = 3)
+          .select(col("id").as("doc_id"), col("n_overlap"), col("contaminated"))
+    },
+
     // Stratified sampling: per-language keep-rates rebalance the corpus
     // mixture (down-sample dominant en, keep the tail whole). Pure per-row
     // md5 predicate — zero shuffle, exactly re-derivable.

@@ -26,6 +26,31 @@ class CurationSpec extends SparkSuite {
     assert(out(3L) == ((0L, false)))
   }
 
+  test("bloom decontamination never misses an exact hit; roomy filter adds none") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+    def sh(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("id"), explode(TextAnalysis.shingles(
+        TextAnalysis.words(TextAnalysis.normalize(col("text"))), 5)).as("shingle"))
+      .distinct()
+    val evalDocs = docs.limit(20)
+    def flagged(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter(col("contaminated")).select("id")
+        .collect().map(_.getLong(0)).toSet
+    val exact = flagged(
+      Curation.decontaminate(docs.select("id"), sh(docs), sh(evalDocs)))
+    // a CRAMPED filter (256 slots): false positives certain, false
+    // negatives structurally impossible
+    val cramped = flagged(Curation.decontaminateBloom(
+      docs.select("id"), sh(docs), sh(evalDocs), mBits = 256, kHashes = 3))
+    assert(exact.subsetOf(cramped), "bloom missed an exact contamination hit")
+    // a ROOMY filter (1M slots) matches the exact answer on this corpus
+    val roomy = flagged(Curation.decontaminateBloom(
+      docs.select("id"), sh(docs), sh(evalDocs), mBits = 1 << 20, kHashes = 3))
+    assert(roomy == exact)
+  }
+
   test("stratifiedSample keeps rates approximately and is exactly re-derivable") {
     import spark.implicits._
     val df = (1 to 2000).map(i => (i.toLong, if (i % 2 == 0) "en" else "rare"))
