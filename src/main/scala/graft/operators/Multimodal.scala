@@ -242,6 +242,89 @@ object Multimodal {
     out
   }
 
+  /** PCM WAV with id-derived SAMPLES (not silence): frame i, channel c →
+    * a(i,c) = (mediaId + 31i + 17c) mod 256 − 128, stored at the declared
+    * depth (8-bit offset-binary; 16-bit signed little-endian scaled by
+    * 256, so the full 16-bit range is exercised without overflow). The
+    * id arithmetic is what lets the q87 oracle recompute every
+    * amplitude without parsing a byte. */
+  def wavTone(mediaId: Long, rate: Int, channels: Int, bits: Int,
+      nSamples: Int): Array[Byte] = {
+    val out = wavBytes(rate, channels, bits, nSamples)
+    var i = 0
+    while (i < nSamples) {
+      var c = 0
+      while (c < channels) {
+        val a = (((mediaId + 31L * i + 17L * c) % 256) - 128).toInt
+        val off = 44 + (i * channels + c) * (bits / 8)
+        if (bits == 8) out(off) = (a + 128).toByte
+        else {
+          val v = a * 256
+          out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+        }
+        c += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Amplitude statistics of a decoded PCM payload. `n_samples_total`
+    * counts samples across channels; mean/rms are raw f64 quotients of
+    * exact integer sums (rounding is the caller's choice). */
+  final case class PcmStats(n_samples_total: Long, peak: Int,
+      mean_abs: Double, rms: Double)
+
+  /** REAL sample decode: walk to the data chunk, decode each sample at
+    * the fmt depth (8-bit unsigned offset-binary / 16-bit signed LE),
+    * accumulate exact integer |a| and a² sums. None when [[wavMeta]]
+    * rejects the payload or no data chunk exists. */
+  def pcmStats(p: Array[Byte]): Option[PcmStats] = wavMeta(p).flatMap { m =>
+    var i = 12
+    var off = -1; var len = 0L
+    while (i + 8 <= p.length && off < 0) {
+      val id = new String(p, i, 4, "US-ASCII")
+      val l = le32(p, i + 4)
+      if (id == "data") { off = i + 8; len = math.min(l, (p.length - i - 8).toLong) }
+      else {
+        val next = i.toLong + 8L + l + (l & 1L)
+        i = if (next <= i || next > Int.MaxValue) p.length else next.toInt
+      }
+    }
+    if (off < 0) None
+    else {
+      val bytesPer = m.bits / 8
+      val total = len / bytesPer
+      var k = 0L
+      var peak = 0; var sumAbs = 0L; var sumSq = 0L
+      while (k < total) {
+        val base = off + (k * bytesPer).toInt
+        val a =
+          if (m.bits == 8) (p(base) & 0xff) - 128
+          else (p(base) & 0xff) | (p(base + 1).toInt << 8) // sign-extends
+        val ab = math.abs(a)
+        if (ab > peak) peak = ab
+        sumAbs += ab
+        sumSq += a.toLong * a
+        k += 1
+      }
+      if (total == 0) Some(PcmStats(0L, 0, 0.0, 0.0))
+      else Some(PcmStats(total, peak,
+        sumAbs.toDouble / total, math.sqrt(sumSq.toDouble / total)))
+    }
+  }
+
+  /** Per-partition PCM amplitude extraction; undecodable payloads yield
+    * no rows (quarantine-sink semantics, unlike the keep-zeros metadata
+    * path — stats of nothing are not zeros). */
+  def extractPcmStats(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      pcmStats(r.payload).iterator.map(s =>
+        (r.media_id, s.n_samples_total, s.peak, s.mean_abs, s.rms))
+    }).toDF("media_id", "n_samples_total", "peak", "mean_abs", "rms")
+  }
+
   /** Per-partition audio metadata extraction — the audio twin of
     * [[extractFeatures]]; undecodable payloads keep zeros rather than
     * dropping (metadata queries want the row; filters come after). */

@@ -1116,6 +1116,51 @@ object LlmQueries {
           .toDF("media_id", "n_px", "px_checksum")
     },
 
+    // REAL PCM sample decode: q79 stopped at header metadata; this
+    // decodes every sample (8-bit offset-binary and 16-bit signed LE
+    // interleaved frames) into amplitude stats — peak, mean |a|, RMS —
+    // with exact integer |a| and a² sums so the f64 quotient/sqrt is
+    // bit-portable. The fixture tones are id-derived, so the oracle
+    // recomputes every amplitude from arithmetic alone; one wrong
+    // decoded sample anywhere shifts a sum and breaks the hash.
+    OpQuery.sql(
+      "q87_audio_pcm_stats",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+        |    CAST(CASE WHEN doc_id % 4 < 2 THEN 8 ELSE 16 END AS BIGINT) AS bits,
+        |    CAST(200 + doc_id % 300 AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |s AS (SELECT *, unnest(generate_series(0, n - 1)) AS i FROM v),
+        |c AS (SELECT *, unnest(generate_series(0, ch - 1)) AS cc FROM s),
+        |a AS (SELECT id,
+        |    ((id + 31*i + 17*cc) % 256 - 128)
+        |      * (CASE WHEN bits = 8 THEN 1 ELSE 256 END) AS amp
+        |  FROM c)
+        |SELECT id AS media_id,
+        |  CAST(count(*) AS BIGINT) AS n_samples_total,
+        |  CAST(max(abs(amp)) AS INTEGER) AS peak,
+        |  round(sum(abs(amp)) * 1.0 / count(*), 6) AS mean_abs,
+        |  round(sqrt(sum(amp * amp) * 1.0 / count(*)), 6) AS rms
+        |FROM a GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val audio = load(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            Multimodal.MediaRow(id, "audio", Multimodal.wavTone(
+              mediaId = id,
+              rate = 8000 * (1 + (id % 3).toInt),
+              channels = 1 + (id % 2).toInt,
+              bits = if (id % 4 < 2) 8 else 16,
+              nSamples = 200 + (id % 300).toInt))
+          })
+        Multimodal.extractPcmStats(audio)
+          .select(col("media_id"), col("n_samples_total"), col("peak"),
+            round(col("mean_abs"), 6).as("mean_abs"),
+            round(col("rms"), 6).as("rms"))
+    },
+
     // The model-swap contract driven end-to-end: q37's language-ID
     // pipeline with the codegen'd marker columns replaced by a
     // FunctionLangId scalar UDF (the adapter an ONNX/JNI classifier

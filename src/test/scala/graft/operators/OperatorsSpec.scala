@@ -188,6 +188,26 @@ class OperatorsSpec extends SparkSuite {
       Multimodal.WavMeta(16000, 2, 16, 100L)))
   }
 
+  test("PCM decode: tone round-trip exact at both depths; silence is zero") {
+    // 8-bit: amplitudes recomputable from the id arithmetic
+    val t8 = Multimodal.wavTone(7L, 8000, 2, 8, 100)
+    val s8 = Multimodal.pcmStats(t8).get
+    val want = for (i <- 0 until 100; c <- 0 until 2)
+      yield (((7L + 31L * i + 17L * c) % 256) - 128).toInt
+    assert(s8.n_samples_total == 200)
+    assert(s8.peak == want.map(math.abs).max)
+    assert(s8.mean_abs == want.map(a => math.abs(a).toLong).sum.toDouble / 200)
+    // 16-bit: same amplitudes scaled by 256 — sign decode must hold
+    val s16 = Multimodal.pcmStats(Multimodal.wavTone(7L, 8000, 2, 16, 100)).get
+    assert(s16.peak == s8.peak * 256)
+    assert(s16.mean_abs == s8.mean_abs * 256)
+    // silent payload: all-zero samples, zero stats, full count
+    val silent = Multimodal.pcmStats(Multimodal.wavBytes(8000, 1, 16, 50)).get
+    assert(silent == Multimodal.PcmStats(50, 0, 0.0, 0.0))
+    // non-WAV rejected
+    assert(Multimodal.pcmStats(Multimodal.pngHeader(4, 4)).isEmpty)
+  }
+
   test("PNG codec: filtered round-trip byte-exact; CRC/truncation/format rejected") {
     // 7 rows: every filter type (row % 5) appears, including the
     // second-row-onward Up/Average/Paeth paths that need a prior row
