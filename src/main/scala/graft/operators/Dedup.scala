@@ -132,4 +132,46 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** SimHash-banded near-dup pairs — the Hamming-space analogue of the
+    * MinHash LSH path: the 60-bit signature ([[TextAnalysis.simhash60]])
+    * splits into 4 aligned 15-bit bands, docs sharing ANY band value
+    * become candidates (equi-join on (band, value) — never an all-pairs
+    * product), and candidates are verified by exact Hamming distance.
+    * Pigeonhole gives TOTAL recall for distance <= 3 (a pair differing
+    * in at most 3 bits has at least one intact band); larger
+    * `maxHamming` thresholds are verified correctly but found only when
+    * a band happens to survive. Cost scales with band-bucket
+    * collisions, like every LSH family here — and 15-bit bands keep
+    * chance bucket collisions (2^-15 per band pair) from flooding the
+    * verify stage the way 4-bit bands of a 16-bit signature did.
+    *
+    * `docs` must carry unique ids; output (id_a < id_b, hamming)
+    * distinct.
+    */
+  def simhashNearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      sig: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val s = docs.select(col(idCol).as("id"), sig.as("sig"))
+    val bands = s.select(col("id"), col("sig"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * 15).bitwiseAND(lit(32767L)).as("bval"))): _*))
+          .as("bb"))
+      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bval").as("bval"))
+    val l = bands.select(col("band"), col("bval"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = bands.select(col("band"), col("bval"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .distinct() // a pair can match on several bands; verify once
+      .withColumn("hamming",
+        graft.operators.TextAnalysis.hamming(col("sig_a"), col("sig_b")).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
 }

@@ -136,6 +136,28 @@ object TextAnalysis {
   /** Hamming distance between two small int signatures (e.g. simhash16). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** 60-bit SimHash — the near-dup-grade signature (16 bits collide at
+    * Hamming <= 3 for ~1% of RANDOM pairs, drowning real near-dups at
+    * corpus scale; 60 bits make chance collisions negligible). 60, not
+    * 64: the per-token hash is the first 15 md5 hex chars, which always
+    * fits positive in a signed 64-bit integer, so DuckDB's BIGINT
+    * replays it without unsigned-overflow games. Same sign-accumulation
+    * construction as [[simhash16]].
+    */
+  def simhash60(text: Column): Column = {
+    val powers = array((0 until 60).map(b => lit(1L << b)): _*)
+    val hashes = transform(words(normalize(text)),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast(LongType))
+    val bitSums = aggregate(
+      hashes,
+      transform(powers, _ => lit(0)),
+      (acc, h) => zip_with(acc, powers,
+        (a, p) => a + when(h.bitwiseAND(p) =!= 0, 1).otherwise(-1)))
+    aggregate(
+      zip_with(bitSums, powers, (s, p) => when(s > 0, p).otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
+  }
+
   /** PII/URL scrubbing — the redaction pass a pretraining pipeline runs
     * before anything else. Regex-only (codegen'd, engine-portable):
     * emails → <EMAIL>, http(s) URLs → <URL>, long digit runs (phone/id

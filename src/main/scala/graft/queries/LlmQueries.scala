@@ -377,6 +377,39 @@ object LlmQueries {
           .select(col("doc_id"), TextAnalysis.simhash16(col("text")).as("simhash"))
     },
 
+    // SimHash-banded near-dup pairs — the Hamming-space LSH family next
+    // to the MinHash one (q34/q57): 4 aligned 15-bit bands of a 60-bit
+    // signature generate candidates by equi-join (never all-pairs),
+    // exact bit_count(xor) verifies. Pigeonhole guarantees every pair
+    // within Hamming 3; 60 bits (15 md5 hex chars — always positive in
+    // a signed BIGINT, so the oracle replays it) keep chance collisions
+    // out of the verify stage. The oracle replays signature, banding,
+    // and verification wholesale.
+    OpQuery.sql(
+      "q88_simhash_neardup",
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split($DuckNorm, ' ')) t FROM documents),
+         |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) h FROM toks),
+         |bits AS (
+         |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) s
+         |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) b) GROUP BY doc_id, b),
+         |sg AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+         |             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id),
+         |bands AS (SELECT doc_id, simhash, bi, (simhash >> (bi * 15)) & 32767 AS bval
+         |  FROM sg, (SELECT unnest(generate_series(0, 3)) bi)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.simhash AS sa, b.simhash AS sb
+         |  FROM bands a JOIN bands b
+         |    ON a.bi = b.bi AND a.bval = b.bval AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin) {
+      (s, dir) =>
+        Dedup.simhashNearDupPairs(
+          load(s, dir, "documents"), "doc_id",
+          TextAnalysis.simhash60(col("text")), maxHamming = 3)
+    },
+
     // Corpus-frequency boilerplate detection: top-20 most frequent
     // trigrams (ALL occurrences, not per-doc-distinct) — map-side partial
     // counts make this a cheap full-corpus pass at any scale; ordering is

@@ -188,6 +188,23 @@ class OperatorsSpec extends SparkSuite {
       Multimodal.WavMeta(16000, 2, 16, 100L)))
   }
 
+  test("simhash banding: every pair within Hamming 3 found; all-bands-differ pair missed") {
+    import spark.implicits._
+    // crafted 60-bit signatures: ids 1/2/3 differ only inside band 0
+    // (Hamming 3/2/1 pairwise — pigeonhole says all must be found); id 4
+    // differs from id 1 by ONE bit in EVERY band (Hamming 4, no intact
+    // band — structurally invisible even when the verify threshold
+    // would accept it)
+    val sigs = Seq(
+      (1L, 0L),
+      (2L, 7L),
+      (3L, 3L),
+      (4L, 1L | (1L << 15) | (1L << 30) | (1L << 45))).toDF("id", "sig")
+    val got = Dedup.simhashNearDupPairs(sigs, "id", col("sig"), maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 3), (1L, 3L, 2), (2L, 3L, 1)))
+  }
+
   test("PCM decode: tone round-trip exact at both depths; silence is zero") {
     // 8-bit: amplitudes recomputable from the id arithmetic
     val t8 = Multimodal.wavTone(7L, 8000, 2, 8, 100)
