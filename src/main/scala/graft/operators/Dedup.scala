@@ -149,6 +149,29 @@ object Dedup {
     * `docs` must carry unique ids; output (id_a < id_b, hamming)
     * distinct.
     */
+  /** (id, sig): 60-bit SimHash signatures computed aggregation-shaped —
+    * explode to (id, token), then 60 codegen'd conditional SUMs with
+    * map-side partials, then one sum-of-whens assembly. Identical math
+    * to [[TextAnalysis.simhash60]] (spec-asserted), but the per-token
+    * cost is 60 whole-stage-codegen'd comparisons instead of an
+    * interpreted 60-wide zip_with fold — the array-HOF form measured
+    * 5x slower on the corpus scan (the same blowup minhashBands hit).
+    */
+  def simhash60Frame(docs: DataFrame, idCol: String, text: Column): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.words(TextAnalysis.normalize(text))).as("t"))
+      .select(col("id"),
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+    val sums = (0 until 60).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"s$b"))
+    toks.groupBy("id").agg(sums.head, sums.tail: _*)
+      .select(col("id"), (0 until 60).map(b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("sig"))
+  }
+
   def simhashNearDupPairs(
       docs: DataFrame,
       idCol: String,

@@ -406,8 +406,8 @@ object LlmQueries {
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin) {
       (s, dir) =>
         Dedup.simhashNearDupPairs(
-          load(s, dir, "documents"), "doc_id",
-          TextAnalysis.simhash60(col("text")), maxHamming = 3)
+          Dedup.simhash60Frame(load(s, dir, "documents"), "doc_id", col("text")),
+          "id", col("sig"), maxHamming = 3)
     },
 
     // Corpus-frequency boilerplate detection: top-20 most frequent

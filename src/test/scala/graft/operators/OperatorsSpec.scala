@@ -203,6 +203,15 @@ class OperatorsSpec extends SparkSuite {
     val got = Dedup.simhashNearDupPairs(sigs, "id", col("sig"), maxHamming = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == Set((1L, 2L, 3), (1L, 3L, 2), (2L, 3L, 1)))
+
+    // the aggregation-shaped signature builder is bit-identical to the
+    // array-HOF column form on real text
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val diff = Dedup.simhash60Frame(docs, "doc_id", col("text"))
+      .join(docs.select(col("doc_id").as("id"),
+        TextAnalysis.simhash60(col("text")).as("want")), Seq("id"))
+      .filter(col("sig") =!= col("want"))
+    assert(diff.count() == 0)
   }
 
   test("PCM decode: tone round-trip exact at both depths; silence is zero") {
