@@ -1055,11 +1055,15 @@ object LlmQueries {
         val emb = load(s, dir, "embeddings")
           .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
         val seeds = Similarity.ivfCentroids(emb, 16)
-        val centroids = Similarity.ivfRefine(emb, seeds, iters = 2)
+        // centroids/books are 16- and 32-row tables referenced by several
+        // plan subtrees (assignment, residuals, probes, LUT, cross
+        // table); uncached, each reference replays the full Lloyd
+        // training over the corpus
+        val centroids = Similarity.ivfRefine(emb, seeds, iters = 2).cache()
         val assigned = Similarity.ivfAssign(emb, centroids)
         val residuals = Similarity.ivfResiduals(assigned, centroids)
         val books = Similarity.pqTrain(residuals, m = 4, dim = 64, k = 8,
-          iters = 1, metric = "l2")
+          iters = 1, metric = "l2").cache()
         val codes = Similarity.ivfPqEncode(residuals, books, m = 4, dim = 64)
         val queries = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("vec").as("qvec"))
@@ -1101,11 +1105,15 @@ object LlmQueries {
         val emb = load(s, dir, "embeddings")
           .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
         val seeds = Similarity.ivfCentroids(emb, 16)
-        val centroids = Similarity.ivfRefine(emb, seeds, iters = 2)
+        // centroids/books are 16- and 32-row tables referenced by several
+        // plan subtrees (assignment, residuals, probes, LUT, cross
+        // table); uncached, each reference replays the full Lloyd
+        // training over the corpus
+        val centroids = Similarity.ivfRefine(emb, seeds, iters = 2).cache()
         val assigned = Similarity.ivfAssign(emb, centroids)
         val residuals = Similarity.ivfResiduals(assigned, centroids)
         val books = Similarity.pqTrain(residuals, m = 4, dim = 64, k = 8,
-          iters = 1, metric = "l2")
+          iters = 1, metric = "l2").cache()
         val codes = Similarity.ivfPqEncode(residuals, books, m = 4, dim = 64)
         val queries = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("vec").as("qvec"))
