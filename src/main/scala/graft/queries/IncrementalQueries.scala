@@ -110,6 +110,50 @@ object IncrementalQueries {
           .union(ev.filter(col("event_type") === "error" && col("ts") >= lit("2024-01-20"))
             .select("user_id"))
           .distinct()
+    },
+
+    // Structured Streaming under the batch oracle: the watermarked
+    // tumbling-window aggregation runs as a REAL streaming query
+    // (Trigger.AvailableNow, checkpointed, append mode) over a file
+    // source, and the parquet sink's contents are compared against batch
+    // SQL. Append mode withholds windows the final watermark
+    // (max(ts) - lateness) hasn't closed — the oracle reproduces exactly
+    // that: only windows with end <= max(ts) - 10 minutes appear. This
+    // pins the STREAMING semantics (watermark close, state eviction,
+    // epoch-aligned windows) to an external engine, not just to a
+    // batch-vs-stream spec inside Spark.
+    OpQuery.sql(
+      "q89_stream_windowed_counts",
+      """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+        |agg AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT window_start, event_type, n FROM agg, wm
+        |WHERE window_start + INTERVAL 1 HOUR <= wm.w""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.streaming.Trigger
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q89").toString
+        // one source file → one data batch: no row can arrive "late"
+        // behind a watermark raised by an earlier batch, so the only
+        // withholding is the final watermark, which the oracle models
+        load(s, dir, "events").coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/src")
+        val stream = s.readStream
+          .schema(s.read.parquet(s"$tmp/src").schema)
+          .parquet(s"$tmp/src")
+        val q = graft.streaming.EventStreams
+          .windowedTypeCounts(stream, "1 hour", "10 minutes")
+          .select(col("window.start").as("window_start"),
+            col("event_type"), col("n"))
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        assert(q.awaitTermination(300000), "stream did not drain")
+        s.read.parquet(s"$tmp/out")
     }
   )
 }
