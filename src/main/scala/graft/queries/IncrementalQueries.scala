@@ -154,6 +154,60 @@ object IncrementalQueries {
           .start()
         assert(q.awaitTermination(300000), "stream did not drain")
         s.read.parquet(s"$tmp/out")
+    },
+
+    // The CUSTOM-STATE streaming operator (flatMapGroupsWithState
+    // inactivity-gap sessionization, event-time timeouts) under the
+    // batch oracle. With one data batch: sessions closed by an in-batch
+    // gap emit unconditionally; each user's trailing session sits in
+    // state with timeout lastTs + gap and emits only when the final
+    // watermark (max(ts) - lateness) passes it. All arithmetic is
+    // MILLISECOND-grain (Timestamp.getTime truncates micros), which the
+    // oracle reproduces via epoch_ms — so state transitions, timeout
+    // firing, and the ms truncation are all value-checked externally.
+    OpQuery.sql(
+      "q90_stream_sessionize",
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS tms FROM events),
+        |o AS (SELECT user_id, tms,
+        |    CASE WHEN lag(tms) OVER (PARTITION BY user_id ORDER BY tms) IS NULL
+        |           OR tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms) > 1800000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |g AS (SELECT user_id, tms,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY tms
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        |sess AS (SELECT user_id, sid, min(tms) AS start_ms, max(tms) AS end_ms,
+        |    count(*) AS n FROM g GROUP BY 1, 2),
+        |wm AS (SELECT max(epoch_ms(ts)) - 600000 AS w FROM events),
+        |last AS (SELECT user_id, max(sid) AS last_sid FROM sess GROUP BY 1)
+        |SELECT s.user_id,
+        |  make_timestamp(s.start_ms * 1000) AS session_start,
+        |  make_timestamp(s.end_ms * 1000) AS session_end,
+        |  CAST(s.n AS INTEGER) AS n_events
+        |FROM sess s JOIN last l USING (user_id), wm
+        |WHERE s.sid < l.last_sid OR s.end_ms + 1800000 < wm.w""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.streaming.Trigger
+        import s.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q90").toString
+        load(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/src")
+        val stream = s.readStream
+          .schema(s.read.parquet(s"$tmp/src").schema)
+          .parquet(s"$tmp/src")
+          .as[graft.streaming.EventStreams.Event]
+        val q = graft.streaming.EventStreams
+          .sessionize(stream, gapSeconds = 1800, lateness = "10 minutes")
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        assert(q.awaitTermination(300000), "stream did not drain")
+        s.read.parquet(s"$tmp/out")
     }
   )
 }
