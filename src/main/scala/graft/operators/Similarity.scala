@@ -413,6 +413,29 @@ object Similarity {
       .select("qid", "vec_id", "asim", "rank")
   }
 
+  /** Incremental IVFPQ ingest — the index-maintenance half of the ANN
+    * story: centroids and codebooks are TRAINED once (on a bootstrap
+    * corpus) and then FROZEN; a new-vector batch is assigned to its
+    * nearest frozen cell, residual-encoded against the frozen codebooks,
+    * and the resulting (vec_id, ivf_cell, sub, code) rows are appended
+    * to the stored code table. Cost per batch is O(|batch| · nCells +
+    * |batch| · m · k) — independent of the index size, the property that
+    * makes a 100 TB index maintainable by daily deltas. Because
+    * assignment and encoding are deterministic functions of the frozen
+    * tables, chunked ingest produces EXACTLY the rows a full encode
+    * would (spec-asserted) — so search quality never depends on arrival
+    * order, only on codebook drift (retraining cadence is an operational
+    * choice, like Lloyd refinement itself).
+    */
+  def ivfPqIngest(
+      newVectors: DataFrame, // (vec_id, vec) — ids disjoint from stored
+      centroids: DataFrame, // frozen (cell, cvec)
+      codebooks: DataFrame, // frozen (sub, cell, cvec)
+      m: Int,
+      dim: Int): DataFrame =
+    ivfPqEncode(ivfResiduals(ivfAssign(newVectors, centroids), centroids),
+      codebooks, m, dim)
+
   /** IVFPQ + exact rerank — the production two-stage search: the
     * compressed index ([[ivfPqSearch]]) narrows each query to
     * `nCandidates` ids cheaply, then ONLY those candidates' full vectors

@@ -438,4 +438,27 @@ class OperatorsSpec extends SparkSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(a == b)
   }
+
+  test("IVFPQ ingest: chunked encoding == full encode against frozen tables") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
+    // bootstrap: train on the low-id half, freeze
+    val boot = emb.filter(col("vec_id") % 2 === 0)
+    val cents = Similarity.ivfRefine(boot,
+      Similarity.ivfCentroids(boot, 8), 1).cache()
+    val books = Similarity.pqTrain(
+      Similarity.ivfResiduals(Similarity.ivfAssign(boot, cents), cents),
+      m = 4, dim = 64, k = 4, iters = 1, metric = "l2").cache()
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // full encode of the WHOLE corpus vs three arrival chunks
+    val full = rows(Similarity.ivfPqIngest(emb, cents, books, m = 4, dim = 64))
+    val chunked = (0 to 2).map { c =>
+      Similarity.ivfPqIngest(
+        emb.filter(pmod(col("vec_id"), lit(3)) === c), cents, books, 4, 64)
+    }.reduce(_ unionByName _)
+    assert(rows(chunked) == full,
+      "arrival order changed the stored codes — ingest is not deterministic")
+  }
 }
