@@ -76,7 +76,11 @@ object AsOfJoin {
           hour(c).cast(LongType) * lit(3600000000L) +
           minute(c).cast(LongType) * lit(60000000L) +
           (date_part(lit("SECOND"), c) * lit(1000000L)).cast(LongType)
-      case DateType => unix_micros(c.cast(TimestampType))
+      case DateType =>
+        // same reasoning as NTZ: a cast through TimestampType lands on
+        // session-local midnight, so day distances straddling a DST
+        // transition read 23h/25h; day arithmetic is time-zone-free
+        unix_date(c).cast(LongType) * lit(86400000000L)
       case ByteType | ShortType | IntegerType | LongType => c.cast(LongType)
       case _ => c.cast(DoubleType)
     }

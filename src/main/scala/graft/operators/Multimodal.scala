@@ -547,7 +547,12 @@ object Multimodal {
       }
       i += 12 + len
     }
-    if (!seenIhdr || w.toLong * h > Int.MaxValue - h) return None
+    // hostile-header guard: a syntactically valid (CRC-correct) IHDR can
+    // still declare absurd dimensions; cap the decode buffer so one bad
+    // payload can't allocate gigabytes inside an executor task. 64M px
+    // is far beyond any thumbnail-pipeline input; real inputs that large
+    // belong on a dedicated path.
+    if (!seenIhdr || w.toLong * h > (1L << 26)) return None
     val raw = new Array[Byte]((w + 1) * h)
     val inflater = new java.util.zip.Inflater()
     try {

@@ -260,6 +260,19 @@ class OperatorsSpec extends SparkSuite {
     // the 29-byte RGB header fixture is not a decodable grayscale PNG
     assert(Multimodal.pngDecodeGray(Multimodal.pngHeader(4, 4)).isEmpty)
     assert(Multimodal.pngDecodeGray(Multimodal.jpegHeader(4, 4)).isEmpty)
+
+    // hostile dims: a CRC-valid IHDR declaring a gigabyte-scale image
+    // must be rejected before any allocation, not OOM the task
+    val bomb = png.clone()
+    def putBe32(i: Int, v: Int): Unit = {
+      bomb(i) = (v >> 24).toByte; bomb(i + 1) = (v >> 16).toByte
+      bomb(i + 2) = (v >> 8).toByte; bomb(i + 3) = v.toByte
+    }
+    putBe32(16, 100000); putBe32(20, 100000) // w, h inside IHDR
+    val crc = new java.util.zip.CRC32()
+    crc.update(bomb, 12, 4 + 13) // type + IHDR data
+    putBe32(29, crc.getValue.toInt) // re-seal the chunk CRC
+    assert(Multimodal.pngDecodeGray(bomb).isEmpty)
   }
 
   test("count-min sketch: overestimates only, merge == rebuild, absent token -> 0") {
