@@ -82,6 +82,7 @@ object Curation {
       mBits: Int,
       kHashes: Int,
       minOverlap: Int = 1): DataFrame = {
+    require(mBits > 0 && kHashes >= 1, s"need mBits>0, kHashes>=1; got $mBits/$kHashes")
     val slots = (0 until kHashes)
       .map(i => evalShingles.select(bloomSlot(col("shingle"), i, mBits).as("slot")))
       .reduce(_ union _).distinct()

@@ -250,6 +250,7 @@ object Multimodal {
     * amplitude without parsing a byte. */
   def wavTone(mediaId: Long, rate: Int, channels: Int, bits: Int,
       nSamples: Int): Array[Byte] = {
+    require(bits == 8 || bits == 16, s"wavTone writes 8/16-bit PCM, got $bits")
     val out = wavBytes(rate, channels, bits, nSamples)
     var i = 0
     while (i < nSamples) {
@@ -279,7 +280,11 @@ object Multimodal {
     * the fmt depth (8-bit unsigned offset-binary / 16-bit signed LE),
     * accumulate exact integer |a| and a² sums. None when [[wavMeta]]
     * rejects the payload or no data chunk exists. */
-  def pcmStats(p: Array[Byte]): Option[PcmStats] = wavMeta(p).flatMap { m =>
+  def pcmStats(p: Array[Byte]): Option[PcmStats] = wavMeta(p)
+    // only depths this decoder actually implements: treating a 24-bit
+    // stream as 16-bit frames would yield garbage stats, not an error
+    .filter(m => m.bits == 8 || m.bits == 16)
+    .flatMap { m =>
     var i = 12
     var off = -1; var len = 0L
     while (i + 8 <= p.length && off < 0) {

@@ -230,8 +230,9 @@ class OperatorsSpec extends SparkSuite {
     // silent payload: all-zero samples, zero stats, full count
     val silent = Multimodal.pcmStats(Multimodal.wavBytes(8000, 1, 16, 50)).get
     assert(silent == Multimodal.PcmStats(50, 0, 0.0, 0.0))
-    // non-WAV rejected
+    // non-WAV rejected; so is a depth the decoder doesn't implement
     assert(Multimodal.pcmStats(Multimodal.pngHeader(4, 4)).isEmpty)
+    assert(Multimodal.pcmStats(Multimodal.wavBytes(8000, 1, 24, 10)).isEmpty)
   }
 
   test("PNG codec: filtered round-trip byte-exact; CRC/truncation/format rejected") {
