@@ -63,6 +63,27 @@ object Dedup {
       .distinct()
   }
 
+  /** [[lshCandidatePairs]] with a per-bucket population cap — the
+    * adversarial-input guard at corpus scale: a boilerplate band shared
+    * by B documents yields B²/2 candidate pairs, so one hot bucket (a
+    * license header, a template page) can dominate the whole verify
+    * stage. Buckets above `maxBucket` are dropped ENTIRELY (the cap is a
+    * documented recall tradeoff, not a sample: docs agreeing only on a
+    * hot band are overwhelmingly boilerplate-similar, and genuinely
+    * near-dup docs agree on several bands, so they survive via their
+    * cooler ones). Deterministic — the count filter is exact — so the
+    * q91 oracle replays the cap, including exactly which pairs it costs.
+    */
+  def lshCandidatePairsCapped(bands: DataFrame, maxBucket: Int): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val cool = bands
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
+      .filter(col("__n") <= maxBucket)
+      .drop("__n")
+    lshCandidatePairs(cool)
+  }
+
   /** Candidate pairs involving at least one NEW doc, against a STORED
     * band index: new-vs-stored equi-join on (band, bkey) plus
     * new-vs-new — the corpus's bands are read from the index, never

@@ -266,6 +266,53 @@ object LlmQueries {
         Dedup.jaccardVerify(docShingles, pairs).filter(col("jaccard") >= 0.1)
     },
 
+    // Capped-bucket LSH — the adversarial-input guard: any band bucket
+    // holding more than 6 docs (a boilerplate band) is dropped before
+    // pair enumeration, bounding the per-bucket cost at cap²/2 no matter
+    // how templated the corpus is. The cap is exact and deterministic,
+    // so the oracle replays it — including precisely which hot-bucket
+    // pairs it sacrificed relative to q57.
+    OpQuery.sql(
+      "q91_dedup_lsh_capped",
+      s"""WITH t AS (SELECT doc_id, string_split($DuckNorm, ' ') w FROM documents),
+         |i AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM t),
+         |sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s FROM i),
+         |mh AS (
+         |  SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || s)) h
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) j) GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, CAST(j // 2 AS INTEGER) band, string_agg(h, '' ORDER BY j) bkey
+         |  FROM mh GROUP BY doc_id, 2),
+         |cool AS (
+         |  SELECT doc_id, band, bkey FROM (
+         |    SELECT doc_id, band, bkey,
+         |      count(*) OVER (PARTITION BY band, bkey) AS n
+         |    FROM bands) t WHERE n <= 6),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id id_a, r.doc_id id_b
+         |  FROM cool l JOIN cool r
+         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+         |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+         |shared AS (
+         |  SELECT id_a, id_b, count(*) n_shared
+         |  FROM cand JOIN sh a ON a.doc_id = id_a
+         |            JOIN sh b ON b.doc_id = id_b AND b.s = a.s
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(n_shared AS DOUBLE) / (a.n + b.n - n_shared), 6) AS jaccard
+         |FROM shared JOIN sz a ON a.doc_id = id_a JOIN sz b ON b.doc_id = id_b
+         |WHERE round(CAST(n_shared AS DOUBLE) / (a.n + b.n - n_shared), 6) >= 0.1""".stripMargin) {
+      (s, dir) =>
+        val docShingles = load(s, dir, "documents")
+          .select(col("doc_id").as("id"),
+            explode(TextAnalysis.shingles(
+              TextAnalysis.words(TextAnalysis.normalize(col("text"))), 3)).as("shingle"))
+          .distinct().cache()
+        val pairs = Dedup.lshCandidatePairsCapped(
+          Dedup.minhashBands(docShingles, 8, 2), maxBucket = 6)
+        Dedup.jaccardVerify(docShingles, pairs).filter(col("jaccard") >= 0.1)
+    },
+
     // Incremental LSH dedup: docs with doc_id % 10 == 0 play the "new
     // ingest"; their bands join a STORED band index (the other 90%,
     // whose minhashes an incremental pipeline would read, not

@@ -188,6 +188,21 @@ class OperatorsSpec extends SparkSuite {
       Multimodal.WavMeta(16000, 2, 16, 100L)))
   }
 
+  test("capped LSH: hot band buckets dropped, cool buckets untouched") {
+    import spark.implicits._
+    // one boilerplate bucket shared by 10 docs (45 pairs if enumerated),
+    // one cool bucket shared by 2
+    val bands = ((1 to 10).map(i => (i.toLong, 0, "HOT")) ++
+      Seq((21L, 0, "COOL"), (22L, 0, "COOL"))).toDF("id", "band", "bkey")
+    val uncapped = Dedup.lshCandidatePairs(bands).count()
+    assert(uncapped == 46)
+    val capped = Dedup.lshCandidatePairsCapped(bands, maxBucket = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((21L, 22L)))
+    // a cap above every bucket's population changes nothing
+    assert(Dedup.lshCandidatePairsCapped(bands, maxBucket = 100).count() == 46)
+  }
+
   test("simhash banding: every pair within Hamming 3 found; all-bands-differ pair missed") {
     import spark.implicits._
     // crafted 60-bit signatures: ids 1/2/3 differ only inside band 0
