@@ -153,9 +153,12 @@ object BucketedSink {
 
   /** Incremental write: only buckets holding a touched key land in the
     * new epoch; untouched buckets keep pointing at their old epochs (the
-    * files are not rewritten, or even read). `merged` is the complete
-    * post-tick table (so dropped rows vanish from their rewritten
-    * bucket); `touchedKeys` is a one-column DataFrame of the keys this
+    * files are not rewritten, or even read). `merged` must cover AT
+    * LEAST the touched buckets' complete post-tick rows (so dropped rows
+    * vanish from their rewritten bucket) — a caller that bucket-prunes
+    * its merge input with [[readBuckets]] over the same touched set
+    * satisfies this; rows of untouched buckets, present or not, are
+    * ignored. `touchedKeys` is a one-column DataFrame of the keys this
     * tick changed, created, or retracted — a SUPERSET is safe (extra
     * buckets rewritten identically), a miss is not.
     */
@@ -222,8 +225,23 @@ object BucketedSink {
         .flatMap(_._3).toSet
     val rewrite = touched ++ fold
     val epoch = nextEpoch(c, path)
-    merged.withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
-      .filter(col("__bucket").isInCollection(rewrite))
+    // Fold buckets OUTSIDE the touched set must come from their stored
+    // epochs, never from `merged`: the contract only obliges `merged` to
+    // cover the touched buckets (a bucket-pruned merge is the intended
+    // O(delta) caller), and an untouched bucket's stored content IS its
+    // post-tick content — so the stored read is correct for every
+    // caller, while sourcing fold rows from a pruned `merged` silently
+    // materialized nothing and dropped the bucket from the manifest.
+    val foldOnly = fold -- touched
+    val touchedPart = merged
+      .withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
+      .filter(col("__bucket").isInCollection(touched))
+    val toWrite =
+      if (foldOnly.isEmpty) touchedPart
+      else touchedPart.unionByName(
+        readFromManifest(merged.sparkSession, path, prev, foldOnly)
+          .withColumn("__bucket", bucketOf(col(keyCol), nBuckets)))
+    toWrite
       .repartition(col("__bucket")) // one file per bucket (see writeFull)
       .write.mode("overwrite").partitionBy("__bucket")
       .parquet(new Path(path, epoch).toString)
@@ -263,6 +281,15 @@ object BucketedSink {
     val manifest = readManifest(c, path).getOrElse(throw new IllegalStateException(
       s"no manifest at $path"))
     require(manifest.nonEmpty, s"bucketed table at $path is empty")
+    readFromManifest(spark, path, manifest, buckets)
+  }
+
+  /** The bucket-selective read against an ALREADY-RESOLVED manifest —
+    * shared by [[readBuckets]] and the compaction fold, which must read
+    * fold buckets from the same manifest generation it is replacing. */
+  private def readFromManifest(
+      spark: SparkSession, path: String,
+      manifest: Map[Int, String], buckets: Set[Int]): DataFrame = {
     val sel = manifest.filter { case (b, _) => buckets.contains(b) }
     if (sel.isEmpty) read(spark, path).limit(0)
     else sel.groupBy(_._2).toSeq.sortBy(_._1).map { case (epoch, bs) =>

@@ -149,6 +149,39 @@ class BucketedSinkSpec extends SparkSuite {
     }
   }
 
+  test("compaction fold with a bucket-PRUNED merge loses no untouched data") {
+    // Regression: the pipeline feeds overwriteChanged a merge built from
+    // readBuckets(touched) — NOT the full table. On the tick where the
+    // manifest hits maxEpochs, the fold set can include buckets outside
+    // the touched set; those rows must be sourced from their stored
+    // epochs, not from the (pruned) merge, or they silently vanish from
+    // the manifest.
+    import spark.implicits._
+    val nBuckets = 8
+    val path = java.nio.file.Files.createTempDirectory("graft-foldprune").toString + "/t"
+    val model = scala.collection.mutable.Map((1 to 100).map(i => i -> "v0"): _*)
+    def table() = model.toSeq.map { case (p, v) => (p, v) }.toDF("person_id", "v")
+    BucketedSink.writeFull(table(), path, "person_id", nBuckets)
+    // each tick touches ONE person (one bucket) and hands the sink a
+    // merge pruned to exactly that person's bucket — the Pipeline shape.
+    // Rotating the person forces later folds onto buckets outside the
+    // current touched set.
+    (1 to 8).foreach { t =>
+      model(t) = s"v$t"
+      val touchedKeys = Seq(t).toDF("person_id")
+      val touched = BucketedSink.collectBuckets(touchedKeys, nBuckets)
+      val prunedMerged = BucketedSink.readBuckets(spark, path, touched)
+        .join(touchedKeys, Seq("person_id"), "left_anti")
+        .unionByName(Seq((t, s"v$t")).toDF("person_id", "v"))
+      BucketedSink.overwriteChanged(prunedMerged, path, "person_id", nBuckets,
+        touched, maxEpochs = 3)
+      val got = BucketedSink.read(spark, path)
+        .as[(Int, String)].collect().toMap
+      assert(got == model.toMap,
+        s"tick $t: lost ${(model.keySet -- got.keySet).toSeq.sorted.take(10)}")
+    }
+  }
+
   test("pipeline with bucketed flat_obs sink matches the versioned sink") {
     import graft.etl.Pipeline
     val fx = OpenMrsFixture.generate(spark, nPersons = 20, seed = 23L)
