@@ -201,10 +201,12 @@ object Multimodal {
           ch = le16(p, i + 10)
           rate = le32(p, i + 12).toInt
           bits = le16(p, i + 22)
-        case "data" =>
+        case "data" if dataLen < 0 =>
           // trust the header only as far as the payload goes: a truncated
           // file declares more data bytes than are present, and n_samples
-          // must reflect bytes we could actually read, not the claim
+          // must reflect bytes we could actually read, not the claim.
+          // FIRST data chunk wins — the same chunk pcmStats decodes, so
+          // n_samples and n_samples_total always count the same payload
           dataLen = math.min(len, math.max(0L, (p.length - i - 8).toLong))
         case _ => ()
       }

@@ -77,24 +77,33 @@ object StreamingDedup {
     ids.sorted.map(i => new Path(base, s"b_$i").toString)
 
   private def readCommitted(
-      spark: SparkSession, indexDir: String, base: Path): DataFrame = {
+      spark: SparkSession, indexDir: String, base: Path,
+      emptySchema: String): DataFrame = {
     val ids = committedBatches(
       spark.sparkContext.hadoopConfiguration, indexDir)
-    require(ids.nonEmpty, s"no committed batches under $indexDir")
-    spark.read.parquet(batchDirs(base, ids): _*)
+    // before the first micro-batch commits there is no parquet to carry a
+    // schema — a monitoring reader racing the stream start sees an empty
+    // frame with the declared schema, not a crash
+    if (ids.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(emptySchema))
+    else spark.read.parquet(batchDirs(base, ids): _*)
   }
 
   /** All committed verified pairs (id_a, id_b, jaccard). */
   def readPairs(spark: SparkSession, indexDir: String, pairsDir: String): DataFrame =
-    readCommitted(spark, indexDir, new Path(pairsDir))
+    readCommitted(spark, indexDir, new Path(pairsDir),
+      "id_a BIGINT, id_b BIGINT, jaccard DOUBLE")
 
   /** The committed band index (id, band, bkey). */
   def readBands(spark: SparkSession, indexDir: String): DataFrame =
-    readCommitted(spark, indexDir, new Path(indexDir, "bands"))
+    readCommitted(spark, indexDir, new Path(indexDir, "bands"),
+      "id BIGINT, band INT, bkey STRING")
 
   /** The committed shingle store (id, shingle). */
   def readShingles(spark: SparkSession, indexDir: String): DataFrame =
-    readCommitted(spark, indexDir, new Path(indexDir, "shingles"))
+    readCommitted(spark, indexDir, new Path(indexDir, "shingles"),
+      "id BIGINT, shingle STRING")
 
   /** Shingle + band one frame of (doc_id, text). */
   private def prep(docs: DataFrame, shingleN: Int, k: Int, rowsPerBand: Int)

@@ -186,6 +186,21 @@ class OperatorsSpec extends SparkSuite {
     val truncated = w.take(44 + 100 * 2 * 2)
     assert(Multimodal.wavMeta(truncated).contains(
       Multimodal.WavMeta(16000, 2, 16, 100L)))
+
+    // multiple data chunks (fmt last, so the walk sees both): the FIRST
+    // data chunk wins in wavMeta AND pcmStats — the two parsers must
+    // count the same payload
+    def le32b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val fmtBody = Multimodal.wavBytes(8000, 1, 16, 0).slice(12, 36) // "fmt " chunk
+    val data1 = "data".getBytes ++ le32b(10 * 2) ++ Array.fill[Byte](10 * 2)(3)
+    val data2 = "data".getBytes ++ le32b(20 * 2) ++ Array.fill[Byte](20 * 2)(5)
+    val multi = "RIFF".getBytes ++ le32b(4 + data1.length + data2.length + fmtBody.length) ++
+      "WAVE".getBytes ++ data1 ++ data2 ++ fmtBody
+    val meta = Multimodal.wavMeta(multi)
+    assert(meta.contains(Multimodal.WavMeta(8000, 1, 16, 10L)))
+    assert(Multimodal.pcmStats(multi).map(_.n_samples_total) ==
+      meta.map(_.n_samples))
   }
 
   test("capped LSH: hot band buckets dropped, cool buckets untouched") {

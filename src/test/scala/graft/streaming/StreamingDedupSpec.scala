@@ -112,4 +112,25 @@ class StreamingDedupSpec extends SparkSuite {
     assert(StreamingDedup.readPairs(spark, idxB, prsB).count() == before)
     assert(pairsOf(idxB, prsB) == pairsOf(idxA, prsA))
   }
+
+  test("readers before the first commit see empty frames, not a crash") {
+    // a monitoring reader racing the first micro-batch: no _COMMITTED yet
+    val root = Files.createTempDirectory("graft-streamdedup-empty")
+    val idx = root.resolve("index").toString
+    val prs = root.resolve("pairs").toString
+    val pairs = StreamingDedup.readPairs(spark, idx, prs)
+    assert(pairs.columns.toSeq == Seq("id_a", "id_b", "jaccard"))
+    assert(pairs.count() == 0)
+    val bands = StreamingDedup.readBands(spark, idx)
+    assert(bands.columns.toSeq == Seq("id", "band", "bkey"))
+    assert(bands.count() == 0)
+    val shingles = StreamingDedup.readShingles(spark, idx)
+    assert(shingles.columns.toSeq == Seq("id", "shingle"))
+    assert(shingles.count() == 0)
+    // and they must union cleanly with the post-commit schema
+    val docs = docsAll.limit(10).coalesce(1)
+    StreamingDedup.ingestBatch(docs, 0L, idx, prs, 3, 8, 2, 0.1)
+    assert(StreamingDedup.readBands(spark, idx).schema ==
+      bands.schema)
+  }
 }
