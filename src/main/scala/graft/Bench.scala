@@ -90,11 +90,29 @@ object Bench {
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
-    // the JSON must be the LAST stdout line: the driver's artifact scrape
-    // tails the log, and anything printed after it (or a line cut mid-way)
-    // has left BENCH_r0x.json unparsed three rounds running
+    // The driver's artifact scrape tails the log (~2 KB): the full
+    // per-query line above outgrew that window four rounds running and
+    // BENCH_r0x.json arrived "parsed": null every time. So the LAST
+    // stdout line is a SHORT summary — totals + tick only, per-query
+    // numbers via the queries_file pointer — sized (and spec-asserted,
+    // BenchLineSpec) to survive a 2,000-char tail with sbt's trailing
+    // [success] chatter.
     spark.stop()
     println(json)
+    println(summaryLine(total, reps, tick, results.size, sfDir))
     System.out.flush()
+  }
+
+  /** The driver-facing final line. Must stay complete inside a ~2 KB
+    * log tail even with sbt epilogue lines after it. */
+  def summaryLine(total: Double, reps: Int, tickJson: String,
+      nQueries: Int, sfDir: String): String = {
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_queries":$nQueries$tickJson,"queries_file":"target/bench.json","sf":"$sfDir"}"""
+    // tick holds a handful of scalar metrics; if it ever grows past the
+    // scrape budget, drop it here rather than ship an unparseable tail
+    if (line.length <= 1000) line
+    else
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_queries":$nQueries,"queries_file":"target/bench.json","sf":"$sfDir"}"""
   }
 }
