@@ -1,0 +1,443 @@
+package graft.operators
+
+/** Pure-JVM BASELINE JPEG (ITU-T T.81) codec for 8-bit grayscale — the
+  * real-codec step past PNG: markers, DQT/DHT/SOF0/SOS segment parsing,
+  * canonical Huffman built from the stream's own DHT, FF00 byte
+  * stuffing, zigzag, dequantization, and a full 2-D IDCT. Single
+  * component, no subsampling, no restart intervals, no progressive —
+  * everything else is rejected, never mis-decoded.
+  *
+  * The encoder emits spec-compliant streams any baseline decoder reads:
+  * a standard JFIF skeleton with CUSTOM canonical Huffman tables carried
+  * in DHT (12 DC symbols at 4 bits, 162 AC symbols at 8 bits — a
+  * degenerate but valid prefix code, so the all-ones codes stay unused
+  * as T.81 F.1.2.1.2 requires) and a quantization table whose DC step is
+  * 8. That step is what makes block-flat fixtures EXACT through the
+  * lossy pipeline: a flat block's FDCT is DC-only with F(0,0) = 8·s, so
+  * quantize(8s/8) = s restores the block bit-perfectly — the q93 oracle
+  * replays decoded pixels from fixture arithmetic while the decoder
+  * still runs the full Huffman + IDCT path (it cannot know the ACs are
+  * zero until it has decoded them).
+  */
+object Jpeg {
+
+  // zigzag index -> (row, col): odd anti-diagonals walk row-increasing,
+  // even ones row-decreasing (T.81 Figure 5)
+  private val zigzag: Array[Int] = {
+    val out = new Array[Int](64)
+    var i = 0
+    for (s <- 0 to 14) {
+      val range =
+        if (s % 2 == 1) math.max(0, s - 7) to math.min(7, s)
+        else math.min(7, s) to math.max(0, s - 7) by -1
+      for (r <- range) { out(i) = r * 8 + (s - r); i += 1 }
+    }
+    out
+  }
+
+  /** Quant table in NATURAL order: DC step 8 (see scaladoc), AC steps a
+    * mild constant 16 — carried in DQT, so the decoder learns it from
+    * the stream, not from this object. */
+  private val quant: Array[Int] = Array.tabulate(64)(i => if (i == 0) 8 else 16)
+
+  // canonical tables: BITS (codes per length 1..16) + ordered symbol values
+  private val dcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val dcVals = Array.tabulate(12)(identity) // categories 0..11
+  private val acBits = Array(0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val acVals: Array[Int] = {
+    // EOB, ZRL, and every (run 0-15, size 1-10) pair
+    val syms = Seq(0x00, 0xf0) ++
+      (for (run <- 0 to 15; size <- 1 to 10) yield (run << 4) | size)
+    syms.toArray
+  }
+
+  /** Canonical code assignment (T.81 C.2): symbols in HUFFVAL order get
+    * increasing codes, lengths from BITS. Returns symbol -> (code, len). */
+  private def canonicalCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    for (len <- 1 to 16) {
+      var n = 0
+      while (n < bits(len - 1)) {
+        out += vals(k) -> (code, len)
+        code += 1; k += 1; n += 1
+      }
+      code <<= 1
+    }
+    out.result()
+  }
+
+  private class BitWriter {
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var nBits = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        nBits += 1
+        if (nBits == 8) {
+          buf.write(acc)
+          if (acc == 0xff) buf.write(0x00) // byte stuffing
+          acc = 0; nBits = 0
+        }
+        i -= 1
+      }
+    }
+    def finish(): Array[Byte] = {
+      if (nBits > 0) { // pad with 1s (T.81 F.1.2.3)
+        acc = (acc << (8 - nBits)) | ((1 << (8 - nBits)) - 1)
+        buf.write(acc)
+        if (acc == 0xff) buf.write(0x00)
+      }
+      buf.toByteArray
+    }
+  }
+
+  /** Magnitude category: number of bits to hold |v| (0 for v == 0). */
+  private def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** JPEG signed-magnitude payload bits: v >= 0 as-is, v < 0 stored as
+    * v - 1 in `size` low bits (ones-complement form, T.81 F.1.2.1.1). */
+  private def magnitudeBits(v: Int, size: Int): Int =
+    if (v >= 0) v else (v - 1) & ((1 << size) - 1)
+
+  // cosT(x)(u) = cos((2x+1)·u·π/16), the only transcendental either
+  // transform needs — precomputed once per JVM, not per block
+  private val cosT: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+  private val c0 = 1.0 / math.sqrt(2)
+
+  private def fdct(block: Array[Double]): Array[Double] = {
+    val out = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 8) {
+          var y = 0
+          while (y < 8) {
+            s += block(x * 8 + y) * cosT(x)(u) * cosT(y)(v)
+            y += 1
+          }
+          x += 1
+        }
+        val cu = if (u == 0) c0 else 1.0
+        val cv = if (v == 0) c0 else 1.0
+        out(u * 8 + v) = 0.25 * cu * cv * s
+        v += 1
+      }
+      u += 1
+    }
+    out
+  }
+
+  private def idct(coef: Array[Double]): Array[Double] = {
+    val out = new Array[Double](64)
+    var x = 0
+    while (x < 8) {
+      var y = 0
+      while (y < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            val cu = if (u == 0) c0 else 1.0
+            val cv = if (v == 0) c0 else 1.0
+            s += cu * cv * coef(u * 8 + v) * cosT(x)(u) * cosT(y)(v)
+            v += 1
+          }
+          u += 1
+        }
+        out(x * 8 + y) = 0.25 * s
+        y += 1
+      }
+      x += 1
+    }
+    out
+  }
+
+  /** Encode a row-major grayscale plane as baseline JFIF. Dimensions
+    * need not be block-aligned; partial edge blocks replicate the last
+    * row/column (the standard encoder convention). */
+  def encodeGray(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+    require(w >= 1 && h >= 1 && px.length == w * h,
+      s"need $w*$h=${w * h} pixels, got ${px.length}")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m)
+      val len = body.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      body.foreach(out.write)
+    }
+    marker(0xd8) // SOI
+    // DQT: Pq=0 (8-bit), Tq=0, 64 entries in zigzag order
+    seg(0xdb, 0x00 +: Array.tabulate(64)(i => quant(zigzag(i))))
+    // SOF0: precision 8, h, w, 1 component (id 1, sampling 1x1, table 0)
+    seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 1, 1, 0x11, 0))
+    // DHT: DC class 0 id 0, then AC class 1 id 0
+    seg(0xc4, (0x00 +: (dcBits ++ dcVals)) ++ (0x10 +: (acBits ++ acVals)))
+    // SOS: 1 component, DC/AC table 0, full spectral range
+    seg(0xda, Array(1, 1, 0x00, 0, 63, 0))
+
+    val dcCodes = canonicalCodes(dcBits, dcVals)
+    val acCodes = canonicalCodes(acBits, acVals)
+    val bw = new BitWriter
+    var prevDc = 0
+    val blocksX = (w + 7) / 8
+    val blocksY = (h + 7) / 8
+    var by = 0
+    while (by < blocksY) {
+      var bx = 0
+      while (bx < blocksX) {
+        // gather the block, edge-replicated, level-shifted
+        val block = new Array[Double](64)
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            val sy = math.min(by * 8 + r, h - 1)
+            val sx = math.min(bx * 8 + c, w - 1)
+            block(r * 8 + c) = (px(sy * w + sx) & 0xff) - 128.0
+            c += 1
+          }
+          r += 1
+        }
+        val coef = fdct(block)
+        val q = Array.tabulate(64)(i =>
+          math.round(coef(zigzag(i)) / quant(zigzag(i))).toInt)
+        // DC difference
+        val diff = q(0) - prevDc
+        prevDc = q(0)
+        val dcSize = category(diff)
+        val (dcCode, dcLen) = dcCodes(dcSize)
+        bw.put(dcCode, dcLen)
+        if (dcSize > 0) bw.put(magnitudeBits(diff, dcSize), dcSize)
+        // AC run-length
+        var run = 0
+        var lastNonZero = 63
+        while (lastNonZero > 0 && q(lastNonZero) == 0) lastNonZero -= 1
+        var k = 1
+        while (k <= lastNonZero) {
+          if (q(k) == 0) run += 1
+          else {
+            while (run > 15) { // ZRL
+              val (c0, l0) = acCodes(0xf0); bw.put(c0, l0); run -= 16
+            }
+            val size = category(q(k))
+            require(size <= 10, s"AC coefficient ${q(k)} out of table range")
+            val (c1, l1) = acCodes((run << 4) | size)
+            bw.put(c1, l1)
+            bw.put(magnitudeBits(q(k), size), size)
+            run = 0
+          }
+          k += 1
+        }
+        if (lastNonZero < 63) { val (c, l) = acCodes(0x00); bw.put(c, l) } // EOB
+        bx += 1
+      }
+      by += 1
+    }
+    val entropy = bw.finish()
+    out.write(entropy, 0, entropy.length)
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // ---- decoder ----
+
+  private final class BitReader(p: Array[Byte], var i: Int) {
+    private var acc = 0
+    private var nBits = 0
+    var truncated = false
+    /** Next bit, honoring FF00 stuffing; 0 past the end (flagged). */
+    def bit(): Int = {
+      if (nBits == 0) {
+        if (i >= p.length) { truncated = true; return 0 }
+        var b = p(i) & 0xff
+        i += 1
+        if (b == 0xff) {
+          if (i < p.length && (p(i) & 0xff) == 0x00) i += 1 // stuffed FF
+          else { // a real marker inside entropy data: stream over
+            i -= 1; truncated = true; b = 0; return 0
+          }
+        }
+        acc = b; nBits = 8
+      }
+      nBits -= 1
+      (acc >> nBits) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0
+      var k = 0
+      while (k < n) { v = (v << 1) | bit(); k += 1 }
+      v
+    }
+  }
+
+  /** Decode tree for one DHT table: (code, len) -> symbol. */
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    private val bySymbol = canonicalCodes(bits, vals)
+    // len -> (firstCode, firstIndex) for canonical fast decode
+    private val lookup: Map[(Int, Int), Int] =
+      bySymbol.map { case (sym, (code, len)) => (len, code) -> sym }
+    def decode(br: BitReader): Option[Int] = {
+      var code = 0
+      var len = 0
+      while (len < 16) {
+        code = (code << 1) | br.bit()
+        len += 1
+        if (br.truncated) return None
+        lookup.get((len, code)) match {
+          case Some(sym) => return Some(sym)
+          case None => ()
+        }
+      }
+      None
+    }
+  }
+
+  /** Extend a magnitude-bits payload back to a signed value (T.81 F2.2.1). */
+  private def extend(v: Int, size: Int): Int =
+    if (size == 0) 0
+    else if (v < (1 << (size - 1))) v - (1 << size) + 1
+    else v
+
+  /** Decode a baseline grayscale JFIF stream: (w, h, row-major pixels).
+    * None for anything out of contract — multi-component, progressive,
+    * 16-bit quant, restart intervals, truncated entropy data, or a
+    * malformed segment. The Huffman tables and quant table are BUILT
+    * FROM THE STREAM's DHT/DQT, not assumed. */
+  def decodeGray(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) return None
+    var i = 2
+    var w = 0; var h = 0
+    var qt: Array[Int] = null // natural order
+    var dcTab: HuffTable = null
+    var acTab: HuffTable = null
+    var sosAt = -1
+    while (sosAt < 0) {
+      if (i + 4 > p.length) return None
+      if ((p(i) & 0xff) != 0xff) return None
+      val m = p(i + 1) & 0xff
+      if (m == 0xd9) return None // EOI before SOS
+      val len = ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+      if (len < 2 || i + 2 + len > p.length) return None
+      val body = i + 4
+      val bodyLen = len - 2
+      m match {
+        case 0xdb => // DQT: may hold several tables; take Tq=0, 8-bit only
+          var j = body
+          while (j < body + bodyLen) {
+            val pqTq = p(j) & 0xff
+            if ((pqTq >> 4) != 0) return None // 16-bit table out of contract
+            if (j + 65 > body + bodyLen) return None
+            if ((pqTq & 0x0f) == 0) {
+              qt = new Array[Int](64)
+              var k = 0
+              while (k < 64) { qt(zigzag(k)) = p(j + 1 + k) & 0xff; k += 1 }
+            }
+            j += 65
+          }
+        case 0xc0 => // SOF0 baseline
+          if (bodyLen < 8 || (p(body) & 0xff) != 8) return None
+          h = ((p(body + 1) & 0xff) << 8) | (p(body + 2) & 0xff)
+          w = ((p(body + 3) & 0xff) << 8) | (p(body + 4) & 0xff)
+          val nComp = p(body + 5) & 0xff
+          if (nComp != 1) return None // grayscale contract
+          if ((p(body + 7) & 0xff) != 0x11) return None // no subsampling
+          if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+             0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          return None // extended/progressive/lossless out of contract
+        case 0xc4 => // DHT: may hold several tables
+          var j = body
+          while (j < body + bodyLen) {
+            val tcTh = p(j) & 0xff
+            if (j + 17 > body + bodyLen) return None
+            val bits = Array.tabulate(16)(k => p(j + 1 + k) & 0xff)
+            val n = bits.sum
+            if (j + 17 + n > body + bodyLen) return None
+            val vals = Array.tabulate(n)(k => p(j + 17 + k) & 0xff)
+            if (tcTh == 0x00) dcTab = new HuffTable(bits, vals)
+            else if (tcTh == 0x10) acTab = new HuffTable(bits, vals)
+            j += 17 + n
+          }
+        case 0xdd => return None // DRI / restart intervals out of contract
+        case 0xda =>
+          if (bodyLen < 6 || (p(body) & 0xff) != 1) return None
+          sosAt = body + bodyLen
+        case _ => () // APPn/COM/etc: skip
+      }
+      i += 2 + len
+    }
+    if (w == 0 || qt == null || dcTab == null || acTab == null) return None
+
+    val blocksX = (w + 7) / 8
+    val blocksY = (h + 7) / 8
+    val out = new Array[Byte](w * h)
+    val br = new BitReader(p, sosAt)
+    var prevDc = 0
+    var by = 0
+    while (by < blocksY) {
+      var bx = 0
+      while (bx < blocksX) {
+        val q = new Array[Int](64) // zigzag order
+        val dcSize = dcTab.decode(br).getOrElse(return None)
+        if (dcSize > 11) return None
+        val diff = extend(br.bits(dcSize), dcSize)
+        if (br.truncated) return None
+        prevDc += diff
+        q(0) = prevDc
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val sym = acTab.decode(br).getOrElse(return None)
+          if (sym == 0x00) eob = true
+          else if (sym == 0xf0) k += 16
+          else {
+            val run = sym >> 4
+            val size = sym & 0x0f
+            k += run
+            if (k > 63 || size == 0) return None
+            q(k) = extend(br.bits(size), size)
+            if (br.truncated) return None
+            k += 1
+          }
+        }
+        // dequantize (into natural order) and inverse-transform
+        val coef = new Array[Double](64)
+        var z = 0
+        while (z < 64) {
+          coef(zigzag(z)) = q(z).toDouble * qt(zigzag(z))
+          z += 1
+        }
+        val sp = idct(coef)
+        var r = 0
+        while (r < 8) {
+          val y = by * 8 + r
+          if (y < h) {
+            var c = 0
+            while (c < 8) {
+              val x = bx * 8 + c
+              if (x < w) {
+                val v = math.round(sp(r * 8 + c) + 128.0).toInt
+                out(y * w + x) = math.max(0, math.min(255, v)).toByte
+              }
+              c += 1
+            }
+          }
+          r += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    Some((w, h, out))
+  }
+}

@@ -470,24 +470,28 @@ object Multimodal {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Encode a dense row-major grayscale plane as a REAL PNG (bit depth 8,
-    * color type 0): zlib-deflated scanlines, CRC'd chunks. Row y uses
-    * filter y%5, so every filter (None/Sub/Up/Average/Paeth) appears in
-    * any image of 5+ rows. */
-  def pngGray(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
-    require(w >= 1 && h >= 1 && px.length == w * h,
-      s"need $w*$h=${w * h} pixels, got ${px.length}")
-    val raw = new Array[Byte]((w + 1) * h)
+  /** Filter + deflate + frame `data` (h rows of w pixels at `bpp` bytes
+    * each) into a PNG of the given color type. Row y uses filter y%5, so
+    * every filter (None/Sub/Up/Average/Paeth) appears in any image of 5+
+    * rows; PNG filters operate on BYTES with the "left" neighbor `bpp`
+    * bytes back (PNG spec §6.6), which is what makes this one loop serve
+    * grayscale (bpp 1), truecolor (bpp 3), and palette indices (bpp 1). */
+  private def pngEncode(w: Int, h: Int, colorType: Int, bpp: Int,
+      data: Array[Byte], plte: Array[Byte]): Array[Byte] = {
+    require(w >= 1 && h >= 1 && data.length == w * h * bpp,
+      s"need $w*$h*$bpp=${w * h * bpp} bytes, got ${data.length}")
+    val rowBytes = w * bpp
+    val raw = new Array[Byte]((rowBytes + 1) * h)
     var y = 0
     while (y < h) {
       val f = y % 5
-      raw(y * (w + 1)) = f.toByte
+      raw(y * (rowBytes + 1)) = f.toByte
       var x = 0
-      while (x < w) {
-        val cur = px(y * w + x) & 0xff
-        val left = if (x > 0) px(y * w + x - 1) & 0xff else 0
-        val up = if (y > 0) px((y - 1) * w + x) & 0xff else 0
-        val ul = if (x > 0 && y > 0) px((y - 1) * w + x - 1) & 0xff else 0
+      while (x < rowBytes) {
+        val cur = data(y * rowBytes + x) & 0xff
+        val left = if (x >= bpp) data(y * rowBytes + x - bpp) & 0xff else 0
+        val up = if (y > 0) data((y - 1) * rowBytes + x) & 0xff else 0
+        val ul = if (x >= bpp && y > 0) data((y - 1) * rowBytes + x - bpp) & 0xff else 0
         val filt = f match {
           case 0 => cur
           case 1 => cur - left
@@ -495,7 +499,7 @@ object Multimodal {
           case 3 => cur - ((left + up) >> 1)
           case _ => cur - paeth(left, up, ul)
         }
-        raw(y * (w + 1) + 1 + x) = (filt & 0xff).toByte
+        raw(y * (rowBytes + 1) + 1 + x) = (filt & 0xff).toByte
         x += 1
       }
       y += 1
@@ -514,20 +518,53 @@ object Multimodal {
       crc.update(t); crc.update(data)
       be32bytes(data.length) ++ t ++ data ++ be32bytes(crc.getValue.toInt)
     }
-    val ihdr = be32bytes(w) ++ be32bytes(h) ++ Array[Byte](8, 0, 0, 0, 0)
-    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idatBuf.toByteArray) ++
+    val ihdr = be32bytes(w) ++ be32bytes(h) ++
+      Array[Byte](8, colorType.toByte, 0, 0, 0)
+    PngSig ++ chunk("IHDR", ihdr) ++
+      (if (plte == null) Array.emptyByteArray else chunk("PLTE", plte)) ++
+      chunk("IDAT", idatBuf.toByteArray) ++
       chunk("IEND", Array.emptyByteArray)
   }
 
-  /** Decode an 8-bit grayscale PNG: signature check, chunk walk with CRC
-    * verification, concatenated IDATs inflated, all five filters
-    * reconstructed. None for anything else — wrong signature, unsupported
-    * depth/color/interlace, CRC mismatch, or a truncated/corrupt deflate
-    * stream. Returns (w, h, row-major pixels). */
-  def pngDecodeGray(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+  /** Encode a dense row-major grayscale plane as a REAL PNG (bit depth 8,
+    * color type 0): zlib-deflated scanlines, CRC'd chunks. */
+  def pngGray(w: Int, h: Int, px: Array[Byte]): Array[Byte] =
+    pngEncode(w, h, colorType = 0, bpp = 1, px, null)
+
+  /** Truecolor (color type 2) PNG from interleaved RGB bytes
+    * (3 per pixel, row-major). */
+  def pngRgb(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] =
+    pngEncode(w, h, colorType = 2, bpp = 3, rgb, null)
+
+  /** Palette (color type 3) PNG: one index byte per pixel + a PLTE chunk
+    * of RGB triples. Every index must address a palette entry. */
+  def pngIndexed(w: Int, h: Int, idx: Array[Byte], palette: Array[Byte]): Array[Byte] = {
+    require(palette.length % 3 == 0 && palette.length >= 3 &&
+      palette.length <= 256 * 3, s"palette must be 1-256 RGB triples")
+    val n = palette.length / 3
+    require(idx.forall(b => (b & 0xff) < n), s"index out of palette range $n")
+    pngEncode(w, h, colorType = 3, bpp = 1, idx, palette)
+  }
+
+  /** A decoded PNG: `channels` is 1 (grayscale) or 3 (RGB — truecolor,
+    * or palette expanded through its PLTE); `px` is row-major with
+    * channels interleaved. `color_type` preserves the source encoding
+    * (0 gray / 2 truecolor / 3 palette). */
+  final case class PngImage(w: Int, h: Int, color_type: Int, channels: Int,
+      px: Array[Byte])
+
+  /** Decode an 8-bit PNG of color type 0 (grayscale), 2 (truecolor), or
+    * 3 (palette): signature check, chunk walk with CRC verification,
+    * concatenated IDATs inflated, all five filters reconstructed at the
+    * color type's byte-per-pixel stride, palette indices expanded through
+    * PLTE. None for anything else — wrong signature, unsupported
+    * depth/interlace, CRC mismatch, truncated/corrupt deflate stream,
+    * missing PLTE, or an index addressing past the palette. */
+  def pngDecode(p: Array[Byte]): Option[PngImage] = {
     if (p.length < 8 || !p.startsWith(PngSig)) return None
     var i = 8
-    var w = 0; var h = 0
+    var w = 0; var h = 0; var colorType = -1
+    var plte: Array[Byte] = null
     var seenIhdr = false; var seenIend = false
     val idat = new java.io.ByteArrayOutputStream()
     while (!seenIend) {
@@ -543,11 +580,18 @@ object Multimodal {
         case "IHDR" =>
           seenIhdr = true
           w = be32(p, i + 8); h = be32(p, i + 12)
-          // bit depth 8, color type 0 (grayscale), deflate, adaptive
-          // filtering, no interlace — everything else is out of contract
+          colorType = p(i + 17) & 0xff
+          // bit depth 8, color type 0/2/3, deflate, adaptive filtering,
+          // no interlace — everything else is out of contract
           if (w <= 0 || h <= 0 || len != 13 || p(i + 16) != 8 ||
-            p(i + 17) != 0 || p(i + 18) != 0 || p(i + 19) != 0 ||
+            (colorType != 0 && colorType != 2 && colorType != 3) ||
+            p(i + 18) != 0 || p(i + 19) != 0 ||
             p(i + 20) != 0) return None
+        case "PLTE" =>
+          // spec: length divisible by 3, 1-256 entries, before IDAT
+          if (len % 3 != 0 || len < 3 || len > 256 * 3 ||
+            idat.size() > 0) return None
+          plte = java.util.Arrays.copyOfRange(p, i + 8, i + 8 + len)
         case "IDAT" => idat.write(p, i + 8, len)
         case "IEND" => seenIend = true
         case _ => () // ancillary chunks pass through
@@ -560,7 +604,10 @@ object Multimodal {
     // is far beyond any thumbnail-pipeline input; real inputs that large
     // belong on a dedicated path.
     if (!seenIhdr || w.toLong * h > (1L << 26)) return None
-    val raw = new Array[Byte]((w + 1) * h)
+    if (colorType == 3 && plte == null) return None // palette needs PLTE
+    val bpp = if (colorType == 2) 3 else 1
+    val rowBytes = w * bpp
+    val raw = new Array[Byte]((rowBytes + 1) * h)
     val inflater = new java.util.zip.Inflater()
     try {
       inflater.setInput(idat.toByteArray)
@@ -574,17 +621,17 @@ object Multimodal {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inflater.end()
-    val px = new Array[Byte](w * h)
+    val out = new Array[Byte](rowBytes * h)
     var y = 0
     while (y < h) {
-      val f = raw(y * (w + 1)) & 0xff
+      val f = raw(y * (rowBytes + 1)) & 0xff
       if (f > 4) return None
       var x = 0
-      while (x < w) {
-        val cur = raw(y * (w + 1) + 1 + x) & 0xff
-        val left = if (x > 0) px(y * w + x - 1) & 0xff else 0
-        val up = if (y > 0) px((y - 1) * w + x) & 0xff else 0
-        val ul = if (x > 0 && y > 0) px((y - 1) * w + x - 1) & 0xff else 0
+      while (x < rowBytes) {
+        val cur = raw(y * (rowBytes + 1) + 1 + x) & 0xff
+        val left = if (x >= bpp) out(y * rowBytes + x - bpp) & 0xff else 0
+        val up = if (y > 0) out((y - 1) * rowBytes + x) & 0xff else 0
+        val ul = if (x >= bpp && y > 0) out((y - 1) * rowBytes + x - bpp) & 0xff else 0
         val recon = f match {
           case 0 => cur
           case 1 => cur + left
@@ -592,13 +639,37 @@ object Multimodal {
           case 3 => cur + ((left + up) >> 1)
           case _ => cur + paeth(left, up, ul)
         }
-        px(y * w + x) = (recon & 0xff).toByte
+        out(y * rowBytes + x) = (recon & 0xff).toByte
         x += 1
       }
       y += 1
     }
-    Some((w, h, px))
+    if (colorType == 3) {
+      // expand indices through the palette into interleaved RGB; an
+      // index past the palette is a corrupt file, not a decodable image
+      val n = plte.length / 3
+      val rgb = new Array[Byte](w * h * 3)
+      var k = 0
+      while (k < out.length) {
+        val idx = out(k) & 0xff
+        if (idx >= n) return None
+        rgb(k * 3) = plte(idx * 3)
+        rgb(k * 3 + 1) = plte(idx * 3 + 1)
+        rgb(k * 3 + 2) = plte(idx * 3 + 2)
+        k += 1
+      }
+      Some(PngImage(w, h, colorType, 3, rgb))
+    } else
+      Some(PngImage(w, h, colorType, bpp, out))
   }
+
+  /** Decode an 8-bit GRAYSCALE PNG (the original q83 contract): any
+    * other color type is out of contract here — use [[pngDecode]].
+    * Returns (w, h, row-major pixels). */
+  def pngDecodeGray(p: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    pngDecode(p).collect { case img if img.color_type == 0 =>
+      (img.w, img.h, img.px)
+    }
 
   /** PNG stills as frame rows (frame_idx 0), ready for [[resizeNearest]];
     * undecodable payloads yield no rows (quarantine-sink semantics, like
@@ -610,6 +681,102 @@ object Multimodal {
         FrameRow(r.media_id, 0, w, h, px)
       }
     })
+  }
+
+  /** Baseline JPEG stills as frame rows (frame_idx 0) — the [[Jpeg]]
+    * codec's Spark plumbing, mirroring [[decodePngFrames]]; undecodable
+    * payloads yield no rows. */
+  def decodeJpegFrames(media: Dataset[MediaRow]): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      Jpeg.decodeGray(r.payload).iterator.map { case (w, h, px) =>
+        FrameRow(r.media_id, 0, w, h, px)
+      }
+    })
+  }
+
+  /** Block-flat baseline-JPEG fixtures (doc_id % 3 == 1): w is 8 or 16,
+    * h is 8/16/24, and every 8x8 block holds the constant
+    * (id + 5·bx + 9·by) mod 256. Flat blocks survive the lossy DCT
+    * pipeline EXACTLY under the codec's DC quant step of 8 (see [[Jpeg]]
+    * scaladoc), so the q93 oracle recomputes every decoded pixel from id
+    * arithmetic while the decoder still runs real Huffman + IDCT over a
+    * genuinely entropy-coded stream. */
+  def jpegImagesFromDocuments(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.filter(col("doc_id") % 3 === 1).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 8 * (1 + (id % 2).toInt)
+        val h = 8 * (1 + (id % 3).toInt)
+        val px = Array.tabulate(w * h) { k =>
+          val bx = (k % w) / 8; val by = (k / w) / 8
+          ((id + 5L * bx + 9L * by) % 256).toByte
+        }
+        MediaRow(id, "image", Jpeg.encodeGray(w, h, px))
+      })
+  }
+
+  /** Color PNG decode (truecolor + palette) to per-image channel
+    * statistics: pixel count and exact per-channel byte sums — the
+    * aggregate a curation pipeline derives brightness/colorfulness
+    * features from, and one the q92 oracle can replay from fixture
+    * arithmetic. Undecodable or non-RGB payloads yield no rows. */
+  def decodePngChannelStats(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      pngDecode(r.payload).iterator.collect {
+        case img if img.channels == 3 =>
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var k = 0
+          while (k < img.px.length) {
+            rs += img.px(k) & 0xff
+            gs += img.px(k + 1) & 0xff
+            bs += img.px(k + 2) & 0xff
+            k += 3
+          }
+          (r.media_id, img.color_type, img.w * img.h, rs, gs, bs)
+      }
+    }).toDF("media_id", "color_type", "n_px", "r_sum", "g_sum", "b_sum")
+  }
+
+  /** Color-fixture twin of [[imagesFromDocuments]] (doc_id % 3 == 0):
+    * even ids become TRUECOLOR PNGs with channel c of pixel (y, x) =
+    * (id + 3x + 7y + 11c) mod 256; odd ids become PALETTE PNGs over
+    * nPal = 4 + id%5 entries, index(y, x) = (x + 2y) mod nPal, palette
+    * entry j channel c = (id + 13j + 11c) mod 256. Both payloads are
+    * genuinely deflate-compressed, filter-cycled, CRC'd PNGs; the id
+    * arithmetic is what lets the q92 oracle recompute every decoded
+    * channel byte without touching a codec. */
+  def colorImagesFromDocuments(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.filter(col("doc_id") % 3 === 0).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 4 + (id % 5).toInt
+        val h = 3 + (id % 4).toInt
+        val payload =
+          if (id % 2 == 0) {
+            val rgb = new Array[Byte](w * h * 3)
+            var k = 0
+            while (k < w * h) {
+              val x = k % w; val y = k / w
+              var c = 0
+              while (c < 3) {
+                rgb(k * 3 + c) = ((id + 3L * x + 7L * y + 11L * c) % 256).toByte
+                c += 1
+              }
+              k += 1
+            }
+            pngRgb(w, h, rgb)
+          } else {
+            val nPal = 4 + (id % 5).toInt
+            val pal = Array.tabulate(nPal * 3)(j =>
+              ((id + 13L * (j / 3) + 11L * (j % 3)) % 256).toByte)
+            val idx = Array.tabulate(w * h)(k =>
+              ((k % w + 2 * (k / w)) % nPal).toByte)
+            pngIndexed(w, h, idx, pal)
+          }
+        MediaRow(id, "image", payload)
+      })
   }
 
   /** Every images-fixture doc (doc_id % 3 == 2) as a REAL grayscale PNG

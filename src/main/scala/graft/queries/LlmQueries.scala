@@ -1265,6 +1265,74 @@ object LlmQueries {
         load(s, dir, "documents")
           .select(col("doc_id"),
             scorer(col("text")).getField("lang").as("lang_pred"))
+    },
+
+    // COLOR PNG pixel decode — truecolor (type 2) and palette (type 3)
+    // through one codec: the Spark path round-trips genuinely
+    // deflate-compressed, filter-cycled, CRC'd color PNGs (even ids
+    // truecolor, odd ids palette+PLTE) into per-channel byte sums. The
+    // oracle recomputes every decoded channel byte from the fixture's id
+    // arithmetic — a wrong byte-stride in the filter reconstruction (the
+    // actual difference between the gray and color paths) or a wrong
+    // PLTE lookup shifts a sum and breaks the hash (q83's pattern, one
+    // color type up).
+    OpQuery.sql(
+      "q92_png_color_decode",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(4 + doc_id % 5 AS BIGINT) AS w,
+        |    CAST(3 + doc_id % 4 AS BIGINT) AS h,
+        |    CAST(4 + doc_id % 5 AS BIGINT) AS npal
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |y AS (SELECT *, unnest(generate_series(0, h - 1)) AS py FROM v),
+        |x AS (SELECT *, unnest(generate_series(0, w - 1)) AS px FROM y),
+        |ch AS (SELECT *, unnest(generate_series(0, 2)) AS c FROM x),
+        |b AS (SELECT id, c,
+        |    CASE WHEN id % 2 = 0
+        |      THEN (id + 3 * px + 7 * py + 11 * c) % 256
+        |      ELSE (id + 13 * ((px + 2 * py) % npal) + 11 * c) % 256
+        |    END AS v
+        |  FROM ch)
+        |SELECT id AS media_id,
+        |  CAST(CASE WHEN id % 2 = 0 THEN 2 ELSE 3 END AS INTEGER) AS color_type,
+        |  CAST(count(*) // 3 AS INTEGER) AS n_px,
+        |  CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS r_sum,
+        |  CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS g_sum,
+        |  CAST(sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS b_sum
+        |FROM b GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        Multimodal.decodePngChannelStats(
+          Multimodal.colorImagesFromDocuments(s, load(s, dir, "documents")))
+    },
+
+    // BASELINE JPEG pixel decode — past PNG's lossless inflate into the
+    // full entropy-coded pipeline: marker/segment parse, Huffman tables
+    // built from the stream's own DHT, FF00 unstuffing, zigzag,
+    // dequantize, IDCT. The fixtures are block-flat planes, which
+    // round-trip EXACTLY through the lossy transform under the codec's
+    // DC quant step (flat block -> DC-only spectrum, quantized at step
+    // 8 = lossless for integers), so the oracle replays every decoded
+    // pixel from id arithmetic: one wrong Huffman bit, zigzag slot, or
+    // IDCT term anywhere shifts a checksum.
+    OpQuery.sql(
+      "q93_jpeg_decode",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(8 * (1 + doc_id % 2) AS BIGINT) AS w,
+        |    CAST(8 * (1 + doc_id % 3) AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |y AS (SELECT *, unnest(generate_series(0, h - 1)) AS py FROM v),
+        |x AS (SELECT *, unnest(generate_series(0, w - 1)) AS px FROM y),
+        |b AS (SELECT id, (id + 5 * (px // 8) + 9 * (py // 8)) % 256 AS v
+        |  FROM x)
+        |SELECT id AS media_id, CAST(count(*) AS INTEGER) AS n_px,
+        |  CAST(sum(v) AS BIGINT) AS px_checksum
+        |FROM b GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        Multimodal.decodeJpegFrames(
+            Multimodal.jpegImagesFromDocuments(s, load(s, dir, "documents")))
+          .map(fr => (fr.media_id, fr.px.length,
+            fr.px.foldLeft(0L)((acc, b) => acc + (b & 0xff))))
+          .toDF("media_id", "n_px", "px_checksum")
     }
   )
 }
