@@ -88,17 +88,19 @@ object FlatObs {
       else Nil)
   }
 
-  /** `graft.etl.typedObs=true` → flat_obs additionally carries
+  /** Typed obs is the PIPELINE DEFAULT (round-5 change): flat_obs carries
     * `obs_entries: map<int, array<string>>` (values in entry order),
     * derived from the SAME sorted collect as the obs string — downstream
     * [[FlatVisitSummary.build]] then decodes via map lookups instead of
-    * string scans (~2× on the decode projection). Toggling the flag on an
-    * existing table requires a rebuild: incremental merges union the new
-    * columns with the stored schema.
+    * ~180 per-row string scans (the 1.2-1.5x q73-vs-q56 gain, SCALE.md).
+    * `graft.etl.typedObs=false` opts back into the string-only fidelity
+    * mode (the reference-faithful schema, byte-for-byte). Toggling the
+    * flag on an existing table requires a rebuild: incremental merges
+    * union the new columns with the stored schema.
     */
   val TypedConfKey = "graft.etl.typedObs"
   private def typedObs(df: DataFrame): Boolean =
-    df.sparkSession.conf.getOption(TypedConfKey).exists(_.toBoolean)
+    df.sparkSession.conf.getOption(TypedConfKey).forall(_.toBoolean)
 
   /** map<int, array<string>> from a sorted array<struct<c,r>> of
     * (concept, rendered) pairs; null when there are no entries, matching

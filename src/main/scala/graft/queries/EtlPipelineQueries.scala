@@ -191,13 +191,28 @@ object EtlPipelineQueries {
     col("o_orderkey").cast("int").as("encounter_id"),
     concat(lit("ord-"), col("o_orderkey")).as("orders"))
 
-  val all: Seq[OpQuery] = Seq(
+  /** The OpenMRS-shaped orders source (q54's mapping), shared with the
+    * q94 streamed cascade. */
+  private def eavOrderRows(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val li = load(s, dir, "lineitem")
+    val o = load(s, dir, "orders")
+    li.join(o.select(col("o_orderkey"), col("o_custkey")),
+      col("l_orderkey") === col("o_orderkey"))
+      .select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).cast("int").as("order_id"),
+        col("o_custkey").cast("int").as("patient_id"),
+        col("l_orderkey").cast("int").as("encounter_id"),
+        (lit(1000) + col("l_partkey") % 50).cast("int").as("concept_id"),
+        col("l_shipdate").as("date_created"),
+        when(col("l_suppkey") % 11 === 0, 1).otherwise(0).as("voided"),
+        lit(null).cast("timestamp").as("date_voided"))
+  }
 
-    // The full flat_obs stage: grouping, 7-way render (numeric arm), map
-    // ordering, fake visit ids, voided-person purge, canonical schema.
-    OpQuery.sql(
-      "q43_flat_obs_stage",
-      """WITH obs AS (
+  /** The full flat_obs stage's oracle — shared by q43 (batch) and q94
+    * (the streamed cascade's final flat_obs must equal the batch stage
+    * over the same total input). */
+  private val flatObsStageOracle =
+    """WITH obs AS (
         |  SELECT CAST(l_orderkey*8+l_linenumber AS INT) obs_id, CAST(o_custkey AS INT) person_id,
         |         CAST(l_orderkey AS INT) encounter_id, CAST(l_partkey AS INT) concept_id,
         |         l_shipdate obs_datetime, l_quantity value_numeric, l_shipdate date_created
@@ -224,10 +239,21 @@ object EtlPipelineQueries {
         |    max(o.date_created) AS max_date_created
         |  FROM obs o JOIN enc e USING (encounter_id)
         |  GROUP BY o.encounter_id)
-        |SELECT * FROM flat WHERE person_id % 97 <> 0""".stripMargin) {
+        |SELECT * FROM flat WHERE person_id % 97 <> 0""".stripMargin
+
+  val all: Seq[OpQuery] = Seq(
+
+    // The full flat_obs stage: grouping, 7-way render (numeric arm), map
+    // ordering, fake visit ids, voided-person purge, canonical schema.
+    OpQuery.sql(
+      "q43_flat_obs_stage",
+      flatObsStageOracle) {
       (s, dir) =>
         val (obs, encounter, person) = eavSources(s, dir)
-        FlatObs.build(obs, encounter, person)
+        // the typed obs_entries map is the pipeline-internal stage
+        // interface; the driver's oracle speaks the string columns (no-op
+        // when the fidelity mode is on)
+        FlatObs.build(obs, encounter, person).drop("obs_entries")
     },
 
     // The latest-row stage (W2 fix) through the real stage code.
@@ -314,19 +340,7 @@ object EtlPipelineQueries {
         |SELECT * FROM flat WHERE person_id % 97 <> 0""".stripMargin) {
       (s, dir) =>
         val (_, encounter, person) = eavSources(s, dir)
-        val li = load(s, dir, "lineitem")
-        val o = load(s, dir, "orders")
-        val orderRows = li.join(o.select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-          .select(
-            (col("l_orderkey") * 8 + col("l_linenumber")).cast("int").as("order_id"),
-            col("o_custkey").cast("int").as("patient_id"),
-            col("l_orderkey").cast("int").as("encounter_id"),
-            (lit(1000) + col("l_partkey") % 50).cast("int").as("concept_id"),
-            col("l_shipdate").as("date_created"),
-            when(col("l_suppkey") % 11 === 0, 1).otherwise(0).as("voided"),
-            lit(null).cast("timestamp").as("date_voided"))
-        FlatOrders.build(orderRows, encounter, person)
+        FlatOrders.build(eavOrderRows(s, dir), encounter, person)
     },
 
     // The full flat_lab_obs stage (flat_lab_obs_v1.0.sql:102-134 semantics):
@@ -491,6 +505,74 @@ object EtlPipelineQueries {
           .withColumn("obs_entries", obsEntries)
           .drop("o_orderkey", "o_custkey", "o_orderdate")
         FlatVisitSummary.build(flatObs, visitSummaryOrders(o), person)
+    },
+
+    // The STREAMED ETL cascade under the driver's oracle: the obs source
+    // lands as three arrival chunks (split on event time), each processed
+    // by a real checkpointed file-stream micro-batch
+    // (IncrementalEtlStream.runCascadeOnce — the engine's offsets are the
+    // only progress state) driving all four downstream stages through the
+    // SAME incremental code as the batch tick. The returned table is the
+    // final flat_obs, hash-checked by q43's oracle VERBATIM — streamed
+    // arrival must be invisible in the result; the three deeper tables
+    // (lab, visit summary, latest) are signature-gated in-query against
+    // from-scratch batch builds, so a divergence anywhere in the cascade
+    // fails the query rather than shipping a number.
+    OpQuery.sql("q94_stream_etl_cascade", flatObsStageOracle) {
+      (s, dir) =>
+        val (obsRaw, encounter, person) = eavSources(s, dir)
+        // The fixture's (orderkey, linenumber) pairs repeat (up to 6x at
+        // sf0.1), so the shared eav obs_id collides. q43/q55 replay the
+        // collision in their oracles, but the STREAMED path dedups row
+        // VERSIONS by obs_id (currentState — a collision silently drops
+        // a live row) and the lab stage mints min(obs_id) merge keys.
+        // Uniquify with a per-obs_id occurrence index: a window
+        // partitioned by the colliding key (shuffle-by-key, no global
+        // sort), ordered by the surviving columns — ties are FULLY
+        // identical projected rows, so either numbering is the same
+        // multiset. flat_obs output carries no obs_id, so the q43
+        // oracle applies verbatim.
+        val occ = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("obs_id"))
+          .orderBy(col("concept_id"), col("value_numeric"), col("obs_datetime"))
+        val obs = obsRaw.withColumn("obs_id",
+          (col("obs_id").cast("long") * 8 + row_number().over(occ) - 1).cast("int"))
+        val orderRows = eavOrderRows(s, dir)
+        val root = java.nio.file.Files.createTempDirectory("graft-q94")
+        val obsDir = root.resolve("obs").toString
+        val pipe = new graft.etl.Pipeline(s, root.resolve("tables").toString)
+        // event-time chunks: watermarks genuinely advance between batches
+        val cuts = Seq(("1000-01-01", "1995-01-01"),
+          ("1995-01-01", "1997-01-01"), ("1997-01-01", "3000-01-01"))
+        cuts.zipWithIndex.foreach { case ((lo, hi), i) =>
+          obs.filter(col("date_created") >= lit(lo) &&
+              col("date_created") < lit(hi))
+            .write.mode("overwrite").parquet(s"$obsDir/chunk_$i")
+          graft.streaming.IncrementalEtlStream.runCascadeOnce(
+            s, obsDir, encounter, orderRows, person, pipe,
+            root.resolve("ckpt").toString)
+        }
+        def sig(df: DataFrame): (Long, Long) = {
+          val cols = df.columns.filter(_ != "obs_entries").sorted
+          val r = df.select(hash(cols.toIndexedSeq.map(col): _*).cast("long").as("h"))
+            .agg(count(lit(1)).as("n"), sum(col("h")).as("s")).first()
+          (r.getLong(0), r.getLong(1))
+        }
+        val batchFlatObs = FlatObs.build(obs, encounter, person)
+        val batchOrders = FlatOrders.build(orderRows, encounter, person)
+        val batchVs = FlatVisitSummary.build(batchFlatObs, batchOrders, person)
+        Seq(
+          "flat_lab_obs" -> (() => FlatLabObs.build(obs, person)),
+          "flat_visit_summary" -> (() => batchVs),
+          "flat_latest_hiv_summary" ->
+            (() => FlatLatestHivSummary.build(batchVs))
+        ).foreach { case (name, batch) =>
+          val got = sig(pipe.readFlat(name).get)
+          val want = sig(batch())
+          require(got == want,
+            s"streamed $name diverged from the batch build: $got vs $want")
+        }
+        pipe.readFlat("flat_obs").get.drop("obs_entries")
     }
   )
 }

@@ -50,12 +50,14 @@ class TypedObsSpec extends SparkSuite {
       FlatVisitSummary.build(flat, orders, personD)
         .orderBy("encounter_id").collect().map(_.toString).toSeq
 
-    spark.conf.unset(FlatObs.TypedConfKey)
+    // the string-only schema is the opt-IN fidelity mode now (round 5:
+    // typed is the default); absent conf must produce the typed column
+    spark.conf.set(FlatObs.TypedConfKey, "false")
     val plain = FlatObs.build(obs, enc, person)
     assert(!plain.columns.contains("obs_entries"))
     val viaString = summary(plain)
     try {
-      spark.conf.set(FlatObs.TypedConfKey, "true")
+      spark.conf.unset(FlatObs.TypedConfKey) // default = typed
       val typedFlat = FlatObs.build(obs, enc, person).cache()
       assert(typedFlat.columns.contains("obs_entries"))
       // the map agrees with the string rendering entry for entry
