@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, in increasing
@@ -130,6 +131,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(col("n_shared").cast("double") /
           (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
+  }
+
+  /** [[jaccardVerify]] with BOUNDED per-pair cost — the guard for hot
+    * candidate sets against huge documents, where the exact verify's
+    * explode multiplies (pairs x shingles). Each doc is reduced to its
+    * BOTTOM-K shingle sketch (the k smallest md5(shingle) values — a
+    * deterministic, engine-replayable sample), and the pair's Jaccard is
+    * the standard bottom-k estimate: of the k smallest hashes of the
+    * sketch UNION, the fraction present in both sketches. Per pair the
+    * verify now touches <= 2k rows however large the documents are; the
+    * estimate is EXACT whenever |A ∪ B| <= k (sketches are then complete
+    * sets) and has the usual ~1/sqrt(k) standard error above it —
+    * over-threshold dedup decisions degrade gracefully, and the safe
+    * direction (near-dup pairs estimated slightly off) is tunable with k.
+    * Input/output shapes match [[jaccardVerify]]; `jaccard` is the
+    * estimate. */
+  def jaccardVerifyBounded(docShingles: DataFrame, pairs: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"sketch size must be >= 1, got $k")
+    val wDoc = Window.partitionBy("id").orderBy("h")
+    val sk = docShingles
+      .select(col("id"), md5(col("shingle")).as("h"))
+      .withColumn("__rn", row_number().over(wDoc))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+    // tag each sketch hash with its side, union, then resolve membership
+    // per (pair, hash) — never more than 2k rows per pair enter the merge
+    val a = pairs.join(sk.select(col("id").as("id_a"), col("h")), Seq("id_a"))
+      .select(col("id_a"), col("id_b"), col("h"), lit(1).as("in_a"), lit(0).as("in_b"))
+    val b = pairs.join(sk.select(col("id").as("id_b"), col("h")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("h"), lit(0).as("in_a"), lit(1).as("in_b"))
+    val merged = a.union(b)
+      .groupBy("id_a", "id_b", "h")
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    // bottom-k of the union sketch, then the shared fraction within it
+    val wPair = Window.partitionBy("id_a", "id_b").orderBy("h")
+    merged
+      .withColumn("__rn", row_number().over(wPair))
+      .filter(col("__rn") <= k)
+      .groupBy("id_a", "id_b")
+      .agg(
+        sum(col("in_a") * col("in_b")).as("c"),
+        count(lit(1)).as("m"))
+      .select(col("id_a"), col("id_b"),
+        round(col("c").cast("double") / col("m"), 6).as("jaccard"))
   }
 
   /** All-pairs n-gram Jaccard above a threshold via inverted-index join on

@@ -313,6 +313,59 @@ object LlmQueries {
         Dedup.jaccardVerify(docShingles, pairs).filter(col("jaccard") >= 0.1)
     },
 
+    // BOUNDED Jaccard verify (r4 ask #6): q57's candidate pairs verified
+    // through per-doc bottom-64 shingle sketches instead of the full
+    // shingle explode — per pair the verify touches <= 128 rows however
+    // large the documents are, closing the (hot pair set) x (huge docs)
+    // multiplier the exact verify carries. The sketch is the k smallest
+    // md5(shingle) values (no RNG), so the oracle replays the estimator
+    // bit-for-bit — including any pairs whose ESTIMATE crosses the 0.1
+    // threshold differently from the exact q57 value: the sampling error
+    // itself is deterministic and checked.
+    OpQuery.sql(
+      "q95_dedup_verify_bounded",
+      s"""WITH t AS (SELECT doc_id, string_split($DuckNorm, ' ') w FROM documents),
+         |i AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM t),
+         |sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s FROM i),
+         |mh AS (
+         |  SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || s)) h
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) j) GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, CAST(j // 2 AS INTEGER) band, string_agg(h, '' ORDER BY j) bkey
+         |  FROM mh GROUP BY doc_id, 2),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id id_a, r.doc_id id_b
+         |  FROM bands l JOIN bands r
+         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+         |sk AS (SELECT doc_id, h FROM (
+         |    SELECT doc_id, md5(s) h,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY md5(s)) rn
+         |    FROM sh) z WHERE rn <= 64),
+         |u AS (
+         |  SELECT id_a, id_b, h, max(in_a) in_a, max(in_b) in_b FROM (
+         |    SELECT c.id_a, c.id_b, k.h, 1 in_a, 0 in_b
+         |    FROM cand c JOIN sk k ON k.doc_id = c.id_a
+         |    UNION ALL
+         |    SELECT c.id_a, c.id_b, k.h, 0 in_a, 1 in_b
+         |    FROM cand c JOIN sk k ON k.doc_id = c.id_b) z
+         |  GROUP BY 1, 2, 3),
+         |bot AS (SELECT *, row_number() OVER
+         |    (PARTITION BY id_a, id_b ORDER BY h) rn FROM u)
+         |SELECT id_a, id_b,
+         |  round(CAST(sum(in_a * in_b) AS DOUBLE) / count(*), 6) AS jaccard
+         |FROM bot WHERE rn <= 64 GROUP BY 1, 2
+         |HAVING round(CAST(sum(in_a * in_b) AS DOUBLE) / count(*), 6) >= 0.1""".stripMargin) {
+      (s, dir) =>
+        val docShingles = load(s, dir, "documents")
+          .select(col("doc_id").as("id"),
+            explode(TextAnalysis.shingles(
+              TextAnalysis.words(TextAnalysis.normalize(col("text"))), 3)).as("shingle"))
+          .distinct().cache()
+        val pairs = Dedup.lshCandidatePairs(Dedup.minhashBands(docShingles, 8, 2))
+        Dedup.jaccardVerifyBounded(docShingles, pairs, k = 64)
+          .filter(col("jaccard") >= 0.1)
+    },
+
     // Incremental LSH dedup: docs with doc_id % 10 == 0 play the "new
     // ingest"; their bands join a STORED band index (the other 90%,
     // whose minhashes an incremental pipeline would read, not

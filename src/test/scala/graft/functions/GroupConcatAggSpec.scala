@@ -97,6 +97,65 @@ class GroupConcatAggSpec extends SparkSuite {
     assert(maxSeenD <= 2 * GroupConcatAgg.MinCompactAt)
   }
 
+  test("partial-agg lifecycle: serialize/merge keeps buffer AND wire bytes bounded") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+
+    // the real executor lifecycle for one hot key: 32 map-side partials
+    // of 40k rows each (1.28M rows total), each SERIALIZED (the exchange
+    // wire format), deserialized reduce-side, and merged — the peak must
+    // be governed by the compaction ceiling at every stage, not by the
+    // group size, and the wire bytes must never carry an uncompacted
+    // partial
+    val maxLen = 1000
+    val agg = GroupConcatAgg(
+      BoundReference(0, StringType, nullable = true),
+      BoundReference(1, IntegerType, nullable = false),
+      ", ", maxLen, distinct = false)
+    var peakRows = 0
+    var peakSer = 0
+    val nPartials = 32
+    val perPartial = 40000
+    val partials = (0 until nPartials).map { p =>
+      val buf = agg.createAggregationBuffer()
+      (0 until perPartial).foreach { j =>
+        val i = p * perPartial + j
+        agg.update(buf,
+          InternalRow(UTF8String.fromString("value%09d".format(i)), i % 1000))
+        peakRows = math.max(peakRows, buf.rows.length)
+      }
+      val ser = agg.serialize(buf)
+      peakSer = math.max(peakSer, ser.length)
+      ser
+    }
+    val merged = agg.createAggregationBuffer()
+    partials.foreach { ser =>
+      agg.merge(merged, agg.deserialize(ser))
+      peakRows = math.max(peakRows, merged.rows.length)
+    }
+    val got = agg.eval(merged).asInstanceOf[UTF8String].toString
+
+    // unbounded reference: full (key, value) sort, join, byte-cut
+    val want = (0 until nPartials * perPartial)
+      .map(i => (i % 1000, "value%09d".format(i)))
+      .sorted.map(_._2).mkString(", ").take(maxLen)
+    assert(got == want)
+
+    info(s"peak buffer $peakRows rows; peak serialized partial $peakSer bytes " +
+      s"(1.28M-row group, maxLen=$maxLen)")
+    // rows: compaction settles the buffer near MinCompactAt however many
+    // rows flow through (40k per partial, 1.28M through the merge chain)
+    assert(peakRows <= 2 * GroupConcatAgg.MinCompactAt,
+      s"peak $peakRows rows — compaction not engaging through merge")
+    // wire: a serialized partial is a compacted buffer, NOT the 40k rows
+    // it absorbed (~42 bytes/entry x 40k ≈ 1.7 MB unbounded; the ceiling
+    // holds it under ~0.5 MB)
+    assert(peakSer <= 500000,
+      s"peak serialized partial $peakSer bytes — wire carries uncompacted rows")
+  }
+
   test("SQL surface: group_concat coerces non-string value columns") {
     SqlFunctions.register(spark)
     import spark.implicits._
