@@ -406,6 +406,163 @@ object Multimodal {
       })
   }
 
+  // ---- AVI: a REAL video container (RIFF, like WAV) ----
+  // Retires the RAWV stand-in for the container-walk layer: RIFF/'AVI '
+  // with a spec-shaped hdrl (avih + strl/strh/strf BITMAPINFOHEADER +
+  // 256-entry grayscale palette) and uncompressed 8-bit DIB frames in
+  // LIST movi ('00db' chunks, bottom-up rows padded to 4 bytes) — the
+  // layout any stock AVI tool emits for uncompressed grayscale. The
+  // PIXELS are still id-derived (the feature-extraction seam stays
+  // honestly labeled), but parsing is a genuine nested-RIFF walk with
+  // header/stride/bit-depth validation, not a magic-number prefix.
+
+  private def le32bytes(v: Int): Array[Byte] =
+    Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
+  private def aviStride(w: Int): Int = (w + 3) & ~3
+
+  /** Encode grayscale frames (top-down row-major, one Array per frame)
+    * as an uncompressed 8-bit AVI. */
+  def aviGray(w: Int, h: Int, frames: Seq[Array[Byte]], fps: Int = 25): Array[Byte] = {
+    require(w >= 1 && h >= 1 && frames.nonEmpty && frames.forall(_.length == w * h),
+      s"need non-empty ${w}x$h frames")
+    val stride = aviStride(w)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32bytes(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(tpe: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", tpe.getBytes("US-ASCII") ++ body)
+    val frameBytes = stride * h
+    val avih = le32bytes(1000000 / fps) ++ le32bytes(frameBytes * fps) ++
+      le32bytes(0) ++ le32bytes(0) ++ le32bytes(frames.length) ++
+      le32bytes(0) ++ le32bytes(1) ++ le32bytes(frameBytes) ++
+      le32bytes(w) ++ le32bytes(h) ++ Array.fill[Byte](16)(0)
+    val strh = "vids".getBytes("US-ASCII") ++ "DIB ".getBytes("US-ASCII") ++
+      le32bytes(0) ++ le16bytes(0) ++ le16bytes(0) ++ le32bytes(0) ++
+      le32bytes(1) ++ le32bytes(fps) ++ le32bytes(0) ++
+      le32bytes(frames.length) ++ le32bytes(frameBytes) ++ le32bytes(-1) ++
+      le32bytes(0) ++ le16bytes(0) ++ le16bytes(0) ++ le16bytes(w) ++ le16bytes(h)
+    val bmih = le32bytes(40) ++ le32bytes(w) ++ le32bytes(h) ++ le16bytes(1) ++
+      le16bytes(8) ++ le32bytes(0) ++ le32bytes(frameBytes) ++
+      le32bytes(0) ++ le32bytes(0) ++ le32bytes(256) ++ le32bytes(0)
+    val palette = Array.tabulate[Byte](256 * 4)(i =>
+      if (i % 4 == 3) 0 else (i / 4).toByte) // gray RGBQUADs
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", bmih ++ palette)))
+    val movi = list("movi", frames.map { f =>
+      val dib = new Array[Byte](frameBytes)
+      var y = 0
+      while (y < h) { // bottom-up, stride-padded
+        System.arraycopy(f, (h - 1 - y) * w, dib, y * stride, w)
+        y += 1
+      }
+      chunk("00db", dib)
+    }.reduce(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32bytes(body.length) ++ body
+  }
+
+  /** Decode an uncompressed 8-bit grayscale AVI: nested RIFF walk
+    * (hdrl → avih dims, strf bit depth/compression; movi → '00db'
+    * frames), stride un-padding, bottom-up flip. None for anything out
+    * of contract — compressed streams ('00dc' / biCompression != 0),
+    * depths other than 8, top-down DIBs, truncated chunks, hostile
+    * dims. Returns (w, h, frames top-down row-major). */
+  def aviGrayFrames(p: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] = {
+    if (p.length < 12 || !(p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F') ||
+      !(p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' ')) return None
+    var w = 0; var h = 0; var declaredFrames = -1L
+    var depthOk = false
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    // walk [from, until) as a sequence of RIFF chunks
+    def walk(from: Int, until: Int, inMovi: Boolean): Boolean = {
+      var i = from
+      while (i + 8 <= until) {
+        val id = new String(p, i, 4, "US-ASCII")
+        val lenL = le32(p, i + 4) // unsigned 32-bit: Long
+        if (lenL < 0 || i + 8L + lenL > until) return false // truncated/hostile
+        val len = lenL.toInt
+        id match {
+          case "LIST" =>
+            if (len < 4) return false
+            val tpe = new String(p, i + 8, 4, "US-ASCII")
+            if (!walk(i + 12, i + 8 + len, inMovi || tpe == "movi")) return false
+          case "avih" if len >= 56 =>
+            declaredFrames = le32(p, i + 8 + 16)
+            val wL = le32(p, i + 8 + 32); val hL = le32(p, i + 8 + 36)
+            // hostile-dims cap, same budget as the image decoders
+            if (wL <= 0 || hL <= 0 || wL * hL > (1L << 26)) return false
+            w = wL.toInt; h = hL.toInt
+          case "strf" if len >= 40 =>
+            val bitCount = (p(i + 8 + 14) & 0xff) | ((p(i + 8 + 15) & 0xff) << 8)
+            val compression = le32(p, i + 8 + 16)
+            val biHeight = le32(p, i + 8 + 8) // signed would mean top-down
+            if (bitCount != 8 || compression != 0L ||
+              biHeight > Int.MaxValue) return false
+            depthOk = true
+          case "00dc" => return false // compressed frames out of contract
+          case "00db" if inMovi =>
+            if (w <= 0 || !depthOk) return false // frames before headers
+            val stride = aviStride(w)
+            if (len < stride * h) return false
+            val f = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) { // un-pad and flip to top-down
+              System.arraycopy(p, i + 8 + y * stride, f, (h - 1 - y) * w, w)
+              y += 1
+            }
+            frames += f
+          case _ => () // strh/idx1/ancillary: skip
+        }
+        val next = i.toLong + 8L + len + (len & 1) // word alignment (WAV walk)
+        if (next <= i || next > Int.MaxValue) return false
+        i = next.toInt
+      }
+      true
+    }
+    if (!walk(12, p.length, inMovi = false)) return None
+    if (w <= 0 || !depthOk || frames.isEmpty) return None
+    // a frame count disagreeing with the header is a malformed file,
+    // not a best-effort decode
+    if (declaredFrames >= 0 && frames.length != declaredFrames) return None
+    Some((w, h, frames.toSeq))
+  }
+
+  /** AVI clips as per-frame rows, ready for [[resizeNearest]] — the real
+    * container path beside the RAWV [[sampleFrames]]; every `everyN`-th
+    * frame, undecodable payloads yield no rows. One clip's frames are
+    * materialized per task (clips are bounded by the ingest chunker in a
+    * production pipeline; a streaming chunk-offset walk is the next
+    * refinement if clip sizes outgrow task memory). */
+  def sampleAviFrames(media: Dataset[MediaRow], everyN: Int): Dataset[FrameRow] = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { v =>
+      aviGrayFrames(v.payload).iterator.flatMap { case (w, h, fs) =>
+        (0 until fs.length by everyN).iterator.map(f =>
+          FrameRow(v.media_id, f, w, h, fs(f)))
+      }
+    })
+  }
+
+  /** [[videosFromDocuments]]'s pixel arithmetic inside a REAL container:
+    * the same id-derived dims and pixel(f, y, x) = (id + 31f + 7y + x)
+    * mod 256, so the q96 oracle is q77's VERBATIM — only the container
+    * (and therefore the whole parse path) differs. */
+  def aviFromDocuments(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.filter(col("doc_id") % 3 === 0).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 4 + (id % 5).toInt
+        val h = 3 + (id % 4).toInt
+        val n = 1 + (id % 7).toInt
+        val frames = (0 until n).map(f => Array.tabulate(w * h) { k =>
+          ((id + 31L * f + 7L * (k / w) + (k % w)) % 256).toByte
+        })
+        MediaRow(id, "video", aviGray(w, h, frames))
+      })
+  }
+
   /** Sample every `everyN`-th frame (0, N, 2N, …) of each clip into
     * per-frame rows. Iterator-composed flatMap: a task holds one payload
     * plus one emitted frame at a time, never a clip's full frame list —

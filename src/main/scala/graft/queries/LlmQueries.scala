@@ -163,6 +163,26 @@ object LlmQueries {
        |  ELSE 'de' END AS lang_pred
        |FROM sc""".stripMargin
 
+  /** Frame-sample + resize + checksum oracle over the id-derived clip
+    * arithmetic — shared VERBATIM by q77 (RAWV stand-in container) and
+    * q96 (real AVI container): same pixels, different parse path. */
+  private val FrameSampleOracle =
+    """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+      |    CAST(4 + doc_id % 5 AS BIGINT) AS w,
+      |    CAST(3 + doc_id % 4 AS BIGINT) AS h,
+      |    CAST(1 + doc_id % 7 AS INT) AS frames
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |f AS (SELECT id, w, h, unnest(generate_series(0, frames - 1, 2)) AS fi FROM v),
+      |y AS (SELECT *, unnest(generate_series(0, 1)) AS oy FROM f),
+      |x AS (SELECT *, unnest(generate_series(0, 2)) AS ox FROM y),
+      |px AS (SELECT id, fi,
+      |    (id + fi * 31 + ((oy * h) // 2) * 7 + ((ox * w) // 3)) % 256 AS b
+      |  FROM x)
+      |SELECT id AS media_id,
+      |  count(DISTINCT fi) AS n_frames_sampled,
+      |  CAST(sum(b) AS BIGINT) AS px_checksum
+      |FROM px GROUP BY 1""".stripMargin
+
   val all: Seq[OpQuery] = Seq(
 
     // Exact dedup by content hash (normalized), keep min id.
@@ -956,26 +976,37 @@ object LlmQueries {
     // itself is the documented deterministic fake; see Multimodal).
     OpQuery.sql(
       "q77_frame_sample_resize",
-      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
-        |    CAST(4 + doc_id % 5 AS BIGINT) AS w,
-        |    CAST(3 + doc_id % 4 AS BIGINT) AS h,
-        |    CAST(1 + doc_id % 7 AS INT) AS frames
-        |  FROM documents WHERE doc_id % 3 = 0),
-        |f AS (SELECT id, w, h, unnest(generate_series(0, frames - 1, 2)) AS fi FROM v),
-        |y AS (SELECT *, unnest(generate_series(0, 1)) AS oy FROM f),
-        |x AS (SELECT *, unnest(generate_series(0, 2)) AS ox FROM y),
-        |px AS (SELECT id, fi,
-        |    (id + fi * 31 + ((oy * h) // 2) * 7 + ((ox * w) // 3)) % 256 AS b
-        |  FROM x)
-        |SELECT id AS media_id,
-        |  count(DISTINCT fi) AS n_frames_sampled,
-        |  CAST(sum(b) AS BIGINT) AS px_checksum
-        |FROM px GROUP BY 1""".stripMargin) {
+      FrameSampleOracle) {
       (s, dir) =>
         import s.implicits._
         val videos = Multimodal.videosFromDocuments(s, load(s, dir, "documents"))
         val thumbs = Multimodal.resizeNearest(
           Multimodal.sampleFrames(videos, everyN = 2), ow = 3, oh = 2)
+        thumbs
+          .map(fr => (fr.media_id, fr.frame_idx,
+            fr.px.foldLeft(0L)((acc, b) => acc + (b & 0xff))))
+          .toDF("media_id", "frame_idx", "fsum")
+          .groupBy("media_id")
+          .agg(count(lit(1)).as("n_frames_sampled"),
+            sum(col("fsum")).as("px_checksum"))
+    },
+
+    // The same frame-sample/resize/checksum pipeline over a REAL AVI
+    // container (round 5, retiring the RAWV stand-in at the parse
+    // layer): RIFF/'AVI ' with spec-shaped hdrl (avih + strh/strf
+    // BITMAPINFOHEADER + palette) and uncompressed 8-bit DIB '00db'
+    // frames — bottom-up, stride-padded — so the decode walks nested
+    // RIFF lists, validates depth/compression, un-pads and flips.
+    // Oracle is q77's VERBATIM: same id-derived pixels, real container
+    // walk; one wrong stride byte or an unflipped row breaks the hash.
+    OpQuery.sql(
+      "q96_avi_frame_extract",
+      FrameSampleOracle) {
+      (s, dir) =>
+        import s.implicits._
+        val clips = Multimodal.aviFromDocuments(s, load(s, dir, "documents"))
+        val thumbs = Multimodal.resizeNearest(
+          Multimodal.sampleAviFrames(clips, everyN = 2), ow = 3, oh = 2)
         thumbs
           .map(fr => (fr.media_id, fr.frame_idx,
             fr.px.foldLeft(0L)((acc, b) => acc + (b & 0xff))))

@@ -403,6 +403,44 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("AVI codec: real RIFF container round-trip; compressed/hostile rejected") {
+    // non-multiple-of-4 width exercises the DIB stride padding, 3 frames
+    // the movi chunk walk, and the round-trip proves the bottom-up flip
+    val (w, h) = (5, 4)
+    val frames = (0 until 3).map(f =>
+      Array.tabulate(w * h)(k => ((f * 71 + k * 13) % 256).toByte))
+    val avi = Multimodal.aviGray(w, h, frames, fps = 10)
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF" &&
+      new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    val got = Multimodal.aviGrayFrames(avi)
+    assert(got.exists { case (gw, gh, fs) =>
+      gw == w && gh == h && fs.length == 3 &&
+        fs.zip(frames).forall { case (a, b) => a.toSeq == b.toSeq } })
+
+    // a WAV is RIFF but not AVI; RAWV is neither
+    assert(Multimodal.aviGrayFrames(Multimodal.wavBytes(8000, 1, 16, 10)).isEmpty)
+    assert(Multimodal.aviGrayFrames(Multimodal.rawVideo(1L, 4, 3, 2)).isEmpty)
+    // truncated mid-movi
+    assert(Multimodal.aviGrayFrames(avi.take(avi.length - 10)).isEmpty)
+    // compressed frames ('00dc') are out of contract
+    val dc = avi.clone()
+    val i = dc.indexOfSlice("00db".getBytes("US-ASCII"))
+    dc(i + 3) = 'c'.toByte
+    assert(Multimodal.aviGrayFrames(dc).isEmpty)
+    // 24-bit depth in strf rejected
+    val deep = avi.clone()
+    val strf = deep.indexOfSlice("strf".getBytes("US-ASCII"))
+    deep(strf + 8 + 14) = 24 // biBitCount lives 14 bytes into BITMAPINFOHEADER
+    assert(Multimodal.aviGrayFrames(deep).isEmpty)
+    // header/frame-count disagreement is malformed, not best-effort
+    val short = Multimodal.aviGray(w, h, frames.take(2), fps = 10)
+    val lying = avi.clone()
+    val avih = lying.indexOfSlice("avih".getBytes("US-ASCII"))
+    lying(avih + 8 + 16) = 9 // dwTotalFrames = 9, actual 3
+    assert(Multimodal.aviGrayFrames(lying).isEmpty)
+    assert(Multimodal.aviGrayFrames(short).exists(_._3.length == 2))
+  }
+
   test("count-min sketch: overestimates only, merge == rebuild, absent token -> 0") {
     import spark.implicits._
     val words = Seq.fill(50)("alpha") ++ Seq.fill(20)("beta") ++
