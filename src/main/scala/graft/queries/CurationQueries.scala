@@ -310,6 +310,51 @@ object CurationQueries {
             TextAnalysis.tokenCountWhitespace(col("text")).cast("long"),
             budget = 2048, buckets = 8)
           .select(col("id").as("doc_id"), col("bucket"), col("seq_id"), col("seq_offset"))
+    },
+
+    // LM-perplexity quality scoring (the CCNet recipe, round 5): an
+    // add-one-smoothed bigram word model TRAINED on the trusted 80%
+    // split scores EVERY doc by average negative log-likelihood — the
+    // filter that catches fluent-looking junk the heuristic ratios
+    // (q36) cannot. Fully relational: train = two groupBy counts +
+    // |vocab|; score = bigram equi-joins with smoothing-floor fallbacks
+    // + one per-doc mean. Counts are exact integers and the log/mean
+    // arithmetic is fixed-order f64, so the oracle replays the whole
+    // model — DuckDB ln vs JVM log agree far below the rounded 1e-6.
+    OpQuery.sql(
+      "q97_lm_perplexity",
+      s"""WITH d AS (SELECT doc_id, ${duckBucket("", 100)} AS b,
+         |    string_split($DuckNorm, ' ') w FROM documents),
+         |tr AS (SELECT * FROM d WHERE b < 80),
+         |uni AS (SELECT w1, count(*) c1 FROM (
+         |    SELECT unnest(w) w1 FROM tr) z GROUP BY 1),
+         |big AS (SELECT w1, w2, count(*) c2 FROM (
+         |    SELECT w[i] w1, w[i+1] w2 FROM (
+         |      SELECT w, unnest(generate_series(1, len(w) - 1)) i FROM tr) z) z2
+         |  GROUP BY 1, 2),
+         |v AS (SELECT count(*) vc FROM uni),
+         |cb AS (SELECT doc_id, w[i] w1, w[i+1] w2 FROM (
+         |    SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) i FROM d) z),
+         |nll AS (SELECT doc_id,
+         |    -ln((coalesce(c2, 0) + 1.0) / (coalesce(c1, 0) + vc)) AS nll
+         |  FROM cb LEFT JOIN big USING (w1, w2)
+         |          LEFT JOIN uni USING (w1) CROSS JOIN v),
+         |agg AS (SELECT doc_id, count(*) n, sum(nll) s FROM nll GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_bigrams,
+         |       round(agg.s / agg.n, 6) AS avg_nll
+         |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin) {
+      (s, dir) =>
+        val docs = load(s, dir, "documents")
+        val train = docs
+          .filter(Curation.samplingBucket(col("doc_id"), 100) < 80)
+          .select(col("doc_id"), col("text"))
+        val (bigrams, unigrams, vocab) =
+          graft.operators.LanguageModel.trainBigram(train, col("text"))
+        graft.operators.LanguageModel.scoreBigram(
+            docs.select(col("doc_id"), col("text")), col("text"),
+            bigrams, unigrams, vocab)
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("avg_nll"), 6).as("avg_nll"))
     }
   )
 }

@@ -57,7 +57,10 @@ object PipelineBench {
     val prevConf = Seq("graft.etl.typedObs", "graft.sink.buckets",
       graft.etl.FlatObs.SaltConfKey).map(k => k -> spark.conf.getOption(k))
     try {
-      spark.conf.set("graft.etl.typedObs", "true")
+      // typed obs is the pipeline default; SPARK_GRAFT_TICK_TYPED=0
+      // benches the string-only fidelity mode for the A/B record
+      spark.conf.set("graft.etl.typedObs",
+        (sys.env.getOrElse("SPARK_GRAFT_TICK_TYPED", "1") == "1").toString)
       spark.conf.set("graft.sink.buckets", buckets)
       if (salt != "0") spark.conf.set(graft.etl.FlatObs.SaltConfKey, salt)
 
