@@ -308,6 +308,99 @@ object FlatVisitSummary {
     decodeT(m, stiScreened).as("sti_screened"),
     try_to_timestamp(extractAllT(m, 5096)).as("tca"))
 
+  // ---- staged typed decode (the pipeline-default fast path) ----
+  //
+  // [[decodeColumnsTyped]] is a single projection, so every decode arm's
+  // `try_element_at(m, concept)` sits in a CONDITIONAL position (a `when`
+  // branch) — and Catalyst's subexpression elimination only extracts
+  // subexpressions that are evaluated unconditionally. Measured result
+  // (ProfileDecode, sf0.1): the one-projection decode pays ~80 map scans
+  // per row (~9.5 s of a 10.9 s projection) while 29 unconditional
+  // lookups cost 1.1 s. Staging fixes it structurally: projection 1 binds
+  // one lookup column per distinct concept (unconditional, each a single
+  // O(|map|) scan), projection 2 runs the arm chains over the bound
+  // arrays. CollapseProject will not merge the two (ElementAt is not in
+  // its cheap-to-duplicate set when referenced more than once), so the
+  // lookups stay shared in codegen.
+
+  /** Every distinct concept the typed decode reads. */
+  private val typedConcepts: Seq[Int] = {
+    val tables = Seq(patientSource, curArvAdherence, pregnant, fpStatus,
+      fpMethod, whyNotOnFp, tbStatus, sideEffects, whoStage, ctxAdherence,
+      ctxDispensed, inhDispensed, otherMedsDispensed, arvsAdherence,
+      whyArvsAdherencePoor, pmtctPpct, currentRegimen, refferalHospitalized,
+      breastfingMode, atRiskPopulation, pwpDisclosure, pwpPartnerTested,
+      condomsDispensed, stiScreened)
+    (tables.flatMap(_.map(_._1.split("=", 2)(0).toInt)) ++
+      Seq(6746, 1353, 6743, 6744, 5096, 1271, 1534)).distinct.sorted
+  }
+
+  private def lkName(c: Int): String = s"__c$c"
+
+  /** Stage-1 projection: one unconditional `try_element_at` per distinct
+    * concept, named `__c<concept>`. Append to the pre-decode projection,
+    * then decode with [[decodeColumnsFromLookups]].
+    */
+  def typedLookupColumns(m: Column): Seq[Column] =
+    typedConcepts.map(c => try_element_at(m, lit(c)).as(lkName(c)))
+
+  private def decodeL(table: Seq[(String, String)], default: Column = lit(null)): Column =
+    table.foldRight(default) { case ((kv, label), acc) =>
+      val Array(c, code) = kv.split("=", 2)
+      when(array_contains(col(lkName(c.toInt)), code), lit(label)).otherwise(acc)
+    }
+
+  private def extractAllL(concept: Int): Column = {
+    val vals = col(lkName(concept))
+    when(vals.isNotNull, array_join(vals, ObsMap.Sep))
+  }
+
+  private def testDoneL(code: Int): Column =
+    when(array_contains(col(lkName(1271)), code.toString), "Yes").otherwise("No")
+
+  /** Stage-2 decode over the bound lookup columns — output identical to
+    * [[decodeColumnsTyped]] / [[decodeColumns]] (q73 shares q56's oracle;
+    * the equivalence spec fuzzes all three paths). `__c1534.isNotNull`
+    * replaces `map_contains_key`: entry arrays are non-empty by
+    * construction on every producer, so presence ≡ non-null lookup.
+    */
+  def decodeColumnsFromLookups: Seq[Column] = Seq(
+    try_to_timestamp(extractAllL(6746)).as("enrollment_date"),
+    try_to_timestamp(extractAllL(6746)).as("hiv_start_date"),
+    decodeL(patientSource, extractAllL(1353)).as("patient_source"),
+    extractAllL(6743).as("weight"),
+    extractAllL(6744).as("height"),
+    decodeL(curArvAdherence).as("cur_arv_adherence"),
+    decodeL(pregnant).as("pregnant"),
+    decodeL(fpStatus).as("fp_status"),
+    decodeL(fpMethod).as("fp_method"),
+    decodeL(whyNotOnFp).as("why_not_on_fp"),
+    decodeL(tbStatus).as("tb_status"),
+    decodeL(sideEffects).as("side_effects"),
+    decodeL(whoStage).as("who_stage"),
+    decodeL(ctxAdherence).as("ctx_adherence"),
+    decodeL(ctxDispensed).as("ctx_dispensed"),
+    decodeL(inhDispensed).as("inh_dispensed"),
+    decodeL(otherMedsDispensed).as("other_medications_dispensed"),
+    decodeL(arvsAdherence).as("arvs_adherence"),
+    decodeL(whyArvsAdherencePoor).as("why_arvs_adherence_poor"),
+    decodeL(pmtctPpct).as("pmtct_ppct"),
+    decodeL(currentRegimen).as("currentregmen"),
+    testDoneL(5497).as("cd4_cd4percentage_done"),
+    testDoneL(21).as("hgb_done"),
+    testDoneL(1569).as("rpr_done"),
+    testDoneL(1883).as("tb_sputum_done"),
+    testDoneL(5622).as("other_test_done"),
+    decodeL(refferalHospitalized).as("refferal_hospitalized"),
+    when(col(lkName(1534)).isNotNull, lit("")).as("no_of_day_hospitalized"),
+    decodeL(breastfingMode).as("breastfing_mode"),
+    decodeL(atRiskPopulation).as("at_risk_population"),
+    decodeL(pwpDisclosure).as("pwp_disclosure"),
+    decodeL(pwpPartnerTested).as("pwp_partner_tested"),
+    decodeL(condomsDispensed).as("condoms_dispensed"),
+    decodeL(stiScreened).as("sti_screened"),
+    try_to_timestamp(extractAllL(5096)).as("tca"))
+
   /** is_clinical_encounter / encounter_type_sort_index derivations
     * (flat_visit_summary_v1.0.sql:141-149). */
   def isClinicalEncounter(encounterType: Column): Column =
@@ -366,16 +459,22 @@ object FlatVisitSummary {
     }
     val clinical = scoped
       .filter(col("encounter_type").isin(ClinicalEncounterTypes.map(Integer.valueOf): _*))
-    val decoded =
-      if (flatObs.columns.contains("obs_entries")) decodeColumnsTyped(col("obs_entries"))
-      else decodeColumns(col("obs"))
-    clinical
-      .join(person.select("person_id", "uuid"), Seq("person_id"))
-      .select(Seq(
-        col("person_id"), col("uuid"), col("visit_id"), col("encounter_id"),
-        col("encounter_datetime"), col("encounter_type"),
-        isClinicalEncounter(col("encounter_type")).as("is_clinical_encounter"),
-        col("location_id")) ++ decoded: _*)
+    val joined = clinical.join(person.select("person_id", "uuid"), Seq("person_id"))
+    val base = Seq(
+      col("person_id"), col("uuid"), col("visit_id"), col("encounter_id"),
+      col("encounter_datetime"), col("encounter_type"),
+      isClinicalEncounter(col("encounter_type")).as("is_clinical_encounter"),
+      col("location_id"))
+    val baseNames = Seq("person_id", "uuid", "visit_id", "encounter_id",
+      "encounter_datetime", "encounter_type", "is_clinical_encounter",
+      "location_id")
+    if (flatObs.columns.contains("obs_entries"))
+      // staged: lookup projection, then the decode chains (see the staged
+      // typed decode section above for the measured why)
+      joined.select(base ++ typedLookupColumns(col("obs_entries")): _*)
+        .select(baseNames.map(col) ++ decodeColumnsFromLookups: _*)
+    else
+      joined.select(base ++ decodeColumns(col("obs")): _*)
   }
 
   /** Incremental: queue = persons with changed encounters ∪ persons whose

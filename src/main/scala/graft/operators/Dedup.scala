@@ -264,4 +264,63 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Corpus-wide line/paragraph dedup (the CCNet recipe): split each doc on
+    * `sep`, drop every copy of a line that appears elsewhere in the corpus
+    * EXCEPT the globally-first occurrence (smallest (doc, position)), and
+    * reassemble the survivors in original order. Boilerplate (headers,
+    * cookie banners, license blocks) dies corpus-wide while the one
+    * canonical copy survives.
+    *
+    * `keepFirst = false` switches to the harsher drop-all rule: any line
+    * occurring more than once vanishes everywhere.
+    *
+    * Scale shape: explode is map-side; the winner per line is a partial-
+    * aggregatable `min(struct(doc, pos))` — NOT a `row_number() over
+    * (partition by line)` window, which would sort every copy of a hot
+    * boilerplate line inside one partition. The agg form combines map-side,
+    * so a line duplicated 10M times costs one row per input partition at
+    * the shuffle. Reassembly groups by doc (second keyed shuffle) with the
+    * same sorted-collect used everywhere else in the repo.
+    *
+    * Output: (id, text, n_lines, n_kept) — `text` empty-string when every
+    * line was dropped. An empty text is one empty line (split's behavior),
+    * and empty lines dedup like any other line — blank-paragraph runs are
+    * exactly the boilerplate this pass exists to kill.
+    */
+  def dedupLines(
+      docs: DataFrame,
+      idCol: String,
+      textCol: Column,
+      sep: String = "\n",
+      keepFirst: Boolean = true): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(textCol, java.util.regex.Pattern.quote(sep))))
+      .toDF("id", "pos", "line")
+    val counts = lines.groupBy("line").agg(
+      count(lit(1)).as("n_copies"),
+      min(struct(col("id"), col("pos"))).as("first_occ"))
+    val kept =
+      if (keepFirst)
+        // unique lines are trivially their own first occurrence, so the
+        // whole rule is "I am the global min (doc, pos) for my line"
+        lines.join(counts, Seq("line"))
+          .filter(col("first_occ.id") === col("id") && col("first_occ.pos") === col("pos"))
+      else
+        lines.join(counts.filter(col("n_copies") === 1).select("line"), Seq("line"))
+    val rebuilt = kept
+      .groupBy("id")
+      .agg(
+        array_join(array_sort(collect_list(struct(col("pos"), col("line"))))
+          .getField("line"), sep).as("text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol).as("id"),
+        size(split(textCol, java.util.regex.Pattern.quote(sep))).as("n_lines"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("text"), lit("")).as("text"),
+        col("n_lines").cast("long").as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

@@ -471,4 +471,61 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("qid", "vec_id", "sim", "rank")
   }
+
+  // ---- binary (sign) quantization: the 1-bit compression point ----
+
+  /** Pack a (≤ 64)-dim vector's sign bits into one long: bit d set iff
+    * vec[d+1] > 0. 64× compression over f32; Hamming distance between two
+    * signatures estimates the angle (E[hamming] = dims·θ/π for random
+    * hyperplane LSH — here the "hyperplanes" are the coordinate axes,
+    * which is exact sign agreement). Distinct bit positions, so OR-ing
+    * the per-dimension terms composes the word with no carry concerns.
+    */
+  def signBits(vec: Column, dims: Int): Column = {
+    require(dims >= 1 && dims <= 64, s"signBits packs into one long; dims=$dims")
+    (0 until dims).map(d =>
+      when(element_at(vec, d + 1) > 0, lit(1L << d)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** Binary-quantized search + exact rerank: the whole corpus is scanned
+    * as 8-byte signatures (XOR + popcount per candidate — the cheapest
+    * possible full scan, 64× less IO than f32 and branchless per row),
+    * the `nCandidates` smallest-Hamming ids per query survive, and ONLY
+    * those fetch their full vectors for exact cosine ranking — the same
+    * broadcast semi-fetch shape as [[ivfPqSearchRerank]]. Ties in the
+    * Hamming prefilter break on vec_id, so the candidate set is
+    * deterministic and engine-replayable.
+    *
+    * The scan IS O(|corpus|·|Q|) rows — binary quantization trades
+    * per-candidate cost, not candidate count; compose with the IVF probe
+    * set ([[ivfSearch]]'s cell assignment) when the corpus outgrows even
+    * an 8-byte-per-row scan.
+    */
+  def binarySignSearchRerank(
+      queries: DataFrame, // (qid, qvec: array<double>)
+      corpus: DataFrame, // (vec_id, vec: array<double>)
+      dims: Int,
+      nCandidates: Int,
+      k: Int): DataFrame = {
+    require(nCandidates >= k, s"nCandidates=$nCandidates must be >= k=$k")
+    val qs = queries.select(col("qid"), signBits(col("qvec"), dims).as("qsig"))
+    val cs = corpus.select(col("vec_id"), signBits(col("vec"), dims).as("csig"))
+    val wCand = Window.partitionBy("qid").orderBy(col("hamming"), col("vec_id"))
+    val cand = cs.join(broadcast(qs), col("vec_id") =!= col("qid"))
+      .withColumn("hamming",
+        graft.operators.TextAnalysis.hamming(col("csig"), col("qsig")).cast("int"))
+      .withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= nCandidates)
+      .select("qid", "vec_id", "hamming")
+    val q = queries.select(col("qid"), col("qvec"), norm(col("qvec")).as("qn"))
+    val wTop = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    corpus.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("sim",
+        dot(col("qvec"), col("vec")) / (col("qn") * norm(col("vec"))))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id", "hamming", "sim", "rank")
+  }
 }

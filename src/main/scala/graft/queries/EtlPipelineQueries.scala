@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables.load
 import graft.etl.{FlatLabObs, FlatLatestHivSummary, FlatObs, FlatOrders, FlatVisitSummary, Schemas}
@@ -175,6 +175,47 @@ object EtlPipelineQueries {
            .mkString(",\n       |  ")}
        |FROM orders JOIN customer ON o_custkey = c_custkey
        |WHERE o_orderstatus IN ('F', 'O')""".stripMargin
+
+  /** The q73 typed fixture: the flat_obs scaffold carrying
+    * `obs_entries: map<int, array<string>>` built at the source (never
+    * parsed from the obs string). Package-visible so the decode profiler
+    * ([[graft.tools.ProfileDecode]]) can materialize the exact bench input.
+    */
+  private[graft] def visitSummaryTypedInput(s: SparkSession, dir: String): DataFrame = {
+    val o = load(s, dir, "orders")
+    def one(v: Column): Column = array(v)
+    val entryStructs: Seq[Column] =
+      conceptPicks.map { case (cpt, codes, key) =>
+        struct(lit(cpt).as("k"), one(pickedCode(codes, key)).as("v"))
+      } ++ Seq(
+        struct(lit(1271).as("k"), filter(array(
+          when(col("o_orderkey") % 2 === 0, "5497"),
+          when(col("o_orderkey") % 3 === 0, "21"),
+          when(col("o_orderkey") % 5 === 0, "1569"),
+          when(col("o_orderkey") % 7 === 0, "1883"),
+          when(col("o_orderkey") % 11 === 0, "5622")), x => x.isNotNull).as("v")),
+        struct(lit(1592).as("k"),
+          when(col("o_orderkey") % 4 === 0, one(lit("1405"))).as("v")),
+        struct(lit(1534).as("k"),
+          when(col("o_orderkey") % 6 === 0, one(lit("3"))).as("v")),
+        struct(lit(6743).as("k"),
+          one((lit(50) + col("o_orderkey") % 70).cast("string")).as("v")),
+        struct(lit(6744).as("k"),
+          one((lit(150) + col("o_custkey") % 40).cast("string")).as("v")),
+        struct(lit(6746).as("k"),
+          one(to_date(col("o_orderdate")).cast("string")).as("v")),
+        struct(lit(5096).as("k"),
+          one(date_add(to_date(col("o_orderdate")), 30).cast("string")).as("v")))
+    val obsEntries = map_from_entries(filter(array(entryStructs: _*),
+      e => e.getField("v").isNotNull && size(e.getField("v")) > 0))
+    visitSummaryBase(o)
+      .withColumn("obs_entries", obsEntries)
+      .drop("o_orderkey", "o_custkey", "o_orderdate")
+  }
+
+  /** Concepts the typed decode looks up — one per distinct map key. */
+  private[graft] val profileConcepts: Seq[Int] =
+    (conceptPicks.map(_._1) ++ Seq(1271, 1592, 1534, 6743, 6744, 6746, 5096)).distinct
 
   /** The q56/q73 flat_obs scaffold minus the obs column(s). */
   private def visitSummaryBase(o: DataFrame): DataFrame = o.select(
@@ -476,35 +517,8 @@ object EtlPipelineQueries {
         val c = load(s, dir, "customer")
         val person = c.select(
           col("c_custkey").cast("int").as("person_id"), col("c_name").as("uuid"))
-        def one(v: Column): Column = array(v)
-        val entryStructs: Seq[Column] =
-          conceptPicks.map { case (cpt, codes, key) =>
-            struct(lit(cpt).as("k"), one(pickedCode(codes, key)).as("v"))
-          } ++ Seq(
-            struct(lit(1271).as("k"), filter(array(
-              when(col("o_orderkey") % 2 === 0, "5497"),
-              when(col("o_orderkey") % 3 === 0, "21"),
-              when(col("o_orderkey") % 5 === 0, "1569"),
-              when(col("o_orderkey") % 7 === 0, "1883"),
-              when(col("o_orderkey") % 11 === 0, "5622")), x => x.isNotNull).as("v")),
-            struct(lit(1592).as("k"),
-              when(col("o_orderkey") % 4 === 0, one(lit("1405"))).as("v")),
-            struct(lit(1534).as("k"),
-              when(col("o_orderkey") % 6 === 0, one(lit("3"))).as("v")),
-            struct(lit(6743).as("k"),
-              one((lit(50) + col("o_orderkey") % 70).cast("string")).as("v")),
-            struct(lit(6744).as("k"),
-              one((lit(150) + col("o_custkey") % 40).cast("string")).as("v")),
-            struct(lit(6746).as("k"),
-              one(to_date(col("o_orderdate")).cast("string")).as("v")),
-            struct(lit(5096).as("k"),
-              one(date_add(to_date(col("o_orderdate")), 30).cast("string")).as("v")))
-        val obsEntries = map_from_entries(filter(array(entryStructs: _*),
-          e => e.getField("v").isNotNull && size(e.getField("v")) > 0))
-        val flatObs = visitSummaryBase(o)
-          .withColumn("obs_entries", obsEntries)
-          .drop("o_orderkey", "o_custkey", "o_orderdate")
-        FlatVisitSummary.build(flatObs, visitSummaryOrders(o), person)
+        FlatVisitSummary.build(
+          visitSummaryTypedInput(s, dir), visitSummaryOrders(o), person)
     },
 
     // The STREAMED ETL cascade under the driver's oracle: the obs source

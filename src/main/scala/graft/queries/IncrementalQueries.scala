@@ -208,6 +208,45 @@ object IncrementalQueries {
           .start()
         assert(q.awaitTermination(300000), "stream did not drain")
         s.read.parquet(s"$tmp/out")
+    },
+
+    // The WATERMARKED STREAM-STREAM JOIN under the batch oracle: views and
+    // purchases arrive as two file streams, and the symmetric hash join
+    // matches each view to the same user's purchases within 2 hours after
+    // it. Inner matches emit as both rows arrive, so with each side
+    // draining in one arrival batch the output is EXACTLY the batch join —
+    // which is what the oracle replays; the watermark/time-bound pair's
+    // role is state eviction, exercised for real by the streaming engine
+    // (append mode rejects the plan without them).
+    OpQuery.sql(
+      "q100_stream_stream_join",
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+        |  v.ts AS view_ts, p.ts AS purchase_ts, p.value
+        |FROM events v JOIN events p ON v.user_id = p.user_id
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.streaming.Trigger
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q100").toString
+        val ev = load(s, dir, "events")
+        ev.filter(col("event_type") === "view").coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/views")
+        ev.filter(col("event_type") === "purchase").coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/purchases")
+        def src(name: String) = s.readStream
+          .schema(s.read.parquet(s"$tmp/$name").schema)
+          .parquet(s"$tmp/$name")
+        val q = graft.streaming.EventStreams
+          .attributionJoin(src("views"), src("purchases"),
+            windowDur = "2 hours", lateness = "10 minutes")
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        assert(q.awaitTermination(300000), "stream did not drain")
+        s.read.parquet(s"$tmp/out")
     }
   )
 }

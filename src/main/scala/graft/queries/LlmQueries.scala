@@ -386,6 +386,97 @@ object LlmQueries {
           .filter(col("jaccard") >= 0.1)
     },
 
+    // Corpus-wide line-level dedup (the CCNet paragraph recipe): the
+    // fixture gives every document a boilerplate header line shared by its
+    // `source` group and a footer shared by its `lang` group, plus its own
+    // 10-token content lines; dedupLines keeps each duplicated line's
+    // globally-first copy (min (doc, pos)) and drops the rest, then
+    // reassembles documents in order. Short tail lines that happen to
+    // repeat across the corpus dedup too — both sides replay that.
+    OpQuery.sql(
+      "q98_dedup_lines",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS ord
+        |  FROM documents),
+        |content AS (
+        |  SELECT doc_id, CAST((ord-1)//10 AS INT) + 1 AS pos,
+        |         string_agg(tok, ' ' ORDER BY ord) AS line
+        |  FROM toks GROUP BY doc_id, (ord-1)//10),
+        |ng AS (SELECT doc_id, max(pos) AS ngroups FROM content GROUP BY doc_id),
+        |alllines AS (
+        |  SELECT doc_id, 0 AS pos, 'BOILER ' || source AS line FROM documents
+        |  UNION ALL SELECT doc_id, pos, line FROM content
+        |  UNION ALL SELECT d.doc_id, n.ngroups + 1, 'FOOTER ' || d.lang
+        |    FROM documents d JOIN ng n USING (doc_id)),
+        |kept AS (
+        |  SELECT doc_id, pos, line FROM (
+        |    SELECT doc_id, pos, line,
+        |           row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |    FROM alllines) z WHERE rn = 1),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+        |         count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id AS id,
+        |  coalesce(r.text, '') AS text,
+        |  CAST(n.ngroups + 2 AS BIGINT) AS n_lines,
+        |  coalesce(r.n_kept, 0) AS n_kept
+        |FROM documents d
+        |JOIN ng n USING (doc_id)
+        |LEFT JOIN rebuilt r USING (doc_id)""".stripMargin) {
+      (s, dir) =>
+        val toks = split(col("text"), " ")
+        val nLines = ((size(toks) - 1) / 10).cast("int") + 1
+        val contentLines = array_join(
+          transform(sequence(lit(0), nLines - 1),
+            i => array_join(slice(toks, i * 10 + 1, lit(10)), " ")), "\n")
+        val docs = load(s, dir, "documents").select(
+          col("doc_id"),
+          concat_ws("\n",
+            concat(lit("BOILER "), col("source")),
+            contentLines,
+            concat(lit("FOOTER "), col("lang"))).as("text_nl"))
+        Dedup.dedupLines(docs, "doc_id", col("text_nl"))
+    },
+
+    // Binary sign quantization + exact rerank: the corpus scans as 8-byte
+    // signatures (XOR+popcount), the 30 smallest-Hamming ids per query
+    // survive, and only those fetch full vectors for exact cosine. The
+    // oracle replays the sign/Hamming prefilter (pure integers — no float
+    // ordering risk) and the rerank's fold-order-identical dot products.
+    OpQuery.sql(
+      "q99_ann_binary_rerank",
+      """WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qe FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+        |h AS (
+        |  SELECT qid, vec_id, qe, e,
+        |    CAST(list_sum(list_transform(generate_series(1, 64),
+        |      d -> CASE WHEN (qe[d] > 0) <> (e[d] > 0) THEN 1 ELSE 0 END)) AS INT) hamming
+        |  FROM q CROSS JOIN c WHERE vec_id <> qid),
+        |cand AS (
+        |  SELECT qid, vec_id, hamming, qe, e,
+        |    row_number() OVER (PARTITION BY qid ORDER BY hamming, vec_id) crank
+        |  FROM h QUALIFY crank <= 30),
+        |r AS (
+        |  SELECT qid, vec_id, hamming,
+        |    list_dot_product(qe, e) /
+        |      (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))) sim
+        |  FROM cand)
+        |SELECT qid, vec_id AS neighbor_id, hamming, round(sim, 6) AS sim,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+        |FROM r QUALIFY rank <= 5""".stripMargin) {
+      (s, dir) =>
+        val emb = load(s, dir, "embeddings")
+          .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        Similarity.binarySignSearchRerank(queries, emb, 64, 30, 5)
+          .select(col("qid"), col("vec_id").as("neighbor_id"), col("hamming"),
+            round(col("sim"), 6).as("sim"), col("rank"))
+    },
+
     // Incremental LSH dedup: docs with doc_id % 10 == 0 play the "new
     // ingest"; their bands join a STORED band index (the other 90%,
     // whose minhashes an incremental pipeline would read, not

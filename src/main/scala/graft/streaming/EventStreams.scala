@@ -41,6 +41,39 @@ object EventStreams {
       .groupBy(window(col("ts"), windowLength), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
 
+  /** Watermarked stream-stream inner join (view→purchase attribution):
+    * each view matches the same user's purchases landing within
+    * `windowDur` after it. The time-range predicate plus both sides'
+    * watermarks let the symmetric hash join EVICT state — a view older
+    * than watermark − windowDur can never match a future purchase and is
+    * dropped, so state is bounded by (event rate × window), not by the
+    * stream's history; without both bounds Spark rejects the plan in
+    * append mode. Inner-join matches emit as soon as both rows have
+    * arrived — the watermark withholds nothing from the output, which is
+    * what lets the single-arrival-batch oracle replay it as a plain batch
+    * join.
+    */
+  def attributionJoin(
+      views: DataFrame, // streaming (event_id, ts, user_id, ...)
+      purchases: DataFrame, // streaming (event_id, ts, user_id, value, ...)
+      windowDur: String = "2 hours",
+      lateness: String = "10 minutes"): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", lateness)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", lateness)
+    v.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $windowDur"))
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        col("view_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Inactivity-gap sessionization via flatMapGroupsWithState — the custom
     * stateful operator path (SURVEY §2.9 I4 note: arbitrary-late
     * retractions stay batch-side; per-key streaming state handles the

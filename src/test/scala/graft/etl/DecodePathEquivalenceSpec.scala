@@ -50,9 +50,16 @@ class DecodePathEquivalenceSpec extends SparkSuite {
 
     val viaString = df.select(col("id") +: FlatVisitSummary.decodeColumns(col("obs")): _*)
     val viaTyped = df.select(col("id") +: FlatVisitSummary.decodeColumnsTyped(col("obs_entries")): _*)
+    // the staged form build() actually runs: lookup projection, then chains
+    val viaStaged = df
+      .select(col("id") +: FlatVisitSummary.typedLookupColumns(col("obs_entries")): _*)
+      .select(col("id") +: FlatVisitSummary.decodeColumnsFromLookups: _*)
     val a = viaString.orderBy("id").collect().toSeq
     val b = viaTyped.orderBy("id").collect().toSeq
+    val c = viaStaged.orderBy("id").collect().toSeq
     val diffs = a.zip(b).filter { case (x, y) => x != y }
-    assert(diffs.isEmpty, s"${diffs.size} differing rows, first: ${diffs.headOption}")
+    assert(diffs.isEmpty, s"${diffs.size} typed-differing rows, first: ${diffs.headOption}")
+    val diffsS = a.zip(c).filter { case (x, y) => x != y }
+    assert(diffsS.isEmpty, s"${diffsS.size} staged-differing rows, first: ${diffsS.headOption}")
   }
 }

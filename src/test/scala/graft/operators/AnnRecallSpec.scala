@@ -129,4 +129,26 @@ class AnnRecallSpec extends SparkSuite {
       f"rerank did not lift recall: $rIvfPq%.3f -> $rRerank%.3f")
     assert(rRerank > 0.8, f"reranked recall too low: $rRerank%.3f")
   }
+
+  test("binary sign quantization: Hamming prefilter + rerank recall@10") {
+    import spark.implicits._
+    val emb = rows.toDF("vec_id", "vec")
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+
+    // 8-byte codes, no training at all — the floor of the compression
+    // family. The prefilter keeps 30 of 511 (~6%); rerank is exact over
+    // those, so recall@10 IS the prefilter's hit rate on true neighbors.
+    def binRecall(nCand: Int): Double = recall(
+      Similarity.binarySignSearchRerank(queries, emb, Dim, nCand, K))
+    val r30 = binRecall(30)
+    val r60 = binRecall(60)
+    info(f"binary+rerank recall@$K: nCand=30 $r30%.3f, nCand=60 $r60%.3f")
+    // clustered data: same-cluster sign patterns agree on most axes, so
+    // the 1-bit sketch should rank true neighbors into a 6% candidate cut
+    // far better than chance (chance recall ≈ nCand/N ≈ 0.06)
+    assert(r30 > 0.5, f"binary prefilter recall degenerate: $r30%.3f")
+    // widening the candidate cut must monotonically help (same rerank)
+    assert(r60 >= r30, f"recall fell as candidates widened: $r30%.3f -> $r60%.3f")
+  }
 }

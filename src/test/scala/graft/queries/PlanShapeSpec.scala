@@ -35,7 +35,12 @@ class PlanShapeSpec extends SparkSuite {
     "q82_ann_ivfpq" -> "broadcast of bounded centroid list",
     "q85_ann_ivfpq_rerank" -> "broadcast of bounded centroid list",
     // per-source rates x broadcast 1-row global token total
-    "q67_mixture_rates" -> "broadcast of a single-row global aggregate")
+    "q67_mixture_rates" -> "broadcast of a single-row global aggregate",
+    // the 8-byte-signature Hamming scan: corpus x broadcast |Q| query
+    // signatures — the scan being all-pairs over 8-byte rows is the
+    // design point (64x cheaper per candidate than f32); the rerank
+    // beyond it is broadcast equi-joins
+    "q99_ann_binary_rerank" -> "broadcast of bounded query-signature list")
 
   private def planOf(name: String): String = {
     val q = graft.SparkEntry.catalog.find(_.name == name).get
