@@ -323,4 +323,32 @@ object Dedup {
         col("n_lines").cast("long").as("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
+
+  /** Per-document duplicated-span signal — the relational reduction of
+    * suffix-array substring dedup: every shared substring of >= L tokens
+    * is a run of shared length-L token grams, so "how much of this doc is
+    * duplicated text" = the fraction of its L-gram INSTANCES whose gram
+    * occurs >= 2 times corpus-wide (same-doc repeats count — internal
+    * boilerplate is duplication too). Downstream policy can drop, trim,
+    * or deprioritize by `dup_frac`.
+    *
+    * Input: `gramsCol` an array of gram strings per doc (instances, not
+    * distinct). Scale shape: explode to instance grain; gram totals are a
+    * map-side-combinable count (a viral gram costs one row per input
+    * partition at the shuffle); join-back is keyed on the gram; the
+    * per-doc rollup is the third keyed shuffle. No all-pairs anywhere —
+    * the corpus-sized frames only ever move by (gram) or (id).
+    *
+    * Output: (id, n_grams, n_dup_grams, dup_frac), one row per doc with
+    * at least one gram.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, gramsCol: Column): DataFrame = {
+    val inst = docs.select(col(idCol).as("id"), explode(gramsCol).as("gram"))
+    val counts = inst.groupBy("gram").agg(count(lit(1)).as("n_occ"))
+    inst.join(counts, Seq("gram"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac", round(col("n_dup_grams") / col("n_grams"), 6))
+  }
 }

@@ -477,6 +477,32 @@ object LlmQueries {
             round(col("sim"), 6).as("sim"), col("rank"))
     },
 
+    // Duplicated-span signal (substring-dedup reduction): fraction of each
+    // doc's 3-gram INSTANCES whose gram occurs >= 2 times corpus-wide —
+    // same-doc repeats included. The known near-dup pairs in the fixture
+    // plus within-doc repetition make the signal nonzero end-to-end.
+    OpQuery.sql(
+      "q101_duplicated_spans",
+      s"""WITH t AS (SELECT doc_id, string_split($DuckNorm, ' ') w FROM documents),
+         |i AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+         |  FROM t WHERE len(w) >= 3),
+         |gr AS (SELECT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS gram FROM i),
+         |cnt AS (SELECT gram, count(*) AS n_occ FROM gr GROUP BY 1),
+         |j AS (SELECT doc_id, CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END AS dup
+         |  FROM gr JOIN cnt USING (gram))
+         |SELECT doc_id AS id, count(*) AS n_grams,
+         |  CAST(sum(dup) AS BIGINT) AS n_dup_grams,
+         |  round(CAST(sum(dup) AS DOUBLE) / count(*), 6) AS dup_frac
+         |FROM j GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        val docs = load(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.shingles(
+            TextAnalysis.words(TextAnalysis.normalize(col("text"))), 3).as("grams"))
+          .filter(size(col("grams")) >= 1)
+        Dedup.duplicatedSpans(docs, "doc_id", col("grams"))
+    },
+
     // Incremental LSH dedup: docs with doc_id % 10 == 0 play the "new
     // ingest"; their bands join a STORED band index (the other 90%,
     // whose minhashes an incremental pipeline would read, not
