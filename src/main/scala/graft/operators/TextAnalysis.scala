@@ -170,4 +170,37 @@ object TextAnalysis {
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
     regexp_replace(noEmail, "[0-9]{7,}", "<NUM>")
   }
+
+  /** Per-document top-k keywords by TF-IDF (tf · ln(N/df)): the standard
+    * distinctive-term extraction for corpus exploration, topic tagging,
+    * and mixture diagnostics. Rank on the UNROUNDED score (desc, then
+    * term asc) so ordering is engine-replayable; the emitted score is
+    * rounded.
+    *
+    * Scale shape: term frequencies and document frequencies are both
+    * map-side-combinable aggregations keyed by (doc, term) / (term); the
+    * doc total N is a 1-row broadcast; the final top-k windows over each
+    * doc's DISTINCT terms (bounded by doc length, not corpus size). A
+    * stopword-class term's df row is one row — the skew lives in the
+    * (doc, term) grain, which partial aggregation flattens.
+    */
+  def tfidfKeywords(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      wordsCol: Column,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col(idCol).as("id"), explode(wordsCol).as("term"))
+    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("id").orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("term"), col("tf"),
+        round(col("score"), 6).as("score"), col("rank"))
+  }
 }

@@ -503,6 +503,30 @@ object LlmQueries {
         Dedup.duplicatedSpans(docs, "doc_id", col("grams"))
     },
 
+    // TF-IDF keyword extraction: each doc's 3 most distinctive terms by
+    // tf·ln(N/df), ranked on the unrounded score (desc, term asc) so both
+    // engines order identically; ln over small-integer ratios is stable
+    // under round-6 on both sides.
+    OpQuery.sql(
+      "q102_tfidf_keywords",
+      s"""WITH t AS (SELECT doc_id, unnest(string_split($DuckNorm, ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (SELECT doc_id, term, tf,
+         |    tf * ln(CAST(n_docs AS DOUBLE) / df) AS score
+         |  FROM tf JOIN df USING (term) CROSS JOIN n)
+         |SELECT doc_id AS id, term, tf, round(score, 6) AS score,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term)
+         |    AS INTEGER) AS rank
+         |FROM sc QUALIFY rank <= 3""".stripMargin) {
+      (s, dir) =>
+        val docs = load(s, dir, "documents")
+        TextAnalysis.tfidfKeywords(docs, "doc_id",
+          TextAnalysis.words(TextAnalysis.normalize(col("text"))), 3)
+    },
+
     // Incremental LSH dedup: docs with doc_id % 10 == 0 play the "new
     // ingest"; their bands join a STORED band index (the other 90%,
     // whose minhashes an incremental pipeline would read, not

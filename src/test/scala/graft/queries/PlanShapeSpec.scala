@@ -40,7 +40,9 @@ class PlanShapeSpec extends SparkSuite {
     // signatures — the scan being all-pairs over 8-byte rows is the
     // design point (64x cheaper per candidate than f32); the rerank
     // beyond it is broadcast equi-joins
-    "q99_ann_binary_rerank" -> "broadcast of bounded query-signature list")
+    "q99_ann_binary_rerank" -> "broadcast of bounded query-signature list",
+    // per-(doc,term) scores x broadcast 1-row corpus doc count
+    "q102_tfidf_keywords" -> "broadcast of a single-row global aggregate")
 
   private def planOf(name: String): String = {
     val q = graft.SparkEntry.catalog.find(_.name == name).get
