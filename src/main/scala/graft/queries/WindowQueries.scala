@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables.load
-import graft.operators.LatestRow
+import graft.operators.{LatestRow, TextAnalysis}
 
 /** Window / ordered-sequential operator coverage (SURVEY §2.6).
   *
@@ -252,6 +252,43 @@ object WindowQueries {
         graft.operators.RangeJoin.intervalJoin(
             views, "x", incidents, "lo", "hi", bucketWidth = 600000000L)
           .select("view_id", "incident_id")
+    },
+
+    // The ranking-window family over per-source quality binning:
+    // rank/dense_rank/percent_rank/cume_dist are deterministic under TIES
+    // (they depend only on the ordering key's values), so they order by
+    // token count alone; ntile splits ties arbitrarily and therefore gets
+    // the doc_id tiebreak for a total order. The decile column is the
+    // drop-the-bottom-decile quality gate a curation pipeline applies per
+    // source. Exact ntile sorts each source partition — at corpus scale
+    // the cut points come from approx percentiles (q45's path) instead.
+    OpQuery.sql(
+      "q103_rank_family_deciles",
+      """WITH t AS (SELECT doc_id, source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tc
+        |  FROM documents)
+        |SELECT doc_id, source, tc,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  round(percent_rank() OVER w, 6) AS prnk,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  CAST(ntile(10) OVER (PARTITION BY source ORDER BY tc, doc_id)
+        |    AS INTEGER) AS decile
+        |FROM t
+        |WINDOW w AS (PARTITION BY source ORDER BY tc)""".stripMargin) {
+      (s, dir) =>
+        val t = load(s, dir, "documents").select(
+          col("doc_id"), col("source"),
+          TextAnalysis.tokenCountWhitespace(col("text")).as("tc"))
+        val w = Window.partitionBy("source").orderBy("tc")
+        val wT = Window.partitionBy("source").orderBy("tc", "doc_id")
+        t.select(col("doc_id"), col("source"), col("tc"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          round(percent_rank().over(w), 6).as("prnk"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          ntile(10).over(wT).as("decile"))
     }
   )
 }
