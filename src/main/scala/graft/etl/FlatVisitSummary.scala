@@ -401,6 +401,34 @@ object FlatVisitSummary {
     decodeL(stiScreened).as("sti_screened"),
     try_to_timestamp(extractAllL(5096)).as("tca"))
 
+  /** Output order of the struct-backed decode columns between `height`
+    * and `tca` (struct field names equal output column names there). */
+  private val structOutputOrder = Seq(
+    "cur_arv_adherence", "pregnant", "fp_status", "fp_method",
+    "why_not_on_fp", "tb_status", "side_effects", "who_stage",
+    "ctx_adherence", "ctx_dispensed", "inh_dispensed",
+    "other_medications_dispensed", "arvs_adherence",
+    "why_arvs_adherence_poor", "pmtct_ppct", "currentregmen",
+    "cd4_cd4percentage_done", "hgb_done", "rpr_done", "tb_sputum_done",
+    "other_test_done", "refferal_hospitalized", "no_of_day_hospitalized",
+    "breastfing_mode", "at_risk_population", "pwp_disclosure",
+    "pwp_partner_tested", "condoms_dispensed", "sti_screened")
+
+  /** Unpack [[graft.functions.ObsDecode.decodeAll]]'s one-pass struct to
+    * the 35 output columns — identical output to the other decode paths
+    * (same oracle, same fuzz gate). Dates go through `try_to_timestamp`
+    * HERE so timestamp parsing stays in stock Spark expressions.
+    */
+  def decodeColumnsFromStruct(s: Column): Seq[Column] =
+    Seq(
+      try_to_timestamp(s.getField("e6746")).as("enrollment_date"),
+      try_to_timestamp(s.getField("e6746")).as("hiv_start_date"),
+      s.getField("patient_source").as("patient_source"),
+      s.getField("weight").as("weight"),
+      s.getField("height").as("height")) ++
+      structOutputOrder.map(n => s.getField(n).as(n)) ++
+      Seq(try_to_timestamp(s.getField("e5096")).as("tca"))
+
   /** is_clinical_encounter / encounter_type_sort_index derivations
     * (flat_visit_summary_v1.0.sql:141-149). */
   def isClinicalEncounter(encounterType: Column): Column =
@@ -468,12 +496,20 @@ object FlatVisitSummary {
     val baseNames = Seq("person_id", "uuid", "visit_id", "encounter_id",
       "encounter_datetime", "encounter_type", "is_clinical_encounter",
       "location_id")
-    if (flatObs.columns.contains("obs_entries"))
-      // staged: lookup projection, then the decode chains (see the staged
-      // typed decode section above for the measured why)
-      joined.select(base ++ typedLookupColumns(col("obs_entries")): _*)
-        .select(baseNames.map(col) ++ decodeColumnsFromLookups: _*)
-    else
+    if (flatObs.columns.contains("obs_entries")) {
+      // one-pass expression decode by default ([[graft.functions
+      // .ObsDecode]]); `graft.etl.decodeExpr=false` falls back to the
+      // staged stock-Catalyst form (see the staged section's measured why)
+      val useExpr = flatObs.sparkSession.conf
+        .getOption("graft.etl.decodeExpr").forall(_.toBoolean)
+      if (useExpr)
+        joined.select(base :+
+          graft.functions.ObsDecode.decodeAll(col("obs_entries")).as("__dec"): _*)
+          .select(baseNames.map(col) ++ decodeColumnsFromStruct(col("__dec")): _*)
+      else
+        joined.select(base ++ typedLookupColumns(col("obs_entries")): _*)
+          .select(baseNames.map(col) ++ decodeColumnsFromLookups: _*)
+    } else
       joined.select(base ++ decodeColumns(col("obs")): _*)
   }
 

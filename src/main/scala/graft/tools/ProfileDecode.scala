@@ -73,6 +73,12 @@ object ProfileDecode {
         .select(col("person_id") +: FlatVisitSummary.decodeColumnsFromLookups: _*)
     }
 
+    time("decode: one-pass EXPRESSION") {
+      flatObs.select(col("person_id"),
+          graft.functions.ObsDecode.decodeAll(m).as("__dec"))
+        .select(col("person_id") +: FlatVisitSummary.decodeColumnsFromStruct(col("__dec")): _*)
+    }
+
     val noTs = full.filterNot { c =>
       val s = c.toString
       s.contains("enrollment_date") || s.contains("hiv_start_date") || s.contains("tca")

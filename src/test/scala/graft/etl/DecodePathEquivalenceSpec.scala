@@ -54,12 +54,22 @@ class DecodePathEquivalenceSpec extends SparkSuite {
     val viaStaged = df
       .select(col("id") +: FlatVisitSummary.typedLookupColumns(col("obs_entries")): _*)
       .select(col("id") +: FlatVisitSummary.decodeColumnsFromLookups: _*)
+    // the one-pass custom-Expression path build() defaults to
+    val viaExpr = df
+      .select(col("id"),
+        graft.functions.ObsDecode.decodeAll(col("obs_entries")).as("__dec"))
+      .select(col("id") +: FlatVisitSummary.decodeColumnsFromStruct(col("__dec")): _*)
     val a = viaString.orderBy("id").collect().toSeq
     val b = viaTyped.orderBy("id").collect().toSeq
     val c = viaStaged.orderBy("id").collect().toSeq
+    val d = viaExpr.orderBy("id").collect().toSeq
     val diffs = a.zip(b).filter { case (x, y) => x != y }
     assert(diffs.isEmpty, s"${diffs.size} typed-differing rows, first: ${diffs.headOption}")
     val diffsS = a.zip(c).filter { case (x, y) => x != y }
     assert(diffsS.isEmpty, s"${diffsS.size} staged-differing rows, first: ${diffsS.headOption}")
+    val diffsE = a.zip(d).filter { case (x, y) => x != y }
+    assert(diffsE.isEmpty, s"${diffsE.size} expr-differing rows, first: ${diffsE.headOption}")
+    // schema parity: the expression path must emit the same column names
+    assert(viaExpr.columns.toSeq == viaString.columns.toSeq)
   }
 }
