@@ -294,10 +294,7 @@ object Dedup {
       textCol: Column,
       sep: String = "\n",
       keepFirst: Boolean = true): DataFrame = {
-    val lines = docs
-      .select(col(idCol).as("id"),
-        posexplode(split(textCol, java.util.regex.Pattern.quote(sep))))
-      .toDF("id", "pos", "line")
+    val lines = explodeLines(docs, idCol, textCol, sep)
     val counts = lines.groupBy("line").agg(
       count(lit(1)).as("n_copies"),
       min(struct(col("id"), col("pos"))).as("first_occ"))
@@ -309,6 +306,46 @@ object Dedup {
           .filter(col("first_occ.id") === col("id") && col("first_occ.pos") === col("pos"))
       else
         lines.join(counts.filter(col("n_copies") === 1).select("line"), Seq("line"))
+    reassemble(docs, idCol, textCol, sep, kept)
+  }
+
+  /** O(delta) line-dedup ingest: dedup ONLY the new documents against a
+    * stored line index (the existing corpus's distinct lines — exactly
+    * what a production pipeline persists between ticks) plus keep-first
+    * within the delta. Stored lines always win: they arrived earlier, so
+    * any new copy of an indexed line drops; lines first seen inside the
+    * delta keep their min-(doc, pos) copy as in [[dedupLines]]. When new
+    * ids sort after stored ids this equals the full-corpus keep-first
+    * restricted to the new docs — which is what the q106 oracle asserts.
+    *
+    * Cost: the delta's lines anti-join the index BY LINE KEY — shuffle
+    * O(|delta lines| + matching index slice), never a corpus rescan; the
+    * index grows by the delta's surviving distinct lines (append-only).
+    */
+  def dedupLinesIncremental(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: Column,
+      storedLines: DataFrame, // (line) — distinct lines of the stored corpus
+      sep: String = "\n"): DataFrame = {
+    val lines = explodeLines(newDocs, idCol, textCol, sep)
+    val fresh = lines.join(storedLines.select("line"), Seq("line"), "left_anti")
+    val winners = fresh.groupBy("line")
+      .agg(min(struct(col("id"), col("pos"))).as("first_occ"))
+    val kept = fresh.join(winners, Seq("line"))
+      .filter(col("first_occ.id") === col("id") && col("first_occ.pos") === col("pos"))
+    reassemble(newDocs, idCol, textCol, sep, kept)
+  }
+
+  private def explodeLines(
+      docs: DataFrame, idCol: String, textCol: Column, sep: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        posexplode(split(textCol, java.util.regex.Pattern.quote(sep))))
+      .toDF("id", "pos", "line")
+
+  private def reassemble(
+      docs: DataFrame, idCol: String, textCol: Column, sep: String,
+      kept: DataFrame): DataFrame = {
     val rebuilt = kept
       .groupBy("id")
       .agg(

@@ -873,6 +873,52 @@ object Multimodal {
       })
   }
 
+  /** MCU-flat baseline 4:2:0 color-JPEG fixtures (doc_id % 3 == 2):
+    * w ∈ {16, 32}, h ∈ {16, 32, 48}; Y is flat per 8x8 block at
+    * (id + 5·bx + 9·by) mod 256, chroma flat per 16x16 MCU at
+    * (3id + 7·mx + 11·my) / (5id + 13·mx + 3·my) mod 256. Flat regions
+    * survive subsampling + DCT + DC-quant-8 EXACTLY (see [[Jpeg]]), so
+    * the q105 oracle recomputes every decoded RGB pixel from id
+    * arithmetic plus the codec's fixed-point YCbCr→RGB — while the
+    * decoder runs real multi-component Huffman, MCU interleave, and
+    * upsampling over a genuinely entropy-coded stream. */
+  def jpegColorImagesFromDocuments(
+      spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.filter(col("doc_id") % 3 === 2).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 16 * (1 + (id % 2).toInt)
+        val h = 16 * (1 + (id % 3).toInt)
+        def plane(f: (Int, Int) => Long) = Array.tabulate(w * h) { k =>
+          (f(k % w, k / w) % 256).toByte
+        }
+        val yP = plane((x, y) => id + 5L * (x / 8) + 9L * (y / 8))
+        val cbP = plane((x, y) => id * 3 + 7L * (x / 16) + 11L * (y / 16))
+        val crP = plane((x, y) => id * 5 + 13L * (x / 16) + 3L * (y / 16))
+        MediaRow(id, "image", Jpeg.encodeColor420(w, h, yP, cbP, crP))
+      })
+  }
+
+  /** Color-JPEG decode to per-image RGB channel sums (the brightness /
+    * colorfulness aggregate). Undecodable or grayscale payloads yield no
+    * rows. */
+  def decodeJpegRgbStats(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      Jpeg.decodeRgb(r.payload).iterator.map { case (w, h, rgb) =>
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var k = 0
+        while (k < w * h) {
+          rs += rgb(3 * k) & 0xff
+          gs += rgb(3 * k + 1) & 0xff
+          bs += rgb(3 * k + 2) & 0xff
+          k += 1
+        }
+        (r.media_id, w * h, rs, gs, bs)
+      }
+    }).toDF("media_id", "n_px", "r_sum", "g_sum", "b_sum")
+  }
+
   /** Color PNG decode (truecolor + palette) to per-image channel
     * statistics: pixel count and exact per-channel byte sums — the
     * aggregate a curation pipeline derives brightness/colorfulness

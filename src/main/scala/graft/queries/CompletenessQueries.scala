@@ -26,6 +26,23 @@ object CompletenessQueries {
             grouping("l_linestatus").cast("int").as("g_status"))
     },
 
+    // CUBE — all 2^n grouping sets at once — plus the composite
+    // grouping_id bitmask (first grouping column = most significant bit
+    // in both engines).
+    OpQuery.sql(
+      "q104_cube_grouping_id",
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(GROUPING(source, lang) AS INT) AS gid
+        |FROM documents GROUP BY CUBE (source, lang)""".stripMargin) {
+      (s, dir) =>
+        load(s, dir, "documents")
+          .cube("source", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
+            grouping_id().cast("int").as("gid"))
+          .select("source", "lang", "n_docs", "chars", "gid")
+    },
+
     // FULL OUTER join preserving both unmatched sides.
     OpQuery.sql(
       "q50_full_outer_join",

@@ -183,6 +183,61 @@ object LlmQueries {
       |  CAST(sum(b) AS BIGINT) AS px_checksum
       |FROM px GROUP BY 1""".stripMargin
 
+  /** The q98/q106 line-structured fixture: every doc gets a boilerplate
+    * header shared by its `source` group, its own 10-token content lines,
+    * and a footer shared by its `lang` group. */
+  private def lineFixtureDocs(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val toks = split(col("text"), " ")
+    val nLines = ((size(toks) - 1) / 10).cast("int") + 1
+    val contentLines = array_join(
+      transform(sequence(lit(0), nLines - 1),
+        i => array_join(slice(toks, i * 10 + 1, lit(10)), " ")), "\n")
+    load(s, dir, "documents").select(
+      col("doc_id"),
+      concat_ws("\n",
+        concat(lit("BOILER "), col("source")),
+        contentLines,
+        concat(lit("FOOTER "), col("lang"))).as("text_nl"))
+  }
+
+  /** Full-corpus keep-first line dedup over the line fixture — q98 uses it
+    * whole; q106 appends `WHERE d.doc_id >= 450` (the incremental result
+    * equals the full computation restricted to the delta). */
+  private val q98OracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS ord
+      |  FROM documents),
+      |content AS (
+      |  SELECT doc_id, CAST((ord-1)//10 AS INT) + 1 AS pos,
+      |         string_agg(tok, ' ' ORDER BY ord) AS line
+      |  FROM toks GROUP BY doc_id, (ord-1)//10),
+      |ng AS (SELECT doc_id, max(pos) AS ngroups FROM content GROUP BY doc_id),
+      |alllines AS (
+      |  SELECT doc_id, 0 AS pos, 'BOILER ' || source AS line FROM documents
+      |  UNION ALL SELECT doc_id, pos, line FROM content
+      |  UNION ALL SELECT d.doc_id, n.ngroups + 1, 'FOOTER ' || d.lang
+      |    FROM documents d JOIN ng n USING (doc_id)),
+      |kept AS (
+      |  SELECT doc_id, pos, line FROM (
+      |    SELECT doc_id, pos, line,
+      |           row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+      |    FROM alllines) z WHERE rn = 1),
+      |rebuilt AS (
+      |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+      |         count(*) AS n_kept
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id AS id,
+      |  coalesce(r.text, '') AS text,
+      |  CAST(n.ngroups + 2 AS BIGINT) AS n_lines,
+      |  coalesce(r.n_kept, 0) AS n_kept
+      |FROM documents d
+      |JOIN ng n USING (doc_id)
+      |LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
+
   val all: Seq[OpQuery] = Seq(
 
     // Exact dedup by content hash (normalized), keep min id.
@@ -395,50 +450,26 @@ object LlmQueries {
     // repeat across the corpus dedup too — both sides replay that.
     OpQuery.sql(
       "q98_dedup_lines",
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |         unnest(string_split(text, ' ')) AS tok,
-        |         generate_subscripts(string_split(text, ' '), 1) AS ord
-        |  FROM documents),
-        |content AS (
-        |  SELECT doc_id, CAST((ord-1)//10 AS INT) + 1 AS pos,
-        |         string_agg(tok, ' ' ORDER BY ord) AS line
-        |  FROM toks GROUP BY doc_id, (ord-1)//10),
-        |ng AS (SELECT doc_id, max(pos) AS ngroups FROM content GROUP BY doc_id),
-        |alllines AS (
-        |  SELECT doc_id, 0 AS pos, 'BOILER ' || source AS line FROM documents
-        |  UNION ALL SELECT doc_id, pos, line FROM content
-        |  UNION ALL SELECT d.doc_id, n.ngroups + 1, 'FOOTER ' || d.lang
-        |    FROM documents d JOIN ng n USING (doc_id)),
-        |kept AS (
-        |  SELECT doc_id, pos, line FROM (
-        |    SELECT doc_id, pos, line,
-        |           row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
-        |    FROM alllines) z WHERE rn = 1),
-        |rebuilt AS (
-        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
-        |         count(*) AS n_kept
-        |  FROM kept GROUP BY doc_id)
-        |SELECT d.doc_id AS id,
-        |  coalesce(r.text, '') AS text,
-        |  CAST(n.ngroups + 2 AS BIGINT) AS n_lines,
-        |  coalesce(r.n_kept, 0) AS n_kept
-        |FROM documents d
-        |JOIN ng n USING (doc_id)
-        |LEFT JOIN rebuilt r USING (doc_id)""".stripMargin) {
+      q98OracleSql) {
+      (s, dir) => Dedup.dedupLines(lineFixtureDocs(s, dir), "doc_id", col("text_nl"))
+    },
+
+    // O(delta) line-dedup ingest: the last decile of docs (ids AFTER every
+    // stored id) dedups against the stored corpus's distinct-line index
+    // plus keep-first within the delta — which equals the full-corpus q98
+    // computation restricted to the new docs (stored ids all sort first),
+    // and that restriction is exactly what the oracle replays.
+    OpQuery.sql(
+      "q106_dedup_lines_incremental",
+      q98OracleSql + "\nWHERE d.doc_id >= 450") {
       (s, dir) =>
-        val toks = split(col("text"), " ")
-        val nLines = ((size(toks) - 1) / 10).cast("int") + 1
-        val contentLines = array_join(
-          transform(sequence(lit(0), nLines - 1),
-            i => array_join(slice(toks, i * 10 + 1, lit(10)), " ")), "\n")
-        val docs = load(s, dir, "documents").select(
-          col("doc_id"),
-          concat_ws("\n",
-            concat(lit("BOILER "), col("source")),
-            contentLines,
-            concat(lit("FOOTER "), col("lang"))).as("text_nl"))
-        Dedup.dedupLines(docs, "doc_id", col("text_nl"))
+        val docs = lineFixtureDocs(s, dir)
+        val isNew = col("doc_id") >= 450
+        val storedLines = docs.filter(!isNew)
+          .select(explode(split(col("text_nl"), "\n")).as("line"))
+          .distinct()
+        Dedup.dedupLinesIncremental(docs.filter(isNew), "doc_id",
+          col("text_nl"), storedLines)
     },
 
     // Binary sign quantization + exact rerank: the corpus scans as 8-byte
@@ -1558,6 +1589,39 @@ object LlmQueries {
           .map(fr => (fr.media_id, fr.px.length,
             fr.px.foldLeft(0L)((acc, b) => acc + (b & 0xff))))
           .toDF("media_id", "n_px", "px_checksum")
+    },
+
+    // COLOR baseline JPEG (4:2:0): real multi-component Huffman decode,
+    // MCU interleave, per-component quant/Huffman table bindings, chroma
+    // upsampling, fixed-point YCbCr->RGB. MCU-flat fixtures are exact
+    // through the lossy pipeline, so the oracle replays every RGB pixel
+    // from id arithmetic + the same 16.16 fixed-point formula (positive-
+    // biased so `// 65536` equals the codec's `>> 16` in any dialect).
+    OpQuery.sql(
+      "q105_jpeg_color_decode",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(16 * (1 + doc_id % 2) AS BIGINT) AS w,
+        |    CAST(16 * (1 + doc_id % 3) AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |y AS (SELECT *, unnest(generate_series(0, h - 1)) AS py FROM v),
+        |x AS (SELECT *, unnest(generate_series(0, w - 1)) AS px FROM y),
+        |c AS (SELECT id,
+        |    (id + 5 * (px // 8) + 9 * (py // 8)) % 256 AS yv,
+        |    (id * 3 + 7 * (px // 16) + 11 * (py // 16)) % 256 AS cb,
+        |    (id * 5 + 13 * (px // 16) + 3 * (py // 16)) % 256 AS cr
+        |  FROM x),
+        |p AS (SELECT id,
+        |    least(greatest(yv + ((91881 * (cr - 128) + 32768 + 16777216) // 65536 - 256), 0), 255) AS r,
+        |    least(greatest(yv - ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768 + 16777216) // 65536 - 256), 0), 255) AS g,
+        |    least(greatest(yv + ((116130 * (cb - 128) + 32768 + 16777216) // 65536 - 256), 0), 255) AS b
+        |  FROM c)
+        |SELECT id AS media_id, CAST(count(*) AS INTEGER) AS n_px,
+        |  CAST(sum(r) AS BIGINT) AS r_sum, CAST(sum(g) AS BIGINT) AS g_sum,
+        |  CAST(sum(b) AS BIGINT) AS b_sum
+        |FROM p GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        Multimodal.decodeJpegRgbStats(
+          Multimodal.jpegColorImagesFromDocuments(s, load(s, dir, "documents")))
     }
   )
 }
