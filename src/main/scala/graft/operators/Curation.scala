@@ -158,6 +158,32 @@ object Curation {
       .drop("__rank")
   }
 
+  /** Deterministic WEIGHTED sample without replacement per group
+    * (Efraimidis-Spirakis A-ES): each row draws u = md5-uniform(salt, id)
+    * in (0, 1) and the k rows with the LARGEST ln(u)/weight win — the
+    * classic one-pass distributed weighted reservoir, here as a window
+    * rank so membership is stable across runs, partitionings, and
+    * engines (the md5 draw and the ln are both replayable in SQL).
+    * Heavier rows win proportionally more often; weights must be > 0.
+    */
+  def weightedSample(
+      df: DataFrame,
+      group: Column,
+      id: Column,
+      weight: Column,
+      k: Int,
+      salt: String = "ws"): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    val u = (conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val key = log(u) / weight
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(group)
+      .orderBy(key.desc, id)
+    df.withColumn("__wrank", row_number().over(w))
+      .filter(col("__wrank") <= k)
+      .drop("__wrank")
+  }
+
   /** Document chunking: split text into fixed-size overlapping windows
     * with character offsets — the text-splitting primitive under RAG
     * indexing and long-document pretraining. Pure per-row explode (no

@@ -144,6 +144,29 @@ object CurationQueries {
           .select("doc_id", "source")
     },
 
+    // Weighted sample without replacement (Efraimidis-Spirakis): 10 of
+    // each source's 25 docs, inclusion probability proportional to
+    // n_chars; the md5-uniform draw and the ln(u)/w key replay in SQL,
+    // so MEMBERSHIP is engine-checked — a wrong key anywhere picks a
+    // different 10.
+    OpQuery.sql(
+      "q107_weighted_sample",
+      """WITH t AS (SELECT doc_id, source, n_chars,
+        |    (CAST(concat('0x', substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      + 0.5) / 4294967296.0 AS u
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY ln(u) / n_chars DESC, doc_id) AS rnk
+        |  FROM t)
+        |SELECT doc_id, source, n_chars FROM r WHERE rnk <= 10""".stripMargin) {
+      (s, dir) =>
+        Curation.weightedSample(
+            load(s, dir, "documents"),
+            col("source"), col("doc_id"), col("n_chars").cast("double"), k = 10)
+          .select("doc_id", "source", "n_chars")
+    },
+
     // Document chunking: 200-char windows with 40-char overlap, plus
     // offsets — per-row explode, shuffle-free.
     OpQuery.sql(
