@@ -82,4 +82,40 @@ class EventStreamsSpec extends SparkSuite {
     q.stop()
     assert(rows.toSeq == Seq((1L, 1.0), (2L, 3.0)))
   }
+
+  test("attributionJoin matches in-window pairs and evicts state past the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long, Double)]
+    val q = EventStreams.attributionJoin(
+        views.toDF().toDF("event_id", "ts", "user_id"),
+        purchases.toDF().toDF("event_id", "ts", "user_id", "value"),
+        windowDur = "2 hours", lateness = "10 minutes")
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode(OutputMode.Append()).start()
+
+    // batch 1: v1 matches p1 (30 min later, same user); the 20:00 events
+    // advance BOTH sides' watermarks (global watermark = min of inputs)
+    // far past v1's join horizon (view_ts + 2h = 12:00)
+    views.addData((1L, ts("2024-01-01 10:00:00"), 1L),
+      (90L, ts("2024-01-01 20:00:00"), 9L))
+    purchases.addData((101L, ts("2024-01-01 10:30:00"), 1L, 5.0),
+      (190L, ts("2024-01-01 20:00:00"), 8L, 1.0))
+    q.processAllAvailable()
+
+    // batch 2: p2 would match v1 inside the 2-hour window, but arrives
+    // after the watermark passed v1's horizon — state was evicted (and
+    // the row itself is watermark-late), so NO match may emerge. A fresh
+    // in-horizon pair proves the join is still live.
+    purchases.addData((102L, ts("2024-01-01 10:40:00"), 1L, 7.0),
+      (191L, ts("2024-01-01 20:05:00"), 9L, 2.0))
+    q.processAllAvailable()
+    val rows = spark.table("attributed")
+      .select(col("view_id"), col("purchase_id"), col("value"))
+      .as[(Long, Long, Double)].collect().sortBy(_._2)
+    q.stop()
+    assert(rows.toSeq == Seq((1L, 101L, 5.0), (90L, 191L, 2.0)),
+      s"unexpected matches: ${rows.toSeq}")
+  }
 }
