@@ -171,6 +171,31 @@ object TextAnalysis {
     regexp_replace(noEmail, "[0-9]{7,}", "<NUM>")
   }
 
+  /** Compression-ratio quality signal (the Gopher/RefinedWeb repetition
+    * proxy): deflated size / raw UTF-8 size. Highly repetitive text
+    * compresses far below natural prose; near-random text approaches 1.
+    * Runs as a scalar UDF over JDK zlib (level 6, raw deflate) — the
+    * same deliberate external-codec tier as TextScoring's model
+    * adapters. No SQL engine replays zlib, so the catalog entry is a
+    * rows-only check and the spec pins behavior on constructed fixtures
+    * (the signal's USE is thresholding, which is robust to zlib-version
+    * byte-count drift). Null/empty text → null.
+    */
+  val compressionRatio: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) =>
+      if (s == null || s.isEmpty) None
+      else {
+        val raw = s.getBytes("UTF-8")
+        val d = new java.util.zip.Deflater(6, true)
+        d.setInput(raw)
+        d.finish()
+        val buf = new Array[Byte](8192)
+        var n = 0L
+        while (!d.finished()) n += d.deflate(buf)
+        d.end()
+        Some(n.toDouble / raw.length)
+      })
+
   /** Per-document top-k keywords by TF-IDF (tf · ln(N/df)): the standard
     * distinctive-term extraction for corpus exploration, topic tagging,
     * and mixture diagnostics. Rank on the UNROUNDED score (desc, then

@@ -508,6 +508,18 @@ object LlmQueries {
             round(col("sim"), 6).as("sim"), col("rank"))
     },
 
+    // Compression-ratio quality signal: deflate(text)/|text| per doc — the
+    // Gopher-style repetition proxy. zlib is not SQL-replayable, so this
+    // is the catalog's one honest rows-only entry; exact behavior is
+    // pinned by spec on constructed fixtures (repetitive << prose < noisy).
+    OpQuery.rowsOnly("q108_compression_ratio") {
+      (s, dir) =>
+        load(s, dir, "documents").select(
+          col("doc_id"),
+          length(col("text")).as("n_chars_text"),
+          round(TextAnalysis.compressionRatio(col("text")), 4).as("deflate_ratio"))
+    },
+
     // Duplicated-span signal (substring-dedup reduction): fraction of each
     // doc's 3-gram INSTANCES whose gram occurs >= 2 times corpus-wide —
     // same-doc repeats included. The known near-dup pairs in the fixture

@@ -134,4 +134,22 @@ class JpegColorSpec extends AnyFunSuite {
     assert(Jpeg.decodeRgb(Array[Byte](1, 2, 3)).isEmpty)
     assert(Jpeg.decodeRgb(Array.fill(64)(0xff.toByte)).isEmpty)
   }
+
+  test("byte-flip fuzz: corrupted streams never throw") {
+    val (yP, cbP, crP) = planes(32, 32, 11L)
+    val good = Jpeg.encodeColor420(32, 32, yP, cbP, crP)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 500) {
+      val bad = good.clone()
+      // flip 1-3 random bytes anywhere (headers, tables, entropy data)
+      for (_ <- 0 to rnd.nextInt(3)) {
+        val at = rnd.nextInt(bad.length)
+        bad(at) = (bad(at) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      // any outcome but an exception is acceptable: None, or a decode of
+      // the corrupted-but-still-wellformed stream
+      Jpeg.decodeRgb(bad)
+      Jpeg.decodeGray(bad)
+    }
+  }
 }

@@ -640,4 +640,25 @@ class OperatorsSpec extends SparkSuite {
     assert(rows(chunked) == full,
       "arrival order changed the stored codes — ingest is not deterministic")
   }
+
+  test("compressionRatio orders repetitive < prose-like < noisy; null-safe") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val repetitive = "the cat sat on the mat. " * 80
+    val prose = Seq.fill(300)(Seq("table", "window", "query", "batch", "stream",
+      "filter", "vector", "row", "plan", "merge")(rnd.nextInt(10))).mkString(" ")
+    val noisy = Array.fill(1500)((33 + rnd.nextInt(90)).toChar).mkString
+    val df = Seq(
+      (1L, repetitive), (2L, prose), (3L, noisy), (4L, null.asInstanceOf[String]),
+      (5L, "")).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextAnalysis.compressionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1.0 else r.getDouble(1)))
+      .toMap
+    assert(out(1L) < 0.12, s"repetitive text should crush: ${out(1L)}")
+    assert(out(1L) < out(2L) && out(2L) < out(3L),
+      s"ordering violated: ${out(1L)} ${out(2L)} ${out(3L)}")
+    assert(out(3L) > 0.5, s"near-random text should resist: ${out(3L)}")
+    assert(out(4L) == -1.0 && out(5L) == -1.0, "null/empty must yield null")
+  }
 }
