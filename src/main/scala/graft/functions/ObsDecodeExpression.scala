@@ -45,6 +45,30 @@ case class ObsMapDecodeAll(child: Expression)
   override def prettyName: String = "obs_decode_all"
 }
 
+/** [[ObsMapDecodeAll]] for STRING-only flat_obs — the shape a table
+  * produced by the reference itself has. Parses the encoded obs string's
+  * entries ONCE (boundary split + prefix strip, exactly the entry grammar
+  * the regexp extraction encodes) into the same concept slots, then runs
+  * the shared decode core. Semantics equal the typed path — and equal the
+  * contains-scan projection on well-formed obs strings, which is the only
+  * shape any producer emits (the fuzz spec diffs all paths).
+  */
+case class ObsStringDecodeAll(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ObsDecode.schema
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    ObsDecode.decodeFromString(if (v == null) null else v.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ObsStringDecodeAll =
+    copy(child = newChild)
+  override def prettyName: String = "obs_string_decode_all"
+}
+
 object ObsDecode {
   import graft.etl.FlatVisitSummary._
 
@@ -176,6 +200,58 @@ object ObsDecode {
         i += 1
       }
     }
+    decodeSlots(slots)
+  }
+
+  /** One-pass entry parse of the encoded obs string ("!!c=v!! ## …") into
+    * concept slots; malformed tokens are skipped (they can never match a
+    * contains arm either). Entry order is preserved per concept. */
+  private[functions] def decodeFromString(obs: String): InternalRow = {
+    val slots = new Array[ArrayData](nSlots)
+    if (obs != null && obs.nonEmpty) {
+      val bufs = new Array[scala.collection.mutable.ArrayBuffer[UTF8String]](nSlots)
+      val n = obs.length
+      var i = 0
+      while (i < n) {
+        var j = obs.indexOf(" ## ", i)
+        if (j < 0) j = n
+        // token = obs[i, j): must look like !!<digits>=<value>!!
+        if (j - i >= 6 && obs.startsWith("!!", i) && obs.startsWith("!!", j - 2)) {
+          val eq = obs.indexOf('=', i + 2)
+          if (eq > i + 2 && eq <= j - 2) {
+            var c = 0
+            var ok = true
+            var k = i + 2
+            while (k < eq && ok) {
+              val ch = obs.charAt(k)
+              if (ch >= '0' && ch <= '9' && c < 1000000) c = c * 10 + (ch - '0')
+              else ok = false
+              k += 1
+            }
+            if (ok && c < slotOf.length) {
+              val s = slotOf(c)
+              if (s >= 0) {
+                if (bufs(s) == null)
+                  bufs(s) = new scala.collection.mutable.ArrayBuffer[UTF8String](1)
+                bufs(s) += UTF8String.fromString(obs.substring(eq + 1, j - 2))
+              }
+            }
+          }
+        }
+        i = j + 4
+      }
+      var s = 0
+      while (s < nSlots) {
+        if (bufs(s) != null)
+          slots(s) = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            bufs(s).toArray[Any])
+        s += 1
+      }
+    }
+    decodeSlots(slots)
+  }
+
+  private def decodeSlots(slots: Array[ArrayData]): InternalRow = {
     val out = new Array[Any](schema.length)
     var f = 0
     out(f) = join(slots(sEnroll)); f += 1
@@ -200,4 +276,8 @@ object ObsDecode {
   /** Column surface. */
   def decodeAll(m: Column): Column =
     GraftColumnBridge.column(ObsMapDecodeAll(GraftColumnBridge.expression(m)))
+
+  /** Column surface for the string-input form. */
+  def decodeAllString(obs: Column): Column =
+    GraftColumnBridge.column(ObsStringDecodeAll(GraftColumnBridge.expression(obs)))
 }

@@ -213,6 +213,32 @@ object EtlPipelineQueries {
       .drop("o_orderkey", "o_custkey", "o_orderdate")
   }
 
+  /** The q56/q109 STRING fixture: the flat_obs scaffold carrying the
+    * encoded obs string (the reference's interface). */
+  private[graft] def visitSummaryStringInput(s: SparkSession, dir: String): DataFrame = {
+    val o = load(s, dir, "orders")
+    val entries: Seq[Column] =
+      conceptPicks.map { case (cpt, codes, key) => entryCol(cpt, codes, key) } ++ Seq(
+        when(col("o_orderkey") % 2 === 0, lit("!!1271=5497!!")),
+        when(col("o_orderkey") % 3 === 0, lit("!!1271=21!!")),
+        when(col("o_orderkey") % 5 === 0, lit("!!1271=1569!!")),
+        when(col("o_orderkey") % 7 === 0, lit("!!1271=1883!!")),
+        when(col("o_orderkey") % 11 === 0, lit("!!1271=5622!!")),
+        when(col("o_orderkey") % 4 === 0, lit("!!1592=1405!!")),
+        when(col("o_orderkey") % 6 === 0, lit("!!1534=3!!")),
+        concat(lit("!!6743="),
+          (lit(50) + col("o_orderkey") % 70).cast("string"), lit("!!")),
+        concat(lit("!!6744="),
+          (lit(150) + col("o_custkey") % 40).cast("string"), lit("!!")),
+        concat(lit("!!6746="),
+          to_date(col("o_orderdate")).cast("string"), lit("!!")),
+        concat(lit("!!5096="),
+          date_add(to_date(col("o_orderdate")), 30).cast("string"), lit("!!")))
+    visitSummaryBase(o)
+      .withColumn("obs", concat_ws(" ## ", entries: _*))
+      .drop("o_orderkey", "o_custkey", "o_orderdate")
+  }
+
   /** Concepts the typed decode looks up — one per distinct map key. */
   private[graft] val profileConcepts: Seq[Int] =
     (conceptPicks.map(_._1) ++ Seq(1271, 1592, 1534, 6743, 6744, 6746, 5096)).distinct
@@ -482,27 +508,34 @@ object EtlPipelineQueries {
         val c = load(s, dir, "customer")
         val person = c.select(
           col("c_custkey").cast("int").as("person_id"), col("c_name").as("uuid"))
-        val entries: Seq[Column] =
-          conceptPicks.map { case (cpt, codes, key) => entryCol(cpt, codes, key) } ++ Seq(
-            when(col("o_orderkey") % 2 === 0, lit("!!1271=5497!!")),
-            when(col("o_orderkey") % 3 === 0, lit("!!1271=21!!")),
-            when(col("o_orderkey") % 5 === 0, lit("!!1271=1569!!")),
-            when(col("o_orderkey") % 7 === 0, lit("!!1271=1883!!")),
-            when(col("o_orderkey") % 11 === 0, lit("!!1271=5622!!")),
-            when(col("o_orderkey") % 4 === 0, lit("!!1592=1405!!")),
-            when(col("o_orderkey") % 6 === 0, lit("!!1534=3!!")),
-            concat(lit("!!6743="),
-              (lit(50) + col("o_orderkey") % 70).cast("string"), lit("!!")),
-            concat(lit("!!6744="),
-              (lit(150) + col("o_custkey") % 40).cast("string"), lit("!!")),
-            concat(lit("!!6746="),
-              to_date(col("o_orderdate")).cast("string"), lit("!!")),
-            concat(lit("!!5096="),
-              date_add(to_date(col("o_orderdate")), 30).cast("string"), lit("!!")))
-        val flatObs = visitSummaryBase(o)
-          .withColumn("obs", concat_ws(" ## ", entries: _*))
-          .drop("o_orderkey", "o_custkey", "o_orderdate")
-        FlatVisitSummary.build(flatObs, visitSummaryOrders(o), person)
+        FlatVisitSummary.build(
+          visitSummaryStringInput(s, dir), visitSummaryOrders(o), person)
+    },
+
+    // The one-pass STRING-input decode Expression over q56's exact fixture
+    // and oracle — the migration path for tables the REFERENCE produced
+    // (string obs only, no typed map): same output, parsed once per row
+    // instead of ~180 contains scans.
+    OpQuery.sql("q109_visit_summary_string_expr", visitSummaryOracle) {
+      (s, dir) =>
+        val c = load(s, dir, "customer")
+        val person = c.select(
+          col("c_custkey").cast("int").as("person_id"), col("c_name").as("uuid"))
+        val clinical = visitSummaryStringInput(s, dir)
+          .filter(col("encounter_type").isin(
+            FlatVisitSummary.ClinicalEncounterTypes.map(Integer.valueOf): _*))
+          .join(person, Seq("person_id"))
+        clinical
+          .select(col("person_id"), col("uuid"), col("visit_id"),
+            col("encounter_id"), col("encounter_datetime"), col("encounter_type"),
+            FlatVisitSummary.isClinicalEncounter(col("encounter_type"))
+              .as("is_clinical_encounter"),
+            col("location_id"),
+            graft.functions.ObsDecode.decodeAllString(col("obs")).as("__dec"))
+          .select(Seq("person_id", "uuid", "visit_id", "encounter_id",
+            "encounter_datetime", "encounter_type", "is_clinical_encounter",
+            "location_id").map(col) ++
+            FlatVisitSummary.decodeColumnsFromStruct(col("__dec")): _*)
     },
 
     // The SAME decode projection through the typed path: flat_obs carries

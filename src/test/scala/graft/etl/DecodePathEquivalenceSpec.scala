@@ -59,6 +59,11 @@ class DecodePathEquivalenceSpec extends SparkSuite {
       .select(col("id"),
         graft.functions.ObsDecode.decodeAll(col("obs_entries")).as("__dec"))
       .select(col("id") +: FlatVisitSummary.decodeColumnsFromStruct(col("__dec")): _*)
+    // the one-pass STRING-input expression (for reference-produced tables)
+    val viaStrExpr = df
+      .select(col("id"),
+        graft.functions.ObsDecode.decodeAllString(col("obs")).as("__dec"))
+      .select(col("id") +: FlatVisitSummary.decodeColumnsFromStruct(col("__dec")): _*)
     val a = viaString.orderBy("id").collect().toSeq
     val b = viaTyped.orderBy("id").collect().toSeq
     val c = viaStaged.orderBy("id").collect().toSeq
@@ -69,7 +74,12 @@ class DecodePathEquivalenceSpec extends SparkSuite {
     assert(diffsS.isEmpty, s"${diffsS.size} staged-differing rows, first: ${diffsS.headOption}")
     val diffsE = a.zip(d).filter { case (x, y) => x != y }
     assert(diffsE.isEmpty, s"${diffsE.size} expr-differing rows, first: ${diffsE.headOption}")
-    // schema parity: the expression path must emit the same column names
+    val e = viaStrExpr.orderBy("id").collect().toSeq
+    val diffsSE = a.zip(e).filter { case (x, y) => x != y }
+    assert(diffsSE.isEmpty,
+      s"${diffsSE.size} string-expr-differing rows, first: ${diffsSE.headOption}")
+    // schema parity: the expression paths must emit the same column names
     assert(viaExpr.columns.toSeq == viaString.columns.toSeq)
+    assert(viaStrExpr.columns.toSeq == viaString.columns.toSeq)
   }
 }
