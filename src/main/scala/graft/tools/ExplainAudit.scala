@@ -26,7 +26,13 @@ object ExplainAudit {
         "q57_dedup_lsh_verified", "q55_flat_lab_obs_stage", "q63_label_centroids",
         // curation ops: broadcast eval semi-join, zero-shuffle sample,
         // one-shuffle sharded packing
-        "q64_decontaminate", "q65_stratified_sample", "q66_sequence_pack")
+        "q64_decontaminate", "q65_stratified_sample", "q66_sequence_pack",
+        // round-5 scale paths: line-dedup agg+join-back (AQE-splittable,
+        // not a window), gram-count keyed shuffles, the 1-row-broadcast
+        // TF-IDF N join, the binary-ANN broadcast signature scan, and the
+        // two-projection decode (lookups must NOT re-merge into the arms)
+        "q98_dedup_lines", "q101_duplicated_spans", "q102_tfidf_keywords",
+        "q99_ann_binary_rerank", "q73_visit_summary_typed")
     names.foreach { n =>
       val q = graft.SparkEntry.catalog.find(_.name == n).getOrElse(
         sys.error(s"unknown query $n"))
