@@ -171,6 +171,30 @@ object TextAnalysis {
     regexp_replace(noEmail, "[0-9]{7,}", "<NUM>")
   }
 
+  /** Top n-gram concentration (the Gopher repetition rule family): each
+    * doc's most frequent gram (ties: lexicographically first) and the
+    * fraction of the doc's gram instances it accounts for — high values
+    * flag template/boilerplate text that per-line dedup misses. Keyed
+    * aggregations + a per-doc top-1 window over DISTINCT grams (bounded
+    * by doc length); no all-pairs.
+    */
+  def topNgramFraction(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      gramsCol: Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inst = docs.select(col(idCol).as("id"), explode(gramsCol).as("gram"))
+    val counts = inst.groupBy("id", "gram").agg(count(lit(1)).as("n"))
+    val totals = inst.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    val w = Window.partitionBy("id").orderBy(col("n").desc, col("gram"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .join(totals, Seq("id"))
+      .select(col("id"), col("gram").as("top_gram"), col("n").as("n_top"),
+        col("n_grams"),
+        round(col("n") / col("n_grams"), 6).as("top_frac"))
+  }
+
   /** Compression-ratio quality signal (the Gopher/RefinedWeb repetition
     * proxy): deflated size / raw UTF-8 size. Highly repetitive text
     * compresses far below natural prose; near-random text approaches 1.

@@ -546,6 +546,31 @@ object LlmQueries {
         Dedup.duplicatedSpans(docs, "doc_id", col("grams"))
     },
 
+    // Top-2-gram concentration (Gopher repetition rule): the most frequent
+    // bigram per doc and the fraction of gram instances it covers.
+    OpQuery.sql(
+      "q110_top_ngram_fraction",
+      s"""WITH t AS (SELECT doc_id, string_split($DuckNorm, ' ') w FROM documents),
+         |i AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) AS i
+         |  FROM t WHERE len(w) >= 2),
+         |gr AS (SELECT doc_id, w[i]||' '||w[i+1] AS gram FROM i),
+         |cnt AS (SELECT doc_id, gram, count(*) AS n FROM gr GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM gr GROUP BY 1),
+         |top AS (SELECT doc_id, gram, n,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, gram) AS rk
+         |  FROM cnt QUALIFY rk = 1)
+         |SELECT top.doc_id AS id, gram AS top_gram, n AS n_top, n_grams,
+         |  round(CAST(n AS DOUBLE) / n_grams, 6) AS top_frac
+         |FROM top JOIN tot ON top.doc_id = tot.doc_id""".stripMargin) {
+      (s, dir) =>
+        val docs = load(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.shingles(
+            TextAnalysis.words(TextAnalysis.normalize(col("text"))), 2).as("grams"))
+          .filter(size(col("grams")) >= 1)
+        TextAnalysis.topNgramFraction(docs, "doc_id", col("grams"))
+    },
+
     // TF-IDF keyword extraction: each doc's 3 most distinctive terms by
     // tf·ln(N/df), ranked on the unrounded score (desc, term asc) so both
     // engines order identically; ln over small-integer ratios is stable
