@@ -1,0 +1,274 @@
+package graft.operators
+
+/** Pure-JVM GIF87a/89a codec: palette-indexed images under real LZW
+  * entropy coding — the last member of the image family whose pixel layer
+  * was header-only (PNG and JPEG are full codecs). LZW is LOSSLESS, so
+  * unlike the DCT fixtures no fixed-point trickery is needed: roundtrips
+  * must be bit-exact for ANY index pattern, and the spec drives patterns
+  * across code-width growth boundaries and the 4096-entry dictionary
+  * reset.
+  *
+  * Contract (reject-don't-guess, like the other codecs): global color
+  * table required, first image block only, no interlace, no local color
+  * table, 64M-pixel dimension cap checked before any allocation.
+  * Extension blocks (0x21) are skipped. Citations: GIF89a specification
+  * (CompuServe, public), T.81-adjacent LZW as specified there — variable
+  * width 3..12 bits LSB-first, clear/EOI codes, early-change OFF.
+  */
+object Gif {
+
+  /** Encode a palette-indexed image as GIF89a. `palette` holds packed
+    * 0xRRGGBB ints (length a power of two, 2..256); `indices` row-major,
+    * each < palette.length. */
+  def encodeIndexed(
+      w: Int, h: Int, palette: Array[Int], indices: Array[Byte]): Array[Byte] = {
+    require(w >= 1 && h >= 1 && indices.length == w * h,
+      s"need $w*$h=${w * h} indices, got ${indices.length}")
+    require(palette.length >= 2 && palette.length <= 256 &&
+      Integer.bitCount(palette.length) == 1,
+      s"palette must be a power of two in [2,256], got ${palette.length}")
+    val palBits = 32 - Integer.numberOfLeadingZeros(palette.length - 1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(w); le16(h)
+    out.write(0x80 | (palBits - 1)) // global color table, 2^palBits entries
+    out.write(0); out.write(0) // background, aspect
+    palette.foreach { c =>
+      out.write((c >> 16) & 0xff); out.write((c >> 8) & 0xff); out.write(c & 0xff)
+    }
+    out.write(0x2c) // image descriptor
+    le16(0); le16(0); le16(w); le16(h)
+    out.write(0) // no local table, no interlace
+    val minCode = math.max(2, palBits)
+    out.write(minCode)
+
+    // LZW encode, LSB-first bit packing into <=255-byte sub-blocks
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val block = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nBits = 0
+    val sub = new Array[Byte](255)
+    var subLen = 0
+    def flushByte(b: Int): Unit = {
+      sub(subLen) = b.toByte; subLen += 1
+      if (subLen == 255) { block.write(subLen); block.write(sub, 0, subLen); subLen = 0 }
+    }
+    // The code WIDTH follows the DECODER's view of the dictionary — the
+    // decoder grows its table one entry per data code after the first
+    // (it cannot know about the encoder's in-flight entry), so tracking
+    // our own hash size would desynchronize the width schedule at the
+    // stream tail. `dNext`/`firstSinceClear` replicate the decoder
+    // state machine exactly; the bump check runs before every emit,
+    // mirroring the decoder's check before every read.
+    var width = minCode + 1
+    var dNext = eoi + 1
+    var firstSinceClear = true
+    def emit(code: Int, isData: Boolean): Unit = {
+      if (dNext == (1 << width) && width < 12) width += 1
+      acc |= code.toLong << nBits
+      nBits += width
+      while (nBits >= 8) { flushByte((acc & 0xff).toInt); acc >>= 8; nBits -= 8 }
+      if (isData) {
+        if (!firstSinceClear && dNext < 4096) dNext += 1
+        firstSinceClear = false
+      }
+    }
+    var dict = new java.util.HashMap[Integer, Integer]()
+    var dictNext = eoi + 1
+    emit(clear, isData = false)
+    var cur = indices(0) & 0xff
+    var i = 1
+    while (i < indices.length) {
+      val k = indices(i) & 0xff
+      val key = Integer.valueOf((cur << 8) | k)
+      val hit = dict.get(key)
+      if (hit != null) cur = hit.intValue()
+      else {
+        emit(cur, isData = true)
+        if (dictNext < 4096) { dict.put(key, dictNext); dictNext += 1 }
+        else { // dictionary full: clear and start over, decoder in lockstep
+          emit(clear, isData = false)
+          dict = new java.util.HashMap()
+          dictNext = eoi + 1
+          dNext = eoi + 1
+          width = minCode + 1
+          firstSinceClear = true
+        }
+        cur = k
+      }
+      i += 1
+    }
+    emit(cur, isData = true)
+    emit(eoi, isData = false)
+    if (nBits > 0) flushByte((acc & 0xff).toInt)
+    if (subLen > 0) { block.write(subLen); block.write(sub, 0, subLen) }
+    block.write(0) // sub-block terminator
+    val body = block.toByteArray
+    out.write(body, 0, body.length)
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Decode: (w, h, palette, row-major indices). None off-contract. */
+  def decodeIndexed(p: Array[Byte])
+      : Option[(Int, Int, Array[Int], Array[Byte])] = {
+    if (p.length < 14) return None
+    val sig = new String(p, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    val sw = le16(6); val sh = le16(8)
+    val flags = p(10) & 0xff
+    if ((flags & 0x80) == 0) return None // need a global color table
+    val palSize = 1 << ((flags & 0x07) + 1)
+    if (sw <= 0 || sh <= 0 || sw.toLong * sh > (1L << 26)) return None
+    var i = 13
+    if (i + 3 * palSize > p.length) return None
+    val palette = Array.tabulate(palSize) { c =>
+      ((p(i + 3 * c) & 0xff) << 16) | ((p(i + 3 * c + 1) & 0xff) << 8) |
+        (p(i + 3 * c + 2) & 0xff)
+    }
+    i += 3 * palSize
+    // skip extensions until the first image descriptor
+    while (i < p.length && (p(i) & 0xff) == 0x21) {
+      i += 2 // introducer + label
+      var more = true
+      while (more) {
+        if (i >= p.length) return None
+        val n = p(i) & 0xff
+        i += 1
+        if (n == 0) more = false else i += n
+      }
+    }
+    if (i >= p.length || (p(i) & 0xff) != 0x2c) return None
+    if (i + 10 > p.length) return None
+    val left = le16(i + 1); val top = le16(i + 3)
+    val w = le16(i + 5); val h = le16(i + 7)
+    val iflags = p(i + 9) & 0xff
+    if (left != 0 || top != 0 || w != sw || h != sh) return None
+    if ((iflags & 0x80) != 0 || (iflags & 0x40) != 0) return None // local table / interlace
+    i += 10
+    if (i >= p.length) return None
+    val minCode = p(i) & 0xff
+    i += 1
+    if (minCode < 2 || minCode > 11) return None
+    val clear = 1 << minCode
+    val eoi = clear + 1
+
+    // collect the entropy bytes from the sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    var more = true
+    while (more) {
+      if (i >= p.length) return None
+      val n = p(i) & 0xff
+      i += 1
+      if (n == 0) more = false
+      else {
+        if (i + n > p.length) return None
+        data.write(p, i, n)
+        i += n
+      }
+    }
+    val d = data.toByteArray
+
+    val out = new Array[Byte](w * h)
+    var outAt = 0
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var dictNext = eoi + 1
+    var width = minCode + 1
+    var acc = 0L
+    var nBits = 0
+    var at = 0
+    var prev = -1
+    val stack = new Array[Byte](4096)
+    def emitEntry(code: Int): Boolean = { // expand `code` into out; false = bad
+      var sp = 0
+      var c = code
+      while (c >= clear + 2) {
+        if (sp >= stack.length) return false
+        stack(sp) = suffix(c); sp += 1
+        c = prefix(c)
+      }
+      if (c >= clear) return false // must bottom out at a root index
+      if (outAt + sp + 1 > out.length) return false
+      out(outAt) = c.toByte; outAt += 1
+      while (sp > 0) { sp -= 1; out(outAt) = stack(sp); outAt += 1 }
+      true
+    }
+    def firstChar(code: Int): Int = {
+      var c = code
+      while (c >= clear + 2) c = prefix(c)
+      c
+    }
+    var done = false
+    while (!done) {
+      // width check BEFORE reading: the next code can be at most dictNext
+      if (dictNext == (1 << width) && width < 12) width += 1
+      while (nBits < width) {
+        if (at >= d.length) return None // ran out before EOI
+        acc |= (d(at) & 0xff).toLong << nBits
+        nBits += 8
+        at += 1
+      }
+      val code = (acc & ((1 << width) - 1)).toInt
+      acc >>= width
+      nBits -= width
+      if (code == eoi) {
+        done = true
+      } else if (code == clear) {
+        dictNext = eoi + 1
+        width = minCode + 1
+        prev = -1
+      } else if (prev < 0) {
+        if (code >= clear) return None // first code must be a root
+        if (outAt >= out.length) return None
+        out(outAt) = code.toByte; outAt += 1
+        prev = code
+      } else {
+        if (code > dictNext || (code < clear + 2 && code >= clear)) return None
+        val kwkwk = code == dictNext
+        val expand = if (kwkwk) prev else code
+        val head = firstChar(if (kwkwk) prev else code)
+        if (kwkwk) {
+          // prev + firstChar(prev): emit prev then its head
+          if (!emitEntry(prev)) return None
+          if (outAt >= out.length) return None
+          out(outAt) = head.toByte; outAt += 1
+        } else {
+          if (!emitEntry(expand)) return None
+        }
+        if (dictNext < 4096) {
+          prefix(dictNext) = prev
+          suffix(dictNext) = head.toByte
+          dictNext += 1
+        }
+        prev = code
+      }
+    }
+    if (outAt != out.length) return None
+    // indices must address the palette
+    var v = 0
+    while (v < out.length) {
+      if ((out(v) & 0xff) >= palette.length) return None
+      v += 1
+    }
+    Some((w, h, palette, out))
+  }
+
+  /** Decode to interleaved RGB via the palette. */
+  def decodeRgb(p: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decodeIndexed(p).map { case (w, h, pal, idx) =>
+      val rgb = new Array[Byte](3 * w * h)
+      var k = 0
+      while (k < idx.length) {
+        val c = pal(idx(k) & 0xff)
+        rgb(3 * k) = ((c >> 16) & 0xff).toByte
+        rgb(3 * k + 1) = ((c >> 8) & 0xff).toByte
+        rgb(3 * k + 2) = (c & 0xff).toByte
+        k += 1
+      }
+      (w, h, rgb)
+    }
+}

@@ -873,6 +873,50 @@ object Multimodal {
       })
   }
 
+  /** Palette-indexed GIF fixtures (doc_id % 3 == 0): arbitrary (non-
+    * aligned) dimensions, an 8-color id-derived palette, and an
+    * id-arithmetic index pattern. LZW is lossless, so the q111 oracle
+    * replays every pixel exactly with no fixed-point constraints — while
+    * the decoder runs real variable-width LZW over entropy-coded
+    * sub-blocks. */
+  def gifImagesFromDocuments(
+      spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.filter(col("doc_id") % 3 === 0).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 5 + (id % 20).toInt
+        val h = 4 + (id % 15).toInt
+        val palette = Array.tabulate(8) { c =>
+          (((id * 17 + 29L * c) % 256).toInt << 16) |
+            (((id * 23 + 31L * c) % 256).toInt << 8) |
+            ((id * 13 + 37L * c) % 256).toInt
+        }
+        val idx = Array.tabulate(w * h) { k =>
+          ((id + 3L * (k % w) + 7L * (k / w)) % 8).toByte
+        }
+        MediaRow(id, "image", Gif.encodeIndexed(w, h, palette, idx))
+      })
+  }
+
+  /** GIF decode to per-image RGB channel sums (same aggregate as the
+    * JPEG/PNG stats). Undecodable payloads yield no rows. */
+  def decodeGifRgbStats(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      Gif.decodeRgb(r.payload).iterator.map { case (w, h, rgb) =>
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var k = 0
+        while (k < w * h) {
+          rs += rgb(3 * k) & 0xff
+          gs += rgb(3 * k + 1) & 0xff
+          bs += rgb(3 * k + 2) & 0xff
+          k += 1
+        }
+        (r.media_id, w * h, rs, gs, bs)
+      }
+    }).toDF("media_id", "n_px", "r_sum", "g_sum", "b_sum")
+  }
+
   /** MCU-flat baseline 4:2:0 color-JPEG fixtures (doc_id % 3 == 2):
     * w ∈ {16, 32}, h ∈ {16, 32, 48}; Y is flat per 8x8 block at
     * (id + 5·bx + 9·by) mod 256, chroma flat per 16x16 MCU at

@@ -1659,6 +1659,33 @@ object LlmQueries {
       (s, dir) =>
         Multimodal.decodeJpegRgbStats(
           Multimodal.jpegColorImagesFromDocuments(s, load(s, dir, "documents")))
+    },
+
+    // GIF: palette-indexed pixels under real variable-width LZW (the last
+    // image format whose pixel layer was header-only). Lossless, so the
+    // oracle replays every pixel from id arithmetic with no fixed-point
+    // constraints; arbitrary non-aligned dimensions.
+    OpQuery.sql(
+      "q111_gif_decode",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(5 + doc_id % 20 AS BIGINT) AS w,
+        |    CAST(4 + doc_id % 15 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |y AS (SELECT *, unnest(generate_series(0, h - 1)) AS py FROM v),
+        |x AS (SELECT *, unnest(generate_series(0, w - 1)) AS px FROM y),
+        |c AS (SELECT id, (id + 3 * px + 7 * py) % 8 AS ci FROM x),
+        |p AS (SELECT id,
+        |    (id * 17 + 29 * ci) % 256 AS r,
+        |    (id * 23 + 31 * ci) % 256 AS g,
+        |    (id * 13 + 37 * ci) % 256 AS b
+        |  FROM c)
+        |SELECT id AS media_id, CAST(count(*) AS INTEGER) AS n_px,
+        |  CAST(sum(r) AS BIGINT) AS r_sum, CAST(sum(g) AS BIGINT) AS g_sum,
+        |  CAST(sum(b) AS BIGINT) AS b_sum
+        |FROM p GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        Multimodal.decodeGifRgbStats(
+          Multimodal.gifImagesFromDocuments(s, load(s, dir, "documents")))
     }
   )
 }

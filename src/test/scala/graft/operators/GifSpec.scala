@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GIF LZW is lossless: roundtrips must be BIT-EXACT for any index
+  * pattern — including patterns that drive the variable code width
+  * through every boundary and overflow the 4096-entry dictionary, the
+  * two places an encoder/decoder width-schedule mismatch hides.
+  */
+class GifSpec extends AnyFunSuite {
+
+  private def pal(n: Int): Array[Int] =
+    Array.tabulate(n)(c => ((37 * c + 11) % 256 << 16) |
+      ((59 * c + 3) % 256 << 8) | ((83 * c + 7) % 256))
+
+  private def roundtrip(w: Int, h: Int, palette: Array[Int],
+      idx: Array[Byte]): Unit = {
+    val enc = Gif.encodeIndexed(w, h, palette, idx)
+    val (dw, dh, dpal, didx) = Gif.decodeIndexed(enc)
+      .getOrElse(fail(s"decode failed ${w}x$h pal=${palette.length}"))
+    assert((dw, dh) == (w, h))
+    assert(dpal.sameElements(palette))
+    assert(didx.sameElements(idx), s"index mismatch ${w}x$h pal=${palette.length}")
+  }
+
+  test("bit-exact roundtrips across palette sizes and patterns") {
+    val rnd = new scala.util.Random(3)
+    for (bits <- Seq(1, 2, 3, 4, 8); (w, h) <- Seq((1, 1), (7, 3), (16, 16), (61, 33))) {
+      val n = 1 << bits
+      // random pattern — exercises fresh dictionary entries
+      roundtrip(w, h, pal(n), Array.fill(w * h)(rnd.nextInt(n).toByte))
+      // runs — exercises KwKwK and deep prefix chains
+      roundtrip(w, h, pal(n),
+        Array.tabulate(w * h)(k => ((k / 7) % n).toByte))
+      // constant — the degenerate single-entry chain
+      roundtrip(w, h, pal(n), Array.fill(w * h)((n - 1).toByte))
+    }
+  }
+
+  test("dictionary overflow: a large noisy image forces the 4096 reset") {
+    val rnd = new scala.util.Random(17)
+    val w = 256; val h = 128 // 32k indices over 256 colors: dict overflows
+    roundtrip(w, h, pal(256), Array.fill(w * h)(rnd.nextInt(256).toByte))
+    // and with 2-bit palette (longer chains per entry, later overflow)
+    roundtrip(w, h, pal(4), Array.fill(w * h)(rnd.nextInt(4).toByte))
+  }
+
+  test("decodeRgb maps through the palette") {
+    val palette = pal(4)
+    val idx = Array[Byte](0, 1, 2, 3)
+    val (w, h, rgb) = Gif.decodeRgb(Gif.encodeIndexed(2, 2, palette, idx)).get
+    assert((w, h) == (2, 2))
+    for (k <- 0 until 4) {
+      val c = palette(idx(k))
+      assert((rgb(3 * k) & 0xff) == ((c >> 16) & 0xff))
+      assert((rgb(3 * k + 1) & 0xff) == ((c >> 8) & 0xff))
+      assert((rgb(3 * k + 2) & 0xff) == (c & 0xff))
+    }
+  }
+
+  test("extension blocks are skipped; contract violations return None") {
+    val palette = pal(4)
+    val idx = Array.tabulate(48)(k => (k % 4).toByte)
+    val good = Gif.encodeIndexed(8, 6, palette, idx)
+    // splice a graphic-control extension after the color table
+    val at = 13 + 3 * 4
+    val ext = Array[Byte](0x21, 0xf9.toByte, 4, 0, 0, 0, 0, 0)
+    val spliced = good.take(at) ++ ext ++ good.drop(at)
+    assert(Gif.decodeIndexed(spliced).nonEmpty, "extension must be skipped")
+    // interlace flag set -> None
+    val bad = good.clone()
+    val imgFlags = at + 9 // image descriptor flags byte
+    assert((bad(imgFlags - 9) & 0xff) == 0x2c, "descriptor offset wrong")
+    bad(imgFlags) = 0x40.toByte
+    assert(Gif.decodeIndexed(bad).isEmpty)
+    // truncations never throw; header-region cuts are None
+    for (n <- 0 until good.length by 5) {
+      val r = Gif.decodeIndexed(good.take(n))
+      if (n < good.length / 2) assert(r.isEmpty, s"truncated at $n")
+    }
+    // byte-flip fuzz: never throws
+    val rnd = new scala.util.Random(5)
+    for (_ <- 1 to 300) {
+      val fz = good.clone()
+      fz(rnd.nextInt(fz.length)) = (fz(rnd.nextInt(fz.length)) ^ (1 << rnd.nextInt(8))).toByte
+      Gif.decodeIndexed(fz)
+    }
+  }
+}
