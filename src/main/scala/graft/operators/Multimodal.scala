@@ -278,14 +278,31 @@ object Multimodal {
   final case class PcmStats(n_samples_total: Long, peak: Int,
       mean_abs: Double, rms: Double)
 
+  /** The fmt chunk's wFormatTag (1 = linear PCM, 6 = A-law, 7 = μ-law);
+    * -1 when absent. */
+  private def wavFormatCode(p: Array[Byte]): Int = {
+    var i = 12
+    while (i + 8 <= p.length) {
+      val id = new String(p, i, 4, "US-ASCII")
+      val len = le32(p, i + 4)
+      if (id == "fmt " && i + 10 <= p.length) return le16(p, i + 8)
+      val next = i.toLong + 8L + len + (len & 1L)
+      i = if (next <= i || next > Int.MaxValue) p.length else next.toInt
+    }
+    -1
+  }
+
   /** REAL sample decode: walk to the data chunk, decode each sample at
     * the fmt depth (8-bit unsigned offset-binary / 16-bit signed LE),
     * accumulate exact integer |a| and a² sums. None when [[wavMeta]]
-    * rejects the payload or no data chunk exists. */
+    * rejects the payload or no data chunk exists. Linear PCM ONLY
+    * (wFormatTag 1): a G.711 companded stream also has bits == 8, and
+    * decoding its bytes as offset-binary would yield confident garbage —
+    * [[g711Stats]] owns those. */
   def pcmStats(p: Array[Byte]): Option[PcmStats] = wavMeta(p)
     // only depths this decoder actually implements: treating a 24-bit
     // stream as 16-bit frames would yield garbage stats, not an error
-    .filter(m => m.bits == 8 || m.bits == 16)
+    .filter(m => (m.bits == 8 || m.bits == 16) && wavFormatCode(p) == 1)
     .flatMap { m =>
     var i = 12
     var off = -1; var len = 0L
@@ -319,6 +336,92 @@ object Multimodal {
       else Some(PcmStats(total, peak,
         sumAbs.toDouble / total, math.sqrt(sumSq.toDouble / total)))
     }
+  }
+
+  /** G.711 expansion, CCITT reference forms (public spec): μ-law bytes
+    * invert then expand as ((mant·8 + 132) << exp) − 132 signed; A-law
+    * bytes XOR 0x55 then segment-expand. Both are pure integer maps, so
+    * an oracle replays them exactly. */
+  def mulawToLinear(b: Int): Int = {
+    val u = (~b) & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  def alawToLinear(b: Int): Int = {
+    val a = b ^ 0x55
+    val seg = (a & 0x70) >> 4
+    var t = (a & 0x0f) << 4
+    if (seg == 0) t += 8
+    else if (seg == 1) t += 0x108
+    else t = (t + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** Amplitude stats for G.711 companded WAV (wFormatTag 6 = A-law,
+    * 7 = μ-law, 8-bit): expand each byte to 13/14-bit linear, then the
+    * same exact-integer accumulation as [[pcmStats]]. None for anything
+    * else — including linear PCM, which [[pcmStats]] owns. */
+  def g711Stats(p: Array[Byte]): Option[PcmStats] = {
+    val code = wavFormatCode(p)
+    if (code != 6 && code != 7) return None
+    wavMeta(p).filter(_.bits == 8).flatMap { _ =>
+      var i = 12
+      var off = -1; var len = 0L
+      while (i + 8 <= p.length && off < 0) {
+        val id = new String(p, i, 4, "US-ASCII")
+        val l = le32(p, i + 4)
+        if (id == "data") { off = i + 8; len = math.min(l, (p.length - i - 8).toLong) }
+        else {
+          val next = i.toLong + 8L + l + (l & 1L)
+          i = if (next <= i || next > Int.MaxValue) p.length else next.toInt
+        }
+      }
+      if (off < 0) None
+      else {
+        var k = 0L
+        var peak = 0; var sumAbs = 0L; var sumSq = 0L
+        while (k < len) {
+          val b = p(off + k.toInt) & 0xff
+          val a = if (code == 7) mulawToLinear(b) else alawToLinear(b)
+          val ab = math.abs(a)
+          if (ab > peak) peak = ab
+          sumAbs += ab
+          sumSq += a.toLong * a
+          k += 1
+        }
+        if (len == 0) Some(PcmStats(0L, 0, 0.0, 0.0))
+        else Some(PcmStats(len, peak,
+          sumAbs.toDouble / len, math.sqrt(sumSq.toDouble / len)))
+      }
+    }
+  }
+
+  /** G.711 WAV fixture: format code 6/7, mono-or-stereo, encoded bytes
+    * straight from id arithmetic b(j) = (mediaId + 29j) mod 256 — the
+    * oracle replays the expansion formula per byte. */
+  def wavG711(mediaId: Long, rate: Int, channels: Int, code: Int,
+      nSamples: Int): Array[Byte] = {
+    require(code == 6 || code == 7, s"G.711 format code must be 6 or 7, got $code")
+    val out = wavBytes(rate, channels, 8, nSamples)
+    // rewrite the fmt tag from PCM to the companded code
+    out(20) = code.toByte
+    val dataLen = nSamples * channels
+    var j = 0
+    while (j < dataLen) {
+      out(44 + j) = ((mediaId + 29L * j) % 256).toByte
+      j += 1
+    }
+    out
+  }
+
+  /** Per-partition G.711 stat extraction (quarantine semantics). */
+  def extractG711Stats(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      g711Stats(r.payload).iterator.map(s =>
+        (r.media_id, s.n_samples_total, s.peak, s.mean_abs, s.rms))
+    }).toDF("media_id", "n_samples_total", "peak", "mean_abs", "rms")
   }
 
   /** Per-partition PCM amplitude extraction; undecodable payloads yield

@@ -1686,6 +1686,56 @@ object LlmQueries {
       (s, dir) =>
         Multimodal.decodeGifRgbStats(
           Multimodal.gifImagesFromDocuments(s, load(s, dir, "documents")))
+    },
+
+    // G.711 companded audio (telephony speech corpora): μ-law (odd ids)
+    // and A-law (even ids) WAVs decode through the CCITT expansion — pure
+    // integer maps the oracle replays byte for byte. Also guards the
+    // format-tag check: pcmStats now refuses companded streams instead of
+    // mis-decoding them as offset-binary PCM.
+    OpQuery.sql(
+      "q112_audio_g711",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(40 + doc_id % 50 AS BIGINT) AS n,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS ch
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |j AS (SELECT id, n * ch AS total,
+        |    unnest(generate_series(0, n * ch - 1)) AS jj FROM v),
+        |b AS (SELECT id, total, (id + 29 * jj) % 256 AS eb FROM j),
+        |s AS (SELECT id, total,
+        |    CASE WHEN id % 2 = 1 THEN
+        |      CASE WHEN (255 - eb) >= 128
+        |        THEN 132 - (((255 - eb) % 16) * 8 + 132) * (1 << CAST(((255 - eb) // 16) % 8 AS INT))
+        |        ELSE (((255 - eb) % 16) * 8 + 132) * (1 << CAST(((255 - eb) // 16) % 8 AS INT)) - 132
+        |      END
+        |    ELSE
+        |      CASE WHEN xor(eb, 85) >= 128 THEN 1 ELSE -1 END *
+        |      CASE CAST((xor(eb, 85) // 16) % 8 AS INT)
+        |        WHEN 0 THEN (xor(eb, 85) % 16) * 16 + 8
+        |        WHEN 1 THEN (xor(eb, 85) % 16) * 16 + 264
+        |        ELSE ((xor(eb, 85) % 16) * 16 + 264) *
+        |          (1 << (CAST((xor(eb, 85) // 16) % 8 AS INT) - 1))
+        |      END
+        |    END AS a
+        |  FROM b)
+        |SELECT id AS media_id, total AS n_samples_total,
+        |  CAST(max(abs(a)) AS INT) AS peak,
+        |  round(CAST(sum(abs(a)) AS DOUBLE) / total, 6) AS mean_abs,
+        |  round(sqrt(CAST(sum(a * a) AS DOUBLE) / total), 6) AS rms
+        |FROM s GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val media = load(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 1).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            Multimodal.MediaRow(id, "audio",
+              Multimodal.wavG711(id, 8000, 1 + (id % 2).toInt,
+                code = 6 + (id % 2).toInt, nSamples = 40 + (id % 50).toInt))
+          })
+        Multimodal.extractG711Stats(media)
+          .select(col("media_id"), col("n_samples_total"), col("peak"),
+            round(col("mean_abs"), 6).as("mean_abs"),
+            round(col("rms"), 6).as("rms"))
     }
   )
 }
