@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver scrapes the LAST stdout line of `sbt runMain` as JSON. Two
+// pieces of sbt log decoration were defeating that for five rounds:
+// (1) the forked JVM's stdout was routed through sbt's logger, arriving
+//     as "[info] {...}" — StdoutOutput passes it through bare;
+// (2) sbt appends "[success] Total time: ..." as the true final line —
+//     showSuccess := false drops it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
