@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
@@ -35,6 +36,15 @@ case class ObsMapDecodeAll(child: Expression)
   override def dataType: DataType = ObsDecode.schema
   override def nullable: Boolean = false
 
+  // reject a mistyped input at analysis time with the expected type
+  // spelled out, not per-row ClassCastExceptions at execution
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case MapType(IntegerType, ArrayType(StringType, _), _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"obs_decode_all requires map<int,array<string>>, got ${other.catalogString}")
+  }
+
   override def eval(input: InternalRow): Any = {
     val m = child.eval(input)
     ObsDecode.decodeRow(if (m == null) null else m.asInstanceOf[MapData])
@@ -58,6 +68,12 @@ case class ObsStringDecodeAll(child: Expression)
 
   override def dataType: DataType = ObsDecode.schema
   override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"obs_string_decode_all requires string, got ${other.catalogString}")
+  }
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)

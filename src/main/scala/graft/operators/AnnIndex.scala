@@ -48,7 +48,21 @@ object AnnIndex {
   }
 
   /** Write all three tables as a fresh generation and commit it with one
-    * atomic pointer rename. Returns the committed generation name. */
+    * atomic pointer rename. Returns the committed generation name.
+    *
+    * Concurrency contract: SINGLE WRITER (like the snapshot sink) —
+    * write/ingest/retrainSwap are read-modify-write against `_CURRENT`,
+    * so two concurrent writers would both derive the same next
+    * generation and one batch would silently vanish. Rather than just
+    * documenting that, both hazard windows are checked: the generation
+    * directory is claimed via atomic create-if-absent (two writers that
+    * read the same `prev` collide HERE, loudly), and `_CURRENT` is
+    * re-read immediately before the pointer rename (a writer that lost
+    * a longer race aborts instead of clobbering the winner's commit).
+    * Readers need no lock: they resolve the pointer once and the
+    * predecessor generation is retained one swap for their lazy plans;
+    * a handle held across TWO swaps may lose files to the purge —
+    * re-[[read]] per query, don't cache handles across retrain cadence. */
   def write(dir: String, centroids: DataFrame, codebooks: DataFrame,
       codes: DataFrame): String = {
     val conf = centroids.sparkSession.sparkContext.hadoopConfiguration
@@ -57,9 +71,22 @@ object AnnIndex {
     val prev = currentGen(conf, dir)
     val next = "g_" + (prev.map(_.stripPrefix("g_").toLong + 1).getOrElse(0L))
     val gen = new Path(root, next)
+    // atomic create-if-absent claims the generation number exclusively
+    val claim = new Path(gen, "_WRITER")
+    try fs.create(claim, false).close()
+    catch { case e: java.io.IOException =>
+      throw new java.util.ConcurrentModificationException(
+        s"generation $next at $dir already claimed by a concurrent writer", e)
+    }
     centroids.write.mode("overwrite").parquet(new Path(gen, "centroids").toString)
     codebooks.write.mode("overwrite").parquet(new Path(gen, "codebooks").toString)
     codes.write.mode("overwrite").parquet(new Path(gen, "codes").toString)
+    // conditional commit: if another writer advanced the pointer while
+    // this generation was being written, abort — committing would base
+    // g_{n} on a stale predecessor and drop the interleaved batch
+    val nowCur = currentGen(conf, dir)
+    if (nowCur != prev) throw new java.util.ConcurrentModificationException(
+      s"_CURRENT moved from $prev to $nowCur during write of $next at $dir")
     val tmp = new Path(root, "_CURRENT.tmp")
     val out = fs.create(tmp, true)
     try out.write(next.getBytes(StandardCharsets.UTF_8)) finally out.close()

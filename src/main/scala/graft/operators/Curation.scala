@@ -176,7 +176,14 @@ object Curation {
     require(k >= 1, s"sample size must be >= 1, got $k")
     val u = (conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
       .cast("double") + lit(0.5)) / lit(4294967296.0)
-    val key = log(u) / weight
+    // enforce the documented weight > 0 contract IN the plan: weight = 0
+    // yields ln(u)/0 = -Infinity here but NULL in a SQL oracle's
+    // division, silently diverging sample membership between engines —
+    // fail the job loudly instead of sampling differently
+    val wChecked = when(weight <= 0 || weight.isNull, raise_error(concat(
+      lit("weightedSample requires weight > 0, got "), weight.cast("string"))))
+      .otherwise(weight.cast("double"))
+    val key = log(u) / wChecked
     val w = org.apache.spark.sql.expressions.Window.partitionBy(group)
       .orderBy(key.desc, id)
     df.withColumn("__wrank", row_number().over(w))

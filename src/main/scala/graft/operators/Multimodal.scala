@@ -193,11 +193,17 @@ object Multimodal {
       !(p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')) return None
     var i = 12
     var rate = 0; var ch = 0; var bits = 0; var dataLen = -1L
-    while (i + 8 <= p.length && (rate == 0 || dataLen < 0)) {
+    var seenFmt = false
+    while (i + 8 <= p.length && (!seenFmt || dataLen < 0)) {
       val id = new String(p, i, 4, "US-ASCII")
       val len = le32(p, i + 4)
       id match {
-        case "fmt " if i + 24 <= p.length =>
+        // FIRST fmt chunk wins, matching wavFormatCode's walk: a hostile
+        // multi-fmt WAV (fmt tag=1, then fmt tag=7 bits=8 before data)
+        // must not pass the wFormatTag==1 guard with the second chunk's
+        // layout and decode companded bytes as offset-binary PCM
+        case "fmt " if i + 24 <= p.length && !seenFmt =>
+          seenFmt = true
           ch = le16(p, i + 10)
           rate = le32(p, i + 12).toInt
           bits = le16(p, i + 22)

@@ -582,6 +582,17 @@ object EtlPipelineQueries {
         val occ = org.apache.spark.sql.expressions.Window
           .partitionBy(col("obs_id"))
           .orderBy(col("concept_id"), col("value_numeric"), col("obs_datetime"))
+        // The int cast is safe only while max(obs_id)*8+7 fits in Int —
+        // at sf≈10 (orderkey ~60M → obs_id ~480M → ×8 ≈ 3.8G) it would
+        // overflow and collide/negate ids, silently voiding the
+        // streamed-vs-batch comparison this query exists to make. The
+        // downstream flat schemas pin obs_id as int, so guard loudly
+        // instead of widening (one pushed-down single-column scan).
+        val maxRawId = obsRaw.agg(max(col("obs_id").cast("long")))
+          .first().getLong(0)
+        require(maxRawId <= (Int.MaxValue - 7L) / 8,
+          s"q94 obs_id uniquification would overflow Int (max obs_id=$maxRawId); " +
+            "run at a smaller sf or widen obs_id to long end-to-end")
         val obs = obsRaw.withColumn("obs_id",
           (col("obs_id").cast("long") * 8 + row_number().over(occ) - 1).cast("int"))
         val orderRows = eavOrderRows(s, dir)

@@ -34,6 +34,20 @@ class ObsDecodeSpec extends SparkSuite {
     assert(rows(1).getString(names.indexOf("pwp_disclosure")) == "Yes")
   }
 
+  test("mistyped input fails at analysis time with the expected type named") {
+    import spark.implicits._
+    val df = Seq((1, "not-a-map")).toDF("id", "m")
+    val eMap = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(ObsDecode.decodeAll(col("m"))).schema
+    }
+    assert(eMap.getMessage.contains("map<int,array<string>>"))
+    val dfInt = Seq((1, 2)).toDF("id", "o")
+    val eStr = intercept[org.apache.spark.sql.AnalysisException] {
+      dfInt.select(ObsDecode.decodeAllString(col("o"))).schema
+    }
+    assert(eStr.getMessage.contains("requires string"))
+  }
+
   test("null, empty, and malformed obs strings are safe and skipped") {
     import spark.implicits._
     val df = Seq(

@@ -139,5 +139,15 @@ class AnnLifecycleSpec extends SparkSuite {
     val dirF = new java.io.File(dir)
     val gens = dirF.listFiles().map(_.getName).filter(_.startsWith("g_")).toSet
     assert(gens == Set("g_1", "g_2"), s"unexpected generations: $gens")
+
+    // writer mutual exclusion: a second writer that derived the same next
+    // generation collides on the atomic directory claim instead of
+    // silently merging two writes into one generation
+    val claim = new java.io.File(dirF, "g_3/_WRITER")
+    claim.getParentFile.mkdirs()
+    assert(claim.createNewFile())
+    intercept[java.util.ConcurrentModificationException] {
+      AnnIndex.write(dir, fresh.centroids, fresh.codebooks, fresh.codes)
+    }
   }
 }

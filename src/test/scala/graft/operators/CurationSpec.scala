@@ -121,6 +121,22 @@ class CurationSpec extends SparkSuite {
     assert(out.count() == again.count())
   }
 
+  test("weightedSample fails loudly on weight <= 0 instead of diverging") {
+    import spark.implicits._
+    // ln(u)/0 = -Infinity in Spark but NULL in a SQL oracle's division —
+    // sample membership would silently differ between engines, so the
+    // documented weight > 0 contract is enforced in the plan
+    val df = Seq((1L, 2.0), (2L, 0.0), (3L, 1.0)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Curation.weightedSample(df, lit(1), col("id"), col("w"), 2).collect()
+    }
+    assert(e.getMessage.contains("weight > 0"))
+    // all-positive weights still sample fine
+    val ok = Curation.weightedSample(
+      df.filter(col("w") > 0), lit(1), col("id"), col("w"), 2)
+    assert(ok.count() == 2)
+  }
+
   test("plan shapes: broadcast eval set, shuffle-free sample, one-shuffle pack") {
     import spark.implicits._
     val docs = (1 to 200).map(i => (i.toLong, s"w$i " * 8, "en")).toDF("id", "text", "lang")

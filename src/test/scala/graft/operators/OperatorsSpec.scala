@@ -201,6 +201,26 @@ class OperatorsSpec extends SparkSuite {
     assert(meta.contains(Multimodal.WavMeta(8000, 1, 16, 10L)))
     assert(Multimodal.pcmStats(multi).map(_.n_samples_total) ==
       meta.map(_.n_samples))
+
+    // multiple fmt chunks: the FIRST fmt wins in wavMeta, matching the
+    // wFormatTag guard's walk. A hostile fmt(tag=1,16-bit) followed by
+    // fmt(tag=7 μ-law,8-bit) before data used to pass the PCM guard
+    // (first tag) while decoding at the SECOND chunk's 8-bit layout —
+    // companded bytes read as offset-binary PCM, confident garbage.
+    def le16b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val fmt16 = Multimodal.wavBytes(8000, 1, 16, 0).slice(12, 36) // tag=1, 16-bit
+    val fmtMu = "fmt ".getBytes ++ le32b(16) ++ le16b(7) ++ le16b(1) ++
+      le32b(8000) ++ le32b(8000) ++ le16b(1) ++ le16b(8)
+    val dataMu = "data".getBytes ++ le32b(16) ++ Array.fill[Byte](16)(0x7f.toByte)
+    val multiFmt = "RIFF".getBytes ++
+      le32b(4 + fmt16.length + fmtMu.length + dataMu.length) ++
+      "WAVE".getBytes ++ fmt16 ++ fmtMu ++ dataMu
+    val mfMeta = Multimodal.wavMeta(multiFmt)
+    // first fmt's layout: 16 data bytes at 16-bit mono = 8 frames
+    assert(mfMeta.contains(Multimodal.WavMeta(8000, 1, 16, 8L)))
+    // and the decoder counts the same payload at the same layout
+    assert(Multimodal.pcmStats(multiFmt).map(_.n_samples_total) ==
+      mfMeta.map(_.n_samples))
   }
 
   test("bounded Jaccard verify: exact under the cap, close estimate above it") {
