@@ -104,12 +104,15 @@ object FlatLabObs {
       obs: DataFrame,
       person: DataFrame,
       lastUpdate: Timestamp,
-      existing: Option[DataFrame] = None): DataFrame = {
+      existing: Option[DataFrame] = None,
+      obsDelta: Option[DataFrame] = None,
+      purgeSet: Option[DataFrame] = None): DataFrame = {
     val wm = lit(lastUpdate)
+    val obsD = obsDelta.getOrElse(obs)
     val panel = col("concept_id").isin(LabConcepts.map(Integer.valueOf): _*)
-    val purge = FlatObs.voidedPurgeSet(person, existing)
-    obs.filter(panel && col("date_voided") > wm).select("person_id")
-      .union(obs.filter(panel && col("date_created") > wm).select("person_id"))
+    val purge = purgeSet.getOrElse(FlatObs.voidedPurgeSet(person, existing))
+    obsD.filter(panel && col("date_voided") > wm).select("person_id")
+      .union(obsD.filter(panel && col("date_created") > wm).select("person_id"))
       .union(purge)
       .distinct()
   }
@@ -119,15 +122,18 @@ object FlatLabObs {
       obs: DataFrame,
       person: DataFrame,
       lastUpdate: Timestamp,
-      includeNewObs: Boolean = true): DataFrame = {
+      includeNewObs: Boolean = true,
+      obsDelta: Option[DataFrame] = None): DataFrame = {
     val wm = lit(lastUpdate)
+    // delta feed only seeds the day key sets; rebuilds read full source
+    val obsD = obsDelta.getOrElse(obs)
     val panel = col("concept_id").isin(LabConcepts.map(Integer.valueOf): _*)
 
-    val voidedDays = obs.filter(col("voided") === 1 && col("date_voided") > wm && panel)
+    val voidedDays = obsD.filter(col("voided") === 1 && col("date_voided") > wm && panel)
       .select(col("person_id"), to_date(col("obs_datetime")).as("test_date")).distinct()
     val newDays =
       if (includeNewObs)
-        labRows(obs).filter(col("date_created") > wm)
+        labRows(obsD).filter(col("date_created") > wm)
           .select(col("person_id"), to_date(col("obs_datetime")).as("test_date")).distinct()
       else voidedDays.limit(0)
     val days = voidedDays.union(newDays).distinct()

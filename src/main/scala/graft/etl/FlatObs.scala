@@ -253,10 +253,18 @@ object FlatObs {
       obs: DataFrame,
       encounter: DataFrame,
       person: DataFrame,
-      lastUpdate: Timestamp): DataFrame = {
+      lastUpdate: Timestamp,
+      obsDelta: Option[DataFrame] = None,
+      encounterDelta: Option[DataFrame] = None): DataFrame = {
     val wm = lit(lastUpdate)
+    // Delta feeds ONLY seed key sets; every group rebuild below reads the
+    // full source-of-truth, so a feed that over-approximates (stale
+    // versions, extra rows) costs work, never correctness — the same
+    // predicates are re-applied either way (ChangeFeed contract).
+    val obsD = obsDelta.getOrElse(obs)
+    val encD = encounterDelta.getOrElse(encounter)
 
-    val voidedObs = obs.filter(
+    val voidedObs = obsD.filter(
       col("voided") === 1 && col("date_voided") > wm && col("date_created") <= wm)
 
     // encounter-grain delta keys: voided ∪ changed ∪ new.
@@ -271,11 +279,11 @@ object FlatObs {
     // a full rebuild.
     val voidedEncKeys = voidedObs.filter(col("encounter_id").isNotNull)
       .select("encounter_id").distinct()
-    val changedEncKeys = encounter
+    val changedEncKeys = encD
       .filter(col("date_changed") > wm)
       .select("encounter_id")
       .distinct()
-    val newObsEncKeys = obs.filter(
+    val newObsEncKeys = obsD.filter(
       col("encounter_id") > 0 && col("voided") === 0 && col("date_created") > wm)
       .select("encounter_id").distinct()
 
@@ -298,7 +306,7 @@ object FlatObs {
       .select("encounter_id")
     val encKeys = voidedEncKeys.union(changedEncKeys).union(newObsEncKeys)
       .union(collidingEncKeys).distinct()
-    val newMomentKeys = obs.filter(
+    val newMomentKeys = obsD.filter(
       col("encounter_id").isNull && col("voided") === 0 && col("date_created") > wm)
       .select("person_id", "obs_datetime").distinct()
     val momentKeys = voidedMomentKeys.union(newMomentKeys).distinct()
@@ -345,14 +353,19 @@ object FlatObs {
       encounter: DataFrame,
       person: DataFrame,
       lastUpdate: Timestamp,
-      existing: Option[DataFrame] = None): DataFrame = {
+      existing: Option[DataFrame] = None,
+      obsDelta: Option[DataFrame] = None,
+      encounterDelta: Option[DataFrame] = None,
+      purgeSet: Option[DataFrame] = None): DataFrame = {
     val wm = lit(lastUpdate)
-    val purge = voidedPurgeSet(person, existing)
-    obs.filter(col("date_voided") > wm).select("person_id")
-      .union(obs.filter(col("date_created") > wm).select("person_id"))
-      .union(encounter.filter(col("date_changed") > wm)
+    val obsD = obsDelta.getOrElse(obs)
+    val encD = encounterDelta.getOrElse(encounter)
+    val purge = purgeSet.getOrElse(voidedPurgeSet(person, existing))
+    obsD.filter(col("date_voided") > wm).select("person_id")
+      .union(obsD.filter(col("date_created") > wm).select("person_id"))
+      .union(encD.filter(col("date_changed") > wm)
         .select(col("patient_id").as("person_id")))
-      .union(encounter.filter(col("date_created") > wm)
+      .union(encD.filter(col("date_created") > wm)
         .select(col("patient_id").as("person_id")))
       .union(purge)
       .distinct()

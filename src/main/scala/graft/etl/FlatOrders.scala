@@ -90,12 +90,15 @@ object FlatOrders {
       orders: DataFrame,
       person: DataFrame,
       lastUpdate: Timestamp,
-      existing: Option[DataFrame] = None): DataFrame = {
+      existing: Option[DataFrame] = None,
+      ordersDelta: Option[DataFrame] = None,
+      purgeSet: Option[DataFrame] = None): DataFrame = {
     val wm = lit(lastUpdate)
-    val purge = FlatObs.voidedPurgeSet(person, existing)
-    orders.filter(col("date_voided") > wm)
+    val ordD = ordersDelta.getOrElse(orders)
+    val purge = purgeSet.getOrElse(FlatObs.voidedPurgeSet(person, existing))
+    ordD.filter(col("date_voided") > wm)
       .select(col("patient_id").as("person_id"))
-      .union(orders.filter(col("date_created") > wm)
+      .union(ordD.filter(col("date_created") > wm)
         .select(col("patient_id").as("person_id")))
       .union(purge)
       .distinct()
@@ -106,13 +109,16 @@ object FlatOrders {
       orders: DataFrame,
       encounter: DataFrame,
       person: DataFrame,
-      lastUpdate: Timestamp): DataFrame = {
+      lastUpdate: Timestamp,
+      ordersDelta: Option[DataFrame] = None): DataFrame = {
     val wm = lit(lastUpdate)
-    val voidedKeys = orders.filter(
+    // delta feed only seeds the key sets; the rebuild reads full source
+    val ordD = ordersDelta.getOrElse(orders)
+    val voidedKeys = ordD.filter(
       col("voided") === 1 && col("date_voided") > wm)
       .filter(col("encounter_id").isNotNull)
       .select("encounter_id").distinct()
-    val newKeys = orders.filter(
+    val newKeys = ordD.filter(
       col("encounter_id") > 0 && col("voided") === 0 && col("date_created") > wm)
       .select("encounter_id").distinct()
     val keys = voidedKeys.union(newKeys).distinct()

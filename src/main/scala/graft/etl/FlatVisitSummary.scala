@@ -539,15 +539,56 @@ object FlatVisitSummary {
       flatObs: DataFrame,
       obs: DataFrame,
       encounter: DataFrame,
-      lastUpdate: Timestamp): DataFrame = {
+      lastUpdate: Timestamp,
+      obsDelta: Option[DataFrame] = None,
+      encounterDelta: Option[DataFrame] = None): DataFrame = {
     val wm = lit(lastUpdate)
+    val obsD = obsDelta.getOrElse(obs)
+    val encD = encounterDelta.getOrElse(encounter)
     val retracted = existing.select("person_id", "encounter_id")
       .join(flatObs.select("encounter_id"), Seq("encounter_id"), "left_anti")
       .select("person_id")
-    encounter.filter(col("date_changed") > wm)
+    encD.filter(col("date_changed") > wm)
       .select(col("patient_id").as("person_id"))
       .union(flatObs.filter(col("max_date_created") > wm).select("person_id"))
-      .union(obs.filter(col("date_voided") > wm).select("person_id"))
+      .union(obsD.filter(col("date_voided") > wm).select("person_id"))
+      .union(retracted)
+      .distinct()
+  }
+
+  /** [[touchedPersons]] with the two flat_obs-side scans bounded to the
+    * upstream tick's rewrite scope: `foScoped` is flat_obs PRUNED to the
+    * buckets the flat_obs stage touched this tick and `foQueuePersons` is
+    * that stage's queue. Sound iff every flat_obs row that changed since
+    * THIS stage's watermark lies in that scope — Pipeline.tick proves it
+    * by watermark alignment (the last summary run saw everything up to
+    * the previous flat_obs run; a crash between the two stages falls
+    * back to [[touchedPersons]]'s full anti-join recovery scan). Then:
+    * retractions (rows gone from flat_obs) can only affect queued
+    * persons, whose flat_obs rows live in the scoped buckets; and rows
+    * with `max_date_created` above the watermark were written this tick,
+    * also inside the scope. Both scans become O(delta).
+    */
+  def touchedPersonsBounded(
+      existing: DataFrame,
+      foScoped: DataFrame,
+      foQueuePersons: DataFrame,
+      obs: DataFrame,
+      encounter: DataFrame,
+      lastUpdate: Timestamp,
+      obsDelta: Option[DataFrame] = None,
+      encounterDelta: Option[DataFrame] = None): DataFrame = {
+    val wm = lit(lastUpdate)
+    val obsD = obsDelta.getOrElse(obs)
+    val encD = encounterDelta.getOrElse(encounter)
+    val retracted = existing.select("person_id", "encounter_id")
+      .join(foQueuePersons, Seq("person_id"), "left_semi")
+      .join(foScoped.select("encounter_id"), Seq("encounter_id"), "left_anti")
+      .select("person_id")
+    encD.filter(col("date_changed") > wm)
+      .select(col("patient_id").as("person_id"))
+      .union(foScoped.filter(col("max_date_created") > wm).select("person_id"))
+      .union(obsD.filter(col("date_voided") > wm).select("person_id"))
       .union(retracted)
       .distinct()
   }
@@ -564,9 +605,12 @@ object FlatVisitSummary {
       encounter: DataFrame,
       person: DataFrame,
       lastUpdate: Timestamp,
-      queue: Option[DataFrame] = None): DataFrame = {
+      queue: Option[DataFrame] = None,
+      obsDelta: Option[DataFrame] = None,
+      encounterDelta: Option[DataFrame] = None): DataFrame = {
     val q = queue.getOrElse(
-      touchedPersons(existing, flatObs, obs, encounter, lastUpdate))
+      touchedPersons(existing, flatObs, obs, encounter, lastUpdate,
+        obsDelta, encounterDelta))
     val kept = existing.join(q, Seq("person_id"), "left_anti")
     kept.unionByName(build(flatObs, flatOrders, person, Some(q)))
   }

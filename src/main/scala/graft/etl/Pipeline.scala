@@ -7,6 +7,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{BucketedSink, Watermark}
 
+/** Optional pre-pruned change feeds for [[Pipeline.tick]]: each frame, when
+  * present, must contain AT LEAST every source row whose latest
+  * modification (`date_created`, `date_voided`, `date_changed`) is newer
+  * than the OLDEST stage watermark in the run log. The stages use a feed
+  * only to SEED their delta key sets — every time predicate is re-applied
+  * on it and every group rebuild reads the full snapshot — so feeds may
+  * over-approximate freely but must never miss a change. Produce one with
+  * [[graft.sources.ChangeFeed.readSince]] (date-partitioned CDC export,
+  * partition-pruned) or a pushed-down JDBC predicate; without feeds the
+  * tick falls back to single-column scans of the full sources.
+  */
+final case class SourceDeltas(
+    obs: Option[DataFrame] = None,
+    encounter: Option[DataFrame] = None,
+    orders: Option[DataFrame] = None)
+
 /** The stage DAG runner: the five flat tables maintained as idempotent
   * incremental jobs over parquet, with the `flat_log` watermark store —
   * the Spark rebuild of the reference's cron-style `CALL` loop
@@ -136,7 +152,11 @@ class Pipeline(spark: SparkSession, root: String) {
     val result = run(wm)
     if (write == null) writeSnapshot(result, flatName) else write(result, wm)
     val secs = ((System.currentTimeMillis() - start.getTime) / 1000).toShort
-    Watermark.appendRun(spark, logPath, version, newWatermark, secs)
+    // never let a recorded watermark REGRESS: a delta-feed-derived max is
+    // Epoch when the feed has no new rows, and recording that would turn
+    // the next tick into a full requeue
+    val floored = if (newWatermark.before(wm)) wm else newWatermark
+    Watermark.appendRun(spark, logPath, version, floored, secs)
   }
 
   /** One bucketed stage's shared tick state: the proven-superset person
@@ -182,56 +202,123 @@ class Pipeline(spark: SparkSession, root: String) {
     * person-keyed flat table honors `graft.sink.buckets`; only the small
     * latest-summary (one row per person, rebuilt wholesale from the
     * summary) stays on the versioned-snapshot sink.
+    *
+    * `deltas` (optional, [[SourceDeltas]]): pre-pruned change feeds that
+    * replace the tick's full-source delta/purge scans with O(delta)
+    * reads. Correctness never depends on them — stages re-apply every
+    * predicate and rebuild from the snapshot — so a wrong feed can only
+    * slow the tick down or (if it MISSES changes, violating its contract)
+    * skip them exactly as a lagging source snapshot would.
     */
-  def tick(obs: DataFrame, encounter: DataFrame, orders: DataFrame, person: DataFrame): Unit = {
+  def tick(
+      obs: DataFrame, encounter: DataFrame, orders: DataFrame,
+      person: DataFrame, deltas: SourceDeltas = SourceDeltas()): Unit = {
     val bucketed = sinkBuckets > 0
-    val encObsMax = maxTs(Seq(encounter -> "date_created", obs -> "date_created"))
+    val obsD = deltas.obs
+    val encD = deltas.encounter
+    val ordD = deltas.orders
+    // watermark advance from the FEED when present: rows created since
+    // the old wm are in the feed by contract, so max(feed) equals
+    // max(source) whenever anything new arrived; runStage floors at the
+    // old wm for the no-new-rows case
+    val encObsMax = maxTs(Seq(
+      encD.getOrElse(encounter) -> "date_created",
+      obsD.getOrElse(obs) -> "date_created"))
+
+    // ---- purged-persons log (bucketed mode) ----
+    // The voided-person purge must only queue persons whose rows are
+    // still present. The old narrowing semi-joined person against the
+    // flat table's person_id column — O(table) over one column, every
+    // tick, forever. Instead keep a `purged_persons` side table: a person
+    // enters it when their rows are purged and leaves it whenever any
+    // stage queue touches them again (the only way their rows can
+    // rematerialize — rebuilds of a still-voided person emit nothing).
+    // purge set = voided persons not yet in the log: O(persons voided),
+    // independent of table size.
+    val purgedLog = if (bucketed) readFlat("purged_persons") else None
+    val purgeSet =
+      if (!bucketed) None
+      else {
+        val voidedPersons = person.filter(col("voided") === 1).select("person_id")
+        Some((purgedLog match {
+          case Some(log) => voidedPersons.join(log, Seq("person_id"), "left_anti")
+          case None => voidedPersons
+        }).cache())
+      }
+    val tickQueues = scala.collection.mutable.ListBuffer.empty[DataFrame]
+
+    // prev-tick watermarks, read BEFORE any stage appends to the log:
+    // the summary stage may bound its retraction scan to this tick's
+    // flat_obs queue only if the last summary run saw everything up to
+    // the PREVIOUS flat_obs run (crash between the two ⇒ fall back to
+    // the full anti-join recovery scan)
+    val log0 = Watermark.readLog(spark, logPath)
+    val prevFlatObsWm = Watermark.resolve(log0, flatObsVersion)
+    val prevSummaryWm = Watermark.resolve(log0, flatVisitSummaryVersion)
+    val summaryAligned = !prevSummaryWm.before(prevFlatObsWm)
+
     // per-stage shared delta state (queue computed once per stage, its
     // buckets shared between the pruned merge read and the write)
     var delta: BucketedDelta = null
     def noteDelta(d: BucketedDelta): BucketedDelta = { delta = d; d }
+    // the flat_obs stage's queue, retained for the summary stage's
+    // bounded retraction scan (small: O(delta) person ids)
+    var foDelta: BucketedDelta = null
+    def endStage(): Unit = if (delta != null) {
+      tickQueues += delta.queue; delta = null // released after the log write
+    }
 
     runStage(flatObsVersion, "flat_obs", encObsMax, wm =>
       readFlat("flat_obs") match {
         case Some(existing) if bucketed && bucketedExists("flat_obs") =>
           val d = noteDelta(bucketedDelta("flat_obs",
-            FlatObs.touchedPersons(obs, encounter, person, wm, Some(existing))))
-          FlatObs.incremental(d.prunedExisting, obs, encounter, person, wm)
-        case Some(existing) => FlatObs.incremental(existing, obs, encounter, person, wm)
+            FlatObs.touchedPersons(obs, encounter, person, wm, Some(existing),
+              obsD, encD, purgeSet)))
+          foDelta = d
+          FlatObs.incremental(d.prunedExisting, obs, encounter, person, wm,
+            obsD, encD)
+        case Some(existing) =>
+          FlatObs.incremental(existing, obs, encounter, person, wm, obsD, encD)
         case None => FlatObs.build(obs, encounter, person)
       },
       bucketedWrite("flat_obs", () => delta))
-    if (delta != null) { delta.release(); delta = null }
+    endStage()
 
     runStage(flatOrdersVersion, "flat_orders",
-      maxTs(Seq(orders -> "date_created")), wm =>
+      maxTs(Seq(ordD.getOrElse(orders) -> "date_created")), wm =>
         readFlat("flat_orders") match {
           case Some(existing) if bucketed && bucketedExists("flat_orders") =>
             val d = noteDelta(bucketedDelta("flat_orders",
-              FlatOrders.touchedPersons(orders, person, wm, Some(existing))))
-            FlatOrders.incremental(d.prunedExisting, orders, encounter, person, wm)
-          case Some(existing) => FlatOrders.incremental(existing, orders, encounter, person, wm)
+              FlatOrders.touchedPersons(orders, person, wm, Some(existing),
+                ordD, purgeSet)))
+            FlatOrders.incremental(d.prunedExisting, orders, encounter, person,
+              wm, ordD)
+          case Some(existing) =>
+            FlatOrders.incremental(existing, orders, encounter, person, wm, ordD)
           case None => FlatOrders.build(orders, encounter, person)
         },
       bucketedWrite("flat_orders", () => delta))
-    if (delta != null) { delta.release(); delta = null }
+    endStage()
 
     // lab watermark from the obs actually visible to the lab delta, NOT
     // encObsMax: advancing on the strength of an encounter row alone
     // would widen the window where a lab obs committing just after the
     // snapshot is permanently skipped
     runStage(flatLabObsVersion, "flat_lab_obs",
-      maxTs(Seq(obs -> "date_created")), wm =>
+      maxTs(Seq(obsD.getOrElse(obs) -> "date_created")), wm =>
         readFlat("flat_lab_obs") match {
           case Some(existing) if bucketed && bucketedExists("flat_lab_obs") =>
             val d = noteDelta(bucketedDelta("flat_lab_obs",
-              FlatLabObs.touchedPersons(obs, person, wm, Some(existing))))
-            FlatLabObs.incremental(d.prunedExisting, obs, person, wm)
-          case Some(existing) => FlatLabObs.incremental(existing, obs, person, wm)
+              FlatLabObs.touchedPersons(obs, person, wm, Some(existing),
+                obsD, purgeSet)))
+            FlatLabObs.incremental(d.prunedExisting, obs, person, wm,
+              obsDelta = obsD)
+          case Some(existing) =>
+            FlatLabObs.incremental(existing, obs, person, wm, obsDelta = obsD)
           case None => FlatLabObs.build(obs, person)
         },
       bucketedWrite("flat_lab_obs", () => delta))
-    if (delta != null) { delta.release(); delta = null }
+    endStage()
 
     runStage(flatVisitSummaryVersion, "flat_visit_summary",
       maxTs(Seq(readFlat("flat_obs").get -> "max_date_created")), wm => {
@@ -240,13 +327,32 @@ class Pipeline(spark: SparkSession, root: String) {
         readFlat("flat_visit_summary") match {
           case Some(existing)
               if bucketed && bucketedExists("flat_visit_summary") =>
-            // the queue's retraction anti-join scans existing + fo in
-            // full (single columns); the WIDE reads below are pruned to
-            // the queue's buckets. flat_obs/flat_orders share the
-            // person_id hash and bucket count, so the queued persons'
+            // Queue scans: when this tick ran flat_obs incrementally AND
+            // the last summary run was aligned with the previous flat_obs
+            // run, every flat_obs row that changed since the summary's
+            // watermark lives in this tick's flat_obs queue buckets — so
+            // the retraction anti-join and the max_date_created scan read
+            // only those buckets (O(delta)) instead of the whole table.
+            // The WIDE rebuild reads below are pruned to the summary
+            // queue's own buckets. flat_obs/flat_orders share the
+            // person_id hash and bucket count, so a queued person's
             // upstream rows live in the same bucket ids.
-            val d = noteDelta(bucketedDelta("flat_visit_summary",
-              FlatVisitSummary.touchedPersons(existing, fo, obs, encounter, wm)))
+            val queue =
+              if (summaryAligned && foDelta != null) {
+                val foScoped = BucketedSink.readBuckets(spark,
+                  bucketedDataPath("flat_obs").toString, foDelta.buckets)
+                // summary shares the person-hash bucketing, so queued
+                // persons' summary rows live in the same bucket ids —
+                // the retraction probe side is O(delta) files too
+                val sumScoped = BucketedSink.readBuckets(spark,
+                  bucketedDataPath("flat_visit_summary").toString,
+                  foDelta.buckets)
+                FlatVisitSummary.touchedPersonsBounded(sumScoped, foScoped,
+                  foDelta.queue, obs, encounter, wm, obsD, encD)
+              } else
+                FlatVisitSummary.touchedPersons(existing, fo, obs, encounter,
+                  wm, obsD, encD)
+            val d = noteDelta(bucketedDelta("flat_visit_summary", queue))
             val foPruned = BucketedSink.readBuckets(
               spark, bucketedDataPath("flat_obs").toString, d.buckets)
             val fordPruned = BucketedSink.readBuckets(
@@ -255,16 +361,35 @@ class Pipeline(spark: SparkSession, root: String) {
               obs, encounter, person, wm, Some(d.queue))
           case Some(existing) =>
             FlatVisitSummary.incremental(
-              existing, fo, ford, obs, encounter, person, wm, None)
+              existing, fo, ford, obs, encounter, person, wm, None, obsD, encD)
           case None => FlatVisitSummary.build(fo, ford, person)
         }
       },
       bucketedWrite("flat_visit_summary", () => delta),
       tableFallback = false)
-    if (delta != null) { delta.release(); delta = null }
+    endStage()
 
     writeSnapshot(
       FlatLatestHivSummary.build(readFlat("flat_visit_summary").get),
       "flat_latest_hiv_summary")
+
+    // ---- purged-persons log update ----
+    // log' = (log \ every person queued this tick) ∪ purged-this-tick:
+    // a queued person's rows may have rematerialized (they were unvoided
+    // when some group rebuilt), so their log entry is no longer proof of
+    // absence; re-adding the tick's purge set is exact — those persons'
+    // rows were removed by every stage this tick.
+    purgeSet.foreach { p =>
+      val queued = tickQueues.map(_.select("person_id"))
+        .reduceOption(_ union _).map(_.distinct())
+      val kept = (purgedLog, queued) match {
+        case (Some(log), Some(q)) => log.join(q, Seq("person_id"), "left_anti")
+        case (Some(log), None) => log
+        case (None, _) => p.limit(0)
+      }
+      writeSnapshot(kept.union(p).distinct(), "purged_persons")
+      p.unpersist()
+    }
+    tickQueues.foreach(_.unpersist())
   }
 }

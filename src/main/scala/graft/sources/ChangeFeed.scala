@@ -1,0 +1,56 @@
+package graft.sources
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Date-partitioned change feeds: the O(delta) answer to the tick's
+  * retraction/purge scans (SCALE.md).
+  *
+  * The incremental stages discover work with single-column time-predicate
+  * scans (`date_created > wm`, `date_voided > wm`, `date_changed > wm`).
+  * Over a JDBC source those predicates push down to server-side indexes
+  * and are O(delta) already (JdbcSourceSpec); over a parquet snapshot they
+  * read one pruned column of the WHOLE table every tick — at 100 TB that
+  * is real money per tick even at column granularity, because a row
+  * voided in place carries no file-level ordering the reader can prune on.
+  *
+  * The fix is a layout, not an operator: keep the narrow change columns in
+  * a side feed partitioned by `change_day` = date of the row's latest
+  * modification (what any CDC export — Debezium, DMS, a nightly
+  * modified-rows dump — already produces). `readSince(wm)` then prunes at
+  * the PARTITION level and reads only days newer than the watermark:
+  * O(delta) files opened, independent of table size.
+  *
+  * Contract with the stages (`FlatObs.incremental` et al.): a feed row
+  * need only SEED key sets — every group rebuild re-reads the snapshot
+  * source-of-truth, and every time predicate is re-applied on the feed —
+  * so the feed may over-approximate freely (stale row versions, repeated
+  * appends, extra rows are all harmless). It must never MISS a row whose
+  * latest change is newer than the oldest stage watermark.
+  */
+object ChangeFeed {
+
+  val PartitionCol = "change_day"
+
+  /** Append `df`'s rows to the feed under their latest-modification day.
+    * `dateCols` are the columns that can carry a modification time
+    * (e.g. obs: date_created, date_voided; encounter: date_created,
+    * date_changed); `greatest` skips NULLs, and date_created is never
+    * NULL, so every row lands in exactly one day partition. A production
+    * deployment appends each captured row VERSION as it changes; tests
+    * and the bench bootstrap the feed from a snapshot, which yields the
+    * same read-side behavior (each row under its latest change day).
+    */
+  def append(df: DataFrame, path: String, dateCols: Seq[String]): Unit =
+    df.withColumn(PartitionCol, to_date(greatest(dateCols.map(col): _*)))
+      .write.partitionBy(PartitionCol).mode("append").parquet(path)
+
+  /** Rows whose latest modification is after `since` — a partition-pruned
+    * scan (>= at day granularity over-approximates the `> since`
+    * timestamp cut; the stages re-apply the exact predicates). */
+  def readSince(spark: SparkSession, path: String, since: Timestamp): DataFrame =
+    spark.read.parquet(path)
+      .filter(col(PartitionCol) >= to_date(lit(since)))
+      .drop(PartitionCol)
+}

@@ -1,0 +1,174 @@
+package graft.etl
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+import graft.sources.ChangeFeed
+import graft.tools.BenchFixtures
+
+/** The O(delta) tick-scan seam (round-6 judge ask #5): delta feeds and the
+  * purged-persons log must change WHAT the tick reads, never what it
+  * produces. Feeds seed key sets only (every predicate re-applied, every
+  * rebuild from the snapshot), so a feed-driven tick must be byte-
+  * equivalent to the full-scan tick; the purged log must purge a voided
+  * person exactly once and survive the unvoid/re-void cycle.
+  */
+class ChangeFeedSpec extends SparkSuite {
+
+  private def signature(df: DataFrame): (Long, Long) = {
+    val cols = df.columns.filter(_ != "obs_entries").sorted
+    val r = df.select(hash(cols.toIndexedSeq.map(col): _*).cast("long").as("h"))
+      .agg(count(lit(1)).as("n"), sum(col("h")).as("s")).first()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private val tables = Seq("flat_obs", "flat_orders", "flat_lab_obs",
+    "flat_visit_summary", "flat_latest_hiv_summary")
+
+  private def withBuckets[A](n: Int)(body: => A): A = {
+    val prev = spark.conf.getOption("graft.sink.buckets")
+    spark.conf.set("graft.sink.buckets", n.toString)
+    try body finally prev match {
+      case Some(v) => spark.conf.set("graft.sink.buckets", v)
+      case None => spark.conf.unset("graft.sink.buckets")
+    }
+  }
+
+  test("delta-feed tick is byte-equivalent to the full-scan tick") {
+    withBuckets(16) {
+      val src = BenchFixtures.sources(spark, 300)
+      val t1 = BenchFixtures.asOf(60)
+      val t2 = BenchFixtures.asOf(90)
+      def views(t: Timestamp) = (
+        BenchFixtures.obsAsOf(src("obs"), t).cache(),
+        BenchFixtures.encAsOf(src("encounter"), t).cache(),
+        BenchFixtures.ordersAsOf(src("orders"), t).cache(),
+        src("person").cache())
+      val (obs1, enc1, ord1, person) = views(t1)
+      val (obs2, enc2, ord2, _) = views(t2)
+
+      val work = java.nio.file.Files.createTempDirectory("graft-feed").toString
+      val pipeA = new Pipeline(spark, s"$work/a")
+      val pipeB = new Pipeline(spark, s"$work/b")
+      pipeA.tick(obs1, enc1, ord1, person)
+      pipeB.tick(obs1, enc1, ord1, person)
+
+      // bootstrap date-partitioned CDC exports from the t2 snapshot and
+      // read back only days newer than t1 — the partition-pruned feed
+      ChangeFeed.append(obs2, s"$work/feed/obs",
+        Seq("date_created", "date_voided"))
+      ChangeFeed.append(enc2, s"$work/feed/encounter",
+        Seq("date_created", "date_changed"))
+      ChangeFeed.append(ord2, s"$work/feed/orders",
+        Seq("date_created", "date_voided"))
+      val deltas = SourceDeltas(
+        obs = Some(ChangeFeed.readSince(spark, s"$work/feed/obs", t1)),
+        encounter = Some(ChangeFeed.readSince(spark, s"$work/feed/encounter", t1)),
+        orders = Some(ChangeFeed.readSince(spark, s"$work/feed/orders", t1)))
+
+      pipeA.tick(obs2, enc2, ord2, person)
+      pipeB.tick(obs2, enc2, ord2, person, deltas)
+
+      tables.foreach { t =>
+        assert(signature(pipeA.readFlat(t).get) == signature(pipeB.readFlat(t).get),
+          s"feed-driven $t diverged from the full-scan tick")
+      }
+      Seq(obs1, enc1, ord1, obs2, enc2, ord2, person).foreach(_.unpersist())
+    }
+  }
+
+  test("readSince opens only partitions newer than the watermark") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cf").toString
+    val rows = (1 to 20).map { i =>
+      (i, Timestamp.valueOf(f"2015-01-${i}%02d 10:00:00"),
+        if (i % 4 == 0) Timestamp.valueOf(f"2015-01-${i + 5}%02d 11:00:00") else null)
+    }.toDF("id", "date_created", "date_voided")
+    ChangeFeed.append(rows, dir, Seq("date_created", "date_voided"))
+    val since = Timestamp.valueOf("2015-01-15 00:00:00")
+    val got = ChangeFeed.readSince(spark, dir, since)
+    // every returned row's latest change is on/after the cut day
+    assert(got.count() ==
+      rows.filter(greatest(col("date_created"), col("date_voided"))
+        >= lit(since)).count())
+    // and the scan is partition-pruned at the FILE level (inputFiles is
+    // pre-pruning, so inspect the physical scan's selected partitions)
+    val scan = got.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val selected = scan.selectedPartitions.toPartitionArray
+      .map(_.filePath.toString.split("change_day=")(1).split("/")(0)).distinct.toSeq
+    assert(selected.nonEmpty)
+    assert(selected.forall(_ >= "2015-01-15"), // ISO dates sort lexically
+      s"readSince planned partitions outside the cut: $selected")
+    val allDays = rows.select(to_date(
+      greatest(col("date_created"), col("date_voided")))).distinct().count()
+    assert(selected.length < allDays,
+      "pruning read every partition - nothing was cut")
+  }
+
+  test("purged-persons log: purge once, survive the unvoid/re-void cycle") {
+    withBuckets(4) {
+      def ts(s: String) = Timestamp.valueOf(s)
+      def obsRow(id: Int, p: Int, e: Int, created: String): Row =
+        Row(id, p, Integer.valueOf(e), 1836, ts("2015-01-01 09:00:00"),
+          Integer.valueOf(1065), null, null, null, null, null, null,
+          ts(created), Integer.valueOf(0), null)
+      def mkObs(rows: Seq[Row]) =
+        spark.createDataFrame(sc.parallelize(rows, 1), Schemas.obs)
+      val encounter = spark.createDataFrame(sc.parallelize(Seq(
+        Row(100, 1, 500, ts("2015-01-01 09:00:00"), 21, 1,
+          ts("2015-01-01 09:30:00"), null, 0),
+        Row(101, 2, 501, ts("2015-01-01 09:00:00"), 21, 1,
+          ts("2015-01-01 09:30:00"), null, 0)), 1), Schemas.encounter)
+      val orders = spark.createDataFrame(
+        sc.parallelize(Seq(Row(1, 1, Integer.valueOf(100), 1000,
+          ts("2015-01-01 10:00:00"), 0, null)), 1), Schemas.orders)
+      def person(p2Voided: Int) = spark.createDataFrame(sc.parallelize(Seq(
+        Row(1, "u1", 0), Row(2, "u2", p2Voided)), 1), Schemas.person)
+
+      // a lab-panel row (concept 856) keeps flat_lab_obs non-empty — the
+      // bucketed sink refuses to read back an empty table
+      def labRow(id: Int, p: Int, e: Int, created: String): Row =
+        Row(id, p, Integer.valueOf(e), 856, ts("2015-01-01 09:00:00"),
+          null, java.lang.Double.valueOf(1234.0), null, null, null, null,
+          null, ts(created), Integer.valueOf(0), null)
+      val obs0 = mkObs(Seq(
+        obsRow(1, 1, 100, "2015-01-01 12:00:00"),
+        obsRow(2, 2, 101, "2015-01-01 12:00:00"),
+        labRow(9, 1, 100, "2015-01-01 12:00:00")))
+      val work = java.nio.file.Files.createTempDirectory("graft-purge").toString
+      val pipe = new Pipeline(spark, work)
+
+      def p2Rows: Long =
+        pipe.readFlat("flat_obs").get.filter(col("person_id") === 2).count()
+      def logPersons: Set[Int] =
+        pipe.readFlat("purged_persons").map(
+          _.collect().map(_.getInt(0)).toSet).getOrElse(Set.empty)
+
+      pipe.tick(obs0, encounter, orders, person(0)) // full build
+      assert(p2Rows == 1 && logPersons.isEmpty)
+
+      pipe.tick(obs0, encounter, orders, person(1)) // P2 voided -> purge
+      assert(p2Rows == 0 && logPersons == Set(2))
+
+      pipe.tick(obs0, encounter, orders, person(1)) // steady: no re-touch
+      assert(p2Rows == 0 && logPersons == Set(2),
+        "an already-purged person must stay in the log untouched")
+
+      // unvoid P2 WITH a new obs: the delta queues them, rows come back,
+      // and the log entry (no longer proof of absence) is dropped
+      val obs1 = mkObs(Seq(
+        obsRow(1, 1, 100, "2015-01-01 12:00:00"),
+        obsRow(2, 2, 101, "2015-01-01 12:00:00"),
+        labRow(9, 1, 100, "2015-01-01 12:00:00"),
+        obsRow(3, 2, 101, "2015-01-10 12:00:00")))
+      pipe.tick(obs1, encounter, orders, person(0))
+      assert(p2Rows == 1 && logPersons.isEmpty)
+
+      pipe.tick(obs1, encounter, orders, person(1)) // re-void -> purge again
+      assert(p2Rows == 0 && logPersons == Set(2))
+    }
+  }
+}
