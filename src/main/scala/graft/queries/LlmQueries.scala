@@ -144,6 +144,56 @@ object LlmQueries {
       |    (a.qcdot + a.pdsum) / (n.qn * sqrt(a.cn2 + 2*a.crsum + a.rnsum)) AS asim
       |  FROM agg a JOIN qn n USING (qid))""".stripMargin
 
+  // Shared IVF replay — seeds (16 lowest ids) -> two deterministic Lloyd
+  // rounds -> final assignment -> 3-cell probes with the query vector
+  // kept. q46's oracle is this prefix + exact in-cell ranking; q113 is
+  // this prefix + Hamming prefilter + exact rerank.
+  private val IvfProbeCtes =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+      |cent0 AS (SELECT vec_id AS cell, e AS cvec FROM v ORDER BY vec_id LIMIT 16),
+      |asg0 AS (
+      |  SELECT vec_id, e, cell FROM (
+      |    SELECT v.vec_id, v.e, c.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_dot_product(v.e, c.cvec) /
+      |        (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+      |        c.cell) rn
+      |    FROM v, cent0 c) t WHERE rn = 1),
+      |cent1 AS (
+      |  SELECT cell, list(mv ORDER BY pos) cvec FROM (
+      |    SELECT cell, pos, CAST(sum(CAST(x AS DECIMAL(27, 10))) AS DOUBLE) / count(*) mv
+      |    FROM (SELECT cell, unnest(e) x, generate_subscripts(e, 1) - 1 pos FROM asg0)
+      |    GROUP BY cell, pos) GROUP BY cell),
+      |asg1 AS (
+      |  SELECT vec_id, e, cell FROM (
+      |    SELECT v.vec_id, v.e, c.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_dot_product(v.e, c.cvec) /
+      |        (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+      |        c.cell) rn
+      |    FROM v, cent1 c) t WHERE rn = 1),
+      |cent AS (
+      |  SELECT cell, list(mv ORDER BY pos) cvec FROM (
+      |    SELECT cell, pos, CAST(sum(CAST(x AS DECIMAL(27, 10))) AS DOUBLE) / count(*) mv
+      |    FROM (SELECT cell, unnest(e) x, generate_subscripts(e, 1) - 1 pos FROM asg1)
+      |    GROUP BY cell, pos) GROUP BY cell),
+      |asg AS (
+      |  SELECT vec_id, e, cell FROM (
+      |    SELECT v.vec_id, v.e, c.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_dot_product(v.e, c.cvec) /
+      |        (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+      |        c.cell) rn
+      |    FROM v, cent c) t WHERE rn = 1),
+      |probes AS (
+      |  SELECT qid, qvec, cell FROM (
+      |    SELECT q.vec_id qid, q.e qvec, c.cell,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_dot_product(q.e, c.cvec) /
+      |        (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+      |        c.cell) rn
+      |    FROM v q, cent c WHERE q.vec_id < 5) t WHERE rn <= 3)""".stripMargin
+
   // Shared by q37 (codegen'd marker-argmax columns) and q84 (the same
   // semantics behind the FunctionLangId model-UDF adapter): one oracle,
   // two execution tiers — the swap contract checked end-to-end.
@@ -971,50 +1021,7 @@ object LlmQueries {
     // breaks the hash.
     OpQuery.sql(
       "q46_ann_ivf",
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
-        |cent0 AS (SELECT vec_id AS cell, e AS cvec FROM v ORDER BY vec_id LIMIT 16),
-        |asg0 AS (
-        |  SELECT vec_id, e, cell FROM (
-        |    SELECT v.vec_id, v.e, c.cell,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        list_dot_product(v.e, c.cvec) /
-        |        (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
-        |        c.cell) rn
-        |    FROM v, cent0 c) t WHERE rn = 1),
-        |cent1 AS (
-        |  SELECT cell, list(mv ORDER BY pos) cvec FROM (
-        |    SELECT cell, pos, CAST(sum(CAST(x AS DECIMAL(27, 10))) AS DOUBLE) / count(*) mv
-        |    FROM (SELECT cell, unnest(e) x, generate_subscripts(e, 1) - 1 pos FROM asg0)
-        |    GROUP BY cell, pos) GROUP BY cell),
-        |asg1 AS (
-        |  SELECT vec_id, e, cell FROM (
-        |    SELECT v.vec_id, v.e, c.cell,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        list_dot_product(v.e, c.cvec) /
-        |        (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
-        |        c.cell) rn
-        |    FROM v, cent1 c) t WHERE rn = 1),
-        |cent AS (
-        |  SELECT cell, list(mv ORDER BY pos) cvec FROM (
-        |    SELECT cell, pos, CAST(sum(CAST(x AS DECIMAL(27, 10))) AS DOUBLE) / count(*) mv
-        |    FROM (SELECT cell, unnest(e) x, generate_subscripts(e, 1) - 1 pos FROM asg1)
-        |    GROUP BY cell, pos) GROUP BY cell),
-        |asg AS (
-        |  SELECT vec_id, e, cell FROM (
-        |    SELECT v.vec_id, v.e, c.cell,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        list_dot_product(v.e, c.cvec) /
-        |        (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
-        |        c.cell) rn
-        |    FROM v, cent c) t WHERE rn = 1),
-        |probes AS (
-        |  SELECT qid, qvec, cell FROM (
-        |    SELECT q.vec_id qid, q.e qvec, c.cell,
-        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |        list_dot_product(q.e, c.cvec) /
-        |        (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
-        |        c.cell) rn
-        |    FROM v q, cent c WHERE q.vec_id < 5) t WHERE rn <= 3),
+      IvfProbeCtes + "," + """
         |cand AS (
         |  SELECT p.qid, a.vec_id,
         |    list_dot_product(p.qvec, a.e) /
@@ -1037,6 +1044,49 @@ object LlmQueries {
           .select(col("vec_id").as("qid"), col("vec").as("qvec"))
         Similarity.ivfSearch(queries, assigned, centroids, nProbe = 3, k = 5)
           .select(col("qid"), col("vec_id").as("neighbor_id"),
+            round(col("sim"), 6).as("sim"), col("rank"))
+    },
+
+    // The fully composed three-stage ANN (round-6 ask #6): IVF probes
+    // bound WHICH vectors a query considers, 8-byte sign signatures bound
+    // what each considered row COSTS (XOR+popcount, no float math), and
+    // the exact rerank restores full precision over the 30 survivors.
+    // Unlike q99's labeled whole-corpus Hamming scan, the prefilter here
+    // is an equi-join on the probed cells — no all-pairs stage anywhere.
+    // The oracle replays seeds, both Lloyd rounds, assignment, probes,
+    // the integer Hamming cut, and the rerank ranks.
+    OpQuery.sql(
+      "q113_ann_ivf_binary_rerank",
+      IvfProbeCtes + "," + """
+        |hh AS (
+        |  SELECT p.qid, p.qvec, a.vec_id, a.e,
+        |    CAST(list_sum(list_transform(generate_series(1, 64),
+        |      d -> CASE WHEN (p.qvec[d] > 0) <> (a.e[d] > 0) THEN 1 ELSE 0 END)) AS INT) hamming
+        |  FROM probes p JOIN asg a USING (cell)
+        |  WHERE a.vec_id <> p.qid),
+        |cand AS (
+        |  SELECT qid, vec_id, hamming, qvec, e,
+        |    row_number() OVER (PARTITION BY qid ORDER BY hamming, vec_id) crank
+        |  FROM hh QUALIFY crank <= 30),
+        |r AS (
+        |  SELECT qid, vec_id, hamming,
+        |    list_dot_product(qvec, e) /
+        |      (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(e, e))) sim
+        |  FROM cand)
+        |SELECT qid, vec_id AS neighbor_id, hamming, round(sim, 6) AS sim,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+        |FROM r QUALIFY rank <= 5""".stripMargin) {
+      (s, dir) =>
+        val emb = load(s, dir, "embeddings")
+          .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
+        val seeds = Similarity.ivfCentroids(emb, 16)
+        val centroids = Similarity.ivfRefine(emb, seeds, iters = 2)
+        val assigned = Similarity.ivfAssign(emb, centroids)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        Similarity.ivfBinarySearchRerank(queries, assigned, centroids,
+          dims = 64, nProbe = 3, nCandidates = 30, k = 5)
+          .select(col("qid"), col("vec_id").as("neighbor_id"), col("hamming"),
             round(col("sim"), 6).as("sim"), col("rank"))
     },
 
@@ -1628,6 +1678,35 @@ object LlmQueries {
           .toDF("media_id", "n_px", "px_checksum")
     },
 
+    // q93's streams re-framed with RESTART MARKERS (round-6 ask #7): DRI
+    // intervals 1-3 MCUs per image, byte-aligned RSTn resync with the
+    // cycling-index check and DC predictor reset exercised on every
+    // image. Restarts change entropy framing, not pixels, so q93's
+    // pixel-replay oracle applies verbatim — a decoder that mishandles
+    // the resync (skews a segment, keeps a stale predictor) shifts every
+    // later block's DC and breaks the checksum.
+    OpQuery.sql(
+      "q114_jpeg_restart_decode",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(8 * (1 + doc_id % 2) AS BIGINT) AS w,
+        |    CAST(8 * (1 + doc_id % 3) AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |y AS (SELECT *, unnest(generate_series(0, h - 1)) AS py FROM v),
+        |x AS (SELECT *, unnest(generate_series(0, w - 1)) AS px FROM y),
+        |b AS (SELECT id, (id + 5 * (px // 8) + 9 * (py // 8)) % 256 AS v
+        |  FROM x)
+        |SELECT id AS media_id, CAST(count(*) AS INTEGER) AS n_px,
+        |  CAST(sum(v) AS BIGINT) AS px_checksum
+        |FROM b GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        Multimodal.decodeJpegFrames(
+            Multimodal.jpegRestartImagesFromDocuments(s, load(s, dir, "documents")))
+          .map(fr => (fr.media_id, fr.px.length,
+            fr.px.foldLeft(0L)((acc, b) => acc + (b & 0xff))))
+          .toDF("media_id", "n_px", "px_checksum")
+    },
+
     // COLOR baseline JPEG (4:2:0): real multi-component Huffman decode,
     // MCU interleave, per-component quant/Huffman table bindings, chroma
     // upsampling, fixed-point YCbCr->RGB. MCU-flat fixtures are exact
@@ -1686,6 +1765,64 @@ object LlmQueries {
       (s, dir) =>
         Multimodal.decodeGifRgbStats(
           Multimodal.gifImagesFromDocuments(s, load(s, dir, "documents")))
+    },
+
+    // q111's fixtures stored INTERLACED (four-pass row order, flag 0x40):
+    // the decoder must un-permute rows after the identical LZW layer.
+    // Pixels match the sequential encode exactly, so q111's oracle
+    // applies verbatim; a decoder that ignores the flag scrambles rows
+    // and (the pattern varies by row) breaks every channel sum.
+    OpQuery.sql(
+      "q116_gif_interlaced_decode",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(5 + doc_id % 20 AS BIGINT) AS w,
+        |    CAST(4 + doc_id % 15 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |y AS (SELECT *, unnest(generate_series(0, h - 1)) AS py FROM v),
+        |x AS (SELECT *, unnest(generate_series(0, w - 1)) AS px FROM y),
+        |c AS (SELECT id, (id + 3 * px + 7 * py) % 8 AS ci FROM x),
+        |p AS (SELECT id,
+        |    (id * 17 + 29 * ci) % 256 AS r,
+        |    (id * 23 + 31 * ci) % 256 AS g,
+        |    (id * 13 + 37 * ci) % 256 AS b
+        |  FROM c)
+        |SELECT id AS media_id, CAST(count(*) AS INTEGER) AS n_px,
+        |  CAST(sum(r) AS BIGINT) AS r_sum, CAST(sum(g) AS BIGINT) AS g_sum,
+        |  CAST(sum(b) AS BIGINT) AS b_sum
+        |FROM p GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        Multimodal.decodeGifRgbStats(
+          Multimodal.gifInterlacedImagesFromDocuments(s, load(s, dir, "documents")))
+    },
+
+    // Sub-8-bit palette PNGs (depth 1/2/4 cycling by id): bit-packed
+    // scanlines under the standard byte-stride filters, MSB-first field
+    // unpacking, full-palette indexing — what small-palette encoders
+    // actually emit. The oracle replays every pixel's palette entry from
+    // id arithmetic.
+    OpQuery.sql(
+      "q117_png_sub8_decode",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(4 + doc_id % 5 AS BIGINT) AS w,
+        |    CAST(3 + doc_id % 4 AS BIGINT) AS h,
+        |    CASE (doc_id // 3) % 3 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 16 END AS npal
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |y AS (SELECT *, unnest(generate_series(0, h - 1)) AS py FROM v),
+        |x AS (SELECT *, unnest(generate_series(0, w - 1)) AS px FROM y),
+        |c AS (SELECT id, (id + 3 * px + 7 * py) % npal AS ci FROM x),
+        |p AS (SELECT id,
+        |    (id * 17 + 29 * ci) % 256 AS r,
+        |    (id * 23 + 31 * ci) % 256 AS g,
+        |    (id * 13 + 37 * ci) % 256 AS b
+        |  FROM c)
+        |SELECT id AS media_id, CAST(3 AS INTEGER) AS color_type,
+        |  CAST(count(*) AS INTEGER) AS n_px,
+        |  CAST(sum(r) AS BIGINT) AS r_sum, CAST(sum(g) AS BIGINT) AS g_sum,
+        |  CAST(sum(b) AS BIGINT) AS b_sum
+        |FROM p GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        Multimodal.decodePngChannelStats(
+          Multimodal.pngSub8ImagesFromDocuments(s, load(s, dir, "documents")))
     },
 
     // G.711 companded audio (telephony speech corpora): μ-law (odd ids)

@@ -151,4 +151,36 @@ class AnnRecallSpec extends SparkSuite {
     // widening the candidate cut must monotonically help (same rerank)
     assert(r60 >= r30, f"recall fell as candidates widened: $r30%.3f -> $r60%.3f")
   }
+
+  test("composed IVF + Hamming prefilter + rerank approaches the probe ceiling") {
+    import spark.implicits._
+    val emb = rows.toDF("vec_id", "vec")
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val seeds = Similarity.ivfCentroids(emb, C)
+    val refined = Similarity.ivfRefine(emb, seeds, iters = 2)
+    val assigned = Similarity.ivfAssign(emb, refined)
+
+    // ceiling: exact cosine over everything in the probed cells
+    val rProbe = recall(
+      Similarity.ivfSearch(queries, assigned, refined, nProbe = 3, k = K))
+    // composed: same probe set, but candidates pass through the 8-byte
+    // Hamming cut before the exact rerank — the only recall it can lose
+    // is a true neighbor the sign sketch ranks outside the top-30 of
+    // its probed cells
+    val rComposed = recall(
+      Similarity.ivfBinarySearchRerank(queries, assigned, refined,
+        dims = Dim, nProbe = 3, nCandidates = 30, k = K))
+    info(f"IVF probe ceiling $rProbe%.3f -> composed+Hamming30 $rComposed%.3f")
+    assert(rProbe > 0.85, f"probe ceiling unexpectedly low: $rProbe%.3f")
+    assert(rComposed > rProbe - 0.15,
+      f"Hamming prefilter cost too much recall: $rProbe%.3f -> $rComposed%.3f")
+    // and widening the cut recovers the ceiling: with every probed-cell
+    // member surviving the prefilter, the composed search IS ivfSearch
+    val rWide = recall(
+      Similarity.ivfBinarySearchRerank(queries, assigned, refined,
+        dims = Dim, nProbe = 3, nCandidates = N, k = K))
+    assert(rWide == rProbe,
+      f"composed with an uncut prefilter must equal ivfSearch: $rWide%.3f vs $rProbe%.3f")
+  }
 }
