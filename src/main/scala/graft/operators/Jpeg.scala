@@ -226,10 +226,21 @@ object Jpeg {
 
   /** Encode a row-major grayscale plane as baseline JFIF. Dimensions
     * need not be block-aligned; partial edge blocks replicate the last
-    * row/column (the standard encoder convention). */
-  def encodeGray(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+    * row/column (the standard encoder convention).
+    *
+    * `restartInterval` > 0 writes a DRI segment and splits the entropy
+    * stream into byte-aligned restart segments of that many MCUs (one
+    * block each in grayscale), separated by RST0..RST7 cycling markers
+    * with the DC predictor reset at each — what real camera output uses
+    * so a corrupted segment loses one interval, not the whole scan
+    * (T.81 B.2.4.4, E.2.4).
+    */
+  def encodeGray(w: Int, h: Int, px: Array[Byte],
+      restartInterval: Int = 0): Array[Byte] = {
     require(w >= 1 && h >= 1 && px.length == w * h,
       s"need $w*$h=${w * h} pixels, got ${px.length}")
+    require(restartInterval >= 0 && restartInterval <= 0xffff,
+      s"restart interval must fit DRI's 16 bits: $restartInterval")
     val out = new java.io.ByteArrayOutputStream()
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def seg(m: Int, body: Array[Int]): Unit = {
@@ -245,25 +256,45 @@ object Jpeg {
     seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 1, 1, 0x11, 0))
     // DHT: DC class 0 id 0, then AC class 1 id 0
     seg(0xc4, (0x00 +: (dcBits ++ dcVals)) ++ (0x10 +: (acBits ++ acVals)))
+    if (restartInterval > 0) // DRI: restart every Ri MCUs
+      seg(0xdd, Array(restartInterval >> 8, restartInterval & 0xff))
     // SOS: 1 component, DC/AC table 0, full spectral range
     seg(0xda, Array(1, 1, 0x00, 0, 63, 0))
 
     val dcCodes = canonicalCodes(dcBits, dcVals)
     val acCodes = canonicalCodes(acBits, acVals)
-    val bw = new BitWriter
+    var bw = new BitWriter
     var prevDc = 0
+    var sinceRestart = 0
+    var rst = 0
     val blocksX = (w + 7) / 8
     val blocksY = (h + 7) / 8
+    val nBlocks = blocksX * blocksY
+    var done = 0
     var by = 0
     while (by < blocksY) {
       var bx = 0
       while (bx < blocksX) {
+        if (restartInterval > 0 && sinceRestart == restartInterval) {
+          // close the segment (1-padded to a byte), emit the cycling
+          // marker UNSTUFFED, reset the predictor
+          val segBytes = bw.finish()
+          out.write(segBytes, 0, segBytes.length)
+          marker(0xd0 + rst)
+          rst = (rst + 1) % 8
+          bw = new BitWriter
+          prevDc = 0
+          sinceRestart = 0
+        }
         prevDc = encodeBlock(bw, gatherBlock(px, w, h, bx, by),
           quant, dcCodes, acCodes, prevDc)
+        sinceRestart += 1
+        done += 1
         bx += 1
       }
       by += 1
     }
+    require(done == nBlocks)
     val entropy = bw.finish()
     out.write(entropy, 0, entropy.length)
     marker(0xd9) // EOI
@@ -400,6 +431,24 @@ object Jpeg {
       var k = 0
       while (k < n) { v = (v << 1) | bit(); k += 1 }
       v
+    }
+    /** Byte-align and consume the next marker if it is RSTn: discards
+      * the current partial byte (the encoder 1-padded it), skips 0xFF
+      * fill bytes (T.81 B.1.1.2 allows any number before a marker), and
+      * returns the restart index 0-7 — None if what follows is not a
+      * well-formed restart marker (missing, truncated, or some other
+      * marker: the caller fails the stream rather than resyncing into
+      * garbage). */
+    def restart(): Option[Int] = {
+      nBits = 0
+      if (i + 1 >= p.length || (p(i) & 0xff) != 0xff) return None
+      var j = i + 1
+      while (j < p.length - 1 && (p(j) & 0xff) == 0xff) j += 1
+      val m = p(j) & 0xff
+      if (m < 0xd0 || m > 0xd7) return None
+      i = j + 1
+      truncated = false
+      Some(m - 0xd0)
     }
   }
 
@@ -558,6 +607,7 @@ object Jpeg {
     val dcTabs = new Array[HuffTable](4)
     val acTabs = new Array[HuffTable](4)
     var comps: Array[Comp] = null
+    var restartInterval = 0
     var sosAt = -1
     while (sosAt < 0) {
       if (i + 4 > p.length) return None
@@ -626,7 +676,9 @@ object Jpeg {
             }
             j += 17 + n
           }
-        case 0xdd => return None // DRI / restart intervals out of contract
+        case 0xdd => // DRI: restart every Ri MCUs (0 disables)
+          if (bodyLen != 2) return None
+          restartInterval = ((p(body) & 0xff) << 8) | (p(body + 1) & 0xff)
         case 0xda =>
           if (comps == null) return None
           val ns = p(body) & 0xff
@@ -661,10 +713,24 @@ object Jpeg {
     }
     val br = new BitReader(p, sosAt)
     val prevDc = new Array[Int](comps.length)
+    var mcuCount = 0
+    var expectRst = 0
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
+        if (restartInterval > 0 && mcuCount > 0 &&
+            mcuCount % restartInterval == 0) {
+          // byte-aligned resync on the CYCLING marker index (a skipped or
+          // repeated segment shows up as an index mismatch), DC
+          // predictors reset (T.81 E.2.4)
+          br.restart() match {
+            case Some(m) if m == expectRst =>
+              expectRst = (expectRst + 1) % 8
+              java.util.Arrays.fill(prevDc, 0)
+            case _ => return None
+          }
+        }
         var ci = 0
         while (ci < comps.length) {
           val c = comps(ci)
@@ -688,6 +754,7 @@ object Jpeg {
           }
           ci += 1
         }
+        mcuCount += 1
         mx += 1
       }
       my += 1

@@ -83,6 +83,68 @@ class JpegSpec extends AnyFunSuite {
         "emitted a 0xFF entropy byte, so the unstuffing path is untested")
   }
 
+  test("restart markers: DRI intervals round-trip, hostile variants rejected") {
+    val w = 40; val h = 24 // 5x3 = 15 MCUs
+    val px = Array.tabulate(w * h) { k =>
+      val bx = (k % w) / 8; val by = (k / w) / 8
+      ((3 + 5L * bx + 9L * by) % 256).toByte
+    }
+    def rstPositions(jpg: Array[Byte]): Seq[Int] =
+      (2 until jpg.length - 1).filter(i => (jpg(i) & 0xff) == 0xff &&
+        (jpg(i + 1) & 0xff) >= 0xd0 && (jpg(i + 1) & 0xff) <= 0xd7)
+    // intervals that divide 15, don't divide it, force index cycling
+    // (ri=1 -> 14 markers wraps RST0..RST7 twice), and exceed the MCU
+    // count (DRI present, zero markers)
+    for (ri <- Seq(1, 2, 3, 5, 7, 100)) {
+      val jpg = Jpeg.encodeGray(w, h, px, restartInterval = ri)
+      val nMarkers = rstPositions(jpg).size
+      assert(nMarkers == (15 - 1) / ri,
+        s"ri=$ri: expected ${(15 - 1) / ri} restart markers, found $nMarkers")
+      assert(Jpeg.decodeGray(jpg).exists { case (gw, gh, gpx) =>
+        gw == w && gh == h && gpx.toSeq == px.toSeq }, s"ri=$ri")
+    }
+    // ri=0 stays the legacy stream: no DRI, no markers, byte-identical
+    assert(Jpeg.encodeGray(w, h, px).toSeq ==
+      Jpeg.encodeGray(w, h, px, restartInterval = 0).toSeq)
+    assert(rstPositions(Jpeg.encodeGray(w, h, px)).isEmpty)
+
+    // AC-heavy noise content still round-trips within quant tolerance
+    // across a restart boundary
+    val rnd = new scala.util.Random(7)
+    val noisy = Array.tabulate(w * h) { k =>
+      ((8 * (k % w) + 5 * (k / w) + rnd.nextInt(32)) % 256).toByte
+    }
+    val njpg = Jpeg.encodeGray(w, h, noisy, restartInterval = 4)
+    val (_, _, npx) = Jpeg.decodeGray(njpg).get
+    assert(noisy.indices.map(k =>
+      math.abs((noisy(k) & 0xff) - (npx(k) & 0xff))).max <= 24)
+
+    // hostile variants, all rejected rather than resynced into garbage:
+    val good = Jpeg.encodeGray(w, h, px, restartInterval = 2)
+    val p0 = rstPositions(good).head
+    // (a) wrong cycle index — RST0 flipped to RST5
+    val wrongIdx = good.clone(); wrongIdx(p0 + 1) = 0xd5.toByte
+    assert(Jpeg.decodeGray(wrongIdx).isEmpty)
+    // (b) marker excised — entropy bytes from the next segment read as
+    // a continuation and the cycle check or block structure breaks
+    val excised = good.take(p0) ++ good.drop(p0 + 2)
+    assert(Jpeg.decodeGray(excised).isEmpty)
+    // (c) DRI promises an interval the stream never delivers
+    val plain = Jpeg.encodeGray(w, h, px) // no markers
+    val sosLess = plain.take(2)
+    val dri = Array(0xff, 0xdd, 0x00, 0x04, 0x00, 0x02).map(_.toByte)
+    val injected = sosLess ++ dri ++ plain.drop(2)
+    assert(Jpeg.decodeGray(injected).isEmpty)
+    // (d) truncation INSIDE a later restart segment
+    assert(Jpeg.decodeGray(good.take(good.length - 6)).isEmpty)
+    // (e) malformed DRI length
+    val badDri = good.clone()
+    val driAt = (2 until badDri.length - 1).find(i =>
+      (badDri(i) & 0xff) == 0xff && (badDri(i + 1) & 0xff) == 0xdd).get
+    badDri(driAt + 3) = 0x05.toByte // len 5: body != 2 bytes
+    assert(Jpeg.decodeGray(badDri).isEmpty)
+  }
+
   test("out-of-contract and hostile streams are rejected, never mis-decoded") {
     val good = Jpeg.encodeGray(16, 16, Array.tabulate(256)(_.toByte))
     assert(Jpeg.decodeGray(good).isDefined)
