@@ -9,19 +9,31 @@ package graft.operators
   * reset.
   *
   * Contract (reject-don't-guess, like the other codecs): global color
-  * table required, first image block only, no interlace, no local color
-  * table, 64M-pixel dimension cap checked before any allocation.
+  * table required, first image block only, no local color table,
+  * 64M-pixel dimension cap checked before any allocation. Four-pass
+  * interlace (flag 0x40) is supported on both sides — row placement
+  * only; the LZW layer is identical.
   * Extension blocks (0x21) are skipped. Citations: GIF89a specification
   * (CompuServe, public), T.81-adjacent LZW as specified there — variable
   * width 3..12 bits LSB-first, clear/EOI codes, early-change OFF.
   */
 object Gif {
 
+  /** Display-row order of the four GIF interlace passes for height `h`
+    * (GIF89a appendix E): rows 0,8,16.. then 4,12.. then 2,6.. then
+    * odd rows. `result(s)` = the display row stored at position `s`. */
+  private[operators] def interlaceRows(h: Int): Array[Int] =
+    Array.range(0, h, 8) ++ Array.range(4, h, 8) ++
+      Array.range(2, h, 4) ++ Array.range(1, h, 2)
+
   /** Encode a palette-indexed image as GIF89a. `palette` holds packed
     * 0xRRGGBB ints (length a power of two, 2..256); `indices` row-major,
-    * each < palette.length. */
+    * each < palette.length. `interlaced` stores rows in the four-pass
+    * GIF interlace order (flag 0x40 in the image descriptor) — the
+    * entropy layer is identical, only row placement changes. */
   def encodeIndexed(
-      w: Int, h: Int, palette: Array[Int], indices: Array[Byte]): Array[Byte] = {
+      w: Int, h: Int, palette: Array[Int], indices: Array[Byte],
+      interlaced: Boolean = false): Array[Byte] = {
     require(w >= 1 && h >= 1 && indices.length == w * h,
       s"need $w*$h=${w * h} indices, got ${indices.length}")
     require(palette.length >= 2 && palette.length <= 256 &&
@@ -39,9 +51,21 @@ object Gif {
     }
     out.write(0x2c) // image descriptor
     le16(0); le16(0); le16(w); le16(h)
-    out.write(0) // no local table, no interlace
+    out.write(if (interlaced) 0x40 else 0) // no local table
     val minCode = math.max(2, palBits)
     out.write(minCode)
+    val src =
+      if (!interlaced) indices
+      else {
+        val reordered = new Array[Byte](indices.length)
+        val rows = interlaceRows(h)
+        var s = 0
+        while (s < h) {
+          System.arraycopy(indices, rows(s) * w, reordered, s * w, w)
+          s += 1
+        }
+        reordered
+      }
 
     // LZW encode, LSB-first bit packing into <=255-byte sub-blocks
     val clear = 1 << minCode
@@ -78,10 +102,10 @@ object Gif {
     var dict = new java.util.HashMap[Integer, Integer]()
     var dictNext = eoi + 1
     emit(clear, isData = false)
-    var cur = indices(0) & 0xff
+    var cur = src(0) & 0xff
     var i = 1
-    while (i < indices.length) {
-      val k = indices(i) & 0xff
+    while (i < src.length) {
+      val k = src(i) & 0xff
       val key = Integer.valueOf((cur << 8) | k)
       val hit = dict.get(key)
       if (hit != null) cur = hit.intValue()
@@ -147,7 +171,8 @@ object Gif {
     val w = le16(i + 5); val h = le16(i + 7)
     val iflags = p(i + 9) & 0xff
     if (left != 0 || top != 0 || w != sw || h != sh) return None
-    if ((iflags & 0x80) != 0 || (iflags & 0x40) != 0) return None // local table / interlace
+    if ((iflags & 0x80) != 0) return None // local color table off-contract
+    val interlaced = (iflags & 0x40) != 0
     i += 10
     if (i >= p.length) return None
     val minCode = p(i) & 0xff
@@ -254,7 +279,20 @@ object Gif {
       if ((out(v) & 0xff) >= palette.length) return None
       v += 1
     }
-    Some((w, h, palette, out))
+    val display =
+      if (!interlaced) out
+      else {
+        // stored position s holds display row interlaceRows(h)(s)
+        val d = new Array[Byte](out.length)
+        val rows = interlaceRows(h)
+        var s = 0
+        while (s < h) {
+          System.arraycopy(out, s * w, d, rows(s) * w, w)
+          s += 1
+        }
+        d
+      }
+    Some((w, h, palette, display))
   }
 
   /** Decode to interleaved RGB via the palette. */

@@ -743,10 +743,12 @@ object Multimodal {
     * bytes back (PNG spec §6.6), which is what makes this one loop serve
     * grayscale (bpp 1), truecolor (bpp 3), and palette indices (bpp 1). */
   private def pngEncode(w: Int, h: Int, colorType: Int, bpp: Int,
-      data: Array[Byte], plte: Array[Byte]): Array[Byte] = {
-    require(w >= 1 && h >= 1 && data.length == w * h * bpp,
-      s"need $w*$h*$bpp=${w * h * bpp} bytes, got ${data.length}")
-    val rowBytes = w * bpp
+      data: Array[Byte], plte: Array[Byte], depth: Int = 8): Array[Byte] = {
+    // depth < 8 (palette only): `data` is already bit-packed per row and
+    // filters operate at 1-byte stride (PNG 4.5.4: bpp rounds up to 1)
+    val rowBytes = if (depth == 8) w * bpp else (w * depth + 7) / 8
+    require(w >= 1 && h >= 1 && data.length == rowBytes * h,
+      s"need $rowBytes*$h=${rowBytes * h} bytes, got ${data.length}")
     val raw = new Array[Byte]((rowBytes + 1) * h)
     var y = 0
     while (y < h) {
@@ -785,7 +787,7 @@ object Multimodal {
       be32bytes(data.length) ++ t ++ data ++ be32bytes(crc.getValue.toInt)
     }
     val ihdr = be32bytes(w) ++ be32bytes(h) ++
-      Array[Byte](8, colorType.toByte, 0, 0, 0)
+      Array[Byte](depth.toByte, colorType.toByte, 0, 0, 0)
     PngSig ++ chunk("IHDR", ihdr) ++
       (if (plte == null) Array.emptyByteArray else chunk("PLTE", plte)) ++
       chunk("IDAT", idatBuf.toByteArray) ++
@@ -802,14 +804,39 @@ object Multimodal {
   def pngRgb(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] =
     pngEncode(w, h, colorType = 2, bpp = 3, rgb, null)
 
-  /** Palette (color type 3) PNG: one index byte per pixel + a PLTE chunk
-    * of RGB triples. Every index must address a palette entry. */
-  def pngIndexed(w: Int, h: Int, idx: Array[Byte], palette: Array[Byte]): Array[Byte] = {
+  /** Palette (color type 3) PNG: one index PER PIXEL (unpacked, whatever
+    * the depth) + a PLTE chunk of RGB triples. Every index must address a
+    * palette entry. `depth` 1/2/4 bit-packs indices MSB-first within each
+    * scanline byte (PNG 7.2) — what small-palette encoders emit; rows pad
+    * to a byte boundary. */
+  def pngIndexed(w: Int, h: Int, idx: Array[Byte], palette: Array[Byte],
+      depth: Int = 8): Array[Byte] = {
     require(palette.length % 3 == 0 && palette.length >= 3 &&
       palette.length <= 256 * 3, s"palette must be 1-256 RGB triples")
+    require(depth == 1 || depth == 2 || depth == 4 || depth == 8,
+      s"palette bit depth must be 1/2/4/8, got $depth")
     val n = palette.length / 3
+    require(n <= (1 << depth), s"$n palette entries need more than $depth bits")
     require(idx.forall(b => (b & 0xff) < n), s"index out of palette range $n")
-    pngEncode(w, h, colorType = 3, bpp = 1, idx, palette)
+    if (depth == 8) pngEncode(w, h, colorType = 3, bpp = 1, idx, palette)
+    else {
+      require(idx.length == w * h, s"need $w*$h indices, got ${idx.length}")
+      val rowBytes = (w * depth + 7) / 8
+      val packed = new Array[Byte](rowBytes * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val bit = x * depth
+          packed(y * rowBytes + (bit >> 3)) =
+            (packed(y * rowBytes + (bit >> 3)) |
+              ((idx(y * w + x) & 0xff) << (8 - depth - (bit & 7)))).toByte
+          x += 1
+        }
+        y += 1
+      }
+      pngEncode(w, h, colorType = 3, bpp = 1, packed, palette, depth)
+    }
   }
 
   /** A decoded PNG: `channels` is 1 (grayscale) or 3 (RGB — truecolor,
@@ -819,17 +846,18 @@ object Multimodal {
   final case class PngImage(w: Int, h: Int, color_type: Int, channels: Int,
       px: Array[Byte])
 
-  /** Decode an 8-bit PNG of color type 0 (grayscale), 2 (truecolor), or
-    * 3 (palette): signature check, chunk walk with CRC verification,
-    * concatenated IDATs inflated, all five filters reconstructed at the
-    * color type's byte-per-pixel stride, palette indices expanded through
+  /** Decode a PNG of color type 0 (grayscale, 8-bit), 2 (truecolor,
+    * 8-bit), or 3 (palette, bit depth 1/2/4/8): signature check, chunk
+    * walk with CRC verification, concatenated IDATs inflated, all five
+    * filters reconstructed at the color type's byte stride, sub-8-bit
+    * scanlines unpacked MSB-first, palette indices expanded through
     * PLTE. None for anything else — wrong signature, unsupported
     * depth/interlace, CRC mismatch, truncated/corrupt deflate stream,
     * missing PLTE, or an index addressing past the palette. */
   def pngDecode(p: Array[Byte]): Option[PngImage] = {
     if (p.length < 8 || !p.startsWith(PngSig)) return None
     var i = 8
-    var w = 0; var h = 0; var colorType = -1
+    var w = 0; var h = 0; var colorType = -1; var depth = 8
     var plte: Array[Byte] = null
     var seenIhdr = false; var seenIend = false
     val idat = new java.io.ByteArrayOutputStream()
@@ -847,9 +875,13 @@ object Multimodal {
           seenIhdr = true
           w = be32(p, i + 8); h = be32(p, i + 12)
           colorType = p(i + 17) & 0xff
-          // bit depth 8, color type 0/2/3, deflate, adaptive filtering,
-          // no interlace — everything else is out of contract
-          if (w <= 0 || h <= 0 || len != 13 || p(i + 16) != 8 ||
+          depth = p(i + 16) & 0xff
+          // bit depth 8 (palette also 1/2/4 — small-palette packing),
+          // color type 0/2/3, deflate, adaptive filtering, no
+          // interlace — everything else is out of contract
+          val depthOk = depth == 8 || (colorType == 3 &&
+            (depth == 1 || depth == 2 || depth == 4))
+          if (w <= 0 || h <= 0 || len != 13 || !depthOk ||
             (colorType != 0 && colorType != 2 && colorType != 3) ||
             p(i + 18) != 0 || p(i + 19) != 0 ||
             p(i + 20) != 0) return None
@@ -872,7 +904,7 @@ object Multimodal {
     if (!seenIhdr || w.toLong * h > (1L << 26)) return None
     if (colorType == 3 && plte == null) return None // palette needs PLTE
     val bpp = if (colorType == 2) 3 else 1
-    val rowBytes = w * bpp
+    val rowBytes = if (depth == 8) w * bpp else (w * depth + 7) / 8
     val raw = new Array[Byte]((rowBytes + 1) * h)
     val inflater = new java.util.zip.Inflater()
     try {
@@ -911,13 +943,32 @@ object Multimodal {
       y += 1
     }
     if (colorType == 3) {
+      // sub-8-bit scanlines: unpack MSB-first fields to one index per
+      // pixel (trailing pad bits of each row are ignored, per spec)
+      val idxArr =
+        if (depth == 8) out
+        else {
+          val u = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val bit = x * depth
+              u(y * w + x) = (((out(y * rowBytes + (bit >> 3)) & 0xff)
+                >> (8 - depth - (bit & 7))) & ((1 << depth) - 1)).toByte
+              x += 1
+            }
+            y += 1
+          }
+          u
+        }
       // expand indices through the palette into interleaved RGB; an
       // index past the palette is a corrupt file, not a decodable image
       val n = plte.length / 3
       val rgb = new Array[Byte](w * h * 3)
       var k = 0
-      while (k < out.length) {
-        val idx = out(k) & 0xff
+      while (k < idxArr.length) {
+        val idx = idxArr(k) & 0xff
         if (idx >= n) return None
         rgb(k * 3) = plte(idx * 3)
         rgb(k * 3 + 1) = plte(idx * 3 + 1)
@@ -982,6 +1033,29 @@ object Multimodal {
       })
   }
 
+  /** The q93 grayscale fixtures re-encoded WITH restart markers: DRI
+    * interval 1 + (id % 3) MCUs, so the per-image streams cover markers
+    * every block, every 2, and every 3 — including images where the
+    * interval does not divide the MCU count and ones long enough to wrap
+    * the RST0..RST7 cycle. Pixels are identical to q93's by
+    * construction (restarts change framing, not content), so q114
+    * shares q93's pixel-replay oracle verbatim. */
+  def jpegRestartImagesFromDocuments(
+      spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.filter(col("doc_id") % 3 === 1).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 8 * (1 + (id % 2).toInt)
+        val h = 8 * (1 + (id % 3).toInt)
+        val px = Array.tabulate(w * h) { k =>
+          val bx = (k % w) / 8; val by = (k / w) / 8
+          ((id + 5L * bx + 9L * by) % 256).toByte
+        }
+        MediaRow(id, "image",
+          Jpeg.encodeGray(w, h, px, restartInterval = 1 + (id % 3).toInt))
+      })
+  }
+
   /** Palette-indexed GIF fixtures (doc_id % 3 == 0): arbitrary (non-
     * aligned) dimensions, an 8-color id-derived palette, and an
     * id-arithmetic index pattern. LZW is lossless, so the q111 oracle
@@ -1009,6 +1083,61 @@ object Multimodal {
 
   /** GIF decode to per-image RGB channel sums (same aggregate as the
     * JPEG/PNG stats). Undecodable payloads yield no rows. */
+  /** q111's GIF fixtures stored INTERLACED (flag 0x40, four-pass row
+    * order). Interlace is pure framing — the decoder's un-permuted
+    * output is pixel-identical to the sequential encode — so q116 shares
+    * q111's pixel-replay oracle verbatim; a decoder that skips the
+    * de-interlace scrambles rows and breaks the per-channel sums only
+    * when the pattern varies by row, which (id + 3x + 7y) does. */
+  def gifInterlacedImagesFromDocuments(
+      spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.filter(col("doc_id") % 3 === 0).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 5 + (id % 20).toInt
+        val h = 4 + (id % 15).toInt
+        val palette = Array.tabulate(8) { c =>
+          (((id * 17 + 29L * c) % 256).toInt << 16) |
+            (((id * 23 + 31L * c) % 256).toInt << 8) |
+            ((id * 13 + 37L * c) % 256).toInt
+        }
+        val idx = Array.tabulate(w * h) { k =>
+          ((id + 3L * (k % w) + 7L * (k / w)) % 8).toByte
+        }
+        MediaRow(id, "image", Gif.encodeIndexed(w, h, palette, idx,
+          interlaced = true))
+      })
+  }
+
+  /** Sub-8-bit palette PNG fixtures (doc_id % 3 == 0): bit depth cycles
+    * 1/2/4 with (id/3) % 3, the palette fills all 2^depth entries, and
+    * index(y, x) = (id + 3x + 7y) mod 2^depth — every scanline carries
+    * pad bits whenever w*depth isn't byte-aligned, so the MSB-first
+    * unpacking and the 1-byte filter stride are both load-bearing. */
+  def pngSub8ImagesFromDocuments(
+      spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.filter(col("doc_id") % 3 === 0).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 4 + (id % 5).toInt
+        val h = 3 + (id % 4).toInt
+        val depth = Seq(1, 2, 4)(((id / 3) % 3).toInt)
+        val nPal = 1 << depth
+        val pal = new Array[Byte](nPal * 3)
+        var j = 0
+        while (j < nPal) {
+          pal(j * 3) = ((id * 17 + 29L * j) % 256).toByte
+          pal(j * 3 + 1) = ((id * 23 + 31L * j) % 256).toByte
+          pal(j * 3 + 2) = ((id * 13 + 37L * j) % 256).toByte
+          j += 1
+        }
+        val idx = Array.tabulate(w * h) { k =>
+          ((id + 3L * (k % w) + 7L * (k / w)) % nPal).toByte
+        }
+        MediaRow(id, "image", pngIndexed(w, h, idx, pal, depth))
+      })
+  }
+
   def decodeGifRgbStats(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { r =>

@@ -45,6 +45,31 @@ class GifSpec extends AnyFunSuite {
     roundtrip(w, h, pal(4), Array.fill(w * h)(rnd.nextInt(4).toByte))
   }
 
+  test("interlaced images round-trip bit-exactly and differ only in row placement") {
+    val rnd = new scala.util.Random(11)
+    // heights hitting every pass-boundary shape, incl. h < 8 (some
+    // passes empty) and h = 1 (only pass 1)
+    for ((w, h) <- Seq((7, 1), (5, 3), (8, 8), (13, 9), (16, 29))) {
+      val idx = Array.fill(w * h)(rnd.nextInt(4).toByte)
+      val ijpg = Gif.encodeIndexed(w, h, pal(4), idx, interlaced = true)
+      // the flag is actually set in the emitted descriptor
+      assert((ijpg(13 + 3 * 4 + 9) & 0xff) == 0x40)
+      val got = Gif.decodeIndexed(ijpg)
+      assert(got.exists(_._4.toSeq == idx.toSeq), s"${w}x$h interlaced")
+      // sequential encode of the same pixels decodes identically: the
+      // interlace is pure framing
+      assert(Gif.decodeIndexed(Gif.encodeIndexed(w, h, pal(4), idx))
+        .exists(_._4.toSeq == idx.toSeq))
+      // and the permutation really is the 4-pass order: sequentially
+      // encoding the pass-ordered rows yields the SAME entropy bytes —
+      // only the descriptor's interlace flag differs (byte 34 here:
+      // 13 header + 12 palette + offset 9 into the descriptor)
+      val seq = Gif.encodeIndexed(w, h, pal(4),
+        Gif.interlaceRows(h).flatMap(r => idx.slice(r * w, r * w + w)))
+      assert(seq.drop(35).toSeq == ijpg.drop(35).toSeq, s"${w}x$h entropy")
+    }
+  }
+
   test("decodeRgb maps through the palette") {
     val palette = pal(4)
     val idx = Array[Byte](0, 1, 2, 3)
@@ -67,11 +92,11 @@ class GifSpec extends AnyFunSuite {
     val ext = Array[Byte](0x21, 0xf9.toByte, 4, 0, 0, 0, 0, 0)
     val spliced = good.take(at) ++ ext ++ good.drop(at)
     assert(Gif.decodeIndexed(spliced).nonEmpty, "extension must be skipped")
-    // interlace flag set -> None
+    // local color table flag set -> None (off-contract)
     val bad = good.clone()
     val imgFlags = at + 9 // image descriptor flags byte
     assert((bad(imgFlags - 9) & 0xff) == 0x2c, "descriptor offset wrong")
-    bad(imgFlags) = 0x40.toByte
+    bad(imgFlags) = 0x80.toByte
     assert(Gif.decodeIndexed(bad).isEmpty)
     // truncations never throw; header-region cuts are None
     for (n <- 0 until good.length by 5) {

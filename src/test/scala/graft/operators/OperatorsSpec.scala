@@ -423,6 +423,51 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("PNG sub-8-bit palette: 1/2/4-bit scanlines round-trip; hostile depths rejected") {
+    // widths chosen so rows DON'T end on a byte boundary at every depth
+    // (w=5: 5 bits at d=1, 10 at d=2, 20 at d=4 — all with pad bits) and
+    // heights > 1 so filters chain across packed rows
+    for ((depth, nPal) <- Seq((1, 2), (2, 4), (4, 16)); (w, h) <- Seq((5, 7), (9, 4), (1, 1))) {
+      val pal = Array.tabulate(nPal * 3)(i => ((i * 37 + 11) % 256).toByte)
+      val idx = Array.tabulate(w * h)(i => ((i * 7 + 3) % nPal).toByte)
+      val png = Multimodal.pngIndexed(w, h, idx, pal, depth)
+      // IHDR really declares the sub-8 depth
+      assert((png(24) & 0xff) == depth, s"depth byte, d=$depth")
+      val want = idx.flatMap(j =>
+        Seq(pal((j & 0xff) * 3), pal((j & 0xff) * 3 + 1), pal((j & 0xff) * 3 + 2)))
+      val got = Multimodal.pngDecode(png)
+      assert(got.exists(i => i.w == w && i.h == h && i.color_type == 3 &&
+        i.px.toSeq == want.toSeq), s"d=$depth ${w}x$h")
+    }
+    // palette larger than the depth can address: encoder refuses
+    intercept[IllegalArgumentException] {
+      Multimodal.pngIndexed(4, 4, Array.fill(16)(0.toByte),
+        Array.tabulate(8 * 3)(_.toByte), depth = 2)
+    }
+    // sub-8 depth on NON-palette color types stays out of contract:
+    // flip a gray PNG's depth byte to 4 and re-seal the IHDR CRC
+    val gray = Multimodal.pngGray(4, 4, Array.tabulate(16)(_.toByte))
+    val bad = gray.clone()
+    bad(24) = 4.toByte
+    val crc = new java.util.zip.CRC32()
+    crc.update(bad, 12, 4 + 13)
+    val cv = crc.getValue.toInt
+    bad(29) = (cv >> 24).toByte; bad(30) = (cv >> 16).toByte
+    bad(31) = (cv >> 8).toByte; bad(32) = cv.toByte
+    assert(Multimodal.pngDecode(bad).isEmpty)
+    // depth 3 is not a legal PNG depth even for palettes
+    val p8 = Multimodal.pngIndexed(4, 4, Array.fill(16)(0.toByte),
+      Array.tabulate(2 * 3)(_.toByte), depth = 1)
+    val bad3 = p8.clone()
+    bad3(24) = 3.toByte
+    val crc3 = new java.util.zip.CRC32()
+    crc3.update(bad3, 12, 4 + 13)
+    val cv3 = crc3.getValue.toInt
+    bad3(29) = (cv3 >> 24).toByte; bad3(30) = (cv3 >> 16).toByte
+    bad3(31) = (cv3 >> 8).toByte; bad3(32) = cv3.toByte
+    assert(Multimodal.pngDecode(bad3).isEmpty)
+  }
+
   test("AVI codec: real RIFF container round-trip; compressed/hostile rejected") {
     // non-multiple-of-4 width exercises the DIB stride padding, 3 frames
     // the movi chunk walk, and the round-trip proves the bottom-up flip
