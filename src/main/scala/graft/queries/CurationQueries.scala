@@ -378,6 +378,131 @@ object CurationQueries {
             bigrams, unigrams, vocab)
           .select(col("doc_id"), col("n_bigrams"),
             round(col("avg_nll"), 6).as("avg_nll"))
+    },
+
+    // The FULL curation recipe (round-6 ask #8 — q72 extended with the
+    // two samplers it lacked): quality heuristics → exact dedup →
+    // benchmark decontamination → LM-PERPLEXITY GATE (the q97 bigram
+    // model trained on the trusted 80% slice; docs above 3.5 avg-NLL
+    // drop) → stratified per-language sampling → QUALITY-WEIGHTED
+    // reservoir (Efraimidis-Spirakis top-12 per language, weight =
+    // 1/(1+avg_nll), so fluent docs win ties) → sequence packing. Every
+    // stage is deterministic (md5 buckets, integer counts, rounded
+    // f64 weights), so the oracle replays the entire recipe.
+    OpQuery.sql(
+      "q115_curation_capstone",
+      s"""WITH d AS (SELECT doc_id, lang, text, $DuckNorm AS norm,
+         |    ${duckBucket("", 100)} AS b FROM documents),
+         |w AS (SELECT *, string_split(norm, ' ') AS ws FROM d),
+         |m AS (SELECT doc_id, lang, text, norm, b, ws,
+         |    CASE WHEN length(norm) = 0 THEN 0 ELSE len(ws) END AS n_words,
+         |    round(CASE WHEN length(norm) = 0 OR len(ws) = 0 THEN 0.0
+         |      ELSE CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(ws) END, 6) AS awl,
+         |    round(CASE WHEN length(norm) = 0 OR len(ws) = 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(ws, x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE) / len(ws) END, 6) AS swr
+         |  FROM w),
+         |q AS (SELECT * FROM m
+         |  WHERE n_words BETWEEN 10 AND 100000 AND awl BETWEEN 2 AND 12 AND swr >= 0.01),
+         |dd AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(norm)) AS keep_id FROM q),
+         |train AS (SELECT * FROM dd WHERE doc_id = keep_id AND b < 80),
+         |evi AS (SELECT ws, unnest(generate_series(1, len(ws)-4)) AS i FROM w WHERE b >= 90),
+         |evsh AS (SELECT DISTINCT ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS s FROM evi),
+         |tri AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-4)) AS i FROM train),
+         |trsh AS (SELECT DISTINCT doc_id,
+         |    ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS s FROM tri),
+         |contam AS (SELECT DISTINCT trsh.doc_id FROM trsh JOIN evsh USING (s)),
+         |clean AS (SELECT t.* FROM train t LEFT JOIN contam c ON t.doc_id = c.doc_id
+         |          WHERE c.doc_id IS NULL),
+         |lmtr AS (SELECT * FROM w WHERE b < 80),
+         |uni AS (SELECT w1, count(*) c1 FROM (
+         |    SELECT unnest(ws) w1 FROM lmtr) z GROUP BY 1),
+         |big AS (SELECT w1, w2, count(*) c2 FROM (
+         |    SELECT ws[i] w1, ws[i+1] w2 FROM (
+         |      SELECT ws, unnest(generate_series(1, len(ws) - 1)) i FROM lmtr) z) z2
+         |  GROUP BY 1, 2),
+         |v AS (SELECT count(*) vc FROM uni),
+         |cb AS (SELECT doc_id, ws[i] w1, ws[i+1] w2 FROM (
+         |    SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) i FROM clean) z),
+         |nll AS (SELECT doc_id,
+         |    -ln((coalesce(c2, 0) + 1.0) / (coalesce(c1, 0) + vc)) AS nll
+         |  FROM cb LEFT JOIN big USING (w1, w2)
+         |          LEFT JOIN uni USING (w1) CROSS JOIN v),
+         |ppl AS (SELECT doc_id, round(sum(nll) / count(*), 6) AS avg_nll
+         |  FROM nll GROUP BY 1),
+         |fluent AS (SELECT c.*, p.avg_nll FROM clean c JOIN ppl p USING (doc_id)
+         |  WHERE p.avg_nll <= 3.5),
+         |samp AS (SELECT * FROM (
+         |    SELECT doc_id, lang, text, avg_nll,
+         |      ${duckBucket("mix1", 1000000)} AS bkt FROM fluent)
+         |  WHERE bkt < CAST(1000000 * CASE lang
+         |    WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.8 WHEN 'es' THEN 0.25
+         |    ELSE 1.0 END AS INT)),
+         |ws2 AS (SELECT doc_id, lang, text, avg_nll,
+         |    (CAST(concat('0x', substr(md5('cap' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      + 0.5) / 4294967296.0 AS u
+         |  FROM samp),
+         |picked AS (SELECT doc_id, lang, text, avg_nll FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY lang
+         |        ORDER BY ln(u) / (1.0 / (1.0 + avg_nll)) DESC, doc_id) AS rnk
+         |    FROM ws2) z WHERE rnk <= 12),
+         |tok AS (SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         |    ${duckBucket("pack", 2)} AS bucket
+         |  FROM picked),
+         |c AS (SELECT doc_id, bucket,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM tok)
+         |SELECT doc_id, bucket, CAST(cum // 1024 AS BIGINT) AS seq_id,
+         |       CAST(cum % 1024 AS BIGINT) AS seq_offset
+         |FROM c""".stripMargin) {
+      (s, dir) =>
+        val stopwords = Seq("the", "a", "and", "of", "to", "in")
+        val docs = load(s, dir, "documents")
+        val withB = docs.select(
+          col("doc_id"), col("lang"), col("text"),
+          Curation.samplingBucket(col("doc_id"), 100).as("b"))
+        val q = withB
+          .withColumn("q", TextAnalysis.qualityMetrics(col("text"), stopwords))
+          .filter(col("q.n_words").between(10, 100000) &&
+            col("q.avg_word_len").between(2, 12) && col("q.stopword_ratio") >= 0.01)
+        val train = q
+          .withColumn("keep_id", min("doc_id").over(
+            Window.partitionBy(md5(TextAnalysis.normalize(col("text"))))))
+          .filter(col("doc_id") === col("keep_id") && col("b") < 80)
+        def shingles(d: DataFrame): DataFrame = d.select(
+          col("doc_id").as("id"),
+          explode(TextAnalysis.shingles(
+            TextAnalysis.words(TextAnalysis.normalize(col("text"))), 5)).as("shingle"))
+          .distinct()
+        val clean = train.join(
+          Curation.decontaminate(train.select(col("doc_id").as("id")),
+              shingles(train), shingles(withB.filter(col("b") >= 90)))
+            .filter(col("contaminated")).select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        // LM gate: the q97 model (trained on the RAW trusted slice, not
+        // the curated one — scoring must not depend on what it scores)
+        val (bigrams, unigrams, vocab) = graft.operators.LanguageModel
+          .trainBigram(docs.filter(
+              Curation.samplingBucket(col("doc_id"), 100) < 80)
+            .select(col("doc_id"), col("text")), col("text"))
+        val scored = graft.operators.LanguageModel.scoreBigram(
+            clean.select(col("doc_id"), col("text")), col("text"),
+            bigrams, unigrams, vocab)
+          .select(col("doc_id"), round(col("avg_nll"), 6).as("avg_nll"))
+        val fluent = clean.join(scored, Seq("doc_id"))
+          .filter(col("avg_nll") <= 3.5)
+        val samp = Curation.stratifiedSample(fluent, col("lang"), col("doc_id"),
+          Map("en" -> 0.5, "zh" -> 0.8, "es" -> 0.25), defaultRate = 1.0,
+          salt = "mix1")
+        val picked = Curation.weightedSample(samp, col("lang"), col("doc_id"),
+          lit(1.0) / (lit(1.0) + col("avg_nll")), k = 12, salt = "cap")
+        Curation.packSequences(picked, col("doc_id"),
+            TextAnalysis.tokenCountWhitespace(col("text")).cast("long"),
+            budget = 1024, buckets = 2)
+          .select(col("id").as("doc_id"), col("bucket"), col("seq_id"),
+            col("seq_offset"))
     }
   )
 }
