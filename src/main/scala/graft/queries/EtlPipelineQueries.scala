@@ -583,21 +583,25 @@ object EtlPipelineQueries {
     * (StreamedCascadeParitySpec does, per deep table).
     */
   private[graft] def streamedCascade(s: SparkSession, dir: String): graft.etl.Pipeline = {
-    val (obs, encounter, orderRows, person) = cascadeInputs(s, dir)
+    val (obsRaw, encounter, orderRows, person) = cascadeInputs(s, dir)
+    // chunks must LAND sequentially (each micro-batch sees one arrival),
+    // but the uniquification window behind them should run once, not
+    // once per chunk write — cache the shared frame across the loop
+    val obs = obsRaw.cache()
     val root = java.nio.file.Files.createTempDirectory("graft-q94")
     val obsDir = root.resolve("obs").toString
     val pipe = new graft.etl.Pipeline(s, root.resolve("tables").toString)
     // event-time chunks: watermarks genuinely advance between batches
     val cuts = Seq(("1000-01-01", "1995-01-01"),
       ("1995-01-01", "1997-01-01"), ("1997-01-01", "3000-01-01"))
-    cuts.zipWithIndex.foreach { case ((lo, hi), i) =>
+    try cuts.zipWithIndex.foreach { case ((lo, hi), i) =>
       obs.filter(col("date_created") >= lit(lo) &&
           col("date_created") < lit(hi))
         .write.mode("overwrite").parquet(s"$obsDir/chunk_$i")
       graft.streaming.IncrementalEtlStream.runCascadeOnce(
         s, obsDir, encounter, orderRows, person, pipe,
         root.resolve("ckpt").toString)
-    }
+    } finally obs.unpersist()
     pipe
   }
 

@@ -42,7 +42,10 @@ class PlanShapeSpec extends SparkSuite {
     // beyond it is broadcast equi-joins
     "q99_ann_binary_rerank" -> "broadcast of bounded query-signature list",
     // per-(doc,term) scores x broadcast 1-row corpus doc count
-    "q102_tfidf_keywords" -> "broadcast of a single-row global aggregate")
+    "q102_tfidf_keywords" -> "broadcast of a single-row global aggregate",
+    // same probe-vs-broadcast-centroids loop as q46/q82/q85; the Hamming
+    // prefilter and rerank beyond it are equi-joins on cell / vec_id
+    "q113_ann_ivf_binary_rerank" -> "broadcast of bounded centroid list")
 
   private def planOf(name: String): String = {
     val q = graft.SparkEntry.catalog.find(_.name == name).get
