@@ -1138,6 +1138,51 @@ object Multimodal {
       })
   }
 
+  /** WARC blobs synthesized from the documents table: docs shard into
+    * blobs of up to 8 by doc_id DIV 8, each blob led by a `warcinfo`
+    * record and holding one `response` record per doc (URI, date, and
+    * body all derived from the row, so the q118 oracle replays every
+    * field from the documents table alone). Bodies are the docs' UTF-8
+    * bytes — Content-Length is OCTETS, which is exactly the
+    * chars-vs-bytes seam the multilingual fixture exercises. */
+  def warcFilesFromDocuments(
+      spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select((col("doc_id") / 8).cast("long").as("blob_id"),
+        col("doc_id").cast("long").as("doc_id"), col("text"))
+      .groupBy("blob_id")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+        .as("docs"))
+      .map { row =>
+        val blobId = row.getLong(0)
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(Warc.writeRecord("warcinfo", null,
+          "2024-01-01T00:00:00Z",
+          s"software: graft-fixture\r\nblob: $blobId".getBytes("UTF-8")))
+        row.getSeq[org.apache.spark.sql.Row](1).foreach { d =>
+          val id = d.getLong(0)
+          out.write(Warc.writeRecord("response",
+            s"http://example.com/doc/$id",
+            f"2024-01-${1 + id % 28}%02dT00:00:00Z",
+            d.getString(1).getBytes("UTF-8")))
+        }
+        MediaRow(blobId, "warc", out.toByteArray)
+      }
+  }
+
+  /** Parse WARC blobs to one row per record (quarantine semantics: an
+    * off-grammar blob yields zero rows). Body is surfaced as UTF-8 text
+    * plus its octet length — the md5 downstream hashes the raw bytes. */
+  def extractWarcRecords(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      Warc.parse(r.payload).toSeq.flatten.map { rec =>
+        (rec.warc_type, rec.target_uri, rec.warc_date, rec.content_length,
+          new String(rec.body, "UTF-8"))
+      }
+    }.toDF("warc_type", "target_uri", "warc_date", "n_bytes", "body")
+  }
+
   def decodeGifRgbStats(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { r =>

@@ -19,6 +19,33 @@ object TextAnalysis {
   /** Whitespace word tokens of a normalized text. */
   def words(norm: Column): Column = split(norm, " ")
 
+  /** HTML → text (the Common-Crawl extraction step a pretraining
+    * pipeline runs before any quality scoring): drop script/style blocks
+    * and comments WITH their content, turn block-level closers and <br>
+    * into newlines, strip remaining tags, decode the core entities
+    * (&amp; LAST, so double-encoded text un-escapes one level per pass —
+    * the standard behavior), then collapse whitespace. Every step is a
+    * codegen'd regexp/replace an external engine replays verbatim —
+    * no DOM, no library: deterministic extraction beats faithful
+    * rendering for corpus work, where the SAME bytes must always yield
+    * the SAME text.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blocks = regexp_replace(noComment,
+      "(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr)[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "(?s)<[^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (k, v)) => replace(c, lit(k), lit(v)) }
+    val amp = replace(ent, lit("&amp;"), lit("&"))
+    val sp = regexp_replace(amp, "[ \\t]+", " ")
+    val nl = regexp_replace(sp, " ?\\n[ \\n]*", "\n")
+    trim(nl, " \n")
+  }
+
   /** Whitespace token count (empty string → 0). */
   def tokenCountWhitespace(text: Column): Column =
     when(length(trim(text)) === 0, 0)

@@ -1825,6 +1825,68 @@ object LlmQueries {
           Multimodal.pngSub8ImagesFromDocuments(s, load(s, dir, "documents")))
     },
 
+    // WARC container extraction (how web-scale corpora actually arrive —
+    // Common Crawl ships WARC/1.0): docs shard into multi-record blobs
+    // (warcinfo + responses), the reader walks the CRLF grammar and
+    // Content-Length OCTET counts (the chars-vs-bytes seam the
+    // multilingual fixture exercises), and the oracle replays every
+    // surfaced field from the documents table alone. Off-grammar blobs
+    // quarantine to zero rows (spec-pinned), never half-parse.
+    OpQuery.sql(
+      "q118_warc_extract",
+      """SELECT 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+        |  printf('2024-01-%02dT00:00:00Z', CAST(1 + doc_id % 28 AS INT)) AS warc_date,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS body_md5
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        Multimodal.extractWarcRecords(
+            Multimodal.warcFilesFromDocuments(s, load(s, dir, "documents")))
+          .filter(col("warc_type") === "response")
+          .select(col("target_uri"), col("warc_date"), col("n_bytes"),
+            md5(col("body").cast("binary")).as("body_md5"))
+    },
+
+    // HTML -> text extraction (the step before any quality scoring in a
+    // web-corpus pipeline): script/style/comment content dropped, block
+    // closers become newlines, tags stripped, core entities decoded
+    // (&amp; last), whitespace collapsed — every step a codegen'd
+    // regexp/replace the oracle replays verbatim over the same
+    // deterministic HTML wrapping of each doc (title/h1 chrome, script
+    // with a '<' lookalike, paragraph splits on '. ', an entity tail).
+    OpQuery.sql(
+      "q119_html_to_text",
+      s"""WITH h AS (SELECT doc_id,
+         |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+         |    '</title><style>p{margin:0}</style><script>let a=1&&2;</script></head><body><h1>Doc ' ||
+         |    CAST(doc_id AS VARCHAR) || '</h1><!-- hidden --><p>' ||
+         |    replace(text, '. ', '.</p><p>') ||
+         |    '</p><br><div>&amp; &lt;tail&gt;&nbsp;end</div></body></html>' AS html
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') t FROM h),
+         |s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') t FROM s1),
+         |s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') t FROM s2),
+         |s4 AS (SELECT doc_id, regexp_replace(t, '(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr)[^>]*>', e'\\n', 'g') t FROM s3),
+         |s5 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') t FROM s4),
+         |s6 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(t,
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+         |    '&apos;', ''''), '&nbsp;', ' ') t FROM s5),
+         |s7 AS (SELECT doc_id, replace(t, '&amp;', '&') t FROM s6),
+         |s8 AS (SELECT doc_id, regexp_replace(t, '[ \\t]+', ' ', 'g') t FROM s7),
+         |s9 AS (SELECT doc_id, regexp_replace(t, ' ?\\n[ \\n]*', e'\\n', 'g') t FROM s8)
+         |SELECT doc_id, trim(t, ' ' || chr(10)) AS extracted FROM s9""".stripMargin) {
+      (s, dir) =>
+        val html = concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><style>p{margin:0}</style><script>let a=1&&2;</script></head><body><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><!-- hidden --><p>"),
+          replace(col("text"), lit(". "), lit(".</p><p>")),
+          lit("</p><br><div>&amp; &lt;tail&gt;&nbsp;end</div></body></html>"))
+        load(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.htmlToText(html).as("extracted"))
+    },
+
     // G.711 companded audio (telephony speech corpora): μ-law (odd ids)
     // and A-law (even ids) WAVs decode through the CCITT expansion — pure
     // integer maps the oracle replays byte for byte. Also guards the

@@ -10,6 +10,27 @@ import graft.SparkSuite
   */
 class TextScoringSpec extends SparkSuite {
 
+  test("htmlToText: scripts/styles/comments drop with content, entities decode, blocks break lines") {
+    import spark.implicits._
+    def strip(html: String): String =
+      Seq(html).toDF("h")
+        .select(TextAnalysis.htmlToText(col("h")).as("t"))
+        .first().getString(0)
+    assert(strip("<html><head><title>T</title>" +
+      "<style>p{color:red}</style><script>if(1<2){alert('x')}</script></head>" +
+      "<body><h1>Head</h1><!-- secret --><p>one two.</p><p>three</p>" +
+      "<br><div>&amp; &lt;tag&gt;&nbsp;&quot;q&quot; &#39;a&#39;</div></body></html>") ==
+      "T Head\none two.\nthree\n& <tag> \"q\" 'a'")
+    // script content with a '<' that is NOT a tag must still vanish whole
+    assert(!strip("<script>var a = 1 < 2;</script>rest").contains("var"))
+    // double-encoded entities un-escape exactly one level
+    assert(strip("&amp;lt;") == "&lt;")
+    // whitespace runs collapse; leading/trailing trim
+    assert(strip("  a   b \n\n\n c  ") == "a b\nc")
+    // tag-free text passes through (entity decode aside)
+    assert(strip("plain text.") == "plain text.")
+  }
+
   private val markers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "en" -> Seq("the", "a", "of", "and"),
