@@ -19,6 +19,33 @@ object TextAnalysis {
   /** Whitespace word tokens of a normalized text. */
   def words(norm: Column): Column = split(norm, " ")
 
+  /** URL canonicalization — the dedup key for web corpora (the same page
+    * arrives as `HTTP://Example.COM:80/a?utm_source=x&b=1#frag` and
+    * `http://example.com/a?b=1`): lowercase the scheme://host prefix
+    * ONLY (paths are case-sensitive), drop the fragment, strip the
+    * scheme's default port, drop tracking params (utm_*, gclid, fbclid),
+    * sort the surviving query params, and normalize the empty path to
+    * `/`. Every step is a regexp/array primitive both engines evaluate
+    * identically, so canonical-URL dedup is oracle-replayable.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val prefixPat = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*"
+    val prefix = lower(regexp_extract(noFrag, s"($prefixPat)", 1))
+    val rest = regexp_replace(noFrag, prefixPat, "")
+    val host = regexp_replace(
+      regexp_replace(prefix, "^(http://[^/?:]*):80$", "$1"),
+      "^(https://[^/?:]*):443$", "$1")
+    val path0 = regexp_extract(rest, "^([^?]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val q = regexp_extract(rest, "\\?(.*)$", 1)
+    val params = filter(split(q, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid)(=|$)"))
+    val qs = array_join(sort_array(params), "&")
+    concat(host, path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+  }
+
   /** HTML → text (the Common-Crawl extraction step a pretraining
     * pipeline runs before any quality scoring): drop script/style blocks
     * and comments WITH their content, turn block-level closers and <br>

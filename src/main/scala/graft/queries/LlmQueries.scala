@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.Tables.load
 import graft.operators.{Dedup, FrequencySketch, Multimodal, Similarity, TextAnalysis, TextScoring}
 
@@ -1885,6 +1886,59 @@ object LlmQueries {
           lit("</p><br><div>&amp; &lt;tail&gt;&nbsp;end</div></body></html>"))
         load(s, dir, "documents").select(col("doc_id"),
           TextAnalysis.htmlToText(html).as("extracted"))
+    },
+
+    // URL canonicalization + canonical-grain dedup: the fixture derives a
+    // messy URL per doc (mixed-case scheme/host, default ports, tracking
+    // params, fragments, unsorted queries) and the canonical form
+    // collapses the deliberate variants; keep-first within each
+    // canonical group is the standard web-dedup decision. Both the
+    // canonicalizer and the group-min are replayed by the oracle.
+    OpQuery.sql(
+      "q120_url_canonical_dedup",
+      """WITH u AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://ExAmple.COM:80' ELSE 'https://Sub.Example.org:443' END) ||
+        |    '/Path' || CAST(doc_id // 10 AS VARCHAR) || '/Item' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&b=2&a=1&gclid=zzz'
+        |          WHEN doc_id % 3 = 1 THEN '?b=2&utm_medium=m&a=1#frag'
+        |          ELSE '#top' END) AS url
+        |  FROM documents),
+        |n AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u1 FROM u),
+        |p AS (SELECT doc_id, u1,
+        |    lower(regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1)) AS pref,
+        |    regexp_replace(u1, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', '') AS rest FROM n),
+        |d AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(pref, '^(http://[^/?:]*):80$', '\1'),
+        |      '^(https://[^/?:]*):443$', '\1') AS host, rest FROM p),
+        |pa AS (SELECT doc_id, host,
+        |    CASE WHEN regexp_extract(rest, '^([^?]*)', 1) = '' THEN '/'
+        |         ELSE regexp_extract(rest, '^([^?]*)', 1) END AS path,
+        |    coalesce(regexp_extract(rest, '\?(.*)$', 1), '') AS q FROM d),
+        |qs AS (SELECT doc_id, host, path,
+        |    coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid)(=|$)'))), '&'), '') AS qq
+        |  FROM pa),
+        |c AS (SELECT doc_id,
+        |    host || path || CASE WHEN qq = '' THEN '' ELSE '?' || qq END AS canonical_url
+        |  FROM qs)
+        |SELECT doc_id, canonical_url,
+        |  CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canonical_url)
+        |       THEN 1 ELSE 0 END AS keep
+        |FROM c""".stripMargin) {
+      (s, dir) =>
+        val url = concat(
+          when(col("doc_id") % 2 === 0, lit("HTTP://ExAmple.COM:80"))
+            .otherwise(lit("https://Sub.Example.org:443")),
+          lit("/Path"), (col("doc_id") / 10).cast("long").cast("string"),
+          lit("/Item"),
+          when(col("doc_id") % 3 === 0, lit("?utm_source=x&b=2&a=1&gclid=zzz"))
+            .when(col("doc_id") % 3 === 1, lit("?b=2&utm_medium=m&a=1#frag"))
+            .otherwise(lit("#top")))
+        val canon = load(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.canonicalizeUrl(url).as("canonical_url"))
+        canon.withColumn("keep",
+          when(col("doc_id") === min("doc_id").over(
+            Window.partitionBy(col("canonical_url"))), 1).otherwise(0))
     },
 
     // G.711 companded audio (telephony speech corpora): μ-law (odd ids)

@@ -10,6 +10,36 @@ import graft.SparkSuite
   */
 class TextScoringSpec extends SparkSuite {
 
+  test("canonicalizeUrl: case, ports, fragments, tracking params, param order") {
+    import spark.implicits._
+    def canon(url: String): String =
+      Seq(url).toDF("u")
+        .select(TextAnalysis.canonicalizeUrl(col("u")).as("c"))
+        .first().getString(0)
+    // the classic same-page variants collapse
+    assert(canon("HTTP://Example.COM:80/a?utm_source=x&b=1#frag") ==
+      "http://example.com/a?b=1")
+    assert(canon("http://example.com/a?b=1") == "http://example.com/a?b=1")
+    // param ORDER normalizes; tracking params go, real ones stay
+    assert(canon("https://h.org/p?z=9&a=1&utm_medium=m&fbclid=f&gclid=g") ==
+      "https://h.org/p?a=1&z=9")
+    // default port strips ONLY for its own scheme
+    assert(canon("https://h.org:443/p") == "https://h.org/p")
+    assert(canon("https://h.org:80/p") == "https://h.org:80/p")
+    assert(canon("http://h.org:8080/p") == "http://h.org:8080/p")
+    // path case is PRESERVED (case-sensitive), host case is not
+    assert(canon("http://H.org/CaseSensitive") == "http://h.org/CaseSensitive")
+    // empty path normalizes to /; all-tracking query drops entirely
+    assert(canon("http://h.org?utm_source=x") == "http://h.org/")
+    assert(canon("http://h.org") == "http://h.org/")
+    // a param NAMED like but not equal to a tracking prefix survives
+    assert(canon("http://h.org/p?utmx=1&gclid2=3") ==
+      "http://h.org/p?gclid2=3&utmx=1")
+    // the q120 fixture shape verbatim
+    assert(canon("HTTP://ExAmple.COM:80/Path0/Item?utm_source=x&b=2&a=1&gclid=zzz") ==
+      "http://example.com/Path0/Item?a=1&b=2")
+  }
+
   test("htmlToText: scripts/styles/comments drop with content, entities decode, blocks break lines") {
     import spark.implicits._
     def strip(html: String): String =
