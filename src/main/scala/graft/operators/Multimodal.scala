@@ -1172,15 +1172,44 @@ object Multimodal {
 
   /** Parse WARC blobs to one row per record (quarantine semantics: an
     * off-grammar blob yields zero rows). Body is surfaced as UTF-8 text
-    * plus its octet length — the md5 downstream hashes the raw bytes. */
-  def extractWarcRecords(media: Dataset[MediaRow]): DataFrame = {
+    * plus its octet length — the md5 downstream hashes the raw bytes.
+    * `gzipped = true` expects Common Crawl's `.warc.gz` framing —
+    * concatenated per-record gzip members — and quarantines blobs whose
+    * gzip layer is corrupt (bad magic, truncated member, CRC mismatch)
+    * before the grammar even runs. */
+  def extractWarcRecords(
+      media: Dataset[MediaRow], gzipped: Boolean = false): DataFrame = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      Warc.parse(r.payload).toSeq.flatten.map { rec =>
+      val raw =
+        if (gzipped) Warc.gunzipAll(r.payload)
+        else Some(r.payload)
+      raw.flatMap(Warc.parse).toSeq.flatten.map { rec =>
         (rec.warc_type, rec.target_uri, rec.warc_date, rec.content_length,
           new String(rec.body, "UTF-8"))
       }
     }.toDF("warc_type", "target_uri", "warc_date", "n_bytes", "body")
+  }
+
+  /** The q118 WARC blobs in Common Crawl's actual wire framing: each
+    * record compressed as its OWN gzip member, members concatenated —
+    * the layout that lets a reader seek to any record boundary. Parsed
+    * output is identical to q118's, so q121 shares its oracle verbatim. */
+  def warcGzFilesFromDocuments(
+      spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    warcFilesFromDocuments(spark, documents).map { r =>
+      // re-frame the blob: split back into records and gzip each one as
+      // its own member (writeRecord framing is deterministic, so the
+      // parse here cannot fail on our own output)
+      val records = Warc.parse(r.payload).get
+      val out = new java.io.ByteArrayOutputStream()
+      records.foreach { rec =>
+        out.write(Warc.gzipMember(Warc.writeRecord(
+          rec.warc_type, rec.target_uri, rec.warc_date, rec.body)))
+      }
+      MediaRow(r.media_id, "warc.gz", out.toByteArray)
+    }
   }
 
   def decodeGifRgbStats(media: Dataset[MediaRow]): DataFrame = {

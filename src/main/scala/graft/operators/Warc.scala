@@ -16,6 +16,32 @@ package graft.operators
   */
 object Warc {
 
+  /** Gzip one record (or any byte run) as a single member — Common Crawl
+    * ships `.warc.gz` as CONCATENATED per-record members, so readers can
+    * seek to a record boundary and decompress just that record. */
+  def gzipMember(data: Array[Byte]): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(buf)
+    gz.write(data); gz.close()
+    buf.toByteArray
+  }
+
+  /** Decompress a (possibly multi-member) gzip blob, or None on any
+    * corruption — bad magic, truncated member, CRC/length mismatch
+    * (GZIPInputStream verifies both trailers). Same quarantine contract
+    * as [[parse]]: a corrupt shard yields nothing, never a prefix. */
+  def gunzipAll(blob: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      Some(out.toByteArray)
+    } catch { case _: java.io.IOException => None }
+
   final case class WarcRecord(
       warc_type: String,
       target_uri: String,

@@ -1848,6 +1848,28 @@ object LlmQueries {
             md5(col("body").cast("binary")).as("body_md5"))
     },
 
+    // The q118 blobs in Common Crawl's ACTUAL wire framing (.warc.gz):
+    // each record its own gzip member, members concatenated — the layout
+    // that makes records independently seekable. The gzip layer verifies
+    // both trailers (CRC32 + length) per member; a corrupt member
+    // quarantines the whole blob before the WARC grammar runs. Parsed
+    // output is identical to q118, so its oracle applies verbatim.
+    OpQuery.sql(
+      "q121_warc_gz_extract",
+      """SELECT 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+        |  printf('2024-01-%02dT00:00:00Z', CAST(1 + doc_id % 28 AS INT)) AS warc_date,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS body_md5
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        Multimodal.extractWarcRecords(
+            Multimodal.warcGzFilesFromDocuments(s, load(s, dir, "documents")),
+            gzipped = true)
+          .filter(col("warc_type") === "response")
+          .select(col("target_uri"), col("warc_date"), col("n_bytes"),
+            md5(col("body").cast("binary")).as("body_md5"))
+    },
+
     // HTML -> text extraction (the step before any quality scoring in a
     // web-corpus pipeline): script/style/comment content dropped, block
     // closers become newlines, tags stripped, core entities decoded

@@ -31,6 +31,28 @@ class WarcSpec extends AnyFunSuite {
     assert(new String(got.head.body, "ISO-8859-1") == inner)
   }
 
+  test("warc.gz framing: concatenated members round-trip; corrupt gzip quarantines") {
+    val r1 = rec("response", "http://e/1", "hello")
+    val r2 = rec("response", "http://e/2", "wörld")
+    val blob = Warc.gzipMember(r1) ++ Warc.gzipMember(r2)
+    // multi-member decompression yields the concatenated records
+    assert(Warc.gunzipAll(blob).map(_.toSeq) == Some((r1 ++ r2).toSeq))
+    assert(Warc.parse(Warc.gunzipAll(blob).get).get.length == 2)
+    // truncated second member
+    assert(Warc.gunzipAll(blob.dropRight(5)).isEmpty)
+    // flipped byte in the compressed payload breaks the member CRC
+    val m1 = Warc.gzipMember(r1)
+    val bad = blob.clone()
+    bad(m1.length + 20) = (bad(m1.length + 20) ^ 0x40).toByte
+    assert(Warc.gunzipAll(bad).isEmpty)
+    // bad magic
+    val magic = blob.clone(); magic(0) = 0x1e.toByte
+    assert(Warc.gunzipAll(magic).isEmpty)
+    // not gzip at all
+    assert(Warc.gunzipAll("plain".getBytes("UTF-8")).isEmpty)
+    assert(Warc.gunzipAll(Array.emptyByteArray).isEmpty)
+  }
+
   test("off-grammar blobs quarantine to None, never a partial parse") {
     val good = rec("response", "http://e/1", "hello") ++
       rec("response", "http://e/2", "world")
