@@ -56,7 +56,13 @@ object IncrementalEtlStream {
         else {
           val wm = new java.sql.Timestamp(
             java.sql.Timestamp.valueOf(wmRow.getString(0)).getTime - 1)
-          (FlatObs.incremental(existing, snapshot, encounter, person, wm), Some(wm))
+          // the BATCH is the change feed (SourceDeltas contract): every
+          // version arriving since the last watermark is in it, so the
+          // delta key scans seed from the batch instead of re-scanning
+          // the whole accumulated snapshot; rebuilds still read the
+          // snapshot source-of-truth
+          (FlatObs.incremental(existing, snapshot, encounter, person, wm,
+            obsDelta = Some(batch)), Some(wm))
         }
       case None => (FlatObs.build(snapshot, encounter, person), None)
     }
@@ -121,33 +127,52 @@ object IncrementalEtlStream {
     val query = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val snapshot = obsSnapshot(spark, obsDir)
-        val (next, wmOpt) = mergeFlatObs(
-          batch, snapshot, encounter, person, pipeline)
-        pipeline.writeSnapshot(next, "flat_obs")
-        val lab = (pipeline.readFlat("flat_lab_obs"), wmOpt) match {
-          case (Some(existing), Some(wm)) =>
-            FlatLabObs.incremental(existing, snapshot, person, wm)
-          case _ => FlatLabObs.build(snapshot, person)
-        }
-        pipeline.writeSnapshot(lab, "flat_lab_obs")
-        if (pipeline.readFlat("flat_orders").isEmpty)
-          pipeline.writeSnapshot(
-            FlatOrders.build(orders, encounter, person), "flat_orders")
-        val fo = pipeline.readFlat("flat_obs").get
-        val ford = pipeline.readFlat("flat_orders").get
-        val summary = (pipeline.readFlat("flat_visit_summary"), wmOpt) match {
-          case (Some(existing), Some(wm)) =>
-            FlatVisitSummary.incremental(
-              existing, fo, ford, snapshot, encounter, person, wm)
-          case _ => FlatVisitSummary.build(fo, ford, person)
-        }
-        pipeline.writeSnapshot(summary, "flat_visit_summary")
-        pipeline.writeSnapshot(
-          FlatLatestHivSummary.build(
-            pipeline.readFlat("flat_visit_summary").get),
-          "flat_latest_hiv_summary")
+      .foreachBatch { (rawBatch: DataFrame, _: Long) =>
+        // `graft.debug.cascadeTiming=true` prints per-stage seconds —
+        // profiling hook only, no behavior change
+        def timed[A](label: String)(f: => A): A =
+          if (spark.conf.getOption("graft.debug.cascadeTiming")
+              .contains("true")) {
+            val t0 = System.nanoTime()
+            val r = f
+            println(f"    [cascade] $label%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+            r
+          } else f
+        // the deduped snapshot's LatestRow window used to re-execute
+        // inside EVERY downstream stage's plan (4-5x per batch); pin it
+        // once per batch. The batch doubles as the stages' change feed.
+        val batch = rawBatch.persist()
+        val snapshot = obsSnapshot(spark, obsDir).persist()
+        try {
+          val (next, wmOpt) = mergeFlatObs(
+            batch, snapshot, encounter, person, pipeline)
+          timed("flat_obs")(pipeline.writeSnapshot(next, "flat_obs"))
+          val lab = (pipeline.readFlat("flat_lab_obs"), wmOpt) match {
+            case (Some(existing), Some(wm)) =>
+              FlatLabObs.incremental(existing, snapshot, person, wm,
+                obsDelta = Some(batch))
+            case _ => FlatLabObs.build(snapshot, person)
+          }
+          timed("flat_lab_obs")(pipeline.writeSnapshot(lab, "flat_lab_obs"))
+          if (pipeline.readFlat("flat_orders").isEmpty)
+            timed("flat_orders")(pipeline.writeSnapshot(
+              FlatOrders.build(orders, encounter, person), "flat_orders"))
+          val fo = pipeline.readFlat("flat_obs").get
+          val ford = pipeline.readFlat("flat_orders").get
+          val summary = (pipeline.readFlat("flat_visit_summary"), wmOpt) match {
+            case (Some(existing), Some(wm)) =>
+              FlatVisitSummary.incremental(
+                existing, fo, ford, snapshot, encounter, person, wm,
+                obsDelta = Some(batch))
+            case _ => FlatVisitSummary.build(fo, ford, person)
+          }
+          timed("flat_visit_summary")(
+            pipeline.writeSnapshot(summary, "flat_visit_summary"))
+          timed("flat_latest")(pipeline.writeSnapshot(
+            FlatLatestHivSummary.build(
+              pipeline.readFlat("flat_visit_summary").get),
+            "flat_latest_hiv_summary"))
+        } finally { batch.unpersist(); snapshot.unpersist() }
         ()
       }
       .start()
