@@ -1848,6 +1848,44 @@ object LlmQueries {
             md5(col("body").cast("binary")).as("body_md5"))
     },
 
+    // Model-based quality filtering (the fastText/DCLM pattern): a hashed
+    // bigram linear classifier scores every doc — explode grams, md5-hash
+    // into 4096 feature buckets, count, broadcast-join the weight vector,
+    // sigmoid the DECIMAL-accumulated logit. The fixture weight vector is
+    // md5-free integer arithmetic both engines replay exactly; the logit
+    // is order-independent by construction, so the oracle reproduces
+    // every score at 1e-6.
+    OpQuery.sql(
+      "q122_hashed_classifier",
+      s"""WITH t AS (SELECT doc_id, string_split($DuckNorm, ' ') w FROM documents),
+         |i AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) AS i
+         |  FROM t WHERE len(w) >= 2),
+         |g AS (SELECT doc_id, w[i]||' '||w[i+1] AS gram FROM i),
+         |f AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT) % 4096 AS bucket FROM g),
+         |c AS (SELECT doc_id, bucket, count(*) AS n FROM f GROUP BY 1, 2),
+         |wt AS (SELECT b AS bucket,
+         |    (b * 2654435761 % 2001 - 1000) / 1000.0 AS weight
+         |  FROM (SELECT unnest(generate_series(0, 4095)) b)),
+         |z AS (SELECT doc_id,
+         |    -0.1 + CAST(sum(CAST(n * weight AS DECIMAL(27, 10))) AS DOUBLE) AS z
+         |  FROM c JOIN wt USING (bucket) GROUP BY 1)
+         |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
+         |  CASE WHEN 1.0 / (1.0 + exp(-z)) >= 0.5 THEN 1 ELSE 0 END AS keep
+         |FROM z""".stripMargin) {
+      (s, dir) =>
+        val weights = s.range(0, 4096).select(
+          col("id").as("bucket"),
+          ((col("id") * lit(2654435761L)) % 2001 - 1000).cast("double")
+            ./(lit(1000.0)).as("weight"))
+        val feats = graft.operators.HashedClassifier.features(
+          load(s, dir, "documents"), col("doc_id"), col("text"), n = 2,
+          dim = 4096)
+        graft.operators.HashedClassifier.score(feats, weights, bias = -0.1)
+          .select(col("id").as("doc_id"), round(col("score"), 6).as("score"),
+            when(col("score") >= 0.5, 1).otherwise(0).as("keep"))
+    },
+
     // The q118 blobs in Common Crawl's ACTUAL wire framing (.warc.gz):
     // each record its own gzip member, members concatenated — the layout
     // that makes records independently seekable. The gzip layer verifies

@@ -10,6 +10,34 @@ import graft.SparkSuite
   */
 class TextScoringSpec extends SparkSuite {
 
+  test("hashed classifier: partition-order-independent scores, stable buckets") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the cat ran"),
+      (2L, "a completely different document with other words entirely"),
+      (3L, "the cat sat on the mat and the cat ran"), // dup of 1
+      (4L, "word")) // single word: no bigram features
+      .toDF("doc_id", "text")
+    val weights = spark.range(0, 256).select(
+      col("id").as("bucket"),
+      ((col("id") * lit(2654435761L)) % 2001 - 1000).cast("double")
+        ./(lit(1000.0)).as("weight"))
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      HashedClassifier.score(
+        HashedClassifier.features(df, col("doc_id"), col("text"), 2, 256),
+        weights, bias = -0.1)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val s1 = scores(docs.repartition(1))
+    val s7 = scores(docs.repartition(7))
+    // DECIMAL accumulation: the logit cannot depend on partitioning
+    assert(s1 == s7, "scores changed under repartitioning")
+    // identical text -> identical score; sigmoid stays in (0,1)
+    assert(s1(1L) == s1(3L))
+    assert(s1.values.forall(v => v > 0.0 && v < 1.0))
+    // sub-n docs contribute no features (caller's policy decides them)
+    assert(!s1.contains(4L))
+  }
+
   test("canonicalizeUrl: case, ports, fragments, tracking params, param order") {
     import spark.implicits._
     def canon(url: String): String =
