@@ -421,6 +421,42 @@ object Multimodal {
     out
   }
 
+  /** IMA-ADPCM WAV fixtures (doc_id % 3 == 2): mono 16-bit source
+    * samples s(i) = ((mediaId*7 + 31i) mod 4001 − 2000) · 8 — wide
+    * swings that drive the step index up and down — encoded at
+    * blockAlign 36 (65 samples/block), so most fixtures span a block
+    * boundary and the header-reseed path executes. The codec is LOSSY;
+    * the q123 oracle replays the encoder+decoder state machine exactly
+    * (all-integer), not the source samples. */
+  def adpcmFilesFromDocuments(
+      spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.filter(col("doc_id") % 3 === 2).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = 40 + (id % 100).toInt
+        val samples = Array.tabulate(n)(i =>
+          (((id * 7 + 31L * i) % 4001).toInt - 2000) * 8)
+        MediaRow(id, "audio", Adpcm.encode(samples, rate = 8000))
+      })
+  }
+
+  /** Decode IMA-ADPCM WAVs to amplitude stats over the RECONSTRUCTED
+    * samples (quarantine semantics on any off-contract payload). */
+  def extractAdpcmStats(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      Adpcm.decode(r.payload).iterator.map { case (_, samples) =>
+        var peak = 0; var sumAbs = 0L
+        samples.foreach { a =>
+          val ab = math.abs(a)
+          if (ab > peak) peak = ab
+          sumAbs += ab
+        }
+        (r.media_id, samples.length.toLong, peak, sumAbs)
+      }
+    }).toDF("media_id", "n_samples", "peak", "sum_abs")
+  }
+
   /** Per-partition G.711 stat extraction (quarantine semantics). */
   def extractG711Stats(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._

@@ -1848,6 +1848,64 @@ object LlmQueries {
             md5(col("body").cast("binary")).as("body_md5"))
     },
 
+    // IMA-ADPCM audio — the first STATEFUL codec in the audio family:
+    // every nibble's meaning depends on the (predictor, step-index) state
+    // threaded through all prior samples, unlike the memoryless PCM/G.711
+    // maps. The codec is LOSSY, so the oracle replays the encoder AND
+    // decoder state machine per sample with a recursive CTE over pure
+    // integer arithmetic (quantize, reconstruct, clamp, table-step) —
+    // blocks reset the step index, so recursion is per (media, block)
+    // and a fixture spanning block boundaries exercises the reseed path.
+    OpQuery.sql(
+      "q123_audio_adpcm",
+      """WITH RECURSIVE
+        |v AS (SELECT CAST(doc_id AS BIGINT) id, CAST(40 + doc_id % 100 AS BIGINT) n
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |ix AS (SELECT id, n, unnest(generate_series(0, n - 1)) AS i FROM v),
+        |src AS (SELECT id, i, ((id * 7 + 31 * i) % 4001 - 2000) * 8 AS s,
+        |    i // 65 AS blk, i % 65 AS j FROM ix),
+        |steps AS (SELECT generate_subscripts(l, 1) - 1 AS sidx, unnest(l) AS step
+        |  FROM (SELECT [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,
+        |    41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,
+        |    190,209,230,253,279,307,337,371,408,449,494,544,598,658,
+        |    724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,
+        |    2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,
+        |    6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,
+        |    16818,18500,20350,22385,24623,27086,29794,32767] AS l)),
+        |r AS (
+        |  SELECT id, blk, j, s AS pred, CAST(0 AS BIGINT) AS st_i
+        |  FROM src WHERE j = 0
+        |  UNION ALL
+        |  SELECT id, blk, j, pred2 AS pred, idx2 AS st_i FROM (
+        |    SELECT nx.id, nx.blk, nx.j, st.step AS stp,
+        |      nx.s - r.pred AS d0,
+        |      CASE WHEN nx.s - r.pred < 0 THEN 1 ELSE 0 END AS sgn,
+        |      abs(nx.s - r.pred) AS ad,
+        |      CASE WHEN ad >= stp THEN 1 ELSE 0 END AS b4,
+        |      ad - b4 * stp AS ad2,
+        |      CASE WHEN ad2 >= stp // 2 THEN 1 ELSE 0 END AS b2,
+        |      ad2 - b2 * (stp // 2) AS ad3,
+        |      CASE WHEN ad3 >= stp // 4 THEN 1 ELSE 0 END AS b1,
+        |      stp // 8 + b4 * stp + b2 * (stp // 2) + b1 * (stp // 4) AS rd,
+        |      greatest(-32768, least(32767,
+        |        r.pred + CASE WHEN sgn = 1 THEN -rd ELSE rd END)) AS pred2,
+        |      greatest(0, least(88, r.st_i +
+        |        CASE WHEN b4 = 1 THEN
+        |          CASE WHEN b2 = 1 THEN CASE WHEN b1 = 1 THEN 8 ELSE 6 END
+        |               ELSE CASE WHEN b1 = 1 THEN 4 ELSE 2 END END
+        |        ELSE -1 END)) AS idx2
+        |    FROM r JOIN src nx
+        |      ON nx.id = r.id AND nx.blk = r.blk AND nx.j = r.j + 1
+        |    JOIN steps st ON st.sidx = r.st_i) t)
+        |SELECT id AS media_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(max(abs(pred)) AS INTEGER) AS peak,
+        |  CAST(sum(abs(pred)) AS BIGINT) AS sum_abs
+        |FROM r GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        Multimodal.extractAdpcmStats(
+          Multimodal.adpcmFilesFromDocuments(s, load(s, dir, "documents")))
+    },
+
     // Model-based quality filtering (the fastText/DCLM pattern): a hashed
     // bigram linear classifier scores every doc — explode grams, md5-hash
     // into 4096 feature buckets, count, broadcast-join the weight vector,
