@@ -33,9 +33,26 @@ object Gif {
     * entropy layer is identical, only row placement changes. */
   def encodeIndexed(
       w: Int, h: Int, palette: Array[Int], indices: Array[Byte],
-      interlaced: Boolean = false): Array[Byte] = {
-    require(w >= 1 && h >= 1 && indices.length == w * h,
-      s"need $w*$h=${w * h} indices, got ${indices.length}")
+      interlaced: Boolean = false): Array[Byte] =
+    encodeFrames(w, h, palette, Seq(indices), interlaced, withGce = false)
+
+  /** Animated GIF89a: every frame full-canvas over the one global
+    * palette, each preceded by a graphic-control extension carrying
+    * `delayCs` (centiseconds; disposal = do-not-dispose, so frames are
+    * full replacements — the contract [[decodeFrames]] enforces). */
+  def encodeAnimated(
+      w: Int, h: Int, palette: Array[Int], frames: Seq[Array[Byte]],
+      delayCs: Int = 10, interlaced: Boolean = false): Array[Byte] = {
+    require(frames.nonEmpty, "an animation needs at least one frame")
+    encodeFrames(w, h, palette, frames, interlaced, withGce = true, delayCs)
+  }
+
+  private def encodeFrames(
+      w: Int, h: Int, palette: Array[Int], frames: Seq[Array[Byte]],
+      interlaced: Boolean, withGce: Boolean, delayCs: Int = 0): Array[Byte] = {
+    frames.foreach(f => require(f.length == w * h,
+      s"need $w*$h=${w * h} indices per frame, got ${f.length}"))
+    require(w >= 1 && h >= 1)
     require(palette.length >= 2 && palette.length <= 256 &&
       Integer.bitCount(palette.length) == 1,
       s"palette must be a power of two in [2,256], got ${palette.length}")
@@ -49,23 +66,37 @@ object Gif {
     palette.foreach { c =>
       out.write((c >> 16) & 0xff); out.write((c >> 8) & 0xff); out.write(c & 0xff)
     }
-    out.write(0x2c) // image descriptor
-    le16(0); le16(0); le16(w); le16(h)
-    out.write(if (interlaced) 0x40 else 0) // no local table
     val minCode = math.max(2, palBits)
-    out.write(minCode)
-    val src =
-      if (!interlaced) indices
-      else {
-        val reordered = new Array[Byte](indices.length)
-        val rows = interlaceRows(h)
-        var s = 0
-        while (s < h) {
-          System.arraycopy(indices, rows(s) * w, reordered, s * w, w)
-          s += 1
-        }
-        reordered
+    frames.foreach { indices =>
+      if (withGce) { // graphic control: disposal 1, no transparency
+        out.write(0x21); out.write(0xf9); out.write(4)
+        out.write(0x04); le16(delayCs); out.write(0); out.write(0)
       }
+      out.write(0x2c) // image descriptor
+      le16(0); le16(0); le16(w); le16(h)
+      out.write(if (interlaced) 0x40 else 0) // no local table
+      out.write(minCode)
+      val src =
+        if (!interlaced) indices
+        else {
+          val reordered = new Array[Byte](indices.length)
+          val rows = interlaceRows(h)
+          var s = 0
+          while (s < h) {
+            System.arraycopy(indices, rows(s) * w, reordered, s * w, w)
+            s += 1
+          }
+          reordered
+        }
+      out.write(lzwEncode(src, minCode))
+    }
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** LZW-encode one frame's indices: LSB-first bit packing into
+    * <=255-byte sub-blocks, terminator included. */
+  private def lzwEncode(src: Array[Byte], minCode: Int): Array[Byte] = {
 
     // LZW encode, LSB-first bit packing into <=255-byte sub-blocks
     val clear = 1 << minCode
@@ -129,15 +160,24 @@ object Gif {
     if (nBits > 0) flushByte((acc & 0xff).toInt)
     if (subLen > 0) { block.write(subLen); block.write(sub, 0, subLen) }
     block.write(0) // sub-block terminator
-    val body = block.toByteArray
-    out.write(body, 0, body.length)
-    out.write(0x3b) // trailer
-    out.toByteArray
+    block.toByteArray
   }
 
-  /** Decode: (w, h, palette, row-major indices). None off-contract. */
+  /** Decode the FIRST frame: (w, h, palette, row-major indices) — the
+    * still-image view of any stream [[decodeFrames]] accepts. */
   def decodeIndexed(p: Array[Byte])
-      : Option[(Int, Int, Array[Int], Array[Byte])] = {
+      : Option[(Int, Int, Array[Int], Array[Byte])] =
+    decodeFrames(p).map { case (w, h, pal, frames) => (w, h, pal, frames.head) }
+
+  /** Decode ALL frames of a (possibly animated) GIF: (w, h, palette,
+    * frames). Contract: every image block full-canvas over the one
+    * global palette (no local tables, no sub-rectangle composition —
+    * disposal semantics stay out; each frame is a full replacement,
+    * which is what [[encodeAnimated]] emits), per-frame interlace
+    * allowed, graphic-control and other extensions skipped, terminating
+    * trailer required. None on any violation. */
+  def decodeFrames(p: Array[Byte])
+      : Option[(Int, Int, Array[Int], Seq[Array[Byte]])] = {
     if (p.length < 14) return None
     val sig = new String(p, 0, 6, "US-ASCII")
     if (sig != "GIF87a" && sig != "GIF89a") return None
@@ -154,18 +194,44 @@ object Gif {
         (p(i + 3 * c + 2) & 0xff)
     }
     i += 3 * palSize
-    // skip extensions until the first image descriptor
-    while (i < p.length && (p(i) & 0xff) == 0x21) {
-      i += 2 // introducer + label
-      var more = true
-      while (more) {
-        if (i >= p.length) return None
-        val n = p(i) & 0xff
-        i += 1
-        if (n == 0) more = false else i += n
+    val frames = Seq.newBuilder[Array[Byte]]
+    var nFrames = 0
+    var trailer = false
+    while (!trailer) {
+      // skip extensions until an image descriptor or the trailer
+      while (i < p.length && (p(i) & 0xff) == 0x21) {
+        i += 2 // introducer + label
+        var more = true
+        while (more) {
+          if (i >= p.length) return None
+          val n = p(i) & 0xff
+          i += 1
+          if (n == 0) more = false else i += n
+        }
+      }
+      if (i >= p.length) return None // ran out before the trailer
+      (p(i) & 0xff) match {
+        case 0x3b => trailer = true
+        case 0x2c =>
+          decodeFrame(p, i, sw, sh, palSize) match {
+            case Some((frame, next)) =>
+              frames += frame; nFrames += 1; i = next
+            case None => return None
+          }
+        case _ => return None
       }
     }
-    if (i >= p.length || (p(i) & 0xff) != 0x2c) return None
+    if (nFrames == 0) None else Some((sw, sh, palette, frames.result()))
+  }
+
+  /** One image block at `i` (which points at 0x2c): full-canvas
+    * descriptor + LZW data. Returns (display-order indices, index just
+    * past the sub-block terminator). */
+  private def decodeFrame(
+      p: Array[Byte], start: Int, sw: Int, sh: Int,
+      palSize: Int): Option[(Array[Byte], Int)] = {
+    def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    var i = start
     if (i + 10 > p.length) return None
     val left = le16(i + 1); val top = le16(i + 3)
     val w = le16(i + 5); val h = le16(i + 7)
@@ -276,23 +342,23 @@ object Gif {
     // indices must address the palette
     var v = 0
     while (v < out.length) {
-      if ((out(v) & 0xff) >= palette.length) return None
+      if ((out(v) & 0xff) >= palSize) return None
       v += 1
     }
     val display =
       if (!interlaced) out
       else {
         // stored position s holds display row interlaceRows(h)(s)
-        val d = new Array[Byte](out.length)
+        val d2 = new Array[Byte](out.length)
         val rows = interlaceRows(h)
         var s = 0
         while (s < h) {
-          System.arraycopy(out, s * w, d, rows(s) * w, w)
+          System.arraycopy(out, s * w, d2, rows(s) * w, w)
           s += 1
         }
-        d
+        d2
       }
-    Some((w, h, palette, display))
+    Some((display, i))
   }
 
   /** Decode to interleaved RGB via the palette. */

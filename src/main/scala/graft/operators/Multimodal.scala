@@ -1248,6 +1248,53 @@ object Multimodal {
     }
   }
 
+  /** ANIMATED GIF fixtures (doc_id % 3 == 0): 2-4 full-canvas frames
+    * over one global palette, each frame's index pattern shifted by
+    * 11·frame so a decoder that drops, reorders, or double-reads frames
+    * breaks some frame's channel sums. Graphic-control extensions carry
+    * per-frame delays — the extension-skip path runs between every
+    * frame, not just at the head. */
+  def gifAnimatedFromDocuments(
+      spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.filter(col("doc_id") % 3 === 0).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 5 + (id % 20).toInt
+        val h = 4 + (id % 15).toInt
+        val palette = Array.tabulate(8) { c =>
+          (((id * 17 + 29L * c) % 256).toInt << 16) |
+            (((id * 23 + 31L * c) % 256).toInt << 8) |
+            ((id * 13 + 37L * c) % 256).toInt
+        }
+        val frames = (0 until (2 + (id % 3).toInt)).map { f =>
+          Array.tabulate(w * h) { k =>
+            ((id + 3L * (k % w) + 7L * (k / w) + 11L * f) % 8).toByte
+          }
+        }
+        MediaRow(id, "animation", Gif.encodeAnimated(w, h, palette, frames))
+      })
+  }
+
+  /** Per-FRAME RGB stats of animated GIFs (quarantine semantics). */
+  def decodeGifFrameStats(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      Gif.decodeFrames(r.payload).toSeq.flatMap {
+        case (w, h, palette, frames) =>
+          frames.zipWithIndex.map { case (idx, fi) =>
+            var rs = 0L; var gs = 0L; var bs = 0L
+            var k = 0
+            while (k < w * h) {
+              val c = palette(idx(k) & 0xff)
+              rs += (c >> 16) & 0xff; gs += (c >> 8) & 0xff; bs += c & 0xff
+              k += 1
+            }
+            (r.media_id, fi, w * h, rs, gs, bs)
+          }
+      }
+    }).toDF("media_id", "frame_idx", "n_px", "r_sum", "g_sum", "b_sum")
+  }
+
   def decodeGifRgbStats(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { r =>

@@ -1768,6 +1768,38 @@ object LlmQueries {
           Multimodal.gifImagesFromDocuments(s, load(s, dir, "documents")))
     },
 
+    // ANIMATED GIF frame extraction: 2-4 full-canvas frames per stream,
+    // graphic-control extensions between every frame (the skip path runs
+    // mid-stream, not just at the head), each frame's pattern shifted by
+    // 11*frame — dropping, reordering, or double-reading a frame breaks
+    // that frame's channel sums. LZW is lossless, so the oracle replays
+    // every frame's pixels exactly.
+    OpQuery.sql(
+      "q124_gif_animated_frames",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(5 + doc_id % 20 AS BIGINT) AS w,
+        |    CAST(4 + doc_id % 15 AS BIGINT) AS h,
+        |    CAST(2 + doc_id % 3 AS BIGINT) AS nf
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |fr AS (SELECT *, unnest(generate_series(0, nf - 1)) AS f FROM v),
+        |y AS (SELECT *, unnest(generate_series(0, h - 1)) AS py FROM fr),
+        |x AS (SELECT *, unnest(generate_series(0, w - 1)) AS px FROM y),
+        |c AS (SELECT id, f, (id + 3 * px + 7 * py + 11 * f) % 8 AS ci FROM x),
+        |p AS (SELECT id, f,
+        |    (id * 17 + 29 * ci) % 256 AS r,
+        |    (id * 23 + 31 * ci) % 256 AS g,
+        |    (id * 13 + 37 * ci) % 256 AS b
+        |  FROM c)
+        |SELECT id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(count(*) AS INTEGER) AS n_px,
+        |  CAST(sum(r) AS BIGINT) AS r_sum, CAST(sum(g) AS BIGINT) AS g_sum,
+        |  CAST(sum(b) AS BIGINT) AS b_sum
+        |FROM p GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        Multimodal.decodeGifFrameStats(
+          Multimodal.gifAnimatedFromDocuments(s, load(s, dir, "documents")))
+    },
+
     // q111's fixtures stored INTERLACED (four-pass row order, flag 0x40):
     // the decoder must un-permute rows after the identical LZW layer.
     // Pixels match the sequential encode exactly, so q111's oracle

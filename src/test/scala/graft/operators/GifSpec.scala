@@ -70,6 +70,31 @@ class GifSpec extends AnyFunSuite {
     }
   }
 
+  test("animated streams: per-frame round-trip, GCE skip, hostile variants") {
+    val rnd = new scala.util.Random(23)
+    val (w, h) = (9, 7)
+    val frames = (0 until 4).map(_ =>
+      Array.fill(w * h)(rnd.nextInt(4).toByte))
+    val anim = Gif.encodeAnimated(w, h, pal(4), frames, delayCs = 5)
+    val got = Gif.decodeFrames(anim)
+    assert(got.exists { case (gw, gh, _, fs) =>
+      gw == w && gh == h && fs.length == 4 &&
+        fs.zip(frames).forall { case (a, b) => a.toSeq == b.toSeq } })
+    // the still-image view is frame 0
+    assert(Gif.decodeIndexed(anim).exists(_._4.toSeq == frames.head.toSeq))
+    // a single-frame still decodes as a 1-frame animation
+    assert(Gif.decodeFrames(Gif.encodeIndexed(w, h, pal(4), frames.head))
+      .exists(_._4.length == 1))
+    // truncation mid-way through a later frame: None, not a prefix
+    assert(Gif.decodeFrames(anim.dropRight(10)).isEmpty)
+    // trailer excised: None (the stream never terminates cleanly)
+    assert(Gif.decodeFrames(anim.dropRight(1)).isEmpty)
+    // interlaced animation round-trips too
+    val ianim = Gif.encodeAnimated(w, h, pal(4), frames, interlaced = true)
+    assert(Gif.decodeFrames(ianim).exists(
+      _._4.zip(frames).forall { case (a, b) => a.toSeq == b.toSeq }))
+  }
+
   test("decodeRgb maps through the palette") {
     val palette = pal(4)
     val idx = Array[Byte](0, 1, 2, 3)
