@@ -241,7 +241,32 @@ class Pipeline(spark: SparkSession, root: String) {
       else {
         val voidedPersons = person.filter(col("voided") === 1).select("person_id")
         Some((purgedLog match {
-          case Some(log) => voidedPersons.join(log, Seq("person_id"), "left_anti")
+          case Some(log) =>
+            // The log is written in a SEPARATE commit after the stage
+            // writes, so a crash between them can leave a stale absence
+            // entry: a re-queued person (unvoid + new data) whose rows
+            // rematerialized but whose log entry survived. Left alone, a
+            // later re-void would be excluded from the purge set forever.
+            // Validate exactly the entries whose staleness matters — log
+            // ∩ currently-voided — with a bucket-pruned presence probe
+            // (O(claimed persons' buckets), not O(table)): any claimed-
+            // absent person who actually has rows re-enters the purge set.
+            val fresh = voidedPersons.join(log, Seq("person_id"), "left_anti")
+            val claimed = voidedPersons.join(log, Seq("person_id"), "left_semi")
+            val claimedBuckets = BucketedSink.collectBuckets(claimed, sinkBuckets)
+            val stale =
+              if (claimedBuckets.isEmpty) claimed.limit(0)
+              else Seq("flat_obs", "flat_orders", "flat_lab_obs",
+                  "flat_visit_summary")
+                .filter(bucketedExists)
+                .map(n => BucketedSink.readBuckets(
+                  spark, bucketedDataPath(n).toString, claimedBuckets)
+                  .select("person_id")
+                  .join(claimed, Seq("person_id"), "left_semi"))
+                .reduceOption(_ union _)
+                .map(_.distinct())
+                .getOrElse(claimed.limit(0))
+            fresh.union(stale)
           case None => voidedPersons
         }).cache())
       }

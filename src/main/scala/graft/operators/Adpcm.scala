@@ -154,6 +154,9 @@ object Adpcm {
       i = if (next <= i || next > Int.MaxValue) p.length else next.toInt
     }
     if (rate < 0 || dataOff < 0 || nSamples < 0) return None
+    // reject-don't-guess: encode's require() never emits 0 samples or a
+    // non-word-aligned block, so a stream declaring either is off contract
+    if (nSamples == 0 || blockAlign % 4 != 0) return None
     if (nSamples > (1L << 26)) return None // hostile-header allocation cap
     if (dataOff + dataLen > p.length) return None
     val nBlocks = (nSamples + spb - 1) / spb

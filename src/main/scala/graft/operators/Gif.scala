@@ -213,6 +213,11 @@ object Gif {
       (p(i) & 0xff) match {
         case 0x3b => trailer = true
         case 0x2c =>
+          // allocation cap is TOTAL decoded pixels, not per-canvas: LZW
+          // expands ~1000x, so a small stream declaring a large canvas
+          // with many frames must reject BEFORE each frame's allocation
+          // (same contract as Adpcm's 2^26-sample cap)
+          if ((nFrames + 1).toLong * sw * sh > (1L << 26)) return None
           decodeFrame(p, i, sw, sh, palSize) match {
             case Some((frame, next)) =>
               frames += frame; nFrames += 1; i = next

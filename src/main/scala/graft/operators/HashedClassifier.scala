@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   * actually runs per document — is one shuffle keyed by (doc, bucket)
   * plus one broadcast join, no UDFs, fully codegen'd. The weighted sum
   * accumulates in DECIMAL so the logit is independent of aggregation
-  * order (weights are 3-decimal fixed-point by contract, so count×weight
-  * is exactly representable after the cast), which is what lets an
-  * external engine replay scores bit-for-bit at the rounded precision.
+  * order. Cross-engine bit-parity rests on both engines performing the
+  * IDENTICAL double multiply (count × weight — 0.001 etc. are not exact
+  * in binary) followed by the identical double→decimal cast, then exact
+  * DECIMAL summation; reordering the multiply-then-cast sequence would
+  * break oracle parity even though the decimal sum itself is exact.
   */
 object HashedClassifier {
 

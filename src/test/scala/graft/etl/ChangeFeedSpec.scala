@@ -169,6 +169,28 @@ class ChangeFeedSpec extends SparkSuite {
 
       pipe.tick(obs1, encounter, orders, person(1)) // re-void -> purge again
       assert(p2Rows == 0 && logPersons == Set(2))
+
+      // CRASH RECOVERY: the log is committed after the stage writes, so a
+      // tick that re-queued a logged person (unvoid + new data, rows
+      // rematerialized) and died before the log rewrite leaves a STALE
+      // absence entry. Simulate it: rematerialize P2's rows, then put the
+      // old log (still claiming P2 absent) back — the next re-void tick's
+      // presence probe must detect the lie and purge anyway.
+      val obs2 = mkObs(Seq(
+        obsRow(1, 1, 100, "2015-01-01 12:00:00"),
+        obsRow(2, 2, 101, "2015-01-01 12:00:00"),
+        labRow(9, 1, 100, "2015-01-01 12:00:00"),
+        obsRow(3, 2, 101, "2015-01-10 12:00:00"),
+        obsRow(4, 2, 101, "2015-01-20 12:00:00")))
+      pipe.tick(obs2, encounter, orders, person(0)) // unvoid + new obs: rows back
+      assert(p2Rows == 1 && logPersons.isEmpty)
+      import spark.implicits._
+      pipe.writeSnapshot(Seq(2).toDF("person_id"), "purged_persons")
+      assert(logPersons == Set(2) && p2Rows == 1) // the stale state
+      pipe.tick(obs2, encounter, orders, person(1)) // re-void under a stale log
+      assert(p2Rows == 0,
+        "stale log entry shielded a re-voided person from the purge")
+      assert(logPersons == Set(2))
     }
   }
 }

@@ -71,6 +71,11 @@ class AdpcmSpec extends AnyFunSuite {
     bomb(48) = 0xff.toByte; bomb(49) = 0xff.toByte
     bomb(50) = 0xff.toByte; bomb(51) = 0x7f.toByte
     assert(Adpcm.decode(bomb).isEmpty)
+    // a fact chunk declaring 0 samples: encode's require() can never
+    // emit it, so decode must reject rather than return (rate, empty)
+    val zero = good.clone()
+    zero(48) = 0; zero(49) = 0; zero(50) = 0; zero(51) = 0
+    assert(Adpcm.decode(zero).isEmpty)
     // not a WAV
     assert(Adpcm.decode("RIFFjunk".getBytes("US-ASCII")).isEmpty)
     assert(Adpcm.decode(Array.emptyByteArray).isEmpty)

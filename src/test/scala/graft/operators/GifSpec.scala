@@ -95,6 +95,19 @@ class GifSpec extends AnyFunSuite {
       _._4.zip(frames).forall { case (a, b) => a.toSeq == b.toSeq }))
   }
 
+  test("animated allocation cap: total pixels across frames, not per canvas") {
+    // LZW expands ~1000x, so a small stream declaring a 64M-pixel budget
+    // across MANY frames must reject before allocating frame n+1 — the
+    // per-canvas cap alone lets sw*sh*nFrames grow unbounded
+    val (w, h) = (2048, 2048) // 4,194,304 px/frame: 16 frames sit exactly at 2^26
+    val zero = new Array[Byte](w * h)
+    val ok = Gif.encodeAnimated(w, h, pal(4), Seq.fill(16)(zero))
+    assert(Gif.decodeFrames(ok).exists(_._4.length == 16))
+    val bomb = Gif.encodeAnimated(w, h, pal(4), Seq.fill(17)(zero))
+    assert(Gif.decodeFrames(bomb).isEmpty,
+      "17 full-canvas frames cross the total-pixel cap and must reject")
+  }
+
   test("decodeRgb maps through the palette") {
     val palette = pal(4)
     val idx = Array[Byte](0, 1, 2, 3)
