@@ -31,5 +31,5 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops →
     * driver records a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    catalog.collect { case OpQuery(name, Some(sql), _) => name -> sql }.toMap
+    catalog.collect { case q if q.oracle.isDefined => q.name -> q.oracle.get }.toMap
 }

@@ -39,7 +39,8 @@ final case class SourceDeltas(
   * REPLACE-INTO-equivalent sink; a production deployment would use a
   * Delta/Iceberg MERGE instead) → append run row to flat_log.
   */
-class Pipeline(spark: SparkSession, root: String) {
+class Pipeline(
+    spark: SparkSession, root: String, bucketsOverride: Option[Int] = None) {
 
   val flatObsVersion = "flat_obs_v1.0"
   val flatOrdersVersion = "flat_orders_v1.1" // §7.4.10 version drift, faithful
@@ -84,11 +85,36 @@ class Pipeline(spark: SparkSession, root: String) {
   // the whole table. Pick the mode when the table is first created —
   // the layouts are distinct directories and don't migrate.
 
-  def sinkBuckets: Int =
-    spark.conf.getOption("graft.sink.buckets").map(_.toInt).getOrElse(0)
-  private def bucketedDataPath(name: String) = new Path(path(name), "buckets")
-  private def bucketedExists(name: String): Boolean =
+  def sinkBuckets: Int = bucketsOverride.getOrElse(
+    spark.conf.getOption("graft.sink.buckets").map(_.toInt).getOrElse(0))
+  private[graft] def bucketedDataPath(name: String) = new Path(path(name), "buckets")
+  private[graft] def bucketedExists(name: String): Boolean =
     BucketedSink.exists(hadoopConf, bucketedDataPath(name).toString)
+
+  // ---- bucketed stage facade for callers OUTSIDE tick ----
+  // The streamed cascade (IncrementalEtlStream) drives the same
+  // stage code per micro-batch with a batch-derived watermark; these
+  // give it the tick's write discipline without the flat_log plumbing.
+
+  /** Touched-key delta state for one bucketed stage merge: cache the
+    * queue, collect its bucket ids, prune the stored table to them. */
+  private[graft] def stageDelta(name: String, queue: DataFrame): BucketedDelta =
+    bucketedDelta(name, queue)
+
+  /** First write of a bucketed table: every bucket into a fresh epoch. */
+  private[graft] def writeBucketedFull(df: DataFrame, name: String): Unit =
+    BucketedSink.writeFull(df, bucketedDataPath(name).toString, "person_id", sinkBuckets)
+
+  /** Incremental write: only the given buckets land in a new epoch;
+    * `merged` must cover their complete post-merge rows. */
+  private[graft] def writeBucketedChanged(
+      df: DataFrame, name: String, touched: Set[Int]): Unit =
+    BucketedSink.overwriteChanged(
+      df, bucketedDataPath(name).toString, "person_id", sinkBuckets, touched)
+
+  /** Read only the given buckets of a bucketed table. */
+  private[graft] def readFlatBuckets(name: String, buckets: Set[Int]): DataFrame =
+    BucketedSink.readBuckets(spark, bucketedDataPath(name).toString, buckets)
 
   def readFlat(name: String): Option[DataFrame] =
     if (bucketedExists(name))
@@ -170,7 +196,7 @@ class Pipeline(spark: SparkSession, root: String) {
     * full-build wall time because the keep-side READ still scanned
     * every bucket.
     */
-  private final case class BucketedDelta(
+  private[graft] final case class BucketedDelta(
       queue: DataFrame, buckets: Set[Int], prunedExisting: DataFrame) {
     def release(): Unit = queue.unpersist()
   }
@@ -287,8 +313,10 @@ class Pipeline(spark: SparkSession, root: String) {
     var delta: BucketedDelta = null
     def noteDelta(d: BucketedDelta): BucketedDelta = { delta = d; d }
     // the flat_obs stage's queue, retained for the summary stage's
-    // bounded retraction scan (small: O(delta) person ids)
+    // bounded retraction scan (small: O(delta) person ids); the summary
+    // stage's delta, retained for the latest-summary keyed maintenance
     var foDelta: BucketedDelta = null
+    var sumDelta: BucketedDelta = null
     def endStage(): Unit = if (delta != null) {
       tickQueues += delta.queue; delta = null // released after the log write
     }
@@ -378,6 +406,7 @@ class Pipeline(spark: SparkSession, root: String) {
                 FlatVisitSummary.touchedPersons(existing, fo, obs, encounter,
                   wm, obsD, encD)
             val d = noteDelta(bucketedDelta("flat_visit_summary", queue))
+            sumDelta = d
             val foPruned = BucketedSink.readBuckets(
               spark, bucketedDataPath("flat_obs").toString, d.buckets)
             val fordPruned = BucketedSink.readBuckets(
@@ -394,9 +423,28 @@ class Pipeline(spark: SparkSession, root: String) {
       tableFallback = false)
     endStage()
 
-    writeSnapshot(
-      FlatLatestHivSummary.build(readFlat("flat_visit_summary").get),
-      "flat_latest_hiv_summary")
+    // ---- latest-summary maintenance ----
+    // One row per person, derived ONLY from that person's visit-summary
+    // rows — so in bucketed mode (shared person-id hash) the stage is a
+    // keyed merge: rebuild exactly the buckets the summary stage touched
+    // from those buckets' post-tick rows and leave every other bucket's
+    // files untouched. O(delta buckets) per tick instead of the wholesale
+    // rebuild (the one stage whose incremental path the reference itself
+    // punts on, flat_latest_hiv_summary_v1.0.sql:21-37 + §7.4.8).
+    // Deletions fall out: a purged person's bucket rebuilds without them.
+    if (bucketed && bucketedExists("flat_latest_hiv_summary") && sumDelta != null)
+      writeBucketedChanged(
+        FlatLatestHivSummary.build(
+          readFlatBuckets("flat_visit_summary", sumDelta.buckets)),
+        "flat_latest_hiv_summary", sumDelta.buckets)
+    else if (bucketed)
+      writeBucketedFull(
+        FlatLatestHivSummary.build(readFlat("flat_visit_summary").get),
+        "flat_latest_hiv_summary")
+    else
+      writeSnapshot(
+        FlatLatestHivSummary.build(readFlat("flat_visit_summary").get),
+        "flat_latest_hiv_summary")
 
     // ---- purged-persons log update ----
     // log' = (log \ every person queued this tick) ∪ purged-this-tick:

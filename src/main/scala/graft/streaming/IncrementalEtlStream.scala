@@ -110,6 +110,12 @@ object IncrementalEtlStream {
     * stream's checkpointed offsets as the only progress state. `orders`
     * is a static dimension here (its flat stage builds once); a second
     * file stream on orders would slot in identically.
+    *
+    * Sink shape follows `pipeline.sinkBuckets`: 0 keeps the versioned
+    * snapshot per batch (the oracle-replayable reference shape); N > 0
+    * runs every batch as a BUCKETED merge — [[cascadeBatchBucketed]] —
+    * whose per-batch cost is O(batch + touched persons' history), not
+    * O(accumulated table): the scale shape for an unbounded stream.
     */
   def runCascadeOnce(
       spark: SparkSession,
@@ -128,54 +134,197 @@ object IncrementalEtlStream {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (rawBatch: DataFrame, _: Long) =>
-        // `graft.debug.cascadeTiming=true` prints per-stage seconds —
-        // profiling hook only, no behavior change
-        def timed[A](label: String)(f: => A): A =
-          if (spark.conf.getOption("graft.debug.cascadeTiming")
-              .contains("true")) {
-            val t0 = System.nanoTime()
-            val r = f
-            println(f"    [cascade] $label%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
-            r
-          } else f
-        // the deduped snapshot's LatestRow window used to re-execute
-        // inside EVERY downstream stage's plan (4-5x per batch); pin it
-        // once per batch. The batch doubles as the stages' change feed.
-        val batch = rawBatch.persist()
-        val snapshot = obsSnapshot(spark, obsDir).persist()
-        try {
-          val (next, wmOpt) = mergeFlatObs(
-            batch, snapshot, encounter, person, pipeline)
-          timed("flat_obs")(pipeline.writeSnapshot(next, "flat_obs"))
-          val lab = (pipeline.readFlat("flat_lab_obs"), wmOpt) match {
-            case (Some(existing), Some(wm)) =>
-              FlatLabObs.incremental(existing, snapshot, person, wm,
-                obsDelta = Some(batch))
-            case _ => FlatLabObs.build(snapshot, person)
-          }
-          timed("flat_lab_obs")(pipeline.writeSnapshot(lab, "flat_lab_obs"))
-          if (pipeline.readFlat("flat_orders").isEmpty)
-            timed("flat_orders")(pipeline.writeSnapshot(
-              FlatOrders.build(orders, encounter, person), "flat_orders"))
-          val fo = pipeline.readFlat("flat_obs").get
-          val ford = pipeline.readFlat("flat_orders").get
-          val summary = (pipeline.readFlat("flat_visit_summary"), wmOpt) match {
-            case (Some(existing), Some(wm)) =>
-              FlatVisitSummary.incremental(
-                existing, fo, ford, snapshot, encounter, person, wm,
-                obsDelta = Some(batch))
-            case _ => FlatVisitSummary.build(fo, ford, person)
-          }
-          timed("flat_visit_summary")(
-            pipeline.writeSnapshot(summary, "flat_visit_summary"))
-          timed("flat_latest")(pipeline.writeSnapshot(
-            FlatLatestHivSummary.build(
-              pipeline.readFlat("flat_visit_summary").get),
-            "flat_latest_hiv_summary"))
-        } finally { batch.unpersist(); snapshot.unpersist() }
+        if (pipeline.sinkBuckets > 0)
+          cascadeBatchBucketed(
+            spark, rawBatch, obsDir, encounter, orders, person, pipeline)
+        else
+          cascadeBatchSnapshot(
+            spark, rawBatch, obsDir, encounter, orders, person, pipeline)
         ()
       }
       .start()
     query.awaitTermination()
+  }
+
+  // `graft.debug.cascadeTiming=true` prints per-stage seconds —
+  // profiling hook only, no behavior change
+  private def timed[A](spark: SparkSession, label: String)(f: => A): A =
+    if (spark.conf.getOption("graft.debug.cascadeTiming").contains("true")) {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"    [cascade] $label%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
+    } else f
+
+  /** One micro-batch against the versioned-snapshot sink — each stage
+    * merges into (and rewrites) the full accumulated table. Kept as the
+    * oracle-replayable reference shape; its per-batch flat_obs merge
+    * cost grows with accumulated history (the LatestRow window over the
+    * whole version log — profiled in SCALE.md). */
+  private def cascadeBatchSnapshot(
+      spark: SparkSession,
+      rawBatch: DataFrame,
+      obsDir: String,
+      encounter: DataFrame,
+      orders: DataFrame,
+      person: DataFrame,
+      pipeline: Pipeline): Unit = {
+    def t[A](label: String)(f: => A): A = timed(spark, label)(f)
+    // the deduped snapshot's LatestRow window used to re-execute
+    // inside EVERY downstream stage's plan (4-5x per batch); pin it
+    // once per batch. The batch doubles as the stages' change feed.
+    val batch = rawBatch.persist()
+    val snapshot = obsSnapshot(spark, obsDir).persist()
+    try {
+      val (next, wmOpt) = mergeFlatObs(
+        batch, snapshot, encounter, person, pipeline)
+      t("flat_obs")(pipeline.writeSnapshot(next, "flat_obs"))
+      val lab = (pipeline.readFlat("flat_lab_obs"), wmOpt) match {
+        case (Some(existing), Some(wm)) =>
+          FlatLabObs.incremental(existing, snapshot, person, wm,
+            obsDelta = Some(batch))
+        case _ => FlatLabObs.build(snapshot, person)
+      }
+      t("flat_lab_obs")(pipeline.writeSnapshot(lab, "flat_lab_obs"))
+      if (pipeline.readFlat("flat_orders").isEmpty)
+        t("flat_orders")(pipeline.writeSnapshot(
+          FlatOrders.build(orders, encounter, person), "flat_orders"))
+      val fo = pipeline.readFlat("flat_obs").get
+      val ford = pipeline.readFlat("flat_orders").get
+      val summary = (pipeline.readFlat("flat_visit_summary"), wmOpt) match {
+        case (Some(existing), Some(wm)) =>
+          FlatVisitSummary.incremental(
+            existing, fo, ford, snapshot, encounter, person, wm,
+            obsDelta = Some(batch))
+        case _ => FlatVisitSummary.build(fo, ford, person)
+      }
+      t("flat_visit_summary")(
+        pipeline.writeSnapshot(summary, "flat_visit_summary"))
+      t("flat_latest")(pipeline.writeSnapshot(
+        FlatLatestHivSummary.build(
+          pipeline.readFlat("flat_visit_summary").get),
+        "flat_latest_hiv_summary"))
+    } finally { batch.unpersist(); snapshot.unpersist() }
+  }
+
+  /** One micro-batch against the BUCKETED sink — the tick's O(delta)
+    * write discipline under the stream (round-7 verdict's headline ask):
+    *
+    *  - the batch seeds every stage's person queue (change-feed
+    *    contract: each arriving version registers on its delta path);
+    *  - the accumulated version log is PRUNED to queued persons BEFORE
+    *    the LatestRow dedup window — all versions of an obs_id share a
+    *    person_id, so the window's partitions are included or excluded
+    *    whole, and the per-batch window cost is O(touched persons'
+    *    history) instead of O(all history) (the profiled 1.2→5.8 s/batch
+    *    growth of the snapshot shape);
+    *  - each stage merges over its stored table pruned to the queue's
+    *    buckets ([[graft.operators.BucketedSink.readBuckets]] — a
+    *    file-level prune) and commits ONLY those buckets via the
+    *    manifest swap; untouched buckets' files are never read, opened,
+    *    or rewritten;
+    *  - flat_latest_hiv_summary is maintained as a keyed merge over the
+    *    summary queue's buckets, not a wholesale rebuild.
+    *
+    * Idempotent under foreachBatch's at-least-once replay: a re-run
+    * batch re-derives the same queues/watermark, rebuilds the same
+    * groups to the same rows, and the delete-by-key merges are no-ops
+    * on already-merged state.
+    *
+    * The summary stage's bounded queue scan is sound here without the
+    * tick's watermark-alignment check: every stage shares the SAME
+    * batch-derived watermark within one foreachBatch invocation, so all
+    * flat_obs rows changed since it live in this batch's queue buckets
+    * by construction.
+    */
+  private def cascadeBatchBucketed(
+      spark: SparkSession,
+      rawBatch: DataFrame,
+      obsDir: String,
+      encounter: DataFrame,
+      orders: DataFrame,
+      person: DataFrame,
+      pipeline: Pipeline): Unit = {
+    def t[A](label: String)(f: => A): A = timed(spark, label)(f)
+    val batch = rawBatch.persist()
+    try {
+      if (!pipeline.bucketedExists("flat_obs")) {
+        // first arrival: full builds into fresh single-epoch layouts
+        val snapshot = obsSnapshot(spark, obsDir).persist()
+        try {
+          t("flat_obs")(pipeline.writeBucketedFull(
+            FlatObs.build(snapshot, encounter, person), "flat_obs"))
+          t("flat_lab_obs")(pipeline.writeBucketedFull(
+            FlatLabObs.build(snapshot, person), "flat_lab_obs"))
+          t("flat_orders")(pipeline.writeBucketedFull(
+            FlatOrders.build(orders, encounter, person), "flat_orders"))
+          val fo = pipeline.readFlat("flat_obs").get
+          val ford = pipeline.readFlat("flat_orders").get
+          t("flat_visit_summary")(pipeline.writeBucketedFull(
+            FlatVisitSummary.build(fo, ford, person), "flat_visit_summary"))
+          t("flat_latest")(pipeline.writeBucketedFull(
+            FlatLatestHivSummary.build(
+              pipeline.readFlat("flat_visit_summary").get),
+            "flat_latest_hiv_summary"))
+        } finally snapshot.unpersist()
+        return
+      }
+      val wmRow = batch.agg(
+        min(when(col("voided") === 1, col("date_voided"))
+          .otherwise(col("date_created"))).cast("string")).first()
+      if (wmRow.isNullAt(0)) return // empty batch: nothing can change
+      val wm = new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf(wmRow.getString(0)).getTime - 1)
+
+      val rawVersions = spark.read.schema(Schemas.obs)
+        .option("recursiveFileLookup", "true").parquet(obsDir)
+      // queue first (purge narrowing reads only the stored person_id
+      // column), then dedup ONLY queued persons' version history
+      val foQueue = FlatObs.touchedPersons(rawVersions, encounter, person,
+        wm, Some(pipeline.readFlat("flat_obs").get), Some(batch))
+      val foD = pipeline.stageDelta("flat_obs", foQueue)
+      val snapshot = currentState(
+        rawVersions.join(foD.queue, Seq("person_id"), "left_semi")).persist()
+      try {
+        t("flat_obs") {
+          pipeline.writeBucketedChanged(
+            FlatObs.incremental(foD.prunedExisting, snapshot, encounter,
+              person, wm, Some(batch)),
+            "flat_obs", foD.buckets)
+        }
+        val labQueue = FlatLabObs.touchedPersons(rawVersions, person, wm,
+          Some(pipeline.readFlat("flat_lab_obs").get), Some(batch))
+        val labD = pipeline.stageDelta("flat_lab_obs", labQueue)
+        try t("flat_lab_obs") {
+          pipeline.writeBucketedChanged(
+            FlatLabObs.incremental(labD.prunedExisting, snapshot, person,
+              wm, obsDelta = Some(batch)),
+            "flat_lab_obs", labD.buckets)
+        } finally labD.release()
+        // summary: bounded queue scans over the flat_obs stage's rewrite
+        // scope, then a merge pruned to the summary queue's own buckets
+        val foScoped = pipeline.readFlatBuckets("flat_obs", foD.buckets)
+        val sumScoped = pipeline.readFlatBuckets("flat_visit_summary", foD.buckets)
+        val sumQueue = FlatVisitSummary.touchedPersonsBounded(
+          sumScoped, foScoped, foD.queue, snapshot, encounter, wm, Some(batch))
+        val sumD = pipeline.stageDelta("flat_visit_summary", sumQueue)
+        try {
+          val foPruned = pipeline.readFlatBuckets("flat_obs", sumD.buckets)
+          val fordPruned = pipeline.readFlatBuckets("flat_orders", sumD.buckets)
+          t("flat_visit_summary") {
+            pipeline.writeBucketedChanged(
+              FlatVisitSummary.incremental(sumD.prunedExisting, foPruned,
+                fordPruned, snapshot, encounter, person, wm, Some(sumD.queue)),
+              "flat_visit_summary", sumD.buckets)
+          }
+          t("flat_latest") {
+            pipeline.writeBucketedChanged(
+              FlatLatestHivSummary.build(
+                pipeline.readFlatBuckets("flat_visit_summary", sumD.buckets)),
+              "flat_latest_hiv_summary", sumD.buckets)
+          }
+        } finally sumD.release()
+      } finally { snapshot.unpersist(); foD.release() }
+    } finally batch.unpersist()
   }
 }

@@ -80,7 +80,7 @@ object PipelineBench {
       val tickFull = (System.nanoTime() - s1) / 1e9
 
       val bucketed = Seq("flat_obs", "flat_orders", "flat_lab_obs",
-        "flat_visit_summary")
+        "flat_visit_summary", "flat_latest_hiv_summary")
       def bucketsDir(name: String) = root.resolve(name).resolve("buckets")
       val fullBytes = bucketed.map(n => n -> dirBytes(bucketsDir(n).resolve("e_0"))).toMap
 
@@ -94,14 +94,18 @@ object PipelineBench {
       // gate: every bucketed stage's incremental == a from-scratch
       // rebuild at t2 — a fast bench that drifted from the batch
       // semantics would be worse than no bench
-      import graft.etl.{FlatLabObs, FlatObs, FlatOrders, FlatVisitSummary}
+      import graft.etl.{FlatLabObs, FlatLatestHivSummary, FlatObs, FlatOrders, FlatVisitSummary}
       val rebuilds: Map[String, () => org.apache.spark.sql.DataFrame] = Map(
         "flat_obs" -> (() => FlatObs.build(obs2, enc2, person)),
         "flat_orders" -> (() => FlatOrders.build(ord2, enc2, person)),
         "flat_lab_obs" -> (() => FlatLabObs.build(obs2, person)),
         "flat_visit_summary" -> (() => FlatVisitSummary.build(
           FlatObs.build(obs2, enc2, person),
-          FlatOrders.build(ord2, enc2, person), person)))
+          FlatOrders.build(ord2, enc2, person), person)),
+        "flat_latest_hiv_summary" -> (() => FlatLatestHivSummary.build(
+          FlatVisitSummary.build(
+            FlatObs.build(obs2, enc2, person),
+            FlatOrders.build(ord2, enc2, person), person))))
       bucketed.foreach { n =>
         val got = signature(
           graft.operators.BucketedSink.read(spark, bucketsDir(n).toString))
@@ -149,9 +153,9 @@ object PipelineBench {
           s"steady-state ticks changed $n: $got vs ${preSteady(n)}")
       }
 
-      // isolated purge/delta queue-scan cost (the tick metric above also
-      // carries the wholesale latest-summary rebuild, which scales with
-      // persons in both modes and drowns the scan delta at toy scale):
+      // isolated purge/delta queue-scan cost (the tick metric above still
+      // carries fixed per-stage orchestration that drowns the scan delta
+      // at toy scale; latest-summary is now a keyed bucket merge):
       // the full-scan form reads the obs/encounter time columns across
       // the whole source plus the flat table's person_id column; the
       // feed form reads only delta-window partitions and the purged-

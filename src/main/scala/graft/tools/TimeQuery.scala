@@ -23,6 +23,7 @@ object TimeQuery {
     args.foreach { n =>
       val q = graft.SparkEntry.catalog.find(_.name == n)
         .getOrElse(sys.error(s"unknown query $n"))
+      q.prepare.foreach(_(spark, sfDir)) // untimed fixture prep, as in Bench
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         q.run(spark, sfDir).write.format("noop").mode("overwrite").save()

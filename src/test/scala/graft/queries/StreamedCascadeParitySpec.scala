@@ -45,7 +45,17 @@ class StreamedCascadeParitySpec extends SparkSuite {
   }
 
   test("streamed deep tables match from-scratch batch builds on the fixture") {
-    val pipe = EtlPipelineQueries.streamedCascade(spark, dir)
+    deepTableCheck(EtlPipelineQueries.streamedCascade(spark, dir), "snapshot")
+  }
+
+  test("BUCKETED streamed cascade: same four deep tables, O(touched) sink") {
+    deepTableCheck(
+      EtlPipelineQueries.streamedCascade(spark, dir, buckets = 16,
+        cuts = EtlPipelineQueries.BucketedCascadeCuts),
+      "bucketed")
+  }
+
+  private def deepTableCheck(pipe: graft.etl.Pipeline, shape: String): Unit = {
     val (obs, encounter, orderRows, person) =
       EtlPipelineQueries.cascadeInputs(spark, dir)
     val batchFlatObs = FlatObs.build(obs, encounter, person)
@@ -60,7 +70,7 @@ class StreamedCascadeParitySpec extends SparkSuite {
       val got = sig(pipe.readFlat(name).get)
       val want = sig(batch())
       assert(got == want,
-        s"streamed $name diverged from the batch build: $got vs $want")
+        s"$shape streamed $name diverged from the batch build: $got vs $want")
     }
   }
 }
