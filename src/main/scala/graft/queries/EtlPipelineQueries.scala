@@ -604,12 +604,12 @@ object EtlPipelineQueries {
   private[graft] val CascadeCuts = Seq(("1000-01-01", "1995-01-01"),
     ("1995-01-01", "1997-01-01"), ("1997-01-01", "3000-01-01"))
 
-  /** q125's steady-state schedule: one bulk load, then two ~6-month
+  /** q125's steady-state schedule: one bulk load, then two ~1-month
     * deltas — the regime an unbounded stream actually runs in, where
     * the bucketed sink's O(touched) merge shows against the snapshot
     * shape's O(accumulated history). */
-  private[graft] val BucketedCascadeCuts = Seq(("1000-01-01", "1998-01-01"),
-    ("1998-01-01", "1998-07-01"), ("1998-07-01", "3000-01-01"))
+  private[graft] val BucketedCascadeCuts = Seq(("1000-01-01", "1998-10-01"),
+    ("1998-10-01", "1998-11-01"), ("1998-11-01", "3000-01-01"))
 
   /** The uniquified obs arrival chunks, written ONCE per (sf dir,
     * schedule) and reused across invocations and bench reps: the ~5 s

@@ -249,24 +249,28 @@ object IncrementalEtlStream {
     val batch = rawBatch.persist()
     try {
       if (!pipeline.bucketedExists("flat_obs")) {
-        // first arrival: full builds into fresh single-epoch layouts
+        // First arrival: full builds into fresh single-epoch layouts.
+        // Downstream stages consume the PINNED upstream frames rather
+        // than reading the bucketed tables back — at N buckets a
+        // read-back lists/opens N small files per table, pure overhead
+        // when the exact rows are already in memory.
         val snapshot = obsSnapshot(spark, obsDir).persist()
+        val fo = FlatObs.build(snapshot, encounter, person).persist()
+        val ford = FlatOrders.build(orders, encounter, person).persist()
+        val vs = FlatVisitSummary.build(fo, ford, person).persist()
         try {
-          t("flat_obs")(pipeline.writeBucketedFull(
-            FlatObs.build(snapshot, encounter, person), "flat_obs"))
+          t("flat_obs")(pipeline.writeBucketedFull(fo, "flat_obs"))
           t("flat_lab_obs")(pipeline.writeBucketedFull(
             FlatLabObs.build(snapshot, person), "flat_lab_obs"))
-          t("flat_orders")(pipeline.writeBucketedFull(
-            FlatOrders.build(orders, encounter, person), "flat_orders"))
-          val fo = pipeline.readFlat("flat_obs").get
-          val ford = pipeline.readFlat("flat_orders").get
-          t("flat_visit_summary")(pipeline.writeBucketedFull(
-            FlatVisitSummary.build(fo, ford, person), "flat_visit_summary"))
+          t("flat_orders")(pipeline.writeBucketedFull(ford, "flat_orders"))
+          t("flat_visit_summary")(
+            pipeline.writeBucketedFull(vs, "flat_visit_summary"))
           t("flat_latest")(pipeline.writeBucketedFull(
-            FlatLatestHivSummary.build(
-              pipeline.readFlat("flat_visit_summary").get),
-            "flat_latest_hiv_summary"))
-        } finally snapshot.unpersist()
+            FlatLatestHivSummary.build(vs), "flat_latest_hiv_summary"))
+        } finally {
+          vs.unpersist(); ford.unpersist(); fo.unpersist()
+          snapshot.unpersist()
+        }
         return
       }
       val wmRow = batch.agg(
@@ -278,11 +282,16 @@ object IncrementalEtlStream {
 
       val rawVersions = spark.read.schema(Schemas.obs)
         .option("recursiveFileLookup", "true").parquet(obsDir)
-      // queue first (purge narrowing reads only the stored person_id
-      // column), then dedup ONLY queued persons' version history
+      // One purge-narrowing probe shared by both source-driven stages: a
+      // person present in flat_lab_obs is present in flat_obs (every lab
+      // obs is an obs, both grains cover it), so voided ∩ flat_obs is a
+      // safe SUPERSET of the lab stage's purge set — one column-pruned
+      // table read instead of one per stage.
+      val purge = FlatObs.voidedPurgeSet(
+        person, Some(pipeline.readFlat("flat_obs").get)).persist()
       val foQueue = FlatObs.touchedPersons(rawVersions, encounter, person,
-        wm, Some(pipeline.readFlat("flat_obs").get), Some(batch))
-      val foD = pipeline.stageDelta("flat_obs", foQueue)
+        wm, None, Some(batch), purgeSet = Some(purge))
+      val foD = t("flat_obs queue")(pipeline.stageDelta("flat_obs", foQueue))
       val snapshot = currentState(
         rawVersions.join(foD.queue, Seq("person_id"), "left_semi")).persist()
       try {
@@ -293,8 +302,9 @@ object IncrementalEtlStream {
             "flat_obs", foD.buckets)
         }
         val labQueue = FlatLabObs.touchedPersons(rawVersions, person, wm,
-          Some(pipeline.readFlat("flat_lab_obs").get), Some(batch))
-        val labD = pipeline.stageDelta("flat_lab_obs", labQueue)
+          None, Some(batch), purgeSet = Some(purge))
+        val labD = t("flat_lab_obs queue")(
+          pipeline.stageDelta("flat_lab_obs", labQueue))
         try t("flat_lab_obs") {
           pipeline.writeBucketedChanged(
             FlatLabObs.incremental(labD.prunedExisting, snapshot, person,
@@ -307,7 +317,8 @@ object IncrementalEtlStream {
         val sumScoped = pipeline.readFlatBuckets("flat_visit_summary", foD.buckets)
         val sumQueue = FlatVisitSummary.touchedPersonsBounded(
           sumScoped, foScoped, foD.queue, snapshot, encounter, wm, Some(batch))
-        val sumD = pipeline.stageDelta("flat_visit_summary", sumQueue)
+        val sumD = t("flat_visit_summary queue")(
+          pipeline.stageDelta("flat_visit_summary", sumQueue))
         try {
           val foPruned = pipeline.readFlatBuckets("flat_obs", sumD.buckets)
           val fordPruned = pipeline.readFlatBuckets("flat_orders", sumD.buckets)
@@ -324,7 +335,7 @@ object IncrementalEtlStream {
               "flat_latest_hiv_summary", sumD.buckets)
           }
         } finally sumD.release()
-      } finally { snapshot.unpersist(); foD.release() }
+      } finally { snapshot.unpersist(); foD.release(); purge.unpersist() }
     } finally batch.unpersist()
   }
 }
