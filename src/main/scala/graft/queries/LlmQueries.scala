@@ -2139,6 +2139,107 @@ object LlmQueries {
           .select(col("media_id"), col("n_samples_total"), col("peak"),
             round(col("mean_abs"), 6).as("mean_abs"),
             round(col("rms"), 6).as("rms"))
+    },
+
+    // Greedy longest-match SUBWORD tokenization (the WordPiece/BPE
+    // inference pattern) as a first-class relational op: the custom
+    // codegen'd Expression segments each document against the broadcast
+    // vocabulary; the oracle replays the IDENTICAL greedy merge in
+    // DuckDB — a recursive CTE advances every DISTINCT word one token
+    // per iteration, picking the longest matching piece by arg_max over
+    // a prefix join (deterministic: two distinct equal-length pieces
+    // cannot both prefix one position). The md5 of the full ordered
+    // token stream pins every token, not just the count. The VALUES
+    // vocabulary is rendered from the SAME Seq the Expression uses, so
+    // the two sides cannot drift.
+    OpQuery.sql(
+      "q126_subword_tokenize",
+      s"""WITH RECURSIVE
+         |d AS (SELECT doc_id, string_split($DuckNorm, ' ') w FROM documents),
+         |wpos AS (SELECT doc_id, i AS wi, w[i] AS word
+         |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) i FROM d) z
+         |  WHERE w[i] <> ''),
+         |dw AS (SELECT DISTINCT word FROM wpos),
+         |vocab(piece) AS (VALUES ${graft.functions.SubwordVocab.sqlValues()}),
+         |tok AS (
+         |  SELECT word, 0 AS pos, CAST('' AS VARCHAR) AS toks FROM dw
+         |  UNION ALL
+         |  SELECT word, pos + length(best) AS pos,
+         |         CASE WHEN toks = '' THEN best
+         |              ELSE toks || '|' || best END AS toks
+         |  FROM (
+         |    SELECT t.word, t.pos, t.toks,
+         |      coalesce(arg_max(v.piece, length(v.piece)),
+         |               substr(t.word, t.pos + 1, 1)) AS best
+         |    FROM tok t LEFT JOIN vocab v
+         |      ON substr(t.word, t.pos + 1, length(v.piece)) = v.piece
+         |    WHERE t.pos < length(t.word)
+         |    GROUP BY t.word, t.pos, t.toks) z),
+         |done AS (SELECT word, toks, len(string_split(toks, '|')) AS n
+         |  FROM tok WHERE pos = length(word)),
+         |agg AS (SELECT w.doc_id, CAST(sum(dn.n) AS BIGINT) AS n_tokens,
+         |    md5(string_agg(dn.toks, '|' ORDER BY w.wi)) AS h
+         |  FROM wpos w JOIN done dn USING (word) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(agg.n_tokens, 0) AS n_tokens,
+         |       coalesce(agg.h, md5('')) AS token_stream_md5
+         |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin) {
+      (s, dir) =>
+        load(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.SubwordTokenizer.tokens(
+              TextAnalysis.normalize(col("text"))).as("__t"))
+          .select(col("doc_id"),
+            size(col("__t")).cast("long").as("n_tokens"),
+            md5(array_join(col("__t"), "|")).as("token_stream_md5"))
+    },
+
+    // Sequence packing by REAL subword-token budget (q66's operator
+    // repointed from whitespace-word counts at the tokenizer above —
+    // the form a training pipeline actually packs in). Same recursive
+    // tokenization CTE feeds the per-bucket cumulative-sum pack.
+    OpQuery.sql(
+      "q127_pack_by_subword_budget",
+      s"""WITH RECURSIVE
+         |d AS (SELECT doc_id, string_split($DuckNorm, ' ') w FROM documents),
+         |wpos AS (SELECT doc_id, i AS wi, w[i] AS word
+         |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) i FROM d) z
+         |  WHERE w[i] <> ''),
+         |dw AS (SELECT DISTINCT word FROM wpos),
+         |vocab(piece) AS (VALUES ${graft.functions.SubwordVocab.sqlValues()}),
+         |tok AS (
+         |  SELECT word, 0 AS pos, 0 AS n FROM dw
+         |  UNION ALL
+         |  SELECT word, pos + length(best) AS pos, n + 1 AS n
+         |  FROM (
+         |    SELECT t.word, t.pos, t.n,
+         |      coalesce(arg_max(v.piece, length(v.piece)),
+         |               substr(t.word, t.pos + 1, 1)) AS best
+         |    FROM tok t LEFT JOIN vocab v
+         |      ON substr(t.word, t.pos + 1, length(v.piece)) = v.piece
+         |    WHERE t.pos < length(t.word)
+         |    GROUP BY t.word, t.pos, t.n) z),
+         |done AS (SELECT word, n FROM tok WHERE pos = length(word)),
+         |counts AS (SELECT w.doc_id, CAST(sum(dn.n) AS BIGINT) AS n_tokens
+         |  FROM wpos w JOIN done dn USING (word) GROUP BY 1),
+         |p AS (SELECT d.doc_id, coalesce(c.n_tokens, 0) AS n_tokens,
+         |    CAST(CAST(concat('0x', substr(md5('pack' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS bucket
+         |  FROM d LEFT JOIN counts c USING (doc_id)),
+         |cum AS (SELECT doc_id, bucket,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM p)
+         |SELECT doc_id, bucket, CAST(cum // 2048 AS BIGINT) AS seq_id,
+         |       CAST(cum % 2048 AS BIGINT) AS seq_offset
+         |FROM cum""".stripMargin) {
+      (s, dir) =>
+        graft.operators.Curation.packSequences(
+            load(s, dir, "documents"),
+            col("doc_id"),
+            size(graft.functions.SubwordTokenizer.tokens(
+              TextAnalysis.normalize(col("text")))).cast("long"),
+            budget = 2048, buckets = 8)
+          .select(col("id").as("doc_id"), col("bucket"), col("seq_id"),
+            col("seq_offset"))
     }
   )
 }
