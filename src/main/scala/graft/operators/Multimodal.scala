@@ -613,7 +613,26 @@ object Multimodal {
     * of contract — compressed streams ('00dc' / biCompression != 0),
     * depths other than 8, top-down DIBs, truncated chunks, hostile
     * dims. Returns (w, h, frames top-down row-major). */
-  def aviGrayFrames(p: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] = {
+  def aviGrayFrames(p: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] =
+    aviFramesWalk(p, mjpeg = false)
+
+  /** Decode an MJPEG AVI — each movi '00dc' chunk a standalone baseline
+    * grayscale JPEG (the composition of the AVI chunk walk with
+    * [[Jpeg.decodeGray]]; the format real crawl data carries when AVI
+    * isn't raw DIBs). Contract, reject-don't-guess: strf must declare
+    * biCompression 'MJPG' at 8 bpp; every frame must decode and match
+    * the avih canvas; uncompressed '00db' chunks, a failing frame, a
+    * frame-count/header mismatch, or total decoded pixels past the 2^26
+    * allocation cap (JPEG expands ~100-500x, so the cap must fire
+    * BEFORE each frame's decode — the Gif.decodeFrames contract) → None.
+    * Returns (w, h, frames top-down row-major). */
+  def aviMjpegFrames(p: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] =
+    aviFramesWalk(p, mjpeg = true)
+
+  private val MjpgFourcc = 0x47504A4DL // 'MJPG' little-endian
+
+  private def aviFramesWalk(
+      p: Array[Byte], mjpeg: Boolean): Option[(Int, Int, Seq[Array[Byte]])] = {
     if (p.length < 12 || !(p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F') ||
       !(p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' ')) return None
     var w = 0; var h = 0; var declaredFrames = -1L
@@ -642,10 +661,20 @@ object Multimodal {
             val bitCount = (p(i + 8 + 14) & 0xff) | ((p(i + 8 + 15) & 0xff) << 8)
             val compression = le32(p, i + 8 + 16)
             val biHeight = le32(p, i + 8 + 8) // signed would mean top-down
-            if (bitCount != 8 || compression != 0L ||
-              biHeight > Int.MaxValue) return false
+            if (bitCount != 8 || biHeight > Int.MaxValue) return false
+            if (compression != (if (mjpeg) MjpgFourcc else 0L)) return false
             depthOk = true
-          case "00dc" => return false // compressed frames out of contract
+          case "00dc" if !mjpeg => return false // compressed frames out of contract
+          case "00dc" if inMovi => // mjpeg: a standalone baseline JPEG
+            if (w <= 0 || !depthOk) return false // frames before headers
+            // TOTAL-pixel allocation cap, checked before the decode
+            if ((frames.length + 1).toLong * w * h > (1L << 26)) return false
+            val jpeg = java.util.Arrays.copyOfRange(p, i + 8, i + 8 + len)
+            Jpeg.decodeGray(jpeg) match {
+              case Some((jw, jh, px)) if jw == w && jh == h => frames += px
+              case _ => return false // corrupt or off-canvas frame
+            }
+          case "00db" if mjpeg => return false // raw DIBs out of contract
           case "00db" if inMovi =>
             if (w <= 0 || !depthOk) return false // frames before headers
             val stride = aviStride(w)
@@ -671,6 +700,39 @@ object Multimodal {
     // not a best-effort decode
     if (declaredFrames >= 0 && frames.length != declaredFrames) return None
     Some((w, h, frames.toSeq))
+  }
+
+  /** Encode grayscale frames as an MJPEG AVI: same RIFF scaffolding as
+    * [[aviGray]], but strh/strf declare the 'MJPG' handler and each movi
+    * frame is a '00dc' chunk holding [[Jpeg.encodeGray]]'s baseline
+    * stream (top-down — no DIB flip, JPEG rows are already top-down). */
+  def aviMjpeg(w: Int, h: Int, frames: Seq[Array[Byte]], fps: Int = 25): Array[Byte] = {
+    require(w >= 1 && h >= 1 && frames.nonEmpty && frames.forall(_.length == w * h),
+      s"need non-empty ${w}x$h frames")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32bytes(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(tpe: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", tpe.getBytes("US-ASCII") ++ body)
+    val jpegs = frames.map(f => Jpeg.encodeGray(w, h, f))
+    val maxBytes = jpegs.map(_.length).max
+    val avih = le32bytes(1000000 / fps) ++ le32bytes(maxBytes * fps) ++
+      le32bytes(0) ++ le32bytes(0) ++ le32bytes(frames.length) ++
+      le32bytes(0) ++ le32bytes(1) ++ le32bytes(maxBytes) ++
+      le32bytes(w) ++ le32bytes(h) ++ Array.fill[Byte](16)(0)
+    val strh = "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++
+      le32bytes(0) ++ le16bytes(0) ++ le16bytes(0) ++ le32bytes(0) ++
+      le32bytes(1) ++ le32bytes(fps) ++ le32bytes(0) ++
+      le32bytes(frames.length) ++ le32bytes(maxBytes) ++ le32bytes(-1) ++
+      le32bytes(0) ++ le16bytes(0) ++ le16bytes(0) ++ le16bytes(w) ++ le16bytes(h)
+    val bmih = le32bytes(40) ++ le32bytes(w) ++ le32bytes(h) ++ le16bytes(1) ++
+      le16bytes(8) ++ le32bytes(MjpgFourcc.toInt) ++ le32bytes(0) ++
+      le32bytes(0) ++ le32bytes(0) ++ le32bytes(0) ++ le32bytes(0)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", bmih)))
+    val movi = list("movi", jpegs.map(j => chunk("00dc", j)).reduce(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32bytes(body.length) ++ body
   }
 
   /** AVI clips as per-frame rows, ready for [[resizeNearest]] — the real
@@ -1067,6 +1129,43 @@ object Multimodal {
         }
         MediaRow(id, "image", Jpeg.encodeGray(w, h, px))
       })
+  }
+
+  /** Block-flat MJPEG-in-AVI fixtures (doc_id % 3 == 2): JPEG-legal dims
+    * (multiples of 8), 1-4 frames per clip, every 8x8 block of frame f
+    * holding (id + 5·bx + 9·by + 11·f) mod 256 — q93's exact-through-
+    * the-lossy-pipeline pattern with a per-frame shift, so the oracle
+    * replays every decoded pixel of every frame from id arithmetic
+    * while the decoder runs the real chunk walk + Huffman + IDCT per
+    * frame. */
+  def mjpegFromDocuments(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.filter(col("doc_id") % 3 === 2).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 8 * (1 + (id % 2).toInt)
+        val h = 8 * (1 + (id % 3).toInt)
+        val n = 1 + (id % 4).toInt
+        val frames = (0 until n).map(f => Array.tabulate(w * h) { k =>
+          val bx = (k % w) / 8; val by = (k / w) / 8
+          ((id + 5L * bx + 9L * by + 11L * f) % 256).toByte
+        })
+        MediaRow(id, "video", aviMjpeg(w, h, frames))
+      })
+  }
+
+  /** Per-frame pixel stats of MJPEG clips — undecodable payloads yield
+    * no rows (the quarantine contract: a production pipeline routes them
+    * to a reject sink, it never guesses pixels). */
+  def decodeMjpegFrameStats(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      aviMjpegFrames(r.payload).iterator.flatMap { case (_, _, fs) =>
+        fs.iterator.zipWithIndex.map { case (px, f) =>
+          (r.media_id, f, px.length,
+            px.foldLeft(0L)((acc, b) => acc + (b & 0xff)))
+        }
+      }
+    }).toDF("media_id", "frame_idx", "n_px", "px_checksum")
   }
 
   /** The q93 grayscale fixtures re-encoded WITH restart markers: DRI

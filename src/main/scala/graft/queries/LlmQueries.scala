@@ -2141,6 +2141,36 @@ object LlmQueries {
             round(col("rms"), 6).as("rms"))
     },
 
+    // MJPEG-in-AVI frame decode (round-7 ask #5): the AVI chunk walk
+    // composed with the baseline-JPEG decoder — each movi '00dc' chunk a
+    // standalone JPEG, the format real crawl video actually carries.
+    // Fixtures are q93's block-flat pattern shifted 11 per frame, exact
+    // through the lossy pipeline, so the oracle replays every decoded
+    // pixel of every frame; a decoder that drops/reorders frames,
+    // mis-syncs a chunk boundary, or mixes predictors across frames
+    // breaks that frame's checksum. Reject-don't-guess: corrupt frames
+    // quarantine the whole clip (MjpegAviSpec fuzzes the hostile paths).
+    OpQuery.sql(
+      "q128_mjpeg_avi_frames",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(8 * (1 + doc_id % 2) AS BIGINT) AS w,
+        |    CAST(8 * (1 + doc_id % 3) AS BIGINT) AS h,
+        |    CAST(1 + doc_id % 4 AS BIGINT) AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (SELECT *, unnest(generate_series(0, nf - 1)) AS f FROM v),
+        |y AS (SELECT *, unnest(generate_series(0, h - 1)) AS py FROM fr),
+        |x AS (SELECT *, unnest(generate_series(0, w - 1)) AS px FROM y),
+        |b AS (SELECT id, f, (id + 5 * (px // 8) + 9 * (py // 8) + 11 * f) % 256 AS v
+        |  FROM x)
+        |SELECT id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(count(*) AS INTEGER) AS n_px,
+        |  CAST(sum(v) AS BIGINT) AS px_checksum
+        |FROM b GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        Multimodal.decodeMjpegFrameStats(
+          Multimodal.mjpegFromDocuments(s, load(s, dir, "documents")))
+    },
+
     // Greedy longest-match SUBWORD tokenization (the WordPiece/BPE
     // inference pattern) as a first-class relational op: the custom
     // codegen'd Expression segments each document against the broadcast
