@@ -18,6 +18,12 @@ object LlmQueries {
 
   private val Stopwords = Seq("the", "a", "and", "of", "to", "in")
 
+  // q129's planted duplicate: a fixed 60-word normalized-stable passage
+  // appended to every doc_id % 7 == 0 document on BOTH engines, so each
+  // shard holds genuine ≥30-token exact duplicates.
+  private val PlantedPassage: String =
+    (0 until 60).map(i => s"planted$i").mkString(" ")
+
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "en" -> Seq("the", "a", "of", "and"),
@@ -2139,6 +2145,56 @@ object LlmQueries {
           .select(col("media_id"), col("n_samples_total"), col("peak"),
             round(col("mean_abs"), 6).as("mean_abs"),
             round(col("rms"), 6).as("rms"))
+    },
+
+    // Per-shard EXACT-substring dedup via suffix arrays (the Lee et al.
+    // 2021 ≥L-token rule — the one dedup modality q101's gram spans
+    // approximate rather than implement; round-7 stretch ask). A 60-word
+    // passage is planted onto every doc_id % 7 == 0 document, so every
+    // shard holds real long duplicates; the operator builds a
+    // sentinel-separated suffix array PER SHARD (never global) and
+    // unions repeated ≥30-token windows into per-position coverage. The
+    // oracle replays the identical coverage from shard-scoped 30-gram
+    // counts — equivalent by the substring/gram-window argument in the
+    // operator's scaladoc — so SA construction, LCP, neighbor test, and
+    // interval union are all value-checked externally. Agreement with
+    // q101's signal where they overlap: both count within-shard repeats
+    // at their gram grain; q129's grain is 30 tokens, shard-scoped.
+    OpQuery.sql(
+      "q129_suffix_array_dedup",
+      s"""WITH aug AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS shard,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' $PlantedPassage'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |t AS (SELECT doc_id, shard,
+         |    list_filter(string_split($DuckNorm, ' '), x -> x <> '') AS w
+         |  FROM aug),
+         |g AS (SELECT doc_id, shard, i,
+         |    array_to_string(w[i:i+29], ' ') AS gram
+         |  FROM (SELECT doc_id, shard, w,
+         |          unnest(generate_series(1, len(w) - 29)) AS i
+         |        FROM t WHERE len(w) >= 30) z),
+         |cnt AS (SELECT shard, gram, count(*) AS n FROM g GROUP BY 1, 2),
+         |rep AS (SELECT doc_id, i FROM g JOIN cnt USING (shard, gram)
+         |  WHERE n >= 2),
+         |cov AS (SELECT DISTINCT doc_id, i + k AS p
+         |  FROM rep CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS k) ks),
+         |nc AS (SELECT doc_id, count(*) AS n_dup FROM cov GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(nc.n_dup, 0) AS BIGINT) AS n_dup_positions,
+         |  CASE WHEN len(w) > 0
+         |       THEN round(CAST(coalesce(nc.n_dup, 0) AS DOUBLE) / len(w), 6)
+         |       ELSE 0.0 END AS dup_frac
+         |FROM t LEFT JOIN nc USING (doc_id)""".stripMargin) {
+      (s, dir) =>
+        val docs = load(s, dir, "documents").select(
+          col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" " + PlantedPassage)))
+            .otherwise(col("text")).as("text"))
+        graft.operators.SuffixArrayDedup.spanStats(
+          docs, col("doc_id"), col("text"),
+          minTokens = 30, shard = pmod(col("doc_id"), lit(4)))
     },
 
     // MJPEG-in-AVI frame decode (round-7 ask #5): the AVI chunk walk
