@@ -18,6 +18,16 @@ object LlmQueries {
 
   private val Stopwords = Seq("the", "a", "and", "of", "to", "in")
 
+  // q130's HLL numerator alpha_m * m^2 * 2^52, computed ONCE in Scala and
+  // interpolated into the oracle so both engines divide the identical
+  // double (Double.toString round-trips exactly; DuckDB parses it back
+  // to the same bits).
+  private val HllNumerator: String = {
+    val m = 512
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    (alpha * m.toDouble * m.toDouble * math.pow(2.0, 52)).toString
+  }
+
   // q129's planted duplicate: a fixed 60-word normalized-stable passage
   // appended to every doc_id % 7 == 0 document on BOTH engines, so each
   // shard holds genuine ≥30-token exact duplicates.
@@ -2145,6 +2155,54 @@ object LlmQueries {
           .select(col("media_id"), col("n_samples_total"), col("peak"),
             round(col("mean_abs"), 6).as("mean_abs"),
             round(col("rms"), 6).as("rms"))
+    },
+
+    // HyperLogLog distinct estimation, relational form: the mergeable
+    // cardinality sketch ("how many distinct users/URLs/n-grams") whose
+    // register maintenance is groupBy(register).max — map-side
+    // combinable, ≤ m rows leave any partition regardless of input
+    // size. The estimate is md5 + integer bit arithmetic with the
+    // harmonic denominator kept as an EXACT integer (sum of 2^(52-M_j))
+    // and floating point deferred to one final divide, so DuckDB
+    // replays the sketch AND the estimate bit-for-bit (the ln of the
+    // linear-counting branch rounds at 6dp, the q97 convention). Exact
+    // distinct rides along to witness the ~1.04/sqrt(512) error regime.
+    OpQuery.sql(
+      "q130_hll_distinct",
+      s"""WITH h AS (SELECT event_type AS g,
+         |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r AS (SELECT g, hv // ${1L << 51} AS register, hv % ${1L << 51} AS rest FROM h),
+         |rk AS (SELECT g, register,
+         |    CASE WHEN rest = 0 THEN 52 ELSE 52 - length(bin(rest)) END AS rank
+         |  FROM r),
+         |mreg AS (SELECT g, register, max(rank) AS m FROM rk GROUP BY 1, 2),
+         |agg AS (SELECT g, count(*) AS m_used,
+         |    sum((CAST(1 AS BIGINT) << (52 - least(m, 52)))) AS s_present
+         |  FROM mreg GROUP BY 1),
+         |e AS (SELECT g, m_used,
+         |    s_present + (512 - m_used) * (CAST(1 AS BIGINT) << 52) AS harmonic_sum,
+         |    512 - m_used AS zeros FROM agg),
+         |est AS (SELECT g, CAST(m_used AS BIGINT) AS n_registers_used, harmonic_sum,
+         |    round(CASE WHEN zeros > 0 AND ${HllNumerator} / harmonic_sum <= 1280.0
+         |               THEN 512.0 * ln(512.0 / zeros)
+         |               ELSE ${HllNumerator} / harmonic_sum END, 6) AS estimate
+         |  FROM e),
+         |ex AS (SELECT event_type AS g, count(DISTINCT user_id) AS exact_distinct
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+         |SELECT est.g AS event_type, n_registers_used, harmonic_sum, estimate,
+         |  CAST(exact_distinct AS BIGINT) AS exact_distinct
+         |FROM est JOIN ex USING (g)""".stripMargin) {
+      (s, dir) =>
+        val ev = load(s, dir, "events")
+        val est = graft.operators.FrequencySketch.hllEstimate(
+          ev, col("event_type"), col("user_id"), p = 9)
+        val exact = ev.filter(col("user_id").isNotNull)
+          .groupBy(col("event_type").as("g"))
+          .agg(countDistinct(col("user_id")).cast("long").as("exact_distinct"))
+        est.join(exact, Seq("g"))
+          .select(col("g").as("event_type"), col("n_registers_used"),
+            col("harmonic_sum"), col("estimate"), col("exact_distinct"))
     },
 
     // Per-shard EXACT-substring dedup via suffix arrays (the Lee et al.
