@@ -23,6 +23,37 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Domain-level quality curation (the RefinedWeb/DCLM pattern: curate
+    * by SOURCE, not only by document): aggregate a per-doc quality score
+    * to its registered domain, then drop every document of a domain
+    * whose mean score falls below `minMean`.
+    *
+    * Engine-portable mean: per-doc scores are 6-decimal-rounded, so
+    * they're exact in DECIMAL(18,6); the sum is order-independent and
+    * the mean is ONE double division both engines perform identically —
+    * no float-accumulation drift at the keep/drop boundary.
+    *
+    * Scale shape: the domain agg combines map-side (domains ≪ docs);
+    * the flagged-domain list is small by construction and broadcast back,
+    * so the per-doc pass never shuffles. Output (id, domain, keep).
+    */
+  def domainQualityFilter(
+      docs: DataFrame,
+      id: Column,
+      domain: Column,
+      score: Column,
+      minMean: Double): DataFrame = {
+    val d = docs.select(id.as("id"), domain.as("domain"), score.as("score"))
+    val flagged = d.groupBy("domain")
+      .agg((sum(col("score").cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("mean"))
+      .filter(col("mean") < minMean)
+      .select(col("domain")).withColumn("__bad", lit(1))
+    d.join(broadcast(flagged), Seq("domain"), "left")
+      .select(col("id"), col("domain"),
+        when(col("__bad").isNotNull, 0).otherwise(1).as("keep"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing at least
     * `minOverlap` distinct shingles with an evaluation set.
     *

@@ -344,6 +344,42 @@ object Multimodal {
     }
   }
 
+  /** Linear-PCM samples as interleaved Int amplitudes at the same
+    * integer scale [[pcmStats]] accumulates (8-bit offset-binary
+    * recentred, 16-bit signed LE) — the decode surface windowed
+    * operators ([[AudioActivity]]) build on. Same contract: linear PCM
+    * only, None off-contract. */
+  def pcmSamples(p: Array[Byte]): Option[(WavMeta, Array[Int])] = wavMeta(p)
+    .filter(m => (m.bits == 8 || m.bits == 16) && wavFormatCode(p) == 1)
+    .flatMap { m =>
+      var i = 12
+      var off = -1; var len = 0L
+      while (i + 8 <= p.length && off < 0) {
+        val id = new String(p, i, 4, "US-ASCII")
+        val l = le32(p, i + 4)
+        if (id == "data") { off = i + 8; len = math.min(l, (p.length - i - 8).toLong) }
+        else {
+          val next = i.toLong + 8L + l + (l & 1L)
+          i = if (next <= i || next > Int.MaxValue) p.length else next.toInt
+        }
+      }
+      if (off < 0) None
+      else {
+        val bytesPer = m.bits / 8
+        val total = (len / bytesPer).toInt
+        val out = new Array[Int](total)
+        var k = 0
+        while (k < total) {
+          val base = off + k * bytesPer
+          out(k) =
+            if (m.bits == 8) (p(base) & 0xff) - 128
+            else (p(base) & 0xff) | (p(base + 1).toInt << 8) // sign-extends
+          k += 1
+        }
+        Some((m, out))
+      }
+    }
+
   /** G.711 expansion, CCITT reference forms (public spec): μ-law bytes
     * invert then expand as ((mant·8 + 132) << exp) − 132 signed; A-law
     * bytes XOR 0x55 then segment-expand. Both are pure integer maps, so

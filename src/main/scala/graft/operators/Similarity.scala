@@ -146,6 +146,38 @@ object Similarity {
       .select(col("vec_id"), col("vec"), col("cell"))
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023's recipe, relational):
+    * cluster the corpus with deterministic Lloyd k-means, then prune
+    * near-duplicates WITHIN each cluster only — the clustering bounds the
+    * quadratic term to sum of per-cell squares, never a global all-pairs
+    * product, which is the whole reason the recipe scales. A vector is
+    * dropped when some LOWER-id vector in its cell has cosine above `tau`
+    * (the deterministic min-id survivor rule used by every dedup family
+    * here); output (vec_id, cell, keep).
+    *
+    * Scale shape: centroids broadcast (k rows), assignment is one corpus
+    * pass, the pair scan shuffles by cell and repartitions by pair before
+    * the dot products ([[blockedNearDupPairs]]). At 100 TB, k grows with
+    * the corpus (cells of ~1e4 vectors keep the per-cell square bounded)
+    * and the assign pass reuses a pre-trained centroid set rather than
+    * re-running Lloyd per batch.
+    */
+  def semanticDedup(
+      vectors: DataFrame, // (vec_id, vec: array<double>)
+      k: Int,
+      iters: Int,
+      tau: Double): DataFrame = {
+    val centroids = ivfRefine(vectors, ivfCentroids(vectors, k), iters)
+    val assigned = ivfAssign(vectors, centroids).cache()
+    val dropped = blockedNearDupPairs(
+        assigned.select(col("vec_id"), col("vec"), col("cell").as("block")), tau)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("__dup", lit(1))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("__dup").isNotNull, 0).otherwise(1).as("keep"))
+  }
+
   /** IVF search: probe the `nProbe` nearest cells per query, exact top-k
     * within the probed cells only. At scale the candidate join shuffles by
     * cell — each query scans |corpus| * nProbe / k instead of everything.

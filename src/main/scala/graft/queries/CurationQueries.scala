@@ -503,6 +503,49 @@ object CurationQueries {
             budget = 1024, buckets = 2)
           .select(col("id").as("doc_id"), col("bucket"), col("seq_id"),
             col("seq_offset"))
+    },
+
+    // DOMAIN-level quality curation (curate by SOURCE, not only by
+    // document — the RefinedWeb/DCLM move): id-derived URLs carry six
+    // synthetic registered domains; each doc's 6-decimal stopword
+    // ratio aggregates to its domain through an exact DECIMAL sum, and
+    // every doc of a domain whose mean falls below 0.061 is dropped.
+    // The oracle replays URL parse -> domain -> exact mean -> keep bit;
+    // the drop list is broadcast, so the per-doc pass never shuffles.
+    OpQuery.sql(
+      "q135_domain_quality_filter",
+      s"""WITH t AS (SELECT doc_id,
+         |    'https://w' || CAST(doc_id % 3 AS VARCHAR) || '.domain' ||
+         |      CAST(doc_id % 6 AS VARCHAR) || '.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+         |    $DuckNorm AS n FROM documents),
+         |h AS (SELECT doc_id,
+         |    regexp_extract(regexp_extract(url, '^[a-z]+://([^/]+)', 1),
+         |      '([^.]+\\.[^.]+)$$', 1) AS domain, n FROM t),
+         |w AS (SELECT doc_id, domain, string_split(n, ' ') ws FROM h),
+         |m AS (SELECT doc_id, domain,
+         |  round(CASE WHEN length(ws[1]) = 0 OR len(ws) = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(ws, x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE) / len(ws) END, 6) AS swr
+         |  FROM w),
+         |s AS (SELECT domain,
+         |    CAST(sum(CAST(swr AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean
+         |  FROM m GROUP BY 1)
+         |SELECT m.doc_id, m.domain,
+         |  CAST(CASE WHEN s.mean < 0.061 THEN 0 ELSE 1 END AS INTEGER) AS keep
+         |FROM m JOIN s USING (domain)""".stripMargin) {
+      (s, dir) =>
+        val docs = load(s, dir, "documents")
+        val url = concat(lit("https://w"), (col("doc_id") % 3).cast("string"),
+          lit(".domain"), (col("doc_id") % 6).cast("string"),
+          lit(".com/p/"), col("doc_id").cast("string"))
+        val host = regexp_extract(url, "^[a-z]+://([^/]+)", 1)
+        val domain = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+        Curation.domainQualityFilter(
+          docs.select(col("doc_id"), domain.as("domain"),
+            TextAnalysis.qualityMetrics(col("text"),
+              Seq("the", "a", "and", "of", "to", "in"))
+              .getField("stopword_ratio").as("swr")),
+          col("doc_id"), col("domain"), col("swr"), minMean = 0.061)
+          .select(col("id").as("doc_id"), col("domain"), col("keep"))
     }
   )
 }

@@ -2384,6 +2384,245 @@ object LlmQueries {
             budget = 2048, buckets = 8)
           .select(col("id").as("doc_id"), col("bucket"), col("seq_id"),
             col("seq_offset"))
+    },
+
+    // PERCEPTUAL IMAGE HASH (dHash): the image analogue of SimHash —
+    // decode a REAL PNG (deflate, filter-cycled, CRC'd), thumbnail to
+    // 9x8 nearest-neighbor, one bit per adjacent-pixel comparison. The
+    // fixtures plant near-duplicate GROUPS (same base image, one/two
+    // perturbed pixels, one heavy distortion), and the oracle replays
+    // pixel arithmetic -> resize -> comparisons -> the signed 64-bit
+    // pack, so one wrong decoded byte or one mis-packed bit anywhere
+    // breaks the hash of that image.
+    OpQuery.sql(
+      "q131_image_dhash",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(doc_id // 8 AS BIGINT) AS g,
+        |    CAST((doc_id % 8) // 2 AS BIGINT) AS m
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |d AS (SELECT *, 12 + g % 5 AS w, 10 + g % 4 AS h FROM v),
+        |yy AS (SELECT *, unnest(generate_series(0, 7)) AS oy FROM d),
+        |cc AS (SELECT *, unnest(generate_series(0, 8)) AS ox FROM yy),
+        |sp AS (SELECT id, g, m, w, h, oy, ox,
+        |    (ox * w) // 9 AS ix, (oy * h) // 8 AS iy FROM cc),
+        |pxv AS (SELECT id, oy, ox,
+        |    CASE WHEN m = 3 THEN
+        |      ((37*g + 5*ix + 11*iy + 41*(((ix + g) * (iy + 3)) % 9)) % 256
+        |        + 89*ix*iy + 53) % 256
+        |    WHEN (m = 1 AND ix = w//2 AND iy = h//2)
+        |      OR (m = 2 AND ((ix = w//3 AND iy = h//3)
+        |                  OR (ix = (2*w)//3 AND iy = (2*h)//3))) THEN
+        |      ((37*g + 5*ix + 11*iy + 41*(((ix + g) * (iy + 3)) % 9)) % 256
+        |        + 96) % 256
+        |    ELSE (37*g + 5*ix + 11*iy + 41*(((ix + g) * (iy + 3)) % 9)) % 256
+        |    END AS val
+        |  FROM sp),
+        |nbr AS (SELECT id, oy, ox, val,
+        |    lead(val) OVER (PARTITION BY id, oy ORDER BY ox) AS nxt
+        |  FROM pxv),
+        |bits AS (SELECT id, oy * 8 + ox AS idx,
+        |    CASE WHEN val > nxt THEN 1 ELSE 0 END AS b
+        |  FROM nbr WHERE ox < 8)
+        |SELECT id AS media_id,
+        |  CAST(sum(CASE WHEN b = 1 THEN
+        |        CASE WHEN idx = 63 THEN -9223372036854775807 - 1
+        |             ELSE 1::BIGINT << idx END
+        |      ELSE 0 END) AS BIGINT) AS dhash
+        |FROM bits GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        graft.operators.ImageHash.dhash64(
+          Multimodal.decodePngFrames(
+            graft.operators.ImageHash.dhashImagesFromDocuments(
+              s, load(s, dir, "documents"))))
+    },
+
+    // IMAGE NEAR-DUP via banded Hamming over the dHash: 4 aligned
+    // 16-bit bands -> candidate equi-join (never all-pairs) -> exact
+    // bit_count(xor) verify at threshold 3 (total recall by pigeonhole).
+    // The oracle replays the IDENTICAL banding + verify over its own
+    // replayed hashes, so both the hash pipeline and the LSH join
+    // semantics are value-checked end to end.
+    OpQuery.sql(
+      "q132_image_neardup_hamming",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(doc_id // 8 AS BIGINT) AS g,
+        |    CAST((doc_id % 8) // 2 AS BIGINT) AS m
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |d AS (SELECT *, 12 + g % 5 AS w, 10 + g % 4 AS h FROM v),
+        |yy AS (SELECT *, unnest(generate_series(0, 7)) AS oy FROM d),
+        |cc AS (SELECT *, unnest(generate_series(0, 8)) AS ox FROM yy),
+        |sp AS (SELECT id, g, m, w, h, oy, ox,
+        |    (ox * w) // 9 AS ix, (oy * h) // 8 AS iy FROM cc),
+        |pxv AS (SELECT id, oy, ox,
+        |    CASE WHEN m = 3 THEN
+        |      ((37*g + 5*ix + 11*iy + 41*(((ix + g) * (iy + 3)) % 9)) % 256
+        |        + 89*ix*iy + 53) % 256
+        |    WHEN (m = 1 AND ix = w//2 AND iy = h//2)
+        |      OR (m = 2 AND ((ix = w//3 AND iy = h//3)
+        |                  OR (ix = (2*w)//3 AND iy = (2*h)//3))) THEN
+        |      ((37*g + 5*ix + 11*iy + 41*(((ix + g) * (iy + 3)) % 9)) % 256
+        |        + 96) % 256
+        |    ELSE (37*g + 5*ix + 11*iy + 41*(((ix + g) * (iy + 3)) % 9)) % 256
+        |    END AS val
+        |  FROM sp),
+        |nbr AS (SELECT id, oy, ox, val,
+        |    lead(val) OVER (PARTITION BY id, oy ORDER BY ox) AS nxt
+        |  FROM pxv),
+        |bits AS (SELECT id, oy * 8 + ox AS idx,
+        |    CASE WHEN val > nxt THEN 1 ELSE 0 END AS b
+        |  FROM nbr WHERE ox < 8),
+        |dh AS (SELECT id,
+        |  CAST(sum(CASE WHEN b = 1 THEN
+        |        CASE WHEN idx = 63 THEN -9223372036854775807 - 1
+        |             ELSE 1::BIGINT << idx END
+        |      ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY 1),
+        |bands AS (SELECT id, dhash, band, (dhash >> (16 * band)) & 65535 AS bval
+        |  FROM (SELECT *, unnest(generate_series(0, 3)) AS band FROM dh) z),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    a.dhash AS ha, b.dhash AS hb
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bval = b.bval AND a.id < b.id)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin) {
+      (s, dir) =>
+        graft.operators.ImageHash.nearDupPairs(
+          graft.operators.ImageHash.dhash64(
+            Multimodal.decodePngFrames(
+              graft.operators.ImageHash.dhashImagesFromDocuments(
+                s, load(s, dir, "documents")))),
+          "media_id", "dhash", maxHamming = 3)
+    },
+
+    // SEMANTIC dedup (the SemDeDup recipe): deterministic Lloyd k-means
+    // over the embedding corpus, then near-dup pruning WITHIN each cell
+    // only — the clustering bounds the quadratic term to per-cell
+    // squares. Oracle replays the identical 2-round training (q46's CTE
+    // chain), the identical assignment tie-breaks, and the min-id
+    // survivor rule, so centroid math, cell membership, and the keep
+    // bit are all value-checked end to end.
+    OpQuery.sql(
+      "q133_semantic_dedup",
+      IvfProbeCtes + "," + """
+        |dup AS (SELECT DISTINCT b.vec_id
+        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.e, b.e) /
+        |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) > 0.35)
+        |SELECT asg.vec_id, asg.cell,
+        |  CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id""".stripMargin) {
+      (s, dir) =>
+        Similarity.semanticDedup(
+          load(s, dir, "embeddings")
+            .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec")),
+          k = 16, iters = 2, tau = 0.35)
+    },
+
+    // ZIP archive member extraction (PKWARE grammar, stored + deflate
+    // via the public JDK zip surface): every 4 documents become one
+    // archive with alternating compression methods, parsed back under
+    // the reject-don't-guess contract (CRC-32 + both sizes verified per
+    // member, central directory reconciled against the walk). The
+    // oracle replays each member's name/size/md5 from the documents
+    // table — one corrupt inflate or CRC anywhere loses that archive's
+    // rows and breaks the compare.
+    OpQuery.sql(
+      "q134_zip_extract",
+      """SELECT CAST(doc_id // 4 AS BIGINT) AS archive_id,
+        |  'doc-' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS body_md5
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        graft.operators.ZipArchive.extractZipMembers(
+            graft.operators.ZipArchive.zipFilesFromDocuments(
+              s, load(s, dir, "documents")))
+          .select(col("archive_id"), col("name"), col("n_bytes"),
+            md5(col("body")).as("body_md5"))
+    },
+
+    // BMP pixel decode — the remaining still-image format real document
+    // dumps carry: 8-bpp palette-indexed DIBs, even ids uncompressed
+    // BI_RGB, odd ids BI_RLE8 (runs + absolute mode + EOL/EOB escapes),
+    // bottom-up padded rows flipped back on decode. The oracle replays
+    // every pixel from id arithmetic regardless of which pixel-data
+    // grammar carried it — one wrong run length, padding byte, or row
+    // flip breaks that image's checksum.
+    OpQuery.sql(
+      "q137_bmp_decode",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(5 + doc_id % 6 AS BIGINT) AS w,
+        |    CAST(4 + doc_id % 5 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |y AS (SELECT *, unnest(generate_series(0, h - 1)) AS py FROM v),
+        |x AS (SELECT *, unnest(generate_series(0, w - 1)) AS px FROM y),
+        |b AS (SELECT id, (id + 3 * px + 7 * py) % 256 AS v FROM x)
+        |SELECT id AS media_id, id % 2 = 1 AS compressed,
+        |  CAST(count(*) AS INTEGER) AS n_px,
+        |  CAST(sum(v) AS BIGINT) AS px_checksum
+        |FROM b GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        graft.operators.Bmp.extractBmpGrayStats(
+          graft.operators.Bmp.bmpImagesFromDocuments(
+            s, load(s, dir, "documents")))
+    },
+
+    // 24-bpp BGR BMP decode: per-channel byte sums through the BGR->RGB
+    // swizzle and the 4-byte row padding (stride 3w rounded up) — the
+    // two places a truecolor DIB reader goes wrong.
+    OpQuery.sql(
+      "q138_bmp_color_decode",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(5 + doc_id % 6 AS BIGINT) AS w,
+        |    CAST(4 + doc_id % 5 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |y AS (SELECT *, unnest(generate_series(0, h - 1)) AS py FROM v),
+        |x AS (SELECT *, unnest(generate_series(0, w - 1)) AS px FROM y),
+        |ch AS (SELECT *, unnest(generate_series(0, 2)) AS c FROM x),
+        |b AS (SELECT id, c, (id + 3 * px + 7 * py + 11 * c) % 256 AS v FROM ch)
+        |SELECT id AS media_id, CAST(count(*) // 3 AS INTEGER) AS n_px,
+        |  CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS r_sum,
+        |  CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS g_sum,
+        |  CAST(sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS b_sum
+        |FROM b GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        graft.operators.Bmp.extractBmpColorStats(
+          graft.operators.Bmp.bmpColorImagesFromDocuments(
+            s, load(s, dir, "documents")))
+    },
+
+    // Windowed VOICE-ACTIVITY segmentation (silence trim) over REAL
+    // decoded 16-bit PCM: max-|amplitude| per 50-frame window against
+    // an integer threshold, per-row inside mapPartitions — no shuffle,
+    // no state. Fixtures plant id-derived silent-lead / active /
+    // silent-tail layouts; the oracle replays the segmentation counts
+    // AND the exact |amplitude| checksum, so a decoder or windowing
+    // error anywhere (off-by-one window boundary, missed sign
+    // extension) breaks the row.
+    OpQuery.sql(
+      "q139_audio_vad_trim",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(2 + doc_id % 4 AS BIGINT) AS lw,
+        |    CAST(3 + doc_id % 5 AS BIGINT) AS aw,
+        |    CAST(1 + doc_id % 3 AS BIGINT) AS tw
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |act AS (SELECT id, lw, aw, tw,
+        |    unnest(generate_series(lw * 50, (lw + aw) * 50 - 1)) AS i FROM v),
+        |s AS (SELECT id, sum(abs(((id + 31 * i) % 256 - 128) * 256)) AS sum_abs
+        |  FROM act GROUP BY 1)
+        |SELECT v.id AS media_id,
+        |  CAST(lw + aw + tw AS INTEGER) AS n_windows,
+        |  CAST(lw + tw AS INTEGER) AS n_silent,
+        |  CAST(lw AS INTEGER) AS first_active,
+        |  CAST(lw + aw - 1 AS INTEGER) AS last_active,
+        |  CAST(s.sum_abs AS BIGINT) AS sum_abs
+        |FROM v JOIN s ON v.id = s.id""".stripMargin) {
+      (s, dir) =>
+        graft.operators.AudioActivity.extractActivity(
+          graft.operators.AudioActivity.vadWavFromDocuments(
+            s, load(s, dir, "documents")),
+          winFrames = 50, threshold = 1000)
     }
   )
 }

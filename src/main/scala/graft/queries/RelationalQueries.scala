@@ -263,6 +263,37 @@ object RelationalQueries {
           .agg(count(lit(1)).as("n_events"),
             countDistinct("event_type").as("n_types"),
             max("value").as("max_value"))
+    },
+
+    // Z-ORDER (Morton) clustering key — the multi-dimensional layout
+    // operator for file skipping (the Delta/Iceberg OPTIMIZE ZORDER
+    // recipe on plain parquet): interleave 16 bits each of customer and
+    // order-day so a range-partition on the key gives BOTH dimensions
+    // min/max locality. Pure codegen'd shifts/masks, no UDF; the oracle
+    // replays every bit of the interleave, so one wrong bit position
+    // anywhere breaks that row. ZorderSpec measures the actual pruning
+    // win (fewer partition envelopes overlap a 2-d box than any
+    // single-column sort).
+    OpQuery.sql(
+      "q136_zorder_key",
+      """WITH b AS (SELECT o_orderkey,
+        |    CAST(o_custkey AS BIGINT) & 65535 AS ck,
+        |    CAST(date_diff('day', TIMESTAMP '1992-01-01 00:00:00', o_orderdate) AS BIGINT)
+        |      & 65535 AS dd
+        |  FROM orders),
+        |e AS (SELECT *, unnest(generate_series(0, 15)) AS i FROM b)
+        |SELECT o_orderkey,
+        |  CAST(sum((((ck >> i) & 1) << (2*i)) + (((dd >> i) & 1) << (2*i + 1))) AS BIGINT)
+        |    AS z_value
+        |FROM e GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        val o = load(s, dir, "orders")
+        o.select(col("o_orderkey"),
+          graft.operators.Zorder.zValue(Seq(
+            col("o_custkey").bitwiseAND(lit(65535L)),
+            datediff(col("o_orderdate"),
+              to_date(lit("1992-01-01"))).cast("long").bitwiseAND(lit(65535L))),
+            bits = 16).as("z_value"))
     }
   )
 }
