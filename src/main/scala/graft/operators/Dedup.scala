@@ -388,4 +388,71 @@ object Dedup {
         sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
       .withColumn("dup_frac", round(col("n_dup_grams") / col("n_grams"), 6))
   }
+
+  /** Gear multiplier for content-defined chunking: Knuth's multiplicative
+    * constant maps each character to a pseudo-random byte with no lookup
+    * table — replayable as plain arithmetic in any engine. */
+  def gearByte(c: Int): Int = ((c * 2654435761L) % 256L).toInt
+
+  /** CONTENT-DEFINED chunking dedup (the Gear/FastCDC family, pure
+    * content-defined form): a rolling hash h = ((h << 1) + gear(byte))
+    * cuts a chunk wherever `h & mask == 0`, so chunk boundaries move
+    * WITH the content — inserting one character early in a document
+    * shifts fixed-size blocks everywhere but re-synchronizes
+    * content-defined cuts within one chunk, which is why storage dedup
+    * and long-document near-dup both use it. Expected chunk length is
+    * mask + 1 characters.
+    *
+    * Because only the low log2(mask+1) bits decide a cut, the boundary
+    * at position i depends on just the last 6 characters (for mask 63)
+    * — the sequential-looking roll is actually a sliding 6-term window,
+    * which is what lets the DuckDB oracle replay every cut without
+    * recursion. (Production CDC adds min/max chunk clamps, which
+    * reintroduce a sequential dependency; the pure form is the
+    * parallel-replayable core.)
+    *
+    * Input text should be normalized single-byte ([[TextAnalysis.normalize]]
+    * output) so character and byte offsets agree across engines.
+    * Output: (doc_id, chunk_idx, chunk_len, chunk_md5, n_copies) — one
+    * row per chunk, with its corpus-wide copy count (n_copies >= 2 =
+    * this span exists verbatim elsewhere). Scale shape: per-doc chunking
+    * is map-side; the copy count is one keyed shuffle on the chunk
+    * content, map-side-combinable like every hot-key count here.
+    */
+  def gearChunkDedup(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      mask: Int = 63): DataFrame = {
+    require((mask & (mask + 1)) == 0 && mask >= 1, s"mask must be 2^k - 1, got $mask")
+    import docs.sparkSession.implicits._
+    val chunks = docs.select(id.cast("long").as("did"), text.as("t"))
+      .as[(Long, String)]
+      .flatMap { case (did, t) =>
+        val s = Option(t).getOrElse("")
+        if (s.isEmpty) Iterator.empty
+        else {
+          val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var h = 0
+          var i = 0
+          while (i < s.length) {
+            h = ((h << 1) + gearByte(s.charAt(i).toInt)) & mask
+            if (h == 0) cuts += (i + 1)
+            i += 1
+          }
+          if (cuts.isEmpty || cuts.last != s.length) cuts += s.length
+          var prev = 0
+          cuts.iterator.zipWithIndex.map { case (c, idx) =>
+            val chunk = s.substring(prev, c)
+            prev = c
+            (did, idx, chunk)
+          }
+        }
+      }.toDF("doc_id", "chunk_idx", "chunk")
+    val counts = chunks.groupBy("chunk").agg(count(lit(1)).as("n_copies"))
+    chunks.join(counts, Seq("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        length(col("chunk")).as("chunk_len"),
+        md5(col("chunk")).as("chunk_md5"), col("n_copies"))
+  }
 }

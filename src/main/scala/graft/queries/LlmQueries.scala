@@ -2623,6 +2623,75 @@ object LlmQueries {
           graft.operators.AudioActivity.vadWavFromDocuments(
             s, load(s, dir, "documents")),
           winFrames = 50, threshold = 1000)
+    },
+
+    // ustar TAR member extraction — the third container family next to
+    // WARC and ZIP: 512-byte headers with octal fields and the
+    // spaces-substituted checksum, block-padded data, two-zero-block
+    // terminator, non-zero padding rejected as corruption. Same
+    // doc-bundle oracle shape as q134: one wrong octal parse, checksum,
+    // or block offset loses that archive's rows.
+    OpQuery.sql(
+      "q140_tar_extract",
+      """SELECT CAST(doc_id // 5 AS BIGINT) AS archive_id,
+        |  'doc-' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS body_md5
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        graft.operators.Tar.extractTarMembers(
+            graft.operators.Tar.tarFilesFromDocuments(
+              s, load(s, dir, "documents")))
+          .select(col("archive_id"), col("name"), col("n_bytes"),
+            md5(col("body")).as("body_md5"))
+    },
+
+    // CONTENT-DEFINED chunking dedup (Gear/FastCDC family, pure form):
+    // the rolling hash h = (h<<1) + gear(char) cuts wherever h & 63 = 0,
+    // so boundaries re-synchronize after edits — the dedup modality
+    // fixed-size blocks can't give. Only the low 6 bits decide a cut,
+    // so the roll is exactly a sliding 6-term window, which the oracle
+    // replays position by position (no recursion); chunk text is then
+    // reassembled by cut positions and copy-counted corpus-wide. One
+    // wrong gear byte, window term, or cut offset anywhere changes a
+    // chunk's md5 and breaks the compare.
+    OpQuery.sql(
+      "q141_cdc_chunk_dedup",
+      s"""WITH t AS (SELECT doc_id, $DuckNorm AS n FROM documents),
+         |pos AS (SELECT doc_id, n, unnest(generate_series(1, length(n))) AS i
+         |  FROM t WHERE length(n) > 0),
+         |g AS (SELECT doc_id, n, i,
+         |    (((ascii(substr(n, i, 1)) * 2654435761) % 256)
+         |     + CASE WHEN i >= 2 THEN ((ascii(substr(n, i-1, 1)) * 2654435761) % 256) * 2 ELSE 0 END
+         |     + CASE WHEN i >= 3 THEN ((ascii(substr(n, i-2, 1)) * 2654435761) % 256) * 4 ELSE 0 END
+         |     + CASE WHEN i >= 4 THEN ((ascii(substr(n, i-3, 1)) * 2654435761) % 256) * 8 ELSE 0 END
+         |     + CASE WHEN i >= 5 THEN ((ascii(substr(n, i-4, 1)) * 2654435761) % 256) * 16 ELSE 0 END
+         |     + CASE WHEN i >= 6 THEN ((ascii(substr(n, i-5, 1)) * 2654435761) % 256) * 32 ELSE 0 END
+         |    ) & 63 AS h
+         |  FROM pos),
+         |cuts AS (SELECT DISTINCT doc_id, n, i FROM (
+         |    SELECT doc_id, n, i FROM g WHERE h = 0
+         |    UNION ALL
+         |    SELECT doc_id, n, length(n) AS i FROM t WHERE length(n) > 0) z),
+         |ch AS (SELECT doc_id, n, i AS cut,
+         |    coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS prev
+         |  FROM cuts),
+         |chunks AS (SELECT doc_id,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY cut) - 1 AS INTEGER) AS chunk_idx,
+         |    substr(n, prev + 1, cut - prev) AS chunk
+         |  FROM ch),
+         |counts AS (SELECT chunk, count(*) AS n_copies FROM chunks GROUP BY 1)
+         |SELECT c.doc_id, c.chunk_idx,
+         |  CAST(length(c.chunk) AS INTEGER) AS chunk_len,
+         |  md5(c.chunk) AS chunk_md5,
+         |  CAST(n.n_copies AS BIGINT) AS n_copies
+         |FROM chunks c JOIN counts n USING (chunk)""".stripMargin) {
+      (s, dir) =>
+        Dedup.gearChunkDedup(
+          load(s, dir, "documents"),
+          col("doc_id"),
+          TextAnalysis.normalize(col("text")),
+          mask = 63)
     }
   )
 }
