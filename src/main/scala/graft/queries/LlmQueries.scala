@@ -2692,6 +2692,75 @@ object LlmQueries {
           col("doc_id"),
           TextAnalysis.normalize(col("text")),
           mask = 63)
+    },
+
+    // BM25 ranked retrieval over postings-shaped relations (Robertson/
+    // Spärck Jones weights, Lucene +1 idf): the IR pass a curation
+    // engine runs for topic filtering and eval-set assembly. Postings
+    // shuffle by term; corpus stats are one-row broadcast aggregates;
+    // docs sharing no query term never leave their partitions. The
+    // oracle replays tokenization, tf/df, the exact avgdl division,
+    // and the identical double expression (ln agreement far below the
+    // 6-decimal rounding — the q97/q102 precedent).
+    OpQuery.sql(
+      "q142_bm25_topk",
+      s"""WITH d AS (SELECT doc_id, string_split($DuckNorm, ' ') w FROM documents),
+         |wpos AS (SELECT doc_id, i AS wi, w[i] AS word
+         |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) i FROM d) z
+         |  WHERE w[i] <> ''),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM wpos GROUP BY 1),
+         |stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |    CAST((SELECT count(*) FROM wpos) AS DOUBLE)
+         |      / (SELECT count(*) FROM documents) AS avgdl),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM wpos
+         |  WHERE word IN ('scan', 'window', 'merge', 'stream') GROUP BY 1, 2),
+         |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT t.doc_id,
+         |    sum(ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+         |        * (t.tf * 2.2)
+         |        / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS score
+         |  FROM tf t JOIN dl l USING (doc_id) JOIN dfreq f USING (word), stats s
+         |  GROUP BY 1)
+         |SELECT doc_id, round(score, 6) AS score, CAST(rank AS INTEGER) AS rank
+         |FROM (SELECT doc_id, score,
+         |        row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |      FROM sc) z
+         |WHERE rank <= 20""".stripMargin) {
+      (s, dir) =>
+        graft.operators.InvertedIndex.bm25TopK(
+            load(s, dir, "documents"),
+            col("doc_id"),
+            TextAnalysis.words(TextAnalysis.normalize(col("text"))),
+            queryTerms = Seq("scan", "window", "merge", "stream"),
+            k = 20)
+          .select(col("id").as("doc_id"), col("score"), col("rank"))
+    },
+
+    // Exact PHRASE search on the positional postings: phrase term i
+    // must sit at position p + i — a chain of (doc, pos) equi-joins,
+    // each side pre-filtered to one term, so only the phrase terms'
+    // postings ever move. Pure integer joins, no float anywhere; the
+    // oracle replays positions from the same split.
+    OpQuery.sql(
+      "q143_phrase_search",
+      s"""WITH d AS (SELECT doc_id, string_split($DuckNorm, ' ') w FROM documents),
+         |wpos AS (SELECT doc_id, i - 1 AS pos, w[i] AS word
+         |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) i FROM d) z
+         |  WHERE w[i] <> '')
+         |SELECT a.doc_id, count(*) AS n_matches
+         |FROM wpos a
+         |JOIN wpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |JOIN wpos c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+         |WHERE a.word = 'table' AND b.word = 'join' AND c.word = 'row'
+         |GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        graft.operators.InvertedIndex.phraseMatches(
+            graft.operators.InvertedIndex.postings(
+              load(s, dir, "documents"),
+              col("doc_id"),
+              TextAnalysis.words(TextAnalysis.normalize(col("text")))),
+            Seq("table", "join", "row"))
+          .select(col("id").as("doc_id"), col("n_matches"))
     }
   )
 }

@@ -45,7 +45,13 @@ class PlanShapeSpec extends SparkSuite {
     "q102_tfidf_keywords" -> "broadcast of a single-row global aggregate",
     // same probe-vs-broadcast-centroids loop as q46/q82/q85; the Hamming
     // prefilter and rerank beyond it are equi-joins on cell / vec_id
-    "q113_ann_ivf_binary_rerank" -> "broadcast of bounded centroid list")
+    "q113_ann_ivf_binary_rerank" -> "broadcast of bounded centroid list",
+    // SemDeDup's assignment pass is the same corpus-vs-broadcast-centroids
+    // loop as q46; the within-cell pair scan beyond it is an equi-join on
+    // cell with a pair repartition
+    "q133_semantic_dedup" -> "broadcast of bounded centroid list",
+    // per-(doc,term) BM25 weights x broadcast 1-row corpus stats (N, avgdl)
+    "q142_bm25_topk" -> "broadcast of a single-row global aggregate")
 
   private def planOf(name: String): String = {
     val q = graft.SparkEntry.catalog.find(_.name == name).get
