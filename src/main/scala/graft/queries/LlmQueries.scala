@@ -34,6 +34,42 @@ object LlmQueries {
   private val PlantedPassage: String =
     (0 until 60).map(i => s"planted$i").mkString(" ")
 
+  // q146's oracle: k chained BPE training rounds, each with its own
+  // pair-count CTE, arg-max CTE, and a list_reduce greedy merge — the
+  // SQL is GENERATED so every round replays the identical fold the
+  // Spark trainer runs.
+  private def bpeTrainOracle(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s"""p$r AS (SELECT sym[i] AS lft, sym[i + 1] AS rgt, sum(freq) AS cnt
+         |  FROM (SELECT freq, string_split(seg, '|') AS sym,
+         |          unnest(generate_series(1, len(string_split(seg, '|')) - 1)) AS i
+         |        FROM seg${r - 1}) z
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT lft, rgt, cnt FROM p$r ORDER BY cnt DESC, lft, rgt LIMIT 1),
+         |seg$r AS (SELECT s.word, s.freq,
+         |    list_reduce(string_split(s.seg, '|'),
+         |      (acc, x) -> CASE WHEN regexp_extract(acc, '([^|]*)$$', 1) = b.lft AND x = b.rgt
+         |                       THEN regexp_replace(acc, '([^|]*)$$', '') || b.lft || b.rgt
+         |                       ELSE acc || '|' || x END) AS seg
+         |  FROM seg${r - 1} s, b$r b)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to k).map(r =>
+      s"SELECT $r AS rank, lft AS left_sym, rgt AS right_sym, CAST(cnt AS BIGINT) AS pair_count FROM b$r")
+      .mkString("\n UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, string_split($DuckNorm, ' ') w FROM documents),
+       |wpos AS (SELECT w[i] AS word
+       |  FROM (SELECT w, unnest(generate_series(1, len(w))) i FROM d) z
+       |  WHERE w[i] <> ''),
+       |wf AS (SELECT word, count(*) AS freq FROM wpos GROUP BY 1),
+       |seg0 AS (SELECT word, freq, string_agg(c, '|' ORDER BY i) AS seg
+       |  FROM (SELECT word, freq, i, substr(word, i, 1) AS c
+       |        FROM (SELECT word, freq, unnest(generate_series(1, length(word))) AS i
+       |              FROM wf) z) zz
+       |  GROUP BY 1, 2),
+       |$rounds
+       |$unions""".stripMargin
+  }
+
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "en" -> Seq("the", "a", "of", "and"),
@@ -2761,6 +2797,22 @@ object LlmQueries {
               TextAnalysis.words(TextAnalysis.normalize(col("text")))),
             Seq("table", "join", "row"))
           .select(col("id").as("doc_id"), col("n_matches"))
+    },
+
+    // BPE merge-table TRAINING (Sennrich et al.) as relational rounds —
+    // the learning half of q126's inference tokenizer: per round, one
+    // weighted pair-count shuffle, a deterministic arg-max, and a
+    // greedy left-fold merge over every word's segmentation. The
+    // GENERATED oracle chains the identical eight rounds (pair CTE,
+    // arg-max CTE, list_reduce fold), so every round's chosen pair AND
+    // weighted count are value-checked — a wrong tie-break or fold
+    // order in any round cascades into every later row.
+    OpQuery.sql(
+      "q146_bpe_train",
+      bpeTrainOracle(8)) {
+      (s, dir) =>
+        graft.operators.BpeTrainer.trainOnCorpus(
+          s, load(s, dir, "documents"), col("text"), k = 8)
     }
   )
 }

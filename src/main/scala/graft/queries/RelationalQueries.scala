@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables.load
@@ -294,6 +295,70 @@ object RelationalQueries {
             datediff(col("o_orderdate"),
               to_date(lit("1992-01-01"))).cast("long").bitwiseAND(lit(65535L))),
             bits = 16).as("z_value"))
+    },
+
+    // EXACT per-group quantiles (nearest-rank-low, the deterministic
+    // discrete form): rank = floor((n-1)·q) over the value-sorted group.
+    // Spark's built-in percentile_approx is approximate by design; the
+    // exact form is one per-group sort window — the honest cost of exact
+    // quantiles — and ties at the boundary rank pick the same VALUE on
+    // any engine because rank selects from the sorted multiset.
+    OpQuery.sql(
+      "q144_exact_group_quantiles",
+      """WITH t AS (SELECT l_returnflag AS flag, l_extendedprice AS v FROM lineitem),
+        |r AS (SELECT flag, v,
+        |    row_number() OVER (PARTITION BY flag ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY flag) AS n FROM t)
+        |SELECT flag,
+        |  max(CASE WHEN rn - 1 = floor((n - 1) * 0.5) THEN v END) AS p50,
+        |  max(CASE WHEN rn - 1 = floor((n - 1) * 0.9) THEN v END) AS p90,
+        |  max(CASE WHEN rn - 1 = floor((n - 1) * 0.99) THEN v END) AS p99
+        |FROM r GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        val t = load(s, dir, "lineitem")
+          .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
+        val ranked = t
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("flag").orderBy("v")))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
+        ranked.groupBy("flag").agg(
+          max(when(col("rn") - 1 === floor((col("n") - 1) * lit(0.5)), col("v"))).as("p50"),
+          max(when(col("rn") - 1 === floor((col("n") - 1) * lit(0.9)), col("v"))).as("p90"),
+          max(when(col("rn") - 1 === floor((col("n") - 1) * lit(0.99)), col("v"))).as("p99"))
+    },
+
+    // Table PROFILING (the ANALYZE-style stats a planner feeds on):
+    // per-column row count, null count, and exact distinct count in ONE
+    // pass over the table — each row contributes one instance per
+    // profiled column (the unpivot), then count-distinct aggregates per
+    // column name. At 100 TB the same shape runs with the HLL sketch
+    // (q130) swapped in for the exact distinct.
+    OpQuery.sql(
+      "q145_profile_columns",
+      """WITH u AS (
+        |  SELECT 'o_custkey' AS col_name, CAST(o_custkey AS VARCHAR) AS v FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', o_orderstatus FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', o_orderpriority FROM orders)
+        |SELECT col_name, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct
+        |FROM u GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        val o = load(s, dir, "orders")
+        val u = o.select(explode(array(
+          struct(lit("o_custkey").as("col_name"),
+            col("o_custkey").cast("string").as("v")),
+          struct(lit("o_orderstatus").as("col_name"),
+            col("o_orderstatus").as("v")),
+          struct(lit("o_orderpriority").as("col_name"),
+            col("o_orderpriority").as("v")))).as("e"))
+          .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
+        u.groupBy("col_name").agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col("v")).as("n_distinct"))
     }
   )
 }

@@ -32,7 +32,14 @@ object ExplainAudit {
         // TF-IDF N join, the binary-ANN broadcast signature scan, and the
         // two-projection decode (lookups must NOT re-merge into the arms)
         "q98_dedup_lines", "q101_duplicated_spans", "q102_tfidf_keywords",
-        "q99_ann_binary_rerank", "q73_visit_summary_typed")
+        "q99_ann_binary_rerank", "q73_visit_summary_typed",
+        // round-8 scale paths: the dHash band equi-join, SemDeDup's
+        // cell-bounded pair scan, the domain broadcast drop-list, the
+        // chunk copy-count keyed shuffle, and BM25's TakeOrdered top-k
+        // over term-keyed postings
+        "q132_image_neardup_hamming", "q133_semantic_dedup",
+        "q135_domain_quality_filter", "q141_cdc_chunk_dedup",
+        "q142_bm25_topk")
     names.foreach { n =>
       val q = graft.SparkEntry.catalog.find(_.name == n).getOrElse(
         sys.error(s"unknown query $n"))
