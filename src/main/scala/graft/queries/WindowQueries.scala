@@ -289,6 +289,90 @@ object WindowQueries {
           round(percent_rank().over(w), 6).as("prnk"),
           round(cume_dist().over(w), 6).as("cdist"),
           ntile(10).over(wT).as("decile"))
+    },
+
+    // FUNNEL analysis (first-completion semantics): view -> click ->
+    // purchase per user, each step within 48h of the previous step's
+    // chosen event. Three keyed min-aggregations chained by per-user
+    // joins — every frame moves by user_id, no window over the event
+    // stream, so a 100 TB event log funnels in three map-side-
+    // combinable passes. Timestamps stay exact (microsecond equality
+    // across engines).
+    OpQuery.sql(
+      "q147_funnel_steps",
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1
+        |    AND e.ts <= v.t1 + INTERVAL 48 HOUR
+        |  GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |    AND e.ts <= c.t2 + INTERVAL 48 HOUR
+        |  GROUP BY 1)
+        |SELECT v.user_id,
+        |  CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+        |            WHEN c.t2 IS NOT NULL THEN 2 ELSE 1 END AS INTEGER) AS funnel_depth,
+        |  v.t1 AS step1_ts, c.t2 AS step2_ts, p.t3 AS step3_ts
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin) {
+      (s, dir) =>
+        val e = load(s, dir, "events")
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("cts"))
+          .join(v, Seq("user_id"))
+          .filter(col("cts") > col("t1") &&
+            col("cts") <= col("t1") + expr("INTERVAL 48 HOURS"))
+          .groupBy("user_id").agg(min("cts").as("t2"))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"))
+          .join(c, Seq("user_id"))
+          .filter(col("pts") > col("t2") &&
+            col("pts") <= col("t2") + expr("INTERVAL 48 HOURS"))
+          .groupBy("user_id").agg(min("pts").as("t3"))
+        v.join(c, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .select(col("user_id"),
+            when(col("t3").isNotNull, 3)
+              .when(col("t2").isNotNull, 2).otherwise(1).as("funnel_depth"),
+            col("t1").as("step1_ts"), col("t2").as("step2_ts"),
+            col("t3").as("step3_ts"))
+    },
+
+    // COHORT retention: users grouped by first-activity week, counted
+    // in each later week they were active. Both week keys are Monday
+    // truncations, so the week offset is an exact integer (day diff of
+    // two Mondays / 7). Two keyed aggregations and one join — the
+    // cohort matrix of a 100 TB event log is user-grain, not
+    // event-grain, after the first pass.
+    OpQuery.sql(
+      "q148_cohort_retention",
+      """WITH f AS (SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS active_week
+        |  FROM events)
+        |SELECT f.cohort_week,
+        |  CAST(date_diff('day', f.cohort_week, a.active_week) // 7 AS INTEGER) AS week_k,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM f JOIN a ON f.user_id = a.user_id
+        |GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        val e = load(s, dir, "events")
+        val f = e.groupBy("user_id")
+          .agg(date_trunc("week", min("ts")).cast("date").as("cohort_week"))
+        val a = e.select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("active_week")).distinct()
+        f.join(a, Seq("user_id"))
+          .groupBy(col("cohort_week"),
+            (datediff(col("active_week"), col("cohort_week")) / 7)
+              .cast("int").as("week_k"))
+          .agg(count(lit(1)).as("n_users"))
     }
   )
 }
