@@ -2799,6 +2799,99 @@ object LlmQueries {
           .select(col("id").as("doc_id"), col("n_matches"))
     },
 
+    // kNN LABEL PROPAGATION (auto-labeling the unlabeled slice — the
+    // model-free classifier a curation pipeline bootstraps with): every
+    // vec_id % 10 == 0 vector is treated as unlabeled; IVF trains on
+    // the labeled rest (q46's deterministic Lloyd), probes 3 cells,
+    // takes the exact top-5 cosine neighbors, and majority-votes their
+    // labels (tie -> smallest label). The oracle replays training,
+    // probing, ranking, and the vote with the same tie-breaks.
+    OpQuery.sql(
+      "q150_knn_label_propagation",
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e
+        |  FROM embeddings WHERE vec_id % 10 <> 0),
+        |q0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |cent0 AS (SELECT vec_id AS cell, e AS cvec FROM v ORDER BY vec_id LIMIT 16),
+        |asg0 AS (
+        |  SELECT vec_id, label, e, cell FROM (
+        |    SELECT v.vec_id, v.label, v.e, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_dot_product(v.e, c.cvec) /
+        |        (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+        |        c.cell) rn
+        |    FROM v, cent0 c) t WHERE rn = 1),
+        |cent1 AS (
+        |  SELECT cell, list(mv ORDER BY pos) cvec FROM (
+        |    SELECT cell, pos, CAST(sum(CAST(x AS DECIMAL(27, 10))) AS DOUBLE) / count(*) mv
+        |    FROM (SELECT cell, unnest(e) x, generate_subscripts(e, 1) - 1 pos FROM asg0)
+        |    GROUP BY cell, pos) GROUP BY cell),
+        |asg1 AS (
+        |  SELECT vec_id, label, e, cell FROM (
+        |    SELECT v.vec_id, v.label, v.e, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_dot_product(v.e, c.cvec) /
+        |        (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+        |        c.cell) rn
+        |    FROM v, cent1 c) t WHERE rn = 1),
+        |cent AS (
+        |  SELECT cell, list(mv ORDER BY pos) cvec FROM (
+        |    SELECT cell, pos, CAST(sum(CAST(x AS DECIMAL(27, 10))) AS DOUBLE) / count(*) mv
+        |    FROM (SELECT cell, unnest(e) x, generate_subscripts(e, 1) - 1 pos FROM asg1)
+        |    GROUP BY cell, pos) GROUP BY cell),
+        |asg AS (
+        |  SELECT vec_id, label, e, cell FROM (
+        |    SELECT v.vec_id, v.label, v.e, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_dot_product(v.e, c.cvec) /
+        |        (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+        |        c.cell) rn
+        |    FROM v, cent c) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT qid, qvec, cell FROM (
+        |    SELECT q.vec_id qid, q.e qvec, c.cell,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_dot_product(q.e, c.cvec) /
+        |        (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+        |        c.cell) rn
+        |    FROM q0 q, cent c) t WHERE rn <= 3),
+        |top5 AS (
+        |  SELECT qid, vec_id, label FROM (
+        |    SELECT p.qid, a.vec_id, a.label,
+        |      row_number() OVER (PARTITION BY p.qid ORDER BY
+        |        list_dot_product(p.qvec, a.e) /
+        |        (sqrt(list_dot_product(p.qvec, p.qvec)) * sqrt(list_dot_product(a.e, a.e))) DESC,
+        |        a.vec_id) rank
+        |    FROM probes p JOIN asg a USING (cell)
+        |    WHERE a.vec_id <> p.qid) t WHERE rank <= 5),
+        |votes AS (SELECT qid, label, count(*) c FROM top5 GROUP BY 1, 2)
+        |SELECT qid AS vec_id, label AS pred_label, CAST(c AS BIGINT) AS n_votes
+        |FROM (SELECT qid, label, c,
+        |        row_number() OVER (PARTITION BY qid ORDER BY c DESC, label) rn
+        |      FROM votes) z WHERE rn = 1""".stripMargin) {
+      (s, dir) =>
+        val emb = load(s, dir, "embeddings")
+          .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"),
+            col("label"))
+        val labeled = emb.filter(col("vec_id") % 10 =!= 0)
+        val queries = emb.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        val lv = labeled.select(col("vec_id"), col("vec"))
+        val centroids = Similarity.ivfRefine(lv, Similarity.ivfCentroids(lv, 16),
+          iters = 2).cache()
+        val assigned = Similarity.ivfAssign(lv, centroids)
+        val nn = Similarity.ivfSearch(queries, assigned, centroids,
+          nProbe = 3, k = 5)
+        val votes = nn
+          .join(labeled.select(col("vec_id"), col("label")), Seq("vec_id"))
+          .groupBy("qid", "label").agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("qid")
+          .orderBy(col("c").desc, col("label"))
+        votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("qid").as("vec_id"), col("label").as("pred_label"),
+            col("c").as("n_votes"))
+    },
+
     // BPE merge-table TRAINING (Sennrich et al.) as relational rounds —
     // the learning half of q126's inference tokenizer: per round, one
     // weighted pair-count shuffle, a deterministic arg-max, and a

@@ -373,6 +373,38 @@ object WindowQueries {
             (datediff(col("active_week"), col("cohort_week")) / 7)
               .cast("int").as("week_k"))
           .agg(count(lit(1)).as("n_users"))
+    },
+
+    // RANGE-frame sliding window: 7-day trailing event counts per type
+    // over the daily series — the frame is VALUE-based (RANGE BETWEEN 6
+    // PRECEDING), so gaps in the calendar shorten the window instead of
+    // silently widening it the way a ROWS frame would. Aggregation to
+    // daily grain happens FIRST (map-side-combinable), so the window
+    // sorts days-per-type, never raw events.
+    OpQuery.sql(
+      "q149_sliding_range_window",
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n,
+        |  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+        |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_7d,
+        |  round(CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+        |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / 7, 6) AS avg_7d
+        |FROM d""".stripMargin) {
+      (s, dir) =>
+        val d = load(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        // RANGE frame needs a numeric ordering key in Spark: days since
+        // epoch carries the same 6-preceding semantics as the DATE range
+        val w = Window.partitionBy("event_type")
+          .orderBy(datediff(col("day"), to_date(lit("1970-01-01"))))
+          .rangeBetween(-6, Window.currentRow)
+        d.select(col("event_type"), col("day"), col("n"),
+          sum("n").over(w).as("n_7d"),
+          round(sum("n").over(w).cast("double") / 7, 6).as("avg_7d"))
     }
   )
 }

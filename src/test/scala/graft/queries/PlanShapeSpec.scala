@@ -51,7 +51,9 @@ class PlanShapeSpec extends SparkSuite {
     // cell with a pair repartition
     "q133_semantic_dedup" -> "broadcast of bounded centroid list",
     // per-(doc,term) BM25 weights x broadcast 1-row corpus stats (N, avgdl)
-    "q142_bm25_topk" -> "broadcast of a single-row global aggregate")
+    "q142_bm25_topk" -> "broadcast of a single-row global aggregate",
+    // kNN auto-labeling probes the same broadcast centroid list as q46
+    "q150_knn_label_propagation" -> "broadcast of bounded centroid list")
 
   private def planOf(name: String): String = {
     val q = graft.SparkEntry.catalog.find(_.name == name).get
