@@ -359,6 +359,70 @@ object RelationalQueries {
           count(lit(1)).as("n_rows"),
           sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
           countDistinct(col("v")).as("n_distinct"))
+    },
+
+    // HISTOGRAM quantile sketch — q144's MERGEABLE scale twin: one
+    // min/max pass, one 256-bin equi-width count pass (map-side
+    // combinable, O(bins) state — partial histograms merge by addition,
+    // which is what a 1000-executor run needs), then the quantile is
+    // the right edge of the bin holding the target rank. Deterministic
+    // double arithmetic, identical expression both engines; the
+    // cumulative walk runs over 256 rows, not the data.
+    OpQuery.sql(
+      "q151_histogram_quantile_sketch",
+      """WITH t AS (SELECT l_extendedprice AS v FROM lineitem),
+        |s AS (SELECT min(v) AS mn, max(v) AS mx, count(*) AS n FROM t),
+        |b AS (SELECT CAST(least(255, floor((t.v - s.mn) * 256 / (s.mx - s.mn))) AS INTEGER) AS bin
+        |  FROM t, s),
+        |h AS (SELECT bin, count(*) AS c FROM b GROUP BY 1),
+        |cum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM h),
+        |q AS (SELECT unnest([0.5, 0.9, 0.99]) AS qq)
+        |SELECT q.qq AS quantile,
+        |  round(s.mn + (min(cum.bin) + 1) * (s.mx - s.mn) / 256, 6) AS est_value
+        |FROM q, s, cum
+        |WHERE cum.cum >= ceil(q.qq * s.n)
+        |GROUP BY q.qq, s.mn, s.mx""".stripMargin) {
+      (s, dir) =>
+        val t = load(s, dir, "lineitem").select(col("l_extendedprice").as("v"))
+        val stats = t.agg(min("v").as("mn"), max("v").as("mx"),
+          count(lit(1)).as("n"))
+        val bins = t.crossJoin(broadcast(stats))
+          .select(least(lit(255), floor((col("v") - col("mn")) * 256 /
+            (col("mx") - col("mn")))).cast("int").as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as("c"))
+        val cum = bins.select(col("bin"),
+          sum("c").over(Window.orderBy("bin")).as("cum"))
+        val qs = t.sparkSession.createDataFrame(
+          Seq(Tuple1(0.5), Tuple1(0.9), Tuple1(0.99))).toDF("qq")
+        qs.crossJoin(broadcast(stats)).join(cum,
+            col("cum") >= ceil(col("qq") * col("n")))
+          .groupBy(col("qq").as("quantile"), col("mn"), col("mx"))
+          .agg(round(col("mn") + (min("bin") + 1) * (col("mx") - col("mn")) / 256, 6)
+            .as("est_value"))
+          .select(col("quantile"), col("est_value"))
+    },
+
+    // SALTED hot-key aggregation (SURVEY §4 skew): the two-phase
+    // collect-and-sort that spreads one hot key over 8 reducers before
+    // the final merge — byte-identical to the unsalted aggregation,
+    // which is exactly what the oracle checks (it computes the plain
+    // ordered aggregation; the salting must be invisible in the
+    // result).
+    OpQuery.sql(
+      "q152_salted_hot_key_agg",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  md5(string_agg(CAST(event_id AS VARCHAR), '|' ORDER BY ts, event_id))
+        |    AS ids_md5
+        |FROM events GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        val e = load(s, dir, "events")
+          .select(col("event_type"), struct(col("ts"), col("event_id")).as("st"))
+        graft.operators.Skew.saltedSortedAgg(e, Seq("event_type"),
+            col("st"), saltBuckets = 8)
+          .select(col("event_type"),
+            size(col("sorted_entries")).cast("long").as("n"),
+            md5(array_join(transform(col("sorted_entries"),
+              x => x.getField("event_id").cast("string")), "|")).as("ids_md5"))
     }
   )
 }

@@ -53,7 +53,10 @@ class PlanShapeSpec extends SparkSuite {
     // per-(doc,term) BM25 weights x broadcast 1-row corpus stats (N, avgdl)
     "q142_bm25_topk" -> "broadcast of a single-row global aggregate",
     // kNN auto-labeling probes the same broadcast centroid list as q46
-    "q150_knn_label_propagation" -> "broadcast of bounded centroid list")
+    "q150_knn_label_propagation" -> "broadcast of bounded centroid list",
+    // 3 quantile targets x broadcast 256-bin cumulative histogram (the
+    // rank inequality is a theta join over two bounded frames)
+    "q151_histogram_quantile_sketch" -> "broadcast of bounded histogram/stats")
 
   private def planOf(name: String): String = {
     val q = graft.SparkEntry.catalog.find(_.name == name).get
