@@ -423,6 +423,61 @@ object RelationalQueries {
             size(col("sorted_entries")).cast("long").as("n"),
             md5(array_join(transform(col("sorted_entries"),
               x => x.getField("event_id").cast("string")), "|")).as("ids_md5"))
+    },
+
+    // ITERATIVE GRAPH analytics — PageRank, 5 rounds, in FIXED-POINT
+    // arithmetic (scaled BIGINT, explicit integer division): floating-
+    // point PageRank sums contributions in shuffle order, so its low
+    // bits are not engine- or partitioning-reproducible; the fixed-point
+    // form is bit-exact everywhere (long sums are order-independent,
+    // DIV truncation is explicit), which is what lets an oracle replay
+    // all five rounds. The graph is an id-derived 3-regular digraph
+    // (offsets +7/+13/+101 mod N: out-degree AND in-degree exactly 3,
+    // no self-loops), so each round is one equi-join + one keyed sum —
+    // the canonical distributed PageRank shape.
+    OpQuery.sql(
+      "q153_pagerank_fixed_point",
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |e AS (SELECT d.doc_id AS src,
+        |    CAST((d.doc_id + o.off) % nn.n AS BIGINT) AS dst
+        |  FROM documents d, nn, (SELECT unnest([7, 13, 101]) AS off) o),
+        |r0 AS (SELECT doc_id AS v,
+        |    CAST(1000000000000000 // nn.n AS BIGINT) AS r FROM documents, nn),
+        |r1 AS (SELECT e.dst AS v,
+        |    CAST(150000000000000 // nn.n + (85 * sum(r0.r // 3)) // 100 AS BIGINT) AS r
+        |  FROM e JOIN r0 ON r0.v = e.src, nn GROUP BY e.dst, nn.n),
+        |r2 AS (SELECT e.dst AS v,
+        |    CAST(150000000000000 // nn.n + (85 * sum(r1.r // 3)) // 100 AS BIGINT) AS r
+        |  FROM e JOIN r1 ON r1.v = e.src, nn GROUP BY e.dst, nn.n),
+        |r3 AS (SELECT e.dst AS v,
+        |    CAST(150000000000000 // nn.n + (85 * sum(r2.r // 3)) // 100 AS BIGINT) AS r
+        |  FROM e JOIN r2 ON r2.v = e.src, nn GROUP BY e.dst, nn.n),
+        |r4 AS (SELECT e.dst AS v,
+        |    CAST(150000000000000 // nn.n + (85 * sum(r3.r // 3)) // 100 AS BIGINT) AS r
+        |  FROM e JOIN r3 ON r3.v = e.src, nn GROUP BY e.dst, nn.n),
+        |r5 AS (SELECT e.dst AS v,
+        |    CAST(150000000000000 // nn.n + (85 * sum(r4.r // 3)) // 100 AS BIGINT) AS r
+        |  FROM e JOIN r4 ON r4.v = e.src, nn GROUP BY e.dst, nn.n)
+        |SELECT v AS doc_id, r AS pr_scaled FROM r5""".stripMargin) {
+      (s, dir) =>
+        val docs = load(s, dir, "documents").select(col("doc_id")).cache()
+        // N is needed as a literal inside the edge arithmetic — a
+        // scalar-class driver count, same footing as the watermarks
+        val n = docs.count()
+        val scale = 1000000000000000L
+        val edges = docs
+          .select(col("doc_id").as("src"),
+            explode(array(lit(7L), lit(13L), lit(101L))).as("off"))
+          .select(col("src"), ((col("src") + col("off")) % n).as("dst"))
+        var r = docs.select(col("doc_id").as("v"), lit(scale / n).as("r"))
+        for (_ <- 1 to 5) {
+          r = edges.join(r, edges("src") === r("v"))
+            .groupBy(col("dst").as("v2"))
+            .agg(expr(s"CAST(${15 * scale / 100 / n} + (85 * sum(r DIV 3)) DIV 100 AS BIGINT)")
+              .as("r"))
+            .select(col("v2").as("v"), col("r"))
+        }
+        r.select(col("v").as("doc_id"), col("r").as("pr_scaled"))
     }
   )
 }
