@@ -2799,6 +2799,39 @@ object LlmQueries {
           .select(col("id").as("doc_id"), col("n_matches"))
     },
 
+    // Unicode NFC NORMALIZATION — the pass that must run before ANY
+    // text hashing in a multilingual corpus (decomposed and precomposed
+    // spellings are different byte strings until canonical composition
+    // folds them). A native codegen'd Expression over the JDK
+    // normalizer; fixtures append id-derived COMBINING sequences
+    // (single and stacked diacritics), and the oracle replays with
+    // DuckDB's nfc_normalize — codepoint length, changed flag, and the
+    // md5 of the composed bytes must all agree.
+    OpQuery.sql(
+      "q154_nfc_normalize",
+      """WITH t AS (SELECT doc_id,
+        |    text || CASE CAST(doc_id % 3 AS INTEGER)
+        |      WHEN 0 THEN ' cafe' || chr(769)
+        |      WHEN 1 THEN ' A' || chr(778) || 'ngstrom'
+        |      ELSE ' o' || chr(776) || chr(772) || 'zone' END AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(nfc_normalize(raw)) AS INTEGER) AS nfc_len,
+        |  nfc_normalize(raw) <> raw AS changed,
+        |  md5(nfc_normalize(raw)) AS nfc_md5
+        |FROM t""".stripMargin) {
+      (s, dir) =>
+        val raw = concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" cafe\u0301"))
+            .when(col("doc_id") % 3 === 1, lit(" A\u030Angstrom"))
+            .otherwise(lit(" o\u0308\u0304zone")))
+        val n = graft.functions.NfcExpression.nfc(raw)
+        load(s, dir, "documents").select(col("doc_id"),
+          length(n).as("nfc_len"),
+          (n =!= raw).as("changed"),
+          md5(n.cast("binary")).as("nfc_md5"))
+    },
+
     // kNN LABEL PROPAGATION (auto-labeling the unlabeled slice — the
     // model-free classifier a curation pipeline bootstraps with): every
     // vec_id % 10 == 0 vector is treated as unlabeled; IVF trains on
