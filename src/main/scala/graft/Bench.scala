@@ -67,8 +67,15 @@ object Bench {
 
     val results = SparkEntry.catalog.map { q =>
       // immutable fixture prep (streaming source splits etc.) runs OFF
-      // the clock: it is harness cost, not stream/query execution
-      try q.prepare.foreach(_(spark, sfDir)) catch { case _: Throwable => () }
+      // the clock: it is harness cost, not stream/query execution. A
+      // failed prep must not abort the bench, but it MUST be visible —
+      // silently falling through pushes the prep cost back inside the
+      // timed run, inflating exactly the numbers this hook stabilizes
+      try q.prepare.foreach(_(spark, sfDir)) catch {
+        case e: Throwable =>
+          System.err.println(
+            s"[bench] prepare failed for ${q.name} (cost lands in-run): $e")
+      }
       val qReps = if (singleRep(q.name)) 1 else reps
       val times = (1 to qReps).map { _ =>
         val t0 = System.nanoTime()

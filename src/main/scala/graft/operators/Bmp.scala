@@ -17,20 +17,8 @@ object Bmp {
 
   private val MaxPixels = 1L << 26
 
-  private def u16(b: Array[Byte], i: Int): Int =
-    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-  private def u32(b: Array[Byte], i: Int): Long =
-    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
-      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  import LE.{putU16, putU32, u16, u32}
   private def i32(b: Array[Byte], i: Int): Int = u32(b, i).toInt
-
-  private def putU16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
-    o.write(v & 0xff); o.write((v >> 8) & 0xff)
-  }
-  private def putU32(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
-    o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
-    o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
-  }
 
   private def headers(
       o: java.io.ByteArrayOutputStream,
@@ -214,6 +202,16 @@ object Bmp {
         }
       }
       if (i != blob.length) return None // no bytes may trail the EOB
+    }
+    // every pixel must reference a declared palette entry — an
+    // out-of-range index is a grammar violation, and decoding it to
+    // "whatever byte it was" would be a guessed image
+    if (palN < 256) {
+      var k = 0
+      while (k < out.length) {
+        if ((out(k) & 0xff) >= palN) return None
+        k += 1
+      }
     }
     Some((w, h, pal, out))
   }

@@ -27,19 +27,7 @@ object ZipArchive {
   private val EocdSig = 0x06054b50
   private val MaxTotalBytes = 1L << 26
 
-  private def u16(b: Array[Byte], i: Int): Int =
-    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-  private def u32(b: Array[Byte], i: Int): Long =
-    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
-      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
-
-  private def putU16(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
-    out.write(v & 0xff); out.write((v >> 8) & 0xff)
-  }
-  private def putU32(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
-    out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
-    out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
-  }
+  import LE.{putU16, putU32, u16, u32}
 
   private def crc32(data: Array[Byte]): Long = {
     val c = new java.util.zip.CRC32(); c.update(data); c.getValue

@@ -644,7 +644,7 @@ object EtlPipelineQueries {
       base.toString
     })
 
-  private def copyDir(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+  private[graft] def copyDir(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
     val walk = java.nio.file.Files.walk(from)
     try walk.forEach { p =>
       val t = to.resolve(from.relativize(p).toString)

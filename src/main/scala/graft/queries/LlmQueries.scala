@@ -34,6 +34,46 @@ object LlmQueries {
   private val PlantedPassage: String =
     (0 until 60).map(i => s"planted$i").mkString(" ")
 
+  // q131/q132's shared oracle chain (the IvfProbeCtes pattern): fixture
+  // pixels -> nearest-neighbor resample -> neighbor comparisons -> the
+  // signed 64-bit dHash pack, ending in dh(id, dhash). Hoisted so the
+  // two oracles cannot drift from each other or from
+  // ImageHash.dhashImagesFromDocuments.
+  private val DhashCtes =
+    """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+      |    CAST(doc_id // 8 AS BIGINT) AS g,
+      |    CAST((doc_id % 8) // 2 AS BIGINT) AS m
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |d AS (SELECT *, 12 + g % 5 AS w, 10 + g % 4 AS h FROM v),
+      |yy AS (SELECT *, unnest(generate_series(0, 7)) AS oy FROM d),
+      |cc AS (SELECT *, unnest(generate_series(0, 8)) AS ox FROM yy),
+      |sp AS (SELECT id, g, m, w, h, oy, ox,
+      |    (ox * w) // 9 AS ix, (oy * h) // 8 AS iy FROM cc),
+      |pxv AS (SELECT id, oy, ox,
+      |    CASE WHEN m = 3 THEN
+      |      ((37*g + 5*ix + 11*iy + 41*(((ix + g) * (iy + 3)) % 9)) % 256
+      |        + 89*ix*iy + 53) % 256
+      |    WHEN (m = 1 AND ix = w//2 AND iy = h//2)
+      |      OR (m = 2 AND ((ix = w//3 AND iy = h//3)
+      |                  OR (ix = (2*w)//3 AND iy = (2*h)//3))) THEN
+      |      ((37*g + 5*ix + 11*iy + 41*(((ix + g) * (iy + 3)) % 9)) % 256
+      |        + 96) % 256
+      |    ELSE (37*g + 5*ix + 11*iy + 41*(((ix + g) * (iy + 3)) % 9)) % 256
+      |    END AS val
+      |  FROM sp),
+      |nbr AS (SELECT id, oy, ox, val,
+      |    lead(val) OVER (PARTITION BY id, oy ORDER BY ox) AS nxt
+      |  FROM pxv),
+      |bits AS (SELECT id, oy * 8 + ox AS idx,
+      |    CASE WHEN val > nxt THEN 1 ELSE 0 END AS b
+      |  FROM nbr WHERE ox < 8),
+      |dh AS (SELECT id,
+      |  CAST(sum(CASE WHEN b = 1 THEN
+      |        CASE WHEN idx = 63 THEN -9223372036854775807 - 1
+      |             ELSE 1::BIGINT << idx END
+      |      ELSE 0 END) AS BIGINT) AS dhash
+      |  FROM bits GROUP BY 1)""".stripMargin
+
   // q146's oracle: k chained BPE training rounds, each with its own
   // pair-count CTE, arg-max CTE, and a list_reduce greedy merge — the
   // SQL is GENERATED so every round replays the identical fold the
@@ -2432,39 +2472,8 @@ object LlmQueries {
     // breaks the hash of that image.
     OpQuery.sql(
       "q131_image_dhash",
-      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
-        |    CAST(doc_id // 8 AS BIGINT) AS g,
-        |    CAST((doc_id % 8) // 2 AS BIGINT) AS m
-        |  FROM documents WHERE doc_id % 2 = 0),
-        |d AS (SELECT *, 12 + g % 5 AS w, 10 + g % 4 AS h FROM v),
-        |yy AS (SELECT *, unnest(generate_series(0, 7)) AS oy FROM d),
-        |cc AS (SELECT *, unnest(generate_series(0, 8)) AS ox FROM yy),
-        |sp AS (SELECT id, g, m, w, h, oy, ox,
-        |    (ox * w) // 9 AS ix, (oy * h) // 8 AS iy FROM cc),
-        |pxv AS (SELECT id, oy, ox,
-        |    CASE WHEN m = 3 THEN
-        |      ((37*g + 5*ix + 11*iy + 41*(((ix + g) * (iy + 3)) % 9)) % 256
-        |        + 89*ix*iy + 53) % 256
-        |    WHEN (m = 1 AND ix = w//2 AND iy = h//2)
-        |      OR (m = 2 AND ((ix = w//3 AND iy = h//3)
-        |                  OR (ix = (2*w)//3 AND iy = (2*h)//3))) THEN
-        |      ((37*g + 5*ix + 11*iy + 41*(((ix + g) * (iy + 3)) % 9)) % 256
-        |        + 96) % 256
-        |    ELSE (37*g + 5*ix + 11*iy + 41*(((ix + g) * (iy + 3)) % 9)) % 256
-        |    END AS val
-        |  FROM sp),
-        |nbr AS (SELECT id, oy, ox, val,
-        |    lead(val) OVER (PARTITION BY id, oy ORDER BY ox) AS nxt
-        |  FROM pxv),
-        |bits AS (SELECT id, oy * 8 + ox AS idx,
-        |    CASE WHEN val > nxt THEN 1 ELSE 0 END AS b
-        |  FROM nbr WHERE ox < 8)
-        |SELECT id AS media_id,
-        |  CAST(sum(CASE WHEN b = 1 THEN
-        |        CASE WHEN idx = 63 THEN -9223372036854775807 - 1
-        |             ELSE 1::BIGINT << idx END
-        |      ELSE 0 END) AS BIGINT) AS dhash
-        |FROM bits GROUP BY 1""".stripMargin) {
+      DhashCtes + """
+        |SELECT id AS media_id, dhash FROM dh""".stripMargin) {
       (s, dir) =>
         graft.operators.ImageHash.dhash64(
           Multimodal.decodePngFrames(
@@ -2480,39 +2489,7 @@ object LlmQueries {
     // semantics are value-checked end to end.
     OpQuery.sql(
       "q132_image_neardup_hamming",
-      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
-        |    CAST(doc_id // 8 AS BIGINT) AS g,
-        |    CAST((doc_id % 8) // 2 AS BIGINT) AS m
-        |  FROM documents WHERE doc_id % 2 = 0),
-        |d AS (SELECT *, 12 + g % 5 AS w, 10 + g % 4 AS h FROM v),
-        |yy AS (SELECT *, unnest(generate_series(0, 7)) AS oy FROM d),
-        |cc AS (SELECT *, unnest(generate_series(0, 8)) AS ox FROM yy),
-        |sp AS (SELECT id, g, m, w, h, oy, ox,
-        |    (ox * w) // 9 AS ix, (oy * h) // 8 AS iy FROM cc),
-        |pxv AS (SELECT id, oy, ox,
-        |    CASE WHEN m = 3 THEN
-        |      ((37*g + 5*ix + 11*iy + 41*(((ix + g) * (iy + 3)) % 9)) % 256
-        |        + 89*ix*iy + 53) % 256
-        |    WHEN (m = 1 AND ix = w//2 AND iy = h//2)
-        |      OR (m = 2 AND ((ix = w//3 AND iy = h//3)
-        |                  OR (ix = (2*w)//3 AND iy = (2*h)//3))) THEN
-        |      ((37*g + 5*ix + 11*iy + 41*(((ix + g) * (iy + 3)) % 9)) % 256
-        |        + 96) % 256
-        |    ELSE (37*g + 5*ix + 11*iy + 41*(((ix + g) * (iy + 3)) % 9)) % 256
-        |    END AS val
-        |  FROM sp),
-        |nbr AS (SELECT id, oy, ox, val,
-        |    lead(val) OVER (PARTITION BY id, oy ORDER BY ox) AS nxt
-        |  FROM pxv),
-        |bits AS (SELECT id, oy * 8 + ox AS idx,
-        |    CASE WHEN val > nxt THEN 1 ELSE 0 END AS b
-        |  FROM nbr WHERE ox < 8),
-        |dh AS (SELECT id,
-        |  CAST(sum(CASE WHEN b = 1 THEN
-        |        CASE WHEN idx = 63 THEN -9223372036854775807 - 1
-        |             ELSE 1::BIGINT << idx END
-        |      ELSE 0 END) AS BIGINT) AS dhash
-        |  FROM bits GROUP BY 1),
+      DhashCtes + "," + """
         |bands AS (SELECT id, dhash, band, (dhash >> (16 * band)) & 65535 AS bval
         |  FROM (SELECT *, unnest(generate_series(0, 3)) AS band FROM dh) z),
         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,

@@ -41,6 +41,18 @@ object IncrementalEtlStream {
     * wm; void: date_voided > wm with the original row's date_created <=
     * wm).
     */
+  /** The batch's earliest arrival instant (voided rows count at their
+    * void time), read as a TIMESTAMP — per Pipeline.maxTs's warning, a
+    * string round-trip would re-parse the session-tz rendering in the
+    * driver JVM's default zone and silently shift the watermark. None
+    * on an empty batch. */
+  private def batchMinInstant(batch: DataFrame): Option[java.sql.Timestamp] = {
+    val row = batch.agg(
+      min(when(col("voided") === 1, col("date_voided"))
+        .otherwise(col("date_created")))).first()
+    if (row.isNullAt(0)) None else Some(row.getTimestamp(0))
+  }
+
   private def mergeFlatObs(
       batch: DataFrame,
       snapshot: DataFrame,
@@ -49,13 +61,10 @@ object IncrementalEtlStream {
       pipeline: Pipeline): (DataFrame, Option[java.sql.Timestamp]) =
     pipeline.readFlat("flat_obs") match {
       case Some(existing) =>
-        val wmRow = batch.agg(
-          min(when(col("voided") === 1, col("date_voided"))
-            .otherwise(col("date_created"))).cast("string")).first()
-        if (wmRow.isNullAt(0)) (existing, None)
+        val minInstant = batchMinInstant(batch)
+        if (minInstant.isEmpty) (existing, None)
         else {
-          val wm = new java.sql.Timestamp(
-            java.sql.Timestamp.valueOf(wmRow.getString(0)).getTime - 1)
+          val wm = new java.sql.Timestamp(minInstant.get.getTime - 1)
           // the BATCH is the change feed (SourceDeltas contract): every
           // version arriving since the last watermark is in it, so the
           // delta key scans seed from the batch instead of re-scanning
@@ -248,7 +257,15 @@ object IncrementalEtlStream {
     def t[A](label: String)(f: => A): A = timed(spark, label)(f)
     val batch = rawBatch.persist()
     try {
-      if (!pipeline.bucketedExists("flat_obs")) {
+      // First-arrival detection must require ALL five tables: the five
+      // writeBucketedFull calls below are not atomic as a group, so a
+      // crash between them leaves a prefix of tables present. On the
+      // checkpoint's replay of that batch, treating it as incremental
+      // would throw on the missing tables forever; re-running the full
+      // builds is idempotent (each is a fresh epoch + manifest swap).
+      val allTables = Seq("flat_obs", "flat_lab_obs", "flat_orders",
+        "flat_visit_summary", "flat_latest_hiv_summary")
+      if (!allTables.forall(pipeline.bucketedExists)) {
         // First arrival: full builds into fresh single-epoch layouts.
         // Downstream stages consume the PINNED upstream frames rather
         // than reading the bucketed tables back — at N buckets a
@@ -273,12 +290,9 @@ object IncrementalEtlStream {
         }
         return
       }
-      val wmRow = batch.agg(
-        min(when(col("voided") === 1, col("date_voided"))
-          .otherwise(col("date_created"))).cast("string")).first()
-      if (wmRow.isNullAt(0)) return // empty batch: nothing can change
-      val wm = new java.sql.Timestamp(
-        java.sql.Timestamp.valueOf(wmRow.getString(0)).getTime - 1)
+      val minInstant = batchMinInstant(batch)
+      if (minInstant.isEmpty) return // empty batch: nothing can change
+      val wm = new java.sql.Timestamp(minInstant.get.getTime - 1)
 
       val rawVersions = spark.read.schema(Schemas.obs)
         .option("recursiveFileLookup", "true").parquet(obsDir)

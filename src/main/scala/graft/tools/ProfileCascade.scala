@@ -110,7 +110,7 @@ object ProfileCascade {
       val pipe = new graft.etl.Pipeline(spark, tables.toString,
         if (buckets > 0) Some(buckets) else None)
       days.indices.foreach { i =>
-        copyDir(chunkRoot.resolve(s"chunk_$i"), obsDir.resolve(s"chunk_$i"))
+        graft.queries.EtlPipelineQueries.copyDir(chunkRoot.resolve(s"chunk_$i"), obsDir.resolve(s"chunk_$i"))
         val enc = BenchFixtures.encAsOf(src("encounter"), BenchFixtures.asOf(days(i)))
         val wall0 = System.currentTimeMillis()
         val t0 = System.nanoTime()
@@ -123,17 +123,4 @@ object ProfileCascade {
     }
   }
 
-  private def copyDir(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
-    val walk = java.nio.file.Files.walk(from)
-    try walk.forEach { p =>
-      val t = to.resolve(from.relativize(p).toString)
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.createDirectories(t)
-      else {
-        java.nio.file.Files.createDirectories(t.getParent)
-        java.nio.file.Files.copy(p, t,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
-    } finally walk.close()
-  }
 }

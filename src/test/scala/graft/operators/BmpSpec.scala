@@ -79,6 +79,21 @@ class BmpSpec extends AnyFunSuite {
     assert(Bmp.decodeGray(huge).isEmpty)
   }
 
+  test("pixels referencing undeclared palette entries reject") {
+    // declare a 4-entry palette (biClrUsed=4) but keep pixel values >= 4:
+    // the indices point at undefined entries — a guessed image, so None
+    val px = gray(6, 3)((x, y) => 50 + x + y)
+    val blob = Bmp.encodeGray(6, 3, px).clone()
+    blob(46) = 4; blob(47) = 0; blob(48) = 0; blob(49) = 0 // biClrUsed = 4
+    assert(Bmp.decodeIndexed(blob).isEmpty)
+    assert(Bmp.decodeGray(blob).isEmpty)
+    // in-range indices under the same truncated palette still decode
+    val small = gray(6, 3)((x, y) => (x + y) % 4)
+    val ok = Bmp.encodeGray(6, 3, small).clone()
+    ok(46) = 4; ok(47) = 0; ok(48) = 0; ok(49) = 0
+    assert(Bmp.decodeIndexed(ok).isDefined)
+  }
+
   test("rows with trailing garbage after EOB reject") {
     val px = gray(5, 3)((x, y) => 2 * x + y)
     val rle = Bmp.encodeGrayRle8(5, 3, px)
