@@ -389,6 +389,47 @@ object Dedup {
       .withColumn("dup_frac", round(col("n_dup_grams") / col("n_grams"), 6))
   }
 
+  /** EDIT-DISTANCE (fuzzy) join via q-gram filtering: candidate pairs
+    * share at least one positional-independent q-gram AND differ in
+    * length by at most `maxDist`; candidates verify with exact
+    * Levenshtein. For strings of length L with a single substitution,
+    * at most q grams die, so any pair within distance d shares a gram
+    * whenever L - (q-1) > d*q — with q=3 and keys of a dozen-plus
+    * characters that's TOTAL recall at d=1 (the fuzzy-key dedup case:
+    * typo'd titles, OCR'd identifiers). The join moves only (id, gram)
+    * pairs and shuffles by gram — never all-pairs; hot grams cost
+    * collisions like every LSH family here.
+    *
+    * Output (id_a < id_b, dist <= maxDist), distinct.
+    */
+  def editDistancePairs(
+      docs: DataFrame,
+      id: Column,
+      key: Column,
+      maxDist: Int = 1,
+      q: Int = 3): DataFrame = {
+    val k = docs.select(id.as("id"), key.as("k"))
+    val grams = k.select(col("id"), col("k"),
+        // greatest(..., 1) keeps the sequence ascending for short keys
+        // (Spark's sequence(1, 0) would DESCEND); their undersized
+        // grams are dropped by the length filter below
+        explode(transform(
+          sequence(lit(1), greatest(length(col("k")) - (q - 1), lit(1))),
+          i => col("k").substr(i, lit(q)))).as("gram"))
+      .filter(length(col("gram")) === q)
+      .distinct()
+    val l = grams.select(col("gram"), col("id").as("id_a"), col("k").as("k_a"))
+    val r = grams.select(col("gram"), col("id").as("id_b"), col("k").as("k_b"))
+    l.join(r, Seq("gram"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(length(col("k_a")) - length(col("k_b"))) <= maxDist)
+      .select("id_a", "id_b", "k_a", "k_b")
+      .distinct() // a pair can share many grams; verify once
+      .withColumn("dist", levenshtein(col("k_a"), col("k_b")))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
   /** Gear multiplier for content-defined chunking: Knuth's multiplicative
     * constant maps each character to a pseudo-random byte with no lookup
     * table — replayable as plain arithmetic in any engine. */

@@ -2776,6 +2776,59 @@ object LlmQueries {
           .select(col("id").as("doc_id"), col("n_matches"))
     },
 
+    // EDIT-DISTANCE (fuzzy) join via q-gram filtering — the fuzzy-key
+    // dedup modality (typo'd titles, OCR'd identifiers): id-derived
+    // 16-char record keys arrive in groups of four (exact duplicate,
+    // one-substitution typo, two-substitution distortion); pairs
+    // sharing any 3-gram verify with exact Levenshtein at distance 1,
+    // which is TOTAL recall at that threshold (a single substitution
+    // kills at most 3 of 14 grams). The oracle replays key synthesis,
+    // the gram join, and the same levenshtein.
+    OpQuery.sql(
+      "q155_fuzzy_join_qgram",
+      """WITH base AS (SELECT doc_id,
+        |    CAST(doc_id // 4 AS BIGINT) AS g,
+        |    CAST(doc_id % 4 AS BIGINT) AS m
+        |  FROM documents),
+        |ch AS (SELECT doc_id, g, m, j,
+        |    CASE WHEN m = 1 AND j = g % 12
+        |           THEN ((g*7 + j*3) % 26 + 1) % 26
+        |         WHEN m = 3 AND (j = g % 12 OR j = (g % 12 + 1) % 12)
+        |           THEN ((g*7 + j*3) % 26 + 1) % 26
+        |         ELSE (g*7 + j*3) % 26 END AS c
+        |  FROM (SELECT *, unnest(generate_series(0, 11)) AS j FROM base) z),
+        |keys AS (SELECT doc_id,
+        |    'rec-' || string_agg(chr(97 + CAST(c AS INTEGER)), '' ORDER BY j) AS k
+        |  FROM ch GROUP BY 1),
+        |grams AS (SELECT DISTINCT doc_id, k, substr(k, i, 3) AS gram
+        |  FROM (SELECT doc_id, k, unnest(generate_series(1, length(k) - 2)) AS i
+        |        FROM keys) z),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.k AS k_a, b.k AS k_b
+        |  FROM grams a JOIN grams b
+        |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  WHERE abs(length(a.k) - length(b.k)) <= 1)
+        |SELECT id_a, id_b, CAST(levenshtein(k_a, k_b) AS INTEGER) AS dist
+        |FROM cand WHERE levenshtein(k_a, k_b) <= 1""".stripMargin) {
+      (s, dir) =>
+        val letters = split(lit("abcdefghijklmnopqrstuvwxyz"), "")
+        val g = expr("doc_id DIV 4")
+        val m = col("doc_id") % 4
+        val chars = transform(sequence(lit(0), lit(11)), j => {
+          val base = (g * 7 + j * 3) % 26
+          val p = g % 12
+          val c = when(m === 1 && j === p, (base + 1) % 26)
+            .when(m === 3 && (j === p || j === (p + 1) % 12), (base + 1) % 26)
+            .otherwise(base)
+          element_at(letters, c.cast("int") + 1)
+        })
+        val keys = load(s, dir, "documents").select(col("doc_id"),
+          concat(lit("rec-"), array_join(chars, "")).as("k"))
+        Dedup.editDistancePairs(keys, col("doc_id"), col("k"),
+            maxDist = 1, q = 3)
+          .withColumn("dist", col("dist").cast("int"))
+    },
+
     // Unicode NFC NORMALIZATION — the pass that must run before ANY
     // text hashing in a multilingual corpus (decomposed and precomposed
     // spellings are different byte strings until canonical composition
