@@ -26,7 +26,78 @@ object InvertedIndex {
     docs.select(id.as("id"), posexplode(words).as(Seq("pos", "term")))
       .filter(col("term") =!= "")
 
-  /** BM25 top-k (Robertson/Spärck Jones weights, the Lucene +1 idf
+  /** The maintained index state: postings + the aggregates BM25 reads.
+    * All four frames are MERGEABLE over doc-disjoint batches — postings
+    * and doc lengths by union, per-term doc frequencies and the corpus
+    * totals by addition — so a 100 TB index grows by tokenizing ONLY
+    * the arriving batch, never re-reading the corpus. */
+  final case class TextIndex(
+      postings: DataFrame,
+      docLen: DataFrame, // (id, dl)
+      termDf: DataFrame, // (term, df)
+      corpusStats: DataFrame) // one row: (n_docs, tot)
+
+  /** Index one (batch of) docs from scratch. */
+  def buildIndex(docs: DataFrame, id: Column, words: Column): TextIndex = {
+    val post = postings(docs, id, words)
+    val dl = post.groupBy("id").agg(count(lit(1)).as("dl"))
+    val df_ = post.select("id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(post.agg(count(lit(1)).as("tot"))))
+    TextIndex(post, dl, df_, stats)
+  }
+
+  /** O(delta) maintenance: merge an existing index with a NEW batch's
+    * index. Batches must be doc-disjoint (the CDC/append contract every
+    * incremental here shares): doc frames union, per-term df and the
+    * corpus totals add. */
+  def mergeIndex(a: TextIndex, b: TextIndex): TextIndex = TextIndex(
+    a.postings.unionByName(b.postings),
+    a.docLen.unionByName(b.docLen),
+    a.termDf.unionByName(b.termDf)
+      .groupBy("term").agg(sum("df").as("df")),
+    a.corpusStats.unionByName(b.corpusStats)
+      .agg(sum("n_docs").as("n_docs"), sum("tot").as("tot")))
+
+  /** BM25 over a maintained [[TextIndex]] — scoring never re-touches
+    * raw documents; see [[bm25TopK]] for the formula and plan notes. */
+  def bm25FromIndex(
+      idx: TextIndex,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val stats = idx.corpusStats
+      .select(col("n_docs"),
+        (col("tot").cast("double") / col("n_docs")).as("avgdl"))
+    val tf = idx.postings.filter(col("term").isInCollection(queryTerms))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = idx.termDf.filter(col("term").isInCollection(queryTerms))
+    val scored = tf
+      .join(idx.docLen, Seq("id"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("id").agg(sum(col("w")).as("score"))
+    val top = scored.orderBy(col("score").desc, col("id")).limit(k)
+    val win = Window.orderBy(col("score").desc, col("id"))
+    top.withColumn("rank", row_number().over(win))
+      .select(col("id"), round(col("score"), 6).as("score"), col("rank"))
+  }
+
+  /** One-shot BM25 top-k — unlike [[bm25FromIndex]] this computes df
+    * lazily for the QUERY terms only (docs sharing no query term never
+    * leave their partitions), the right shape when the index is not
+    * reused; a standing index amortizes the full [[buildIndex]] df
+    * instead. Both paths produce identical scores (q142/q156 share one
+    * oracle).
+    *
+    * BM25 top-k (Robertson/Spärck Jones weights, the Lucene +1 idf
     * form): score(d, Q) = Σ_t ln(1 + (N − df + ½)/(df + ½)) ·
     * tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)). N is the FULL corpus
     * count and avgdl its exact token total over N — both one-row

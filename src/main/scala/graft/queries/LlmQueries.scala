@@ -74,6 +74,34 @@ object LlmQueries {
       |      ELSE 0 END) AS BIGINT) AS dhash
       |  FROM bits GROUP BY 1)""".stripMargin
 
+  // q142/q156's shared oracle: the incremental index merge must be
+  // INVISIBLE in the scores, so both queries replay one SQL.
+  // lazy: DuckNorm is declared later in the object; eager init would
+  // interpolate null
+  private lazy val Bm25Oracle =
+    s"""WITH d AS (SELECT doc_id, string_split($DuckNorm, ' ') w FROM documents),
+       |wpos AS (SELECT doc_id, i AS wi, w[i] AS word
+       |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) i FROM d) z
+       |  WHERE w[i] <> ''),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM wpos GROUP BY 1),
+       |stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+       |    CAST((SELECT count(*) FROM wpos) AS DOUBLE)
+       |      / (SELECT count(*) FROM documents) AS avgdl),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM wpos
+       |  WHERE word IN ('scan', 'window', 'merge', 'stream') GROUP BY 1, 2),
+       |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT t.doc_id,
+       |    sum(ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+       |        * (t.tf * 2.2)
+       |        / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS score
+       |  FROM tf t JOIN dl l USING (doc_id) JOIN dfreq f USING (word), stats s
+       |  GROUP BY 1)
+       |SELECT doc_id, round(score, 6) AS score, CAST(rank AS INTEGER) AS rank
+       |FROM (SELECT doc_id, score,
+       |        row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |      FROM sc) z
+       |WHERE rank <= 20""".stripMargin
+
   // q146's oracle: k chained BPE training rounds, each with its own
   // pair-count CTE, arg-max CTE, and a list_reduce greedy merge — the
   // SQL is GENERATED so every round replays the identical fold the
@@ -2717,28 +2745,7 @@ object LlmQueries {
     // 6-decimal rounding — the q97/q102 precedent).
     OpQuery.sql(
       "q142_bm25_topk",
-      s"""WITH d AS (SELECT doc_id, string_split($DuckNorm, ' ') w FROM documents),
-         |wpos AS (SELECT doc_id, i AS wi, w[i] AS word
-         |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) i FROM d) z
-         |  WHERE w[i] <> ''),
-         |dl AS (SELECT doc_id, count(*) AS dl FROM wpos GROUP BY 1),
-         |stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
-         |    CAST((SELECT count(*) FROM wpos) AS DOUBLE)
-         |      / (SELECT count(*) FROM documents) AS avgdl),
-         |tf AS (SELECT doc_id, word, count(*) AS tf FROM wpos
-         |  WHERE word IN ('scan', 'window', 'merge', 'stream') GROUP BY 1, 2),
-         |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
-         |sc AS (SELECT t.doc_id,
-         |    sum(ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
-         |        * (t.tf * 2.2)
-         |        / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS score
-         |  FROM tf t JOIN dl l USING (doc_id) JOIN dfreq f USING (word), stats s
-         |  GROUP BY 1)
-         |SELECT doc_id, round(score, 6) AS score, CAST(rank AS INTEGER) AS rank
-         |FROM (SELECT doc_id, score,
-         |        row_number() OVER (ORDER BY score DESC, doc_id) AS rank
-         |      FROM sc) z
-         |WHERE rank <= 20""".stripMargin) {
+      Bm25Oracle) {
       (s, dir) =>
         graft.operators.InvertedIndex.bm25TopK(
             load(s, dir, "documents"),
@@ -2774,6 +2781,29 @@ object LlmQueries {
               TextAnalysis.words(TextAnalysis.normalize(col("text")))),
             Seq("table", "join", "row"))
           .select(col("id").as("doc_id"), col("n_matches"))
+    },
+
+    // INCREMENTAL inverted-index maintenance: the corpus arrives in two
+    // doc-disjoint batches, each tokenized ONCE into its own index
+    // frames (postings, doc lengths, per-term df, corpus totals); the
+    // merge is unions + additions — O(delta), never a corpus re-read —
+    // and BM25 scores off the MERGED index without touching raw text.
+    // The oracle is q142's VERBATIM (one shared SQL), so the
+    // incremental build must be invisible in every score and rank.
+    OpQuery.sql(
+      "q156_bm25_incremental_index",
+      Bm25Oracle) {
+      (s, dir) =>
+        val docs = load(s, dir, "documents")
+        val w = TextAnalysis.words(TextAnalysis.normalize(col("text")))
+        val half1 = graft.operators.InvertedIndex.buildIndex(
+          docs.filter(col("doc_id") < 250), col("doc_id"), w)
+        val half2 = graft.operators.InvertedIndex.buildIndex(
+          docs.filter(col("doc_id") >= 250), col("doc_id"), w)
+        graft.operators.InvertedIndex.bm25FromIndex(
+            graft.operators.InvertedIndex.mergeIndex(half1, half2),
+            queryTerms = Seq("scan", "window", "merge", "stream"), k = 20)
+          .select(col("id").as("doc_id"), col("score"), col("rank"))
     },
 
     // EDIT-DISTANCE (fuzzy) join via q-gram filtering — the fuzzy-key

@@ -55,6 +55,30 @@ class InvertedIndexSpec extends SparkSuite {
     assert(top == Seq(1L, 2L)) // doc 3 has no query term: absent
   }
 
+  test("incremental index merge equals the from-scratch build") {
+    val d = docs(
+      1L -> "alpha beta gamma alpha",
+      2L -> "beta delta",
+      3L -> "gamma gamma epsilon",
+      4L -> "alpha zeta")
+    val full = InvertedIndex.buildIndex(d, col("doc_id"), words)
+    val merged = InvertedIndex.mergeIndex(
+      InvertedIndex.buildIndex(d.filter(col("doc_id") <= 2), col("doc_id"), words),
+      InvertedIndex.buildIndex(d.filter(col("doc_id") > 2), col("doc_id"), words))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(merged.postings) == rows(full.postings))
+    assert(rows(merged.docLen) == rows(full.docLen))
+    assert(rows(merged.termDf) == rows(full.termDf))
+    assert(rows(merged.corpusStats) == rows(full.corpusStats))
+    // and the scores agree with the one-shot path
+    val a = InvertedIndex.bm25FromIndex(merged, Seq("alpha", "gamma"), k = 10)
+      .collect().map(_.toSeq).toSeq
+    val b = InvertedIndex.bm25TopK(d, col("doc_id"), words,
+      Seq("alpha", "gamma"), k = 10).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("empty documents contribute no postings but count toward N") {
     val d = docs(1L -> "t u v", 2L -> "", 3L -> "t")
     assert(InvertedIndex.postings(d, col("doc_id"), words)

@@ -56,7 +56,9 @@ class PlanShapeSpec extends SparkSuite {
     "q150_knn_label_propagation" -> "broadcast of bounded centroid list",
     // 3 quantile targets x broadcast 256-bin cumulative histogram (the
     // rank inequality is a theta join over two bounded frames)
-    "q151_histogram_quantile_sketch" -> "broadcast of bounded histogram/stats")
+    "q151_histogram_quantile_sketch" -> "broadcast of bounded histogram/stats",
+    // q142's one-row corpus-stats broadcast, via the maintained index
+    "q156_bm25_incremental_index" -> "broadcast of a single-row global aggregate")
 
   private def planOf(name: String): String = {
     val q = graft.SparkEntry.catalog.find(_.name == name).get
