@@ -546,6 +546,49 @@ object CurationQueries {
               .getField("stopword_ratio").as("swr")),
           col("doc_id"), col("domain"), col("swr"), minMean = 0.061)
           .select(col("id").as("doc_id"), col("domain"), col("keep"))
+    },
+
+    // LENGTH-GROUPED batching (the group_by_length trick): fixed-size
+    // batches padded to their longest member waste max−len tokens per
+    // doc; ordering by length before batching makes batches
+    // homogeneous and collapses the waste. Both orderings are computed
+    // and their per-batch padding waste compared — the measurable
+    // claim, not just the shuffle. The ordering window is the batching
+    // SEMANTIC (production shards it by the same sampling buckets the
+    // packer uses); 8-doc batches, whitespace token counts (q38's
+    // baseline — q127 is the subword-budget form).
+    OpQuery.sql(
+      "q157_length_grouped_batching",
+      s"""WITH t AS (SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+         |  FROM documents),
+         |naive AS (SELECT doc_id, n_tok,
+         |    CAST((row_number() OVER (ORDER BY doc_id) - 1) // 8 AS BIGINT) AS batch_idx
+         |  FROM t),
+         |grouped AS (SELECT doc_id, n_tok,
+         |    CAST((row_number() OVER (ORDER BY n_tok, doc_id) - 1) // 8 AS BIGINT) AS batch_idx
+         |  FROM t),
+         |u AS (SELECT 'naive' AS mode, batch_idx, n_tok FROM naive
+         |  UNION ALL SELECT 'grouped', batch_idx, n_tok FROM grouped)
+         |SELECT mode, batch_idx,
+         |  CAST(count(*) AS INTEGER) AS n_docs,
+         |  CAST(max(n_tok) AS BIGINT) AS max_len,
+         |  CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS padding_waste
+         |FROM u GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        val t = load(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCountWhitespace(col("text")).cast("long").as("n_tok"))
+        def batched(mode: String, order: Seq[org.apache.spark.sql.Column]) =
+          t.withColumn("batch_idx",
+              ((row_number().over(Window.orderBy(order: _*)) - 1) / 8)
+                .cast("long"))
+            .groupBy(lit(mode).as("mode"), col("batch_idx"))
+            .agg(count(lit(1)).cast("int").as("n_docs"),
+              max("n_tok").as("max_len"),
+              (count(lit(1)) * max("n_tok") - sum("n_tok")).as("padding_waste"))
+        batched("naive", Seq(col("doc_id")))
+          .unionByName(batched("grouped", Seq(col("n_tok"), col("doc_id"))))
     }
   )
 }
