@@ -407,9 +407,10 @@ object Dedup {
       id: Column,
       key: Column,
       maxDist: Int = 1,
-      q: Int = 3): DataFrame = {
+      q: Int = 3,
+      maxGramDf: Int = 1000): DataFrame = {
     val k = docs.select(id.as("id"), key.as("k"))
-    val grams = k.select(col("id"), col("k"),
+    val allGrams = k.select(col("id"), col("k"),
         // greatest(..., 1) keeps the sequence ascending for short keys
         // (Spark's sequence(1, 0) would DESCEND); their undersized
         // grams are dropped by the length filter below
@@ -418,6 +419,16 @@ object Dedup {
           i => col("k").substr(i, lit(q)))).as("gram"))
       .filter(length(col("gram")) === q)
       .distinct()
+    // HOT-GRAM cap: a gram present in more than `maxGramDf` keys (a
+    // shared prefix, boilerplate) is non-selective — joining on it is
+    // the all-pairs product this filter family exists to avoid. Recall
+    // caveat (the standard q-gram-join trade): a pair must share a
+    // gram that SURVIVES the cap; near-dup keys share many grams, so
+    // in practice only pairs made entirely of corpus-universal grams
+    // are lost.
+    val gramDf = allGrams.groupBy("gram").agg(count(lit(1)).as("gdf"))
+    val grams = allGrams.join(
+      gramDf.filter(col("gdf") <= maxGramDf).select("gram"), Seq("gram"))
     val l = grams.select(col("gram"), col("id").as("id_a"), col("k").as("k_a"))
     val r = grams.select(col("gram"), col("id").as("id_b"), col("k").as("k_b"))
     l.join(r, Seq("gram"))

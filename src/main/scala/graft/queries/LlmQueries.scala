@@ -2808,12 +2808,15 @@ object LlmQueries {
 
     // EDIT-DISTANCE (fuzzy) join via q-gram filtering — the fuzzy-key
     // dedup modality (typo'd titles, OCR'd identifiers): id-derived
-    // 16-char record keys arrive in groups of four (exact duplicate,
-    // one-substitution typo, two-substitution distortion); pairs
-    // sharing any 3-gram verify with exact Levenshtein at distance 1,
-    // which is TOTAL recall at that threshold (a single substitution
-    // kills at most 3 of 14 grams). The oracle replays key synthesis,
-    // the gram join, and the same levenshtein.
+    // record keys (group-number prefix + 12 letters) arrive in groups
+    // of four (exact duplicate, one-substitution typo, two-substitution
+    // distortion); pairs sharing any SELECTIVE 3-gram (hot-gram df cap
+    // 64 — a corpus-universal gram like a shared literal prefix is an
+    // all-pairs join, not a signal) verify with exact Levenshtein at
+    // distance 1. Near-dup keys share their group prefix's digit grams,
+    // which stay under the cap, so planted recall survives the filter;
+    // the oracle replays key synthesis, the df cap, the gram join, and
+    // the same levenshtein.
     OpQuery.sql(
       "q155_fuzzy_join_qgram",
       """WITH base AS (SELECT doc_id,
@@ -2828,14 +2831,18 @@ object LlmQueries {
         |         ELSE (g*7 + j*3) % 26 END AS c
         |  FROM (SELECT *, unnest(generate_series(0, 11)) AS j FROM base) z),
         |keys AS (SELECT doc_id,
-        |    'rec-' || string_agg(chr(97 + CAST(c AS INTEGER)), '' ORDER BY j) AS k
-        |  FROM ch GROUP BY 1),
+        |    CAST(any_value(g) AS VARCHAR) || '-' ||
+        |      string_agg(chr(97 + CAST(c AS INTEGER)), '' ORDER BY j) AS k
+        |  FROM ch GROUP BY doc_id),
         |grams AS (SELECT DISTINCT doc_id, k, substr(k, i, 3) AS gram
         |  FROM (SELECT doc_id, k, unnest(generate_series(1, length(k) - 2)) AS i
         |        FROM keys) z),
+        |gdf AS (SELECT gram FROM (SELECT gram, count(*) AS n FROM grams GROUP BY 1)
+        |  WHERE n <= 64),
+        |sel AS (SELECT g.doc_id, g.k, g.gram FROM grams g JOIN gdf USING (gram)),
         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
         |    a.k AS k_a, b.k AS k_b
-        |  FROM grams a JOIN grams b
+        |  FROM sel a JOIN sel b
         |    ON a.gram = b.gram AND a.doc_id < b.doc_id
         |  WHERE abs(length(a.k) - length(b.k)) <= 1)
         |SELECT id_a, id_b, CAST(levenshtein(k_a, k_b) AS INTEGER) AS dist
@@ -2853,9 +2860,9 @@ object LlmQueries {
           element_at(letters, c.cast("int") + 1)
         })
         val keys = load(s, dir, "documents").select(col("doc_id"),
-          concat(lit("rec-"), array_join(chars, "")).as("k"))
+          concat(g.cast("string"), lit("-"), array_join(chars, "")).as("k"))
         Dedup.editDistancePairs(keys, col("doc_id"), col("k"),
-            maxDist = 1, q = 3)
+            maxDist = 1, q = 3, maxGramDf = 64)
           .withColumn("dist", col("dist").cast("int"))
     },
 
