@@ -589,6 +589,43 @@ object CurationQueries {
               (count(lit(1)) * max("n_tok") - sum("n_tok")).as("padding_waste"))
         batched("naive", Seq(col("doc_id")))
           .unionByName(batched("grouped", Seq(col("n_tok"), col("doc_id"))))
+    },
+
+    // Robust per-group outlier stats: median / MAD and the 3·MAD gate
+    // over per-language document lengths — the curation filter that
+    // survives heavy-tailed score distributions (one 10 MB boilerplate
+    // doc moves a group's mean arbitrarily; it moves the median by one
+    // rank). Medians are the EXACT lower order statistic (the q144
+    // definition) so everything stays in the integer domain and the
+    // threshold compares exactly across engines — no float tolerance.
+    OpQuery.sql(
+      "q159_mad_outlier_stats",
+      """WITH t AS (SELECT lang AS key, n_chars AS v FROM documents),
+        |r AS (SELECT key, v,
+        |    row_number() OVER (PARTITION BY key ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY key) AS n FROM t),
+        |med AS (SELECT key,
+        |    max(CASE WHEN rn - 1 = floor((n - 1) * 0.5) THEN v END) AS med
+        |  FROM r GROUP BY 1),
+        |d AS (SELECT t.key, v, med, abs(v - med) AS dev
+        |  FROM t JOIN med USING (key)),
+        |r2 AS (SELECT key, dev,
+        |    row_number() OVER (PARTITION BY key ORDER BY dev) AS rn,
+        |    count(*) OVER (PARTITION BY key) AS n FROM d),
+        |mad AS (SELECT key,
+        |    max(CASE WHEN rn - 1 = floor((n - 1) * 0.5) THEN dev END) AS mad
+        |  FROM r2 GROUP BY 1)
+        |SELECT d.key AS lang, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  med, mad
+        |FROM d JOIN mad USING (key)
+        |GROUP BY 1, med, mad""".stripMargin) {
+      (s, dir) =>
+        graft.operators.RobustStats.madOutlierSummary(
+            load(s, dir, "documents"), col("lang"), col("n_chars"), k = 3)
+          .select(col("key").as("lang"), col("n_rows"), col("n_outliers"),
+            col("med"), col("mad"))
     }
   )
 }

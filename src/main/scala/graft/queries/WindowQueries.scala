@@ -405,6 +405,46 @@ object WindowQueries {
         d.select(col("event_type"), col("day"), col("n"),
           sum("n").over(w).as("n_7d"),
           round(sum("n").over(w).cast("double") / 7, 6).as("avg_7d"))
+    },
+
+    // Interval coalescing (gaps-and-islands): per-user activity spans
+    // [ts, ts + (event_id%97+1) minutes] merged into maximal islands —
+    // the reduction every span-producing operator (VAD windows, scrub
+    // spans, session ranges) needs. Running-max island detection, NOT a
+    // range self-join: one shuffle by user, two same-window passes
+    // (Spark collapses them into one sort), linear per key. Timestamps
+    // compare microsecond-exact across engines (q147 precedent); the
+    // island increment fires only on a strict gap, so tie order can't
+    // change the output.
+    OpQuery.sql(
+      "q158_interval_coalesce",
+      """WITH s AS (SELECT user_id,
+        |    ts AS s,
+        |    ts + to_minutes(CAST(event_id % 97 + 1 AS BIGINT)) AS e
+        |  FROM events),
+        |m AS (SELECT user_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM s),
+        |f AS (SELECT user_id, s, e,
+        |    CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS ni
+        |  FROM m),
+        |i AS (SELECT user_id, s, e,
+        |    sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f)
+        |SELECT user_id, min(s) AS start, max(e) AS "end",
+        |  count(*) AS n_merged
+        |FROM i GROUP BY user_id, island""".stripMargin) {
+      (s, dir) =>
+        graft.operators.Intervals.coalesceIntervals(
+            load(s, dir, "events"),
+            col("user_id"),
+            col("ts"),
+            col("ts") + expr(
+              "make_interval(0, 0, 0, 0, 0, cast(event_id % 97 + 1 as int), 0)"))
+          .select(col("key").as("user_id"), col("start"), col("end"),
+            col("n_merged"))
     }
   )
 }
