@@ -96,4 +96,79 @@ object Cluster {
     connectedComponents(pairs)
       .select(col("id"), col("cluster"),
         (col("id") === col("cluster")).as("is_canonical"))
+
+  /** O(delta) maintenance of a converged component assignment when a
+    * batch of NEW edges arrives — the streaming-dedup companion: the LSH
+    * ingest (`streaming/StreamingDedup`) emits each micro-batch's
+    * verified pairs, and re-running global CC over the accumulated pair
+    * log every batch is exactly the O(history) re-pay the bucketed
+    * cascade exists to avoid.
+    *
+    * Correctness rests on contraction: a converged component is fully
+    * connected through its label, so CC(old ∪ delta) equals CC over the
+    * CONTRACTED graph whose nodes are prior cluster ids (new nodes map
+    * to themselves) and whose edges are the delta pairs mapped through
+    * the prior assignment. That graph is O(delta) nodes/edges
+    * regardless of history size; label propagation on it converges in
+    * O(merged-chain diameter) rounds. Labels stay "min reachable id":
+    * contracted nodes carry their component minima, and min-of-minima
+    * is the global min.
+    *
+    * Returns ONLY the rows a keyed merge (`ReplaceInto`) must write:
+    * members of prior clusters absorbed into a smaller-id component,
+    * plus first-seen nodes. A delta edge INSIDE one existing cluster
+    * contracts to a self-loop and yields zero update rows — untouched
+    * components are provably never rewritten. Cost: one keyed join of
+    * the delta endpoints against the assignment (semi-join sized by the
+    * delta), CC on the contracted graph, and one join keyed by the
+    * absorbed cluster ids — never a scan of unaffected assignment rows
+    * beyond the key-pruned joins.
+    *
+    * `prevLabels`: (id, cluster), converged. `newEdges`: (id_a, id_b).
+    */
+  def incrementalComponents(prevLabels: DataFrame, newEdges: DataFrame)
+      : DataFrame = {
+    val ends = newEdges.select(col("id_a").cast("long").as("id"))
+      .union(newEdges.select(col("id_b").cast("long").as("id")))
+      .distinct()
+    // node = prior cluster, or self for first-seen ids; keep the null
+    // flag — a canonical member (cluster == id) must not be mistaken
+    // for a new node
+    val mapped = ends
+      .join(prevLabels.select(col("id"), col("cluster").as("prev")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("prev"), col("id")).as("node"),
+        col("prev").isNull.as("is_new"))
+      .localCheckpoint(true)
+    val contracted = newEdges
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+      .join(mapped.select(col("id").as("id_a"), col("node").as("na")),
+        Seq("id_a"))
+      .join(mapped.select(col("id").as("id_b"), col("node").as("nb")),
+        Seq("id_b"))
+      .select(col("na").as("id_a"), col("nb").as("id_b"))
+    val superLabels = connectedComponents(contracted)
+    // prior clusters absorbed into a smaller-id component → rewrite
+    // their members; clusters that keep their label need no writes
+    val absorbed = superLabels
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("cluster"), col("cluster").as("new_cluster"))
+    val memberUpdates = prevLabels.join(absorbed, Seq("cluster"))
+      .select(col("id"), col("new_cluster").as("cluster"))
+    val newNodeUpdates = mapped.filter(col("is_new"))
+      .join(superLabels.select(col("id").as("node"), col("cluster")),
+        Seq("node"))
+      .select(col("id"), col("cluster"))
+    memberUpdates.union(newNodeUpdates)
+  }
+
+  /** Fold incremental updates into the prior assignment (last-wins keyed
+    * merge — the in-plan twin of a `ReplaceInto` on the assignment
+    * table). */
+  def applyComponentUpdates(prevLabels: DataFrame, updates: DataFrame)
+      : DataFrame =
+    prevLabels.join(updates.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("cluster"))
+      .union(updates.select(col("id"), col("cluster")))
 }

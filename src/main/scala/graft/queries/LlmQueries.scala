@@ -3006,6 +3006,52 @@ object LlmQueries {
       (s, dir) =>
         graft.operators.BpeTrainer.trainOnCorpus(
           s, load(s, dir, "documents"), col("text"), k = 8)
+    },
+
+    // INCREMENTAL connected components (the q59 cluster assignment under
+    // a delta edge batch): prior clusters are contracted to their labels,
+    // the delta edges run CC on that O(delta) graph, and only absorbed
+    // clusters' members plus first-seen nodes are rewritten — re-running
+    // global CC over the accumulated pair log every micro-batch is the
+    // same O(history) re-pay the bucketed cascade eliminated for the ETL
+    // tick. Fixture: star components around multiples of 7 as the "old"
+    // graph, bridges from every 35th hub as the delta. The oracle is the
+    // from-scratch transitive closure over old ∪ delta, so the compare
+    // PROVES incremental ≡ scratch cross-engine; the zero-rewrite
+    // property for untouched clusters is spec-pinned
+    // (IncrementalClusterSpec).
+    OpQuery.sql(
+      "q160_incremental_components",
+      """WITH RECURSIVE
+        |olde AS (SELECT doc_id AS s, doc_id - doc_id % 7 AS d
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |newe AS (SELECT x.doc_id AS s, x.doc_id + 7 AS d
+        |  FROM documents x JOIN documents n ON n.doc_id = x.doc_id + 7
+        |  WHERE x.doc_id % 35 = 0),
+        |edges AS (SELECT s, d FROM olde UNION SELECT d, s FROM olde
+        |  UNION SELECT s, d FROM newe UNION SELECT d, s FROM newe),
+        |reach(id, lbl) AS (
+        |  SELECT DISTINCT s, s FROM edges
+        |  UNION
+        |  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(min(lbl) AS BIGINT) AS cluster,
+        |       (id = min(lbl)) AS is_canonical
+        |FROM reach GROUP BY id""".stripMargin) {
+      (s, dir) =>
+        val docs = load(s, dir, "documents").select(col("doc_id"))
+        val oldEdges = docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id").as("id_a"),
+            (col("doc_id") - col("doc_id") % 7).as("id_b"))
+        val newEdges = docs
+          .join(docs.select(col("doc_id").as("nbr")),
+            col("doc_id") + 7 === col("nbr"))
+          .filter(col("doc_id") % 35 === 0)
+          .select(col("doc_id").as("id_a"), col("nbr").as("id_b"))
+        val prev = graft.operators.Cluster.connectedComponents(oldEdges)
+        graft.operators.Cluster.applyComponentUpdates(prev,
+            graft.operators.Cluster.incrementalComponents(prev, newEdges))
+          .select(col("id"), col("cluster"),
+            (col("id") === col("cluster")).as("is_canonical"))
     }
   )
 }
