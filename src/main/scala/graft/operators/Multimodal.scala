@@ -876,13 +876,13 @@ object Multimodal {
     * rows; PNG filters operate on BYTES with the "left" neighbor `bpp`
     * bytes back (PNG spec §6.6), which is what makes this one loop serve
     * grayscale (bpp 1), truecolor (bpp 3), and palette indices (bpp 1). */
-  private def pngEncode(w: Int, h: Int, colorType: Int, bpp: Int,
-      data: Array[Byte], plte: Array[Byte], depth: Int = 8): Array[Byte] = {
-    // depth < 8 (palette only): `data` is already bit-packed per row and
-    // filters operate at 1-byte stride (PNG 4.5.4: bpp rounds up to 1)
-    val rowBytes = if (depth == 8) w * bpp else (w * depth + 7) / 8
-    require(w >= 1 && h >= 1 && data.length == rowBytes * h,
-      s"need $rowBytes*$h=${rowBytes * h} bytes, got ${data.length}")
+  /** Filter `h` rows of `rowBytes` packed bytes with the row-cycling
+    * filter choice (y % 5 — every filter appears in any 5+-row image),
+    * at byte stride `bpp`. Shared by the sequential encoder and each
+    * Adam7 pass (a pass filters INDEPENDENTLY: its first row has no
+    * "up" neighbor, per PNG spec §8.2). */
+  private def filterScanlines(rowBytes: Int, h: Int, bpp: Int,
+      data: Array[Byte]): Array[Byte] = {
     val raw = new Array[Byte]((rowBytes + 1) * h)
     var y = 0
     while (y < h) {
@@ -906,6 +906,10 @@ object Multimodal {
       }
       y += 1
     }
+    raw
+  }
+
+  private def zlibDeflate(raw: Array[Byte]): Array[Byte] = {
     val deflater = new java.util.zip.Deflater()
     val idatBuf = new java.io.ByteArrayOutputStream()
     try {
@@ -914,6 +918,11 @@ object Multimodal {
       while (!deflater.finished())
         idatBuf.write(buf, 0, deflater.deflate(buf))
     } finally deflater.end()
+    idatBuf.toByteArray
+  }
+
+  private def pngAssemble(w: Int, h: Int, colorType: Int, depth: Int,
+      interlace: Int, plte: Array[Byte], idat: Array[Byte]): Array[Byte] = {
     def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
       val t = tpe.getBytes("US-ASCII")
       val crc = new java.util.zip.CRC32()
@@ -921,11 +930,98 @@ object Multimodal {
       be32bytes(data.length) ++ t ++ data ++ be32bytes(crc.getValue.toInt)
     }
     val ihdr = be32bytes(w) ++ be32bytes(h) ++
-      Array[Byte](depth.toByte, colorType.toByte, 0, 0, 0)
+      Array[Byte](depth.toByte, colorType.toByte, 0, 0, interlace.toByte)
     PngSig ++ chunk("IHDR", ihdr) ++
       (if (plte == null) Array.emptyByteArray else chunk("PLTE", plte)) ++
-      chunk("IDAT", idatBuf.toByteArray) ++
+      chunk("IDAT", idat) ++
       chunk("IEND", Array.emptyByteArray)
+  }
+
+  private def pngEncode(w: Int, h: Int, colorType: Int, bpp: Int,
+      data: Array[Byte], plte: Array[Byte], depth: Int = 8): Array[Byte] = {
+    // depth < 8 (palette only): `data` is already bit-packed per row and
+    // filters operate at 1-byte stride (PNG 4.5.4: bpp rounds up to 1)
+    val rowBytes = if (depth == 8) w * bpp else (w * depth + 7) / 8
+    require(w >= 1 && h >= 1 && data.length == rowBytes * h,
+      s"need $rowBytes*$h=${rowBytes * h} bytes, got ${data.length}")
+    val raw = filterScanlines(rowBytes, h, bpp, data)
+    pngAssemble(w, h, colorType, depth, 0, plte, zlibDeflate(raw))
+  }
+
+  /** Adam7 pass geometry (PNG spec §8.2): (x0, y0, dx, dy, passW, passH)
+    * for the seven passes, EMPTY passes dropped — a pass whose reduced
+    * image has zero width or height contributes no scanlines at all,
+    * which is the off-by-one every small-image interlace bug lives in. */
+  private def adam7Passes(w: Int, h: Int): Seq[(Int, Int, Int, Int, Int, Int)] =
+    Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)).map { case (x0, y0, dx, dy) =>
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      (x0, y0, dx, dy, pw, ph)
+    }.filter(p => p._5 > 0 && p._6 > 0)
+
+  /** Adam7-interlaced PNG encoder. `data` is UNPACKED row-major pixels —
+    * `bpp` bytes per pixel for depth 8 (1 gray / 3 RGB / 1 palette
+    * index), one index byte per pixel for sub-8 palette depths. Each
+    * pass is extracted, (re)packed at the pass's own width, and filtered
+    * independently; the seven passes' scanlines concatenate into ONE
+    * zlib stream (spec §8.2 — not one stream per pass). */
+  private def pngEncodeAdam7(w: Int, h: Int, colorType: Int, bpp: Int,
+      data: Array[Byte], plte: Array[Byte], depth: Int = 8): Array[Byte] = {
+    require(w >= 1 && h >= 1 && data.length == w * h * bpp,
+      s"need unpacked $w*$h*$bpp bytes, got ${data.length}")
+    val rawAll = new java.io.ByteArrayOutputStream()
+    for ((x0, y0, dx, dy, pw, ph) <- adam7Passes(w, h)) {
+      val prb = if (depth == 8) pw * bpp else (pw * depth + 7) / 8
+      val pdata = new Array[Byte](prb * ph)
+      var j = 0
+      while (j < ph) {
+        var i = 0
+        while (i < pw) {
+          val fy = y0 + j * dy; val fx = x0 + i * dx
+          if (depth == 8) {
+            var c = 0
+            while (c < bpp) {
+              pdata(j * prb + i * bpp + c) = data((fy * w + fx) * bpp + c)
+              c += 1
+            }
+          } else {
+            val bit = i * depth
+            pdata(j * prb + (bit >> 3)) =
+              (pdata(j * prb + (bit >> 3)) |
+                ((data(fy * w + fx) & 0xff) << (8 - depth - (bit & 7)))).toByte
+          }
+          i += 1
+        }
+        j += 1
+      }
+      rawAll.write(filterScanlines(prb, ph, bpp, pdata))
+    }
+    pngAssemble(w, h, colorType, depth, 1, plte,
+      zlibDeflate(rawAll.toByteArray))
+  }
+
+  /** Adam7-interlaced grayscale PNG (the q161 fixture encoder). */
+  def pngGrayAdam7(w: Int, h: Int, px: Array[Byte]): Array[Byte] =
+    pngEncodeAdam7(w, h, colorType = 0, bpp = 1, px, null)
+
+  /** Adam7-interlaced truecolor PNG from interleaved RGB bytes. */
+  def pngRgbAdam7(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] =
+    pngEncodeAdam7(w, h, colorType = 2, bpp = 3, rgb, null)
+
+  /** Adam7-interlaced palette PNG: one UNPACKED index per pixel at any
+    * supported depth (1/2/4/8) — each pass bit-packs at its own width,
+    * so pass-row pad bits differ from the sequential encode's. */
+  def pngIndexedAdam7(w: Int, h: Int, idx: Array[Byte],
+      palette: Array[Byte], depth: Int = 8): Array[Byte] = {
+    require(palette.length % 3 == 0 && palette.length >= 3 &&
+      palette.length <= 256 * 3, s"palette must be 1-256 RGB triples")
+    require(depth == 1 || depth == 2 || depth == 4 || depth == 8,
+      s"palette bit depth must be 1/2/4/8, got $depth")
+    val n = palette.length / 3
+    require(n <= (1 << depth), s"$n palette entries need more than $depth bits")
+    require(idx.forall(b => (b & 0xff) < n), s"index out of palette range $n")
+    pngEncodeAdam7(w, h, colorType = 3, bpp = 1, idx, palette, depth)
   }
 
   /** Encode a dense row-major grayscale plane as a REAL PNG (bit depth 8,
@@ -985,13 +1081,18 @@ object Multimodal {
     * walk with CRC verification, concatenated IDATs inflated, all five
     * filters reconstructed at the color type's byte stride, sub-8-bit
     * scanlines unpacked MSB-first, palette indices expanded through
-    * PLTE. None for anything else — wrong signature, unsupported
-    * depth/interlace, CRC mismatch, truncated/corrupt deflate stream,
-    * missing PLTE, or an index addressing past the palette. */
+    * PLTE. Interlace method 1 (Adam7) is decoded: each of the seven
+    * passes reconstructs its filters independently (a pass's first row
+    * has no "up" neighbor) and scatters to its positions; sub-8 passes
+    * re-pack at the PASS width, so pad bits differ from the sequential
+    * layout. None for anything else — wrong signature, unsupported
+    * depth/interlace method, CRC mismatch, truncated/corrupt deflate
+    * stream, missing PLTE, or an index addressing past the palette. */
   def pngDecode(p: Array[Byte]): Option[PngImage] = {
     if (p.length < 8 || !p.startsWith(PngSig)) return None
     var i = 8
     var w = 0; var h = 0; var colorType = -1; var depth = 8
+    var interlace = 0
     var plte: Array[Byte] = null
     var seenIhdr = false; var seenIend = false
     val idat = new java.io.ByteArrayOutputStream()
@@ -1010,15 +1111,17 @@ object Multimodal {
           w = be32(p, i + 8); h = be32(p, i + 12)
           colorType = p(i + 17) & 0xff
           depth = p(i + 16) & 0xff
+          interlace = p(i + 20) & 0xff
           // bit depth 8 (palette also 1/2/4 — small-palette packing),
-          // color type 0/2/3, deflate, adaptive filtering, no
-          // interlace — everything else is out of contract
+          // color type 0/2/3, deflate, adaptive filtering, interlace
+          // method 0 (none) or 1 (Adam7) — everything else is out of
+          // contract
           val depthOk = depth == 8 || (colorType == 3 &&
             (depth == 1 || depth == 2 || depth == 4))
           if (w <= 0 || h <= 0 || len != 13 || !depthOk ||
             (colorType != 0 && colorType != 2 && colorType != 3) ||
             p(i + 18) != 0 || p(i + 19) != 0 ||
-            p(i + 20) != 0) return None
+            (interlace != 0 && interlace != 1)) return None
         case "PLTE" =>
           // spec: length divisible by 3, 1-256 entries, before IDAT
           if (len % 3 != 0 || len < 3 || len > 256 * 3 ||
@@ -1039,7 +1142,13 @@ object Multimodal {
     if (colorType == 3 && plte == null) return None // palette needs PLTE
     val bpp = if (colorType == 2) 3 else 1
     val rowBytes = if (depth == 8) w * bpp else (w * depth + 7) / 8
-    val raw = new Array[Byte]((rowBytes + 1) * h)
+    val passes =
+      if (interlace == 1) adam7Passes(w, h) else Seq((0, 0, 1, 1, w, h))
+    def passRowBytes(pw: Int) = if (depth == 8) pw * bpp else (pw * depth + 7) / 8
+    val rawLen = passes.map { case (_, _, _, _, pw, ph) =>
+      (passRowBytes(pw) + 1) * ph
+    }.sum
+    val raw = new Array[Byte](rawLen)
     val inflater = new java.util.zip.Inflater()
     try {
       inflater.setInput(idat.toByteArray)
@@ -1053,49 +1162,64 @@ object Multimodal {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inflater.end()
-    val out = new Array[Byte](rowBytes * h)
-    var y = 0
-    while (y < h) {
-      val f = raw(y * (rowBytes + 1)) & 0xff
-      if (f > 4) return None
-      var x = 0
-      while (x < rowBytes) {
-        val cur = raw(y * (rowBytes + 1) + 1 + x) & 0xff
-        val left = if (x >= bpp) out(y * rowBytes + x - bpp) & 0xff else 0
-        val up = if (y > 0) out((y - 1) * rowBytes + x) & 0xff else 0
-        val ul = if (x >= bpp && y > 0) out((y - 1) * rowBytes + x - bpp) & 0xff else 0
-        val recon = f match {
-          case 0 => cur
-          case 1 => cur + left
-          case 2 => cur + up
-          case 3 => cur + ((left + up) >> 1)
-          case _ => cur + paeth(left, up, ul)
-        }
-        out(y * rowBytes + x) = (recon & 0xff).toByte
-        x += 1
-      }
-      y += 1
-    }
-    if (colorType == 3) {
-      // sub-8-bit scanlines: unpack MSB-first fields to one index per
-      // pixel (trailing pad bits of each row are ignored, per spec)
-      val idxArr =
-        if (depth == 8) out
-        else {
-          val u = new Array[Byte](w * h)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val bit = x * depth
-              u(y * w + x) = (((out(y * rowBytes + (bit >> 3)) & 0xff)
-                >> (8 - depth - (bit & 7))) & ((1 << depth) - 1)).toByte
-              x += 1
-            }
-            y += 1
+    // reconstruct each pass's scanlines independently (sequential = one
+    // full-size pass), then scatter pass pixels to their Adam7 positions.
+    // `unpacked` holds one UNPACKED pixel per position: bpp bytes for
+    // depth 8, one palette index byte for sub-8 depths.
+    val unpacked = new Array[Byte](w * h * bpp)
+    var rawOff = 0
+    for ((x0, y0, dx, dy, pw, ph) <- passes) {
+      val prb = passRowBytes(pw)
+      val rows = new Array[Byte](prb * ph)
+      var y = 0
+      while (y < ph) {
+        val f = raw(rawOff + y * (prb + 1)) & 0xff
+        if (f > 4) return None
+        var x = 0
+        while (x < prb) {
+          val cur = raw(rawOff + y * (prb + 1) + 1 + x) & 0xff
+          val left = if (x >= bpp) rows(y * prb + x - bpp) & 0xff else 0
+          val up = if (y > 0) rows((y - 1) * prb + x) & 0xff else 0
+          val ul = if (x >= bpp && y > 0) rows((y - 1) * prb + x - bpp) & 0xff else 0
+          val recon = f match {
+            case 0 => cur
+            case 1 => cur + left
+            case 2 => cur + up
+            case 3 => cur + ((left + up) >> 1)
+            case _ => cur + paeth(left, up, ul)
           }
-          u
+          rows(y * prb + x) = (recon & 0xff).toByte
+          x += 1
         }
+        y += 1
+      }
+      rawOff += (prb + 1) * ph
+      var j = 0
+      while (j < ph) {
+        var i2 = 0
+        while (i2 < pw) {
+          val fy = y0 + j * dy; val fx = x0 + i2 * dx
+          if (depth == 8) {
+            var c = 0
+            while (c < bpp) {
+              unpacked((fy * w + fx) * bpp + c) = rows(j * prb + i2 * bpp + c)
+              c += 1
+            }
+          } else {
+            // sub-8-bit pass scanlines: MSB-first fields at the PASS
+            // width (each pass re-packs; pad bits per pass row)
+            val bit = i2 * depth
+            unpacked(fy * w + fx) = (((rows(j * prb + (bit >> 3)) & 0xff)
+              >> (8 - depth - (bit & 7))) & ((1 << depth) - 1)).toByte
+          }
+          i2 += 1
+        }
+        j += 1
+      }
+    }
+    val out = unpacked
+    if (colorType == 3) {
+      val idxArr = out
       // expand indices through the palette into interleaved RGB; an
       // index past the palette is a corrupt file, not a decodable image
       val n = plte.length / 3
@@ -1306,6 +1430,27 @@ object Multimodal {
           ((id + 3L * (k % w) + 7L * (k / w)) % nPal).toByte
         }
         MediaRow(id, "image", pngIndexed(w, h, idx, pal, depth))
+      })
+  }
+
+  /** Adam7-interlaced grayscale PNG fixtures (doc_id % 3 == 1): dims
+    * sweep 1..21 × 1..16 with the id, so SMALL images exercise the
+    * empty-pass geometry (a 1×1 image has only pass 1; width 2 skips
+    * passes 2/4; height 1 skips 3/5/7) while larger ones hit all seven.
+    * pixel(y, x) = (id + 3x + 7y) mod 256 varies by row AND column, so
+    * a decoder that mis-places any pass's pixels breaks the q161
+    * checksum; q161's oracle replays the sums from the id arithmetic,
+    * exactly the q83 pattern. */
+  def pngAdam7ImagesFromDocuments(
+      spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.filter(col("doc_id") % 3 === 1).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 1 + (id % 21).toInt
+        val h = 1 + (id % 16).toInt
+        val px = Array.tabulate(w * h)(i =>
+          ((id + 3L * (i % w) + 7L * (i / w)) % 256).toByte)
+        MediaRow(id, "image", pngGrayAdam7(w, h, px))
       })
   }
 

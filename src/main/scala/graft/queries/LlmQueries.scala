@@ -1978,6 +1978,43 @@ object LlmQueries {
           Multimodal.pngSub8ImagesFromDocuments(s, load(s, dir, "documents")))
     },
 
+    // Adam7-INTERLACED PNGs (interlace method 1 — what progressive-web
+    // encoders emit): seven passes, each filtered independently at its
+    // own reduced width, scattered back by the pass geometry. The dims
+    // sweep 1..21 × 1..16 forces the empty-pass edge cases (a 1×1 image
+    // is pass 1 alone). The checksum is POSITION-WEIGHTED — a decoder
+    // that reconstructs every pass but scatters one pixel wrong
+    // preserves the plain sum and still breaks this.
+    OpQuery.sql(
+      "q161_png_adam7_decode",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(1 + doc_id % 21 AS BIGINT) AS w,
+        |    CAST(1 + doc_id % 16 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |y AS (SELECT *, unnest(generate_series(0, h - 1)) AS py FROM v),
+        |x AS (SELECT *, unnest(generate_series(0, w - 1)) AS px FROM y),
+        |p AS (SELECT id, w, py, px,
+        |    (id + 3 * px + 7 * py) % 256 AS b FROM x)
+        |SELECT id AS media_id, CAST(count(*) AS INTEGER) AS n_px,
+        |  CAST(sum(b) AS BIGINT) AS px_checksum,
+        |  CAST(sum(b * (py * w + px + 1)) AS BIGINT) AS px_weighted
+        |FROM p GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        Multimodal.pngAdam7ImagesFromDocuments(s, load(s, dir, "documents"))
+          .flatMap { r =>
+            Multimodal.pngDecode(r.payload).map { img =>
+              var sum = 0L; var wsum = 0L; var k = 0
+              while (k < img.px.length) {
+                val b = img.px(k) & 0xff
+                sum += b; wsum += b.toLong * (k + 1); k += 1
+              }
+              (r.media_id, img.px.length, sum, wsum)
+            }
+          }
+          .toDF("media_id", "n_px", "px_checksum", "px_weighted")
+    },
+
     // WARC container extraction (how web-scale corpora actually arrive —
     // Common Crawl ships WARC/1.0): docs shard into multi-record blobs
     // (warcinfo + responses), the reader walks the CRLF grammar and
