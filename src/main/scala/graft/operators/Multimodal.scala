@@ -1454,6 +1454,30 @@ object Multimodal {
       })
   }
 
+  /** EXIF-bearing JPEG fixtures (doc_id % 3 == 2): a baseline grayscale
+    * JPEG with an APP1 Exif segment spliced after SOI — orientation,
+    * make, and capture time all id-derived, and the TIFF byte order
+    * ALTERNATES with the id (even → II, odd → MM), so both endian paths
+    * carry half the oracle rows. Pixel decode must still succeed with
+    * the APP1 present (the q162 row carries n_px to prove it). */
+  def jpegExifImagesFromDocuments(
+      spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.filter(col("doc_id") % 3 === 2).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 8 + 8 * (id % 3).toInt
+        val h = 8 + 8 * (id % 2).toInt
+        val px = Array.tabulate(w * h)(i =>
+          ((id + 3L * (i % w) + 7L * (i / w)) % 256).toByte)
+        val app1 = Exif.app1Exif(
+          orientation = 1 + (id % 8).toInt,
+          make = s"cam-${id % 5}",
+          datetime = f"2024:${1 + (id % 12).toInt}%02d:${1 + (id % 28).toInt}%02d 10:30:00",
+          littleEndian = id % 2 == 0)
+        MediaRow(id, "image", Exif.withApp1(Jpeg.encodeGray(w, h, px), app1))
+      })
+  }
+
   /** WARC blobs synthesized from the documents table: docs shard into
     * blobs of up to 8 by doc_id DIV 8, each blob led by a `warcinfo`
     * record and holding one `response` record per doc (URI, date, and

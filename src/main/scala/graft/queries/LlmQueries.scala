@@ -2015,6 +2015,35 @@ object LlmQueries {
           .toDF("media_id", "n_px", "px_checksum", "px_weighted")
     },
 
+    // EXIF metadata from JPEG APP1 — the fields a crawl pipeline reads
+    // WITHOUT a pixel decode (orientation decides thumbnail rotation;
+    // capture time feeds dedup/recency). The embedded TIFF's byte order
+    // alternates II/MM with the id so both endian paths carry oracle
+    // rows; n_px comes from a REAL pixel decode of the same payload,
+    // proving the spliced APP1 leaves the entropy stream intact.
+    OpQuery.sql(
+      "q162_jpeg_exif_meta",
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
+        |  'cam-' || CAST(doc_id % 5 AS VARCHAR) AS make,
+        |  printf('2024:%02d:%02d 10:30:00', CAST(1 + doc_id % 12 AS INT),
+        |    CAST(1 + doc_id % 28 AS INT)) AS taken_at,
+        |  CAST((8 + 8 * (doc_id % 3)) * (8 + 8 * (doc_id % 2)) AS INTEGER)
+        |    AS n_px
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        Multimodal.jpegExifImagesFromDocuments(s, load(s, dir, "documents"))
+          .flatMap { r =>
+            for {
+              meta <- graft.operators.Exif.exifFromJpeg(r.payload)
+              (w, h, _) <- graft.operators.Jpeg.decodeGray(r.payload)
+            } yield (r.media_id, meta.orientation, meta.make,
+              meta.datetime, w * h)
+          }
+          .toDF("media_id", "orientation", "make", "taken_at", "n_px")
+    },
+
     // WARC container extraction (how web-scale corpora actually arrive —
     // Common Crawl ships WARC/1.0): docs shard into multi-record blobs
     // (warcinfo + responses), the reader walks the CRLF grammar and
