@@ -613,4 +613,45 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("qid", "vec_id", "hamming", "sim", "rank")
   }
+
+  /** Johnson-Lindenstrauss random projection to `dOut` dimensions — the
+    * preprocessing step that makes everything downstream of it cheaper:
+    * IVF assignment, PQ codebooks, and brute-force rerank all scale with
+    * the dimension, and JL preserves pairwise distances within
+    * 1 ± O(sqrt(log n / dOut)) regardless of the input dimension.
+    *
+    * The projection matrix is the ±1 sign matrix (Achlioptas 2003 — the
+    * dense ±1 family satisfies the JL lemma with the same constants as
+    * Gaussian entries), derived per (output dim, input dim) from md5, so
+    * the matrix is never materialized, never shipped, and both engines
+    * regenerate it cell by cell. The 1/sqrt(dOut) scale factor is
+    * deliberately NOT applied: it is a global constant that cancels in
+    * every cosine / relative-distance comparison, and leaving it off
+    * keeps the fold exact (DECIMAL sums of sign-flipped inputs).
+    *
+    * Shape: posexplode to (vec, i, x), broadcast the dOut-row dim list
+    * (bounded by construction), one hash aggregate keyed by (vec, j) with
+    * map-side partials. The |rows|·dIn·dOut intermediate is the honest
+    * cost of a dense projection; at extreme dIn the sparse-JL variant
+    * (keep 1-in-s entries) rides the same shape with a hash predicate.
+    */
+  def jlProject(
+      embeddings: DataFrame,
+      id: Column,
+      vec: Column,
+      dOut: Int,
+      salt: String = "jl"): DataFrame = {
+    val e = embeddings.select(id.as("vec_id"),
+      posexplode(toDouble(vec)).as(Seq("i", "x")))
+    val dims = e.sparkSession.range(dOut)
+      .select(col("id").cast("int").as("j"))
+    val sign = when(
+      conv(substring(md5(concat_ws("|", lit(salt), col("j"), col("i"))), 1, 1),
+        16, 10).cast("int") < 8, 1).otherwise(-1)
+    e.crossJoin(broadcast(dims))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(round(
+        sum((col("x") * sign).cast("decimal(27,10)")).cast("double"), 6)
+        .as("y"))
+  }
 }

@@ -2044,6 +2044,31 @@ object LlmQueries {
           .toDF("media_id", "orientation", "make", "taken_at", "n_px")
     },
 
+    // Johnson-Lindenstrauss projection to 8 dims (Achlioptas ±1 sign
+    // matrix, md5-derived cell by cell — never materialized, never
+    // shipped, regenerated identically by both engines). The constant
+    // 1/sqrt(dOut) scale is deliberately omitted (cancels in every
+    // cosine/relative comparison), keeping the fold an exact DECIMAL
+    // sum of sign-flipped inputs — so the oracle match is exact, not
+    // tolerance-based.
+    OpQuery.sql(
+      "q163_jl_projection",
+      """WITH e AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |    generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),
+        |d AS (SELECT unnest(generate_series(0, 7)) AS j),
+        |p AS (SELECT vec_id, d.j AS j,
+        |    CASE WHEN CAST(concat('0x', substr(md5('jl|' || d.j || '|' || i), 1, 1)) AS INT) < 8
+        |         THEN x ELSE -x END AS s
+        |  FROM e CROSS JOIN d)
+        |SELECT vec_id, CAST(j AS INT) AS j,
+        |  round(CAST(sum(CAST(s AS DECIMAL(27,10))) AS DOUBLE), 6) AS y
+        |FROM p GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        Similarity.jlProject(
+          load(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+          dOut = 8)
+    },
+
     // WARC container extraction (how web-scale corpora actually arrive —
     // Common Crawl ships WARC/1.0): docs shard into multi-record blobs
     // (warcinfo + responses), the reader walks the CRLF grammar and

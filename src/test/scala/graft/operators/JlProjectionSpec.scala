@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class JlProjectionSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def fixture(n: Int, d: Int) =
+    (0 until n).map { v =>
+      (v.toLong, Array.tabulate(d) { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"jlfix|$v|$i".getBytes("UTF-8"))
+        ((h(0) & 0xff) - 128) / 32.0f
+      })
+    }.toDF("vec_id", "embedding")
+
+  test("projection is exact and partition-independent") {
+    val df = fixture(40, 32)
+    val a = Similarity.jlProject(df.repartition(1), col("vec_id"),
+      col("embedding"), dOut = 8)
+      .as[(Long, Int, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val b = Similarity.jlProject(df.repartition(8), col("vec_id"),
+      col("embedding"), dOut = 8)
+      .as[(Long, Int, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(a == b) // DECIMAL fold: bit-stable under any partitioning
+    assert(a.size == 40 * 8)
+  }
+
+  test("pairwise distances survive within the JL distortion band") {
+    // dOut = 16 on 64-dim inputs: E[|Px - Py|^2] = dOut * |x - y|^2 for
+    // the ±1 sign matrix; on a fixed md5 matrix individual pairs vary,
+    // so assert a generous but meaningful band (no pair collapses to
+    // zero or explodes) across all C(12,2) pairs.
+    val n = 12; val d = 64; val k = 16
+    val df = fixture(n, d)
+    val vecs = df.as[(Long, Array[Float])].collect().toMap
+    val proj = Similarity.jlProject(df, col("vec_id"), col("embedding"), k)
+      .as[(Long, Int, Double)].collect()
+      .groupBy(_._1).map { case (id, rows) =>
+        id -> rows.sortBy(_._2).map(_._3)
+      }
+    for (x <- 0 until n; y <- x + 1 until n) {
+      val orig = vecs(x).zip(vecs(y))
+        .map { case (a, b) => (a - b).toDouble * (a - b) }.sum
+      val pr = proj(x).zip(proj(y)).map { case (a, b) => (a - b) * (a - b) }.sum
+      val ratio = pr / (k * orig)
+      assert(ratio > 0.2 && ratio < 3.0,
+        s"pair ($x,$y) distorted by $ratio — JL band broken")
+    }
+  }
+}

@@ -58,7 +58,10 @@ class PlanShapeSpec extends SparkSuite {
     // rank inequality is a theta join over two bounded frames)
     "q151_histogram_quantile_sketch" -> "broadcast of bounded histogram/stats",
     // q142's one-row corpus-stats broadcast, via the maintained index
-    "q156_bm25_incremental_index" -> "broadcast of a single-row global aggregate")
+    "q156_bm25_incremental_index" -> "broadcast of a single-row global aggregate",
+    // (vec, i, x) rows x broadcast dOut-row output-dim list — the dense
+    // JL projection's fan-out; the matrix itself is md5-derived per cell
+    "q163_jl_projection" -> "broadcast of bounded output-dim list")
 
   private def planOf(name: String): String = {
     val q = graft.SparkEntry.catalog.find(_.name == name).get
