@@ -167,4 +167,27 @@ object InvertedIndex {
       }
       .groupBy("id").agg(count(lit(1)).as("n_matches"))
   }
+
+  /** Reciprocal-rank fusion of two retrieval rankings (Cormack et al.'s
+    * RRF, the standard lexical+semantic hybrid-search combiner):
+    * score(d) = Σ 1/(k + rank_r(d)) over the rankings that surfaced d.
+    * Rank positions — not raw scores — carry the signal, so BM25 logits
+    * and cosine similarities need no calibration against each other.
+    *
+    * Both inputs are top-N lists (id, rank), so the fused frame is
+    * bounded by 2N rows — the full-outer join and the global ordering
+    * window are over a result list, never a corpus. The fused score is
+    * one fixed expression (coalesce + coalesce), not an aggregate fold,
+    * so its doubles are bit-identical across engines and partitionings;
+    * ties break on id. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int = 60): DataFrame = {
+    val l = a.select(col("id"), col("rank").as("rank_a"))
+    val r = b.select(col("id"), col("rank").as("rank_b"))
+    l.join(r, Seq("id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(k) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k) + col("rank_b")), lit(0.0)))
+      .withColumn("fused_rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("id"))))
+  }
 }

@@ -2069,6 +2069,76 @@ object LlmQueries {
           dOut = 8)
     },
 
+    // HYBRID retrieval: BM25 lexical top-20 (q142's scorer) fused with
+    // an embedding-cosine top-20 by reciprocal rank fusion — the
+    // standard two-tower search combiner, on rank POSITIONS so the two
+    // scorers need no calibration. The fused score is one fixed
+    // coalesce-sum expression (never an aggregate fold), so its doubles
+    // replay bit-identically; each doc carries its per-ranker ranks so
+    // the oracle checks the fusion inputs, not just the final order.
+    OpQuery.sql(
+      "q164_hybrid_rrf_retrieval",
+      s"""WITH d AS (SELECT doc_id, string_split($DuckNorm, ' ') w FROM documents),
+         |wpos AS (SELECT doc_id, i AS wi, w[i] AS word
+         |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) i FROM d) z
+         |  WHERE w[i] <> ''),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM wpos GROUP BY 1),
+         |stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |    CAST((SELECT count(*) FROM wpos) AS DOUBLE)
+         |      / (SELECT count(*) FROM documents) AS avgdl),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM wpos
+         |  WHERE word IN ('scan', 'window', 'merge', 'stream') GROUP BY 1, 2),
+         |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT t.doc_id,
+         |    sum(ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+         |        * (t.tf * 2.2)
+         |        / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS score
+         |  FROM tf t JOIN dl l USING (doc_id) JOIN dfreq f USING (word), stats s
+         |  GROUP BY 1),
+         |lex AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS lex_rank
+         |  FROM sc QUALIFY lex_rank <= 20),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) qe FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings WHERE vec_id <> 0),
+         |sem AS (SELECT vec_id AS doc_id,
+         |    CAST(row_number() OVER (ORDER BY
+         |      list_dot_product(qe, e)
+         |        / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e)))
+         |      DESC, vec_id) AS INTEGER) AS sem_rank
+         |  FROM c CROSS JOIN q QUALIFY sem_rank <= 20),
+         |f AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, lex_rank, sem_rank,
+         |    coalesce(CAST(1 AS DOUBLE) / (60 + lex_rank), 0)
+         |      + coalesce(CAST(1 AS DOUBLE) / (60 + sem_rank), 0) AS rrf
+         |  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+         |SELECT doc_id, lex_rank, sem_rank, round(rrf, 6) AS rrf,
+         |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS fused_rank
+         |FROM f""".stripMargin) {
+      (s, dir) =>
+        val lex = graft.operators.InvertedIndex.bm25TopK(
+            load(s, dir, "documents"),
+            col("doc_id"),
+            TextAnalysis.words(TextAnalysis.normalize(col("text"))),
+            queryTerms = Seq("scan", "window", "merge", "stream"),
+            k = 20)
+          .select(col("id"), col("rank"))
+        val emb = load(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .select(Similarity.toDouble(col("embedding")).as("qvec"))
+        val sem = emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
+          .crossJoin(broadcast(q))
+          .withColumn("sim", Similarity.dot(col("vec"), col("qvec")) /
+            (Similarity.norm(col("vec")) * Similarity.norm(col("qvec"))))
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
+          .filter(col("rank") <= 20)
+          .select(col("vec_id").as("id"), col("rank"))
+        graft.operators.InvertedIndex.rrfFuse(lex, sem, k = 60)
+          .select(col("id").as("doc_id"),
+            col("rank_a").as("lex_rank"), col("rank_b").as("sem_rank"),
+            round(col("rrf"), 6).as("rrf"), col("fused_rank"))
+    },
+
     // WARC container extraction (how web-scale corpora actually arrive —
     // Common Crawl ships WARC/1.0): docs shard into multi-record blobs
     // (warcinfo + responses), the reader walks the CRLF grammar and

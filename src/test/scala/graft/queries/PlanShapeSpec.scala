@@ -61,7 +61,11 @@ class PlanShapeSpec extends SparkSuite {
     "q156_bm25_incremental_index" -> "broadcast of a single-row global aggregate",
     // (vec, i, x) rows x broadcast dOut-row output-dim list — the dense
     // JL projection's fan-out; the matrix itself is md5-derived per cell
-    "q163_jl_projection" -> "broadcast of bounded output-dim list")
+    "q163_jl_projection" -> "broadcast of bounded output-dim list",
+    // corpus x broadcast single-row query vector (the q46 centroid
+    // pattern with |Q| = 1); the RRF fusion beyond it is a bounded
+    // top-N full-outer join
+    "q164_hybrid_rrf_retrieval" -> "broadcast of a single-row query vector")
 
   private def planOf(name: String): String = {
     val q = graft.SparkEntry.catalog.find(_.name == name).get
