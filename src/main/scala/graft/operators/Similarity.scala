@@ -654,4 +654,61 @@ object Similarity {
         sum((col("x") * sign).cast("decimal(27,10)")).cast("double"), 6)
         .as("y"))
   }
+
+  /** [[jlProject]] folded back to an ordered array column (vec_id,
+    * pvec: array<double>) — the shape the search operators consume. */
+  def jlProjectArray(
+      embeddings: DataFrame,
+      id: Column,
+      vec: Column,
+      dOut: Int,
+      salt: String = "jl"): DataFrame =
+    jlProject(embeddings, id, vec, dOut, salt)
+      .groupBy("vec_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("j"), col("y")))),
+        _.getField("y")).as("pvec"))
+
+  /** Two-stage search through the JL projection: coarse candidate
+    * selection by squared L2 distance in the PROJECTED space (the metric
+    * JL preserves — every pairwise distance within the distortion band),
+    * then exact full-dimension cosine over only the `nCandidates`
+    * survivors, fetched by the same broadcast semi-fetch as the PQ and
+    * sign-bit reranks (q85/q99). The projection cuts the per-pair cost
+    * of the scan stage by dIn/dOut; the rerank restores exact ranks. The
+    * coarse stage is still O(|Q|·|C|) pairs — at corpus scale it
+    * composes behind the IVF probe set exactly like the Hamming
+    * prefilter (q113). Projected values are jlProject's rounded
+    * doubles, so candidate selection replays exactly cross-engine.
+    */
+  def jlSearchRerank(
+      queries: DataFrame, // (qid, qvec: array<double>)
+      corpus: DataFrame, // (vec_id, vec: array<double>)
+      dOut: Int,
+      nCandidates: Int,
+      k: Int,
+      salt: String = "jl"): DataFrame = {
+    require(nCandidates >= k, s"nCandidates=$nCandidates must be >= k=$k")
+    val qp = jlProjectArray(queries, col("qid"), col("qvec"), dOut, salt)
+      .select(col("vec_id").as("qid"), col("pvec").as("pq"))
+    val cp = jlProjectArray(corpus, col("vec_id"), col("vec"), dOut, salt)
+      .select(col("vec_id"), col("pvec").as("pc"))
+    val wCand = Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))
+    val cand = cp.join(broadcast(qp), col("vec_id") =!= col("qid"))
+      .withColumn("d2",
+        dot(col("pc"), col("pc")) + dot(col("pq"), col("pq")) -
+          lit(2) * dot(col("pq"), col("pc")))
+      .withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= nCandidates)
+      .select("qid", "vec_id")
+    val q = queries.select(col("qid"), col("qvec"), norm(col("qvec")).as("qn"))
+    val wTop = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    corpus.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("sim",
+        dot(col("qvec"), col("vec")) / (col("qn") * norm(col("vec"))))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id", "sim", "rank")
+  }
 }

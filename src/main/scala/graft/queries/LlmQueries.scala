@@ -2139,6 +2139,51 @@ object LlmQueries {
             round(col("rrf"), 6).as("rrf"), col("fused_rank"))
     },
 
+    // JL-coarse + exact-rerank ANN (the composition that makes q163
+    // useful): candidates by squared L2 in the 16-dim PROJECTED space
+    // (dIn/dOut cheaper per pair), exact full-dim cosine over the 30
+    // survivors via the q85/q99 broadcast semi-fetch. Projected values
+    // are q163's rounded DECIMAL-fold doubles, so the candidate cut —
+    // the stage that decides who gets reranked — replays exactly; the
+    // oracle chains projection, distance, cut, and rerank end-to-end.
+    OpQuery.sql(
+      "q165_jl_search_rerank",
+      """WITH e AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |    generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),
+        |d AS (SELECT unnest(generate_series(0, 15)) AS j),
+        |pr AS (SELECT vec_id, d.j AS j,
+        |    round(CAST(sum(CAST(
+        |      CASE WHEN CAST(concat('0x', substr(md5('jl|' || d.j || '|' || i), 1, 1)) AS INT) < 8
+        |           THEN x ELSE -x END AS DECIMAL(27,10))) AS DOUBLE), 6) AS y
+        |  FROM e CROSS JOIN d GROUP BY 1, 2),
+        |pv AS (SELECT vec_id, list(y ORDER BY j) AS l FROM pr GROUP BY 1),
+        |pairs AS (SELECT q.vec_id AS qid, c.vec_id AS vid,
+        |    list_dot_product(c.l, c.l) + list_dot_product(q.l, q.l)
+        |      - 2 * list_dot_product(q.l, c.l) AS d2
+        |  FROM pv q JOIN pv c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5),
+        |cand AS (SELECT qid, vid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY d2, vid) AS crank
+        |  FROM pairs QUALIFY crank <= 30),
+        |fe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |r AS (SELECT qid, vid,
+        |    list_dot_product(qe.e, ce.e)
+        |      / (sqrt(list_dot_product(qe.e, qe.e)) * sqrt(list_dot_product(ce.e, ce.e))) AS sim
+        |  FROM cand JOIN fe qe ON qe.vec_id = qid JOIN fe ce ON ce.vec_id = vid)
+        |SELECT qid, vid AS vec_id, round(sim, 6) AS sim,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS INTEGER) AS rank
+        |FROM r QUALIFY rank <= 5""".stripMargin) {
+      (s, dir) =>
+        val emb = load(s, dir, "embeddings")
+          .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        Similarity.jlSearchRerank(queries, emb,
+            dOut = 16, nCandidates = 30, k = 5)
+          .select(col("qid"), col("vec_id"), round(col("sim"), 6).as("sim"),
+            col("rank"))
+    },
+
     // WARC container extraction (how web-scale corpora actually arrive —
     // Common Crawl ships WARC/1.0): docs shard into multi-record blobs
     // (warcinfo + responses), the reader walks the CRLF grammar and

@@ -49,4 +49,19 @@ class JlProjectionSpec extends SparkSuite {
         s"pair ($x,$y) distorted by $ratio — JL band broken")
     }
   }
+
+  test("JL-coarse + exact rerank recovers most of the exact top-k") {
+    val df = fixture(200, 32)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("vec"))
+    val queries = df.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val exact = Similarity.bruteForceTopK(queries, df, 5)
+      .select(col("qid"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val jl = Similarity.jlSearchRerank(queries, df,
+        dOut = 16, nCandidates = 30, k = 5)
+      .select(col("qid"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val recall = (exact & jl).size.toDouble / exact.size
+    // 30-of-199 (~15%) candidate cut; chance recall would be ~0.15
+    assert(recall >= 0.5, s"recall@5 $recall below floor")
+  }
 }
