@@ -5,9 +5,10 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Cluster, Dedup, TextAnalysis}
 
 /** Streaming near-dup detection against an ever-growing corpus — the
   * Structured Streaming twin of `Dedup.lshCandidatePairsIncremental`
@@ -105,6 +106,38 @@ object StreamingDedup {
     readCommitted(spark, indexDir, new Path(indexDir, "shingles"),
       "id BIGINT, shingle STRING")
 
+  private def clusterUpdates(
+      spark: SparkSession, indexDir: String, ids: Seq[Long]): DataFrame = {
+    val base = new Path(indexDir, "clusters")
+    if (ids.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType
+          .fromDDL("id BIGINT, cluster BIGINT, batch_id BIGINT"))
+    else spark.read.parquet(batchDirs(base, ids): _*)
+  }
+
+  /** Current per-document cluster assignment, maintained INCREMENTALLY
+    * (q160's contraction, [[Cluster.incrementalComponents]]): each batch
+    * stages only the assignment rows its pairs changed — absorbed
+    * clusters' members and first-seen docs — and the live view is the
+    * last-wins fold of the committed update log by batch id. Re-running
+    * global CC over the accumulated pair log every micro-batch would be
+    * the O(history) re-pay this module exists to avoid; with the
+    * update-log form, per-batch cluster cost is O(batch pairs + absorbed
+    * members). The fold's window is over the update log — compact it
+    * like any keyed log when it outgrows the assignment itself. */
+  def readClusters(spark: SparkSession, indexDir: String): DataFrame = {
+    val ids = committedBatches(
+      spark.sparkContext.hadoopConfiguration, indexDir)
+    clusterUpdates(spark, indexDir, ids)
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("id").orderBy(col("batch_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("cluster"),
+        (col("id") === col("cluster")).as("is_canonical"))
+  }
+
   /** Shingle + band one frame of (doc_id, text). */
   private def prep(docs: DataFrame, shingleN: Int, k: Int, rowsPerBand: Int)
       : (DataFrame, DataFrame) = {
@@ -182,16 +215,33 @@ object StreamingDedup {
             .unionByName(newShingles)
         else newShingles
 
-      // stage all three outputs under this batch's own dirs; overwrite
+      // stage all four outputs under this batch's own dirs; overwrite
       // replaces whatever a crashed earlier attempt left behind
+      val pairsPath = new Path(pairsDir, s"b_$batchId").toString
       Dedup.jaccardVerify(allShingles, candidates)
         .filter(col("jaccard") >= threshold)
         .write.mode("overwrite")
-        .parquet(new Path(pairsDir, s"b_$batchId").toString)
+        .parquet(pairsPath)
       newBands.write.mode("overwrite")
         .parquet(new Path(bandsBase, s"b_$batchId").toString)
       newShingles.write.mode("overwrite")
         .parquet(new Path(shinglesBase, s"b_$batchId").toString)
+      // O(delta) cluster maintenance: contract prior components to their
+      // labels (committed fold only — a retry recomputes against the
+      // exact pre-batch assignment its first attempt saw), run CC on
+      // this batch's pairs over the contracted graph, stage just the
+      // changed assignment rows. The staged pairs are read back rather
+      // than re-deriving the verify pipeline a second time.
+      val prevAssign = clusterUpdates(spark, indexDir, done)
+        .withColumn("rn", row_number()
+          .over(Window.partitionBy("id").orderBy(col("batch_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("cluster"))
+      Cluster.incrementalComponents(
+          prevAssign, spark.read.parquet(pairsPath))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .parquet(new Path(indexDir, "clusters") + s"/b_$batchId")
 
       commit(conf, indexDir, done :+ batchId) // the one atomic step
     } finally {

@@ -113,6 +113,39 @@ class StreamingDedupSpec extends SparkSuite {
     assert(pairsOf(idxB, prsB) == pairsOf(idxA, prsA))
   }
 
+  test("streamed cluster maintenance equals from-scratch CC over all pairs") {
+    import spark.implicits._
+    val docs = docsAll
+    val root = Files.createTempDirectory("graft-streamdedup-cc")
+    val (idx, prs) = (root.resolve("index").toString, root.resolve("pairs").toString)
+    (0 to 2).foreach(c =>
+      StreamingDedup.ingestBatch(
+        docs.filter(pmod(col("doc_id"), lit(3)) === c), c.toLong,
+        idx, prs, shingleN = 3, k = 8, rowsPerBand = 2, threshold = 0.1))
+
+    val got = StreamingDedup.readClusters(spark, idx)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val want = graft.operators.Cluster.dedupAssignments(
+        StreamingDedup.readPairs(spark, idx, prs))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == want,
+      "incrementally maintained clusters diverge from global CC")
+    // the fixture must actually exercise a cross-batch merge: at least
+    // one cluster with members in different arrival chunks
+    val crossBatch = want.groupBy(_._2)
+      .exists(_._2.map(m => m._1 % 3).size > 1)
+    assert(crossBatch, "fixture has no cross-batch cluster — test is vacuous")
+
+    // a batch retried after a crash recomputes against the committed
+    // fold and converges to the same assignment
+    val before = got
+    StreamingDedup.ingestBatch(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 1), 1L,
+      idx, prs, 3, 8, 2, 0.1) // redelivery: no-op
+    assert(StreamingDedup.readClusters(spark, idx)
+      .as[(Long, Long, Boolean)].collect().toSet == before)
+  }
+
   test("readers before the first commit see empty frames, not a crash") {
     // a monitoring reader racing the first micro-batch: no _COMMITTED yet
     val root = Files.createTempDirectory("graft-streamdedup-empty")
