@@ -1478,6 +1478,25 @@ object Multimodal {
       })
   }
 
+  /** Strip-organized TIFF fixtures (doc_id % 3 == 0): rows-per-strip
+    * cycles 1..6 against heights 4..16, so most images span several
+    * strips and the last strip is usually SHORT — the two walk bugs
+    * (fixed-size strips, unchecked tail) a naive reader ships with. The
+    * byte order alternates II/MM with the id, same as the EXIF fixtures. */
+  def tiffImagesFromDocuments(
+      spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.filter(col("doc_id") % 3 === 0).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 5 + (id % 17).toInt
+        val h = 4 + (id % 13).toInt
+        val px = Array.tabulate(w * h)(i =>
+          ((id + 3L * (i % w) + 7L * (i / w)) % 256).toByte)
+        MediaRow(id, "image", Tiff.encodeGray(w, h, px,
+          rowsPerStrip = 1 + (id % 6).toInt, littleEndian = id % 2 == 0))
+      })
+  }
+
   /** WARC blobs synthesized from the documents table: docs shard into
     * blobs of up to 8 by doc_id DIV 8, each blob led by a `warcinfo`
     * record and holding one `response` record per doc (URI, date, and

@@ -2044,6 +2044,42 @@ object LlmQueries {
           .toDF("media_id", "orientation", "make", "taken_at", "n_px")
     },
 
+    // Strip-organized TIFF (uncompressed 8-bit gray, both byte orders):
+    // the image container whose geometry lives in a tag dictionary and
+    // whose pixels scatter across strips addressed by two parallel tag
+    // arrays. rows-per-strip cycles against height so last strips run
+    // SHORT — the classic walk bug — and the position-weighted checksum
+    // breaks if any strip lands one row off.
+    OpQuery.sql(
+      "q166_tiff_strip_decode",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(5 + doc_id % 17 AS BIGINT) AS w,
+        |    CAST(4 + doc_id % 13 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |y AS (SELECT *, unnest(generate_series(0, h - 1)) AS py FROM v),
+        |x AS (SELECT *, unnest(generate_series(0, w - 1)) AS px FROM y),
+        |p AS (SELECT id, w, py, px,
+        |    (id + 3 * px + 7 * py) % 256 AS b FROM x)
+        |SELECT id AS media_id, CAST(count(*) AS INTEGER) AS n_px,
+        |  CAST(sum(b) AS BIGINT) AS px_checksum,
+        |  CAST(sum(b * (py * w + px + 1)) AS BIGINT) AS px_weighted
+        |FROM p GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        Multimodal.tiffImagesFromDocuments(s, load(s, dir, "documents"))
+          .flatMap { r =>
+            graft.operators.Tiff.decodeGray(r.payload).map { case (_, _, px) =>
+              var sum = 0L; var wsum = 0L; var k = 0
+              while (k < px.length) {
+                val b = px(k) & 0xff
+                sum += b; wsum += b.toLong * (k + 1); k += 1
+              }
+              (r.media_id, px.length, sum, wsum)
+            }
+          }
+          .toDF("media_id", "n_px", "px_checksum", "px_weighted")
+    },
+
     // Johnson-Lindenstrauss projection to 8 dims (Achlioptas ±1 sign
     // matrix, md5-derived cell by cell — never materialized, never
     // shipped, regenerated identically by both engines). The constant
