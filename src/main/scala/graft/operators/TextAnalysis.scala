@@ -73,6 +73,20 @@ object TextAnalysis {
     trim(nl, " \n")
   }
 
+  /** Outbound links of an HTML blob: the href value of every <a> tag
+    * that HAS one (an <a name=…> anchor is not a link). Case handled by
+    * explicit char classes instead of regex flags so the same pattern
+    * text runs verbatim on both engines. A per-row codegen'd projection,
+    * zero shuffle — the extraction stage of web-graph construction;
+    * pair with [[canonicalizeUrl]] before any grouping. */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html,
+      lit("<[aA][^>]*[hH][rR][eE][fF]=\"([^\"]*)\""), lit(1))
+
+  /** Lower-cased host of an absolute http(s) URL ('' when not one). */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "^[hH][tT][tT][pP][sS]?://([^/?#]+)", 1))
+
   /** Whitespace token count (empty string → 0). */
   def tokenCountWhitespace(text: Column): Column =
     when(length(trim(text)) === 0, 0)

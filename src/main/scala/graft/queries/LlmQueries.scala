@@ -2015,6 +2015,52 @@ object LlmQueries {
           .toDF("media_id", "n_px", "px_checksum", "px_weighted")
     },
 
+    // Link-graph extraction: every <a href> of a synthesized page (an
+    // href-less <a name> anchor planted to prove non-links don't match),
+    // host parsed and lowercased, aggregated to the (src_site, dst_host)
+    // edge grain — the web-graph construction pass whose output feeds
+    // PageRank (q153) and domain curation (q135). Per-row extraction,
+    // one shuffle on the edge key.
+    OpQuery.sql(
+      "q167_link_graph",
+      """WITH h AS (SELECT doc_id,
+        |    '<html><body><h1>D' || doc_id || '</h1>'
+        |    || '<a href="HTTP://Site-' || ((doc_id * 3 + 1) % 20) || '.Example.com/p/' || ((doc_id * 3 + 1) % 500) || '">a</a>'
+        |    || '<p>no <a name="x">anchor</a> here</p>'
+        |    || '<a href="https://site-' || ((doc_id * 5 + 2) % 20) || '.example.com/q?x=1">b</a>'
+        |    || '<A HREF="http://SITE-' || ((doc_id * 7 + 3) % 20) || '.example.COM/r">c</A>'
+        |    || '</body></html>' AS html
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(html, '<[aA][^>]*[hH][rR][eE][fF]="([^"]*)"', 1)) AS href
+        |  FROM h),
+        |e AS (SELECT 'site-' || (doc_id % 20) AS src_site,
+        |    lower(regexp_extract(href, '^[hH][tT][tT][pP][sS]?://([^/?#]+)', 1)) AS dst_host
+        |  FROM l)
+        |SELECT src_site, dst_host, count(*) AS n_links
+        |FROM e GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        val html = concat(
+          lit("<html><body><h1>D"), col("doc_id").cast("string"), lit("</h1>"),
+          lit("<a href=\"HTTP://Site-"), ((col("doc_id") * 3 + 1) % 20).cast("string"),
+          lit(".Example.com/p/"), ((col("doc_id") * 3 + 1) % 500).cast("string"),
+          lit("\">a</a>"),
+          lit("<p>no <a name=\"x\">anchor</a> here</p>"),
+          lit("<a href=\"https://site-"), ((col("doc_id") * 5 + 2) % 20).cast("string"),
+          lit(".example.com/q?x=1\">b</a>"),
+          lit("<A HREF=\"http://SITE-"), ((col("doc_id") * 7 + 3) % 20).cast("string"),
+          lit(".example.COM/r\">c</A>"),
+          lit("</body></html>"))
+        load(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextAnalysis.extractLinks(html)).as("href"))
+          .groupBy(
+            concat(lit("site-"), (col("doc_id") % 20).cast("string"))
+              .as("src_site"),
+            TextAnalysis.urlHost(col("href")).as("dst_host"))
+          .agg(count(lit(1)).as("n_links"))
+    },
+
     // EXIF metadata from JPEG APP1 — the fields a crawl pipeline reads
     // WITHOUT a pixel decode (orientation decides thumbnail rotation;
     // capture time feeds dedup/recency). The embedded TIFF's byte order
