@@ -850,6 +850,43 @@ object Multimodal {
     })
   }
 
+  /** Undo an EXIF orientation (tag 0x0112, values 1..8) on a grayscale
+    * plane — the normalization a thumbnail pipeline MUST apply before
+    * any visual dedup or hashing, or the same photo stored rotated
+    * hashes to eight different signatures. Pure integer pixel
+    * permutation (1 identity, 2/4 flips, 3 rotate-180, 5/7 transposes,
+    * 6/8 rotate-90s; 5-8 swap the dims), exact and oracle-replayable.
+    * Returns (outW, outH, pixels). */
+  def applyOrientation(w: Int, h: Int, px: Array[Byte], orientation: Int)
+      : (Int, Int, Array[Byte]) = {
+    require(orientation >= 1 && orientation <= 8, s"orientation $orientation")
+    require(px.length == w * h, s"need $w*$h pixels")
+    val swap = orientation >= 5
+    val ow = if (swap) h else w
+    val oh = if (swap) w else h
+    val out = new Array[Byte](ow * oh)
+    var oy = 0
+    while (oy < oh) {
+      var ox = 0
+      while (ox < ow) {
+        val (sx, sy) = orientation match {
+          case 1 => (ox, oy)
+          case 2 => (w - 1 - ox, oy) // mirror horizontal
+          case 3 => (w - 1 - ox, h - 1 - oy) // rotate 180
+          case 4 => (ox, h - 1 - oy) // mirror vertical
+          case 5 => (oy, ox) // transpose
+          case 6 => (oy, h - 1 - ox) // stored is 90° CW of visual
+          case 7 => (w - 1 - oy, h - 1 - ox) // transverse
+          case _ => (w - 1 - oy, ox) // 8: stored is 90° CCW of visual
+        }
+        out(oy * ow + ox) = px(sy * w + sx)
+        ox += 1
+      }
+      oy += 1
+    }
+    (ow, oh, out)
+  }
+
   // ---- PNG: REAL pixel decode for one public format ----
   // Unlike the generic StubDecoder, this is a complete 8-bit-grayscale
   // PNG codec in pure JVM (PNG spec, RFC 2083): zlib via java.util.zip,

@@ -2061,6 +2061,59 @@ object LlmQueries {
           .agg(count(lit(1)).as("n_links"))
     },
 
+    // EXIF-orientation normalization (all 8 tag values across the
+    // fixture sweep): the pixel permutation a thumbnail pipeline MUST
+    // undo before visual dedup or hashing — the same photo stored
+    // rotated otherwise hashes to eight signatures. Orientations 5-8
+    // swap the dims; the oracle replays the inverse mapping per output
+    // position, and the position-weighted checksum breaks on any wrong
+    // quadrant/axis.
+    OpQuery.sql(
+      "q168_exif_orientation_normalize",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(5 + doc_id % 4 AS BIGINT) AS w,
+        |    CAST(4 + doc_id % 3 AS BIGINT) AS h,
+        |    CAST(1 + doc_id % 8 AS INTEGER) AS o
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |d AS (SELECT *, CASE WHEN o >= 5 THEN h ELSE w END AS ow,
+        |    CASE WHEN o >= 5 THEN w ELSE h END AS oh FROM v),
+        |y AS (SELECT *, unnest(generate_series(0, oh - 1)) AS oy FROM d),
+        |x AS (SELECT *, unnest(generate_series(0, ow - 1)) AS ox FROM y),
+        |s AS (SELECT id, ow, oh, oy, ox,
+        |    CASE o WHEN 1 THEN ox WHEN 2 THEN w - 1 - ox WHEN 3 THEN w - 1 - ox
+        |           WHEN 4 THEN ox WHEN 5 THEN oy WHEN 6 THEN oy
+        |           WHEN 7 THEN w - 1 - oy ELSE w - 1 - oy END AS sx,
+        |    CASE o WHEN 1 THEN oy WHEN 2 THEN oy WHEN 3 THEN h - 1 - oy
+        |           WHEN 4 THEN h - 1 - oy WHEN 5 THEN ox WHEN 6 THEN h - 1 - ox
+        |           WHEN 7 THEN h - 1 - ox ELSE ox END AS sy
+        |  FROM x),
+        |p AS (SELECT id, ow, oh, oy, ox, (id + 3 * sx + 7 * sy) % 256 AS b
+        |  FROM s)
+        |SELECT id AS media_id, CAST(ow AS INTEGER) AS out_w,
+        |  CAST(oh AS INTEGER) AS out_h,
+        |  CAST(count(*) AS INTEGER) AS n_px,
+        |  CAST(sum(b) AS BIGINT) AS px_checksum,
+        |  CAST(sum(b * (oy * ow + ox + 1)) AS BIGINT) AS px_weighted
+        |FROM p GROUP BY 1, 2, 3""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        Multimodal.imagesFromDocuments(s, load(s, dir, "documents"))
+          .flatMap { r =>
+            Multimodal.pngDecodeGray(r.payload).map { case (w, h, px) =>
+              val (ow2, oh2, out) = Multimodal.applyOrientation(
+                w, h, px, 1 + (r.media_id % 8).toInt)
+              var sum = 0L; var ws = 0L; var k = 0
+              while (k < out.length) {
+                val b = out(k) & 0xff
+                sum += b; ws += b.toLong * (k + 1); k += 1
+              }
+              (r.media_id, ow2, oh2, out.length, sum, ws)
+            }
+          }
+          .toDF("media_id", "out_w", "out_h", "n_px", "px_checksum",
+            "px_weighted")
+    },
+
     // EXIF metadata from JPEG APP1 — the fields a crawl pipeline reads
     // WITHOUT a pixel decode (orientation decides thumbnail rotation;
     // capture time feeds dedup/recency). The embedded TIFF's byte order

@@ -66,6 +66,49 @@ class ExifSpec extends SparkSuite {
     assert(Exif.exifFromJpeg(withSeg(swapped)).isEmpty)
   }
 
+  test("orientation transforms: involutions, 90° inverses, dim swaps") {
+    val w = 5; val h = 3
+    val px = Array.tabulate(w * h)(i => (i * 11 % 256).toByte)
+    def apply(o: Int, iw: Int, ih: Int, p: Array[Byte]) =
+      Multimodal.applyOrientation(iw, ih, p, o)
+    // identity
+    assert(apply(1, w, h, px)._3.toSeq == px.toSeq)
+    // flips and 180 are involutions
+    for (o <- Seq(2, 3, 4)) {
+      val (w2, h2, p2) = apply(o, w, h, px)
+      assert(w2 == w && h2 == h)
+      assert(apply(o, w2, h2, p2)._3.toSeq == px.toSeq, s"o=$o not involution")
+      assert(p2.toSeq != px.toSeq, s"o=$o left pixels unchanged — vacuous")
+    }
+    // transposes are involutions and swap dims
+    for (o <- Seq(5, 7)) {
+      val (w2, h2, p2) = apply(o, w, h, px)
+      assert(w2 == h && h2 == w)
+      assert(apply(o, w2, h2, p2)._3.toSeq == px.toSeq, s"o=$o not involution")
+    }
+    // 6 and 8 are mutual inverses (rotate 90 each way)
+    val (w6, h6, p6) = apply(6, w, h, px)
+    assert(w6 == h && h6 == w)
+    assert(apply(8, w6, h6, p6)._3.toSeq == px.toSeq)
+    val (w8, h8, p8) = apply(8, w, h, px)
+    assert(apply(6, w8, h8, p8)._3.toSeq == px.toSeq)
+  }
+
+  test("EXIF orientation drives the transform end-to-end on a real JPEG") {
+    // the q162 fixture family: read orientation from APP1, normalize the
+    // decoded plane — dims must swap exactly when the tag says so
+    for (o <- 1 to 8) {
+      val app1 = Exif.app1Exif(o, "cam-1", "2024:01:01 10:30:00",
+        littleEndian = o % 2 == 0)
+      val p = Exif.withApp1(jpeg(o.toLong), app1)
+      val meta = Exif.exifFromJpeg(p).get
+      val (w, h, px) = Jpeg.decodeGray(p).get
+      val (ow, oh, out) = Multimodal.applyOrientation(w, h, px, meta.orientation)
+      if (o >= 5) assert(ow == h && oh == w) else assert(ow == w && oh == h)
+      assert(out.length == px.length)
+    }
+  }
+
   test("a missing NUL terminator on an ASCII value rejects") {
     val good = Exif.app1Exif(1, "cam-0", "2024:01:01 10:30:00", littleEndian = true)
     // Make data area starts at TIFF base + 50 (the builder's layout);
