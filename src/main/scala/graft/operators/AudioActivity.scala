@@ -93,4 +93,50 @@ object AudioActivity {
         Multimodal.MediaRow(id, "audio", out)
       })
   }
+
+  /** Per-frame feature extraction over decoded PCM — the grain an audio
+    * ML pipeline actually trains on: for each full `winFrames`-sample
+    * frame, the peak |amplitude|, the exact |amplitude| and squared
+    * sums (energy in integer form — callers divide/sqrt downstream so
+    * nothing here needs a float tolerance), and the zero-crossing count
+    * (adjacent-sample sign changes WITHIN the frame — the cheap
+    * voicing/noisiness discriminator). Same mapPartitions shape and
+    * quarantine semantics as [[extractActivity]]; a partial tail frame
+    * is ignored, matching the VAD's full-windows-only contract.
+    */
+  def extractFrameFeatures(
+      media: Dataset[Multimodal.MediaRow],
+      winFrames: Int): DataFrame = {
+    require(winFrames >= 1)
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      Multimodal.pcmSamples(r.payload).iterator
+        .filter(_._1.channels == 1)
+        .flatMap { case (_, samples) =>
+          val nWin = samples.length / winFrames
+          (0 until nWin).map { f =>
+            var peak = 0
+            var sumAbs = 0L
+            var sumSq = 0L
+            var zc = 0
+            var k = f * winFrames
+            val end = k + winFrames
+            while (k < end) {
+              val x = samples(k)
+              val ab = math.abs(x)
+              if (ab > peak) peak = ab
+              sumAbs += ab
+              sumSq += x.toLong * x
+              if (k > f * winFrames) {
+                val p = samples(k - 1)
+                if ((p < 0 && x >= 0) || (p >= 0 && x < 0)) zc += 1
+              }
+              k += 1
+            }
+            (r.media_id, f, peak, sumAbs, sumSq, zc)
+          }
+        }
+    }).toDF("media_id", "frame_idx", "peak", "sum_abs", "sum_sq",
+      "n_zero_cross")
+  }
 }

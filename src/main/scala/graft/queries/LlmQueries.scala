@@ -2015,6 +2015,44 @@ object LlmQueries {
           .toDF("media_id", "n_px", "px_checksum", "px_weighted")
     },
 
+    // Per-frame audio features over the VAD fixture: peak, exact
+    // |amplitude| and squared sums (integer energy — no float anywhere),
+    // and the zero-crossing count per 50-sample frame. The oracle
+    // regenerates every sample from the id arithmetic and replays the
+    // windowed lag for the crossings — a decoder slip, frame off-by-one,
+    // or sign-extension bug breaks some frame's row.
+    OpQuery.sql(
+      "q169_audio_frame_features",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(2 + doc_id % 4 AS BIGINT) AS lw,
+        |    CAST(3 + doc_id % 5 AS BIGINT) AS aw,
+        |    CAST(1 + doc_id % 3 AS BIGINT) AS tw
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |w AS (SELECT id, lw, aw,
+        |    unnest(generate_series(0, lw + aw + tw - 1)) AS f FROM v),
+        |s AS (SELECT id, f, lw, aw,
+        |    unnest(generate_series(f * 50, f * 50 + 49)) AS i FROM w),
+        |a AS (SELECT id, f, i,
+        |    CASE WHEN i >= lw * 50 AND i < (lw + aw) * 50
+        |         THEN ((id + 31 * i) % 256 - 128) * 256 ELSE 0 END AS x
+        |  FROM s),
+        |l AS (SELECT id, f, i, x,
+        |    lag(x) OVER (PARTITION BY id, f ORDER BY i) AS px FROM a)
+        |SELECT id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(max(abs(x)) AS INTEGER) AS peak,
+        |  CAST(sum(abs(x)) AS BIGINT) AS sum_abs,
+        |  CAST(sum(CAST(x AS BIGINT) * x) AS BIGINT) AS sum_sq,
+        |  CAST(sum(CASE WHEN px IS NOT NULL AND
+        |      ((px < 0 AND x >= 0) OR (px >= 0 AND x < 0))
+        |    THEN 1 ELSE 0 END) AS INTEGER) AS n_zero_cross
+        |FROM l GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        graft.operators.AudioActivity.extractFrameFeatures(
+          graft.operators.AudioActivity.vadWavFromDocuments(
+            s, load(s, dir, "documents")),
+          winFrames = 50)
+    },
+
     // Link-graph extraction: every <a href> of a synthesized page (an
     // href-less <a name> anchor planted to prove non-links don't match),
     // host parsed and lowercased, aggregated to the (src_site, dst_host)
