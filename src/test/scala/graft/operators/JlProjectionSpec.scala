@@ -50,6 +50,39 @@ class JlProjectionSpec extends SparkSuite {
     }
   }
 
+  test("Expression form is bit-identical to the relational DECIMAL form") {
+    val df = fixture(60, 32)
+    val relational = Similarity.jlProject(df, col("vec_id"),
+        col("embedding"), dOut = 8)
+      .as[(Long, Int, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val viaExpr = df.select(col("vec_id"),
+        posexplode(graft.functions.VectorExpressions.jlProject(
+          Similarity.toDouble(col("embedding")), dOut = 8))
+          .as(Seq("j", "y")))
+      .as[(Long, Int, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // exact equality, not tolerance: the expression replays the DECIMAL
+    // quantization and ordered rounding steps bit-for-bit
+    assert(relational == viaExpr)
+  }
+
+  test("Expression overflow fallback still matches the relational form") {
+    // magnitudes beyond the scale-10 long fast path (|x|·1e10 > 2^63)
+    // but inside Decimal(27,10)'s 17 integer digits — the band where
+    // the relational form still works and the long path must yield
+    val df = Seq((1L, Array(9.4e8f, -9.4e8f, 1.5f)),
+        (2L, Array(9.3e8f, 2.5f, -3.5f)))
+      .toDF("vec_id", "embedding")
+    val relational = Similarity.jlProject(df, col("vec_id"),
+        col("embedding"), dOut = 4)
+      .as[(Long, Int, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val viaExpr = df.select(col("vec_id"),
+        posexplode(graft.functions.VectorExpressions.jlProject(
+          Similarity.toDouble(col("embedding")), dOut = 4))
+          .as(Seq("j", "y")))
+      .as[(Long, Int, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(relational == viaExpr)
+  }
+
   test("JL-coarse + exact rerank recovers most of the exact top-k") {
     val df = fixture(200, 32)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("vec"))

@@ -66,10 +66,10 @@ class PlanShapeSpec extends SparkSuite {
     // pattern with |Q| = 1); the RRF fusion beyond it is a bounded
     // top-N full-outer join
     "q164_hybrid_rrf_retrieval" -> "broadcast of a single-row query vector",
-    // the q163 dim-list broadcast (twice, via jlProject) plus the coarse
-    // scan's corpus x broadcast bounded query list — the q40/q99 shape
-    // with the per-pair cost cut by dIn/dOut
-    "q165_jl_search_rerank" -> "broadcast of bounded query list / dim list")
+    // the coarse scan's corpus x broadcast bounded query list — the
+    // q40/q99 shape with the per-pair cost cut by dIn/dOut (projection
+    // itself is the row-local JlProjectExpr, no join)
+    "q165_jl_search_rerank" -> "broadcast of bounded query list")
 
   private def planOf(name: String): String = {
     val q = graft.SparkEntry.catalog.find(_.name == name).get
