@@ -133,6 +133,33 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
   }
 
+  /** Directional CONTAINMENT verify — the asymmetric companion to
+    * [[jaccardVerify]] for the quote-inclusion modality Jaccard
+    * misses: a short document wholly quoted inside a long one has
+    * containment(A in B) ≈ 1 while Jaccard ≈ |A|/|B| ≈ 0, so a
+    * symmetric threshold never fires. Same joins and shuffle shape as
+    * the Jaccard verify (per-pair shared-shingle count + per-doc
+    * sizes); emits both directions plus the Jaccard so one pass serves
+    * both decision rules. */
+  def containmentVerify(docShingles: DataFrame, pairs: DataFrame): DataFrame = {
+    val sizes = docShingles.groupBy("id").agg(count(lit(1)).as("n"))
+    val shared = pairs
+      .join(docShingles.select(col("id").as("id_a"), col("shingle").as("s")), Seq("id_a"))
+      .join(docShingles.select(col("id").as("id_b"), col("shingle").as("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("n_shared").cast("double") / col("n_a"), 6)
+          .as("containment_a"),
+        round(col("n_shared").cast("double") / col("n_b"), 6)
+          .as("containment_b"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
+  }
+
   /** [[jaccardVerify]] with BOUNDED per-pair cost — the guard for hot
     * candidate sets against huge documents, where the exact verify's
     * explode multiplies (pairs x shingles). Each doc is reduced to its

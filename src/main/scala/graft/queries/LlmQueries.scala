@@ -2029,6 +2029,59 @@ object LlmQueries {
           .toDF("media_id", "n_px", "px_checksum", "px_weighted")
     },
 
+    // Directional CONTAINMENT scores — the quote-inclusion modality
+    // Jaccard misses: a 25-word prefix quoted out of a long document
+    // has containment ≈ 1 in one direction while Jaccard ≈ |A|/|B|
+    // stays tiny, so a symmetric threshold never fires. The fixture
+    // plants prefix-quote twins (id + 10000) plus shifted non-quote
+    // pairs as controls; the oracle replays slicing, shingles, and both
+    // directional ratios.
+    OpQuery.sql(
+      "q171_containment_dedup",
+      s"""WITH t AS (SELECT doc_id, string_split($DuckNorm, ' ') w FROM documents),
+         |i1 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM t),
+         |sh AS (SELECT DISTINCT doc_id AS id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM i1),
+         |tq AS (SELECT doc_id, w[1:25] AS v FROM t WHERE len(w) >= 28),
+         |i2 AS (SELECT doc_id, v, unnest(generate_series(1, len(v) - 2)) AS i FROM tq),
+         |qh AS (SELECT DISTINCT doc_id + 10000 AS id, v[i] || ' ' || v[i+1] || ' ' || v[i+2] AS s FROM i2),
+         |al AS (SELECT id, s FROM sh UNION ALL SELECT id, s FROM qh),
+         |p AS (SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM t WHERE len(w) >= 28
+         |  UNION ALL
+         |  SELECT a.doc_id, b.doc_id + 10000 FROM t a JOIN t b
+         |    ON b.doc_id = a.doc_id + 5 WHERE len(b.w) >= 28),
+         |sz AS (SELECT id, count(*) AS n FROM al GROUP BY 1),
+         |shared AS (SELECT id_a, id_b, count(*) AS n_shared
+         |  FROM p JOIN al a ON a.id = id_a JOIN al b ON b.id = id_b AND b.s = a.s
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(n_shared AS DOUBLE) / a.n, 6) AS containment_a,
+         |  round(CAST(n_shared AS DOUBLE) / b.n, 6) AS containment_b,
+         |  round(CAST(n_shared AS DOUBLE) / (a.n + b.n - n_shared), 6) AS jaccard
+         |FROM shared JOIN sz a ON a.id = id_a JOIN sz b ON b.id = id_b""".stripMargin) {
+      (s, dir) =>
+        val docs = load(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.words(TextAnalysis.normalize(col("text"))).as("w"))
+        val base = docs.select(col("doc_id").as("id"),
+            explode(TextAnalysis.shingles(col("w"), 3)).as("shingle"))
+          .distinct()
+        val quotes = docs.filter(size(col("w")) >= 28)
+          .select((col("doc_id") + 10000).as("id"),
+            explode(TextAnalysis.shingles(slice(col("w"), 1, 25), 3))
+              .as("shingle"))
+          .distinct()
+        val selfPairs = docs.filter(size(col("w")) >= 28)
+          .select(col("doc_id").as("id_a"),
+            (col("doc_id") + 10000).as("id_b"))
+        val shiftPairs = docs.select(col("doc_id").as("id_a"))
+          .join(docs.filter(size(col("w")) >= 28)
+            .select((col("doc_id") - 5).as("id_a"),
+              (col("doc_id") + 10000).as("id_b")), Seq("id_a"))
+        Dedup.containmentVerify(
+          base.unionByName(quotes),
+          selfPairs.unionByName(shiftPairs))
+    },
+
     // Per-frame audio features over the VAD fixture: peak, exact
     // |amplitude| and squared sums (integer energy — no float anywhere),
     // and the zero-crossing count per 50-sample frame. The oracle
