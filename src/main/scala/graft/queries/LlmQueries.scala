@@ -526,6 +526,102 @@ object LlmQueries {
         Dedup.jaccardVerify(docShingles, pairs).filter(col("jaccard") >= 0.1)
     },
 
+    // LSH candidate-quality EVALUATION as a first-class query — the
+    // "measure, don't guess" harness for the banding parameters: recall
+    // of the band-join candidates against the exact >= 0.1 pair set and
+    // the candidate purity before verify, in one row. The exact side is
+    // the labeled quadratic baseline, so this shares q33's small-sf
+    // evaluation role; at scale the same query runs over a sampled
+    // shard. A parameter change that silently costs recall now breaks
+    // an oracle row instead of a recall promise in a comment.
+    OpQuery.sql(
+      "q172_lsh_recall_eval",
+      s"""WITH t AS (SELECT doc_id, string_split($DuckNorm, ' ') w FROM documents),
+         |i AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM t),
+         |sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s FROM i),
+         |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+         |ep AS (SELECT l.doc_id id_a, r.doc_id id_b, count(*) n_shared
+         |  FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2),
+         |exact AS (SELECT id_a, id_b FROM ep
+         |  JOIN sz a ON a.doc_id = id_a JOIN sz b ON b.doc_id = id_b
+         |  WHERE round(CAST(n_shared AS DOUBLE) / (a.n + b.n - n_shared), 6) >= 0.1),
+         |mh AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || s)) h
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) j) GROUP BY doc_id, j),
+         |bands AS (SELECT doc_id, CAST(j // 2 AS INTEGER) band,
+         |    string_agg(h, '' ORDER BY j) bkey
+         |  FROM mh GROUP BY doc_id, 2),
+         |cand AS (SELECT DISTINCT l.doc_id id_a, r.doc_id id_b
+         |  FROM bands l JOIN bands r
+         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+         |hit AS (SELECT count(*) n FROM exact e JOIN cand c
+         |  ON e.id_a = c.id_a AND e.id_b = c.id_b)
+         |SELECT (SELECT count(*) FROM exact) AS n_exact,
+         |  (SELECT count(*) FROM cand) AS n_candidates,
+         |  (SELECT n FROM hit) AS n_hit,
+         |  round(CAST((SELECT n FROM hit) AS DOUBLE)
+         |    / nullif((SELECT count(*) FROM exact), 0), 6) AS recall,
+         |  round(CAST((SELECT n FROM hit) AS DOUBLE)
+         |    / nullif((SELECT count(*) FROM cand), 0), 6) AS cand_precision""".stripMargin) {
+      (s, dir) =>
+        val docShingles = load(s, dir, "documents")
+          .select(col("doc_id").as("id"),
+            explode(TextAnalysis.shingles(
+              TextAnalysis.words(TextAnalysis.normalize(col("text"))), 3)).as("shingle"))
+          .distinct().cache()
+        val exact = Dedup.ngramJaccardPairs(docShingles, 0.1)
+          .select(col("id_a"), col("id_b"))
+        val cand = Dedup.lshCandidatePairs(Dedup.minhashBands(docShingles, 8, 2))
+        val hits = exact.join(cand, Seq("id_a", "id_b"))
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+          .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
+          .select(col("n_exact"), col("n_candidates"), col("n_hit"),
+            round(col("n_hit").cast("double") /
+              nullif(col("n_exact"), lit(0)), 6).as("recall"),
+            round(col("n_hit").cast("double") /
+              nullif(col("n_candidates"), lit(0)), 6).as("cand_precision"))
+    },
+
+    // Temperature-scaled mixture weights (the multilingual sampling
+    // recipe: w_s ∝ share_s^(1/T), T = 2, i.e. sqrt — upweights tail
+    // sources without flattening the head). sqrt(N) cancels in the
+    // normalization, so weights are sqrt(n_s) / Σ sqrt(n_s); each
+    // per-source sqrt is rounded to 9 decimals and summed in EXACT
+    // DECIMAL so the denominator — and therefore every weight — is
+    // independent of aggregation order and replays bit-for-bit.
+    OpQuery.sql(
+      "q173_temperature_mixture",
+      """WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |r AS (SELECT source, n_docs,
+        |    CAST(round(sqrt(CAST(n_docs AS DOUBLE)), 9) AS DECIMAL(27,10)) AS rt
+        |  FROM s),
+        |d AS (SELECT sum(rt) AS denom, sum(n_docs) AS n_total FROM r)
+        |SELECT source, n_docs,
+        |  round(CAST(n_docs AS DOUBLE) / n_total, 6) AS share,
+        |  round(CAST(rt AS DOUBLE) / CAST(denom AS DOUBLE), 6) AS weight,
+        |  round((CAST(rt AS DOUBLE) / CAST(denom AS DOUBLE))
+        |    / (CAST(n_docs AS DOUBLE) / n_total), 6) AS upsample_factor
+        |FROM r, d""".stripMargin) {
+      (s, dir) =>
+        val bySource = load(s, dir, "documents")
+          .groupBy("source").agg(count(lit(1)).as("n_docs"))
+          .withColumn("rt",
+            round(sqrt(col("n_docs").cast("double")), 9)
+              .cast("decimal(27,10)"))
+        val totals = bySource.agg(
+          sum(col("rt")).as("denom"), sum(col("n_docs")).as("n_total"))
+        bySource.crossJoin(broadcast(totals))
+          .select(col("source"), col("n_docs"),
+            round(col("n_docs").cast("double") / col("n_total"), 6)
+              .as("share"),
+            round(col("rt").cast("double") / col("denom").cast("double"), 6)
+              .as("weight"),
+            round((col("rt").cast("double") / col("denom").cast("double")) /
+              (col("n_docs").cast("double") / col("n_total")), 6)
+              .as("upsample_factor"))
+    },
+
     // Capped-bucket LSH — the adversarial-input guard: any band bucket
     // holding more than 6 docs (a boilerplate band) is dropped before
     // pair enumeration, bounding the per-bucket cost at cap²/2 no matter

@@ -69,7 +69,11 @@ class PlanShapeSpec extends SparkSuite {
     // the coarse scan's corpus x broadcast bounded query list — the
     // q40/q99 shape with the per-pair cost cut by dIn/dOut (projection
     // itself is the row-local JlProjectExpr, no join)
-    "q165_jl_search_rerank" -> "broadcast of bounded query list")
+    "q165_jl_search_rerank" -> "broadcast of bounded query list",
+    // three single-row aggregates joined into one metrics row
+    "q172_lsh_recall_eval" -> "broadcast of single-row aggregates",
+    // per-source rows x broadcast 1-row (denom, total) aggregate
+    "q173_temperature_mixture" -> "broadcast of a single-row global aggregate")
 
   private def planOf(name: String): String = {
     val q = graft.SparkEntry.catalog.find(_.name == name).get
