@@ -622,6 +622,42 @@ object LlmQueries {
               .as("upsample_factor"))
     },
 
+    // Join-key skew diagnosis — the pre-flight report behind every
+    // salting/AQE decision in SCALE.md: per-key frequencies bucketed by
+    // floor(log2), with each bucket's key count, row count, and row
+    // share, plus the corpus-wide max/avg ratio on every row. Two
+    // shuffles (key count, bucket rollup) + a single-row broadcast; at
+    // 100 TB this is the cheap scan you run BEFORE the expensive join.
+    OpQuery.sql(
+      "q174_skew_diagnosis",
+      """WITH f AS (SELECT user_id, count(*) AS freq FROM events GROUP BY 1),
+        |b AS (SELECT CAST(floor(log2(freq)) AS INTEGER) AS bucket,
+        |    count(*) AS n_keys, sum(freq) AS n_rows, max(freq) AS max_freq
+        |  FROM f GROUP BY 1),
+        |t AS (SELECT sum(n_rows) AS total_rows, sum(n_keys) AS total_keys,
+        |    max(max_freq) AS global_max FROM b)
+        |SELECT bucket, n_keys, n_rows,
+        |  round(CAST(n_rows AS DOUBLE) / total_rows, 6) AS row_share,
+        |  round(CAST(global_max AS DOUBLE)
+        |    / (CAST(total_rows AS DOUBLE) / total_keys), 6) AS skew_ratio
+        |FROM b, t""".stripMargin) {
+      (s, dir) =>
+        val f = load(s, dir, "events")
+          .groupBy("user_id").agg(count(lit(1)).as("freq"))
+        val b = f.groupBy(floor(log2(col("freq"))).cast("int").as("bucket"))
+          .agg(count(lit(1)).as("n_keys"), sum("freq").as("n_rows"),
+            max("freq").as("max_freq"))
+        val t = b.agg(sum("n_rows").as("total_rows"),
+          sum("n_keys").as("total_keys"), max("max_freq").as("global_max"))
+        b.crossJoin(broadcast(t))
+          .select(col("bucket"), col("n_keys"), col("n_rows"),
+            round(col("n_rows").cast("double") / col("total_rows"), 6)
+              .as("row_share"),
+            round(col("global_max").cast("double") /
+              (col("total_rows").cast("double") / col("total_keys")), 6)
+              .as("skew_ratio"))
+    },
+
     // Capped-bucket LSH — the adversarial-input guard: any band bucket
     // holding more than 6 docs (a boilerplate band) is dropped before
     // pair enumeration, bounding the per-bucket cost at cap²/2 no matter

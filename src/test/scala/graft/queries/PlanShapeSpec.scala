@@ -73,7 +73,9 @@ class PlanShapeSpec extends SparkSuite {
     // three single-row aggregates joined into one metrics row
     "q172_lsh_recall_eval" -> "broadcast of single-row aggregates",
     // per-source rows x broadcast 1-row (denom, total) aggregate
-    "q173_temperature_mixture" -> "broadcast of a single-row global aggregate")
+    "q173_temperature_mixture" -> "broadcast of a single-row global aggregate",
+    // frequency buckets x broadcast 1-row (totals, global max) aggregate
+    "q174_skew_diagnosis" -> "broadcast of a single-row global aggregate")
 
   private def planOf(name: String): String = {
     val q = graft.SparkEntry.catalog.find(_.name == name).get
