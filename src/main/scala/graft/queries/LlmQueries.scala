@@ -622,6 +622,50 @@ object LlmQueries {
               .as("upsample_factor"))
     },
 
+    // Per-document NOVELTY score — decontamination's direction
+    // reversed: for each held-out doc (doc_id % 10 = 0), the fraction
+    // of its distinct 5-grams already present anywhere in the training
+    // slice. q64 DROPS contaminated docs; this REPORTS the overlap per
+    // doc — the memorization-risk metric a dataset card publishes. The
+    // training side reduces to a distinct-gram set (shuffled by gram,
+    // never by doc), the eval side left-semi-marks against it, and the
+    // ratio is exact integer division rounded at the end.
+    OpQuery.sql(
+      "q175_novelty_score",
+      s"""WITH t AS (SELECT doc_id, string_split($DuckNorm, ' ') w FROM documents),
+         |i AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i FROM t),
+         |g AS (SELECT DISTINCT doc_id,
+         |    w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS s
+         |  FROM i),
+         |train AS (SELECT DISTINCT s FROM g WHERE doc_id % 10 <> 0),
+         |ev AS (SELECT doc_id, s FROM g WHERE doc_id % 10 = 0),
+         |m AS (SELECT doc_id, count(*) AS n_grams,
+         |    sum(CASE WHEN s IN (SELECT s FROM train) THEN 1 ELSE 0 END)
+         |      AS n_seen
+         |  FROM ev GROUP BY 1)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |  CAST(n_seen AS BIGINT) AS n_seen,
+         |  round(CAST(n_seen AS DOUBLE) / n_grams, 6) AS overlap_ratio
+         |FROM m""".stripMargin) {
+      (s, dir) =>
+        val grams = load(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextAnalysis.shingles(
+              TextAnalysis.words(TextAnalysis.normalize(col("text"))), 5))
+              .as("s"))
+          .distinct()
+        val train = grams.filter(col("doc_id") % 10 =!= 0)
+          .select(col("s")).distinct()
+        val ev = grams.filter(col("doc_id") % 10 === 0)
+        ev.join(train.withColumn("seen", lit(1)), Seq("s"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(coalesce(col("seen"), lit(0))).cast("long").as("n_seen"))
+          .select(col("doc_id"), col("n_grams"), col("n_seen"),
+            round(col("n_seen").cast("double") / col("n_grams"), 6)
+              .as("overlap_ratio"))
+    },
+
     // Join-key skew diagnosis — the pre-flight report behind every
     // salting/AQE decision in SCALE.md: per-key frequencies bucketed by
     // floor(log2), with each bucket's key count, row count, and row
