@@ -335,6 +335,57 @@ object CurationQueries {
           .select(col("id").as("doc_id"), col("bucket"), col("seq_id"), col("seq_offset"))
     },
 
+    // Packed-sequence BOUNDARY metadata (q66's pack, loader-side view):
+    // per (bucket, sequence) the doc count, token sum, and the ordered
+    // offset:doc:ntok boundary string — what a training loader needs to
+    // build block-diagonal attention masks over packed sequences. The
+    // boundary list is collected sorted-by-offset and joined to ONE
+    // deterministic string, so the oracle compares the exact assembly
+    // order without array-typed columns in the compare.
+    OpQuery.sql(
+      "q176_pack_boundaries",
+      s"""WITH d AS (SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         |    ${duckBucket("pack", 8)} AS bucket
+         |  FROM documents),
+         |c AS (SELECT doc_id, bucket, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM d),
+         |p AS (SELECT doc_id, bucket, n_tokens,
+         |    CAST(cum // 2048 AS BIGINT) AS seq_id,
+         |    CAST(cum % 2048 AS BIGINT) AS seq_offset
+         |  FROM c)
+         |SELECT bucket, seq_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  string_agg(CAST(seq_offset AS VARCHAR) || ':' ||
+         |      CAST(doc_id AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR),
+         |    ',' ORDER BY seq_offset, doc_id) AS boundaries
+         |FROM p GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        val toks = load(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.tokenCountWhitespace(col("text")).cast("long")
+              .as("n_tokens"))
+        val packed = Curation.packSequences(
+            toks, col("doc_id"), col("n_tokens"), budget = 2048, buckets = 8)
+          .join(toks.select(col("doc_id").as("id"), col("n_tokens")),
+            Seq("id"))
+        packed.groupBy("bucket", "seq_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("n_tokens"),
+            array_join(
+              transform(
+                array_sort(collect_list(struct(
+                  col("seq_offset"), col("id"), col("n_tokens")))),
+                x => concat_ws(":",
+                  x.getField("seq_offset"), x.getField("id"),
+                  x.getField("n_tokens"))),
+              ",").as("boundaries"))
+    },
+
     // LM-perplexity quality scoring (the CCNet recipe, round 5): an
     // add-one-smoothed bigram word model TRAINED on the trusted 80%
     // split scores EVERY doc by average negative log-likelihood — the
