@@ -622,6 +622,90 @@ object LlmQueries {
               .as("upsample_factor"))
     },
 
+    // Incremental EXACT-dedup ingest (the registry form of q32): a new
+    // batch (doc_id % 10 = 0) joins the stored content-hash registry —
+    // O(batch) keyed lookups, the registry never rescanned — and each
+    // batch doc gets a verdict: duplicate of a stored doc, duplicate
+    // within the batch (min-id keeps), or unique. The batch's winners
+    // are exactly the rows a registry append would commit, so this is
+    // the per-tick decision table of streaming exact dedup.
+    OpQuery.sql(
+      "q177_exact_dedup_incremental",
+      s"""WITH h AS (SELECT doc_id, md5($DuckNorm) AS content_hash FROM documents),
+         |stored AS (SELECT content_hash, min(doc_id) AS stored_id FROM h
+         |  WHERE doc_id % 10 <> 0 GROUP BY 1),
+         |batch AS (SELECT doc_id, content_hash FROM h WHERE doc_id % 10 = 0),
+         |bmin AS (SELECT content_hash, min(doc_id) AS batch_min FROM batch GROUP BY 1)
+         |SELECT b.doc_id, b.content_hash,
+         |  CASE WHEN s.stored_id IS NOT NULL THEN 'dup_of_stored'
+         |       WHEN b.doc_id > m.batch_min THEN 'dup_in_batch'
+         |       ELSE 'unique' END AS verdict,
+         |  coalesce(s.stored_id,
+         |    CASE WHEN b.doc_id > m.batch_min THEN m.batch_min END)
+         |    AS canonical_id
+         |FROM batch b
+         |LEFT JOIN stored s USING (content_hash)
+         |JOIN bmin m USING (content_hash)""".stripMargin) {
+      (s, dir) =>
+        val h = load(s, dir, "documents")
+          .select(col("doc_id"),
+            md5(TextAnalysis.normalize(col("text"))).as("content_hash"))
+        val stored = h.filter(col("doc_id") % 10 =!= 0)
+          .groupBy("content_hash").agg(min("doc_id").as("stored_id"))
+        val batch = h.filter(col("doc_id") % 10 === 0)
+        val bmin = batch.groupBy("content_hash")
+          .agg(min("doc_id").as("batch_min"))
+        batch
+          .join(stored, Seq("content_hash"), "left")
+          .join(bmin, Seq("content_hash"))
+          .select(col("doc_id"), col("content_hash"),
+            when(col("stored_id").isNotNull, "dup_of_stored")
+              .when(col("doc_id") > col("batch_min"), "dup_in_batch")
+              .otherwise("unique").as("verdict"),
+            coalesce(col("stored_id"),
+              when(col("doc_id") > col("batch_min"), col("batch_min")))
+              .as("canonical_id"))
+    },
+
+    // Dataset-card summary: the (source, lang) inventory a corpus
+    // release publishes — docs, whitespace tokens, and corpus share at
+    // the leaf grain PLUS per-source and overall subtotals in one
+    // ROLLUP pass (grouping-id distinguishes the levels). One shuffle;
+    // subtotal rows are map-side-combinable partial sums.
+    OpQuery.sql(
+      "q178_dataset_card",
+      """WITH d AS (SELECT source, lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+        |  FROM documents),
+        |t AS (SELECT CAST(sum(n_tok) AS DOUBLE) AS total_tok FROM d)
+        |SELECT coalesce(source, '<all>') AS source,
+        |  coalesce(lang, '<all>') AS lang,
+        |  CAST(grouping(source) * 2 + grouping(lang) AS INTEGER) AS lvl,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(n_tok) AS DOUBLE) / (SELECT total_tok FROM t), 6)
+        |    AS token_share
+        |FROM d GROUP BY ROLLUP (source, lang)""".stripMargin) {
+      (s, dir) =>
+        val d = load(s, dir, "documents")
+          .select(col("source"), col("lang"),
+            TextAnalysis.tokenCountWhitespace(col("text")).cast("long")
+              .as("n_tok"))
+        val total = d.agg(sum("n_tok").cast("double").as("total_tok"))
+        d.rollup("source", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+            (grouping(col("source")) * 2 + grouping(col("lang")))
+              .cast("int").as("lvl"))
+          .crossJoin(broadcast(total))
+          .select(
+            coalesce(col("source"), lit("<all>")).as("source"),
+            coalesce(col("lang"), lit("<all>")).as("lang"),
+            col("lvl"), col("n_docs"), col("n_tokens"),
+            round(col("n_tokens").cast("double") / col("total_tok"), 6)
+              .as("token_share"))
+    },
+
     // Per-document NOVELTY score — decontamination's direction
     // reversed: for each held-out doc (doc_id % 10 = 0), the fraction
     // of its distinct 5-grams already present anywhere in the training

@@ -75,7 +75,9 @@ class PlanShapeSpec extends SparkSuite {
     // per-source rows x broadcast 1-row (denom, total) aggregate
     "q173_temperature_mixture" -> "broadcast of a single-row global aggregate",
     // frequency buckets x broadcast 1-row (totals, global max) aggregate
-    "q174_skew_diagnosis" -> "broadcast of a single-row global aggregate")
+    "q174_skew_diagnosis" -> "broadcast of a single-row global aggregate",
+    // rollup rows x broadcast 1-row corpus token total
+    "q178_dataset_card" -> "broadcast of a single-row global aggregate")
 
   private def planOf(name: String): String = {
     val q = graft.SparkEntry.catalog.find(_.name == name).get
