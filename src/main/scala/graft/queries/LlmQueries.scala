@@ -667,6 +667,34 @@ object LlmQueries {
               .as("canonical_id"))
     },
 
+    // Per-source duplication-rate report — the dedup telemetry a corpus
+    // release publishes next to the q178 card: exact-hash groups per
+    // source, the duplicate fraction, and the largest clone family.
+    // One hash-grain aggregate then one source-grain rollup; both
+    // map-side combinable.
+    OpQuery.sql(
+      "q179_dedup_rate_by_source",
+      s"""WITH h AS (SELECT source, md5($DuckNorm) AS ch FROM documents),
+         |g AS (SELECT source, ch, count(*) AS n FROM h GROUP BY 1, 2)
+         |SELECT source,
+         |  CAST(sum(n) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_unique,
+         |  round(1.0 - CAST(count(*) AS DOUBLE) / sum(n), 6) AS dup_rate,
+         |  CAST(max(n) AS BIGINT) AS max_clone_family
+         |FROM g GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        load(s, dir, "documents")
+          .groupBy(col("source"),
+            md5(TextAnalysis.normalize(col("text"))).as("ch"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy("source")
+          .agg(sum("n").as("n_docs"),
+            count(lit(1)).as("n_unique"),
+            round(lit(1.0) - count(lit(1)).cast("double") / sum("n"), 6)
+              .as("dup_rate"),
+            max("n").as("max_clone_family"))
+    },
+
     // Dataset-card summary: the (source, lang) inventory a corpus
     // release publishes — docs, whitespace tokens, and corpus share at
     // the leaf grain PLUS per-source and overall subtotals in one
