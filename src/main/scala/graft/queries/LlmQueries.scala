@@ -667,6 +667,53 @@ object LlmQueries {
               .as("canonical_id"))
     },
 
+    // LSH banding parameter SWEEP — three (bands × rows) splits of the
+    // SAME 8 minhashes, each with its candidate count and the standard
+    // (1/b)^(1/r) threshold estimate, in one result. With q172's recall
+    // row this is the complete tuning loop as oracle-checked queries:
+    // pick the config whose threshold matches the dedup bar, verify its
+    // recall, all gated. One shingle/minhash pass feeds all three
+    // bandings (cached), so the sweep costs candidates, not re-hashing.
+    OpQuery.sql(
+      "q180_lsh_parameter_sweep",
+      s"""WITH t AS (SELECT doc_id, string_split($DuckNorm, ' ') w FROM documents),
+         |i AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM t),
+         |sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s FROM i),
+         |mh AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || s)) h
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) j) GROUP BY doc_id, j),
+         |cfg AS (SELECT * FROM (VALUES (4, 2), (2, 4), (8, 1)) AS c(bands, rows_per_band)),
+         |b AS (SELECT c.bands, c.rows_per_band, m.doc_id,
+         |    CAST(m.j // c.rows_per_band AS INTEGER) AS band,
+         |    string_agg(m.h, '' ORDER BY m.j) AS bkey
+         |  FROM mh m CROSS JOIN cfg c
+         |  GROUP BY 1, 2, 3, 4),
+         |cand AS (SELECT l.bands, l.rows_per_band,
+         |    count(DISTINCT (l.doc_id, r.doc_id)) AS n_candidates
+         |  FROM b l JOIN b r ON l.bands = r.bands
+         |    AND l.rows_per_band = r.rows_per_band
+         |    AND l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT c.bands, c.rows_per_band,
+         |  CAST(coalesce(n.n_candidates, 0) AS BIGINT) AS n_candidates,
+         |  round(pow(1.0 / c.bands, 1.0 / c.rows_per_band), 6) AS threshold_est
+         |FROM cfg c LEFT JOIN cand n
+         |  ON n.bands = c.bands AND n.rows_per_band = c.rows_per_band""".stripMargin) {
+      (s, dir) =>
+        val docShingles = load(s, dir, "documents")
+          .select(col("doc_id").as("id"),
+            explode(TextAnalysis.shingles(
+              TextAnalysis.words(TextAnalysis.normalize(col("text"))), 3)).as("shingle"))
+          .distinct().cache()
+        val sweep = Seq((4, 2), (2, 4), (8, 1)).map { case (b, r) =>
+          Dedup.lshCandidatePairs(Dedup.minhashBands(docShingles, 8, r))
+            .agg(count(lit(1)).as("n_candidates"))
+            .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+              col("n_candidates"),
+              round(pow(lit(1.0) / b, lit(1.0) / r), 6).as("threshold_est"))
+        }
+        sweep.reduce(_ unionByName _)
+    },
+
     // Per-source duplication-rate report — the dedup telemetry a corpus
     // release publishes next to the q178 card: exact-hash groups per
     // source, the duplicate fraction, and the largest clone family.
