@@ -667,6 +667,99 @@ object LlmQueries {
               .as("canonical_id"))
     },
 
+    // Unicode SCRIPT-mix triage — the multilingual pre-pass before any
+    // language ID: per-doc character counts in five script ranges plus
+    // the dominant script (deterministic tie-break on the fixed class
+    // order). Counts are length deltas under class-stripping regexps —
+    // pure per-row projections both engines run verbatim; mixed-script
+    // docs (the mojibake / spam signal) fall out as rows where the
+    // dominant share is low.
+    OpQuery.sql(
+      "q181_script_mix",
+      """WITH c AS (SELECT doc_id,
+        |  length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS latin,
+        |  length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) AS cyrillic,
+        |  length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS cjk,
+        |  length(text) - length(regexp_replace(text, '[\x{0600}-\x{06FF}]', '', 'g')) AS arabic,
+        |  length(text) - length(regexp_replace(text, '[\x{0370}-\x{03FF}]', '', 'g')) AS greek
+        |  FROM documents)
+        |SELECT doc_id, CAST(latin AS BIGINT) AS latin,
+        |  CAST(cyrillic AS BIGINT) AS cyrillic, CAST(cjk AS BIGINT) AS cjk,
+        |  CAST(arabic AS BIGINT) AS arabic, CAST(greek AS BIGINT) AS greek,
+        |  CASE WHEN latin >= cyrillic AND latin >= cjk AND latin >= arabic AND latin >= greek THEN 'latin'
+        |       WHEN cyrillic >= cjk AND cyrillic >= arabic AND cyrillic >= greek THEN 'cyrillic'
+        |       WHEN cjk >= arabic AND cjk >= greek THEN 'cjk'
+        |       WHEN arabic >= greek THEN 'arabic'
+        |       ELSE 'greek' END AS dominant
+        |FROM c""".stripMargin) {
+      (s, dir) =>
+        def cnt(cls: String) =
+          length(col("text")) -
+            length(regexp_replace(col("text"), cls, ""))
+        load(s, dir, "documents")
+          .select(col("doc_id"),
+            cnt("[A-Za-z]").cast("long").as("latin"),
+            cnt("[\\x{0400}-\\x{04FF}]").cast("long").as("cyrillic"),
+            cnt("[\\x{4E00}-\\x{9FFF}]").cast("long").as("cjk"),
+            cnt("[\\x{0600}-\\x{06FF}]").cast("long").as("arabic"),
+            cnt("[\\x{0370}-\\x{03FF}]").cast("long").as("greek"))
+          .withColumn("dominant",
+            when(col("latin") >= col("cyrillic") && col("latin") >= col("cjk") &&
+              col("latin") >= col("arabic") && col("latin") >= col("greek"), "latin")
+              .when(col("cyrillic") >= col("cjk") &&
+                col("cyrillic") >= col("arabic") &&
+                col("cyrillic") >= col("greek"), "cyrillic")
+              .when(col("cjk") >= col("arabic") &&
+                col("cjk") >= col("greek"), "cjk")
+              .when(col("arabic") >= col("greek"), "arabic")
+              .otherwise("greek"))
+    },
+
+    // Special-token contamination scan — pretraining hygiene: raw text
+    // containing a model's control tokens poisons the tokenizer's
+    // specials, so releases scan for them verbatim. Literal `instr`
+    // containment (no regex — the tokens contain regex metachars), one
+    // row per planted token with doc and occurrence counts. The fixture
+    // plants tokens into a deterministic doc slice through the same
+    // expression the scan runs on, so a miscount breaks the row.
+    OpQuery.sql(
+      "q182_special_token_scan",
+      """WITH f AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN text || ' <|endoftext|> tail'
+        |         WHEN doc_id % 23 = 0 THEN '[INST] ' || text || ' [INST]'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |tok AS (SELECT unnest(['<|endoftext|>', '[INST]', '<s>']) AS token),
+        |m AS (SELECT t.token, f.doc_id,
+        |    (length(f.text) - length(replace(f.text, t.token, '')))
+        |      // length(t.token) AS n
+        |  FROM f CROSS JOIN tok t)
+        |SELECT token,
+        |  CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_occurrences
+        |FROM m GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        val tokens = Seq("<|endoftext|>", "[INST]", "<s>")
+        val f = load(s, dir, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") % 17 === 0,
+              concat(col("text"), lit(" <|endoftext|> tail")))
+              .when(col("doc_id") % 23 === 0,
+                concat(lit("[INST] "), col("text"), lit(" [INST]")))
+              .otherwise(col("text")).as("text"))
+        tokens.map { t =>
+          f.select(
+              ((length(col("text")) -
+                length(replace(col("text"), lit(t), lit("")))) / t.length)
+                .cast("long").as("n"))
+            .agg(
+              sum(when(col("n") > 0, 1).otherwise(0)).cast("long")
+                .as("n_docs"),
+              sum(col("n")).as("n_occurrences"))
+            .select(lit(t).as("token"), col("n_docs"), col("n_occurrences"))
+        }.reduce(_ unionByName _)
+    },
+
     // LSH banding parameter SWEEP — three (bands × rows) splits of the
     // SAME 8 minhashes, each with its candidate count and the standard
     // (1/b)^(1/r) threshold estimate, in one result. With q172's recall
