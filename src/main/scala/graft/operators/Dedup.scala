@@ -133,6 +133,45 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken — the MOSS
+    * algorithm): per position, the MINIMUM k-gram hash over a sliding
+    * window of `w` consecutive k-grams; the doc's fingerprint set is
+    * the distinct window minima. The guarantee MinHash doesn't give:
+    * any shared run of at least w + k - 1 tokens between two documents
+    * is CERTAIN to share a fingerprint (both sides' windows over the
+    * run see the same minimum) — detection of long verbatim overlap is
+    * deterministic, not probabilistic. Cost: one window pass per doc
+    * (shuffle by doc, sort by position) + a distinct; the cross-doc
+    * join shuffles by fingerprint, never all-pairs.
+    *
+    * `positional`: (id, pos, gram) — consecutive k-grams IN ORDER (the
+    * posexploded shingle array). Returns distinct (id, fp). */
+  def winnowFingerprints(positional: DataFrame, w: Int): DataFrame = {
+    require(w >= 1)
+    val hashed = positional.select(col("id"), col("pos"),
+      conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("h"))
+    val win = Window.partitionBy("id").orderBy("pos")
+    hashed
+      .withColumn("fp", min("h").over(win.rowsBetween(0, w - 1)))
+      // only FULL windows define fingerprints — a tail window of fewer
+      // than w grams would mint fingerprints the guarantee doesn't cover
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
+      .filter(col("pos") <= col("n") - w)
+      .select(col("id"), col("fp"))
+      .distinct()
+  }
+
+  /** Cross-document overlap via shared winnowing fingerprints: pairs
+    * ordered (id_a < id_b) with their shared-fingerprint count — the
+    * long-verbatim-overlap report. */
+  def winnowOverlapPairs(fingerprints: DataFrame, minShared: Int): DataFrame =
+    fingerprints.select(col("id").as("id_a"), col("fp"))
+      .join(fingerprints.select(col("id").as("id_b"), col("fp")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .filter(col("n_shared_fps") >= minShared)
+
   /** Directional CONTAINMENT verify — the asymmetric companion to
     * [[jaccardVerify]] for the quote-inclusion modality Jaccard
     * misses: a short document wholly quoted inside a long one has

@@ -667,6 +667,42 @@ object LlmQueries {
               .as("canonical_id"))
     },
 
+    // WINNOWING fingerprints (the MOSS algorithm) — the dedup modality
+    // with a DETERMINISTIC guarantee MinHash lacks: any shared verbatim
+    // run of >= w + k - 1 tokens (here 6) is certain to share a window
+    // minimum, so long-overlap detection never depends on hash luck.
+    // One window pass per doc + a fingerprint-keyed join (never
+    // all-pairs); the oracle replays hashing, window minima, the
+    // full-window cutoff, and the overlap counts.
+    OpQuery.sql(
+      "q183_winnow_overlap",
+      s"""WITH t AS (SELECT doc_id, string_split($DuckNorm, ' ') w FROM documents),
+         |g AS (SELECT doc_id, i - 1 AS pos, w[i]||' '||w[i+1]||' '||w[i+2] AS gram
+         |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) i FROM t) z),
+         |h AS (SELECT doc_id, pos,
+         |    CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT) AS hh FROM g),
+         |wmin AS (SELECT doc_id, pos,
+         |    min(hh) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         |    count(*) OVER (PARTITION BY doc_id) AS n
+         |  FROM h),
+         |fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE pos <= n - 4),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    count(*) AS n_shared_fps
+         |  FROM fps a JOIN fps b ON b.fp = a.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(n_shared_fps AS BIGINT) AS n_shared_fps
+         |FROM p WHERE n_shared_fps >= 3""".stripMargin) {
+      (s, dir) =>
+        val positional = load(s, dir, "documents")
+          .select(col("doc_id").as("id"),
+            posexplode(TextAnalysis.shingles(
+              TextAnalysis.words(TextAnalysis.normalize(col("text"))), 3))
+              .as(Seq("pos", "gram")))
+        Dedup.winnowOverlapPairs(
+          Dedup.winnowFingerprints(positional, w = 4), minShared = 3)
+    },
+
     // Unicode SCRIPT-mix triage — the multilingual pre-pass before any
     // language ID: per-doc character counts in five script ranges plus
     // the dominant script (deterministic tie-break on the fixed class
