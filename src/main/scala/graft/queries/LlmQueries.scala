@@ -667,6 +667,46 @@ object LlmQueries {
               .as("canonical_id"))
     },
 
+    // Sorted-neighborhood record linkage (SNM) — the sort-based
+    // blocking family member beside hash blocking (q155's q-grams):
+    // rank records within a prefix block, candidates are pairs within a
+    // rank window of 3, exact Levenshtein verifies. The window rides
+    // the block partition (never a global sort — the documented
+    // tradeoff is that pairs differing inside the prefix are the
+    // blocking's recall surface, same as every SNM deployment).
+    OpQuery.sql(
+      "q184_sorted_neighborhood",
+      """WITH r AS (SELECT c_custkey, c_name,
+        |    substr(c_name, 1, 12) AS blk,
+        |    row_number() OVER (PARTITION BY substr(c_name, 1, 12)
+        |      ORDER BY c_name, c_custkey) AS rn
+        |  FROM customer)
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(b.rn - a.rn AS INTEGER) AS rank_gap,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist
+        |FROM r a JOIN r b ON b.blk = a.blk AND b.rn > a.rn
+        |  AND b.rn <= a.rn + 3
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy("blk").orderBy("c_name", "c_custkey")
+        val r = load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"),
+            substring(col("c_name"), 1, 12).as("blk"))
+          .withColumn("rn", row_number().over(w))
+        val a = r.select(col("blk"), col("c_custkey").as("id_a"),
+          col("c_name").as("name_a"), col("rn").as("rn_a"))
+        val b = r.select(col("blk"), col("c_custkey").as("id_b"),
+          col("c_name").as("name_b"), col("rn").as("rn_b"))
+        a.join(b, Seq("blk"))
+          .filter(col("rn_b") > col("rn_a") &&
+            col("rn_b") <= col("rn_a") + 3)
+          .filter(levenshtein(col("name_a"), col("name_b")) <= 2)
+          .select(col("id_a"), col("id_b"),
+            (col("rn_b") - col("rn_a")).cast("int").as("rank_gap"),
+            levenshtein(col("name_a"), col("name_b")).cast("int")
+              .as("edit_dist"))
+    },
+
     // WINNOWING fingerprints (the MOSS algorithm) — the dedup modality
     // with a DETERMINISTIC guarantee MinHash lacks: any shared verbatim
     // run of >= w + k - 1 tokens (here 6) is certain to share a window
