@@ -667,6 +667,71 @@ object LlmQueries {
               .as("canonical_id"))
     },
 
+    // Per-source score CALIBRATION via percent rank — raw quality
+    // scores aren't comparable across sources (a median web page and a
+    // median paper score differently), so thresholds are set on the
+    // within-source rank, not the raw value. Deterministic tie-break on
+    // doc_id; one window keyed by source.
+    OpQuery.sql(
+      "q185_score_calibration",
+      """SELECT doc_id, source, n_chars,
+        |  round(percent_rank() OVER (PARTITION BY source
+        |    ORDER BY n_chars, doc_id), 6) AS score_pct
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        load(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            round(percent_rank().over(
+              Window.partitionBy("source").orderBy("n_chars", "doc_id")), 6)
+              .as("score_pct"))
+    },
+
+    // Per-source Pearson correlation from EXACT integer moments: the
+    // built-in corr() folds doubles in partition order (engine- and
+    // partitioning-dependent bits); here the five moment sums
+    // accumulate in exact DECIMAL, and the correlation is one fixed
+    // double expression over them — order-independent and replayable.
+    OpQuery.sql(
+      "q186_exact_correlation",
+      """WITH d AS (SELECT source, n_chars AS x,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS y
+        |  FROM documents),
+        |m AS (SELECT source, count(*) AS n,
+        |    sum(CAST(x AS DECIMAL(38,0))) AS sx,
+        |    sum(CAST(y AS DECIMAL(38,0))) AS sy,
+        |    sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+        |    sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+        |    sum(CAST(y AS DECIMAL(38,0)) * y) AS syy
+        |  FROM d GROUP BY 1)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs,
+        |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |    AS pearson_r
+        |FROM m""".stripMargin) {
+      (s, dir) =>
+        val d = load(s, dir, "documents")
+          .select(col("source"), col("n_chars").as("x"),
+            TextAnalysis.tokenCountWhitespace(col("text")).cast("long")
+              .as("y"))
+        val m = d.groupBy("source").agg(
+          count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+        m.select(col("source"), col("n").as("n_docs"),
+          round((col("n") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            sqrt((col("n") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+              (col("n") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))), 6)
+            .as("pearson_r"))
+    },
+
     // Sorted-neighborhood record linkage (SNM) — the sort-based
     // blocking family member beside hash blocking (q155's q-grams):
     // rank records within a prefix block, candidates are pairs within a
