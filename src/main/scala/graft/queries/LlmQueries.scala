@@ -667,6 +667,150 @@ object LlmQueries {
               .as("canonical_id"))
     },
 
+    // Duplicate-cluster SIZE distribution — the shape report behind any
+    // dedup decision: how many clusters of 2, of 3, ... (a heavy tail
+    // here means boilerplate families, not pairwise near-dups, dominate
+    // and the cap/cluster machinery earns its keep). Composes q59's
+    // assignment; two count aggregates.
+    OpQuery.sql(
+      "q187_cluster_size_distribution",
+      s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, string_split($DuckNorm, ' ') w FROM documents),
+         |i AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM t),
+         |sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s FROM i),
+         |mh AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || s)) h
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) j) GROUP BY doc_id, j),
+         |bands AS (SELECT doc_id, CAST(j // 2 AS INTEGER) band,
+         |    string_agg(h, '' ORDER BY j) bkey FROM mh GROUP BY doc_id, 2),
+         |cand AS (SELECT DISTINCT l.doc_id id_a, r.doc_id id_b
+         |  FROM bands l JOIN bands r
+         |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+         |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+         |shared AS (SELECT id_a, id_b, count(*) n_shared
+         |  FROM cand JOIN sh a ON a.doc_id = id_a
+         |            JOIN sh b ON b.doc_id = id_b AND b.s = a.s
+         |  GROUP BY 1, 2),
+         |verified AS (SELECT id_a, id_b FROM shared
+         |  JOIN sz a ON a.doc_id = id_a JOIN sz b ON b.doc_id = id_b
+         |  WHERE round(CAST(n_shared AS DOUBLE) / (a.n + b.n - n_shared), 6) >= 0.1),
+         |edges AS (SELECT id_a s, id_b d FROM verified
+         |          UNION SELECT id_b, id_a FROM verified),
+         |reach(id, lbl) AS (
+         |  SELECT DISTINCT s, s FROM edges
+         |  UNION
+         |  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+         |assign AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+         |cs AS (SELECT cluster, count(*) AS size FROM assign GROUP BY 1)
+         |SELECT CAST(size AS BIGINT) AS cluster_size,
+         |  CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM cs GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        val docShingles = load(s, dir, "documents")
+          .select(col("doc_id").as("id"),
+            explode(TextAnalysis.shingles(
+              TextAnalysis.words(TextAnalysis.normalize(col("text"))), 3)).as("shingle"))
+          .distinct().cache()
+        val pairs = Dedup.jaccardVerify(docShingles,
+            Dedup.lshCandidatePairs(Dedup.minhashBands(docShingles, 8, 2)))
+          .filter(col("jaccard") >= 0.1)
+        graft.operators.Cluster.dedupAssignments(pairs)
+          .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    },
+
+    // Per-page BOILERPLATE ratio — how much of each page the q119
+    // extractor kept: extracted-to-raw length per doc, the metric that
+    // separates content pages from chrome-heavy ones before any quality
+    // scoring. Pure projection over the same synthesized HTML and the
+    // same extraction chain the q119 oracle replays.
+    OpQuery.sql(
+      "q188_boilerplate_ratio",
+      s"""WITH h AS (SELECT doc_id,
+         |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+         |    '</title><style>p{margin:0}</style><script>let a=1&&2;</script></head><body><h1>Doc ' ||
+         |    CAST(doc_id AS VARCHAR) || '</h1><!-- hidden --><p>' ||
+         |    replace(text, '. ', '.</p><p>') ||
+         |    '</p><br><div>&amp; &lt;tail&gt;&nbsp;end</div></body></html>' AS html
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, html, regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') t FROM h),
+         |s2 AS (SELECT doc_id, html, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') t FROM s1),
+         |s3 AS (SELECT doc_id, html, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') t FROM s2),
+         |s4 AS (SELECT doc_id, html, regexp_replace(t, '(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr)[^>]*>', e'\\n', 'g') t FROM s3),
+         |s5 AS (SELECT doc_id, html, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') t FROM s4),
+         |s6 AS (SELECT doc_id, html, replace(replace(replace(replace(replace(replace(t,
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+         |    '&apos;', ''''), '&nbsp;', ' ') t FROM s5),
+         |s7 AS (SELECT doc_id, html, replace(t, '&amp;', '&') t FROM s6),
+         |s8 AS (SELECT doc_id, html, regexp_replace(t, '[ \\t]+', ' ', 'g') t FROM s7),
+         |s9 AS (SELECT doc_id, html, regexp_replace(t, ' ?\\n[ \\n]*', e'\\n', 'g') t FROM s8),
+         |x AS (SELECT doc_id, html, trim(t, ' ' || chr(10)) AS extracted FROM s9)
+         |SELECT doc_id, CAST(length(html) AS BIGINT) AS raw_len,
+         |  CAST(length(extracted) AS BIGINT) AS text_len,
+         |  round(CAST(length(extracted) AS DOUBLE) / length(html), 6)
+         |    AS content_ratio
+         |FROM x""".stripMargin) {
+      (s, dir) =>
+        val html = concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><style>p{margin:0}</style><script>let a=1&&2;</script></head><body><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><!-- hidden --><p>"),
+          replace(col("text"), lit(". "), lit(".</p><p>")),
+          lit("</p><br><div>&amp; &lt;tail&gt;&nbsp;end</div></body></html>"))
+        load(s, dir, "documents")
+          .select(col("doc_id"), html.as("html"),
+            TextAnalysis.htmlToText(html).as("extracted"))
+          .select(col("doc_id"),
+            length(col("html")).cast("long").as("raw_len"),
+            length(col("extracted")).cast("long").as("text_len"),
+            round(length(col("extracted")).cast("double") /
+              length(col("html")), 6).as("content_ratio"))
+    },
+
+    // Zipf-slope corpus health check: the log-log regression slope over
+    // the top-100 token frequencies (natural text sits near -1; a slope
+    // far off flags template/boilerplate corpora). Ranks are
+    // deterministic (freq desc, token asc) and the regression moments
+    // sum ROUNDED logs in exact DECIMAL — q173's recipe — so the slope
+    // replays bit-for-bit.
+    OpQuery.sql(
+      "q189_zipf_slope",
+      s"""WITH w AS (SELECT unnest(string_split($DuckNorm, ' ')) AS tok FROM documents),
+         |f AS (SELECT tok, count(*) AS freq FROM w WHERE tok <> '' GROUP BY 1),
+         |r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, tok) AS rank
+         |  FROM f QUALIFY rank <= 100),
+         |l AS (SELECT CAST(round(ln(rank), 9) AS DECIMAL(27,10)) AS x,
+         |    CAST(round(ln(freq), 9) AS DECIMAL(27,10)) AS y FROM r),
+         |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |    sum(x * y) AS sxy, sum(x * x) AS sxx FROM l)
+         |SELECT CAST(n AS BIGINT) AS n_ranks,
+         |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         |    AS zipf_slope
+         |FROM m""".stripMargin) {
+      (s, dir) =>
+        val f = load(s, dir, "documents")
+          .select(explode(TextAnalysis.words(
+            TextAnalysis.normalize(col("text")))).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("tok").agg(count(lit(1)).as("freq"))
+        val r = f.withColumn("rank",
+            row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
+          .filter(col("rank") <= 100)
+        val l = r.select(
+          round(log(col("rank")), 9).cast("decimal(27,10)").as("x"),
+          round(log(col("freq")), 9).cast("decimal(27,10)").as("y"))
+        l.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("n").as("n_ranks"),
+            round((col("n") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              (col("n") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")), 6)
+              .as("zipf_slope"))
+    },
+
     // Per-source score CALIBRATION via percent rank — raw quality
     // scores aren't comparable across sources (a median web page and a
     // median paper score differently), so thresholds are set on the
