@@ -902,16 +902,21 @@ object LlmQueries {
           .select(col("c_custkey"), col("c_name"),
             substring(col("c_name"), 1, 12).as("blk"))
           .withColumn("rn", row_number().over(w))
+        // candidates by EQUI-join on (block, rank + gap), not a block
+        // self-join filtered afterward — a hot block (every TPC-H name
+        // shares the 12-char prefix) squares under the join-then-filter
+        // form (measured 9.2 s vs 0.6 s at sf0.1); exploding the three
+        // gap offsets keeps it linear in rows
         val a = r.select(col("blk"), col("c_custkey").as("id_a"),
-          col("c_name").as("name_a"), col("rn").as("rn_a"))
+            col("c_name").as("name_a"), col("rn").as("rn_a"),
+            explode(array(lit(1), lit(2), lit(3))).as("gap"))
+          .withColumn("rn_b", col("rn_a") + col("gap"))
         val b = r.select(col("blk"), col("c_custkey").as("id_b"),
           col("c_name").as("name_b"), col("rn").as("rn_b"))
-        a.join(b, Seq("blk"))
-          .filter(col("rn_b") > col("rn_a") &&
-            col("rn_b") <= col("rn_a") + 3)
+        a.join(b, Seq("blk", "rn_b"))
           .filter(levenshtein(col("name_a"), col("name_b")) <= 2)
           .select(col("id_a"), col("id_b"),
-            (col("rn_b") - col("rn_a")).cast("int").as("rank_gap"),
+            col("gap").cast("int").as("rank_gap"),
             levenshtein(col("name_a"), col("name_b")).cast("int")
               .as("edit_dist"))
     },
