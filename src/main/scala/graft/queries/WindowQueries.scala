@@ -445,6 +445,48 @@ object WindowQueries {
               "make_interval(0, 0, 0, 0, 0, cast(event_id % 97 + 1 as int), 0)"))
           .select(col("key").as("user_id"), col("start"), col("end"),
             col("n_merged"))
+    },
+
+    // Idempotency-key event dedup — at-least-once delivery means the
+    // same logical event arrives more than once with a fresh surrogate
+    // id; the dedup key is (user, type, event time) and FIRST-writer
+    // wins (min event_id). The fixture replays a redelivered slice
+    // (every 37th event, new ids) so the duplicate accounting is
+    // non-vacuous; one window keyed by the idempotency key.
+    OpQuery.sql(
+      "q190_event_idempotency_dedup",
+      """WITH e AS (SELECT event_id, user_id, event_type, ts FROM events
+        |  UNION ALL
+        |  SELECT event_id + 10000000, user_id, event_type, ts
+        |  FROM events WHERE event_id % 37 = 0),
+        |d AS (SELECT event_type, user_id, ts,
+        |    row_number() OVER (PARTITION BY user_id, event_type, ts
+        |      ORDER BY event_id) AS rn
+        |  FROM e)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_duplicates,
+        |  round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS dup_rate
+        |FROM d GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        val ev = load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts"))
+        val redelivered = ev.filter(col("event_id") % 37 === 0)
+          .select((col("event_id") + 10000000L).as("event_id"),
+            col("user_id"), col("event_type"), col("ts"))
+        val w = Window.partitionBy("user_id", "event_type", "ts")
+          .orderBy("event_id")
+        ev.unionByName(redelivered)
+          .withColumn("rn", row_number().over(w))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("rn") > 1, 1).otherwise(0)).cast("long")
+              .as("n_duplicates"),
+            round(sum(when(col("rn") > 1, 1).otherwise(0)).cast("double") /
+              count(lit(1)), 6).as("dup_rate"))
     }
   )
 }
