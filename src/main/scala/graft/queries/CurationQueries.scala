@@ -642,6 +642,85 @@ object CurationQueries {
           .unionByName(batched("grouped", Seq(col("n_tok"), col("doc_id"))))
     },
 
+    // Domain-CAP sampling (the Gopher/RefinedWeb recipe: no single
+    // domain may dominate the corpus): keep at most 20 docs per source,
+    // drawn by md5 order — a uniform, re-derivable draw with no
+    // temporal bias (doc_id order would systematically keep the oldest
+    // pages). Every doc keeps its draw rank and verdict so the cap's
+    // effect is auditable, not silent.
+    OpQuery.sql(
+      "q191_domain_cap_sampling",
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(rn AS INTEGER) AS draw_rank,
+        |  rn <= 20 AS kept
+        |FROM r""".stripMargin) {
+      (s, dir) =>
+        load(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+          .withColumn("draw_rank", row_number().over(
+            Window.partitionBy("source")
+              .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+          .select(col("doc_id"), col("source"), col("draw_rank"),
+            (col("draw_rank") <= 20).as("kept"))
+    },
+
+    // WINSORIZATION at exact per-language p05/p95 (q144's nearest-rank
+    // order statistics): the outlier treatment that keeps rows — clamp,
+    // don't drop — reported as per-language clamp counts plus the
+    // clamped mean via exact DECIMAL sums, so nothing in the row
+    // depends on float fold order.
+    OpQuery.sql(
+      "q192_winsorized_lengths",
+      """WITH t AS (SELECT lang, n_chars AS v FROM documents),
+        |r AS (SELECT lang, v,
+        |    row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM t),
+        |q AS (SELECT lang,
+        |    max(CASE WHEN rn - 1 = floor((n - 1) * 0.05) THEN v END) AS p05,
+        |    max(CASE WHEN rn - 1 = floor((n - 1) * 0.95) THEN v END) AS p95
+        |  FROM r GROUP BY 1),
+        |c AS (SELECT t.lang, v, p05, p95,
+        |    CASE WHEN v < p05 THEN p05 WHEN v > p95 THEN p95 ELSE v END AS w
+        |  FROM t JOIN q USING (lang))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN v < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN v > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  p05, p95,
+        |  round(CAST(sum(CAST(w AS DECIMAL(38,0))) AS DOUBLE) / count(*), 6)
+        |    AS winsorized_mean
+        |FROM c GROUP BY 1, p05, p95""".stripMargin) {
+      (s, dir) =>
+        val t = load(s, dir, "documents")
+          .select(col("lang"), col("n_chars").as("v"))
+        val ranked = t
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("lang").orderBy("v")))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+        val q = ranked.groupBy("lang").agg(
+          max(when(col("rn") - 1 === floor((col("n") - 1) * lit(0.05)),
+            col("v"))).as("p05"),
+          max(when(col("rn") - 1 === floor((col("n") - 1) * lit(0.95)),
+            col("v"))).as("p95"))
+        t.join(q, Seq("lang"))
+          .withColumn("w",
+            when(col("v") < col("p05"), col("p05"))
+              .when(col("v") > col("p95"), col("p95"))
+              .otherwise(col("v")))
+          .groupBy("lang", "p05", "p95")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("v") < col("p05"), 1).otherwise(0)).cast("long")
+              .as("n_low"),
+            sum(when(col("v") > col("p95"), 1).otherwise(0)).cast("long")
+              .as("n_high"),
+            round(sum(col("w").cast("decimal(38,0)")).cast("double") /
+              count(lit(1)), 6).as("winsorized_mean"))
+          .select(col("lang"), col("n_docs"), col("n_low"), col("n_high"),
+            col("p05"), col("p95"), col("winsorized_mean"))
+    },
+
     // Robust per-group outlier stats: median / MAD and the 3·MAD gate
     // over per-language document lengths — the curation filter that
     // survives heavy-tailed score distributions (one 10 MB boilerplate
