@@ -244,6 +244,50 @@ object Dedup {
         round(col("c").cast("double") / col("m"), 6).as("jaccard"))
   }
 
+  /** Bounded containment estimate — [[containmentVerify]]'s per-pair
+    * cost capped the way [[jaccardVerifyBounded]] caps Jaccard's: both
+    * sides reduce to bottom-k md5 sketches, the pair's union sketch is
+    * re-cut to its k smallest, and the directional estimates are
+    * C(A in B) ≈ |S∩A∩B| / |S∩A| (exact when |A ∪ B| <= k, standard
+    * bottom-k error above it). At most 2k rows per pair enter the
+    * merge, however large the documents — the quote-inclusion check
+    * for hot candidate sets against huge docs. A side unrepresented in
+    * the union's bottom-k yields NULL rather than a fabricated ratio.
+    */
+  def containmentVerifyBounded(docShingles: DataFrame, pairs: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"sketch size must be >= 1, got $k")
+    val wDoc = Window.partitionBy("id").orderBy("h")
+    val sk = docShingles
+      .select(col("id"), md5(col("shingle")).as("h"))
+      .withColumn("__rn", row_number().over(wDoc))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+    val a = pairs.join(sk.select(col("id").as("id_a"), col("h")), Seq("id_a"))
+      .select(col("id_a"), col("id_b"), col("h"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+    val b = pairs.join(sk.select(col("id").as("id_b"), col("h")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("h"),
+        lit(0).as("in_a"), lit(1).as("in_b"))
+    val merged = a.union(b)
+      .groupBy("id_a", "id_b", "h")
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val wPair = Window.partitionBy("id_a", "id_b").orderBy("h")
+    merged
+      .withColumn("__rn", row_number().over(wPair))
+      .filter(col("__rn") <= k)
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("in_a") * col("in_b")).as("c"),
+        sum(col("in_a")).as("na"), sum(col("in_b")).as("nb"),
+        count(lit(1)).as("m"))
+      .select(col("id_a"), col("id_b"),
+        round(col("c").cast("double") / nullif(col("na"), lit(0)), 6)
+          .as("containment_a"),
+        round(col("c").cast("double") / nullif(col("nb"), lit(0)), 6)
+          .as("containment_b"),
+        round(col("c").cast("double") / col("m"), 6).as("jaccard"))
+  }
+
   /** All-pairs n-gram Jaccard above a threshold via inverted-index join on
     * the exploded (id, shingle) relation (exact but quadratic in per-shingle
     * posting lists; compose [[minhashBands]] → [[lshCandidatePairs]] →

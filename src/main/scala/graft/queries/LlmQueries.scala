@@ -2800,6 +2800,71 @@ object LlmQueries {
           selfPairs.unionByName(shiftPairs))
     },
 
+    // Bounded containment (q171's fixture under the bottom-k sketch):
+    // per-pair cost capped at 2k sketch rows however large the docs —
+    // the quote-inclusion check for hot candidate sets. Estimates are
+    // |S∩A∩B|/|S∩A| over the union's k smallest hashes — exact when
+    // |A ∪ B| <= k, standard bottom-k error above — and md5-ordered,
+    // so the oracle replays every estimate bit-for-bit including which
+    // pairs' estimates differ from q171's exact values.
+    OpQuery.sql(
+      "q193_containment_bounded",
+      s"""WITH t AS (SELECT doc_id, string_split($DuckNorm, ' ') w FROM documents),
+         |i1 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM t),
+         |sh AS (SELECT DISTINCT doc_id AS id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM i1),
+         |tq AS (SELECT doc_id, w[1:25] AS v FROM t WHERE len(w) >= 28),
+         |i2 AS (SELECT doc_id, v, unnest(generate_series(1, len(v) - 2)) AS i FROM tq),
+         |qh AS (SELECT DISTINCT doc_id + 10000 AS id, v[i] || ' ' || v[i+1] || ' ' || v[i+2] AS s FROM i2),
+         |al AS (SELECT id, s FROM sh UNION ALL SELECT id, s FROM qh),
+         |p AS (SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM t WHERE len(w) >= 28
+         |  UNION ALL
+         |  SELECT a.doc_id, b.doc_id + 10000 FROM t a JOIN t b
+         |    ON b.doc_id = a.doc_id + 5 WHERE len(b.w) >= 28),
+         |sk AS (SELECT id, h FROM (
+         |    SELECT id, md5(s) AS h,
+         |      row_number() OVER (PARTITION BY id ORDER BY md5(s)) AS rn
+         |    FROM al) z WHERE rn <= 64),
+         |pa AS (SELECT p.id_a, p.id_b, k.h, 1 AS in_a, 0 AS in_b
+         |  FROM p JOIN sk k ON k.id = p.id_a),
+         |pb AS (SELECT p.id_a, p.id_b, k.h, 0 AS in_a, 1 AS in_b
+         |  FROM p JOIN sk k ON k.id = p.id_b),
+         |mg AS (SELECT id_a, id_b, h, max(in_a) AS in_a, max(in_b) AS in_b
+         |  FROM (SELECT * FROM pa UNION ALL SELECT * FROM pb) u
+         |  GROUP BY 1, 2, 3),
+         |tk AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY id_a, id_b ORDER BY h) AS rn
+         |    FROM mg) z WHERE rn <= 64)
+         |SELECT id_a, id_b,
+         |  round(CAST(sum(in_a * in_b) AS DOUBLE) / nullif(sum(in_a), 0), 6)
+         |    AS containment_a,
+         |  round(CAST(sum(in_a * in_b) AS DOUBLE) / nullif(sum(in_b), 0), 6)
+         |    AS containment_b,
+         |  round(CAST(sum(in_a * in_b) AS DOUBLE) / count(*), 6) AS jaccard
+         |FROM tk GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        val docs = load(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.words(TextAnalysis.normalize(col("text"))).as("w"))
+        val base = docs.select(col("doc_id").as("id"),
+            explode(TextAnalysis.shingles(col("w"), 3)).as("shingle"))
+          .distinct()
+        val quotes = docs.filter(size(col("w")) >= 28)
+          .select((col("doc_id") + 10000).as("id"),
+            explode(TextAnalysis.shingles(slice(col("w"), 1, 25), 3))
+              .as("shingle"))
+          .distinct()
+        val selfPairs = docs.filter(size(col("w")) >= 28)
+          .select(col("doc_id").as("id_a"),
+            (col("doc_id") + 10000).as("id_b"))
+        val shiftPairs = docs.select(col("doc_id").as("id_a"))
+          .join(docs.filter(size(col("w")) >= 28)
+            .select((col("doc_id") - 5).as("id_a"),
+              (col("doc_id") + 10000).as("id_b")), Seq("id_a"))
+        Dedup.containmentVerifyBounded(
+          base.unionByName(quotes),
+          selfPairs.unionByName(shiftPairs), k = 64)
+    },
+
     // Per-frame audio features over the VAD fixture: peak, exact
     // |amplitude| and squared sums (integer energy — no float anywhere),
     // and the zero-crossing count per 50-sample frame. The oracle
