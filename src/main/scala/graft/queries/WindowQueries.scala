@@ -447,6 +447,51 @@ object WindowQueries {
             col("n_merged"))
     },
 
+    // Event-rate ANOMALY detection: each day's count scored against
+    // the trailing 7-day baseline (excluding the day itself) as a
+    // z-score built from exact INTEGER window moments — sum and
+    // sum-of-squares are int sums in the frame, so the mean/std inputs
+    // carry no float fold-order, and the z is one fixed double
+    // expression. Zero-variance or short baselines yield NULL, never a
+    // fabricated score.
+    OpQuery.sql(
+      "q194_event_rate_anomaly",
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, n,
+        |    sum(n) OVER w7 AS s,
+        |    sum(n * n) OVER w7 AS ss,
+        |    count(*) OVER w7 AS m
+        |  FROM d
+        |  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, n,
+        |  CAST(m AS INTEGER) AS baseline_days,
+        |  round(CASE WHEN m >= 3 AND m * ss - s * s > 0
+        |    THEN (n - CAST(s AS DOUBLE) / m)
+        |      / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / m) / m)
+        |    END, 6) AS z_score
+        |FROM w""".stripMargin) {
+      (s, dir) =>
+        val d = load(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w7 = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-7, -1)
+        d.select(col("event_type"), col("day"), col("n"),
+            sum("n").over(w7).as("s"),
+            sum(col("n") * col("n")).over(w7).as("ss"),
+            count(lit(1)).over(w7).as("m"))
+          .select(col("event_type"), col("day"), col("n"),
+            col("m").cast("int").as("baseline_days"),
+            round(when(col("m") >= 3 &&
+              col("m") * col("ss") - col("s") * col("s") > 0,
+              (col("n") - col("s").cast("double") / col("m")) /
+                sqrt((col("ss").cast("double") -
+                  col("s").cast("double") * col("s") / col("m")) / col("m"))),
+              6).as("z_score"))
+    },
+
     // Idempotency-key event dedup — at-least-once delivery means the
     // same logical event arrives more than once with a fresh surrogate
     // id; the dedup key is (user, type, event time) and FIRST-writer
