@@ -3002,6 +3002,107 @@ object LlmQueries {
             "px_weighted")
     },
 
+    // Link-graph DEGREE/reciprocity stats over q167's edges: per-host
+    // out-degree, in-degree, and whether each outbound edge is
+    // reciprocated — the connectivity triage (hub/authority shape, link
+    // farms reciprocate heavily) run before PageRank. The reciprocity
+    // check is a self-join on the reversed edge key, never all-pairs.
+    OpQuery.sql(
+      "q195_link_graph_degrees",
+      """WITH h AS (SELECT doc_id,
+        |    'site-' || (doc_id % 20) AS src,
+        |    'site-' || ((doc_id * 3 + 1) % 20) AS d1,
+        |    'site-' || ((doc_id * 5 + 2) % 20) AS d2,
+        |    'site-' || ((doc_id * 7 + 3) % 20) AS d3
+        |  FROM documents),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |    SELECT src, d1 AS dst FROM h UNION ALL
+        |    SELECT src, d2 FROM h UNION ALL
+        |    SELECT src, d3 FROM h) u
+        |  WHERE src <> dst),
+        |outd AS (SELECT src AS host, count(*) AS out_degree FROM e GROUP BY 1),
+        |ind AS (SELECT dst AS host, count(*) AS in_degree FROM e GROUP BY 1),
+        |rec AS (SELECT a.src AS host, count(*) AS n_reciprocal
+        |  FROM e a JOIN e b ON b.src = a.dst AND b.dst = a.src GROUP BY 1)
+        |SELECT coalesce(o.host, i.host) AS host,
+        |  CAST(coalesce(out_degree, 0) AS BIGINT) AS out_degree,
+        |  CAST(coalesce(in_degree, 0) AS BIGINT) AS in_degree,
+        |  CAST(coalesce(n_reciprocal, 0) AS BIGINT) AS n_reciprocal
+        |FROM outd o
+        |FULL OUTER JOIN ind i ON i.host = o.host
+        |LEFT JOIN rec r ON r.host = coalesce(o.host, i.host)""".stripMargin) {
+      (s, dir) =>
+        val h = load(s, dir, "documents").select(col("doc_id"))
+        def site(c: org.apache.spark.sql.Column) =
+          concat(lit("site-"), (c % 20).cast("string"))
+        val e = h.select(site(col("doc_id")).as("src"),
+            explode(array(
+              site(col("doc_id") * 3 + 1),
+              site(col("doc_id") * 5 + 2),
+              site(col("doc_id") * 7 + 3))).as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+        val outd = e.groupBy(col("src").as("host"))
+          .agg(count(lit(1)).as("out_degree"))
+        val ind = e.groupBy(col("dst").as("host"))
+          .agg(count(lit(1)).as("in_degree"))
+        val rec = e.as("a")
+          .join(e.as("b"),
+            col("b.src") === col("a.dst") && col("b.dst") === col("a.src"))
+          .groupBy(col("a.src").as("host"))
+          .agg(count(lit(1)).as("n_reciprocal"))
+        outd.join(ind, Seq("host"), "full_outer")
+          .join(rec, Seq("host"), "left")
+          .select(col("host"),
+            coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+            coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+            coalesce(col("n_reciprocal"), lit(0L)).as("n_reciprocal"))
+    },
+
+    // Line-wrap DEHYPHENATION repair — the OCR/PDF-text artifact pass:
+    // "exam-\nple" rejoins to "example" (hyphen + newline between word
+    // characters), bare wraps become spaces, and the row reports how
+    // many of each repair fired. The fixture plants wraps at
+    // deterministic word positions through the same expressions the
+    // oracle replays.
+    OpQuery.sql(
+      "q196_dehyphenation_repair",
+      s"""WITH f AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN regexp_replace($DuckNorm, ' ', chr(10), 'g')
+         |      ELSE $DuckNorm END AS base
+         |  FROM documents),
+         |p AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN regexp_replace(base, '([a-z])\\n([a-z])', '\\1-' || chr(10) || '\\2', 'g')
+         |      ELSE base END AS wrapped
+         |  FROM f),
+         |r AS (SELECT doc_id, wrapped,
+         |    length(regexp_extract_all(wrapped, '[a-z]-\\n[a-z]', 0)) AS n_hyphen_wraps,
+         |    regexp_replace(regexp_replace(wrapped, '([a-z])-\\n([a-z])', '\\1\\2', 'g'),
+         |      '\\n', ' ', 'g') AS repaired
+         |  FROM p)
+         |SELECT doc_id, CAST(n_hyphen_wraps AS BIGINT) AS n_hyphen_wraps,
+         |  md5(repaired) AS repaired_md5
+         |FROM r""".stripMargin) {
+      (s, dir) =>
+        val norm = TextAnalysis.normalize(col("text"))
+        val base = when(col("doc_id") % 3 === 0,
+          regexp_replace(norm, " ", "\n")).otherwise(norm)
+        load(s, dir, "documents").select(col("doc_id"), base.as("b"))
+          .withColumn("wrapped",
+            when(col("doc_id") % 3 === 0,
+              regexp_replace(col("b"), "([a-z])\\n([a-z])", "$1-\n$2"))
+              .otherwise(col("b")))
+          .select(col("doc_id"),
+            size(expr(
+              "regexp_extract_all(wrapped, '[a-z]-\\n[a-z]', 0)"))
+              .cast("long").as("n_hyphen_wraps"),
+            md5(regexp_replace(
+              regexp_replace(col("wrapped"), "([a-z])-\\n([a-z])", "$1$2"),
+              "\\n", " ")).as("repaired_md5"))
+    },
+
     // EXIF metadata from JPEG APP1 — the fields a crawl pipeline reads
     // WITHOUT a pixel decode (orientation decides thumbnail rotation;
     // capture time feeds dedup/recency). The embedded TIFF's byte order
