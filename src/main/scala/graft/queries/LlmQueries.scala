@@ -3002,6 +3002,115 @@ object LlmQueries {
             "px_weighted")
     },
 
+    // INGESTION capstone (the web-corpus counterpart of q115's curation
+    // capstone): WARC record extraction → quality gate → language ID →
+    // exact-hash dedup (first-writer among quality passers) → the
+    // per-language intake card, end-to-end under ONE oracle. Every doc
+    // gets a fate — kept / dropped_quality / dropped_dup — so the
+    // funnel is auditable, and the body travels from real WARC bytes
+    // (octet-preserved, q118's contract) into the same normalize/
+    // langid/hash chain the oracle replays from the table.
+    OpQuery.sql(
+      "q200_web_ingest_capstone",
+      s"""WITH n AS (SELECT doc_id, $DuckNorm AS nm,
+         |    string_split($DuckNorm, ' ') AS ws FROM documents),
+         |s AS (SELECT doc_id, nm,
+         |    CASE WHEN length(nm) = 0 THEN 0 ELSE len(ws) END AS n_words,
+         |    len(list_filter(ws, x -> x IN ('der','die','das','und','ist'))) s_de,
+         |    len(list_filter(ws, x -> x IN ('the','a','of','and'))) s_en,
+         |    len(list_filter(ws, x -> x IN ('el','los','las','y','es'))) s_es,
+         |    len(list_filter(ws, x -> x IN ('le','la','les','et','est'))) s_fr
+         |  FROM n),
+         |l AS (SELECT doc_id, n_words, md5(nm) AS ch,
+         |    n_words >= 15 AS pass_q,
+         |    CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+         |         WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+         |         WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+         |         WHEN s_en >= s_de THEN 'en'
+         |         ELSE 'de' END AS lang_pred
+         |  FROM s),
+         |k AS (SELECT ch, min(doc_id) AS keep_id FROM l WHERE pass_q GROUP BY 1),
+         |f AS (SELECT l.lang_pred, l.n_words,
+         |    CASE WHEN NOT pass_q THEN 'quality'
+         |         WHEN doc_id = keep_id THEN 'kept' ELSE 'dup' END AS fate
+         |  FROM l LEFT JOIN k USING (ch))
+         |SELECT lang_pred,
+         |  CAST(sum(CASE WHEN fate = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN fate = 'kept' THEN n_words ELSE 0 END) AS BIGINT)
+         |    AS n_tokens_kept,
+         |  CAST(sum(CASE WHEN fate = 'quality' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dropped_quality,
+         |  CAST(sum(CASE WHEN fate = 'dup' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dropped_dup
+         |FROM f GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        val recs = Multimodal.extractWarcRecords(
+            Multimodal.warcFilesFromDocuments(s, load(s, dir, "documents")))
+          .filter(col("warc_type") === "response")
+          .select(
+            regexp_extract(col("target_uri"), "doc/([0-9]+)$", 1)
+              .cast("long").as("doc_id"),
+            col("body").cast("string").as("text"))
+        val norm = TextAnalysis.normalize(col("text"))
+        val l = recs.select(col("doc_id"),
+          when(length(norm) === 0, 0)
+            .otherwise(size(TextAnalysis.words(norm))).as("n_words"),
+          TextAnalysis.langId(col("text"), LangMarkers).as("lang_pred"),
+          md5(norm).as("ch"))
+          .withColumn("pass_q", col("n_words") >= 15)
+        val k = l.filter(col("pass_q"))
+          .groupBy("ch").agg(min("doc_id").as("keep_id"))
+        l.join(k, Seq("ch"), "left")
+          .withColumn("fate",
+            when(!col("pass_q"), "quality")
+              .when(col("doc_id") === col("keep_id"), "kept")
+              .otherwise("dup"))
+          .groupBy("lang_pred")
+          .agg(
+            sum(when(col("fate") === "kept", 1).otherwise(0)).cast("long")
+              .as("n_kept"),
+            sum(when(col("fate") === "kept", col("n_words")).otherwise(0))
+              .cast("long").as("n_tokens_kept"),
+            sum(when(col("fate") === "quality", 1).otherwise(0)).cast("long")
+              .as("n_dropped_quality"),
+            sum(when(col("fate") === "dup", 1).otherwise(0)).cast("long")
+              .as("n_dropped_dup"))
+    },
+
+    // Per-source LANGUAGE ENTROPY — the mixed-language-source audit: a
+    // source whose lang distribution has high entropy is a crawl
+    // artifact or a mislabeled feed, exactly what per-language
+    // curation assumes away. Each -p·ln(p) term is rounded to 9
+    // decimals then summed in exact DECIMAL (the q173/q189 recipe), so
+    // the entropy replays bit-for-bit.
+    OpQuery.sql(
+      "q198_source_lang_entropy",
+      """WITH c AS (SELECT source, lang, count(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT source, sum(n) AS tot FROM c GROUP BY 1),
+        |e AS (SELECT c.source, tot,
+        |    CAST(round(-1 * (CAST(n AS DOUBLE) / tot)
+        |      * ln(CAST(n AS DOUBLE) / tot), 9) AS DECIMAL(27,10)) AS term
+        |  FROM c JOIN t USING (source))
+        |SELECT source, CAST(max(tot) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_langs,
+        |  round(CAST(sum(term) AS DOUBLE), 6) AS lang_entropy
+        |FROM e GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        val c = load(s, dir, "documents")
+          .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+        val t = c.groupBy("source").agg(sum("n").as("tot"))
+        c.join(t, Seq("source"))
+          .select(col("source"), col("tot"),
+            round(lit(-1) * (col("n").cast("double") / col("tot")) *
+              log(col("n").cast("double") / col("tot")), 9)
+              .cast("decimal(27,10)").as("term"))
+          .groupBy("source")
+          .agg(max("tot").cast("long").as("n_docs"),
+            count(lit(1)).as("n_langs"),
+            round(sum("term").cast("double"), 6).as("lang_entropy"))
+    },
+
     // Link-graph DEGREE/reciprocity stats over q167's edges: per-host
     // out-degree, in-degree, and whether each outbound edge is
     // reciprocated — the connectivity triage (hub/authority shape, link

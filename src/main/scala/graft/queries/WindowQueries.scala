@@ -447,6 +447,76 @@ object WindowQueries {
             col("n_merged"))
     },
 
+    // Inter-arrival-time distribution: per user, the exact MEDIAN gap
+    // between consecutive events in MICROSECONDS — sub-second parts are
+    // real in this fixture, so second-floor arithmetic would corrupt
+    // gaps; unix_micros keeps the diff exact and the median is the
+    // q144 order statistic. The behavioral-telemetry grain bot
+    // detection and session modeling read.
+    OpQuery.sql(
+      "q199_interarrival_median",
+      """WITH g AS (SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events),
+        |d AS (SELECT user_id, date_diff('microsecond', pts, ts) AS gap_us
+        |  FROM g WHERE pts IS NOT NULL),
+        |r AS (SELECT user_id, gap_us,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY gap_us) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n FROM d)
+        |SELECT user_id, CAST(max(n) AS BIGINT) AS n_gaps,
+        |  CAST(max(CASE WHEN rn - 1 = floor((n - 1) * 0.5) THEN gap_us END)
+        |    AS BIGINT) AS median_gap_us
+        |FROM r WHERE n >= 2 GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        val g = load(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("pts", lag("ts", 1).over(
+            Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+          .filter(col("pts").isNotNull)
+          .select(col("user_id"),
+            (unix_micros(col("ts")) - unix_micros(col("pts"))).as("gap_us"))
+        val r = g
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("user_id").orderBy("gap_us")))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+          .filter(col("n") >= 2)
+        r.groupBy("user_id")
+          .agg(max("n").as("n_gaps"),
+            max(when(col("rn") - 1 === floor((col("n") - 1) * lit(0.5)),
+              col("gap_us"))).as("median_gap_us"))
+    },
+
+    // Semi-structured JSON payload extraction — events carry a JSON
+    // props blob, and the path extraction (`$.k`) runs as a codegen'd
+    // per-row projection on both engines, NO pre-parsing pass or
+    // schema migration: the standard first contact with event payloads.
+    // Malformed JSON yields NULL (counted, never guessed); aggregates
+    // stay in the integer domain.
+    OpQuery.sql(
+      "q197_json_payload_extract",
+      """WITH j AS (SELECT event_type,
+        |    CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unparsed,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k,
+        |  CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
+        |FROM j GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        load(s, dir, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("k").isNull, 1).otherwise(0)).cast("long")
+              .as("n_unparsed"),
+            sum("k").as("sum_k"),
+            countDistinct("k").as("n_distinct_k"),
+            min("k").as("min_k"), max("k").as("max_k"))
+    },
+
     // Event-rate ANOMALY detection: each day's count scored against
     // the trailing 7-day baseline (excluding the day itself) as a
     // z-score built from exact INTEGER window moments — sum and
