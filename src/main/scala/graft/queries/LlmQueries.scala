@@ -3002,6 +3002,61 @@ object LlmQueries {
             "px_weighted")
     },
 
+    // Netpbm P5/P6 decode — the raster format whose whole parsing
+    // surface is the header grammar: whitespace-separated ASCII tokens,
+    // comments between tokens, and EXACTLY one whitespace byte before
+    // the raster (skip-all-whitespace readers eat raster bytes that
+    // look like whitespace — the classic Netpbm bug; the fixture's
+    // pixel formula emits such bytes). P5 and P6 alternate by id;
+    // position-weighted checksums as in the other pixel oracles.
+    OpQuery.sql(
+      "q201_netpbm_decode",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(3 + doc_id % 14 AS BIGINT) AS w,
+        |    CAST(2 + doc_id % 11 AS BIGINT) AS h,
+        |    CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INTEGER) AS ch
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |y AS (SELECT *, unnest(generate_series(0, h - 1)) AS py FROM v),
+        |x AS (SELECT *, unnest(generate_series(0, w - 1)) AS px FROM y),
+        |c AS (SELECT *, unnest(generate_series(0, ch - 1)) AS ci FROM x),
+        |p AS (SELECT id, w, ch, py, px, ci,
+        |    (id + 3 * px + 7 * py + 11 * ci) % 256 AS b FROM c)
+        |SELECT id AS media_id, CAST(max(ch) AS INTEGER) AS channels,
+        |  CAST(count(*) AS INTEGER) AS n_samples,
+        |  CAST(sum(b) AS BIGINT) AS px_checksum,
+        |  CAST(sum(b * ((py * w + px) * ch + ci + 1)) AS BIGINT) AS px_weighted
+        |FROM p GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents").filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = 3 + (id % 14).toInt
+            val h = 2 + (id % 11).toInt
+            val ch = if (id % 2 == 0) 1 else 3
+            val px = Array.tabulate(w * h * ch) { k =>
+              val pxi = (k / ch) % w; val pyi = k / (ch * w); val ci = k % ch
+              ((id + 3L * pxi + 7L * pyi + 11L * ci) % 256).toByte
+            }
+            val blob = if (ch == 1) graft.operators.Netpbm.encodeGray(w, h, px)
+              else graft.operators.Netpbm.encodeRgb(w, h, px)
+            Multimodal.MediaRow(id, "image", blob)
+          })
+          .flatMap { r =>
+            graft.operators.Netpbm.decode(r.payload).map {
+              case (_, _, ch, px) =>
+                var sum = 0L; var ws = 0L; var k = 0
+                while (k < px.length) {
+                  val b = px(k) & 0xff
+                  sum += b; ws += b.toLong * (k + 1); k += 1
+                }
+                (r.media_id, ch, px.length, sum, ws)
+            }
+          }
+          .toDF("media_id", "channels", "n_samples", "px_checksum",
+            "px_weighted")
+    },
+
     // INGESTION capstone (the web-corpus counterpart of q115's curation
     // capstone): WARC record extraction → quality gate → language ID →
     // exact-hash dedup (first-writer among quality passers) → the
