@@ -3002,6 +3002,65 @@ object LlmQueries {
             "px_weighted")
     },
 
+    // ICO container decode (favicons): per-entry DIBs with NO file
+    // header, DOUBLED declared height (XOR rows + 1-bpp AND mask), the
+    // mask's rows padded to 32 BITS (not BMP's byte padding), and
+    // 0-means-256 directory bytes — a reader reusing its BMP decoder
+    // verbatim mis-tiles every icon. Transparency is surfaced as a
+    // count, and the oracle replays pixels AND mask bits per icon.
+    OpQuery.sql(
+      "q202_ico_decode",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    unnest(generate_series(0, 1)) AS icon FROM documents
+        |  WHERE doc_id % 3 = 2),
+        |d AS (SELECT id, icon,
+        |    CASE WHEN icon = 0 THEN 4 + id % 13 ELSE 8 END AS w,
+        |    CASE WHEN icon = 0 THEN 3 + id % 10 ELSE 8 END AS h FROM v),
+        |y AS (SELECT *, unnest(generate_series(0, h - 1)) AS py FROM d),
+        |x AS (SELECT *, unnest(generate_series(0, w - 1)) AS px FROM y),
+        |p AS (SELECT id, icon, w, py, px,
+        |    (id + 3 * px + 7 * py + 17 * icon) % 256 AS b,
+        |    CASE WHEN (id + px + py + icon) % 7 = 0 THEN 1 ELSE 0 END AS t
+        |  FROM x)
+        |SELECT id AS media_id, CAST(icon AS INTEGER) AS icon_idx,
+        |  CAST(count(*) AS INTEGER) AS n_px,
+        |  CAST(sum(t) AS BIGINT) AS n_transparent,
+        |  CAST(sum(b) AS BIGINT) AS px_checksum,
+        |  CAST(sum(b * (py * w + px + 1)) AS BIGINT) AS px_weighted
+        |FROM p GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents").filter(col("doc_id") % 3 === 2)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            def img(icon: Int) = {
+              val w = if (icon == 0) 4 + (id % 13).toInt else 8
+              val h = if (icon == 0) 3 + (id % 10).toInt else 8
+              val px = Array.tabulate(w * h)(k =>
+                ((id + 3L * (k % w) + 7L * (k / w) + 17L * icon) % 256).toByte)
+              val t = (k: Int) =>
+                (id + (k % w) + (k / w) + icon) % 7 == 0
+              (w, h, px, t)
+            }
+            Multimodal.MediaRow(id, "image",
+              graft.operators.Ico.encode(Seq(img(0), img(1))))
+          })
+          .flatMap { r =>
+            graft.operators.Ico.decode(r.payload).toSeq.flatMap {
+              _.zipWithIndex.map { case ((_, _, px, nt), i) =>
+                var sum = 0L; var ws = 0L; var k = 0
+                while (k < px.length) {
+                  val b = px(k) & 0xff
+                  sum += b; ws += b.toLong * (k + 1); k += 1
+                }
+                (r.media_id, i, px.length, nt.toLong, sum, ws)
+              }
+            }
+          }
+          .toDF("media_id", "icon_idx", "n_px", "n_transparent",
+            "px_checksum", "px_weighted")
+    },
+
     // Netpbm P5/P6 decode — the raster format whose whole parsing
     // surface is the header grammar: whitespace-separated ASCII tokens,
     // comments between tokens, and EXACTLY one whitespace byte before
