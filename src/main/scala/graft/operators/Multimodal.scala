@@ -350,7 +350,8 @@ object Multimodal {
     * operators ([[AudioActivity]]) build on. Same contract: linear PCM
     * only, None off-contract. */
   def pcmSamples(p: Array[Byte]): Option[(WavMeta, Array[Int])] = wavMeta(p)
-    .filter(m => (m.bits == 8 || m.bits == 16) && wavFormatCode(p) == 1)
+    .filter(m => (m.bits == 8 || m.bits == 16 || m.bits == 24) &&
+      wavFormatCode(p) == 1)
     .flatMap { m =>
       var i = 12
       var off = -1; var len = 0L
@@ -373,7 +374,11 @@ object Multimodal {
           val base = off + k * bytesPer
           out(k) =
             if (m.bits == 8) (p(base) & 0xff) - 128
-            else (p(base) & 0xff) | (p(base + 1).toInt << 8) // sign-extends
+            else if (m.bits == 16)
+              (p(base) & 0xff) | (p(base + 1).toInt << 8) // sign-extends
+            else // 24-bit: three LE bytes, sign-extended via shift pair
+              (((p(base) & 0xff) | ((p(base + 1) & 0xff) << 8) |
+                ((p(base + 2) & 0xff) << 16)) << 8) >> 8
           k += 1
         }
         Some((m, out))

@@ -3002,6 +3002,57 @@ object LlmQueries {
             "px_weighted")
     },
 
+    // 24-bit PCM decode — studio-depth WAV (three LE bytes per sample,
+    // sign-extended): the fixture's amplitudes exceed the 16-bit range
+    // by construction, so a decoder that silently reads two of the
+    // three bytes (or mis-extends the sign) breaks every row. Stats in
+    // exact integers, same mapPartitions shape as the PCM family.
+    OpQuery.sql(
+      "q203_pcm24_decode",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(50 + doc_id % 120 AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |s AS (SELECT id, unnest(generate_series(0, n - 1)) AS i, n FROM v),
+        |a AS (SELECT id, n, ((id + 31 * i) % 65536 - 32768) * 200 AS x FROM s)
+        |SELECT id AS media_id, CAST(max(n) AS INTEGER) AS n_samples,
+        |  CAST(sum(abs(x)) AS BIGINT) AS sum_abs,
+        |  CAST(min(x) AS BIGINT) AS min_sample,
+        |  CAST(max(x) AS BIGINT) AS max_sample
+        |FROM a GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val n = 50 + (id % 120).toInt
+            val out = Multimodal.wavBytes(rate = 48000, channels = 1,
+              bits = 24, nSamples = n)
+            var i = 0
+            while (i < n) {
+              val v = (((id + 31L * i) % 65536) - 32768).toInt * 200
+              val off = 44 + i * 3
+              out(off) = v.toByte
+              out(off + 1) = (v >> 8).toByte
+              out(off + 2) = (v >> 16).toByte
+              i += 1
+            }
+            Multimodal.MediaRow(id, "audio", out)
+          })
+          .flatMap { r =>
+            Multimodal.pcmSamples(r.payload).map { case (_, samples) =>
+              var sumAbs = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+              samples.foreach { x =>
+                sumAbs += math.abs(x)
+                if (x < mn) mn = x
+                if (x > mx) mx = x
+              }
+              (r.media_id, samples.length, sumAbs, mn.toLong, mx.toLong)
+            }
+          }
+          .toDF("media_id", "n_samples", "sum_abs", "min_sample",
+            "max_sample")
+    },
+
     // ICO container decode (favicons): per-entry DIBs with NO file
     // header, DOUBLED declared height (XOR rows + 1-bpp AND mask), the
     // mask's rows padded to 32 BITS (not BMP's byte padding), and
