@@ -3002,6 +3002,101 @@ object LlmQueries {
             "px_weighted")
     },
 
+    // STEREO downmix — the explicit channel policy the mono-only ops
+    // refuse to guess: interleaved L/R frames average to mono with
+    // floor division ((l+r) >> 1 — floor-toward-negative matches SQL's
+    // // on negative odd sums, which the fixture plants). Distinct L/R
+    // formulas mean a decoder that drops or swaps a channel breaks the
+    // sums.
+    OpQuery.sql(
+      "q204_stereo_downmix",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(40 + doc_id % 90 AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |s AS (SELECT id, n, unnest(generate_series(0, n - 1)) AS i FROM v),
+        |a AS (SELECT id, n, i,
+        |    ((id + 31 * i) % 256 - 128) * 256 AS l,
+        |    ((id + 47 * i) % 256 - 128) * 128 AS r FROM s),
+        |m AS (SELECT id, n, (l + r) // 2 AS x FROM a)
+        |SELECT id AS media_id, CAST(max(n) AS INTEGER) AS n_frames,
+        |  CAST(sum(abs(x)) AS BIGINT) AS sum_abs,
+        |  CAST(min(x) AS BIGINT) AS min_sample,
+        |  CAST(max(x) AS BIGINT) AS max_sample
+        |FROM m GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents").filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val n = 40 + (id % 90).toInt
+            val out = Multimodal.wavBytes(rate = 44100, channels = 2,
+              bits = 16, nSamples = n)
+            var i = 0
+            while (i < n) {
+              val l = (((id + 31L * i) % 256) - 128).toInt * 256
+              val r = (((id + 47L * i) % 256) - 128).toInt * 128
+              val off = 44 + i * 4
+              out(off) = l.toByte; out(off + 1) = (l >> 8).toByte
+              out(off + 2) = r.toByte; out(off + 3) = (r >> 8).toByte
+              i += 1
+            }
+            Multimodal.MediaRow(id, "audio", out)
+          })
+          .flatMap { rr =>
+            Multimodal.pcmSamples(rr.payload)
+              .filter(_._1.channels == 2)
+              .map { case (_, samples) =>
+                val n = samples.length / 2
+                var sumAbs = 0L
+                var mn = Int.MaxValue; var mx = Int.MinValue
+                var k = 0
+                while (k < n) {
+                  val x = (samples(2 * k) + samples(2 * k + 1)) >> 1
+                  sumAbs += math.abs(x)
+                  if (x < mn) mn = x
+                  if (x > mx) mx = x
+                  k += 1
+                }
+                (rr.media_id, n, sumAbs, mn.toLong, mx.toLong)
+              }
+          }
+          .toDF("media_id", "n_frames", "sum_abs", "min_sample",
+            "max_sample")
+    },
+
+    // Replayable COMPRESSIBILITY proxy — q108's zlib ratio can't be
+    // replayed by the oracle (rows-only by design); the distinct-4gram
+    // rate CAN: boilerplate and template text reuse character 4-grams
+    // heavily (low distinct rate ≈ highly compressible), natural prose
+    // doesn't. Pure counting, exact integer ratio rounded once.
+    OpQuery.sql(
+      "q205_compressibility_proxy",
+      s"""WITH t AS (SELECT doc_id, $DuckNorm AS nm FROM documents),
+         |g AS (SELECT doc_id, nm, unnest(generate_series(1, length(nm) - 3)) AS i
+         |  FROM t WHERE length(nm) >= 4),
+         |q AS (SELECT doc_id, substr(nm, i, 4) AS gram FROM g)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+         |  round(CAST(count(DISTINCT gram) AS DOUBLE) / count(*), 6)
+         |    AS distinct_rate
+         |FROM q GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        val nm = TextAnalysis.normalize(col("text"))
+        load(s, dir, "documents")
+          .select(col("doc_id"), nm.as("nm"))
+          .filter(length(col("nm")) >= 4)
+          .select(col("doc_id"),
+            explode(expr(
+              "transform(sequence(1, length(nm) - 3), i -> substring(nm, i, 4))"))
+              .as("gram"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            countDistinct("gram").as("n_distinct"),
+            round(countDistinct("gram").cast("double") / count(lit(1)), 6)
+              .as("distinct_rate"))
+    },
+
     // 24-bit PCM decode — studio-depth WAV (three LE bytes per sample,
     // sign-extended): the fixture's amplitudes exceed the 16-bit range
     // by construction, so a decoder that silently reads two of the
