@@ -76,12 +76,15 @@ object TextAnalysis {
   /** Outbound links of an HTML blob: the href value of every <a> tag
     * that HAS one (an <a name=…> anchor is not a link). Case handled by
     * explicit char classes instead of regex flags so the same pattern
-    * text runs verbatim on both engines. A per-row codegen'd projection,
-    * zero shuffle — the extraction stage of web-graph construction;
-    * pair with [[canonicalizeUrl]] before any grouping. */
+    * text runs verbatim on both engines. The tag name and attribute are
+    * anchored — whitespace required after `<a` (so `<area>`/`<abbr>`
+    * don't fire) and immediately before `href` (so `data-href` doesn't).
+    * A per-row codegen'd projection, zero shuffle — the extraction stage
+    * of web-graph construction; pair with [[canonicalizeUrl]] before any
+    * grouping. */
   def extractLinks(html: Column): Column =
     regexp_extract_all(html,
-      lit("<[aA][^>]*[hH][rR][eE][fF]=\"([^\"]*)\""), lit(1))
+      lit("<[aA][\\s](?:[^>]*[\\s])?[hH][rR][eE][fF]=\"([^\"]*)\""), lit(1))
 
   /** Lower-cased host of an absolute http(s) URL ('' when not one). */
   def urlHost(url: Column): Column =

@@ -1217,10 +1217,12 @@ object LlmQueries {
     OpQuery.sql(
       "q174_skew_diagnosis",
       """WITH f AS (SELECT user_id, count(*) AS freq FROM events GROUP BY 1),
-        |b AS (SELECT CAST(floor(log2(freq)) AS INTEGER) AS bucket,
-        |    count(*) AS n_keys, sum(freq) AS n_rows, max(freq) AS max_freq
+        |b AS (SELECT CAST(length(bin(CAST(freq AS BIGINT))) - 1 AS INTEGER) AS bucket,
+        |    count(*) AS n_keys, CAST(sum(freq) AS BIGINT) AS n_rows,
+        |    max(freq) AS max_freq
         |  FROM f GROUP BY 1),
-        |t AS (SELECT sum(n_rows) AS total_rows, sum(n_keys) AS total_keys,
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows,
+        |    CAST(sum(n_keys) AS BIGINT) AS total_keys,
         |    max(max_freq) AS global_max FROM b)
         |SELECT bucket, n_keys, n_rows,
         |  round(CAST(n_rows AS DOUBLE) / total_rows, 6) AS row_share,
@@ -1230,7 +1232,11 @@ object LlmQueries {
       (s, dir) =>
         val f = load(s, dir, "events")
           .groupBy("user_id").agg(count(lit(1)).as("freq"))
-        val b = f.groupBy(floor(log2(col("freq"))).cast("int").as("bucket"))
+        // floor(log2(freq)) computed integer-exactly as bitlength-1: the
+        // float log2 path diverges between engines at exact powers of two
+        // (ln(8)/ln(2) = 2.9999999999999996 floors to 2 while an exact
+        // libm log2 gives 3), so the bucket is derived from bin() instead.
+        val b = f.groupBy((length(bin(col("freq"))) - 1).cast("int").as("bucket"))
           .agg(count(lit(1)).as("n_keys"), sum("freq").as("n_rows"),
             max("freq").as("max_freq"))
         val t = b.agg(sum("n_rows").as("total_rows"),
@@ -2920,7 +2926,7 @@ object LlmQueries {
         |    || '</body></html>' AS html
         |  FROM documents),
         |l AS (SELECT doc_id,
-        |    unnest(regexp_extract_all(html, '<[aA][^>]*[hH][rR][eE][fF]="([^"]*)"', 1)) AS href
+        |    unnest(regexp_extract_all(html, '<[aA][\s](?:[^>]*[\s])?[hH][rR][eE][fF]="([^"]*)"', 1)) AS href
         |  FROM h),
         |e AS (SELECT 'site-' || (doc_id % 20) AS src_site,
         |    lower(regexp_extract(href, '^[hH][tT][tT][pP][sS]?://([^/?#]+)', 1)) AS dst_host
@@ -3990,10 +3996,10 @@ object LlmQueries {
          |  FROM r),
          |mreg AS (SELECT g, register, max(rank) AS m FROM rk GROUP BY 1, 2),
          |agg AS (SELECT g, count(*) AS m_used,
-         |    sum((CAST(1 AS BIGINT) << (52 - least(m, 52)))) AS s_present
+         |    CAST(sum((CAST(1 AS BIGINT) << (52 - least(m, 52)))) AS BIGINT) AS s_present
          |  FROM mreg GROUP BY 1),
          |e AS (SELECT g, m_used,
-         |    s_present + (512 - m_used) * (CAST(1 AS BIGINT) << 52) AS harmonic_sum,
+         |    CAST(s_present + (512 - m_used) * (CAST(1 AS BIGINT) << 52) AS BIGINT) AS harmonic_sum,
          |    512 - m_used AS zeros FROM agg),
          |est AS (SELECT g, CAST(m_used AS BIGINT) AS n_registers_used, harmonic_sum,
          |    round(CASE WHEN zeros > 0 AND ${HllNumerator} / harmonic_sum <= 1280.0

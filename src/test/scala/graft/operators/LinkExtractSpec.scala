@@ -21,6 +21,15 @@ class LinkExtractSpec extends SparkSuite {
       == Seq("http://a.com", "http://b.com"))
   }
 
+  test("anchored tag/attribute: <area>/<abbr>/<audio> and data-href don't fire") {
+    assert(links("""<area href="http://map.com/x" shape="rect">""") == Seq.empty)
+    assert(links("""<abbr href="http://nope.com">t</abbr>""") == Seq.empty)
+    assert(links("""<audio href="http://nope.com"></audio>""") == Seq.empty)
+    assert(links("""<a data-href="http://nope.com">t</a>""") == Seq.empty)
+    assert(links("""<a id="z" data-href="http://nope.com" href="http://yes.com">t</a>""")
+      == Seq("http://yes.com"))
+  }
+
   test("urlHost lowercases and stops at path/query/fragment; non-URLs are empty") {
     val rows = Seq("HTTP://Site-3.Example.COM/p/9", "https://h.io?x=1",
       "http://h.io#frag", "ftp://h.io/x", "relative/path", "")

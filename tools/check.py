@@ -45,10 +45,16 @@ for name in sorted(oracle):
     if len(s) != len(o):
         fails.append((name, f"rowcount: spark={len(s)} oracle={len(o)}")); continue
     # value compare: exact on strings/ints, exact on floats too (both engines
-    # must produce bit-identical doubles by construction)
+    # must produce bit-identical doubles by construction). Dtype mismatch is a
+    # FAILURE, not a cast: the driver's hash gate hashes typed values, so an
+    # int64 Spark column vs a float64 oracle column (DuckDB sum(BIGINT) ->
+    # HUGEINT -> float64) can never hash-match even when the values agree.
     mismatch = None
     for c in scols:
-        sv, ov = s[c], o[c].astype(s[c].dtype) if s[c].dtype != o[c].dtype else o[c]
+        if s[c].dtype != o[c].dtype:
+            mismatch = f"col {c} dtype: spark={s[c].dtype} oracle={o[c].dtype}"
+            break
+        sv, ov = s[c], o[c]
         neq = ~((sv == ov) | (sv.isna() & ov.isna()))
         if neq.any():
             i = neq.idxmax()
