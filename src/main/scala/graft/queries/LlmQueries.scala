@@ -4766,6 +4766,62 @@ object LlmQueries {
             graft.operators.Cluster.incrementalComponents(prev, newEdges))
           .select(col("id"), col("cluster"),
             (col("id") === col("cluster")).as("is_canonical"))
+    },
+
+    // PDF text extraction — the most common non-HTML document format in
+    // a web crawl, and the ingestion layer's last missing seam. Each doc
+    // becomes a 3-page PDF exercising every extraction path: page 1 the
+    // full document text as a Flate-compressed `Tj` literal (escapes and
+    // all), page 2 a synthesized summary as an uncompressed `TJ` kerning
+    // array (text = concatenation of the string elements), page 3 a
+    // hex-string page. The reader walks startxref → xref → trailer →
+    // Catalog → Pages → Contents with the same reject-don't-guess
+    // contract as WARC: any grammar violation quarantines the whole blob
+    // (hostile-stream paths are spec-pinned in PdfSpec). The oracle
+    // replays every page's byte length and md5 from the documents table
+    // alone — the writer→extractor round trip is identity on the shown
+    // text, which is exactly the property a training-data ingest needs.
+    OpQuery.sql(
+      "q206_pdf_extract",
+      """WITH p AS (
+        |  SELECT doc_id, 1 AS page, text AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 2 AS page,
+        |    'Summary of document ' || doc_id || ' with '
+        |      || octet_length(encode(text)) || ' bytes.' AS t
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 3 AS page, 'HEX#' || doc_id AS t FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(page AS INTEGER) AS page,
+        |  CAST(octet_length(encode(t)) AS BIGINT) AS n_bytes,
+        |  md5(t) AS page_md5
+        |FROM p""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val nb = text.getBytes("UTF-8").length
+            val summary = s"Summary of document $id with $nb bytes."
+            val blob = graft.operators.Pdf.write(Seq(
+              graft.operators.Pdf.Page(
+                Seq(graft.operators.Pdf.Lit(text)), flate = true),
+              graft.operators.Pdf.Page(
+                Seq(graft.operators.Pdf.Arr(summary.grouped(10).toSeq)),
+                flate = false),
+              graft.operators.Pdf.Page(
+                Seq(graft.operators.Pdf.Hex(s"HEX#$id")), flate = false)))
+            (id, blob)
+          })
+          .flatMap { case (id, blob) =>
+            graft.operators.Pdf.extractText(blob).toSeq.flatten.zipWithIndex
+              .map { case (t, i) => (id, i + 1, t) }
+          }
+          .toDF("doc_id", "page", "t")
+          .select(col("doc_id"), col("page").cast("int").as("page"),
+            length(col("t").cast("binary")).cast("long").as("n_bytes"),
+            md5(col("t").cast("binary")).as("page_md5"))
     }
   )
 }

@@ -45,16 +45,23 @@ for name in sorted(oracle):
     if len(s) != len(o):
         fails.append((name, f"rowcount: spark={len(s)} oracle={len(o)}")); continue
     # value compare: exact on strings/ints, exact on floats too (both engines
-    # must produce bit-identical doubles by construction). Dtype mismatch is a
-    # FAILURE, not a cast: the driver's hash gate hashes typed values, so an
-    # int64 Spark column vs a float64 oracle column (DuckDB sum(BIGINT) ->
-    # HUGEINT -> float64) can never hash-match even when the values agree.
+    # must produce bit-identical doubles by construction). Dtype KIND mismatch
+    # is a FAILURE, not a cast: the driver's hash gate canonicalizes integer
+    # widths (int32 Spark vs int64 DuckDB queries are green at the driver) but
+    # an int column vs a float64 oracle column (DuckDB sum(BIGINT) -> HUGEINT
+    # -> float64, the q130/q174 class) can never hash-match even when the
+    # values agree — so width differences compare as int64, kind differences
+    # fail here just as they do at the driver.
     mismatch = None
     for c in scols:
-        if s[c].dtype != o[c].dtype:
+        sk, ok = s[c].dtype.kind, o[c].dtype.kind
+        if sk != ok and not ({sk, ok} <= {"i", "u"}):
             mismatch = f"col {c} dtype: spark={s[c].dtype} oracle={o[c].dtype}"
             break
-        sv, ov = s[c], o[c]
+        if s[c].dtype != o[c].dtype:  # integer width only: widen both
+            sv, ov = s[c].astype("int64"), o[c].astype("int64")
+        else:
+            sv, ov = s[c], o[c]
         neq = ~((sv == ov) | (sv.isna() & ov.isna()))
         if neq.any():
             i = neq.idxmax()
