@@ -4822,6 +4822,69 @@ object LlmQueries {
           .select(col("doc_id"), col("page").cast("int").as("page"),
             length(col("t").cast("binary")).cast("long").as("n_bytes"),
             md5(col("t").cast("binary")).as("page_md5"))
+    },
+
+    // FLAC fixed-predictor decode — the first COMPRESSED audio codec in
+    // the family: Rice-coded polynomial-predictor residuals in a
+    // sync-framed, twice-CRC-guarded big-endian bitstream. The fixture
+    // sweeps every fixed order (id % 5), mono/stereo, and multi-frame
+    // layouts; decode is LOSSLESS so the oracle replays the synthesized
+    // samples and their exact-integer stats from the table alone (the
+    // q203 PCM convention) while FlacSpec pins per-sample round-trip
+    // identity, the Rice escape path, and the hostile-stream grammar.
+    OpQuery.sql(
+      "q207_flac_decode",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(60 + doc_id % 90 AS BIGINT) AS n,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS ch
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |s AS (SELECT id, n, ch, unnest(generate_series(0, n - 1)) AS i FROM v),
+        |e AS (SELECT id, n, ch, i, unnest(generate_series(0, ch - 1)) AS c FROM s),
+        |a AS (SELECT id, n, ch, i, c,
+        |    ((id * 7 + 31 * i + 13 * c) % 4001 - 2000) * 8 AS x FROM e)
+        |SELECT id AS media_id, CAST(max(ch) AS INTEGER) AS channels,
+        |  CAST(max(n) AS BIGINT) AS n_samples,
+        |  CAST(max(abs(x)) AS INTEGER) AS peak,
+        |  CAST(sum(abs(x)) AS BIGINT) AS sum_abs,
+        |  CAST(sum(x * (c * n + i + 1)) AS BIGINT) AS wsum
+        |FROM a GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val n = 60 + (id % 90).toInt
+            val nCh = 1 + (id % 2).toInt
+            val samples = Array.tabulate(nCh, n) { (c, i) =>
+              (((id * 7 + 31L * i + 13L * c) % 4001 - 2000) * 8).toInt
+            }
+            Multimodal.MediaRow(id, "audio",
+              graft.operators.Flac.encode(samples, bits = 16,
+                sampleRate = 44100, blockSize = 64,
+                fixedOrder = (id % 5).toInt))
+          })
+          .flatMap { r =>
+            graft.operators.Flac.decode(r.payload).map { a =>
+              val n = a.samples(0).length
+              var peak = 0; var sumAbs = 0L; var wsum = 0L
+              var c = 0
+              while (c < a.channels) {
+                var i = 0
+                while (i < n) {
+                  val x = a.samples(c)(i)
+                  val ax = math.abs(x)
+                  if (ax > peak) peak = ax
+                  sumAbs += ax
+                  wsum += x.toLong * (c.toLong * n + i + 1)
+                  i += 1
+                }
+                c += 1
+              }
+              (r.media_id, a.channels, n.toLong, peak, sumAbs, wsum)
+            }
+          }
+          .toDF("media_id", "channels", "n_samples", "peak", "sum_abs",
+            "wsum")
     }
   )
 }
