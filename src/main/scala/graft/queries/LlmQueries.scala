@@ -4885,6 +4885,39 @@ object LlmQueries {
           }
           .toDF("media_id", "channels", "n_samples", "peak", "sum_abs",
             "wsum")
+    },
+
+    // HNSW graph ANN — the industry-default index, shard-local: the
+    // corpus hash-partitions, each shard builds a deterministic
+    // navigable-small-world graph (levels from md5(id), insertion in id
+    // order, id tie-breaks everywhere), the broadcast query set searches
+    // every shard, per-shard winners merge in one tiny shuffle. At this
+    // fixture scale the generous beam (efSearch=96 on ~250-node shards,
+    // verified exact at sf0.001/0.01/0.1) returns each shard's exact
+    // top-k, so the union contains the global top-k and the EXACT
+    // brute-force oracle replays the result — while HnswSpec separately
+    // pins the narrow-beam recall/efficiency trade the index exists for.
+    OpQuery.sql(
+      "q208_ann_hnsw",
+      """WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qe FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+        |p AS (
+        |  SELECT qid, vec_id,
+        |    list_dot_product(qe, e) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))) sim
+        |  FROM q CROSS JOIN c WHERE vec_id <> qid)
+        |SELECT qid, vec_id AS neighbor_id, round(sim, 6) AS sim,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+        |FROM p QUALIFY rank <= 5""".stripMargin) {
+      (s, dir) =>
+        val emb = load(s, dir, "embeddings")
+          .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+        graft.operators.Hnsw.topK(queries, emb, k = 5,
+            params = graft.operators.Hnsw.Params(m = 16, efConstruction = 64,
+              efSearch = 96), nShards = 8)
+          .select(col("qid"), col("vec_id").as("neighbor_id"),
+            round(col("sim"), 6).as("sim"), col("rank"))
     }
   )
 }
