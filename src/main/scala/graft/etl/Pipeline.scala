@@ -159,7 +159,12 @@ class Pipeline(
       Option(df.agg(max(col(c))).first().getTimestamp(0))
     }.reduceOption((a, b) => if (a.after(b)) a else b).getOrElse(Watermark.Epoch)
 
+  /** `log` is the run log read ONCE at tick start: a stage's own version
+    * gains no entries until its own append, so the tick-start snapshot
+    * resolves every stage's watermark — re-reading (and re-listing) the
+    * log five times per tick bought nothing. */
   private def runStage(
+      log: DataFrame,
       version: String,
       flatName: String,
       newWatermark: Timestamp,
@@ -167,7 +172,6 @@ class Pipeline(
       write: (DataFrame, Timestamp) => Unit = null,
       tableFallback: Boolean = true): Unit = {
     val start = new Timestamp(System.currentTimeMillis())
-    val log = Watermark.readLog(spark, logPath)
     // tableFallback=false for stages whose table carries no
     // max_date_created (visit summary): a log miss then resolves to
     // Epoch — a full requeue, the safe recovery — instead of crashing
@@ -321,15 +325,22 @@ class Pipeline(
       tickQueues += delta.queue; delta = null // released after the log write
     }
 
-    runStage(flatObsVersion, "flat_obs", encObsMax, wm =>
-      readFlat("flat_obs") match {
-        case Some(existing) if bucketed && bucketedExists("flat_obs") =>
-          val d = noteDelta(bucketedDelta("flat_obs",
-            FlatObs.touchedPersons(obs, encounter, person, wm, Some(existing),
-              obsD, encD, purgeSet)))
-          foDelta = d
-          FlatObs.incremental(d.prunedExisting, obs, encounter, person, wm,
-            obsD, encD)
+    // In bucketed mode the stage branches consult ONLY bucketedExists —
+    // readFlat would eagerly build a full-table file index (every bucket
+    // directory listed) just to pattern-match Some(_): `touchedPersons`
+    // never reads `existing` when the purge set is supplied (it exists
+    // only to narrow the purge in snapshot mode), and the merge reads the
+    // bucket-pruned frame. At 200k persons / 40k buckets those dead
+    // listings were a multi-second constant per stage, every tick.
+    runStage(log0, flatObsVersion, "flat_obs", encObsMax, wm =>
+      if (bucketed && bucketedExists("flat_obs")) {
+        val d = noteDelta(bucketedDelta("flat_obs",
+          FlatObs.touchedPersons(obs, encounter, person, wm, None,
+            obsD, encD, purgeSet)))
+        foDelta = d
+        FlatObs.incremental(d.prunedExisting, obs, encounter, person, wm,
+          obsD, encD)
+      } else readFlat("flat_obs") match {
         case Some(existing) =>
           FlatObs.incremental(existing, obs, encounter, person, wm, obsD, encD)
         case None => FlatObs.build(obs, encounter, person)
@@ -337,15 +348,15 @@ class Pipeline(
       bucketedWrite("flat_obs", () => delta))
     endStage()
 
-    runStage(flatOrdersVersion, "flat_orders",
+    runStage(log0, flatOrdersVersion, "flat_orders",
       maxTs(Seq(ordD.getOrElse(orders) -> "date_created")), wm =>
-        readFlat("flat_orders") match {
-          case Some(existing) if bucketed && bucketedExists("flat_orders") =>
-            val d = noteDelta(bucketedDelta("flat_orders",
-              FlatOrders.touchedPersons(orders, person, wm, Some(existing),
-                ordD, purgeSet)))
-            FlatOrders.incremental(d.prunedExisting, orders, encounter, person,
-              wm, ordD)
+        if (bucketed && bucketedExists("flat_orders")) {
+          val d = noteDelta(bucketedDelta("flat_orders",
+            FlatOrders.touchedPersons(orders, person, wm, None,
+              ordD, purgeSet)))
+          FlatOrders.incremental(d.prunedExisting, orders, encounter, person,
+            wm, ordD)
+        } else readFlat("flat_orders") match {
           case Some(existing) =>
             FlatOrders.incremental(existing, orders, encounter, person, wm, ordD)
           case None => FlatOrders.build(orders, encounter, person)
@@ -357,15 +368,15 @@ class Pipeline(
     // encObsMax: advancing on the strength of an encounter row alone
     // would widen the window where a lab obs committing just after the
     // snapshot is permanently skipped
-    runStage(flatLabObsVersion, "flat_lab_obs",
+    runStage(log0, flatLabObsVersion, "flat_lab_obs",
       maxTs(Seq(obsD.getOrElse(obs) -> "date_created")), wm =>
-        readFlat("flat_lab_obs") match {
-          case Some(existing) if bucketed && bucketedExists("flat_lab_obs") =>
-            val d = noteDelta(bucketedDelta("flat_lab_obs",
-              FlatLabObs.touchedPersons(obs, person, wm, Some(existing),
-                obsD, purgeSet)))
-            FlatLabObs.incremental(d.prunedExisting, obs, person, wm,
-              obsDelta = obsD)
+        if (bucketed && bucketedExists("flat_lab_obs")) {
+          val d = noteDelta(bucketedDelta("flat_lab_obs",
+            FlatLabObs.touchedPersons(obs, person, wm, None,
+              obsD, purgeSet)))
+          FlatLabObs.incremental(d.prunedExisting, obs, person, wm,
+            obsDelta = obsD)
+        } else readFlat("flat_lab_obs") match {
           case Some(existing) =>
             FlatLabObs.incremental(existing, obs, person, wm, obsDelta = obsD)
           case None => FlatLabObs.build(obs, person)
@@ -373,13 +384,23 @@ class Pipeline(
       bucketedWrite("flat_lab_obs", () => delta))
     endStage()
 
-    runStage(flatVisitSummaryVersion, "flat_visit_summary",
-      maxTs(Seq(readFlat("flat_obs").get -> "max_date_created")), wm => {
-        val fo = readFlat("flat_obs").get
-        val ford = readFlat("flat_orders").get
-        readFlat("flat_visit_summary") match {
-          case Some(existing)
-              if bucketed && bucketedExists("flat_visit_summary") =>
+    // Summary new-watermark: the flat_obs stage just recorded max(source
+    // date_created seen) as ITS watermark — an upper bound on every
+    // flat_obs row's max_date_created, and any FUTURE flat_obs change
+    // carries a source date_created above it (the same fixpoint argument
+    // flat_obs's own floored watermark rests on). Resolving it from the
+    // log (one tiny parquet read, post-append) replaces the previous
+    // full-column max scan over the flat_obs table — an O(table files)
+    // constant paid every tick.
+    runStage(log0, flatVisitSummaryVersion, "flat_visit_summary",
+      Watermark.resolve(Watermark.readLog(spark, logPath), flatObsVersion),
+      wm => {
+        // full-table reads are deferred into the branches that use them —
+        // constructing one builds its file index immediately, and the
+        // bucketed aligned path needs none of them
+        def fo = readFlat("flat_obs").get
+        def ford = readFlat("flat_orders").get
+        if (bucketed && bucketedExists("flat_visit_summary")) {
             // Queue scans: when this tick ran flat_obs incrementally AND
             // the last summary run was aligned with the previous flat_obs
             // run, every flat_obs row that changed since the summary's
@@ -403,7 +424,8 @@ class Pipeline(
                 FlatVisitSummary.touchedPersonsBounded(sumScoped, foScoped,
                   foDelta.queue, obs, encounter, wm, obsD, encD)
               } else
-                FlatVisitSummary.touchedPersons(existing, fo, obs, encounter,
+                FlatVisitSummary.touchedPersons(
+                  readFlat("flat_visit_summary").get, fo, obs, encounter,
                   wm, obsD, encD)
             val d = noteDelta(bucketedDelta("flat_visit_summary", queue))
             sumDelta = d
@@ -413,6 +435,7 @@ class Pipeline(
               spark, bucketedDataPath("flat_orders").toString, d.buckets)
             FlatVisitSummary.incremental(d.prunedExisting, foPruned, fordPruned,
               obs, encounter, person, wm, Some(d.queue))
+        } else readFlat("flat_visit_summary") match {
           case Some(existing) =>
             FlatVisitSummary.incremental(
               existing, fo, ford, obs, encounter, person, wm, None, obsD, encD)

@@ -291,8 +291,17 @@ object BucketedSink {
       spark: SparkSession, path: String,
       manifest: Map[Int, String], buckets: Set[Int]): DataFrame = {
     val sel = manifest.filter { case (b, _) => buckets.contains(b) }
-    if (sel.isEmpty) read(spark, path).limit(0)
-    else sel.groupBy(_._2).toSeq.sortBy(_._1).map { case (epoch, bs) =>
+    if (sel.isEmpty) {
+      // empty selection needs only the SCHEMA — take it from one bucket
+      // directory instead of read(path), which lists every bucket dir in
+      // the table to build a file index that limit(0) then discards (an
+      // O(table files) constant the no-delta steady tick was paying
+      // several times per run)
+      val (b, epoch) = manifest.minBy(_._1)
+      val base = new Path(path, epoch).toString
+      spark.read.option("basePath", base).parquet(s"$base/__bucket=$b")
+        .limit(0).drop("__bucket")
+    } else sel.groupBy(_._2).toSeq.sortBy(_._1).map { case (epoch, bs) =>
       val base = new Path(path, epoch).toString
       spark.read.option("basePath", base)
         .parquet(bs.keys.toSeq.sorted.map(b => s"$base/__bucket=$b"): _*)

@@ -36,12 +36,16 @@ object Watermark {
     else emptyLog(spark)
 
   /** Resolve the high-water mark for `tableVersion`. `fallback` is the
-    * already-loaded flat table's max(date_created) source, if any.
+    * already-loaded flat table's max(date_created) source, if any —
+    * BY-NAME, because merely constructing that DataFrame lists the
+    * table's files (InMemoryFileIndex is built at read time): at 40k
+    * bucket directories that is a multi-second per-stage constant paid
+    * even when the log hit makes the fallback dead.
     */
   def resolve(
       log: DataFrame,
       tableVersion: String,
-      fallback: Option[DataFrame] = None,
+      fallback: => Option[DataFrame] = None,
       fallbackCol: String = "max_date_created"): Timestamp = {
     val fromLog = log
       .filter(col("table_name") === tableVersion)

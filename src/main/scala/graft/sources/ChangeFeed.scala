@@ -44,13 +44,39 @@ object ChangeFeed {
     */
   def append(df: DataFrame, path: String, dateCols: Seq[String]): Unit =
     df.withColumn(PartitionCol, to_date(greatest(dateCols.map(col): _*)))
+      // co-locate each day's rows before the write: without it every
+      // shuffle task writes a sliver into every day partition (tasks ×
+      // days small files), and the reader then pays per-file open cost
+      // far above the bytes — the same rule BucketedSink.writeFull
+      // documents for buckets
+      .repartition(col(PartitionCol))
       .write.partitionBy(PartitionCol).mode("append").parquet(path)
 
-  /** Rows whose latest modification is after `since` — a partition-pruned
-    * scan (>= at day granularity over-approximates the `> since`
-    * timestamp cut; the stages re-apply the exact predicates). */
-  def readSince(spark: SparkSession, path: String, since: Timestamp): DataFrame =
-    spark.read.parquet(path)
-      .filter(col(PartitionCol) >= to_date(lit(since)))
-      .drop(PartitionCol)
+  /** Rows whose latest modification is after `since` — pruned at the
+    * DIRECTORY level: one listing of the feed root selects the
+    * `change_day=` partitions at-or-after the watermark day, and only
+    * those are handed to the reader. `spark.read.parquet(root)` with a
+    * partition filter prunes the SCAN the same way but still LISTS every
+    * partition directory ever written to build its file index — an
+    * O(feed history) constant per call that this path avoids; the >= at
+    * day granularity over-approximates the `> since` timestamp cut and
+    * the stages re-apply the exact predicates. */
+  def readSince(spark: SparkSession, path: String, since: Timestamp): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sinceDay = since.toLocalDateTime.toLocalDate
+    val selected = fs.listStatus(root).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith(s"$PartitionCol=") &&
+          !java.time.LocalDate.parse(n.stripPrefix(s"$PartitionCol="))
+            .isBefore(sinceDay)
+      }
+    if (selected.isEmpty)
+      spark.read.parquet(path).limit(0).drop(PartitionCol)
+    else
+      spark.read.option("basePath", path)
+        .parquet(selected.map(_.toString).toIndexedSeq: _*)
+        .drop(PartitionCol)
+  }
 }

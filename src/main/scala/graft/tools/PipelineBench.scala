@@ -134,9 +134,22 @@ object PipelineBench {
       val preSteady = bucketed.map(n => n -> signature(
         graft.operators.BucketedSink.read(spark, bucketsDir(n).toString))).toMap
 
+      // per-stage attribution from the run log (seconds_to_complete, 1s
+      // resolution): which stage a mode's win or loss actually lives in —
+      // the whole-tick number alone can't distinguish delta-scan savings
+      // from shared merge/write cost
+      def stageSecs(): Map[String, Long] = {
+        import spark.implicits._
+        graft.operators.Watermark.readLog(spark, root.resolve("flat_log").toString)
+          .orderBy(col("date_created").desc).limit(4)
+          .select(col("table_name"), col("seconds_to_complete").cast("long"))
+          .as[(String, Long)].collect().toMap
+      }
+
       val s3 = System.nanoTime()
       pipe.tick(obsP, encP, ordP, person)
       val steadyFull = (System.nanoTime() - s3) / 1e9
+      val fullStages = stageSecs()
 
       val feeds = graft.etl.SourceDeltas(
         obs = Some(ChangeFeed.readSince(spark, s"$srcDir/feed/obs", t1)),
@@ -145,6 +158,7 @@ object PipelineBench {
       val s4 = System.nanoTime()
       pipe.tick(obsP, encP, ordP, person, feeds)
       val steadyFeed = (System.nanoTime() - s4) / 1e9
+      val feedStages = stageSecs()
 
       bucketed.foreach { n =>
         val got = signature(
@@ -206,6 +220,10 @@ object PipelineBench {
         "queue_scan_fullscan_bytes" -> scanBytes(fullQueue),
         "queue_scan_feed_bytes" -> scanBytes(feedQueue),
         "n_persons" -> nPersons.toDouble) ++
+        fullStages.toSeq.map { case (v, s) =>
+          s"steady_fullscan_${v.replaceAll("_v[0-9.]+$", "")}_sec" -> s.toDouble } ++
+        feedStages.toSeq.map { case (v, s) =>
+          s"steady_feed_${v.replaceAll("_v[0-9.]+$", "")}_sec" -> s.toDouble } ++
         bucketed.flatMap { n =>
           Seq(
             s"${n}_full_bytes" -> fullBytes(n).toDouble,
