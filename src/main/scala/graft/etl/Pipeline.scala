@@ -50,6 +50,12 @@ class Pipeline(
   private def path(name: String) = s"$root/$name"
   private val logPath = path("flat_log")
 
+  /** Person-bucketed obs version log maintained by the streamed
+    * cascade's bucketed shape ([[graft.sources.BucketedLog]]) — the
+    * touched persons' history source that replaces the per-batch full
+    * scan of the source directory. */
+  private[graft] def versionLogPath: String = path("obs_version_log")
+
   // ---- versioned snapshot layout ----
   // Each write lands in a fresh `v_<n>` directory under the table path;
   // `_CURRENT` is a one-line pointer file naming the live version. The

@@ -42,6 +42,22 @@ object BucketedSink {
 
   def bucketOf(key: Column, nBuckets: Int): Column = pmod(hash(key), lit(nBuckets))
 
+  /** The sizing rule above, as code: `nBuckets` = 10x the expected
+    * steady-state delta key count (write fraction ≈ 1 - exp(-1/10) ≈
+    * 10%), floored at 64 so toy tables still exercise the pruning
+    * paths. `localFsCap` bounds the count when the table lives on a
+    * LOCAL filesystem: a local FS pays a per-file open/list constant
+    * that dwarfs the scan at tens of thousands of near-empty files, so
+    * tests and single-node runs trade write-fraction for file count (a
+    * capped count means a larger fraction of the table rewritten per
+    * tick — disclosed, measured in SCALE.md). A real DFS amortizes
+    * per-file metadata across datanodes and follows the rule uncapped —
+    * pass `localFsCap = Int.MaxValue` there. */
+  def sizeBuckets(
+      expectedDeltaKeys: Long,
+      localFsCap: Int = Int.MaxValue): Int =
+    math.min(localFsCap.toLong, math.max(64L, expectedDeltaKeys * 10)).toInt
+
   private def manifestPath(path: String) = new Path(path, "_MANIFEST")
 
   def exists(conf: Configuration, path: String): Boolean = {

@@ -155,13 +155,28 @@ object IncrementalEtlStream {
     query.awaitTermination()
   }
 
-  // `graft.debug.cascadeTiming=true` prints per-stage seconds —
-  // profiling hook only, no behavior change
+  /** Bytes read through the local filesystem so far — the "files
+    * opened" reality check behind the O(delta) bytes claim. Exact in
+    * local mode (driver and executors share the JVM and its FileSystem
+    * statistics); on a cluster this hook would need executor task
+    * metrics instead, but it is a profiling aid, not a control path. */
+  private[graft] def fsBytesRead: Long = {
+    val s = org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics.get("file")
+    if (s == null) 0L
+    else Option(s.getLong("bytesRead")).map(_.longValue).getOrElse(0L)
+  }
+
+  // `graft.debug.cascadeTiming=true` prints per-stage seconds and bytes
+  // opened — profiling hook only, no behavior change. Lazily-built
+  // frames (the pinned snapshot, the purge probe) attribute their read
+  // to whichever stage forces them first.
   private def timed[A](spark: SparkSession, label: String)(f: => A): A =
     if (spark.conf.getOption("graft.debug.cascadeTiming").contains("true")) {
       val t0 = System.nanoTime()
+      val b0 = fsBytesRead
       val r = f
-      println(f"    [cascade] $label%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      println(f"    [cascade] $label%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s" +
+        f"  opened ${(fsBytesRead - b0) / 1024}%8d KiB")
       r
     } else f
 
@@ -263,14 +278,27 @@ object IncrementalEtlStream {
       // checkpoint's replay of that batch, treating it as incremental
       // would throw on the missing tables forever; re-running the full
       // builds is idempotent (each is a fresh epoch + manifest swap).
+      val hadoopConf = spark.sparkContext.hadoopConfiguration
       val allTables = Seq("flat_obs", "flat_lab_obs", "flat_orders",
         "flat_visit_summary", "flat_latest_hiv_summary")
-      if (!allTables.forall(pipeline.bucketedExists)) {
+      if (!allTables.forall(pipeline.bucketedExists) ||
+          !graft.sources.BucketedLog.exists(hadoopConf, pipeline.versionLogPath)) {
         // First arrival: full builds into fresh single-epoch layouts.
         // Downstream stages consume the PINNED upstream frames rather
         // than reading the bucketed tables back — at N buckets a
         // read-back lists/opens N small files per table, pure overhead
         // when the exact rows are already in memory.
+        //
+        // The version-log seed comes FIRST: a crash anywhere in the
+        // table builds leaves the first-arrival condition true (some
+        // table still missing), so the replay re-seeds (overwrite —
+        // idempotent) and re-runs the builds. Seeding last would open a
+        // window where all five tables exist but the log holds nothing,
+        // and the replay's incremental path would read an empty history.
+        val rawAll = spark.read.schema(Schemas.obs)
+          .option("recursiveFileLookup", "true").parquet(obsDir)
+        t("version_log seed")(graft.sources.BucketedLog.overwrite(
+          rawAll, pipeline.versionLogPath, "person_id", pipeline.sinkBuckets))
         val snapshot = obsSnapshot(spark, obsDir).persist()
         val fo = FlatObs.build(snapshot, encounter, person).persist()
         val ford = FlatOrders.build(orders, encounter, person).persist()
@@ -294,20 +322,39 @@ object IncrementalEtlStream {
       if (minInstant.isEmpty) return // empty batch: nothing can change
       val wm = new java.sql.Timestamp(minInstant.get.getTime - 1)
 
-      val rawVersions = spark.read.schema(Schemas.obs)
-        .option("recursiveFileLookup", "true").parquet(obsDir)
+      // Append the batch to the person-bucketed version log BEFORE any
+      // stage reads it: a crash after the append replays the batch and
+      // re-appends the same version rows, which the latest-version
+      // window tolerates (ties among identical contents); appending
+      // after the stage writes would instead open a window where the
+      // tables reflect versions the log never received.
+      t("version_log append")(graft.sources.BucketedLog.append(
+        batch, pipeline.versionLogPath, "person_id", pipeline.sinkBuckets))
       // One purge-narrowing probe shared by both source-driven stages: a
       // person present in flat_lab_obs is present in flat_obs (every lab
       // obs is an obs, both grains cover it), so voided ∩ flat_obs is a
-      // safe SUPERSET of the lab stage's purge set — one column-pruned
-      // table read instead of one per stage.
+      // safe SUPERSET of the lab stage's purge set. The probe only
+      // concerns voided persons, so only THEIR buckets of flat_obs can
+      // contribute — a file-level prune instead of the full-table
+      // person_id scan (the last per-batch read that grew with table
+      // size rather than delta size).
+      val voidedBuckets = graft.operators.BucketedSink.collectBuckets(
+        person.filter(col("voided") === 1).select("person_id"),
+        pipeline.sinkBuckets)
       val purge = FlatObs.voidedPurgeSet(
-        person, Some(pipeline.readFlat("flat_obs").get)).persist()
-      val foQueue = FlatObs.touchedPersons(rawVersions, encounter, person,
+        person, Some(pipeline.readFlatBuckets("flat_obs", voidedBuckets)))
+        .persist()
+      val foQueue = FlatObs.touchedPersons(batch, encounter, person,
         wm, None, Some(batch), purgeSet = Some(purge))
       val foD = t("flat_obs queue")(pipeline.stageDelta("flat_obs", foQueue))
+      // Touched persons' history from the bucketed log — bytes opened are
+      // O(touched buckets' history), not O(accumulated source directory):
+      // all versions of an obs_id share a person_id, so the queue's
+      // buckets hold every version the rebuild needs.
+      val history = graft.sources.BucketedLog.readBuckets(
+        spark, pipeline.versionLogPath, foD.buckets, Schemas.obs)
       val snapshot = currentState(
-        rawVersions.join(foD.queue, Seq("person_id"), "left_semi")).persist()
+        history.join(foD.queue, Seq("person_id"), "left_semi")).persist()
       try {
         t("flat_obs") {
           pipeline.writeBucketedChanged(
@@ -315,7 +362,7 @@ object IncrementalEtlStream {
               person, wm, Some(batch)),
             "flat_obs", foD.buckets)
         }
-        val labQueue = FlatLabObs.touchedPersons(rawVersions, person, wm,
+        val labQueue = FlatLabObs.touchedPersons(batch, person, wm,
           None, Some(batch), purgeSet = Some(purge))
         val labD = t("flat_lab_obs queue")(
           pipeline.stageDelta("flat_lab_obs", labQueue))

@@ -114,11 +114,14 @@ object ProfileCascade {
         val enc = BenchFixtures.encAsOf(src("encounter"), BenchFixtures.asOf(days(i)))
         val wall0 = System.currentTimeMillis()
         val t0 = System.nanoTime()
+        val b0 = graft.streaming.IncrementalEtlStream.fsBytesRead
         graft.streaming.IncrementalEtlStream.runCascadeOnce(
           spark, obsDir.toString, enc, orders, person, pipe,
           root.resolve("ckpt").toString)
         val secs = (System.nanoTime() - t0) / 1e9
-        println(f"batch $i%d  ${secs}%6.2f s   wrote ${bytesSince(tables, wall0) / 1024}%8d KiB")
+        val opened = graft.streaming.IncrementalEtlStream.fsBytesRead - b0
+        println(f"batch $i%d  ${secs}%6.2f s   wrote ${bytesSince(tables, wall0) / 1024}%8d KiB" +
+          f"   opened ${opened / 1024}%8d KiB")
       }
     }
   }
