@@ -4918,6 +4918,89 @@ object LlmQueries {
               efSearch = 96), nShards = 8)
           .select(col("qid"), col("vec_id").as("neighbor_id"),
             round(col("sim"), 6).as("sim"), col("rank"))
+    },
+
+    // MP3 frame-header walk — container metadata (frames, exact
+    // duration, CBR/VBR envelope, channel mode) without audio decode,
+    // the cheap-metadata-first pass a crawl pipeline runs before
+    // deciding what to transcode. Fixtures are constructed per media id
+    // (ID3v2 prefix on every 3rd, VBR on odd ids, ID3v1 trailer on every
+    // 5th); the oracle replays every header-arithmetic output — frame
+    // lengths, syncsafe tag size, integer-exact duration — from the same
+    // id formulas. Walk grammar: operators/Mp3.scala; hostile-stream
+    // handling in Mp3Spec.
+    OpQuery.sql(
+      "q209_mp3_header_walk",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(40 + doc_id % 60 AS BIGINT) AS nf,
+        |    CASE WHEN doc_id % 4 = 1 THEN 2 ELSE 3 END AS ver,
+        |    CAST(doc_id % 3 AS BIGINT) AS sri,
+        |    CAST(doc_id % 4 AS BIGINT) AS cm
+        |  FROM documents WHERE doc_id % 2 = 1 OR doc_id % 3 = 0),
+        |f AS (SELECT *, unnest(generate_series(0, nf - 1)) AS fr FROM v),
+        |p AS (SELECT id, nf, ver, sri, cm, fr,
+        |    CASE WHEN id % 2 = 0 THEN 1 + id % 9
+        |         ELSE 1 + (id + 3 * fr) % 14 END AS bri,
+        |    (id + fr) % 2 AS pad FROM f),
+        |k AS (SELECT *,
+        |    CASE WHEN ver = 3
+        |      THEN [32,40,48,56,64,80,96,112,128,160,192,224,256,320][CAST(bri AS INTEGER)]
+        |      ELSE [8,16,24,32,40,48,56,64,80,96,112,128,144,160][CAST(bri AS INTEGER)]
+        |    END AS kbps,
+        |    CASE WHEN ver = 3
+        |      THEN [44100,48000,32000][CAST(sri + 1 AS INTEGER)]
+        |      ELSE [22050,24000,16000][CAST(sri + 1 AS INTEGER)]
+        |    END AS sr FROM p),
+        |g AS (SELECT id, nf, ver, sr, cm,
+        |    CAST(sum((CASE WHEN ver = 3 THEN 144000 ELSE 72000 END * kbps) // sr + pad) AS BIGINT) AS frame_bytes,
+        |    min(kbps) AS br_min, max(kbps) AS br_max
+        |  FROM k GROUP BY 1, 2, 3, 4, 5)
+        |SELECT id AS media_id, nf AS n_frames,
+        |  CAST(sr AS INTEGER) AS sample_rate,
+        |  CAST(CASE WHEN cm = 3 THEN 1 ELSE 2 END AS INTEGER) AS channels,
+        |  (nf * CASE WHEN ver = 3 THEN 1152 ELSE 576 END * 1000) // sr AS duration_ms,
+        |  CAST(br_min AS INTEGER) AS br_min_kbps,
+        |  CAST(br_max AS INTEGER) AS br_max_kbps,
+        |  br_min <> br_max AS is_vbr,
+        |  CASE WHEN id % 3 = 0 THEN 10 + (id % 50) * 3 ELSE 0 END AS id3v2_bytes,
+        |  CASE WHEN id % 3 = 0 THEN 10 + (id % 50) * 3 ELSE 0 END
+        |    + frame_bytes
+        |    + CASE WHEN id % 5 = 0 THEN 128 ELSE 0 END AS total_bytes
+        |FROM g""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .filter(col("doc_id") % 2 === 1 || col("doc_id") % 3 === 0)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val nf = 40 + (id % 60).toInt
+            val ver = if (id % 4 == 1) 2 else 3
+            val sri = (id % 3).toInt
+            val cm = (id % 4).toInt
+            val out = new java.io.ByteArrayOutputStream()
+            if (id % 3 == 0)
+              out.write(graft.operators.Mp3.id3v2((id % 50).toInt * 3))
+            var fr = 0
+            while (fr < nf) {
+              val bri =
+                if (id % 2 == 0) 1 + (id % 9).toInt
+                else 1 + ((id + 3L * fr) % 14).toInt
+              out.write(graft.operators.Mp3.frame(
+                ver, bri, sri, ((id + fr) % 2).toInt, cm, seed = id * 131 + fr))
+              fr += 1
+            }
+            if (id % 5 == 0) out.write(graft.operators.Mp3.id3v1)
+            Multimodal.MediaRow(id, "audio", out.toByteArray)
+          })
+          .flatMap { r =>
+            graft.operators.Mp3.info(r.payload).map { i =>
+              (r.media_id, i.nFrames, i.sampleRate, i.channels, i.durationMs,
+                i.brMinKbps, i.brMaxKbps, i.isVbr, i.id3v2Bytes, i.totalBytes)
+            }
+          }
+          .toDF("media_id", "n_frames", "sample_rate", "channels",
+            "duration_ms", "br_min_kbps", "br_max_kbps", "is_vbr",
+            "id3v2_bytes", "total_bytes")
     }
   )
 }
