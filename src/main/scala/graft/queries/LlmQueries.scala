@@ -5001,6 +5001,96 @@ object LlmQueries {
           .toDF("media_id", "n_frames", "sample_rate", "channels",
             "duration_ms", "br_min_kbps", "br_max_kbps", "is_vbr",
             "id3v2_bytes", "total_bytes")
+    },
+
+    // robots.txt parse + crawl-policy evaluation (RFC 9309 subset) —
+    // the gate before any URL is fetched, evaluated relationally: parse
+    // is explode+window over line numbers, evaluation broadcasts the
+    // tiny rule table against the request stream with the pattern
+    // compiled to LIKE...ESCAPE (identical semantics on any ANSI
+    // engine, which is how the oracle replays it: the same five
+    // constructed robots bodies, the same window-function group
+    // assignment, the same LIKE compilation — longest-match, allow-on-
+    // tie, exact-agent-group pre-emption including rule-less groups).
+    // Grammar: operators/Robots.scala; edge cases in RobotsSpec.
+    OpQuery.sql(
+      "q210_robots_policy",
+      """WITH tpl AS (SELECT * FROM (VALUES
+        |    (0, e'User-agent: *\nDisallow: /private/\nAllow: /private/pub*\n'),
+        |    (1, e'User-agent: crawler-a\nDisallow: /\nUser-agent: *\nDisallow: /tmp/*.log$\nAllow: /tmp/keep.log\n'),
+        |    (2, e'User-agent: crawler-b\nUser-agent: crawler-a\nDisallow: /shared/\n\nUser-agent: *\nDisallow:\n'),
+        |    (3, e'# files\nUser-agent: nice-bot\nDisallow:\n\nUser-agent: *\nAllow: /a/b\nDisallow: /a/\nSitemap: https://example.com/s.xml\n'),
+        |    (4, e'User-agent: Crawler-A\nDisallow: /caseTest/\n')) t(ti, content)),
+        |hosts AS (SELECT DISTINCT CAST(doc_id % 7 AS BIGINT) AS host FROM documents),
+        |rob AS (SELECT host, content FROM hosts JOIN tpl ON ti = host % 5),
+        |sp AS (SELECT host, string_split(content, chr(10)) AS ls FROM rob),
+        |ix AS (SELECT host, ls, unnest(generate_series(1, len(ls))) AS i FROM sp),
+        |ln AS (SELECT host, i, ls[CAST(i AS INTEGER)] AS line FROM ix),
+        |d AS (SELECT host, i,
+        |    lower(regexp_extract(line, '^\s*([A-Za-z-]+)\s*:', 1)) AS directive,
+        |    trim(regexp_extract(line, '^\s*[A-Za-z-]+\s*:\s*([^#]*)', 1)) AS value
+        |  FROM ln),
+        |k AS (SELECT * FROM d WHERE directive IN ('user-agent','allow','disallow')),
+        |g AS (SELECT *, CAST(directive = 'user-agent' AND
+        |      coalesce(lag(directive) OVER (PARTITION BY host ORDER BY i), '')
+        |        <> 'user-agent' AS INTEGER) AS ua_start FROM k),
+        |gg AS (SELECT *, sum(ua_start) OVER (PARTITION BY host ORDER BY i
+        |    ROWS UNBOUNDED PRECEDING) AS group_id FROM g),
+        |ag AS (SELECT host, group_id, lower(value) AS agent FROM gg
+        |  WHERE directive = 'user-agent'),
+        |ru AS (SELECT host, group_id, directive AS rule_type, value AS pattern,
+        |    replace(replace(replace(replace(value, chr(92), chr(92)||chr(92)),
+        |      '%', chr(92)||'%'), '_', chr(92)||'_'), '*', '%') AS lp
+        |  FROM gg WHERE directive IN ('allow','disallow') AND value <> ''),
+        |rules AS (SELECT r.host, a.agent, r.rule_type, r.pattern,
+        |    CASE WHEN r.pattern LIKE '%$'
+        |      THEN substr(r.lp, 1, length(r.lp) - 1) ELSE r.lp || '%' END AS like_pat
+        |  FROM ru r JOIN ag a ON a.host = r.host AND a.group_id = r.group_id),
+        |agents AS (SELECT DISTINCT host, agent FROM ag),
+        |req AS (SELECT DISTINCT CAST(doc_id % 7 AS BIGINT) AS host,
+        |    ['crawler-a','crawler-b','OtherBot','nice-bot'][CAST(doc_id % 4 + 1 AS INTEGER)] AS agent,
+        |    ['/private/pub-1','/private/x','/tmp/a.log','/tmp/keep.log','/a/b/c','/a/x','/shared/docs','/caseTest/page'][CAST(doc_id % 8 + 1 AS INTEGER)] AS path
+        |  FROM documents),
+        |rq AS (SELECT req.*, CASE WHEN EXISTS (SELECT 1 FROM agents x
+        |      WHERE x.host = req.host AND x.agent = lower(req.agent))
+        |    THEN lower(req.agent) ELSE '*' END AS eff_agent FROM req),
+        |m AS (SELECT rq.host, rq.agent, rq.path,
+        |    ru2.rule_type AS m_type, ru2.pattern AS m_pattern
+        |  FROM rq LEFT JOIN rules ru2 ON ru2.host = rq.host
+        |    AND ru2.agent = rq.eff_agent
+        |    AND rq.path LIKE ru2.like_pat ESCAPE '\'),
+        |r1 AS (SELECT *, row_number() OVER (PARTITION BY host, agent, path
+        |    ORDER BY length(m_pattern) DESC, (m_type = 'allow') DESC, m_pattern)
+        |  AS rn FROM m)
+        |SELECT host, agent, path,
+        |  (m_type IS NULL OR m_type = 'allow') AS allowed,
+        |  CAST(coalesce(length(m_pattern), 0) AS INTEGER) AS rule_len,
+        |  coalesce(m_type, 'none') AS rule_type
+        |FROM r1 WHERE rn = 1""".stripMargin) {
+      (s, dir) =>
+        val docs = load(s, dir, "documents")
+        val templates = Seq(
+          "User-agent: *\nDisallow: /private/\nAllow: /private/pub*\n",
+          "User-agent: crawler-a\nDisallow: /\nUser-agent: *\nDisallow: /tmp/*.log$\nAllow: /tmp/keep.log\n",
+          "User-agent: crawler-b\nUser-agent: crawler-a\nDisallow: /shared/\n\nUser-agent: *\nDisallow:\n",
+          "# files\nUser-agent: nice-bot\nDisallow:\n\nUser-agent: *\nAllow: /a/b\nDisallow: /a/\nSitemap: https://example.com/s.xml\n",
+          "User-agent: Crawler-A\nDisallow: /caseTest/\n")
+        val hosts = docs.select((col("doc_id") % 7).as("host")).distinct()
+          .withColumn("content", element_at(
+            array(templates.map(lit): _*), (col("host") % 5 + 1).cast("int")))
+        val requests = docs.select(
+          (col("doc_id") % 7).as("host"),
+          element_at(
+            array(Seq("crawler-a", "crawler-b", "OtherBot", "nice-bot").map(lit): _*),
+            (col("doc_id") % 4 + 1).cast("int")).as("agent"),
+          element_at(
+            array(Seq("/private/pub-1", "/private/x", "/tmp/a.log",
+              "/tmp/keep.log", "/a/b/c", "/a/x", "/shared/docs",
+              "/caseTest/page").map(lit): _*),
+            (col("doc_id") % 8 + 1).cast("int")).as("path")).distinct()
+        graft.operators.Robots.evaluate(
+          graft.operators.Robots.parse(hosts),
+          graft.operators.Robots.parseAgents(hosts), requests)
     }
   )
 }
