@@ -5091,6 +5091,83 @@ object LlmQueries {
         graft.operators.Robots.evaluate(
           graft.operators.Robots.parse(hosts),
           graft.operators.Robots.parseAgents(hosts), requests)
+    },
+
+    // Sitemap XML walk — the crawl-discovery twin of q210: <urlset>
+    // page entries (loc + freshness hints, XML entities decoded) and
+    // <sitemapindex> children, extracted relationally from constructed
+    // XML bodies; hostile shapes (entry without <loc>, unclosed trailing
+    // <url>) are dropped, not guessed at. The oracle predicts the full
+    // extraction output from the same id formulas the fixture builder
+    // uses, so every field the regex walk produces — entity-decoded
+    // URLs, optional lastmod/changefreq/priority, entry positions — is
+    // replayed as ground truth. Walk: operators/Sitemap.scala.
+    OpQuery.sql(
+      "q211_sitemap_walk",
+      """WITH hosts AS (SELECT DISTINCT CAST(doc_id % 9 AS BIGINT) AS host FROM documents),
+        |u AS (SELECT host, unnest(generate_series(0, host % 4)) AS j
+        |  FROM hosts WHERE host % 3 <> 2),
+        |pages AS (SELECT host, 'page' AS kind,
+        |    'https://h' || host || '.example/p' || j || '?a=1&b=2' AS loc,
+        |    CASE WHEN (host + j) % 2 = 0 THEN '2024-03-0' || (j + 1) END AS lastmod,
+        |    CASE WHEN j % 2 = 0 THEN 'daily' END AS changefreq,
+        |    CASE WHEN (host + j) % 3 = 0
+        |      THEN CAST('0.' || ((host + j) % 10) AS DOUBLE) END AS priority,
+        |    CAST(j AS INTEGER) AS entry_pos FROM u),
+        |c AS (SELECT host, unnest(generate_series(0, 1 + host % 2)) AS j
+        |  FROM hosts WHERE host % 3 = 2),
+        |childs AS (SELECT host, 'child' AS kind,
+        |    'https://h' || host || '.example/sitemap-' || j || '.xml.gz' AS loc,
+        |    CASE WHEN j % 2 = 1 THEN '2024-01-0' || (j + 1) END AS lastmod,
+        |    CAST(NULL AS VARCHAR) AS changefreq,
+        |    CAST(NULL AS DOUBLE) AS priority,
+        |    CAST(j AS INTEGER) AS entry_pos FROM c)
+        |SELECT * FROM pages UNION ALL SELECT * FROM childs""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val sitemaps = load(s, dir, "documents")
+          .select((col("doc_id") % 9).as("host")).distinct().as[Long]
+          .map { h =>
+            val sb = new StringBuilder(
+              "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+            if (h % 3 == 2) {
+              sb.append("<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">")
+              for (j <- 0L to 1 + h % 2) {
+                sb.append(s"\n  <sitemap>\n    <loc>https://h$h.example/sitemap-$j.xml.gz</loc>")
+                if (j % 2 == 1)
+                  sb.append(s"\n    <lastmod>2024-01-0${j + 1}</lastmod>")
+                sb.append("\n  </sitemap>")
+              }
+              sb.append("\n</sitemapindex>\n")
+            } else {
+              sb.append("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">")
+              for (j <- 0L to h % 4) {
+                sb.append(s"\n  <url>\n    <loc> https://h$h.example/p$j?a=1&amp;b=2 </loc>")
+                if ((h + j) % 2 == 0)
+                  sb.append(s"\n    <lastmod>2024-03-0${j + 1}</lastmod>")
+                if (j % 2 == 0)
+                  sb.append("\n    <changefreq>daily</changefreq>")
+                if ((h + j) % 3 == 0)
+                  sb.append(s"\n    <priority>0.${(h + j) % 10}</priority>")
+                sb.append("\n  </url>")
+              }
+              if (h == 7) // hostile tail: loc-less entry + unclosed block
+                sb.append("\n  <url>\n    <lastmod>2024-09-09</lastmod>\n  </url>" +
+                  "\n  <url><loc>https://h7.example/trunc")
+              sb.append("\n</urlset>\n")
+            }
+            (h, sb.toString)
+          }.toDF("host", "content")
+        val pages = graft.operators.Sitemap.entries(sitemaps)
+          .select(col("host"), lit("page").as("kind"), col("loc"),
+            col("lastmod"), col("changefreq"), col("priority"),
+            col("entry_pos"))
+        val childs = graft.operators.Sitemap.children(sitemaps)
+          .select(col("host"), lit("child").as("kind"),
+            col("child_loc").as("loc"), col("lastmod"),
+            lit(null).cast("string").as("changefreq"),
+            lit(null).cast("double").as("priority"), col("entry_pos"))
+        pages.unionByName(childs)
     }
   )
 }
