@@ -165,6 +165,20 @@ class Pipeline(
       Option(df.agg(max(col(c))).first().getTimestamp(0))
     }.reduceOption((a, b) => if (a.after(b)) a else b).getOrElse(Watermark.Epoch)
 
+  // `graft.debug.tickTiming=true` prints per-phase wall seconds and
+  // bytes opened for everything a tick does OUTSIDE the four logged
+  // stages (purge probe, latest-summary merge, purged-log rewrite) as
+  // well as the stages themselves — profiling hook only
+  private def phase[A](label: String)(f: => A): A =
+    if (spark.conf.getOption("graft.debug.tickTiming").contains("true")) {
+      val t0 = System.nanoTime()
+      val b0 = graft.core.IoStats.fsBytesRead
+      val r = f
+      println(f"    [tick] $label%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s" +
+        f"  opened ${(graft.core.IoStats.fsBytesRead - b0) / 1024}%8d KiB")
+      r
+    } else f
+
   /** `log` is the run log read ONCE at tick start: a stage's own version
     * gains no entries until its own append, so the tick-start snapshot
     * resolves every stage's watermark — re-reading (and re-listing) the
@@ -212,7 +226,19 @@ class Pipeline(
   }
 
   private def bucketedDelta(name: String, queue: DataFrame): BucketedDelta = {
-    val q = queue.cache()
+    // localCheckpoint, not cache: the queue plan reads the stored table
+    // (change feed / merge read), and every stage's own write calls
+    // refreshByPath on that table — which drops ANY cached plan
+    // referencing it. A cache()d queue therefore silently recomputed from
+    // files on every later use (the summary stage's bounded retraction
+    // scan, the purged-log update) — measured ~4.4 MB re-opened per
+    // evaluation per tick at 2k persons. Checkpointing materializes the
+    // O(delta) frame once and severs the file lineage, so no later write
+    // can invalidate it. (Cluster note: localCheckpoint blocks die with
+    // their executor; the durable equivalent is re-reading the stage's
+    // just-committed delta epoch. The frame is O(delta persons), so
+    // either is cheap.)
+    val q = queue.localCheckpoint()
     val p = bucketedDataPath(name).toString
     val buckets = BucketedSink.collectBuckets(q, sinkBuckets)
     BucketedDelta(q, buckets, BucketedSink.readBuckets(spark, p, buckets))
@@ -257,9 +283,9 @@ class Pipeline(
     // the old wm are in the feed by contract, so max(feed) equals
     // max(source) whenever anything new arrived; runStage floors at the
     // old wm for the no-new-rows case
-    val encObsMax = maxTs(Seq(
+    val encObsMax = phase("watermark maxTs")(maxTs(Seq(
       encD.getOrElse(encounter) -> "date_created",
-      obsD.getOrElse(obs) -> "date_created"))
+      obsD.getOrElse(obs) -> "date_created")))
 
     // ---- purged-persons log (bucketed mode) ----
     // The voided-person purge must only queue persons whose rows are
@@ -304,7 +330,12 @@ class Pipeline(
                 .getOrElse(claimed.limit(0))
             fresh.union(stale)
           case None => voidedPersons
-        }).cache())
+          // localCheckpoint for the same reason as bucketedDelta's queue:
+          // the stale probe reads the flat tables, so the first stage
+          // write would invalidate a cache()d plan and every later
+          // consumer (each stage's purge narrowing, the log update)
+          // would re-run the bucket probe from files
+        }).localCheckpoint())
       }
     val tickQueues = scala.collection.mutable.ListBuffer.empty[DataFrame]
 
@@ -338,6 +369,7 @@ class Pipeline(
     // only to narrow the purge in snapshot mode), and the merge reads the
     // bucket-pruned frame. At 200k persons / 40k buckets those dead
     // listings were a multi-second constant per stage, every tick.
+    phase("stage flat_obs")(
     runStage(log0, flatObsVersion, "flat_obs", encObsMax, wm =>
       if (bucketed && bucketedExists("flat_obs")) {
         val d = noteDelta(bucketedDelta("flat_obs",
@@ -351,9 +383,10 @@ class Pipeline(
           FlatObs.incremental(existing, obs, encounter, person, wm, obsD, encD)
         case None => FlatObs.build(obs, encounter, person)
       },
-      bucketedWrite("flat_obs", () => delta))
+      bucketedWrite("flat_obs", () => delta)))
     endStage()
 
+    phase("stage flat_orders")(
     runStage(log0, flatOrdersVersion, "flat_orders",
       maxTs(Seq(ordD.getOrElse(orders) -> "date_created")), wm =>
         if (bucketed && bucketedExists("flat_orders")) {
@@ -367,13 +400,14 @@ class Pipeline(
             FlatOrders.incremental(existing, orders, encounter, person, wm, ordD)
           case None => FlatOrders.build(orders, encounter, person)
         },
-      bucketedWrite("flat_orders", () => delta))
+      bucketedWrite("flat_orders", () => delta)))
     endStage()
 
     // lab watermark from the obs actually visible to the lab delta, NOT
     // encObsMax: advancing on the strength of an encounter row alone
     // would widen the window where a lab obs committing just after the
     // snapshot is permanently skipped
+    phase("stage flat_lab_obs")(
     runStage(log0, flatLabObsVersion, "flat_lab_obs",
       maxTs(Seq(obsD.getOrElse(obs) -> "date_created")), wm =>
         if (bucketed && bucketedExists("flat_lab_obs")) {
@@ -387,7 +421,7 @@ class Pipeline(
             FlatLabObs.incremental(existing, obs, person, wm, obsDelta = obsD)
           case None => FlatLabObs.build(obs, person)
         },
-      bucketedWrite("flat_lab_obs", () => delta))
+      bucketedWrite("flat_lab_obs", () => delta)))
     endStage()
 
     // Summary new-watermark: the flat_obs stage just recorded max(source
@@ -398,6 +432,7 @@ class Pipeline(
     // log (one tiny parquet read, post-append) replaces the previous
     // full-column max scan over the flat_obs table — an O(table files)
     // constant paid every tick.
+    phase("stage flat_visit_summary")(
     runStage(log0, flatVisitSummaryVersion, "flat_visit_summary",
       Watermark.resolve(Watermark.readLog(spark, logPath), flatObsVersion),
       wm => {
@@ -449,7 +484,7 @@ class Pipeline(
         }
       },
       bucketedWrite("flat_visit_summary", () => delta),
-      tableFallback = false)
+      tableFallback = false))
     endStage()
 
     // ---- latest-summary maintenance ----
@@ -461,6 +496,7 @@ class Pipeline(
     // rebuild (the one stage whose incremental path the reference itself
     // punts on, flat_latest_hiv_summary_v1.0.sql:21-37 + §7.4.8).
     // Deletions fall out: a purged person's bucket rebuilds without them.
+    phase("latest merge")(
     if (bucketed && bucketedExists("flat_latest_hiv_summary") && sumDelta != null)
       writeBucketedChanged(
         FlatLatestHivSummary.build(
@@ -473,7 +509,7 @@ class Pipeline(
     else
       writeSnapshot(
         FlatLatestHivSummary.build(readFlat("flat_visit_summary").get),
-        "flat_latest_hiv_summary")
+        "flat_latest_hiv_summary"))
 
     // ---- purged-persons log update ----
     // log' = (log \ every person queued this tick) ∪ purged-this-tick:
@@ -481,6 +517,7 @@ class Pipeline(
     // when some group rebuilt), so their log entry is no longer proof of
     // absence; re-adding the tick's purge set is exact — those persons'
     // rows were removed by every stage this tick.
+    phase("purged-log update")(
     purgeSet.foreach { p =>
       val queued = tickQueues.map(_.select("person_id"))
         .reduceOption(_ union _).map(_.distinct())
@@ -491,7 +528,7 @@ class Pipeline(
       }
       writeSnapshot(kept.union(p).distinct(), "purged_persons")
       p.unpersist()
-    }
+    })
     tickQueues.foreach(_.unpersist())
   }
 }

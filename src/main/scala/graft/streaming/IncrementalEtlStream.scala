@@ -155,16 +155,7 @@ object IncrementalEtlStream {
     query.awaitTermination()
   }
 
-  /** Bytes read through the local filesystem so far — the "files
-    * opened" reality check behind the O(delta) bytes claim. Exact in
-    * local mode (driver and executors share the JVM and its FileSystem
-    * statistics); on a cluster this hook would need executor task
-    * metrics instead, but it is a profiling aid, not a control path. */
-  private[graft] def fsBytesRead: Long = {
-    val s = org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics.get("file")
-    if (s == null) 0L
-    else Option(s.getLong("bytesRead")).map(_.longValue).getOrElse(0L)
-  }
+  private[graft] def fsBytesRead: Long = graft.core.IoStats.fsBytesRead
 
   // `graft.debug.cascadeTiming=true` prints per-stage seconds and bytes
   // opened — profiling hook only, no behavior change. Lazily-built

@@ -63,6 +63,10 @@ object PipelineBench {
         (sys.env.getOrElse("SPARK_GRAFT_TICK_TYPED", "1") == "1").toString)
       spark.conf.set("graft.sink.buckets", buckets)
       if (salt != "0") spark.conf.set(graft.etl.FlatObs.SaltConfKey, salt)
+      // SPARK_GRAFT_TICK_DEBUG=1 prints per-phase wall/bytes for every
+      // tick (stages + the unlogged phases) — attribution, off by default
+      if (sys.env.get("SPARK_GRAFT_TICK_DEBUG").contains("1"))
+        spark.conf.set("graft.debug.tickTiming", "true")
 
       val src = BenchFixtures.sources(spark, nPersons)
       val t1 = BenchFixtures.asOf(60)
