@@ -5168,6 +5168,73 @@ object LlmQueries {
             lit(null).cast("string").as("changefreq"),
             lit(null).cast("double").as("priority"), col("entry_pos"))
         pages.unionByName(childs)
+    },
+
+    // ISO-BMFF (MP4) box walk — the video-metadata twin of the MP3
+    // frame walk (q209): brand, movie timescale + exact duration, track
+    // census, presentation dimensions, and payload size from the box
+    // tree alone, no sample decode. Fixtures are constructed per media
+    // id (mvhd v1 on id%4==1, largesize mdat on id%7==0, free box on
+    // id%3==0, optional audio/text tracks); box sizes are fixed by
+    // construction (ftyp 24, mvhd 108/120, trak 173, mdat header 8/16)
+    // so the oracle reproduces every output — including total_bytes —
+    // from the same id formulas. Walk grammar: operators/Mp4.scala;
+    // hostile-stream handling in Mp4Spec.
+    OpQuery.sql(
+      "q212_mp4_box_walk",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    600 + (doc_id % 10) * 100 AS ts FROM documents),
+        |d AS (SELECT id, ts, (30 + id % 90) * ts + id % 600 AS dur,
+        |    1 + CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN id % 5 = 0 THEN 1 ELSE 0 END AS ntr FROM v)
+        |SELECT id AS media_id,
+        |  CASE WHEN id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+        |  CAST(ts AS BIGINT) AS timescale,
+        |  dur * 1000 // ts AS duration_ms,
+        |  CAST(ntr AS INTEGER) AS n_tracks,
+        |  1 AS n_video,
+        |  CAST(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END AS INTEGER) AS n_audio,
+        |  CAST(320 + (id % 16) * 8 AS INTEGER) AS width,
+        |  CAST(240 + (id % 9) * 16 AS INTEGER) AS height,
+        |  CAST(1000 + id % 5000 AS BIGINT) AS mdat_bytes,
+        |  CAST(24
+        |    + CASE WHEN id % 3 = 0 THEN 8 + id % 32 ELSE 0 END
+        |    + 8 + CASE WHEN id % 4 = 1 THEN 120 ELSE 108 END + ntr * 173
+        |    + CASE WHEN id % 7 = 0 THEN 16 ELSE 8 END
+        |    + 1000 + id % 5000 AS BIGINT) AS total_bytes
+        |FROM d""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            import graft.operators.Mp4
+            val ts = 600L + (id % 10) * 100
+            val dur = (30 + id % 90) * ts + id % 600
+            var tracks = Seq(Mp4.trak(1, "vide",
+              (320 + (id % 16) * 8).toInt, (240 + (id % 9) * 16).toInt, ts, dur))
+            if (id % 2 == 0) tracks :+= Mp4.trak(2, "soun", 0, 0, 48000, dur)
+            if (id % 5 == 0) tracks :+= Mp4.trak(3, "text", 0, 0, ts, dur)
+            val out = new java.io.ByteArrayOutputStream()
+            out.write(Mp4.ftyp(if (id % 2 == 0) "isom" else "mp42", 512,
+              Seq("isom", "mp41")))
+            if (id % 3 == 0) out.write(Mp4.free((id % 32).toInt))
+            out.write(Mp4.box("moov",
+              (Mp4.mvhd(if (id % 4 == 1) 1 else 0, ts, dur) +: tracks): _*))
+            out.write(Mp4.mdat((1000 + id % 5000).toInt, id % 7 == 0,
+              seed = id * 17))
+            Multimodal.MediaRow(id, "video", out.toByteArray)
+          })
+          .flatMap { r =>
+            graft.operators.Mp4.info(r.payload).map { i =>
+              (r.media_id, i.brand, i.timescale, i.durationMs, i.nTracks,
+                i.nVideo, i.nAudio, i.width, i.height, i.mdatBytes,
+                i.totalBytes)
+            }
+          }
+          .toDF("media_id", "brand", "timescale", "duration_ms", "n_tracks",
+            "n_video", "n_audio", "width", "height", "mdat_bytes",
+            "total_bytes")
     }
   )
 }
