@@ -97,6 +97,61 @@ class Pipeline(
   private[graft] def bucketedExists(name: String): Boolean =
     BucketedSink.exists(hadoopConf, bucketedDataPath(name).toString)
 
+  // ---- purged-log consistency marker ----
+  // The purge-set presence probe (in tick) exists only for crash
+  // recovery: a tick that died between its stage writes and its
+  // purged-log update can leave a stale absence entry. Running the probe
+  // every tick re-reads every claimed person's buckets across four
+  // tables — an O(accumulated purge set) scan paid forever for a
+  // once-per-crash hazard (measured ~10 s of a 26 s steady tick at 20k
+  // persons). Instead the completed purged-log update records the run
+  // log's signature (row count + max date_created) in a sidecar; a tick
+  // whose starting log matches the marker KNOWS no tick died mid-flight
+  // since — any crash either left log appends past the marker's
+  // signature (mismatch → probe runs) or happened before the dying
+  // tick's first log append, in which case that tick's delta is still
+  // above the un-advanced watermark and the normal queue path re-handles
+  // exactly those persons next tick. Out-of-band writers (the streamed
+  // cascade's stage facade below) drop the marker.
+  private def markerPath = new Path(path("purged_persons"), "_CONSISTENT")
+
+  private def logSignature(log: DataFrame): String = {
+    val r = log.agg(count(lit(1)), max(col("date_created"))).first()
+    r.getLong(0) + "|" + Option(r.getTimestamp(1)).map(_.getTime).getOrElse(0L)
+  }
+
+  private def readMarker(): Option[String] = {
+    val fs = markerPath.getFileSystem(hadoopConf)
+    if (!fs.exists(markerPath)) None
+    else {
+      val in = fs.open(markerPath)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        Some(new String(buf.toByteArray, StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
+  private def writeMarker(sig: String): Unit = {
+    val fs = markerPath.getFileSystem(hadoopConf)
+    val tmp = new Path(path("purged_persons"), "_CONSISTENT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(sig.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    FileContext.getFileContext(markerPath.toUri, hadoopConf)
+      .rename(tmp, markerPath, Options.Rename.OVERWRITE)
+  }
+
+  private[graft] def dropMarker(): Unit = {
+    val fs = markerPath.getFileSystem(hadoopConf)
+    if (fs.exists(markerPath)) fs.delete(markerPath, false)
+  }
+
+  /** Whether the last tick's purge step ran the presence probe —
+    * observability for specs (the steady path must NOT probe; a tick
+    * after any out-of-band write MUST). */
+  private[graft] var lastTickProbed: Boolean = false
+
   // ---- bucketed stage facade for callers OUTSIDE tick ----
   // The streamed cascade (IncrementalEtlStream) drives the same
   // stage code per micro-batch with a batch-derived watermark; these
@@ -107,16 +162,23 @@ class Pipeline(
   private[graft] def stageDelta(name: String, queue: DataFrame): BucketedDelta =
     bucketedDelta(name, queue)
 
-  /** First write of a bucketed table: every bucket into a fresh epoch. */
-  private[graft] def writeBucketedFull(df: DataFrame, name: String): Unit =
+  /** First write of a bucketed table: every bucket into a fresh epoch.
+    * Bypasses the run log, so the purged-log consistency marker no
+    * longer proves anything — drop it (next tick re-probes). */
+  private[graft] def writeBucketedFull(df: DataFrame, name: String): Unit = {
+    dropMarker()
     BucketedSink.writeFull(df, bucketedDataPath(name).toString, "person_id", sinkBuckets)
+  }
 
   /** Incremental write: only the given buckets land in a new epoch;
-    * `merged` must cover their complete post-merge rows. */
+    * `merged` must cover their complete post-merge rows. Drops the
+    * consistency marker (see writeBucketedFull). */
   private[graft] def writeBucketedChanged(
-      df: DataFrame, name: String, touched: Set[Int]): Unit =
+      df: DataFrame, name: String, touched: Set[Int]): Unit = {
+    dropMarker()
     BucketedSink.overwriteChanged(
       df, bucketedDataPath(name).toString, "person_id", sinkBuckets, touched)
+  }
 
   /** Read only the given buckets of a bucketed table. */
   private[graft] def readFlatBuckets(name: String, buckets: Set[Int]): DataFrame =
@@ -130,6 +192,11 @@ class Pipeline(
         spark.read.parquet(new Path(path(name), v).toString))
 
   def writeSnapshot(df: DataFrame, name: String): Unit = {
+    // any overwrite of the purged log voids the consistency marker —
+    // the tick's own update rewrites it immediately after; an
+    // out-of-band caller (crash-recovery surgery, specs) must force the
+    // next tick's presence probe
+    if (name == "purged_persons") dropMarker()
     val dir = new Path(path(name))
     val fs = dir.getFileSystem(hadoopConf)
     val prev = currentVersion(name)
@@ -297,10 +364,16 @@ class Pipeline(
     // rematerialize — rebuilds of a still-voided person emit nothing).
     // purge set = voided persons not yet in the log: O(persons voided),
     // independent of table size.
+    // run log read ONCE at tick start (also signs the consistency check
+    // below): a stage's own version gains no entries until its own
+    // append, so this snapshot resolves every stage's watermark
+    val log0 = Watermark.readLog(spark, logPath)
+
+    lastTickProbed = false
     val purgedLog = if (bucketed) readFlat("purged_persons") else None
     val purgeSet =
       if (!bucketed) None
-      else {
+      else phase("purge probe") {
         val voidedPersons = person.filter(col("voided") === 1).select("person_id")
         Some((purgedLog match {
           case Some(log) =>
@@ -311,11 +384,19 @@ class Pipeline(
             // later re-void would be excluded from the purge set forever.
             // Validate exactly the entries whose staleness matters — log
             // ∩ currently-voided — with a bucket-pruned presence probe
-            // (O(claimed persons' buckets), not O(table)): any claimed-
-            // absent person who actually has rows re-enters the purge set.
+            // (O(claimed persons' buckets), not O(table)) — but ONLY
+            // when the consistency marker says a crash window is open
+            // (see the marker scaladoc): on the steady path the probe,
+            // not the purge itself, was the tick's largest unlogged cost.
             val fresh = voidedPersons.join(log, Seq("person_id"), "left_anti")
-            val claimed = voidedPersons.join(log, Seq("person_id"), "left_semi")
-            val claimedBuckets = BucketedSink.collectBuckets(claimed, sinkBuckets)
+            val probeNeeded = !readMarker().contains(logSignature(log0))
+            lastTickProbed = probeNeeded
+            val claimed =
+              if (!probeNeeded) fresh.limit(0)
+              else voidedPersons.join(log, Seq("person_id"), "left_semi")
+            val claimedBuckets =
+              if (!probeNeeded) Set.empty[Int]
+              else BucketedSink.collectBuckets(claimed, sinkBuckets)
             val stale =
               if (claimedBuckets.isEmpty) claimed.limit(0)
               else Seq("flat_obs", "flat_orders", "flat_lab_obs",
@@ -344,7 +425,6 @@ class Pipeline(
     // flat_obs queue only if the last summary run saw everything up to
     // the PREVIOUS flat_obs run (crash between the two ⇒ fall back to
     // the full anti-join recovery scan)
-    val log0 = Watermark.readLog(spark, logPath)
     val prevFlatObsWm = Watermark.resolve(log0, flatObsVersion)
     val prevSummaryWm = Watermark.resolve(log0, flatVisitSummaryVersion)
     val summaryAligned = !prevSummaryWm.before(prevFlatObsWm)
@@ -527,6 +607,10 @@ class Pipeline(
         case (None, _) => p.limit(0)
       }
       writeSnapshot(kept.union(p).distinct(), "purged_persons")
+      // the log update committed with every stage append visible →
+      // record the log signature so the next tick can skip the
+      // crash-recovery presence probe (see markerPath scaladoc)
+      writeMarker(logSignature(Watermark.readLog(spark, logPath)))
       p.unpersist()
     })
     tickQueues.foreach(_.unpersist())

@@ -156,6 +156,8 @@ class ChangeFeedSpec extends SparkSuite {
       pipe.tick(obs0, encounter, orders, person(1)) // steady: no re-touch
       assert(p2Rows == 0 && logPersons == Set(2),
         "an already-purged person must stay in the log untouched")
+      assert(!pipe.lastTickProbed,
+        "steady tick under an intact consistency marker must skip the probe")
 
       // unvoid P2 WITH a new obs: the delta queues them, rows come back,
       // and the log entry (no longer proof of absence) is dropped
@@ -188,6 +190,8 @@ class ChangeFeedSpec extends SparkSuite {
       pipe.writeSnapshot(Seq(2).toDF("person_id"), "purged_persons")
       assert(logPersons == Set(2) && p2Rows == 1) // the stale state
       pipe.tick(obs2, encounter, orders, person(1)) // re-void under a stale log
+      assert(pipe.lastTickProbed,
+        "out-of-band purged-log write must void the marker and force the probe")
       assert(p2Rows == 0,
         "stale log entry shielded a re-voided person from the purge")
       assert(logPersons == Set(2))
