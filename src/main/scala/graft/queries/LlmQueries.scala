@@ -5235,6 +5235,177 @@ object LlmQueries {
           .toDF("media_id", "brand", "timescale", "duration_ms", "n_tracks",
             "n_video", "n_audio", "width", "height", "mdat_bytes",
             "total_bytes")
+    },
+
+    // SRT / WebVTT subtitle parse — the transcript metadata a multimodal
+    // pipeline aligns against its audio/video columns: cue count, speech
+    // coverage, gap structure, tag-stripped text volume. Fixtures are
+    // constructed per doc id (VTT on even ids with NOTE blocks / cue ids
+    // / settings / optional-hours timestamps, SRT on odd; every timing,
+    // text length, and gap comes from id formulas) so the oracle replays
+    // every output including max_gap_ms = 5000 - min(non-final cue
+    // duration). Grammar: operators/Subtitles.scala; hostile-stream
+    // handling in SubtitlesSpec.
+    OpQuery.sql(
+      "q213_subtitle_parse",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(3 + doc_id % 8 AS BIGINT) AS n,
+        |    (doc_id % 90) * 60000 + doc_id % 700 AS t0 FROM documents),
+        |c AS (SELECT *, unnest(generate_series(0, n - 1)) AS k FROM v),
+        |d AS (SELECT id, n, t0, k,
+        |    1200 + (id + 37 * k) % 2500 AS dur FROM c),
+        |g AS (SELECT id, n, t0,
+        |    CAST(sum(dur) AS BIGINT) AS speech_ms,
+        |    CAST(sum(9 + length(CAST(id AS VARCHAR))
+        |      + CASE WHEN (id + k) % 4 = 0 THEN 8 ELSE 0 END) AS BIGINT)
+        |      AS text_chars,
+        |    CAST(sum(CASE WHEN (id + k) % 3 = 0 THEN 1 ELSE 0 END)
+        |      AS INTEGER) AS n_tagged,
+        |    CAST(5000 - min(CASE WHEN k < n - 1 THEN dur END) AS BIGINT)
+        |      AS max_gap_ms,
+        |    CAST(max(CASE WHEN k = n - 1
+        |      THEN t0 + (n - 1) * 5000 + dur END) AS BIGINT) AS last_end_ms
+        |  FROM d GROUP BY 1, 2, 3)
+        |SELECT id AS media_id,
+        |  CASE WHEN id % 2 = 0 THEN 'vtt' ELSE 'srt' END AS fmt,
+        |  CAST(n AS INTEGER) AS n_cues,
+        |  CAST(CASE WHEN id % 2 = 0 AND id % 6 = 0 THEN 1 ELSE 0 END
+        |    AS INTEGER) AS n_notes,
+        |  CAST(t0 AS BIGINT) AS first_start_ms, last_end_ms, speech_ms,
+        |  text_chars, n_tagged, max_gap_ms
+        |FROM g""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            import graft.operators.Subtitles
+            val n = 3 + (id % 8).toInt
+            val base = (id % 90) * 60000
+            val off = id % 700
+            val vtt = id % 2 == 0
+            val sb = new StringBuilder
+            if (vtt) {
+              sb ++= Subtitles.vttHeader
+              if (id % 6 == 0) sb ++= Subtitles.vttNote("generated fixture")
+            }
+            var k = 0
+            while (k < n) {
+              val start = base + k * 5000L + off
+              val end = start + 1200 + (id + 37L * k) % 2500
+              val l1 = s"cue $k of $id"
+              var ls = Seq(if ((id + k) % 3 == 0) s"<i>$l1</i>" else l1)
+              if ((id + k) % 4 == 0) ls :+= "line two"
+              if (vtt)
+                sb ++= Subtitles.vttCue(
+                  if (k % 3 == 1) Some(s"c$k") else None, start, end,
+                  if (k % 2 == 0) Some("align:start") else None, ls)
+              else sb ++= Subtitles.srtCue(k + 1, start, end, ls)
+              k += 1
+            }
+            (id, sb.toString)
+          })
+          .flatMap { case (id, body) =>
+            graft.operators.Subtitles.info(body).map { i =>
+              (id, i.fmt, i.nCues, i.nNotes, i.firstStartMs, i.lastEndMs,
+                i.speechMs, i.textChars, i.nTagged, i.maxGapMs)
+            }
+          }
+          .toDF("media_id", "fmt", "n_cues", "n_notes", "first_start_ms",
+            "last_end_ms", "speech_ms", "text_chars", "n_tagged",
+            "max_gap_ms")
+    },
+
+    // Markdown structure walk — the code-corpus document census:
+    // heading outline, fenced code blocks with language tags, link /
+    // image counts, and the prose/code character split (what a training
+    // mixture weights on). Fixtures constructed per doc id (heading
+    // depths, fence languages, per-fence body sizes, an unclosed
+    // trailing fence on id%11 — CommonMark's run-to-EOF rule — all from
+    // id formulas); the oracle replays every count including the sorted
+    // distinct language census. Grammar: operators/Markdown.scala;
+    // CommonMark edge rules (close-fence length, 7-hash non-heading) in
+    // MarkdownSpec.
+    OpQuery.sql(
+      "q214_markdown_walk",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    1 + doc_id % 4 AS h, doc_id % 3 AS f,
+        |    doc_id % 11 = 0 AS uncl,
+        |    length(CAST(doc_id AS VARCHAR)) AS w FROM documents),
+        |hj AS (SELECT id, w, unnest(generate_series(1, h)) AS j FROM v),
+        |ha AS (SELECT id,
+        |    CAST(max(1 + (id + j) % 3) AS INTEGER) AS max_heading_depth,
+        |    CAST(sum(12 + w + CASE WHEN (id + j) % 2 = 0 THEN 7 ELSE 0 END
+        |      + CASE WHEN (id + j) % 5 = 0 THEN 8 ELSE 0 END) AS BIGINT)
+        |      AS prose_chars,
+        |    CAST(sum(CASE WHEN (id + j) % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS INTEGER) AS n_links,
+        |    CAST(sum(CASE WHEN (id + j) % 5 = 0 THEN 1 ELSE 0 END)
+        |      AS INTEGER) AS n_images
+        |  FROM hj GROUP BY 1),
+        |fj AS (SELECT id, w, unnest(generate_series(0, f - 1)) AS fx
+        |  FROM v WHERE f > 0),
+        |fa AS (SELECT id,
+        |    CAST(sum(1 + (id + fx) % 3) AS BIGINT) AS bcl,
+        |    CAST(sum((1 + (id + fx) % 3) * (4 + w)) AS BIGINT) AS bcc
+        |  FROM fj GROUP BY 1)
+        |SELECT v.id AS doc_id,
+        |  CAST(v.h AS INTEGER) AS n_headings,
+        |  ha.max_heading_depth,
+        |  CAST(v.f + CASE WHEN v.uncl THEN 1 ELSE 0 END AS INTEGER)
+        |    AS n_fences,
+        |  v.uncl AS unclosed_fence,
+        |  CAST(COALESCE(fa.bcl, 0) + CASE WHEN v.uncl THEN 1 ELSE 0 END
+        |    AS BIGINT) AS code_lines,
+        |  CAST(COALESCE(fa.bcc, 0) + CASE WHEN v.uncl THEN 8 ELSE 0 END
+        |    AS BIGINT) AS code_chars,
+        |  CASE WHEN v.uncl THEN
+        |    CASE v.id % 3 WHEN 0 THEN 'js' WHEN 1 THEN 'js,scala'
+        |      ELSE 'js,python' END
+        |  ELSE
+        |    CASE v.id % 3 WHEN 0 THEN '' WHEN 1 THEN 'scala'
+        |      ELSE 'python' END
+        |  END AS fence_langs,
+        |  ha.n_links, ha.n_images, ha.prose_chars
+        |FROM v JOIN ha ON v.id = ha.id LEFT JOIN fa ON v.id = fa.id""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val h = 1 + (id % 4).toInt
+            val f = (id % 3).toInt
+            val lines = Seq.newBuilder[String]
+            var j = 1
+            while (j <= h) {
+              val depth = 1 + ((id + j) % 3).toInt
+              lines += "#" * depth + s" Heading $j"
+              lines += ""
+              var p = s"prose $j for $id"
+              if ((id + j) % 2 == 0) p += " [l](u)"
+              if ((id + j) % 5 == 0) p += " ![a](u)"
+              lines += p
+              lines += ""
+              j += 1
+            }
+            var fx = 0
+            while (fx < f) {
+              lines += "```" + Seq("python", "scala", "")(((id + fx) % 3).toInt)
+              var m = 0
+              while (m < 1 + ((id + fx) % 3).toInt) { lines += s"x = $id"; m += 1 }
+              lines += "```"
+              lines += ""
+              fx += 1
+            }
+            if (id % 11 == 0) { lines += "```js"; lines += "trailing" }
+            val i = graft.operators.Markdown.info(lines.result().mkString("\n"))
+            (id, i.nHeadings, i.maxHeadingDepth, i.nFences, i.unclosedFence,
+              i.codeLines, i.codeChars, i.fenceLangs, i.nLinks, i.nImages,
+              i.proseChars)
+          })
+          .toDF("doc_id", "n_headings", "max_heading_depth", "n_fences",
+            "unclosed_fence", "code_lines", "code_chars", "fence_langs",
+            "n_links", "n_images", "prose_chars")
     }
   )
 }
