@@ -5406,6 +5406,182 @@ object LlmQueries {
           .toDF("doc_id", "n_headings", "max_heading_depth", "n_fences",
             "unclosed_fence", "code_lines", "code_chars", "fence_langs",
             "n_links", "n_images", "prose_chars")
+    },
+
+    // RSS/Atom feed walk — the syndication member of the crawl-discovery
+    // family (q210 robots gates, q211 sitemaps list, feeds ANNOUNCE):
+    // item/entry extraction across both dialects into one frame, with
+    // CDATA-unwrapped / entity-decoded titles, the Atom link taken from
+    // its href attribute, and the drop rule (no link AND no guid → not
+    // fetchable, not dedupable → dropped) exercised by the fixture's
+    // natural gaps plus a hostile tail (field-less item, unclosed
+    // trailing <item>). The oracle predicts the full extraction from the
+    // same id formulas the fixture builder uses. Walk:
+    // operators/Feeds.scala.
+    OpQuery.sql(
+      "q215_feed_walk",
+      """WITH hosts AS (SELECT DISTINCT CAST(doc_id % 11 AS BIGINT) AS host
+        |  FROM documents),
+        |r AS (SELECT host, unnest(generate_series(0, host % 3)) AS j
+        |  FROM hosts WHERE host % 3 <> 1),
+        |rss AS (SELECT host, 'rss' AS kind, CAST(j AS INTEGER) AS entry_pos,
+        |    'Post ' || j || ' & notes on h' || host AS title,
+        |    CASE WHEN (host + j) % 5 <> 3
+        |      THEN 'https://h' || host || '.example/post/' || j END AS link,
+        |    CASE WHEN j % 2 = 0
+        |      THEN 'urn:h' || host || ':item:' || j END AS guid,
+        |    CASE WHEN (host + j) % 2 = 0
+        |      THEN 'Tue, 0' || (j + 1) || ' Apr 2024 12:30:00 GMT' END
+        |      AS published
+        |  FROM r),
+        |a AS (SELECT host, unnest(generate_series(0, 1)) AS j
+        |  FROM hosts WHERE host % 3 = 1),
+        |atom AS (SELECT host, 'atom' AS kind, CAST(j AS INTEGER) AS entry_pos,
+        |    'Entry ' || j || ' & h' || host AS title,
+        |    CASE WHEN (host + j) % 5 <> 3
+        |      THEN 'https://h' || host || '.example/e/' || j END AS link,
+        |    'urn:uuid:h' || host || '-e' || j AS guid,
+        |    '2024-04-0' || (j + 1) || 'T10:00:00Z' AS published FROM a)
+        |SELECT * FROM rss WHERE link IS NOT NULL OR guid IS NOT NULL
+        |UNION ALL SELECT * FROM atom""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val feeds = load(s, dir, "documents")
+          .select((col("doc_id") % 11).as("host")).distinct().as[Long]
+          .map { h =>
+            val sb = new StringBuilder("<?xml version=\"1.0\"?>\n")
+            if (h % 3 == 1) {
+              sb.append("<feed xmlns=\"http://www.w3.org/2005/Atom\">\n")
+              sb.append(s"  <title>Feed h$h</title>\n")
+              for (j <- 0L to 1L) {
+                sb.append("  <entry>\n")
+                sb.append(s"    <title>Entry $j &amp; h$h</title>\n")
+                sb.append(s"    <id>urn:uuid:h$h-e$j</id>\n")
+                if ((h + j) % 5 != 3)
+                  sb.append(s"    <link rel=\"alternate\" href=\"https://h$h.example/e/$j\"/>\n")
+                sb.append(s"    <updated>2024-04-0${j + 1}T10:00:00Z</updated>\n")
+                sb.append("  </entry>\n")
+              }
+              sb.append("</feed>\n")
+            } else {
+              sb.append("<rss version=\"2.0\"><channel>\n")
+              sb.append(s"  <title>Channel h$h</title>\n")
+              sb.append(s"  <link>https://h$h.example/</link>\n")
+              for (j <- 0L to h % 3) {
+                sb.append("  <item>\n")
+                val t = s"Post $j & notes on h$h"
+                if ((h + j) % 4 == 0)
+                  sb.append(s"    <title><![CDATA[$t]]></title>\n")
+                else
+                  sb.append(s"    <title>${t.replace("&", "&amp;")}</title>\n")
+                if ((h + j) % 5 != 3)
+                  sb.append(s"    <link>https://h$h.example/post/$j</link>\n")
+                if (j % 2 == 0) {
+                  val attr = if (h % 2 == 0) " isPermaLink=\"false\"" else ""
+                  sb.append(s"    <guid$attr>urn:h$h:item:$j</guid>\n")
+                }
+                if ((h + j) % 2 == 0)
+                  sb.append(s"    <pubDate>Tue, 0${j + 1} Apr 2024 12:30:00 GMT</pubDate>\n")
+                sb.append("  </item>\n")
+              }
+              if (h == 8) // hostile tail: identity-less item + unclosed item
+                sb.append("  <item>\n    <pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate>\n  </item>\n" +
+                  "  <item><title>trunc")
+              sb.append("</channel></rss>\n")
+            }
+            (h, sb.toString)
+          }.toDF("host", "content")
+        graft.operators.Feeds.items(feeds)
+    },
+
+    // MIME email walk — the mail-corpus seam: RFC 5322 headers (folded
+    // To unfolding, angle-addr extraction), RFC 2047 encoded-word
+    // subjects (B and Q forms both decoding to the same plain string
+    // the oracle predicts), multipart bodies (text/plain + text/html +
+    // base64 attachment), and quoted-printable soft-wrapped twins that
+    // decode to byte-identical text. One planted corruption class (a
+    // truncated base64 attachment) quarantines its row — the oracle
+    // excludes exactly those ids, so the reject path is part of the
+    // checked contract. Walk: operators/Mime.scala (+ mbox splitting
+    // and hostile-stream handling in MimeSpec).
+    OpQuery.sql(
+      "q216_mime_walk",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    length(CAST(doc_id AS VARCHAR)) AS w,
+        |    1 + doc_id % 5 AS nl FROM documents),
+        |k AS (SELECT * FROM v WHERE NOT (id % 6 = 0 AND id % 31 = 17))
+        |SELECT id AS doc_id,
+        |  'user' || (id % 7) || '@example.org' AS from_addr,
+        |  'Re: report ' || id AS subject,
+        |  '<msg-' || id || '@example.org>' AS message_id,
+        |  CAST(CASE WHEN id % 3 = 0
+        |    THEN 2 + CASE WHEN id % 6 = 0 THEN 1 ELSE 0 END
+        |    ELSE 1 END AS INTEGER) AS n_leaves,
+        |  CAST(CASE WHEN id % 3 = 0 THEN 2 ELSE 1 END AS INTEGER)
+        |    AS max_depth,
+        |  CAST(nl * 16 + nl - 1 AS BIGINT) AS text_chars,
+        |  CAST(CASE WHEN id % 3 = 0 THEN 16 + w ELSE 0 END AS BIGINT)
+        |    AS html_chars,
+        |  CAST(CASE WHEN id % 6 = 0 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS n_attachments,
+        |  CAST(CASE WHEN id % 6 = 0 THEN 10 + id % 50 ELSE 0 END AS BIGINT)
+        |    AS attachment_bytes
+        |FROM k""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val nl = 1 + (id % 5).toInt
+            val lines = (0 until nl).map(j => s"mail body line $j")
+            val plain = lines.mkString("\n") + "\n"
+            val subjRaw = s"Re: report $id"
+            val subject = (id % 4) match {
+              case 0 => graft.operators.Mime.bWord(subjRaw)
+              case 1 => graft.operators.Mime.qWord(subjRaw)
+              case _ => subjRaw
+            }
+            val from =
+              if (id % 2 == 0) s"User $id <user${id % 7}@example.org>"
+              else s"user${id % 7}@example.org"
+            val sb = new StringBuilder
+            sb.append(s"From: $from\n")
+            sb.append(s"Subject: $subject\n")
+            sb.append(s"Message-ID: <msg-$id@example.org>\n")
+            sb.append(s"Date: Tue, 0${1 + id % 9} Apr 2024 12:30:00 +0000\n")
+            if (id % 3 == 0) {
+              sb.append(s"""Content-Type: multipart/mixed; boundary="b$id"""")
+                .append("\n\npreamble\n")
+              sb.append(s"--b$id\nContent-Type: text/plain\n\n$plain")
+              sb.append(s"--b$id\nContent-Type: text/html\n\n<p>html for $id</p>\n")
+              if (id % 6 == 0) {
+                val n = 10 + (id % 50).toInt
+                val att = Array.tabulate(n)(i => ((id + i) % 256).toByte)
+                val b64 =
+                  if (id % 31 == 17) "a" // truncated: quarantines the row
+                  else graft.operators.Mime.base64Body(att)
+                sb.append(s"--b$id\nContent-Type: application/octet-stream\n")
+                  .append("Content-Disposition: attachment; filename=\"a.bin\"\n")
+                  .append(s"Content-Transfer-Encoding: base64\n\n$b64\n")
+              }
+              sb.append(s"--b$id--\nepilogue\n")
+            } else if (id % 5 == 2) {
+              // quoted-printable twin: soft-wrapped, decodes to the
+              // same text, so the oracle formula is encoding-blind
+              val qp = lines.map(l => l.substring(0, 9) + "=\n" + l.substring(9))
+                .mkString("\n") + "\n"
+              sb.append("Content-Transfer-Encoding: quoted-printable\n\n")
+                .append(qp)
+            } else {
+              sb.append("\n").append(plain)
+            }
+            graft.operators.Mime.info(sb.toString).map(i =>
+              (id, i.fromAddr, i.subject, i.messageId, i.nLeaves, i.maxDepth,
+                i.textChars, i.htmlChars, i.nAttachments, i.attachmentBytes))
+          })
+          .toDF("doc_id", "from_addr", "subject", "message_id", "n_leaves",
+            "max_depth", "text_chars", "html_chars", "n_attachments",
+            "attachment_bytes")
     }
   )
 }
