@@ -5582,6 +5582,51 @@ object LlmQueries {
           .toDF("doc_id", "from_addr", "subject", "message_id", "n_leaves",
             "max_depth", "text_chars", "html_chars", "n_attachments",
             "attachment_bytes")
+    },
+
+    // Exact triangle census + clustering coefficients — the
+    // link-farm/community signal beside PageRank (q153), connected
+    // components (q59) and degree triage (q195). The Spark side runs
+    // the degree-ordered orientation (wedges only from out-neighbors,
+    // closed against the oriented edge set — the hot-vertex fix: a
+    // celebrity hub generates ZERO wedges because all its edges point
+    // toward it); the oracle replays the orientation-INVARIANT output
+    // with the plain a<b<c three-way join, so the scalable plan and the
+    // naive plan must agree on every vertex row. Graph: a deterministic
+    // 60-vertex synthetic from two modular edge formulas over doc ids
+    // (dup edges, self-loops and both directions arise naturally and
+    // must be normalized away). Operator: operators/Triangles.scala.
+    OpQuery.sql(
+      "q217_triangle_census",
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |raw AS (SELECT id % 60 AS s, (id * 7 + 3) % 60 AS d FROM ids
+        |  UNION ALL SELECT id % 60, (id * 13 + 5) % 60 FROM ids),
+        |e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        |  FROM raw WHERE s <> d),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS degree
+        |  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY 1),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pv AS (SELECT v, CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri) GROUP BY 1)
+        |SELECT deg.v AS vertex, degree,
+        |  CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles,
+        |  CASE WHEN degree >= 2
+        |    THEN round(2.0 * COALESCE(n_triangles, 0)
+        |      / (degree * (degree - 1)), 6)
+        |    ELSE 0.0 END AS clustering
+        |FROM deg LEFT JOIN pv ON deg.v = pv.v""".stripMargin) {
+      (s, dir) =>
+        val ids = load(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("id"))
+        val raw = ids.select((col("id") % 60).as("src"),
+            ((col("id") * 7 + 3) % 60).as("dst"))
+          .unionAll(ids.select((col("id") % 60).as("src"),
+            ((col("id") * 13 + 5) % 60).as("dst")))
+        graft.operators.Triangles.perVertex(raw)
     }
   )
 }
