@@ -5627,6 +5627,71 @@ object LlmQueries {
           .unionAll(ids.select((col("id") % 60).as("src"),
             ((col("id") * 13 + 5) % 60).as("dst")))
         graft.operators.Triangles.perVertex(raw)
+    },
+
+    // RFC 4180 CSV lexical census — the tabular-text routing verdict:
+    // real quoting state machine (embedded delimiters, doubled quotes),
+    // ragged rows COUNTED (arity drift is a quality signal, not a
+    // lexical error), lexical corruption (an unterminated quote planted
+    // on id % 41 == 21) quarantining exactly those rows, which the
+    // oracle excludes. Cell classes (plain / quoted / empty) follow id
+    // formulas, so every census column is replayed as ground truth.
+    // Parser: operators/Csv.scala; hostile shapes in CsvSpec.
+    OpQuery.sql(
+      "q218_csv_census",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    2 + doc_id % 4 AS c, 1 + doc_id % 6 AS rr
+        |  FROM documents WHERE doc_id % 41 <> 21),
+        |g AS (SELECT id, c, unnest(generate_series(1, rr)) AS r FROM v),
+        |cells AS (SELECT id, r, unnest(generate_series(1,
+        |    c - CASE WHEN (id + r) % 11 = 7 THEN 1 ELSE 0 END)) AS cc
+        |  FROM g),
+        |cl AS (SELECT id, r, cc,
+        |    CASE WHEN (id + r + cc) % 9 = 4 THEN 'e'
+        |         WHEN (id + r + cc) % 5 = 0 THEN 'q'
+        |         WHEN (id + r + cc) % 7 = 3 THEN 'q'
+        |         ELSE 'p' END AS k FROM cells),
+        |agg AS (SELECT id, CAST(count(*) AS BIGINT) AS data_cells,
+        |    CAST(sum(CASE WHEN k = 'q' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_quoted,
+        |    CAST(sum(CASE WHEN k = 'e' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_empty
+        |  FROM cl GROUP BY 1),
+        |rag AS (SELECT id,
+        |    CAST(sum(CASE WHEN (id + r) % 11 = 7 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_ragged
+        |  FROM g GROUP BY 1)
+        |SELECT v.id AS doc_id, CAST(v.c AS INTEGER) AS n_cols,
+        |  CAST(v.rr AS BIGINT) AS n_rows, rag.n_ragged, agg.data_cells,
+        |  agg.n_quoted, agg.n_empty
+        |FROM v JOIN agg ON v.id = agg.id
+        |JOIN rag ON v.id = rag.id""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val cNum = 2 + (id % 4).toInt
+            val rNum = 1 + (id % 6).toInt
+            val sb = new StringBuilder
+            sb.append((1 to cNum).map(c => s"h$c").mkString(",")).append('\n')
+            for (r <- 1 to rNum) {
+              val arity = if ((id + r) % 11 == 7) cNum - 1 else cNum
+              sb.append((1 to arity).map { cc =>
+                val m = id + r + cc
+                if (m % 9 == 4) ""
+                else if (m % 5 == 0) "\"x,y\""
+                else if (m % 7 == 3) "\"a\"\"b\""
+                else s"v${r}c$cc"
+              }.mkString(",")).append('\n')
+            }
+            if (id % 41 == 21) sb.append("\"unterminated")
+            graft.operators.Csv.info(sb.toString).map(i =>
+              (id, i.nCols, i.nRows, i.nRagged, i.dataCells, i.nQuoted,
+                i.nEmpty))
+          })
+          .toDF("doc_id", "n_cols", "n_rows", "n_ragged", "data_cells",
+            "n_quoted", "n_empty")
     }
   )
 }
