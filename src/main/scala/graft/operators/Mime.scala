@@ -249,6 +249,13 @@ object Mime {
     m.map(_.group(1)).getOrElse(v.trim)
   }
 
+  /** Unfolded header map of a raw message (lowercase keys), without
+    * walking the body — the thread-reconstruction entry point
+    * (Message-ID / In-Reply-To / References chains). None = no
+    * header/body separator or a malformed header line. */
+  def headers(raw: String): Option[Map[String, String]] =
+    if (raw == null || raw.isEmpty) None else parseHeaders(raw).map(_._1)
+
   /** Walk one raw RFC 5322 message. None = quarantine. */
   def info(raw: String): Option[Info] = {
     if (raw == null || raw.isEmpty) return None

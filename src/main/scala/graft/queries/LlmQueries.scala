@@ -5692,6 +5692,135 @@ object LlmQueries {
           })
           .toDF("doc_id", "n_cols", "n_rows", "n_ragged", "data_cells",
             "n_quoted", "n_empty")
+    },
+
+    // Crawl-discovery capstone — the family's closing arc (like q115
+    // for curation and q200 for web ingest): sitemap page entries
+    // (q211's walk) and feed announcements (q215's walk) are parsed by
+    // the REAL operators from constructed XML, path-extracted, deduped
+    // into one frontier with per-source provenance flags, and gated by
+    // the REAL robots evaluator (q210's longest-match/allow-on-tie
+    // machinery) — overlap between the two discovery channels and the
+    // allow-on-tie rule both exercised by construction. The oracle
+    // predicts the finished frontier from the id formulas alone, so
+    // every stage of the composition is value-checked end-to-end.
+    OpQuery.sql(
+      "q219_crawl_discovery_capstone",
+      """WITH hosts AS (SELECT DISTINCT CAST(doc_id % 9 AS BIGINT) AS host
+        |  FROM documents),
+        |s AS (SELECT host, unnest(generate_series(0, 2 + host % 2)) AS j
+        |  FROM hosts),
+        |f AS (SELECT host,
+        |    unnest(generate_series(1 + host % 3, 3 + host % 3)) AS j
+        |  FROM hosts),
+        |u AS (SELECT host, j,
+        |    max(src = 's') AS in_sitemap, max(src = 'f') AS in_feed
+        |  FROM (SELECT host, j, 's' AS src FROM s
+        |    UNION ALL SELECT host, j, 'f' FROM f)
+        |  GROUP BY 1, 2)
+        |SELECT host, '/p' || j AS path, in_sitemap, in_feed,
+        |  (j <> host % 5 OR host % 3 = 0) AS allowed
+        |FROM u""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val hosts = load(s, dir, "documents")
+          .select((col("doc_id") % 9).as("host")).distinct().as[Long]
+
+        val sitemaps = hosts.map { h =>
+          val entries = (0L to 2 + h % 2).map(j =>
+            s"  <url><loc>https://h$h.example/p$j</loc></url>").mkString("\n")
+          (h, s"<?xml version=\"1.0\"?>\n<urlset>\n$entries\n</urlset>\n")
+        }.toDF("host", "content")
+
+        val feeds = hosts.map { h =>
+          val items = (1 + h % 3 to 3 + h % 3).map(j =>
+            s"  <item>\n    <title>p$j</title>\n    <link>https://h$h.example/p$j</link>\n    <guid>urn:h$h:$j</guid>\n  </item>").mkString("\n")
+          (h, s"<rss version=\"2.0\"><channel>\n$items\n</channel></rss>\n")
+        }.toDF("host", "content")
+
+        val robots = hosts.map { h =>
+          val allow =
+            if (h % 3 == 0) s"Allow: /p${h % 5}\n" else ""
+          (h, s"User-agent: *\nDisallow: /p${h % 5}\n$allow")
+        }.toDF("host", "content")
+
+        val pathOf = (u: org.apache.spark.sql.Column) =>
+          regexp_extract(u, "^https://[^/]+(/.*)$", 1)
+        val fromSitemap = graft.operators.Sitemap.entries(sitemaps)
+          .select(col("host"), pathOf(col("loc")).as("path"), lit("s").as("src"))
+        val fromFeed = graft.operators.Feeds.items(feeds)
+          .select(col("host"), pathOf(col("link")).as("path"), lit("f").as("src"))
+        val frontier = fromSitemap.unionByName(fromFeed)
+          .groupBy("host", "path")
+          .agg(max(col("src") === "s").as("in_sitemap"),
+            max(col("src") === "f").as("in_feed"))
+
+        val verdict = graft.operators.Robots.evaluate(
+          graft.operators.Robots.parse(robots),
+          graft.operators.Robots.parseAgents(robots),
+          frontier.select(col("host"), lit("graft-bot").as("agent"),
+            col("path")))
+          .select(col("host"), col("path"), col("allowed"))
+
+        frontier.join(verdict, Seq("host", "path"))
+          .select(col("host"), col("path"), col("in_sitemap"),
+            col("in_feed"), col("allowed"))
+    },
+
+    // Email thread reconstruction — the census a mail corpus needs
+    // before per-thread dedup or conversation modeling: RFC 5322
+    // References chains carry the FULL ancestry, so the thread root is
+    // the chain's first entry and no iterative parent-join is needed —
+    // a single groupBy(thread) after the per-row header walk (the same
+    // no-iteration trick as q184's sorted-neighborhood). The fixture
+    // threads consecutive ids in blocks of four with FOLDED References
+    // headers (the unfold path under load), and the oracle replays
+    // message count, depth, and distinct-participant count per thread
+    // from the block formulas.
+    OpQuery.sql(
+      "q220_email_threads",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |m AS (SELECT id, id - id % 4 AS root, id % 4 AS p FROM v)
+        |SELECT '<msg-' || root || '@example.org>' AS thread_id,
+        |  CAST(count(*) AS BIGINT) AS n_messages,
+        |  CAST(max(p) + 1 AS INTEGER) AS max_depth,
+        |  CAST(count(DISTINCT id % 7) AS BIGINT) AS n_participants
+        |FROM m GROUP BY root""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val root = id - id % 4
+            val p = (id % 4).toInt
+            val sb = new StringBuilder
+            sb.append(s"From: user${id % 7}@example.org\n")
+            sb.append(s"Message-ID: <msg-$id@example.org>\n")
+            if (p > 0) {
+              // ancestry chain, folded across continuation lines
+              sb.append("References:")
+              for (k <- 0 until p)
+                sb.append(if (k == 0) s" <msg-${root + k}@example.org>"
+                else s"\n\t<msg-${root + k}@example.org>")
+              sb.append("\n")
+              sb.append(s"In-Reply-To: <msg-${root + p - 1}@example.org>\n")
+            }
+            sb.append("\nreply body\n")
+            graft.operators.Mime.headers(sb.toString).map { h =>
+              val msgId = h("message-id")
+              val refs = h.get("references")
+                .map(_.split("\\s+").filter(_.nonEmpty).toSeq)
+                .getOrElse(Seq.empty)
+              val thread = refs.headOption.getOrElse(msgId)
+              val from = h("from")
+              (thread, msgId, refs.size + 1, from)
+            }
+          })
+          .toDF("thread_id", "msg_id", "depth", "from_addr")
+          .groupBy("thread_id")
+          .agg(count(lit(1)).as("n_messages"),
+            max(col("depth")).cast("int").as("max_depth"),
+            countDistinct(col("from_addr")).as("n_participants"))
     }
   )
 }
