@@ -86,6 +86,25 @@ object TextAnalysis {
     regexp_extract_all(html,
       lit("<[aA][\\s](?:[^>]*[\\s])?[hH][rR][eE][fF]=\"([^\"]*)\""), lit(1))
 
+  /** (src, html) -> (src, href, anchor_text), one row per href-bearing
+    * `<a>` tag: the anchor-TEXT signal [[extractLinks]] discards — what
+    * the web calls a page is a quality/relevance feature the page's own
+    * text can't supply. Same tag/attribute anchoring as
+    * [[extractLinks]]; the visible text is inner-tag-stripped and
+    * trimmed. Per-row codegen'd extraction + one explode, no shuffle —
+    * aggregation by target happens downstream. */
+  def anchorPairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("src"),
+      explode(regexp_extract_all(col("html"),
+        lit("(?s)(<[aA][\\s](?:[^>]*[\\s])?[hH][rR][eE][fF]=\"[^\"]*\"[^>]*>.*?</[aA]>)"),
+        lit(1))).as("a_block"))
+      .select(col("src"),
+        regexp_extract(col("a_block"),
+          "[hH][rR][eE][fF]=\"([^\"]*)\"", 1).as("href"),
+        trim(regexp_replace(
+          regexp_extract(col("a_block"), "(?s)^<[^>]*>(.*)</[aA]>$", 1),
+          "<[^>]*>", "")).as("anchor_text"))
+
   /** Lower-cased host of an absolute http(s) URL ('' when not one). */
   def urlHost(url: Column): Column =
     lower(regexp_extract(url, "^[hH][tT][tT][pP][sS]?://([^/?#]+)", 1))

@@ -5821,6 +5821,111 @@ object LlmQueries {
           .agg(count(lit(1)).as("n_messages"),
             max(col("depth")).cast("int").as("max_depth"),
             countDistinct(col("from_addr")).as("n_participants"))
+    },
+
+    // HTML table census — table-to-text curation's structure pass:
+    // tables/rows/cells/header discipline/tag-stripped text volume per
+    // document, zeros (not absent rows) for table-less docs. The
+    // fixture varies table count, per-table row count, per-row arity,
+    // header-row presence and inline-markup wrapping by id formulas,
+    // and the oracle replays every census column from those formulas
+    // (inline <b> wrappers are stripped, so they must NOT change
+    // cell_chars). Walk: operators/HtmlTables.scala — two explodes +
+    // higher-order array functions, no third explode.
+    OpQuery.sql(
+      "q221_html_table_census",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    doc_id % 3 AS t_cnt FROM documents),
+        |tt AS (SELECT id, unnest(generate_series(0, t_cnt - 1)) AS t
+        |  FROM v WHERE t_cnt > 0),
+        |rr AS (SELECT id, t, unnest(generate_series(0, (id + t) % 3)) AS r
+        |  FROM tt),
+        |cc2 AS (SELECT id, t, r, 2 + (id + t + r) % 2 AS c FROM rr),
+        |agg AS (SELECT id,
+        |    CAST(count(DISTINCT t) AS INTEGER) AS n_tables,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(c) AS BIGINT) AS n_cells,
+        |    CAST(sum(CASE WHEN r = 0 AND (id + t) % 2 = 0 THEN c
+        |      ELSE 0 END) AS BIGINT) AS n_header_cells,
+        |    CAST(max(c) AS INTEGER) AS max_row_cells,
+        |    CAST(sum(c) * 4 AS BIGINT) AS cell_chars
+        |  FROM cc2 GROUP BY 1)
+        |SELECT v.id AS doc_id,
+        |  CAST(COALESCE(agg.n_tables, 0) AS INTEGER) AS n_tables,
+        |  CAST(COALESCE(agg.n_rows, 0) AS BIGINT) AS n_rows,
+        |  CAST(COALESCE(agg.n_cells, 0) AS BIGINT) AS n_cells,
+        |  CAST(COALESCE(agg.n_header_cells, 0) AS BIGINT) AS n_header_cells,
+        |  CAST(COALESCE(agg.max_row_cells, 0) AS INTEGER) AS max_row_cells,
+        |  CAST(COALESCE(agg.cell_chars, 0) AS BIGINT) AS cell_chars
+        |FROM v LEFT JOIN agg ON v.id = agg.id""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val docs = load(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val sb = new StringBuilder("<html><body><p>prose</p>\n")
+            for (t <- 0L until id % 3) {
+              val header = (id + t) % 2 == 0
+              sb.append("<table>\n")
+              for (r <- 0L to (id + t) % 3) {
+                val cCnt = 2 + ((id + t + r) % 2).toInt
+                val tag = if (header && r == 0) "th" else "td"
+                sb.append("<tr>")
+                for (cIdx <- 0 until cCnt) {
+                  val txt0 = s"c${r}x$cIdx"
+                  val txt =
+                    if ((id + t + r + cIdx) % 5 == 0) s"<b>$txt0</b>" else txt0
+                  sb.append(s"<$tag>$txt</$tag>")
+                }
+                sb.append("</tr>\n")
+              }
+              sb.append("</table>\n")
+            }
+            sb.append("</body></html>")
+            (id, sb.toString)
+          }.toDF("doc_id", "html")
+        graft.operators.HtmlTables.census(docs)
+    },
+
+    // Anchor-text aggregation — the link-graph signal q167/q195 discard:
+    // what the web CALLS a page (its incoming anchor texts) is a
+    // relevance/quality feature the page's own text can't supply, and
+    // the classic web-search ranking input. Extraction keeps q167's
+    // tag/attribute anchoring but adds the inner-tag-stripped visible
+    // text; aggregation is one shuffle on the target key with a
+    // deterministic sorted-distinct text digest (sort_array ∘
+    // collect_set, replayed by DuckDB's ordered string_agg DISTINCT).
+    // Inline markup inside an anchor (<i>…</i>) must not leak into the
+    // digest — the fixture plants it. Op: TextAnalysis.anchorPairs.
+    OpQuery.sql(
+      "q222_anchor_text_agg",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |a AS (SELECT id % 9 AS h, '/t' || ((id * 3 + 1) % 12) AS tgt,
+        |    'go ' || (id % 5) AS txt FROM v
+        |  UNION ALL SELECT id % 9, '/t' || ((id * 5 + 2) % 12),
+        |    'ref ' || (id % 3) FROM v)
+        |SELECT tgt AS target, CAST(count(*) AS BIGINT) AS n_refs,
+        |  CAST(count(DISTINCT h) AS BIGINT) AS n_hosts,
+        |  string_agg(DISTINCT txt, '|' ORDER BY txt) AS anchor_texts
+        |FROM a GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val docs = load(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val t1 = s"go ${id % 5}"
+            val t1m = if (id % 4 == 1) s"<i>$t1</i>" else t1
+            val html =
+              s"""<p>see <a href="/t${(id * 3 + 1) % 12}">$t1m</a>
+                 |and <a class="x" href="/t${(id * 5 + 2) % 12}">ref ${id % 3}</a></p>""".stripMargin
+            (id % 9, html)
+          }.toDF("src", "html")
+        graft.operators.TextAnalysis.anchorPairs(docs)
+          .groupBy(col("href").as("target"))
+          .agg(count(lit(1)).as("n_refs"),
+            countDistinct(col("src")).as("n_hosts"),
+            array_join(sort_array(collect_set(col("anchor_text"))), "|")
+              .as("anchor_texts"))
     }
   )
 }
