@@ -5926,6 +5926,112 @@ object LlmQueries {
             countDistinct(col("src")).as("n_hosts"),
             array_join(sort_array(collect_set(col("anchor_text"))), "|")
               .as("anchor_texts"))
+    },
+
+    // Common/Combined access-log parse + traffic census — the
+    // server-log seam: one anchored regex per line (codegen'd, zero
+    // shuffle), the Combined referer/UA tail optional, '-' bytes
+    // decoding to 0 per the format, and garbage lines (planted on
+    // id % 37 == 11) carrying matched=false so they quarantine
+    // themselves at line grain. The census aggregates matched lines by
+    // (status, method); if the parser GUESSED fields from a garbage
+    // line the extra group would break the hash, so the reject path is
+    // part of the checked contract. Parser: operators/AccessLog.scala.
+    OpQuery.sql(
+      "q223_access_log_census",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents
+        |  WHERE doc_id % 37 <> 11),
+        |r AS (SELECT id,
+        |    [200, 404, 301, 500][CAST(id % 4 + 1 AS INTEGER)] AS status,
+        |    ['GET', 'POST', 'HEAD'][CAST(id % 3 + 1 AS INTEGER)] AS method,
+        |    CASE WHEN id % 4 = 2 THEN 0 ELSE 100 + id % 900 END AS b,
+        |    '10.0.' || (id % 20) || '.' || (id % 250) AS ip,
+        |    '/r' || (id % 40) AS path
+        |  FROM v)
+        |SELECT CAST(status AS INTEGER) AS status, method,
+        |  CAST(count(*) AS BIGINT) AS n_req,
+        |  CAST(sum(b) AS BIGINT) AS total_bytes,
+        |  CAST(count(DISTINCT ip) AS BIGINT) AS n_ips,
+        |  CAST(count(DISTINCT path) AS BIGINT) AS n_paths
+        |FROM r GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val lines = load(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            if (id % 37 == 11) s"garbage line $id"
+            else {
+              val status = Seq(200, 404, 301, 500)((id % 4).toInt)
+              val method = Seq("GET", "POST", "HEAD")((id % 3).toInt)
+              val bytes = if (status == 301) "-" else (100 + id % 900).toString
+              val user = if (id % 5 == 0) s"u${id % 6}" else "-"
+              val tail =
+                if (id % 2 == 0) " \"http://ref.example/\" \"bot/1.0\"" else ""
+              s"""10.0.${id % 20}.${id % 250} - $user [0${1 + id % 9}/Apr/2024:12:00:00 +0000] "$method /r${id % 40} HTTP/1.1" $status $bytes$tail"""
+            }
+          }.toDF("line")
+        graft.operators.AccessLog.parse(lines)
+          .filter(col("matched"))
+          .groupBy("status", "method")
+          .agg(count(lit(1)).as("n_req"),
+            sum(col("bytes")).as("total_bytes"),
+            countDistinct(col("ip")).as("n_ips"),
+            countDistinct(col("path")).as("n_paths"))
+    },
+
+    // JSON structure walk — q218's twin for the other ubiquitous
+    // structured-text format: a strict RFC 8259 recursive-descent
+    // census (nesting depth, container/key counts, value-type mix,
+    // UNESCAPED string volume) with reject-don't-guess on lexical
+    // corruption — a truncation planted on id % 43 == 19 quarantines
+    // exactly those rows, excluded by the oracle. The fixture varies
+    // array length, nesting (an extra sub-object two levels down on
+    // id % 3 == 0), bool polarity, and an escaped newline in a string
+    // value (escapes must count as ONE char), and every census column
+    // is replayed from the id formulas. Walk: operators/JsonWalk.scala.
+    OpQuery.sql(
+      "q224_json_structure_walk",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    length(CAST(doc_id AS VARCHAR)) AS w,
+        |    doc_id % 4 AS k,
+        |    (doc_id % 3 = 0) AS sub
+        |  FROM documents WHERE doc_id % 43 <> 19)
+        |SELECT id AS doc_id,
+        |  CAST(CASE WHEN sub THEN 4 ELSE 3 END AS INTEGER) AS max_depth,
+        |  CAST(2 + CASE WHEN sub THEN 1 ELSE 0 END AS BIGINT) AS n_objects,
+        |  CAST(1 + CASE WHEN sub THEN 1 ELSE 0 END AS BIGINT) AS n_arrays,
+        |  CAST(7 + CASE WHEN sub THEN 3 ELSE 0 END AS BIGINT) AS n_keys,
+        |  CAST(k + 1 AS BIGINT) AS n_strings,
+        |  CAST(2 + CASE WHEN sub THEN 3 ELSE 0 END AS BIGINT) AS n_numbers,
+        |  CAST(1 AS BIGINT) AS n_bools,
+        |  CAST(1 AS BIGINT) AS n_nulls,
+        |  CAST(GREATEST(k, CASE WHEN sub THEN 2 ELSE 0 END) AS INTEGER)
+        |    AS max_array_len,
+        |  CAST(2 * k + 5 + w AS BIGINT) AS string_chars
+        |FROM v""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val k = (id % 4).toInt
+            val sub = id % 3 == 0
+            val tags = (0 until k).map(j => s""""t$j"""").mkString(", ")
+            val sb = new StringBuilder
+            sb.append(s"""{"id": $id, "tags": [$tags], """)
+            sb.append(s""""meta": {"a": ${id % 2 == 0}, "b": null, "score": ${id % 100}.5}, """)
+            sb.append(s""""name": "doc $id\\n"""")
+            if (sub) sb.append(""", "sub": {"x": 1, "y": [1, 2]}""")
+            sb.append("}")
+            val raw =
+              if (id % 43 == 19) sb.toString.dropRight(1) else sb.toString
+            graft.operators.JsonWalk.info(raw).map(i =>
+              (id, i.maxDepth, i.nObjects, i.nArrays, i.nKeys, i.nStrings,
+                i.nNumbers, i.nBools, i.nNulls, i.maxArrayLen, i.stringChars))
+          })
+          .toDF("doc_id", "max_depth", "n_objects", "n_arrays", "n_keys",
+            "n_strings", "n_numbers", "n_bools", "n_nulls", "max_array_len",
+            "string_chars")
     }
   )
 }
