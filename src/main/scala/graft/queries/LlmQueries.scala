@@ -6032,6 +6032,109 @@ object LlmQueries {
           .toDF("doc_id", "max_depth", "n_objects", "n_arrays", "n_keys",
             "n_strings", "n_numbers", "n_bools", "n_nulls", "max_array_len",
             "string_chars")
+    },
+
+    // Source-code line census — the code-corpus quality gate beside the
+    // markdown walk (q214): comment/blank/code split, indentation depth
+    // and text volume drive the standard code-quality filters
+    // (comment-ratio bounds, generated-code detection by indent
+    // monotony). Fully RELATIONAL line classification — split +
+    // posexplode + codegen'd regex/trim arithmetic, no UDF, no
+    // mapPartitions — over constructed sources whose line classes
+    // follow id formulas the oracle replays.
+    OpQuery.sql(
+      "q225_code_census",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    5 + doc_id % 7 AS nl FROM documents),
+        |l AS (SELECT id, nl, unnest(generate_series(0, nl - 1)) AS r FROM v),
+        |c AS (SELECT id, nl, r, (id + r) % 5 AS cls,
+        |    CAST((id + r) % 3 * 2 AS BIGINT) AS ind,
+        |    length(CAST(r AS VARCHAR)) AS wr FROM l),
+        |m AS (SELECT id, nl,
+        |    CASE WHEN cls = 0 THEN 0
+        |         WHEN cls = 1 THEN 8 + wr
+        |         ELSE ind + 8 + 2 * wr END AS chars,
+        |    CASE WHEN cls >= 2 THEN ind END AS code_ind, cls FROM c)
+        |SELECT id AS doc_id, CAST(nl AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+        |  CAST(sum(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_comment,
+        |  CAST(sum(CASE WHEN cls >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+        |  CAST(COALESCE(max(code_ind), 0) AS INTEGER) AS max_indent,
+        |  CAST(sum(chars) AS BIGINT) AS total_chars,
+        |  round(CAST(sum(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / nl, 6) AS comment_ratio
+        |FROM m GROUP BY id, nl""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val sources = load(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val nl = 5 + (id % 7).toInt
+            val text = (0 until nl).map { r =>
+              (id + r) % 5 match {
+                case 0 => ""
+                case 1 => s"// note $r"
+                case _ => " " * (((id + r) % 3) * 2).toInt + s"val x$r = $r"
+              }
+            }.mkString("\n")
+            (id, text)
+          }.toDF("doc_id", "text")
+        val lines = sources.select(col("doc_id"),
+          posexplode(split(col("text"), "\n", -1)).as(Seq("r", "line")))
+        val cls = lines.select(col("doc_id"),
+          when(trim(col("line")) === "", "blank")
+            .when(col("line").rlike("^\\s*//"), "comment")
+            .otherwise("code").as("cls"),
+          length(col("line")).cast("long").as("chars"),
+          (length(col("line")) - length(ltrim(col("line"))))
+            .cast("long").as("ind"))
+        cls.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(when(col("cls") === "blank", 1).otherwise(0)).as("n_blank"),
+            sum(when(col("cls") === "comment", 1).otherwise(0))
+              .as("n_comment"),
+            sum(when(col("cls") === "code", 1).otherwise(0)).as("n_code"),
+            coalesce(max(when(col("cls") === "code", col("ind"))), lit(0L))
+              .cast("int").as("max_indent"),
+            sum(col("chars")).as("total_chars"),
+            round(sum(when(col("cls") === "comment", 1).otherwise(0))
+              .cast("double") / count(lit(1)), 6).as("comment_ratio"))
+    },
+
+    // Fill-in-the-middle transform — the code-model training prep
+    // (prefix/suffix/middle reordering) as pure deterministic string
+    // arithmetic over the REAL text column: cut points at len/3 and
+    // 2len/3 (integer division), PSM layout prefix ⊕ <fim_suffix> ⊕
+    // suffix ⊕ <fim_middle> ⊕ middle, hash-compared via md5 so the
+    // oracle checks the exact reordered BYTES, not just the lengths.
+    // Codegen'd substring/concat per row, zero shuffle.
+    OpQuery.sql(
+      "q226_fim_transform",
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(text) // 3 AS BIGINT) AS p1,
+        |  CAST(2 * length(text) // 3 AS BIGINT) AS p2,
+        |  md5(substr(text, 1, length(text) // 3)
+        |    || '<fim_suffix>'
+        |    || substr(text, 2 * length(text) // 3 + 1)
+        |    || '<fim_middle>'
+        |    || substr(text, length(text) // 3 + 1,
+        |         2 * length(text) // 3 - length(text) // 3)) AS psm_md5
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        val docs = load(s, dir, "documents")
+        val len = length(col("text")).cast("long")
+        val p1 = floor(len / 3).cast("long")
+        val p2 = floor(len * 2 / 3).cast("long")
+        docs.select(col("doc_id"), len.as("n_chars"), p1.as("p1"), p2.as("p2"),
+          md5(concat(
+            col("text").substr(lit(1), p1.cast("int")),
+            lit("<fim_suffix>"),
+            col("text").substr((p2 + 1).cast("int"),
+              (len - p2).cast("int")),
+            lit("<fim_middle>"),
+            col("text").substr((p1 + 1).cast("int"),
+              (p2 - p1).cast("int")))).as("psm_md5"))
     }
   )
 }
