@@ -6135,6 +6135,56 @@ object LlmQueries {
             lit("<fim_middle>"),
             col("text").substr((p1 + 1).cast("int"),
               (p2 - p1).cast("int")))).as("psm_md5"))
+    },
+
+    // Mbox ingest capstone — the mail family's end-to-end arc (q216
+    // walks one message, q220 threads them; this ingests an ARCHIVE):
+    // envelope-line splitting (mboxrd unquoting exercised in MimeSpec),
+    // per-message header walk, and the classic reply-chain subject
+    // normalization — strip repeated case-insensitive "Re:" prefixes so
+    // a whole thread collapses to ONE normalized subject. Per-archive
+    // census (message count, Re-count, distinct participants, the
+    // normalized subject) replayed by the oracle from the id formulas.
+    OpQuery.sql(
+      "q227_mbox_ingest",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |m AS (SELECT id, unnest(generate_series(0, id % 3)) AS mm FROM v)
+        |SELECT id AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_messages,
+        |  CAST(sum(CASE WHEN mm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_re,
+        |  CAST(count(DISTINCT (id + mm) % 5) AS BIGINT) AS n_participants,
+        |  'topic ' || (id % 13) AS subject_norm
+        |FROM m GROUP BY id""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val sb = new StringBuilder
+            for (m <- 0L to id % 3) {
+              val re = if (m == 0) "" else if (m == 2) "RE: Re: " else "Re: "
+              sb.append(s"From u${(id + m) % 5}@example.org Tue Apr  2 12:0$m:00 2024\n")
+              sb.append(s"From: u${(id + m) % 5}@example.org\n")
+              sb.append(s"Subject: ${re}topic ${id % 13}\n")
+              sb.append(s"Message-ID: <mb-$id-$m@example.org>\n")
+              sb.append(s"\nbody $m\n")
+            }
+            graft.operators.Mime.splitMbox(sb.toString).flatMap { raw =>
+              graft.operators.Mime.headers(raw).map { h =>
+                val subj = h.getOrElse("subject", "")
+                val norm = subj.replaceAll("(?i)^(re:\\s*)+", "")
+                val isRe = norm != subj
+                (id, h("from"), norm, isRe)
+              }
+            }
+          })
+          .toDF("doc_id", "from_addr", "subject_norm", "is_re")
+          .groupBy("doc_id", "subject_norm")
+          .agg(count(lit(1)).as("n_messages"),
+            sum(when(col("is_re"), 1L).otherwise(0L)).as("n_re"),
+            countDistinct(col("from_addr")).as("n_participants"))
+          .select(col("doc_id"), col("n_messages"), col("n_re"),
+            col("n_participants"), col("subject_norm"))
     }
   )
 }
