@@ -6254,6 +6254,51 @@ object LlmQueries {
           }
           .toDF("media_id", "channels", "n_samples", "peak", "sum_abs",
             "wsum")
+    },
+
+    // Blocklist word-filter gate — the classic term-list curation pass
+    // (the LDNOOBW-style "bad words" filter) beside the statistical
+    // quality scores (q36-q39): word-boundary case-insensitive hits
+    // against a term list, hit rate over the whitespace token count,
+    // and the block verdict at a fixed threshold. Both engines COMPUTE
+    // from the same data (real text + occurrences planted by id
+    // formula, including an upper-case one so the fold is exercised) —
+    // the \b(...)\b pattern runs verbatim in Java regex and RE2.
+    // Codegen'd regex counting per row, zero shuffle.
+    OpQuery.sql(
+      "q229_blocklist_filter",
+      """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    text || repeat(' badword', CAST(doc_id % 7 AS INTEGER))
+        |      || CASE WHEN doc_id % 11 = 3 THEN ' VERBOTEN' ELSE '' END
+        |      AS text2
+        |  FROM documents),
+        |m AS (SELECT id,
+        |    CAST(len(regexp_split_to_array(trim(text2), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(len(regexp_extract_all(lower(text2),
+        |      '\b(badword|verboten|tabu)\b', 1)) AS BIGINT) AS n_hits
+        |  FROM t)
+        |SELECT id AS doc_id, n_tokens, n_hits,
+        |  round(CAST(n_hits AS DOUBLE) / n_tokens, 6) AS hit_rate,
+        |  (CAST(n_hits AS DOUBLE) / n_tokens > 0.02) AS blocked
+        |FROM m""".stripMargin) {
+      (s, dir) =>
+        val t = load(s, dir, "documents").select(
+          col("doc_id").cast("long").as("id"),
+          concat(col("text"),
+            repeat(lit(" badword"), (col("doc_id") % 7).cast("int")),
+            when(col("doc_id") % 11 === 3, " VERBOTEN").otherwise(""))
+            .as("text2"))
+        val m = t.select(col("id"),
+          size(split(trim(col("text2")), "\\s+")).cast("long").as("n_tokens"),
+          size(regexp_extract_all(lower(col("text2")),
+            lit("\\b(badword|verboten|tabu)\\b"), lit(1)))
+            .cast("long").as("n_hits"))
+        m.select(col("id").as("doc_id"), col("n_tokens"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_tokens"), 6)
+            .as("hit_rate"),
+          (col("n_hits").cast("double") / col("n_tokens") > 0.02)
+            .as("blocked"))
     }
   )
 }
