@@ -153,7 +153,19 @@ object BucketedSink {
     * write so each bucket directory holds ONE file — without it every
     * shuffle task writes a sliver into every bucket (tasks × buckets
     * small files, footer overhead dominating the bytes at small scale
-    * and file-listing cost at large). */
+    * and file-listing cost at large).
+    *
+    * INVARIANT for tables managed by [[graft.etl.Pipeline]]: every
+    * mutation of such a table MUST route through Pipeline's facade
+    * (writeBucketedFull / writeBucketedChanged / writeSnapshot), each of
+    * which drops the purged-log `_CONSISTENT` marker before writing.
+    * Calling writeFull/overwriteChanged here directly against a
+    * pipeline-managed path leaves the marker intact, the next tick skips
+    * its crash-recovery presence probe, and a stale purged-log entry can
+    * then shield a re-voided person from the purge — a silent
+    * correctness hole, not a perf issue. Direct use is for tables the
+    * pipeline does not own (and tooling/specs that drop the marker
+    * themselves). */
   def writeFull(df: DataFrame, path: String, keyCol: String, nBuckets: Int): Unit = {
     val c = conf(df)
     val prev = readManifest(c, path).getOrElse(Map.empty)
@@ -206,7 +218,8 @@ object BucketedSink {
 
   /** As above, with the touched-bucket set already collected — callers
     * that also bucket-prune their merge input ([[readBuckets]]) compute
-    * the set once and share it. */
+    * the set once and share it. Pipeline-managed tables: see the marker
+    * invariant on [[writeFull]] — route through the Pipeline facade. */
   def overwriteChanged(
       merged: DataFrame,
       path: String,

@@ -64,17 +64,33 @@ object ChangeFeed {
   def readSince(spark: SparkSession, path: String, since: Timestamp): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val sinceDay = since.toLocalDateTime.toLocalDate
-    val selected = fs.listStatus(root).map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        n.startsWith(s"$PartitionCol=") &&
-          !java.time.LocalDate.parse(n.stripPrefix(s"$PartitionCol="))
-            .isBefore(sinceDay)
+    // partition values were written by to_date(timestamp) in the SESSION
+    // timezone — derive the cutoff day in the same zone, not the driver
+    // JVM default (a JVM zone east of the session zone would land sinceDay
+    // one day LATE and the prune would silently drop the partition holding
+    // rows just above the watermark — exactly the missed-delta class the
+    // contract above forbids)
+    val sessionZone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
+    val sinceDay = since.toInstant.atZone(sessionZone).toLocalDate
+    val partitions = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith(s"$PartitionCol="))
+    def dayOf(p: org.apache.hadoop.fs.Path) =
+      java.time.LocalDate.parse(p.getName.stripPrefix(s"$PartitionCol="))
+    val selected = partitions.filter(p => !dayOf(p).isBefore(sinceDay))
+    if (selected.isEmpty) {
+      // empty selection needs only the SCHEMA — take it from the single
+      // newest partition directory instead of read(path), which lists
+      // every day partition ever written to build a file index that
+      // limit(0) then discards (the O(feed history) constant this rewrite
+      // exists to avoid); an entirely empty feed falls back to the full
+      // read, which is then trivially cheap
+      val newest = partitions.sortBy(dayOf).lastOption
+      newest.fold(spark.read.parquet(path).limit(0).drop(PartitionCol)) { p =>
+        spark.read.option("basePath", path).parquet(p.toString)
+          .limit(0).drop(PartitionCol)
       }
-    if (selected.isEmpty)
-      spark.read.parquet(path).limit(0).drop(PartitionCol)
-    else
+    } else
       spark.read.option("basePath", path)
         .parquet(selected.map(_.toString).toIndexedSeq: _*)
         .drop(PartitionCol)

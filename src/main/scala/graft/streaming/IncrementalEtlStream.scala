@@ -142,10 +142,11 @@ object IncrementalEtlStream {
     val query = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (rawBatch: DataFrame, _: Long) =>
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
         if (pipeline.sinkBuckets > 0)
           cascadeBatchBucketed(
-            spark, rawBatch, obsDir, encounter, orders, person, pipeline)
+            spark, rawBatch, obsDir, encounter, orders, person, pipeline,
+            batchSourceFiles(spark, checkpointDir, batchId))
         else
           cascadeBatchSnapshot(
             spark, rawBatch, obsDir, encounter, orders, person, pipeline)
@@ -155,6 +156,38 @@ object IncrementalEtlStream {
     query.awaitTermination()
   }
 
+  /** The micro-batch's source files, read from the file stream's own
+    * checkpointed source log (`<ckpt>/sources/0/<batchId>`: a version
+    * header line then one JSON entry per file). foreachBatch hands over
+    * an RDD-backed frame whose `inputFiles` is empty, but by the time
+    * the batch function runs the engine has already durably recorded
+    * exactly which files constitute the batch — read that record instead
+    * of re-deriving it from directory listings (which could leak files
+    * of not-yet-delivered batches into the residue). Empty when the
+    * entry is missing or unparsable — callers treat that as "source
+    * files unknown" and fall back to materializing rows. */
+  private[graft] def batchSourceFiles(
+      spark: SparkSession, checkpointDir: String, batchId: Long): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(checkpointDir, "sources/0"), batchId.toString)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    val in = fs.open(p)
+    val body = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](64 * 1024)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toString("UTF-8")
+    } finally in.close()
+    val entry = """"path"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    entry.findAllMatchIn(body).map { m =>
+      // minimal JSON string unescape — source paths are URIs, where only
+      // these escapes plausibly occur
+      m.group(1).replace("\\/", "/").replace("\\\\", "\\").replace("\\\"", "\"")
+    }.toSeq
+  }
+
   private[graft] def fsBytesRead: Long = graft.core.IoStats.fsBytesRead
 
   // `graft.debug.cascadeTiming=true` prints per-stage seconds and bytes
@@ -162,7 +195,8 @@ object IncrementalEtlStream {
   // frames (the pinned snapshot, the purge probe) attribute their read
   // to whichever stage forces them first.
   private def timed[A](spark: SparkSession, label: String)(f: => A): A =
-    if (spark.conf.getOption("graft.debug.cascadeTiming").contains("true")) {
+    if (spark.conf.getOption("graft.debug.cascadeTiming").contains("true") ||
+        sys.env.get("SPARK_GRAFT_CASCADE_TIMING").contains("1")) {
       val t0 = System.nanoTime()
       val b0 = fsBytesRead
       val r = f
@@ -259,7 +293,11 @@ object IncrementalEtlStream {
       encounter: DataFrame,
       orders: DataFrame,
       person: DataFrame,
-      pipeline: Pipeline): Unit = {
+      pipeline: Pipeline,
+      // the batch's source files (from the stream's checkpointed source
+      // log): the version log's defer path records these as a residue
+      // pointer instead of rewriting the rows when the batch is dense
+      batchFiles: Seq[String]): Unit = {
     def t[A](label: String)(f: => A): A = timed(spark, label)(f)
     val batch = rawBatch.persist()
     try {
@@ -282,14 +320,28 @@ object IncrementalEtlStream {
         //
         // The version-log seed comes FIRST: a crash anywhere in the
         // table builds leaves the first-arrival condition true (some
-        // table still missing), so the replay re-seeds (overwrite —
-        // idempotent) and re-runs the builds. Seeding last would open a
-        // window where all five tables exist but the log holds nothing,
-        // and the replay's incremental path would read an empty history.
+        // table still missing), so the replay re-seeds (idempotent) and
+        // re-runs the builds. Seeding last would open a window where all
+        // five tables exist but the log holds nothing, and the replay's
+        // incremental path would read an empty history.
+        //
+        // The seed is a residue POINTER, not a bucketed rewrite: a bulk
+        // backfill touches every bucket, so its own layout buys no prune
+        // — rewriting the whole table into the log here is pure cost
+        // (the r9 q125 regression). BucketedLog.appendOrDefer folds the
+        // residue into buckets at the first SPARSE batch (or eagerly via
+        // BucketedLog.fold — the post-backfill compaction recipe), which
+        // is the first moment pruning actually pays.
         val rawAll = spark.read.schema(Schemas.obs)
           .option("recursiveFileLookup", "true").parquet(obsDir)
-        t("version_log seed")(graft.sources.BucketedLog.overwrite(
-          rawAll, pipeline.versionLogPath, "person_id", pipeline.sinkBuckets))
+        t("version_log seed") {
+          // clear any partial log a previous crashed lifecycle left, then
+          // record the pointer (same idempotence the old overwrite had)
+          val logPath = new org.apache.hadoop.fs.Path(pipeline.versionLogPath)
+          logPath.getFileSystem(hadoopConf).delete(logPath, true)
+          graft.sources.BucketedLog.defer(
+            spark, pipeline.versionLogPath, rawAll.inputFiles.toSeq)
+        }
         val snapshot = obsSnapshot(spark, obsDir).persist()
         val fo = FlatObs.build(snapshot, encounter, person).persist()
         val ford = FlatOrders.build(orders, encounter, person).persist()
@@ -313,14 +365,22 @@ object IncrementalEtlStream {
       if (minInstant.isEmpty) return // empty batch: nothing can change
       val wm = new java.sql.Timestamp(minInstant.get.getTime - 1)
 
-      // Append the batch to the person-bucketed version log BEFORE any
-      // stage reads it: a crash after the append replays the batch and
-      // re-appends the same version rows, which the latest-version
-      // window tolerates (ties among identical contents); appending
+      // Register the batch with the person-bucketed version log BEFORE
+      // any stage reads it: a crash after registration replays the batch
+      // and re-registers the same version rows, which the latest-version
+      // window tolerates (ties among identical contents); registering
       // after the stage writes would instead open a window where the
-      // tables reflect versions the log never received.
-      t("version_log append")(graft.sources.BucketedLog.append(
-        batch, pipeline.versionLogPath, "person_id", pipeline.sinkBuckets))
+      // tables reflect versions the log never received. Sparse batches
+      // (the steady regime) append bucketed — KiB-scale, buys the
+      // directory-pruned history read; dense batches (bulk
+      // backfills/reloads, touching most buckets) defer a residue
+      // pointer instead — their layout buys no prune, so the second
+      // write is skipped until the first sparse batch folds it.
+      val batchBuckets = graft.operators.BucketedSink.collectBuckets(
+        batch.select("person_id"), pipeline.sinkBuckets)
+      t("version_log append")(graft.sources.BucketedLog.appendOrDefer(
+        batch, pipeline.versionLogPath, "person_id", pipeline.sinkBuckets,
+        batchBuckets, batchFiles, Schemas.obs))
       // One purge-narrowing probe shared by both source-driven stages: a
       // person present in flat_lab_obs is present in flat_obs (every lab
       // obs is an obs, both grains cover it), so voided ∩ flat_obs is a

@@ -122,6 +122,17 @@ object ProfileCascade {
         val opened = graft.streaming.IncrementalEtlStream.fsBytesRead - b0
         println(f"batch $i%d  ${secs}%6.2f s   wrote ${bytesSince(tables, wall0) / 1024}%8d KiB" +
           f"   opened ${opened / 1024}%8d KiB")
+        // post-backfill compaction recipe (SCALE.md): the bulk batch
+        // defers its version-log layout (a backfill's own bucketing buys
+        // no prune); folding it eagerly here keeps the FIRST steady tick
+        // delta-sized instead of paying the fold inline. Timed as its
+        // own line — it is operator-scheduled work, not tick work.
+        if (i == 0 && buckets > 0) {
+          val f0 = System.nanoTime()
+          graft.sources.BucketedLog.fold(spark, pipe.versionLogPath,
+            "person_id", buckets, graft.etl.Schemas.obs)
+          println(f"post-backfill fold  ${(System.nanoTime() - f0) / 1e9}%6.2f s")
+        }
       }
     }
   }
