@@ -64,8 +64,16 @@ object AnnIndex {
     * a handle held across TWO swaps may lose files to the purge —
     * re-[[read]] per query, don't cache handles across retrain cadence. */
   def write(dir: String, centroids: DataFrame, codebooks: DataFrame,
-      codes: DataFrame): String = {
-    val conf = centroids.sparkSession.sparkContext.hadoopConfiguration
+      codes: DataFrame): String =
+    commit(dir, Seq(
+      "centroids" -> centroids, "codebooks" -> codebooks, "codes" -> codes))
+
+  /** The generic generation commit behind [[write]] — any co-trained
+    * table set (IVFPQ's three tables, [[Hnsw]]'s graph + meta) shares
+    * the same atomicity and single-writer contract. */
+  def commit(dir: String, tables: Seq[(String, DataFrame)]): String = {
+    require(tables.nonEmpty, "a generation needs at least one table")
+    val conf = tables.head._2.sparkSession.sparkContext.hadoopConfiguration
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     val prev = currentGen(conf, dir)
@@ -78,9 +86,9 @@ object AnnIndex {
       throw new java.util.ConcurrentModificationException(
         s"generation $next at $dir already claimed by a concurrent writer", e)
     }
-    centroids.write.mode("overwrite").parquet(new Path(gen, "centroids").toString)
-    codebooks.write.mode("overwrite").parquet(new Path(gen, "codebooks").toString)
-    codes.write.mode("overwrite").parquet(new Path(gen, "codes").toString)
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(new Path(gen, name).toString)
+    }
     // conditional commit: if another writer advanced the pointer while
     // this generation was being written, abort — committing would base
     // g_{n} on a stale predecessor and drop the interleaved batch
@@ -100,6 +108,16 @@ object AnnIndex {
         fs.delete(st.getPath, true)
     }
     next
+  }
+
+  /** Resolve the live generation ONCE and return a loader over its
+    * tables — a coherent view no concurrent swap can tear. Generic twin
+    * of [[read]], for [[commit]]-written stores. */
+  def readGeneration(spark: SparkSession, dir: String): (String, String => DataFrame) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val gen = currentGen(conf, dir).getOrElse(throw new IllegalStateException(
+      s"no committed ANN index at $dir"))
+    (gen, name => spark.read.parquet(new Path(new Path(dir, gen), name).toString))
   }
 
   /** Resolve the live generation ONCE and open its three tables — a

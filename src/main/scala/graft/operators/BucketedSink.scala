@@ -6,6 +6,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Bucket-partitioned incremental sink — the "write O(delta), not
   * O(table)" path (a poor man's Delta/Iceberg MERGE on plain parquet).
@@ -59,6 +60,89 @@ object BucketedSink {
     math.min(localFsCap.toLong, math.max(64L, expectedDeltaKeys * 10)).toInt
 
   private def manifestPath(path: String) = new Path(path, "_MANIFEST")
+  private def schemaPath(path: String) = new Path(path, "_SCHEMA")
+
+  // ---- schema evolution (add-column) ----
+  // The manifest pins WHICH epoch owns each bucket; the `_SCHEMA` sidecar
+  // pins the table's CURRENT logical schema. Adding a column therefore
+  // costs one sidecar write: new epochs carry the new column, old
+  // epochs' files are untouched, and readers project each epoch frame
+  // onto the recorded schema with typed NULLs for columns that postdate
+  // it — the Delta/Iceberg add-column semantics, without which a new
+  // column on a 100 TB table means a full rewrite. Only ADDITIVE
+  // evolution is supported: dropping or retyping a column throws loudly
+  // (those DO need a rewrite, and silently narrowing a reader's view
+  // would break the tick's merge contract). Tables written before the
+  // sidecar existed read exactly as before (no sidecar -> no projection)
+  // and pick one up on their next write.
+
+  /** The recorded logical schema (no `__bucket`), if the table has one. */
+  def readSchema(conf: Configuration, path: String): Option[StructType] = {
+    val p = schemaPath(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        Some(DataType.fromJson(
+          new String(buf.toByteArray, StandardCharsets.UTF_8))
+          .asInstanceOf[StructType])
+      } finally in.close()
+    }
+  }
+
+  private def writeSchema(conf: Configuration, path: String, s: StructType): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val tmp = new Path(dir, "_SCHEMA.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s.json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    FileContext.getFileContext(dir.toUri, conf)
+      .rename(tmp, schemaPath(path), Options.Rename.OVERWRITE)
+  }
+
+  private def logicalSchema(df: DataFrame): StructType =
+    StructType(df.schema.filterNot(_.name == "__bucket"))
+
+  /** Merge the recorded schema with an incremental write's: shared
+    * columns must keep their exact type (retyping needs a rewrite —
+    * throw); the write's NEW columns append to the record; recorded
+    * columns the write OMITS stay recorded — the writer's rows get typed
+    * NULLs for them (standard add-column semantics: an upstream stage
+    * that predates the added column keeps ticking across the evolution
+    * boundary, its rewritten rows carrying the default). Removing a
+    * column permanently is a [[writeFull]] (which replaces the record
+    * wholesale). */
+  private def evolvedSchema(prevOpt: Option[StructType], next: StructType): StructType =
+    prevOpt.fold(next) { prev =>
+      prev.foreach { f =>
+        next.find(_.name == f.name).foreach { g =>
+          // catalogString ignores NULLABILITY, which legitimately varies
+          // between a stage's analyzed plan and the parquet round-trip
+          // (map value/array element containsNull) — only a real retype
+          // is a rewrite-requiring change
+          if (g.dataType.catalogString != f.dataType.catalogString)
+            throw new IllegalStateException(
+              s"schema evolution is add-column only: '${f.name}' " +
+                s"retyped ${f.dataType.simpleString} -> ${g.dataType.simpleString}")
+        }
+      }
+      StructType(prev ++ next.filterNot(f => prev.exists(_.name == f.name)))
+    }
+
+  /** Project one epoch's frame onto the recorded schema: columns the
+    * epoch predates become typed NULLs; `__bucket` (when present) rides
+    * along untouched. */
+  private def alignTo(schema: StructType, df: DataFrame): DataFrame = {
+    val have = df.columns.toSet
+    val cols = schema.map { f =>
+      if (have(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    } ++ (if (have("__bucket")) Seq(col("__bucket")) else Seq.empty)
+    df.select(cols: _*)
+  }
 
   def exists(conf: Configuration, path: String): Boolean = {
     val p = manifestPath(path)
@@ -174,6 +258,10 @@ object BucketedSink {
       .repartition(col("__bucket"))
       .write.mode("overwrite").partitionBy("__bucket")
       .parquet(new Path(path, epoch).toString)
+    // a full write REPLACES every bucket, so its schema simply becomes
+    // the recorded one (no additivity constraint against history —
+    // nothing of the old schema survives the swap)
+    writeSchema(c, path, logicalSchema(df))
     val manifest = writtenBuckets(c, new Path(path, epoch)).map(_ -> epoch).toMap
     writeManifest(c, path, manifest)
     purge(c, path, manifest, prev)
@@ -262,18 +350,31 @@ object BucketedSink {
     // caller, while sourcing fold rows from a pruned `merged` silently
     // materialized nothing and dropped the bucket from the manifest.
     val foldOnly = fold -- touched
-    val touchedPart = merged
+    // additive schema evolution: the merge may carry NEW columns (they
+    // land in this epoch; older epochs' readers project them as NULLs),
+    // but every recorded column must survive with its type — checked
+    // loudly BEFORE any write
+    val nextSchema = evolvedSchema(readSchema(c, path), logicalSchema(merged))
+    val touchedPart = alignTo(nextSchema, merged)
       .withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
       .filter(col("__bucket").isInCollection(touched))
     val toWrite =
       if (foldOnly.isEmpty) touchedPart
       else touchedPart.unionByName(
-        readFromManifest(merged.sparkSession, path, prev, foldOnly)
+        // fold rows come from pre-evolution epochs: align them to the
+        // NEW schema (typed NULLs for the added columns) so the fold
+        // epoch carries the current shape
+        alignTo(nextSchema,
+          readFromManifest(merged.sparkSession, path, prev, foldOnly))
           .withColumn("__bucket", bucketOf(col(keyCol), nBuckets)))
     toWrite
       .repartition(col("__bucket")) // one file per bucket (see writeFull)
       .write.mode("overwrite").partitionBy("__bucket")
       .parquet(new Path(path, epoch).toString)
+    // schema sidecar BEFORE the manifest swap: the crash window between
+    // them leaves readers projecting old epochs onto the new schema
+    // (harmless typed NULLs), never new epochs onto an old schema
+    writeSchema(c, path, nextSchema)
     // touched buckets that materialized nothing (every row gone) drop out
     // of the manifest entirely
     val written = writtenBuckets(c, new Path(path, epoch)).map(_ -> epoch).toMap
@@ -284,7 +385,9 @@ object BucketedSink {
 
   /** Read the live table: resolve the manifest once, load each
     * referenced epoch's bucket directories, union. The partition column
-    * is dropped — callers see the logical schema. */
+    * is dropped — callers see the logical schema. Epochs written before
+    * a column was added are projected onto the recorded schema with
+    * typed NULLs (see the evolution note on [[readSchema]]). */
   def read(spark: SparkSession, path: String): DataFrame = {
     val c = spark.sparkContext.hadoopConfiguration
     val manifest = readManifest(c, path).getOrElse(throw new IllegalStateException(
@@ -292,10 +395,12 @@ object BucketedSink {
     // a table whose every row was deleted leaves no parquet to carry a
     // schema — not representable in this layout (nor in plain parquet)
     require(manifest.nonEmpty, s"bucketed table at $path is empty")
+    val align: DataFrame => DataFrame =
+      readSchema(c, path).fold(identity[DataFrame] _)(s => alignTo(s, _))
     manifest.groupBy(_._2).toSeq.sortBy(_._1).map { case (epoch, buckets) =>
       val base = new Path(path, epoch).toString
-      spark.read.option("basePath", base)
-        .parquet(buckets.keys.toSeq.sorted.map(b => s"$base/__bucket=$b"): _*)
+      align(spark.read.option("basePath", base)
+        .parquet(buckets.keys.toSeq.sorted.map(b => s"$base/__bucket=$b"): _*))
     }.reduce(_ unionByName _).drop("__bucket")
   }
 
@@ -320,6 +425,9 @@ object BucketedSink {
       spark: SparkSession, path: String,
       manifest: Map[Int, String], buckets: Set[Int]): DataFrame = {
     val sel = manifest.filter { case (b, _) => buckets.contains(b) }
+    val align: DataFrame => DataFrame =
+      readSchema(spark.sparkContext.hadoopConfiguration, path)
+        .fold(identity[DataFrame] _)(s => alignTo(s, _))
     if (sel.isEmpty) {
       // empty selection needs only the SCHEMA — take it from one bucket
       // directory instead of read(path), which lists every bucket dir in
@@ -328,12 +436,12 @@ object BucketedSink {
       // several times per run)
       val (b, epoch) = manifest.minBy(_._1)
       val base = new Path(path, epoch).toString
-      spark.read.option("basePath", base).parquet(s"$base/__bucket=$b")
-        .limit(0).drop("__bucket")
+      align(spark.read.option("basePath", base).parquet(s"$base/__bucket=$b")
+        .limit(0)).drop("__bucket")
     } else sel.groupBy(_._2).toSeq.sortBy(_._1).map { case (epoch, bs) =>
       val base = new Path(path, epoch).toString
-      spark.read.option("basePath", base)
-        .parquet(bs.keys.toSeq.sorted.map(b => s"$base/__bucket=$b"): _*)
+      align(spark.read.option("basePath", base)
+        .parquet(bs.keys.toSeq.sorted.map(b => s"$base/__bucket=$b"): _*))
     }.reduce(_ unionByName _).drop("__bucket")
   }
 }

@@ -1,0 +1,171 @@
+package graft.operators
+
+import java.nio.ByteBuffer
+import java.nio.charset.{Charset, CodingErrorAction}
+
+/** Charset sniffing + strict transcode — the missing FIRST stage of web
+  * ingest. Real crawls are ~10-20% non-UTF-8 (legacy Latin-1 /
+  * windows-1252 pages, the odd UTF-16 export); treating raw response
+  * bytes as a JVM string mojibakes every one of them, silently, which is
+  * worse than dropping them.
+  *
+  * Detection priority follows the WHATWG encoding-sniffing algorithm's
+  * order (https://html.spec.whatwg.org/#determining-the-character-encoding):
+  *
+  *   1. BOM — UTF-8 (EF BB BF), UTF-16LE (FF FE), UTF-16BE (FE FF);
+  *      a BOM outranks every declaration, including a WRONG one;
+  *   2. transport layer — the `charset=` parameter of the HTTP
+  *      Content-Type header;
+  *   3. in-document prescan — `<meta charset=...>` or the legacy
+  *      `<meta http-equiv=content-type content="...; charset=...">`
+  *      within the first 1024 bytes (the spec's prescan window);
+  *   4. no declaration — STRICT UTF-8 validation. Validity of
+  *      multi-byte UTF-8 is structural evidence, not a guess (random
+  *      legacy bytes almost never form valid sequences); pure ASCII
+  *      passes trivially. Anything else is rejected.
+  *
+  * Decode is reject-don't-guess, like every codec in this repo: the
+  * declared charset is decoded STRICTLY (CodingErrorAction.REPORT), so a
+  * wrong declaration (utf-8 declared over latin-1 bytes), a multi-byte
+  * sequence split by truncation, or an unmapped windows-1252 byte
+  * quarantines the document with a reason instead of yielding U+FFFD
+  * soup. Unsupported declared charsets (Shift-JIS, GBK, …) are likewise
+  * quarantined by NAME — at 100 TB you route those shards to a
+  * transcoding pass with the right decoders, you don't fold them into
+  * the wrong one.
+  *
+  * Everything is per-row byte work (no shuffle, no state); the operator
+  * composes in front of [[TextAnalysis.htmlToText]] and the q200 ingest
+  * chain.
+  */
+object CharsetSniff {
+
+  /** charset = the canonical name actually decoded with; source = which
+    * rule won (`bom` / `header` / `meta` / `utf8-valid`). */
+  final case class Sniffed(charset: String, source: String, text: String)
+
+  /** Reject reasons are stable strings — they land in quarantine tables
+    * and specs assert on them. */
+  final case class Rejected(reason: String)
+
+  private val Supported: Map[String, String] = Map(
+    "utf-8" -> "UTF-8", "utf8" -> "UTF-8",
+    "us-ascii" -> "US-ASCII", "ascii" -> "US-ASCII",
+    "iso-8859-1" -> "ISO-8859-1", "latin-1" -> "ISO-8859-1",
+    "latin1" -> "ISO-8859-1", "iso8859-1" -> "ISO-8859-1",
+    // HTML5 aliases iso-8859-1 labels to windows-1252 — we keep them
+    // distinct: latin-1's 0x80-0x9F are valid (C1 controls), 1252's five
+    // holes are not, and a corpus wants the stricter read it declared
+    "windows-1252" -> "windows-1252", "cp1252" -> "windows-1252",
+    "x-cp1252" -> "windows-1252",
+    "utf-16le" -> "UTF-16LE", "utf-16be" -> "UTF-16BE",
+    // bare utf-16 is honored only when a BOM disambiguates byte order;
+    // sniff() resolves it before lookup
+    "utf-16" -> "UTF-16")
+
+  /** Strict decode: any malformed or unmappable input rejects. */
+  def decodeStrict(bytes: Array[Byte], offset: Int, javaName: String): Option[String] =
+    try {
+      val dec = Charset.forName(javaName).newDecoder()
+        .onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+      Some(dec.decode(
+        ByteBuffer.wrap(bytes, offset, bytes.length - offset)).toString)
+    } catch {
+      case _: java.nio.charset.CharacterCodingException => None
+      case _: java.nio.charset.UnsupportedCharsetException => None
+    }
+
+  /** BOM detection: (java charset name, bom length). UTF-16 BOMs are
+    * checked before UTF-8's (no prefix ambiguity exists, but the order
+    * documents intent). */
+  def bomOf(b: Array[Byte]): Option[(String, Int)] =
+    if (b.length >= 3 && (b(0) & 0xff) == 0xEF && (b(1) & 0xff) == 0xBB &&
+        (b(2) & 0xff) == 0xBF) Some(("UTF-8", 3))
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xFF && (b(1) & 0xff) == 0xFE)
+      Some(("UTF-16LE", 2))
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xFE && (b(1) & 0xff) == 0xFF)
+      Some(("UTF-16BE", 2))
+    else None
+
+  private val CharsetParam =
+    """(?i)charset\s*=\s*"?([A-Za-z0-9._:-]+)"?""".r
+
+  /** The charset parameter of a Content-Type value, lowercased. */
+  def declaredInContentType(contentType: String): Option[String] =
+    CharsetParam.findFirstMatchIn(contentType)
+      .map(_.group(1).toLowerCase(java.util.Locale.ROOT))
+
+  private val MetaCharset =
+    """(?i)<meta[^>]*\bcharset\s*=\s*["']?([A-Za-z0-9._:-]+)""".r
+
+  /** Prescan the first 1024 bytes (decoded permissively as latin-1 — the
+    * prescan only needs the ASCII skeleton) for a meta charset
+    * declaration; covers both `<meta charset=x>` and the http-equiv
+    * form, whose charset also arrives via the same `charset=` token. */
+  def metaCharset(body: Array[Byte]): Option[String] = {
+    val window = new String(body, 0, math.min(1024, body.length), "ISO-8859-1")
+    MetaCharset.findFirstMatchIn(window)
+      .map(_.group(1).toLowerCase(java.util.Locale.ROOT))
+  }
+
+  /** Sniff-and-decode one response body. `contentType` is the transport
+    * Content-Type value when the caller has one. */
+  def sniff(body: Array[Byte],
+      contentType: Option[String] = None): Either[Rejected, Sniffed] = {
+    bomOf(body) match {
+      case Some((cs, skip)) =>
+        return decodeStrict(body, skip, cs)
+          .map(t => Sniffed(cs.toLowerCase(java.util.Locale.ROOT), "bom", t))
+          .toRight(Rejected(s"malformed_${cs.toLowerCase(java.util.Locale.ROOT)}"))
+      case None => ()
+    }
+    val declared: Option[(String, String)] =
+      contentType.flatMap(declaredInContentType).map((_, "header"))
+        .orElse(metaCharset(body).map((_, "meta")))
+    declared match {
+      case Some((label, source)) =>
+        Supported.get(label) match {
+          case None => Left(Rejected(s"unsupported_charset_$label"))
+          case Some("UTF-16") =>
+            // byte order is BOM-only information and no BOM matched above
+            Left(Rejected("utf-16_without_bom"))
+          case Some(javaName) =>
+            decodeStrict(body, 0, javaName)
+              .map(t => Sniffed(javaName.toLowerCase(java.util.Locale.ROOT), source, t))
+              .toRight(Rejected(s"malformed_${label}"))
+        }
+      case None =>
+        decodeStrict(body, 0, "UTF-8")
+          .map(t => Sniffed("utf-8", "utf8-valid", t))
+          .toRight(Rejected("undeclared_not_utf8"))
+    }
+  }
+
+  /** Split an HTTP response message into (header block, body bytes) at
+    * the first CRLFCRLF — the WARC `response` record payload shape. None
+    * when no header/body boundary exists or the status line isn't
+    * HTTP/x. Header bytes are decoded as latin-1 (RFC 9110: field values
+    * are effectively opaque octets; latin-1 preserves them losslessly). */
+  def splitHttpResponse(payload: Array[Byte]): Option[(String, Array[Byte])] = {
+    var i = 0
+    var split = -1
+    while (split < 0 && i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+          payload(i + 2) == '\r' && payload(i + 3) == '\n') split = i
+      i += 1
+    }
+    if (split < 0) return None
+    val head = new String(payload, 0, split, "ISO-8859-1")
+    if (!head.startsWith("HTTP/")) return None
+    Some((head, java.util.Arrays.copyOfRange(payload, split + 4, payload.length)))
+  }
+
+  /** The Content-Type value of an HTTP header block, if present. */
+  def contentTypeOf(headerBlock: String): Option[String] =
+    headerBlock.split("\r\n").iterator.drop(1).collectFirst {
+      case l if l.toLowerCase(java.util.Locale.ROOT)
+          .startsWith("content-type:") =>
+        l.substring("content-type:".length).trim
+    }
+}

@@ -10,15 +10,16 @@ import org.apache.spark.sql.functions._
   * training-data pipeline dedups the same article arriving via feed,
   * sitemap, and link graph by the item's guid/id.
   *
-  * Extraction is regex-relational per item/entry block — the same
-  * tolerant-subset treatment as [[Sitemap]], replayable verbatim in any
+  * Expressed over [[XmlPaths]]: each dialect is a table of paths —
+  * `<item>`/`<entry>` blocks, attribute-tolerant CDATA-aware text
+  * fields, and Atom's href ATTRIBUTE — replayable verbatim in any
   * engine with POSIX regexes, which is how the oracle checks it. Two
   * dialects, one output shape:
   *
   *  - RSS 2.0: `<item>` blocks; `<title>`, `<link>` (element text),
   *    `<guid>`, `<pubDate>`. Every element is optional per spec.
   *  - Atom 1.0: `<entry>` blocks; `<title>`, `<id>`, `<updated>`, and
-  *    the link carried as an ATTRIBUTE (`<link href="..."/>`).
+  *    the link carried as an attribute (`<link href="..."/>`).
   *
   * Titles may be `<![CDATA[...]]>`-wrapped (common for RSS titles with
   * markup-significant characters) — CDATA content is taken RAW, plain
@@ -30,31 +31,9 @@ import org.apache.spark.sql.functions._
   */
 object Feeds {
 
-  private val RssItem = "(?s)<item>(.*?)</item>"
-  private val AtomEntry = "(?s)<entry>(.*?)</entry>"
-  private val Cdata = "(?s)^<!\\[CDATA\\[(.*)\\]\\]>$"
-
-  /** Inner text of `<tag>` (attributes tolerated, e.g.
-    * `<guid isPermaLink="false">`), CDATA-unwrapped or entity-decoded.
-    * The non-CDATA branch forbids '<' in content (nested markup inside
-    * a simple field is malformed for this subset → null, not a guess);
-    * the CDATA branch takes everything up to the first `]]>`. */
-  private def field(entry: Column, tag: String): Column = {
-    val raw = trim(regexp_extract(
-      entry,
-      s"(?s)<$tag(?:\\s[^>]*)?>\\s*(<!\\[CDATA\\[.*?\\]\\]>|[^<]*?)\\s*</$tag>", 1))
-    val un = when(raw.rlike(Cdata), regexp_extract(raw, Cdata, 1))
-      .otherwise(Sitemap.decodeEntities(raw))
-    when(un === "", lit(null).cast("string")).otherwise(un)
-  }
-
-  /** First href attribute of a `<link .../>` inside the entry — the
-    * Atom link form. */
-  private def hrefAttr(entry: Column): Column = {
-    val v = regexp_extract(entry, "<link\\s[^>]*href=\"([^\"]*)\"", 1)
-    when(v === "", lit(null).cast("string"))
-      .otherwise(Sitemap.decodeEntities(v))
-  }
+  private def field(entry: Column, tag: String): Column =
+    XmlPaths.text(entry,
+      XmlPaths.Field(tag, attrs = true, cdata = true, entities = true))
 
   /** (host, content) -> one row per feed item:
     * (host, kind, entry_pos, title, link, guid, published).
@@ -67,7 +46,8 @@ object Feeds {
       .when(col("content").contains("<feed"), "atom")
     val withKind = feeds.select(col("host"), col("content"), kind.as("kind"))
       .filter(col("kind").isNotNull)
-    val block = when(col("kind") === "rss", lit(RssItem)).otherwise(lit(AtomEntry))
+    val block = when(col("kind") === "rss",
+      lit(XmlPaths.blockPattern("item"))).otherwise(lit(XmlPaths.blockPattern("entry")))
     withKind
       .select(col("host"), col("kind"),
         posexplode(regexp_extract_all(col("content"), block, lit(1)))
@@ -75,7 +55,7 @@ object Feeds {
       .select(col("host"), col("kind"), col("entry_pos"),
         field(col("entry"), "title").as("title"),
         when(col("kind") === "rss", field(col("entry"), "link"))
-          .otherwise(hrefAttr(col("entry"))).as("link"),
+          .otherwise(XmlPaths.attr(col("entry"), "link", "href")).as("link"),
         when(col("kind") === "rss", field(col("entry"), "guid"))
           .otherwise(field(col("entry"), "id")).as("guid"),
         when(col("kind") === "rss", field(col("entry"), "pubDate"))

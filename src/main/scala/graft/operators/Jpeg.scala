@@ -23,7 +23,7 @@ object Jpeg {
 
   // zigzag index -> (row, col): odd anti-diagonals walk row-increasing,
   // even ones row-decreasing (T.81 Figure 5)
-  private val zigzag: Array[Int] = {
+  private[operators] val zigzag: Array[Int] = {
     val out = new Array[Int](64)
     var i = 0
     for (s <- 0 to 14) {
@@ -38,18 +38,18 @@ object Jpeg {
   /** Quant table in NATURAL order: DC step 8 (see scaladoc), AC steps a
     * mild constant 16 — carried in DQT, so the decoder learns it from
     * the stream, not from this object. */
-  private val quant: Array[Int] = Array.tabulate(64)(i => if (i == 0) 8 else 16)
+  private[operators] val quant: Array[Int] = Array.tabulate(64)(i => if (i == 0) 8 else 16)
 
   /** Chroma quant table (Tq=1 in color streams): same DC step 8 (flat
     * chroma regions stay exact), coarser AC — carried in DQT like the
     * luma table. */
-  private val quantC: Array[Int] = Array.tabulate(64)(i => if (i == 0) 8 else 24)
+  private[operators] val quantC: Array[Int] = Array.tabulate(64)(i => if (i == 0) 8 else 24)
 
   // canonical tables: BITS (codes per length 1..16) + ordered symbol values
-  private val dcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
-  private val dcVals = Array.tabulate(12)(identity) // categories 0..11
-  private val acBits = Array(0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0)
-  private val acVals: Array[Int] = {
+  private[operators] val dcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private[operators] val dcVals = Array.tabulate(12)(identity) // categories 0..11
+  private[operators] val acBits = Array(0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0)
+  private[operators] val acVals: Array[Int] = {
     // EOB, ZRL, and every (run 0-15, size 1-10) pair
     val syms = Seq(0x00, 0xf0) ++
       (for (run <- 0 to 15; size <- 1 to 10) yield (run << 4) | size)
@@ -58,7 +58,7 @@ object Jpeg {
 
   /** Canonical code assignment (T.81 C.2): symbols in HUFFVAL order get
     * increasing codes, lengths from BITS. Returns symbol -> (code, len). */
-  private def canonicalCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+  private[operators] def canonicalCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
     var code = 0
     var k = 0
     val out = Map.newBuilder[Int, (Int, Int)]
@@ -73,7 +73,7 @@ object Jpeg {
     out.result()
   }
 
-  private class BitWriter {
+  private[operators] class BitWriter {
     private val buf = new java.io.ByteArrayOutputStream()
     private var acc = 0
     private var nBits = 0
@@ -101,11 +101,11 @@ object Jpeg {
   }
 
   /** Magnitude category: number of bits to hold |v| (0 for v == 0). */
-  private def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+  private[operators] def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
 
   /** JPEG signed-magnitude payload bits: v >= 0 as-is, v < 0 stored as
     * v - 1 in `size` low bits (ones-complement form, T.81 F.1.2.1.1). */
-  private def magnitudeBits(v: Int, size: Int): Int =
+  private[operators] def magnitudeBits(v: Int, size: Int): Int =
     if (v >= 0) v else (v - 1) & ((1 << size) - 1)
 
   // cosT(x)(u) = cos((2x+1)·u·π/16), the only transcendental either
@@ -114,7 +114,7 @@ object Jpeg {
     Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
   private val c0 = 1.0 / math.sqrt(2)
 
-  private def fdct(block: Array[Double]): Array[Double] = {
+  private[operators] def fdct(block: Array[Double]): Array[Double] = {
     val out = new Array[Double](64)
     var u = 0
     while (u < 8) {
@@ -140,7 +140,7 @@ object Jpeg {
     out
   }
 
-  private def idct(coef: Array[Double]): Array[Double] = {
+  private[operators] def idct(coef: Array[Double]): Array[Double] = {
     val out = new Array[Double](64)
     var x = 0
     while (x < 8) {
@@ -207,7 +207,7 @@ object Jpeg {
   }
 
   /** Gather one 8x8 level-shifted block from a plane, edge-replicated. */
-  private def gatherBlock(
+  private[operators] def gatherBlock(
       plane: Array[Byte], w: Int, h: Int, bx: Int, by: Int): Array[Double] = {
     val block = new Array[Double](64)
     var r = 0
@@ -303,7 +303,7 @@ object Jpeg {
 
   /** 2x2-average chroma subsample (edge-replicated, +2 rounding — exact
     * on regions flat per 2x2). Full-res w×h plane → ceil(w/2)×ceil(h/2). */
-  private def subsample(plane: Array[Byte], w: Int, h: Int): (Int, Int, Array[Byte]) = {
+  private[operators] def subsample(plane: Array[Byte], w: Int, h: Int): (Int, Int, Array[Byte]) = {
     val cw = (w + 1) / 2
     val ch = (h + 1) / 2
     val out = new Array[Byte](cw * ch)
@@ -405,7 +405,7 @@ object Jpeg {
 
   // ---- decoder ----
 
-  private final class BitReader(p: Array[Byte], var i: Int) {
+  private[operators] final class BitReader(p: Array[Byte], var i: Int) {
     private var acc = 0
     private var nBits = 0
     var truncated = false
@@ -453,7 +453,7 @@ object Jpeg {
   }
 
   /** Decode tree for one DHT table: (code, len) -> symbol. */
-  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+  private[operators] final class HuffTable(bits: Array[Int], vals: Array[Int]) {
     private val bySymbol = canonicalCodes(bits, vals)
     // len -> (firstCode, firstIndex) for canonical fast decode
     private val lookup: Map[(Int, Int), Int] =
@@ -475,7 +475,7 @@ object Jpeg {
   }
 
   /** Extend a magnitude-bits payload back to a signed value (T.81 F2.2.1). */
-  private def extend(v: Int, size: Int): Int =
+  private[operators] def extend(v: Int, size: Int): Int =
     if (size == 0) 0
     else if (v < (1 << (size - 1))) v - (1 << size) + 1
     else v
@@ -532,7 +532,7 @@ object Jpeg {
   }
 
   /** One decoded component: sampling factors + its (padded-to-MCU) plane. */
-  private final case class Comp(
+  private[operators] final case class Comp(
       id: Int, hs: Int, vs: Int, tq: Int,
       var td: Int = 0, var ta: Int = 0,
       var plane: Array[Byte] = null, var planeW: Int = 0, var planeH: Int = 0)
@@ -584,7 +584,7 @@ object Jpeg {
   /** Fixed-point YCbCr→RGB (16.16 constants, bias keeps operands
     * positive so `>> 16` is plain division — replayable as
     * `(x + 32768 + 16777216) // 65536 - 256` in any SQL dialect). */
-  @inline private def clamp8(v: Int): Int =
+  @inline private[operators] def clamp8(v: Int): Int =
     if (v < 0) 0 else if (v > 255) 255 else v
   def ycbcrToRgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
     val cbd = cb - 128
@@ -762,12 +762,14 @@ object Jpeg {
     Some((w, h, comps))
   }
 
-  /** Decode a baseline grayscale JFIF stream: (w, h, row-major pixels).
-    * None for anything out of contract — color streams included (see
+  /** Decode a grayscale JFIF stream: (w, h, row-major pixels). None for
+    * anything out of contract — color streams included (see
     * [[decodeRgb]]); the Huffman and quant tables are BUILT FROM THE
-    * STREAM's DHT/DQT, not assumed. */
+    * STREAM's DHT/DQT, not assumed. Progressive (SOF2) streams route to
+    * [[JpegProgressive]] instead of rejecting. */
   def decodeGray(p: Array[Byte]): Option[(Int, Int, Array[Byte])] =
-    decodeBaseline(p).collect {
+    if (JpegProgressive.isProgressive(p)) JpegProgressive.decodeGray(p)
+    else decodeBaseline(p).collect {
       case (w, h, comps) if comps.length == 1 =>
         val c = comps(0)
         val out = new Array[Byte](w * h)
@@ -784,7 +786,8 @@ object Jpeg {
     * fixed-point [[ycbcrToRgb]]. None for grayscale streams and anything
     * out of the baseline contract. */
   def decodeRgb(p: Array[Byte]): Option[(Int, Int, Array[Byte])] =
-    decodeBaseline(p).collect {
+    if (JpegProgressive.isProgressive(p)) JpegProgressive.decodeRgb(p)
+    else decodeBaseline(p).collect {
       case (w, h, comps) if comps.length == 3 =>
         val yC = comps(0); val cbC = comps(1); val crC = comps(2)
         val hMax = comps.map(_.hs).max

@@ -1592,6 +1592,86 @@ object Multimodal {
     }.toDF("warc_type", "target_uri", "warc_date", "n_bytes", "body")
   }
 
+  /** As [[extractWarcRecords]], but the body stays RAW BYTES — the shape
+    * charset sniffing needs (decoding is exactly the step under test
+    * downstream; a premature UTF-8 cast would mojibake every legacy-
+    * charset page before the sniffer ever saw it). */
+  def extractWarcRecordBytes(
+      media: Dataset[MediaRow], gzipped: Boolean = false): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val raw =
+        if (gzipped) Warc.gunzipAll(r.payload)
+        else Some(r.payload)
+      raw.flatMap(Warc.parse).toSeq.flatten.map { rec =>
+        (rec.warc_type, rec.target_uri, rec.warc_date, rec.content_length,
+          rec.body)
+      }
+    }.toDF("warc_type", "target_uri", "warc_date", "n_bytes", "body")
+  }
+
+  /** Mixed-charset HTTP-response WARC fixture (q231/q232): each doc
+    * becomes a full HTTP/1.1 response payload (status line,
+    * Content-Type, CRLFCRLF, encoded body) inside a WARC response
+    * record — the byte shape a real crawl delivers. Charset regimes are
+    * planted by id formula so the oracle can replay every fate:
+    *
+    *   - doc_id % 11 == 7 (hostile): header DECLARES utf-8, body is
+    *     latin-1 bytes (" café", 0xE9) → strict decode must reject;
+    *   - else doc_id % 5 == 0: utf-8 via Content-Type header;
+    *   - 1: windows-1252 via in-document meta prescan (header is bare
+    *     text/html), body carries € (0x80) and ™ (0x99);
+    *   - 2: iso-8859-1 via Content-Type header, body carries é and ±;
+    *   - 3: UTF-16LE with BOM while the header WRONGLY declares
+    *     iso-8859-1 — the BOM must outrank it;
+    *   - 4: no declaration anywhere; the body is valid multi-byte UTF-8
+    *     (" ünïcode"), accepted by strict validation.
+    */
+  def httpWarcMixedCharsetFromDocuments(
+      spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    def encode(id: Long, text: String): (Array[Byte], String) =
+      if (id % 11 == 7)
+        ((text + " café").getBytes("ISO-8859-1"), "text/html; charset=utf-8")
+      else (id % 5) match {
+        case 0 => ((text + " héllo").getBytes("UTF-8"),
+          "text/html; charset=utf-8")
+        case 1 => (("<meta charset=windows-1252>" + text + " €uro™")
+          .getBytes("windows-1252"), "text/html")
+        case 2 => ((text + " café ±").getBytes("ISO-8859-1"),
+          "text/plain; charset=ISO-8859-1")
+        case 3 =>
+          val b = (text + " snow☃").getBytes("UTF-16LE")
+          val out = new Array[Byte](b.length + 2)
+          out(0) = 0xFF.toByte; out(1) = 0xFE.toByte
+          System.arraycopy(b, 0, out, 2, b.length)
+          (out, "text/html; charset=iso-8859-1")
+        case _ => ((text + " ünïcode").getBytes("UTF-8"), "text/html")
+      }
+    documents.select((col("doc_id") / 8).cast("long").as("blob_id"),
+        col("doc_id").cast("long").as("doc_id"), col("text"))
+      .groupBy("blob_id")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+        .as("docs"))
+      .map { row =>
+        val blobId = row.getLong(0)
+        val out = new java.io.ByteArrayOutputStream()
+        row.getSeq[org.apache.spark.sql.Row](1).foreach { d =>
+          val id = d.getLong(0)
+          val (body, ct) = encode(id, d.getString(1))
+          val head = (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
+            s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1")
+          val payload = new Array[Byte](head.length + body.length)
+          System.arraycopy(head, 0, payload, 0, head.length)
+          System.arraycopy(body, 0, payload, head.length, body.length)
+          out.write(Warc.writeRecord("response",
+            s"http://example.com/doc/$id",
+            f"2024-01-${1 + id % 28}%02dT00:00:00Z", payload))
+        }
+        MediaRow(blobId, "warc", out.toByteArray)
+      }
+  }
+
   /** The q118 WARC blobs in Common Crawl's actual wire framing: each
     * record compressed as its OWN gzip member, members concatenated —
     * the layout that lets a reader seek to any record boundary. Parsed
@@ -1686,6 +1766,52 @@ object Multimodal {
     * arithmetic plus the codec's fixed-point YCbCr→RGB — while the
     * decoder runs real multi-component Huffman, MCU interleave, and
     * upsampling over a genuinely entropy-coded stream. */
+  /** q93's block-flat streams re-encoded PROGRESSIVE (q233): the same
+    * pixel formulas, so q93's pixel-replay oracle applies verbatim —
+    * flat blocks are DC-only spectra, exact through the lossy transform
+    * at DC quant step 8 — while the decoder runs the full Annex-G
+    * machinery: successive-approximation DC (two passes), banded AC
+    * first scans whose all-zero bands become maximal cross-block EOB
+    * runs, AC refinement passes, and (on even ids) restart markers
+    * inside every progressive scan. */
+  def jpegProgressiveImagesFromDocuments(
+      spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.filter(col("doc_id") % 3 === 1).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 8 * (1 + (id % 2).toInt)
+        val h = 8 * (1 + (id % 3).toInt)
+        val px = Array.tabulate(w * h) { k =>
+          val bx = (k % w) / 8; val by = (k / w) / 8
+          ((id + 5L * bx + 9L * by) % 256).toByte
+        }
+        val ri = if (id % 2 == 0) 1 + (id % 3).toInt else 0
+        MediaRow(id, "image",
+          JpegProgressive.encodeGray(w, h, px, restartInterval = ri))
+      })
+  }
+
+  /** q105's MCU-flat color streams re-encoded PROGRESSIVE (q234): same
+    * pixel formulas and quant tables, so q105's RGB-replay oracle
+    * applies verbatim; the decode runs interleaved progressive DC over
+    * 4:2:0 geometry plus per-component non-interleaved AC scans. */
+  def jpegProgressiveColorImagesFromDocuments(
+      spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.filter(col("doc_id") % 3 === 2).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 16 * (1 + (id % 2).toInt)
+        val h = 16 * (1 + (id % 3).toInt)
+        def plane(f: (Int, Int) => Long) = Array.tabulate(w * h) { k =>
+          (f(k % w, k / w) % 256).toByte
+        }
+        val yP = plane((x, y) => id + 5L * (x / 8) + 9L * (y / 8))
+        val cbP = plane((x, y) => id * 3 + 7L * (x / 16) + 11L * (y / 16))
+        val crP = plane((x, y) => id * 5 + 13L * (x / 16) + 3L * (y / 16))
+        MediaRow(id, "image", JpegProgressive.encodeColor420(w, h, yP, cbP, crP))
+      })
+  }
+
   def jpegColorImagesFromDocuments(
       spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._

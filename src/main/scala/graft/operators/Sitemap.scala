@@ -9,36 +9,20 @@ import org.apache.spark.sql.functions._
   * sitemaps; a frontier builder unions the extracted URLs with the
   * link graph and prioritizes by `lastmod`/`priority`.
   *
-  * Extraction is regex-relational (`regexp_extract_all` per `<url>` /
-  * `<sitemap>` block, then per-field extracts) — the same
-  * tolerant-subset treatment as the HTML link extraction in
-  * `TextAnalysis.extractLinks`, replayable verbatim in any engine with
-  * POSIX regexes, which is how the oracle checks it. Entity-decoding
-  * covers the five XML built-ins (`&amp; &lt; &gt; &quot; &apos;`) —
-  * the ones the protocol requires escaped in a `<loc>`.
+  * Expressed over [[XmlPaths]] (the shared path-based extractor): a
+  * sitemap is a TABLE OF PATHS — repeated `<url>`/`<sitemap>` blocks,
+  * four text fields each — not a bespoke parser. Regex-relational, so
+  * the oracle replays it verbatim; entity-decoding covers the five XML
+  * built-ins on `<loc>` (the ones the protocol requires escaped).
   */
 object Sitemap {
 
-  private val UrlBlock = "(?s)<url>(.*?)</url>"
-  private val IndexBlock = "(?s)<sitemap>(.*?)</sitemap>"
+  /** Decode the five XML built-in entities (kept here as the historical
+    * entry point; the implementation lives in [[XmlPaths]]). */
+  def decodeEntities(c: Column): Column = XmlPaths.decodeEntities(c)
 
-  /** Decode the five XML built-in entities. `&amp;` last, so escaped
-    * escapes decode once, not recursively. */
-  def decodeEntities(c: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(c, "&lt;", "<"),
-            "&gt;", ">"),
-          "&quot;", "\""),
-        "&apos;", "'"),
-      "&amp;", "&")
-
-  private def field(entry: Column, tag: String): Column = {
-    val v = trim(regexp_extract(entry, s"<$tag>\\s*([^<]*?)\\s*</$tag>", 1))
-    when(v === "", lit(null).cast("string")).otherwise(v)
-  }
+  private def field(entry: Column, tag: String): Column =
+    XmlPaths.text(entry, XmlPaths.Field(tag))
 
   /** (host, content) -> one row per page entry:
     * (host, loc, lastmod, changefreq, priority, entry_pos). Rows whose
@@ -47,10 +31,11 @@ object Sitemap {
   def entries(sitemaps: DataFrame): DataFrame =
     sitemaps
       .select(col("host"),
-        posexplode(regexp_extract_all(col("content"), lit(UrlBlock), lit(1)))
+        posexplode(XmlPaths.blocks(col("content"), "url"))
           .as(Seq("entry_pos", "entry")))
       .select(col("host"),
-        decodeEntities(field(col("entry"), "loc")).as("loc"),
+        XmlPaths.text(col("entry"),
+          XmlPaths.Field("loc", entities = true)).as("loc"),
         field(col("entry"), "lastmod").as("lastmod"),
         field(col("entry"), "changefreq").as("changefreq"),
         field(col("entry"), "priority").cast("double").as("priority"),
@@ -62,10 +47,11 @@ object Sitemap {
   def children(sitemaps: DataFrame): DataFrame =
     sitemaps
       .select(col("host"),
-        posexplode(regexp_extract_all(col("content"), lit(IndexBlock), lit(1)))
+        posexplode(XmlPaths.blocks(col("content"), "sitemap"))
           .as(Seq("entry_pos", "entry")))
       .select(col("host"),
-        decodeEntities(field(col("entry"), "loc")).as("child_loc"),
+        XmlPaths.text(col("entry"),
+          XmlPaths.Field("loc", entities = true)).as("child_loc"),
         field(col("entry"), "lastmod").as("lastmod"),
         col("entry_pos"))
       .filter(col("child_loc").isNotNull)

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hostile-input coverage for the charset sniffer: wrong declared
+  * charsets, multi-byte sequences split by truncation, unsupported
+  * labels, BOM-vs-declaration precedence, prescan window limits. Pure
+  * byte work — no Spark session needed. */
+class CharsetSniffSpec extends AnyFunSuite {
+
+  private def utf8(s: String) = s.getBytes("UTF-8")
+
+  test("priority: BOM outranks a wrong transport declaration") {
+    val body = Array(0xFF.toByte, 0xFE.toByte) ++ "héllo".getBytes("UTF-16LE")
+    val got = CharsetSniff.sniff(body, Some("text/html; charset=iso-8859-1"))
+    assert(got == Right(CharsetSniff.Sniffed("utf-16le", "bom", "héllo")))
+  }
+
+  test("priority: transport outranks meta") {
+    val body = "<meta charset=utf-8>café".getBytes("ISO-8859-1")
+    // header says latin-1; meta (wrongly, here) says utf-8 — header wins
+    // and the latin-1 decode succeeds
+    val got = CharsetSniff.sniff(body, Some("text/html; charset=iso-8859-1"))
+    assert(got.map(_.source) == Right("header"))
+    assert(got.map(_.text) == Right("<meta charset=utf-8>café"))
+  }
+
+  test("meta prescan only reaches the first 1024 bytes") {
+    val pad = "x" * 1100
+    val body = utf8(pad + "<meta charset=iso-8859-1>") ++ Array(0xE9.toByte)
+    // the declaration sits past the window, the stray 0xE9 byte breaks
+    // strict UTF-8 validation, and nothing else claims the document
+    assert(CharsetSniff.sniff(body, None) ==
+      Left(CharsetSniff.Rejected("undeclared_not_utf8")))
+    val inWindow = utf8("<meta charset=iso-8859-1>") ++ Array(0xE9.toByte)
+    assert(CharsetSniff.sniff(inWindow, None).map(_.source) == Right("meta"))
+  }
+
+  test("wrong declaration: utf-8 over latin-1 bytes rejects, not mojibakes") {
+    val body = "café".getBytes("ISO-8859-1")
+    assert(CharsetSniff.sniff(body, Some("text/plain; charset=utf-8")) ==
+      Left(CharsetSniff.Rejected("malformed_utf-8")))
+  }
+
+  test("multi-byte sequence split at a buffer edge rejects") {
+    val whole = utf8("snow☃") // ☃ is 3 bytes
+    val truncated = whole.dropRight(1)
+    assert(CharsetSniff.sniff(truncated,
+      Some("text/plain; charset=utf-8")).isLeft)
+    // same split under UTF-16: odd byte count can't be code units
+    val u16 = Array(0xFF.toByte, 0xFE.toByte) ++
+      "ab".getBytes("UTF-16LE").dropRight(1)
+    assert(CharsetSniff.sniff(u16, None) ==
+      Left(CharsetSniff.Rejected("malformed_utf-16le")))
+  }
+
+  test("unsupported declared charsets quarantine by name") {
+    val body = utf8("whatever")
+    assert(CharsetSniff.sniff(body, Some("text/html; charset=Shift_JIS")) ==
+      Left(CharsetSniff.Rejected("unsupported_charset_shift_jis")))
+    assert(CharsetSniff.sniff(body, Some("text/html; charset=GBK")) ==
+      Left(CharsetSniff.Rejected("unsupported_charset_gbk")))
+  }
+
+  test("bare utf-16 declaration without a BOM rejects (byte order unknown)") {
+    val body = "ab".getBytes("UTF-16LE")
+    assert(CharsetSniff.sniff(body, Some("text/html; charset=utf-16")) ==
+      Left(CharsetSniff.Rejected("utf-16_without_bom")))
+  }
+
+  test("windows-1252 holes reject; latin-1 C1 bytes do not") {
+    val hole = Array(0x81.toByte) // one of 1252's five unmapped bytes
+    assert(CharsetSniff.sniff(hole,
+      Some("text/html; charset=windows-1252")).isLeft)
+    assert(CharsetSniff.sniff(hole,
+      Some("text/html; charset=iso-8859-1")).map(_.text.length) == Right(1))
+    // and 1252's defined high bytes decode to their Microsoft glyphs
+    val euro = Array(0x80.toByte)
+    assert(CharsetSniff.sniff(euro,
+      Some("text/html; charset=windows-1252")).map(_.text) == Right("€"))
+  }
+
+  test("undeclared: strict UTF-8 validation accepts, anything else rejects") {
+    assert(CharsetSniff.sniff(utf8("ünïcode"), None) ==
+      Right(CharsetSniff.Sniffed("utf-8", "utf8-valid", "ünïcode")))
+    assert(CharsetSniff.sniff("café".getBytes("ISO-8859-1"), None) ==
+      Left(CharsetSniff.Rejected("undeclared_not_utf8")))
+  }
+
+  test("utf-8 BOM is consumed, not leaked into the text") {
+    val body = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ utf8("hi")
+    assert(CharsetSniff.sniff(body, None) ==
+      Right(CharsetSniff.Sniffed("utf-8", "bom", "hi")))
+  }
+
+  test("http response split: boundary, missing boundary, non-http") {
+    val payload = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+      "\r\nbody\r\n\r\nmore").getBytes("ISO-8859-1")
+    val Some((head, body)) = CharsetSniff.splitHttpResponse(payload)
+    assert(CharsetSniff.contentTypeOf(head).contains("text/html; charset=utf-8"))
+    assert(new String(body, "UTF-8") == "body\r\n\r\nmore") // FIRST boundary splits
+    assert(CharsetSniff.splitHttpResponse("no boundary".getBytes("UTF-8")).isEmpty)
+    assert(CharsetSniff.splitHttpResponse(
+      "GARBAGE\r\n\r\nbody".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("quoted and unquoted charset params both parse") {
+    assert(CharsetSniff.declaredInContentType("text/html; charset=\"UTF-8\"")
+      .contains("utf-8"))
+    assert(CharsetSniff.declaredInContentType("text/html;charset=ISO-8859-1")
+      .contains("iso-8859-1"))
+    assert(CharsetSniff.declaredInContentType("text/html").isEmpty)
+  }
+}
