@@ -1812,6 +1812,75 @@ object Multimodal {
       })
   }
 
+  /** WebP-lossless (VP8L) fixtures (q235): id-arithmetic RGB planes at
+    * arbitrary (non-aligned) dimensions, with the ENCODING FEATURE MIX
+    * rotating by id (id % 7) so every decoder path runs against the
+    * same pixel-replay oracle: plain+cache / no-LZ77+subtract-green /
+    * predictor transform / cross-color transform / color-indexed
+    * palette (its own reduced-color formula, oracle CASEd the same
+    * way) / all three pixel transforms stacked / two-group meta prefix
+    * codes. Lossless, so the oracle replays every channel sum exactly
+    * (the GIF/PNG pattern, not the JPEG flat-block workaround). */
+  def webpImagesFromDocuments(
+      spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.filter(col("doc_id") % 3 === 0).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 5 + (id % 20).toInt
+        val h = 4 + (id % 15).toInt
+        val mode = (id % 7).toInt
+        val px =
+          if (mode == 4) { // palette regime: few distinct colors
+            val nColors = 2 + (id % 30).toInt
+            Array.tabulate(w * h) { k =>
+              val x = k % w; val y = k / w
+              val ci = ((id + 3 * x + 7 * y) % nColors).toInt
+              val r = ((id * 17 + 29 * ci) % 256).toInt
+              val g = ((id * 23 + 31 * ci) % 256).toInt
+              val b = ((id * 13 + 37 * ci) % 256).toInt
+              (0xff << 24) | (r << 16) | (g << 8) | b
+            }
+          } else Array.tabulate(w * h) { k =>
+            val x = k % w; val y = k / w
+            val r = ((id * 17 + 29 * x + 3 * y) % 256).toInt
+            val g = ((id * 23 + 31 * y + 5 * x) % 256).toInt
+            val b = ((id * 13 + 37 * (x / 3) + 7 * (y / 2)) % 256).toInt
+            (0xff << 24) | (r << 16) | (g << 8) | b
+          }
+        val blob = mode match {
+          case 0 => Vp8l.encode(w, h, px, cacheBits = 4 + (id % 5).toInt)
+          case 1 => Vp8l.encode(w, h, px, lz77 = false, subtractGreen = true)
+          case 2 => Vp8l.encode(w, h, px, cacheBits = 3,
+            predictorBits = 2 + (id % 4).toInt)
+          case 3 => Vp8l.encode(w, h, px, colorBits = 3)
+          case 4 => Vp8l.encode(w, h, px, palette = true, lz77 = false)
+          case 5 => Vp8l.encode(w, h, px, cacheBits = 4, predictorBits = 3,
+            colorBits = 4, subtractGreen = true)
+          case _ => Vp8l.encode(w, h, px, cacheBits = 3, metaSplitBits = 2)
+        }
+        MediaRow(id, "image", blob)
+      })
+  }
+
+  /** VP8L decode to per-image RGB channel sums (q111's aggregate shape);
+    * rejects yield no rows. */
+  def decodeWebpRgbStats(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      Vp8l.decode(r.payload).toOption.iterator.map { case (w, h, px) =>
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var k = 0
+        while (k < w * h) {
+          rs += (px(k) >> 16) & 0xff
+          gs += (px(k) >> 8) & 0xff
+          bs += px(k) & 0xff
+          k += 1
+        }
+        (r.media_id, w * h, rs, gs, bs)
+      }
+    }).toDF("media_id", "n_px", "r_sum", "g_sum", "b_sum")
+  }
+
   def jpegColorImagesFromDocuments(
       spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._

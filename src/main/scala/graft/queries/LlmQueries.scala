@@ -6515,6 +6515,47 @@ object LlmQueries {
       (s, dir) =>
         Multimodal.decodeJpegRgbStats(
           Multimodal.jpegProgressiveColorImagesFromDocuments(s, load(s, dir, "documents")))
+    },
+
+    // WebP LOSSLESS (VP8L) — after progressive JPEG, the biggest
+    // remaining crawl-image seam (~10% of web images): RIFF container,
+    // LSB-first bitstream, canonical prefix codes via the full
+    // code-length-code machinery, LZ77 with the prefix-coded
+    // length/distance scheme, color cache (multiplicative hash), meta
+    // prefix codes, and ALL FOUR transforms (predictor, cross-color,
+    // subtract-green, color-indexed palette with sub-byte bundling).
+    // The feature mix rotates by id % 7 so every decoder path runs;
+    // palette rows (mode 4) use a reduced-color formula the oracle
+    // CASEs the same way. Lossless → the oracle replays every channel
+    // sum from id arithmetic exactly (the GIF pattern); Vp8lSpec
+    // carries the roundtrip matrix plus truncation/flip sweeps.
+    OpQuery.sql(
+      "q235_webp_lossless_decode",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(5 + doc_id % 20 AS BIGINT) AS w,
+        |    CAST(4 + doc_id % 15 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |y AS (SELECT *, unnest(generate_series(0, h - 1)) AS py FROM v),
+        |x AS (SELECT *, unnest(generate_series(0, w - 1)) AS px FROM y),
+        |c AS (SELECT id, px, py,
+        |    (id + 3 * px + 7 * py) % (2 + id % 30) AS ci,
+        |    id % 7 = 4 AS pal
+        |  FROM x),
+        |p AS (SELECT id,
+        |    CASE WHEN pal THEN (id * 17 + 29 * ci) % 256
+        |         ELSE (id * 17 + 29 * px + 3 * py) % 256 END AS r,
+        |    CASE WHEN pal THEN (id * 23 + 31 * ci) % 256
+        |         ELSE (id * 23 + 31 * py + 5 * px) % 256 END AS g,
+        |    CASE WHEN pal THEN (id * 13 + 37 * ci) % 256
+        |         ELSE (id * 13 + 37 * (px // 3) + 7 * (py // 2)) % 256 END AS b
+        |  FROM c)
+        |SELECT id AS media_id, CAST(count(*) AS INTEGER) AS n_px,
+        |  CAST(sum(r) AS BIGINT) AS r_sum, CAST(sum(g) AS BIGINT) AS g_sum,
+        |  CAST(sum(b) AS BIGINT) AS b_sum
+        |FROM p GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        Multimodal.decodeWebpRgbStats(
+          Multimodal.webpImagesFromDocuments(s, load(s, dir, "documents")))
     }
   )
 
