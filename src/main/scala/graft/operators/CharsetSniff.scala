@@ -61,7 +61,27 @@ object CharsetSniff {
     "utf-16le" -> "UTF-16LE", "utf-16be" -> "UTF-16BE",
     // bare utf-16 is honored only when a BOM disambiguates byte order;
     // sniff() resolves it before lookup
-    "utf-16" -> "UTF-16")
+    "utf-16" -> "UTF-16",
+    // the East-Asian + legacy-European decoders real crawls hit (~10-20%
+    // of non-UTF-8 pages): the JDK ships strict implementations of all
+    // of them, so "support" costs only the alias table — each still
+    // decodes with CodingErrorAction.REPORT, so a WRONG declaration
+    // quarantines rather than mojibaking
+    "shift_jis" -> "Shift_JIS", "shift-jis" -> "Shift_JIS",
+    "sjis" -> "Shift_JIS", "x-sjis" -> "Shift_JIS",
+    "windows-31j" -> "windows-31j", "cp932" -> "windows-31j",
+    "euc-jp" -> "EUC-JP",
+    "gbk" -> "GBK", "gb2312" -> "GB2312", "cp936" -> "GBK",
+    "gb18030" -> "GB18030",
+    "big5" -> "Big5",
+    "euc-kr" -> "EUC-KR", "ks_c_5601-1987" -> "EUC-KR",
+    "windows-1251" -> "windows-1251", "cp1251" -> "windows-1251",
+    "koi8-r" -> "KOI8-R",
+    "iso-8859-2" -> "ISO-8859-2", "latin2" -> "ISO-8859-2",
+    "iso-8859-15" -> "ISO-8859-15", "latin9" -> "ISO-8859-15",
+    "iso-8859-9" -> "ISO-8859-9", "windows-1254" -> "windows-1254",
+    "windows-1250" -> "windows-1250", "windows-1256" -> "windows-1256",
+    "tis-620" -> "TIS-620", "windows-874" -> "x-windows-874")
 
   /** Strict decode: any malformed or unmappable input rejects. */
   def decodeStrict(bytes: Array[Byte], offset: Int, javaName: String): Option[String] =
@@ -131,7 +151,13 @@ object CharsetSniff {
             // byte order is BOM-only information and no BOM matched above
             Left(Rejected("utf-16_without_bom"))
           case Some(javaName) =>
-            decodeStrict(body, 0, javaName)
+            // the core charsets are spec-guaranteed; the extended set
+            // ships in the JDK's charsets module — a stripped runtime
+            // missing one quarantines by NAME, never mislabels as
+            // malformed bytes
+            if (!Charset.isSupported(javaName))
+              Left(Rejected(s"charset_missing_in_jvm_$label"))
+            else decodeStrict(body, 0, javaName)
               .map(t => Sniffed(javaName.toLowerCase(java.util.Locale.ROOT), source, t))
               .toRight(Rejected(s"malformed_${label}"))
         }

@@ -1618,14 +1618,17 @@ object Multimodal {
     *
     *   - doc_id % 11 == 7 (hostile): header DECLARES utf-8, body is
     *     latin-1 bytes (" café", 0xE9) → strict decode must reject;
-    *   - else doc_id % 5 == 0: utf-8 via Content-Type header;
+    *   - else doc_id % 8 == 0: utf-8 via Content-Type header;
     *   - 1: windows-1252 via in-document meta prescan (header is bare
     *     text/html), body carries € (0x80) and ™ (0x99);
     *   - 2: iso-8859-1 via Content-Type header, body carries é and ±;
     *   - 3: UTF-16LE with BOM while the header WRONGLY declares
     *     iso-8859-1 — the BOM must outrank it;
     *   - 4: no declaration anywhere; the body is valid multi-byte UTF-8
-    *     (" ünïcode"), accepted by strict validation.
+    *     (" ünïcode"), accepted by strict validation;
+    *   - 5: Shift-JIS via header (double-byte kana/kanji);
+    *   - 6: GBK via meta prescan (double-byte hanzi);
+    *   - 7: EUC-KR via header (double-byte hangul).
     */
   def httpWarcMixedCharsetFromDocuments(
       spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
@@ -1633,7 +1636,7 @@ object Multimodal {
     def encode(id: Long, text: String): (Array[Byte], String) =
       if (id % 11 == 7)
         ((text + " café").getBytes("ISO-8859-1"), "text/html; charset=utf-8")
-      else (id % 5) match {
+      else (id % 8) match {
         case 0 => ((text + " héllo").getBytes("UTF-8"),
           "text/html; charset=utf-8")
         case 1 => (("<meta charset=windows-1252>" + text + " €uro™")
@@ -1646,7 +1649,13 @@ object Multimodal {
           out(0) = 0xFF.toByte; out(1) = 0xFE.toByte
           System.arraycopy(b, 0, out, 2, b.length)
           (out, "text/html; charset=iso-8859-1")
-        case _ => ((text + " ünïcode").getBytes("UTF-8"), "text/html")
+        case 4 => ((text + " ünïcode").getBytes("UTF-8"), "text/html")
+        case 5 => ((text + " こんにちは").getBytes("Shift_JIS"),
+          "text/html; charset=Shift_JIS")
+        case 6 => (("<meta charset=gbk>" + text + " 中文测试").getBytes("GBK"),
+          "text/html")
+        case _ => ((text + " 한국어").getBytes("EUC-KR"),
+          "text/plain; charset=euc-kr")
       }
     documents.select((col("doc_id") / 8).cast("long").as("blob_id"),
         col("doc_id").cast("long").as("doc_id"), col("text"))

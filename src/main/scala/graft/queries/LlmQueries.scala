@@ -6333,25 +6333,33 @@ object LlmQueries {
       """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
         |c AS (SELECT id,
         |    CASE WHEN id % 11 = 7 THEN NULL
-        |         WHEN id % 5 = 0 THEN 'utf-8'
-        |         WHEN id % 5 = 1 THEN 'windows-1252'
-        |         WHEN id % 5 = 2 THEN 'iso-8859-1'
-        |         WHEN id % 5 = 3 THEN 'utf-16le'
-        |         ELSE 'utf-8' END AS charset,
+        |         WHEN id % 8 = 0 THEN 'utf-8'
+        |         WHEN id % 8 = 1 THEN 'windows-1252'
+        |         WHEN id % 8 = 2 THEN 'iso-8859-1'
+        |         WHEN id % 8 = 3 THEN 'utf-16le'
+        |         WHEN id % 8 = 4 THEN 'utf-8'
+        |         WHEN id % 8 = 5 THEN 'shift_jis'
+        |         WHEN id % 8 = 6 THEN 'gbk'
+        |         ELSE 'euc-kr' END AS charset,
         |    CASE WHEN id % 11 = 7 THEN NULL
-        |         WHEN id % 5 = 0 THEN 'header'
-        |         WHEN id % 5 = 1 THEN 'meta'
-        |         WHEN id % 5 = 2 THEN 'header'
-        |         WHEN id % 5 = 3 THEN 'bom'
-        |         ELSE 'utf8-valid' END AS source,
+        |         WHEN id % 8 = 0 THEN 'header'
+        |         WHEN id % 8 = 1 THEN 'meta'
+        |         WHEN id % 8 = 2 THEN 'header'
+        |         WHEN id % 8 = 3 THEN 'bom'
+        |         WHEN id % 8 = 4 THEN 'utf8-valid'
+        |         WHEN id % 8 = 6 THEN 'meta'
+        |         ELSE 'header' END AS source,
         |    CASE WHEN id % 11 = 7 THEN 'malformed_utf-8'
         |         ELSE 'decoded' END AS fate,
         |    CASE WHEN id % 11 = 7 THEN NULL
-        |         WHEN id % 5 = 0 THEN text || ' héllo'
-        |         WHEN id % 5 = 1 THEN '<meta charset=windows-1252>' || text || ' €uro™'
-        |         WHEN id % 5 = 2 THEN text || ' café ±'
-        |         WHEN id % 5 = 3 THEN text || ' snow☃'
-        |         ELSE text || ' ünïcode' END AS decoded
+        |         WHEN id % 8 = 0 THEN text || ' héllo'
+        |         WHEN id % 8 = 1 THEN '<meta charset=windows-1252>' || text || ' €uro™'
+        |         WHEN id % 8 = 2 THEN text || ' café ±'
+        |         WHEN id % 8 = 3 THEN text || ' snow☃'
+        |         WHEN id % 8 = 4 THEN text || ' ünïcode'
+        |         WHEN id % 8 = 5 THEN text || ' こんにちは'
+        |         WHEN id % 8 = 6 THEN '<meta charset=gbk>' || text || ' 中文测试'
+        |         ELSE text || ' 한국어' END AS decoded
         |  FROM f)
         |SELECT id AS doc_id, charset, source, fate,
         |  CAST(length(decoded) AS BIGINT) AS n_chars,
@@ -6376,11 +6384,14 @@ object LlmQueries {
       s"""WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
          |c AS (SELECT id,
          |    CASE WHEN id % 11 = 7 THEN NULL
-         |         WHEN id % 5 = 0 THEN text || ' héllo'
-         |         WHEN id % 5 = 1 THEN '<meta charset=windows-1252>' || text || ' €uro™'
-         |         WHEN id % 5 = 2 THEN text || ' café ±'
-         |         WHEN id % 5 = 3 THEN text || ' snow☃'
-         |         ELSE text || ' ünïcode' END AS decoded
+         |         WHEN id % 8 = 0 THEN text || ' héllo'
+         |         WHEN id % 8 = 1 THEN '<meta charset=windows-1252>' || text || ' €uro™'
+         |         WHEN id % 8 = 2 THEN text || ' café ±'
+         |         WHEN id % 8 = 3 THEN text || ' snow☃'
+         |         WHEN id % 8 = 4 THEN text || ' ünïcode'
+         |         WHEN id % 8 = 5 THEN text || ' こんにちは'
+         |         WHEN id % 8 = 6 THEN '<meta charset=gbk>' || text || ' 中文测试'
+         |         ELSE text || ' 한국어' END AS decoded
          |  FROM f),
          |n AS (SELECT id, $DuckNorm2 AS nm,
          |    string_split($DuckNorm2, ' ') AS ws FROM c WHERE decoded IS NOT NULL),

@@ -54,12 +54,33 @@ class CharsetSniffSpec extends AnyFunSuite {
       Left(CharsetSniff.Rejected("malformed_utf-16le")))
   }
 
-  test("unsupported declared charsets quarantine by name") {
+  test("unknown declared charsets quarantine by name") {
     val body = utf8("whatever")
-    assert(CharsetSniff.sniff(body, Some("text/html; charset=Shift_JIS")) ==
-      Left(CharsetSniff.Rejected("unsupported_charset_shift_jis")))
-    assert(CharsetSniff.sniff(body, Some("text/html; charset=GBK")) ==
-      Left(CharsetSniff.Rejected("unsupported_charset_gbk")))
+    assert(CharsetSniff.sniff(body, Some("text/html; charset=x-nonexistent-7")) ==
+      Left(CharsetSniff.Rejected("unsupported_charset_x-nonexistent-7")))
+  }
+
+  test("East-Asian decoders: strict decode, strict reject") {
+    val jp = "テスト こんにちは"
+    assert(CharsetSniff.sniff(jp.getBytes("Shift_JIS"),
+      Some("text/html; charset=Shift_JIS")).map(_.text) == Right(jp))
+    val zh = "中文测试"
+    assert(CharsetSniff.sniff(zh.getBytes("GBK"),
+      Some("text/html; charset=gbk")).map(_.text) == Right(zh))
+    val kr = "한국어 문서"
+    assert(CharsetSniff.sniff(kr.getBytes("EUC-KR"),
+      Some("text/html; charset=euc-kr")).map(_.text) == Right(kr))
+    // a WRONG declaration over multi-byte content rejects, not mojibakes:
+    // Shift-JIS lead bytes form invalid EUC-KR sequences here
+    assert(CharsetSniff.sniff(jp.getBytes("Shift_JIS"),
+      Some("text/html; charset=utf-8")) ==
+      Left(CharsetSniff.Rejected("malformed_utf-8")))
+    // truncation inside a double-byte character rejects
+    val cut = java.util.Arrays.copyOf(jp.getBytes("Shift_JIS"),
+      jp.getBytes("Shift_JIS").length - 1)
+    assert(CharsetSniff.sniff(cut,
+      Some("text/html; charset=shift_jis")) ==
+      Left(CharsetSniff.Rejected("malformed_shift_jis")))
   }
 
   test("bare utf-16 declaration without a BOM rejects (byte order unknown)") {
