@@ -6567,6 +6567,55 @@ object LlmQueries {
       (s, dir) =>
         Multimodal.decodeWebpRgbStats(
           Multimodal.webpImagesFromDocuments(s, load(s, dir, "documents")))
+    },
+
+    // Page-METADATA extraction — the header fields a crawl consumes
+    // beside body text: <title> (entity decode), meta description
+    // (BOTH attribute orders, coalesced), OpenGraph title, the
+    // site-declared canonical URL (the dedup key complementing q120's
+    // syntactic canonicalization), and the hreflang alternate census
+    // (multilingual mirrors). Fixture plants each field by id formula
+    // incl. a flipped-attribute-order regime and an entity in the
+    // title; every extraction is a codegen'd regexp the oracle replays
+    // verbatim. Per-row, no shuffle.
+    OpQuery.sql(
+      "q236_html_meta_extract",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |o AS (SELECT id,
+        |    CASE WHEN id % 4 <> 1 THEN 'Title & ' || id END AS title,
+        |    CASE WHEN id % 3 = 0 THEN 'desc-' || (id * 7 % 100) END
+        |      AS meta_description,
+        |    CASE WHEN id % 5 = 2 THEN 'og-' || (id % 50) END AS og_title,
+        |    CASE WHEN id % 2 = 0
+        |      THEN 'http://example.com/c/' || (id // 2) END AS canonical_url,
+        |    CAST(id % 4 AS INTEGER) AS n_hreflang
+        |  FROM v)
+        |SELECT id AS doc_id, title, meta_description, og_title,
+        |  canonical_url, n_hreflang FROM o""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val docs = load(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val sb = new StringBuilder("<html><head>\n")
+            if (id % 4 != 1)
+              sb.append(s"<title> Title &amp; $id </title>\n")
+            if (id % 3 == 0) {
+              // flip the attribute order on every other description
+              if (id % 6 == 0)
+                sb.append(s"""<meta content="desc-${id * 7 % 100}" name="description">\n""")
+              else
+                sb.append(s"""<meta name="description" content="desc-${id * 7 % 100}">\n""")
+            }
+            if (id % 5 == 2)
+              sb.append(s"""<meta property="og:title" content="og-${id % 50}">\n""")
+            if (id % 2 == 0)
+              sb.append(s"""<link rel="canonical" href="http://example.com/c/${id / 2}">\n""")
+            for (k <- 0L until id % 4)
+              sb.append(s"""<link rel="alternate" hreflang="l$k" href="http://example.com/$k">\n""")
+            sb.append("</head><body>body</body></html>")
+            (id, sb.toString)
+          }.toDF("doc_id", "html")
+        graft.operators.HtmlMeta.extract(docs, col("doc_id"), col("html"))
     }
   )
 
