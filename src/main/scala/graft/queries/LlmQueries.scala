@@ -6616,6 +6616,57 @@ object LlmQueries {
             (id, sb.toString)
           }.toDF("doc_id", "html")
         graft.operators.HtmlMeta.extract(docs, col("doc_id"), col("html"))
+    },
+
+    // Zstandard frames (RFC 8878) — the container modern corpora ship
+    // in (.jsonl.zst dumps, index shards): full frame/block walk (frame
+    // header descriptor, single-segment vs windowed, skippable frames,
+    // 3-byte block headers) plus STORED-MODE decode — Raw and RLE
+    // blocks reconstruct content exactly and the mandated XXH64-low32
+    // checksum VERIFIES via a from-scratch XXH64 (published test
+    // vectors pinned in ZstdSpec); the FSE/Huffman entropy layer
+    // rejects by name (the disclosed seam). Fixture: text || planted
+    // 'z' run per doc (no 16-byte runs exist in the corpus text, so
+    // the block census is deterministic), feature mix by id (checksum /
+    // content-size / skippable-frame prefix). The oracle replays
+    // decoded length, md5, and every header field from id arithmetic.
+    OpQuery.sql(
+      "q237_zstd_frames",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+        |o AS (SELECT id,
+        |    CAST(CASE WHEN id % 4 = 3 THEN 2 ELSE 1 END AS INTEGER) AS n_frames,
+        |    CAST(2 AS INTEGER) AS n_blocks,
+        |    CAST(1 AS INTEGER) AS n_rle,
+        |    id % 2 = 0 AS has_checksum,
+        |    id % 3 <> 1 AS single_segment,
+        |    CAST(length(text) + 20 + id % 40 AS BIGINT) AS content_len,
+        |    md5(text || repeat('z', CAST(20 + id % 40 AS INTEGER)))
+        |      AS content_md5
+        |  FROM v)
+        |SELECT id AS doc_id, n_frames, n_blocks, n_rle, has_checksum,
+        |  single_segment, content_len, content_md5 FROM o""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+          .map { case (id, text) =>
+            val data = (text + "z" * (20 + (id % 40).toInt)).getBytes("UTF-8")
+            val blob = graft.operators.Zstd.encode(data,
+              checksum = id % 2 == 0,
+              withContentSize = id % 3 != 1,
+              skippablePrefix = if (id % 4 == 3) 12 else 0,
+              maxBlock = 1 << 20)
+            val frames = graft.operators.Zstd.decode(blob)
+              .getOrElse(throw new IllegalStateException("fixture must decode"))
+            val dataFrame = frames.filterNot(_.skippable).head
+            (id, frames.length, dataFrame.nBlocks, dataFrame.nRle,
+              dataFrame.hasChecksum, dataFrame.singleSegment,
+              dataFrame.content.length.toLong,
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(dataFrame.content).map("%02x".format(_)).mkString)
+          }
+          .toDF("doc_id", "n_frames", "n_blocks", "n_rle", "has_checksum",
+            "single_segment", "content_len", "content_md5")
     }
   )
 
