@@ -258,12 +258,18 @@ object BucketedSink {
       .repartition(col("__bucket"))
       .write.mode("overwrite").partitionBy("__bucket")
       .parquet(new Path(path, epoch).toString)
-    // a full write REPLACES every bucket, so its schema simply becomes
-    // the recorded one (no additivity constraint against history —
-    // nothing of the old schema survives the swap)
-    writeSchema(c, path, logicalSchema(df))
     val manifest = writtenBuckets(c, new Path(path, epoch)).map(_ -> epoch).toMap
     writeManifest(c, path, manifest)
+    // a full write REPLACES every bucket, so its schema simply becomes
+    // the recorded one (no additivity constraint against history —
+    // nothing of the old schema survives the swap). Sidecar AFTER the
+    // manifest swap: a full write may DROP or retype columns, so in the
+    // sidecar->manifest crash window the old manifest must keep pairing
+    // with the old (still-correct) schema — the reverse order would
+    // project surviving old epochs onto the narrower new schema. The
+    // additive-only overwriteChanged path keeps the before-manifest
+    // order (there the new schema is a superset, safe for old epochs).
+    writeSchema(c, path, logicalSchema(df))
     purge(c, path, manifest, prev)
   }
 

@@ -671,9 +671,6 @@ object JpegProgressive {
                 } else if (comp.prog(k) != ah) return None // broken SA chain
                 k += 1
               }
-              if (ss > 0 && scanComps.length == 1) {
-                if (dcTabs(comp.td) == null && false) return None
-              }
             }
             // table availability: DC scans need DC tables (first pass
             // only — refinements are raw bits); AC scans need AC tables

@@ -109,6 +109,15 @@ object Vp8l {
         used.map { case (_, s) => (codes(s)._2, codes(s)._1) -> s }.toMap
       }
     val isEmpty: Boolean = used.isEmpty
+    /** Kraft-exact for multi-symbol codes (sum 2^-len == 1); an over- or
+      * under-subscribed length set is not a prefix code — libwebp
+      * rejects both, and silently dropping colliding (len,code) entries
+      * would decode hostile streams to deterministic garbage instead of
+      * quarantining. Single-symbol codes are the spec's sanctioned
+      * degenerate case (zero-bit), exempt like libwebp's. */
+    val isComplete: Boolean =
+      single >= 0 || used.isEmpty ||
+        used.map { case (len, _) => 1L << (15 - len) }.sum == (1L << 15)
     def decode(br: BitReader): Int = {
       if (single >= 0) return single
       var code = 0
@@ -214,9 +223,16 @@ object Vp8l {
 
   /** One entropy-coded image (the shared grammar for the main image,
     * transform data, palettes, and the meta-prefix entropy image):
-    * color cache, optional meta prefix codes (top level only — the
-    * reference decoder forbids recursion below level 0), prefix-code
-    * groups, literals / LZ77 / cache hits. Throws Bail on violation. */
+    * color cache, optional meta prefix codes, prefix-code groups,
+    * literals / LZ77 / cache hits. Throws Bail on violation.
+    *
+    * The meta-prefix FLAG BIT exists only in the top-level ARGB image
+    * (`spatially-coded-image = color-cache-info meta-prefix data`);
+    * sub-images — transform data, palettes, the entropy image itself —
+    * are `entropy-coded-image = color-cache-info data` with NO meta bit
+    * at all (libwebp's ReadHuffmanCodes short-circuits on
+    * allow_recursion before reading it). Reading it unconditionally
+    * would desync every transform-bearing stream by one bit. */
   private def decodeEntropyImage(br: BitReader, w: Int, h: Int,
       allowMeta: Boolean): Array[Int] = {
     val cacheBits = if (br.bits(1) == 1) br.bits(4) else 0
@@ -229,8 +245,7 @@ object Vp8l {
     var metaImage: Array[Int] = null
     var metaW = 0
     var numGroups = 1
-    if (br.bits(1) == 1) {
-      if (!allowMeta) bail("meta_prefix_below_top_level")
+    if (allowMeta && br.bits(1) == 1) {
       metaBits = br.bits(3) + 2
       if (br.truncated) bail("truncated_header")
       metaW = (w + (1 << metaBits) - 1) >> metaBits
@@ -583,10 +598,13 @@ object Vp8l {
       while (i < numClc) { clcLengths(ClcOrder(i)) = br.bits(3); i += 1 }
       if (br.truncated || clcLengths.forall(_ == 0)) bail("bad_prefix_code")
       val clc = new PrefixCode(clcLengths)
+      if (!clc.isComplete) bail("bad_prefix_code")
       var maxSymbol =
         if (br.bits(1) == 1) {
           val lengthNBits = 2 + 2 * br.bits(3)
-          2 + br.bits(lengthNBits)
+          val ms = 2 + br.bits(lengthNBits)
+          if (ms > alphabetSize) bail("bad_prefix_code") // libwebp: max_symbol > num_symbols is an error
+          ms
         } else alphabetSize
       var symbol = 0
       var prevLen = 8
@@ -610,7 +628,9 @@ object Vp8l {
         }
       }
       if (lengths.forall(_ == 0)) bail("bad_prefix_code")
-      new PrefixCode(lengths)
+      val pc = new PrefixCode(lengths)
+      if (!pc.isComplete) bail("bad_prefix_code")
+      pc
     }
   }
 
@@ -722,10 +742,14 @@ object Vp8l {
   /** Tokenize + entropy-code one image (shared by the main image and
     * every sub-image the encoder writes). `metaSplitBits` > 0 writes a
     * two-group meta prefix split at the image's vertical midline
-    * (block-aligned). */
+    * (block-aligned). Only the TOP-LEVEL image carries a meta-prefix
+    * flag bit at all (spec: sub-images are `color-cache-info data`), so
+    * `topLevel = false` emits no meta bit — mirroring the decoder. */
   private def writeEntropyImage(bw: BitWriter, w: Int, h: Int,
       px: Array[Int], cacheBits: Int, lz77: Boolean,
-      metaSplitBits: Int = 0): Unit = {
+      metaSplitBits: Int = 0, topLevel: Boolean = false): Unit = {
+    require(topLevel || metaSplitBits == 0,
+      "meta prefix codes exist only in the top-level image")
     val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
     val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
     val cacheValid = if (cacheSize > 0) new Array[Boolean](cacheSize) else null
@@ -787,7 +811,7 @@ object Vp8l {
         0xff000000 | (g << 8) // (red<<8)|green = g
       }
       writeEntropyImage(bw, mw, metaH, metaPx, cacheBits = 0, lz77 = false)
-    } else bw.bits(0, 1)
+    } else if (topLevel) bw.bits(0, 1)
 
     // per-group histograms
     val greens = Array.fill(numGroups)(new Array[Int](GreenBase + cacheSize))
@@ -968,7 +992,8 @@ object Vp8l {
       }
     }
     bw.bits(0, 1) // no more transforms
-    writeEntropyImage(bw, effW, h, px, cacheBits, lz77, metaSplitBits)
+    writeEntropyImage(bw, effW, h, px, cacheBits, lz77, metaSplitBits,
+      topLevel = true)
     wrapRiff(Array[Byte](0x2f) ++ bw.finish())
   }
 }

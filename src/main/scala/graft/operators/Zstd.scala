@@ -136,7 +136,10 @@ object Zstd {
           val fhd = b(i) & 0xff; i += 1
           val fcsFlag = fhd >> 6
           val singleSegment = (fhd & 0x20) != 0
-          if ((fhd & 0x18) != 0) bail("reserved_fhd_bits")
+          // bit 3 is Reserved (must reject); bit 4 is Unused — RFC 8878
+          // says a decoder "shall not interpret" it, so a set Unused bit
+          // on an otherwise-decodable frame passes through
+          if ((fhd & 0x08) != 0) bail("reserved_fhd_bits")
           val hasChecksum = (fhd & 0x04) != 0
           val didFlag = fhd & 0x03
           var windowLog = -1

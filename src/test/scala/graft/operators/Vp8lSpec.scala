@@ -133,6 +133,84 @@ class Vp8lSpec extends AnyFunSuite {
     }
   }
 
+  /** Hand-assembled bitstreams written bit-by-bit from the SPEC text,
+    * not through the encoder — so an encoder/decoder shared misreading
+    * (the bug class where both sides agree on a wrong layout and the
+    * roundtrip gate can't see it) is caught. The key layout fact pinned
+    * here: sub-images (`entropy-coded-image`) carry NO meta-prefix flag
+    * bit; only the top-level `spatially-coded-image` does. */
+  test("spec conformance: hand-built stream with a transform sub-image (no meta bit below top level)") {
+    val bw = new Vp8l.BitWriter
+    def simpleSingle0(): Unit = { bw.bits(1, 1); bw.bits(0, 1); bw.bits(0, 1); bw.bits(0, 1) }
+    bw.bits(1, 14); bw.bits(1, 14) // 2x2
+    bw.bits(0, 1); bw.bits(0, 3) // alpha hint, version
+    bw.bits(1, 1); bw.bits(0, 2) // transform: predictor
+    bw.bits(0, 3) // size bits = 2 -> one 4x4 block covers the image
+    // sub-image (1x1 mode image): color-cache-info data — NO meta bit
+    bw.bits(0, 1) // no color cache
+    (0 until 5).foreach(_ => simpleSingle0()) // all-zero pixel = mode 0
+    bw.bits(0, 1) // no more transforms
+    // top-level: color-cache-info META-PREFIX data
+    bw.bits(0, 1) // no color cache
+    bw.bits(0, 1) // no meta prefix (the bit that must NOT exist above)
+    // green: simple two-symbol code over {0, 1}
+    bw.bits(1, 1); bw.bits(1, 1); bw.bits(1, 1)
+    bw.bits(0, 8); bw.bits(1, 8)
+    (0 until 4).foreach(_ => simpleSingle0()) // red, blue, alpha, distance
+    Seq(0, 1, 1, 0).foreach(g => bw.bits(g, 1)) // green residuals, 1-bit codes
+    val blob = Vp8l.wrapRiff(Array[Byte](0x2f) ++ bw.finish())
+    val got = Vp8l.decode(blob)
+    assert(got.isRight, s"$got")
+    val (w, h, p) = got.toOption.get
+    assert((w, h) == (2, 2))
+    // predictor mode 0 (+black) everywhere; residual green 0,1,1,0
+    assert(p.toSeq == Seq(0xff000000, 0xff000100, 0xff000100, 0xff000000))
+  }
+
+  test("hostile: over- and under-subscribed prefix codes reject by name") {
+    def craft(maxSymbolNBitsSel: Int, maxSymbolField: Int, fieldBits: Int,
+        clcSyms: Seq[Seq[Int]]): Array[Byte] = {
+      val bw = new Vp8l.BitWriter
+      bw.bits(1, 14); bw.bits(1, 14) // 2x2
+      bw.bits(0, 1); bw.bits(0, 3)
+      bw.bits(0, 1) // no transforms
+      bw.bits(0, 1) // no cache
+      bw.bits(0, 1) // no meta
+      // green code, FULL form: CLC lengths over 5 slots of ClcOrder
+      // [17, 18, 0, 1, 2] = [0, 0, 1, 2, 2] — a complete CLC
+      // (sym0='0', sym1='10', sym2='11')
+      bw.bits(0, 1) // full form
+      bw.bits(1, 4) // numClc = 5
+      Seq(0, 0, 1, 2, 2).foreach(l => bw.bits(l, 3))
+      bw.bits(1, 1) // max-symbol shortcut
+      bw.bits(maxSymbolNBitsSel, 3)
+      bw.bits(maxSymbolField, fieldBits)
+      clcSyms.foreach(bits => bits.foreach(b => bw.bits(b, 1)))
+      Vp8l.wrapRiff(Array[Byte](0x2f) ++ bw.finish())
+    }
+    // three symbols at length 1: Kraft 3/2 — over-subscribed
+    val over = craft(1, 1, 4, Seq(Seq(1, 0), Seq(1, 0), Seq(1, 0)))
+    assert(Vp8l.decode(over) == Left(Vp8l.Rejected("bad_prefix_code")))
+    // lengths [1, 2]: Kraft 3/4 — under-subscribed (not single-symbol)
+    val under = craft(0, 0, 2, Seq(Seq(1, 0), Seq(1, 1)))
+    assert(Vp8l.decode(under) == Left(Vp8l.Rejected("bad_prefix_code")))
+  }
+
+  test("hostile: max-symbol shortcut past the alphabet rejects") {
+    val bw = new Vp8l.BitWriter
+    bw.bits(1, 14); bw.bits(1, 14)
+    bw.bits(0, 1); bw.bits(0, 3)
+    bw.bits(0, 1); bw.bits(0, 1); bw.bits(0, 1)
+    bw.bits(0, 1) // full form
+    bw.bits(1, 4)
+    Seq(0, 0, 1, 2, 2).foreach(l => bw.bits(l, 3))
+    bw.bits(1, 1) // shortcut
+    bw.bits(7, 3) // lengthNBits = 16
+    bw.bits(0xffff, 16) // max symbol 65537 >> green alphabet
+    assert(Vp8l.decode(Vp8l.wrapRiff(Array[Byte](0x2f) ++ bw.finish())) ==
+      Left(Vp8l.Rejected("bad_prefix_code")))
+  }
+
   test("hostile: duplicate transform and palette combinations reject by name") {
     def header(types: Seq[Int]): Array[Byte] = {
       val bw = new Vp8l.BitWriter

@@ -72,6 +72,15 @@ class ZstdSpec extends AnyFunSuite {
     assert(Zstd.decode(c3) == Left(Zstd.Rejected("compressed_block_unsupported")))
   }
 
+  test("FHD Unused bit (0x10) passes; Reserved bit (0x08) rejects") {
+    val good = Zstd.encode(bytes(6, 40), checksum = false, withContentSize = false)
+    // RFC 8878: bit 4 is Unused_bit — "shall not interpret"; frame stays decodable
+    val unused = good.clone(); unused(4) = (unused(4) | 0x10).toByte
+    assert(Zstd.decode(unused).toOption.get.head.content.toSeq == bytes(6, 40).toSeq)
+    val reserved = good.clone(); reserved(4) = (reserved(4) | 0x08).toByte
+    assert(Zstd.decode(reserved) == Left(Zstd.Rejected("reserved_fhd_bits")))
+  }
+
   test("dictionary frames reject by name") {
     val good = Zstd.encode(bytes(5, 30), checksum = false, withContentSize = false)
     val c = good.clone()
