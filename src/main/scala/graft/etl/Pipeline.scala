@@ -305,7 +305,13 @@ class Pipeline(
     // their executor; the durable equivalent is re-reading the stage's
     // just-committed delta epoch. The frame is O(delta persons), so
     // either is cheap.)
-    val q = queue.localCheckpoint()
+    // `graft.cascade.queueCheckpoint=false` reverts to the r8 cache()
+    // form — A/B instrumentation for SCALE.md's pricing of this
+    // component, not a user knob.
+    val q =
+      if (spark.conf.getOption("graft.cascade.queueCheckpoint").forall(_ == "true"))
+        queue.localCheckpoint()
+      else queue.cache()
     val p = bucketedDataPath(name).toString
     val buckets = BucketedSink.collectBuckets(q, sinkBuckets)
     BucketedDelta(q, buckets, BucketedSink.readBuckets(spark, p, buckets))

@@ -2,7 +2,7 @@ package graft.operators
 
 /** Zstandard frame format (RFC 8878) — the container modern corpora and
   * CDC pipelines ship in (Common Crawl index shards, .jsonl.zst dumps).
-  * Two layers live here:
+  * Three layers live here:
   *
   *  - the FRAME/BLOCK WALK: magic, frame-header descriptor
   *    (content-size/single-segment/checksum/dictionary-id flags), window
@@ -11,15 +11,30 @@ package graft.operators
   *    XXH64-low32 content checksum — the cheap metadata-first pass run
   *    before deciding what to decompress (the q209/q212 pattern);
   *  - STORED-MODE DECODE: Raw and RLE blocks reconstruct content
-  *    exactly (both are fully specified without the entropy layer), and
-  *    the checksum VERIFIES via a from-scratch XXH64. Compressed blocks
-  *    (the FSE/Huffman entropy layer) reject by name — the disclosed
-  *    seam, same honesty contract as every codec here.
+  *    exactly, and the checksum VERIFIES via a from-scratch XXH64;
+  *  - the ENTROPY LAYER (RFC 8878 §4): Compressed blocks decode in
+  *    full — FSE table descriptions (the variable-precision count
+  *    stream with zero-repeat flags) and decoding tables (the
+  *    step-spread state machine), Huffman literals with both weight
+  *    transports (direct 4-bit and the two-state interleaved
+  *    FSE-compressed form) in 1- and 4-stream layouts over the
+  *    backward bitstream, the sequences section (Predefined / RLE /
+  *    FSE_Compressed / Repeat modes for LL/OF/ML, three interleaved
+  *    states), and sequence execution with the three-slot repeat-offset
+  *    history incl. the litLength==0 rep1-1 special case. Treeless
+  *    literals and Repeat table modes carry state across blocks within
+  *    a frame, as the spec requires.
   *
   * Reject-don't-guess: bad magic, reserved block type, truncated
-  * headers/payloads, content-size or checksum mismatches, and
-  * dictionary-referencing frames (undecodable without the dictionary)
-  * all quarantine with named reasons.
+  * headers/payloads, content-size or checksum mismatches,
+  * dictionary-referencing frames (undecodable without the dictionary),
+  * and every entropy-layer grammar violation (non-exact FSE count
+  * totals, oversubscribed or overlong Huffman weights, offsets past the
+  * produced history, bitstreams that do not land on their padding
+  * marker) all quarantine with named reasons. Interop is pinned in
+  * ZstdSpec against frames produced by a real zstd encoder (zstd-jni,
+  * already on Spark's classpath) across levels and content shapes —
+  * decode side here is from scratch.
   */
 object Zstd {
 
@@ -98,6 +113,551 @@ object Zstd {
     h
   }
 
+  // ---- entropy layer: bit IO ----
+
+  /** Forward LSB-first bit reader (FSE table descriptions travel this
+    * way). Reads past `until` set `truncated` and return zeros. */
+  private final class Fwd(b: Array[Byte], val start: Int, until: Int) {
+    private var bitPos = 0
+    var truncated = false
+    def read(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val byteIx = start + (bitPos >> 3)
+        if (byteIx >= until) { truncated = true; return v }
+        v |= (((b(byteIx) >> (bitPos & 7)) & 1) << i)
+        bitPos += 1
+        i += 1
+      }
+      v
+    }
+    def bytesConsumed: Int = (bitPos + 7) >> 3
+  }
+
+  /** Backward bitstream (RFC 8878 §3.1.1.3.2.1): written LSB-first,
+    * read from the END after discarding the highest set bit of the last
+    * non-zero byte (the padding marker). `read` returns the bits just
+    * below the cursor, assembled as the little-endian value they form;
+    * reads below the start pad with zeros and raise `overflowed` (the
+    * FSE alternating-state termination condition). */
+  private final class Back(b: Array[Byte], from: Int, until: Int) {
+    var bitPos: Long = {
+      var last = until - 1
+      while (last >= from && b(last) == 0) last -= 1
+      if (last < from) -1L
+      else (last - from).toLong * 8 + (31 - Integer.numberOfLeadingZeros(b(last) & 0xff))
+    }
+    def bad: Boolean = bitPos < 0
+    var overflowed = false
+    def peek(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val p = bitPos - n + i
+        if (p >= 0)
+          v |= (((b(from + (p >> 3).toInt) >> (p & 7).toInt) & 1) << i)
+        i += 1
+      }
+      v
+    }
+    def read(n: Int): Int = {
+      val v = peek(n)
+      bitPos -= n
+      if (bitPos < 0) overflowed = true
+      v
+    }
+    def finished: Boolean = bitPos == 0
+  }
+
+  // ---- entropy layer: FSE ----
+
+  /** One FSE decoding table: per state, the emitted symbol and the
+    * (nbBits, baseline) state-update rule. */
+  private final case class Fse(log: Int, sym: Array[Int], nb: Array[Int],
+      base: Array[Int])
+
+  /** FSE table description (RFC 8878 §4.1.1): accuracy log, then
+    * variable-precision normalized counts with the 2-bit zero-repeat
+    * escape. Returns (counts with -1 for "less than 1", accuracyLog);
+    * the caller advances by `fw.bytesConsumed`. */
+  private def readFseCounts(fw: Fwd, maxSym: Int, maxLog: Int): (Array[Int], Int) = {
+    val accuracyLog = fw.read(4) + 5
+    if (accuracyLog > maxLog) bail("bad_fse_accuracy")
+    var remaining = (1 << accuracyLog) + 1
+    var threshold = 1 << accuracyLog
+    val counts = new Array[Int](maxSym + 1)
+    var charnum = 0
+    var previous0 = false
+    while (remaining > 1 && charnum <= maxSym) {
+      if (previous0) {
+        var rep = fw.read(2)
+        while (rep == 3) {
+          charnum += 3
+          if (charnum > maxSym) bail("bad_fse_counts")
+          rep = fw.read(2)
+        }
+        charnum += rep
+        if (charnum > maxSym || fw.truncated) bail("bad_fse_counts")
+      }
+      val max = (2 * threshold - 1) - remaining
+      val nbBits = 32 - Integer.numberOfLeadingZeros(threshold) // log2(threshold)+1
+      val small = fw.read(nbBits - 1)
+      val value =
+        if (small < max) small
+        else {
+          val full = small | (fw.read(1) << (nbBits - 1))
+          if (full >= threshold) full - max else full
+        }
+      if (fw.truncated) bail("bad_fse_counts")
+      val count = value - 1 // -1 encodes the "less than 1" probability
+      remaining -= math.abs(count)
+      counts(charnum) = count
+      charnum += 1
+      previous0 = count == 0
+      while (remaining > 0 && remaining < threshold) threshold >>= 1
+    }
+    if (remaining != 1) bail("bad_fse_counts")
+    (counts, accuracyLog)
+  }
+
+  /** Decoding-table construction (RFC 8878 §4.1.1.2): "less than 1"
+    * symbols take the top states; the rest spread with the fixed step;
+    * each state's update rule comes from its symbol's occurrence rank. */
+  private def buildFse(counts: Array[Int], accuracyLog: Int): Fse = {
+    val size = 1 << accuracyLog
+    val sym = new Array[Int](size)
+    var high = size - 1
+    var s = 0
+    while (s < counts.length) {
+      if (counts(s) == -1) {
+        if (high < 0) bail("bad_fse_table")
+        sym(high) = s; high -= 1
+      }
+      s += 1
+    }
+    val step = (size >> 1) + (size >> 3) + 3
+    val mask = size - 1
+    var pos = 0
+    s = 0
+    while (s < counts.length) {
+      var k = 0
+      while (k < counts(s)) {
+        sym(pos) = s
+        do pos = (pos + step) & mask while (pos > high)
+        k += 1
+      }
+      s += 1
+    }
+    if (pos != 0) bail("bad_fse_table")
+    val next = counts.map(c => if (c == -1) 1 else c)
+    val nb = new Array[Int](size)
+    val base = new Array[Int](size)
+    var u = 0
+    while (u < size) {
+      val x = next(sym(u)); next(sym(u)) += 1
+      val bits = accuracyLog - (31 - Integer.numberOfLeadingZeros(x))
+      nb(u) = bits
+      base(u) = (x << bits) - size
+      u += 1
+    }
+    Fse(accuracyLog, sym, nb, base)
+  }
+
+  /** The degenerate single-state table RLE mode uses (0-bit updates). */
+  private def rleFse(symbol: Int): Fse =
+    Fse(0, Array(symbol), Array(0), Array(0))
+
+  // Predefined distributions (RFC 8878 §3.1.1.3.2.2.1).
+  private lazy val PredefLl = buildFse(Array(
+    4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2, 2, 2,
+    2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1), 6)
+  private lazy val PredefMl = buildFse(Array(
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, -1, -1, -1, -1, -1, -1, -1), 6)
+  private lazy val PredefOf = buildFse(Array(
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, -1, -1, -1, -1, -1), 5)
+
+  // Literals-length and match-length code tables (§3.1.1.3.2.1.1).
+  private val LlBase = Array(
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024, 2048,
+    4096, 8192, 16384, 32768, 65536)
+  private val LlBits = Array(
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+  private val MlBase = Array(
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20,
+    21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34,
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027,
+    2051, 4099, 8195, 16387, 32771, 65539)
+  private val MlBits = Array(
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+
+  // ---- entropy layer: Huffman literals ----
+
+  /** Huffman decode table: peek `log` bits of the backward stream as an
+    * index; each entry holds (symbol, code length). */
+  private final case class Huf(log: Int, sym: Array[Byte], nb: Array[Int])
+
+  /** Build the decode table from weights (the last weight implied).
+    * Per §4.2.1: symbols sorted by weight then index get ascending
+    * codes, so the table fills sequentially, 2^(w-1) cells per symbol. */
+  private def buildHuf(weights: Array[Int]): Huf = {
+    if (weights.exists(w => w < 0 || w > 11)) bail("bad_huffman_weights")
+    var total = 0L
+    weights.foreach(w => if (w > 0) total += (1L << (w - 1)))
+    if (total == 0) bail("bad_huffman_weights")
+    // complete to the next power of two; the leftover must itself be a
+    // power of two — it is the implied last symbol's span
+    val tableLog = 64 - java.lang.Long.numberOfLeadingZeros(total)
+    if (tableLog > 11) bail("bad_huffman_weights")
+    val leftover = (1L << tableLog) - total
+    if (leftover == 0 || (leftover & (leftover - 1)) != 0)
+      bail("bad_huffman_weights")
+    val lastWeight = java.lang.Long.numberOfTrailingZeros(leftover).toInt + 1
+    val all = weights :+ lastWeight
+    val size = 1 << tableLog
+    val sym = new Array[Byte](size)
+    val nb = new Array[Int](size)
+    var pos = 0
+    var w = 1
+    while (w <= tableLog.toInt) {
+      var s = 0
+      while (s < all.length) {
+        if (all(s) == w) {
+          val span = 1 << (w - 1)
+          if (pos + span > size) bail("bad_huffman_weights")
+          java.util.Arrays.fill(sym, pos, pos + span, s.toByte)
+          java.util.Arrays.fill(nb, pos, pos + span, tableLog.toInt + 1 - w)
+          pos += span
+        }
+        s += 1
+      }
+      w += 1
+    }
+    if (pos != size) bail("bad_huffman_weights")
+    Huf(tableLog.toInt, sym, nb)
+  }
+
+  /** Huffman tree description (§4.2.1): headerByte >= 128 → direct
+    * 4-bit weights; < 128 → FSE-compressed weights decoded by two
+    * alternating states from a backward stream. Returns (table, bytes
+    * consumed including the header byte). */
+  private def readHuffman(b: Array[Byte], off: Int, end: Int): (Huf, Int) = {
+    if (off >= end) bail("truncated_huffman")
+    val hdr = b(off) & 0xff
+    if (hdr >= 128) {
+      val n = hdr - 127 // number of explicit weights
+      val bytes = (n + 1) / 2
+      if (off + 1 + bytes > end) bail("truncated_huffman")
+      val weights = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val v = b(off + 1 + (i >> 1)) & 0xff
+        weights(i) = if ((i & 1) == 0) v >> 4 else v & 0x0f
+        i += 1
+      }
+      (buildHuf(weights), 1 + bytes)
+    } else {
+      val compSize = hdr
+      if (off + 1 + compSize > end) bail("truncated_huffman")
+      val fw = new Fwd(b, off + 1, off + 1 + compSize)
+      val (counts, log) = readFseCounts(fw, maxSym = 15, maxLog = 6)
+      val table = buildFse(counts, log)
+      val bitsFrom = off + 1 + fw.bytesConsumed
+      if (bitsFrom > off + 1 + compSize) bail("truncated_huffman")
+      val back = new Back(b, bitsFrom, off + 1 + compSize)
+      if (back.bad) bail("bad_huffman_weights")
+      var s1 = back.read(log)
+      var s2 = back.read(log)
+      if (back.overflowed) bail("bad_huffman_weights")
+      val ws = scala.collection.mutable.ArrayBuffer[Int]()
+      var done = false
+      while (!done) {
+        if (ws.length > 255) bail("bad_huffman_weights")
+        ws += table.sym(s1)
+        s1 = table.base(s1) + back.read(table.nb(s1))
+        if (back.overflowed) { ws += table.sym(s2); done = true }
+        else {
+          ws += table.sym(s2)
+          s2 = table.base(s2) + back.read(table.nb(s2))
+          if (back.overflowed) { ws += table.sym(s1); done = true }
+        }
+      }
+      (buildHuf(ws.toArray), 1 + compSize)
+    }
+  }
+
+  /** Decode exactly `n` literals from one backward Huffman stream. The
+    * stream must land exactly on its padding marker. */
+  private def hufStream(huf: Huf, b: Array[Byte], from: Int, until: Int,
+      n: Int, out: Array[Byte], outOff: Int): Unit = {
+    val back = new Back(b, from, until)
+    if (back.bad) bail("bad_literals_stream")
+    var i = 0
+    while (i < n) {
+      val ix = back.peek(huf.log)
+      out(outOff + i) = huf.sym(ix)
+      back.bitPos -= huf.nb(ix)
+      i += 1
+    }
+    if (back.bitPos != 0) bail("bad_literals_stream")
+  }
+
+  // ---- entropy layer: one Compressed block ----
+
+  /** Per-frame entropy state the spec carries across blocks: the last
+    * Huffman table (Treeless literals) and last FSE tables (Repeat
+    * mode), plus the three-slot repeat-offset history. */
+  private final class FrameState {
+    var huf: Huf = null
+    var ll: Fse = null
+    var of: Fse = null
+    var ml: Fse = null
+    var rep1 = 1L; var rep2 = 4L; var rep3 = 8L
+  }
+
+  /** Growable output buffer with random access (sequence execution
+    * copies from its own history). */
+  private final class OutBuf {
+    var a = new Array[Byte](64 * 1024)
+    var n = 0
+    private def ensure(extra: Int): Unit = {
+      if (n + extra > (1 << 26)) bail("oversized")
+      if (n + extra > a.length) {
+        var cap = a.length
+        while (cap < n + extra) cap <<= 1
+        a = java.util.Arrays.copyOf(a, cap)
+      }
+    }
+    def append(src: Array[Byte], from: Int, len: Int): Unit = {
+      ensure(len); System.arraycopy(src, from, a, n, len); n += len
+    }
+    def appendRun(v: Byte, len: Int): Unit = {
+      ensure(len); java.util.Arrays.fill(a, n, n + len, v); n += len
+    }
+    /** Overlap-correct match copy from `dist` back in the history. */
+    def copyMatch(dist: Int, len: Int): Unit = {
+      if (dist <= 0 || dist > n) bail("bad_offset")
+      ensure(len)
+      var i = 0
+      while (i < len) { a(n) = a(n - dist); n += 1; i += 1 }
+    }
+    def toArray: Array[Byte] = java.util.Arrays.copyOf(a, n)
+  }
+
+  /** Literals section (§3.1.1.3.1): header, optional Huffman tree,
+    * 1 or 4 backward streams. Returns (literals, bytes consumed). */
+  private def decodeLiterals(b: Array[Byte], off: Int, end: Int,
+      st: FrameState): (Array[Byte], Int) = {
+    if (off >= end) bail("truncated_literals")
+    val b0 = b(off) & 0xff
+    val ltype = b0 & 3
+    val sizeFormat = (b0 >> 2) & 3
+    def u8(i: Int): Int = {
+      if (i >= end) bail("truncated_literals"); b(i) & 0xff
+    }
+    if (ltype <= 1) { // Raw / RLE
+      val (regen, hdrLen) = sizeFormat match {
+        case 0 | 2 => (b0 >> 3, 1)
+        case 1 => ((b0 >> 4) | (u8(off + 1) << 4), 2)
+        case _ => ((b0 >> 4) | (u8(off + 1) << 4) | (u8(off + 2) << 12), 3)
+      }
+      if (regen > (1 << 20)) bail("oversized_literals")
+      if (ltype == 0) {
+        if (off + hdrLen + regen > end) bail("truncated_literals")
+        (java.util.Arrays.copyOfRange(b, off + hdrLen, off + hdrLen + regen),
+          hdrLen + regen)
+      } else {
+        val v = u8(off + hdrLen).toByte
+        val out = new Array[Byte](regen)
+        java.util.Arrays.fill(out, v)
+        (out, hdrLen + 1)
+      }
+    } else { // Compressed / Treeless
+      val (regen, comp, nStreams, hdrLen) = sizeFormat match {
+        case 0 =>
+          ((b0 >> 4) | ((u8(off + 1) & 0x3f) << 4),
+            (u8(off + 1) >> 6) | (u8(off + 2) << 2), 1, 3)
+        case 1 =>
+          ((b0 >> 4) | ((u8(off + 1) & 0x3f) << 4),
+            (u8(off + 1) >> 6) | (u8(off + 2) << 2), 4, 3)
+        case 2 =>
+          ((b0 >> 4) | (u8(off + 1) << 4) | ((u8(off + 2) & 0x03) << 12),
+            (u8(off + 2) >> 2) | (u8(off + 3) << 6), 4, 4)
+        case _ =>
+          ((b0 >> 4) | (u8(off + 1) << 4) | ((u8(off + 2) & 0x3f) << 12),
+            (u8(off + 2) >> 6) | (u8(off + 3) << 2) | (u8(off + 4) << 10), 4, 5)
+      }
+      if (regen > (1 << 20)) bail("oversized_literals")
+      if (off + hdrLen + comp > end) bail("truncated_literals")
+      var p = off + hdrLen
+      val streamsEnd = off + hdrLen + comp
+      val huf =
+        if (ltype == 2) {
+          val (h, used) = readHuffman(b, p, streamsEnd)
+          st.huf = h; p += used; h
+        } else {
+          if (st.huf == null) bail("treeless_without_tree")
+          st.huf
+        }
+      val out = new Array[Byte](regen)
+      if (nStreams == 1) hufStream(huf, b, p, streamsEnd, regen, out, 0)
+      else {
+        if (p + 6 > streamsEnd) bail("truncated_literals")
+        def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+        val c1 = u16(p); val c2 = u16(p + 2); val c3 = u16(p + 4)
+        val s123 = (regen + 3) / 4
+        val s4 = regen - 3 * s123
+        if (s4 < 0) bail("bad_literals_stream")
+        val f1 = p + 6
+        val f2 = f1 + c1; val f3 = f2 + c2; val f4 = f3 + c3
+        if (f4 > streamsEnd) bail("truncated_literals")
+        hufStream(huf, b, f1, f2, s123, out, 0)
+        hufStream(huf, b, f2, f3, s123, out, s123)
+        hufStream(huf, b, f3, f4, s123, out, 2 * s123)
+        hufStream(huf, b, f4, streamsEnd, s4, out, 3 * s123)
+      }
+      (out, hdrLen + comp)
+    }
+  }
+
+  /** One of LL/OF/ML table selections (§3.1.1.3.2.1.1 modes). Returns
+    * (table, bytes consumed). */
+  private def seqTable(mode: Int, b: Array[Byte], off: Int, end: Int,
+      predef: Fse, prev: Fse, maxSym: Int, maxLog: Int): (Fse, Int) =
+    mode match {
+      case 0 => (predef, 0)
+      case 1 =>
+        if (off >= end) bail("truncated_sequences")
+        val s = b(off) & 0xff
+        if (s > maxSym) bail("bad_sequences")
+        (rleFse(s), 1)
+      case 2 =>
+        val fw = new Fwd(b, off, end)
+        val (counts, log) = readFseCounts(fw, maxSym, maxLog)
+        (buildFse(counts, log), fw.bytesConsumed)
+      case _ =>
+        if (prev == null) bail("repeat_without_table")
+        (prev, 0)
+    }
+
+  /** Sequences section + execution (§3.1.1.3.2): three interleaved FSE
+    * states over the backward stream, then literal/match copies with
+    * the repeat-offset rules. */
+  private def decodeSequences(b: Array[Byte], off0: Int, end: Int,
+      lits: Array[Byte], out: OutBuf, st: FrameState): Unit = {
+    var off = off0
+    if (off >= end) bail("truncated_sequences")
+    val h0 = b(off) & 0xff
+    var nSeq = 0
+    if (h0 < 128) { nSeq = h0; off += 1 }
+    else if (h0 < 255) {
+      if (off + 1 >= end) bail("truncated_sequences")
+      nSeq = ((h0 - 128) << 8) | (b(off + 1) & 0xff); off += 2
+    } else {
+      if (off + 2 >= end) bail("truncated_sequences")
+      nSeq = ((b(off + 1) & 0xff) | ((b(off + 2) & 0xff) << 8)) + 0x7f00
+      off += 3
+    }
+    if (nSeq == 0) {
+      if (off != end) bail("bad_sequences") // trailing garbage
+      out.append(lits, 0, lits.length)
+      return
+    }
+    if (off >= end) bail("truncated_sequences")
+    val modes = b(off) & 0xff; off += 1
+    if ((modes & 3) != 0) bail("bad_sequences") // reserved bits
+    val (llT, u1) = seqTable((modes >> 6) & 3, b, off, end, PredefLl, st.ll,
+      maxSym = 35, maxLog = 9)
+    off += u1
+    val (ofT, u2) = seqTable((modes >> 4) & 3, b, off, end, PredefOf, st.of,
+      maxSym = 31, maxLog = 8)
+    off += u2
+    val (mlT, u3) = seqTable((modes >> 2) & 3, b, off, end, PredefMl, st.ml,
+      maxSym = 52, maxLog = 9)
+    off += u3
+    st.ll = llT; st.of = ofT; st.ml = mlT
+
+    val back = new Back(b, off, end)
+    if (back.bad) bail("bad_sequences")
+    var llS = back.read(llT.log)
+    var ofS = back.read(ofT.log)
+    var mlS = back.read(mlT.log)
+    if (back.overflowed) bail("bad_sequences")
+    var litPos = 0
+    var i = 0
+    while (i < nSeq) {
+      val ofCode = ofT.sym(ofS)
+      if (ofCode > 31) bail("bad_sequences")
+      val offsetValue = (1L << ofCode) + (
+        if (ofCode > 0) {
+          // up to 31 extra bits; read in two chunks to stay in Int land
+          if (ofCode <= 16) back.read(ofCode).toLong
+          else {
+            val hi = back.read(ofCode - 16).toLong
+            val lo = back.read(16).toLong
+            (hi << 16) | lo
+          }
+        } else 0L)
+      val mlCode = mlT.sym(mlS)
+      if (mlCode > 52) bail("bad_sequences")
+      val matchLen = MlBase(mlCode) + back.read(MlBits(mlCode))
+      val llCode = llT.sym(llS)
+      if (llCode > 35) bail("bad_sequences")
+      val litLen = LlBase(llCode) + back.read(LlBits(llCode))
+      if (back.overflowed) bail("bad_sequences")
+      // repeat-offset resolution (§3.1.1.3.2.2)
+      var offset = 0L
+      if (offsetValue > 3) {
+        offset = offsetValue - 3
+        st.rep3 = st.rep2; st.rep2 = st.rep1; st.rep1 = offset
+      } else {
+        val v = if (litLen == 0) offsetValue + 1 else offsetValue
+        // v in 1..4: 1=rep1, 2=rep2, 3=rep3, 4=rep1-1
+        offset = v match {
+          case 1 => st.rep1
+          case 2 => val o = st.rep2; st.rep2 = st.rep1; st.rep1 = o; o
+          case 3 =>
+            val o = st.rep3; st.rep3 = st.rep2; st.rep2 = st.rep1; st.rep1 = o; o
+          case _ =>
+            val o = st.rep1 - 1
+            if (o <= 0) bail("bad_offset")
+            st.rep3 = st.rep2; st.rep2 = st.rep1; st.rep1 = o; o
+        }
+      }
+      if (litPos + litLen > lits.length) bail("bad_sequences")
+      out.append(lits, litPos, litLen)
+      litPos += litLen
+      if (offset > Int.MaxValue) bail("bad_offset")
+      out.copyMatch(offset.toInt, matchLen)
+      i += 1
+      if (i < nSeq) { // last sequence: no state updates
+        llS = llT.base(llS) + back.read(llT.nb(llS))
+        mlS = mlT.base(mlS) + back.read(mlT.nb(mlS))
+        ofS = ofT.base(ofS) + back.read(ofT.nb(ofS))
+        if (back.overflowed) bail("bad_sequences")
+      }
+    }
+    if (back.bitPos != 0) bail("bad_sequences") // must land on the marker
+    out.append(lits, litPos, lits.length - litPos)
+  }
+
+  /** One Compressed block (§3.1.1.3): literals section then sequences. */
+  private def decodeCompressedBlock(b: Array[Byte], off: Int, end: Int,
+      out: OutBuf, st: FrameState): Unit = {
+    val sizeBefore = out.n
+    val (lits, used) = decodeLiterals(b, off, end, st)
+    decodeSequences(b, off + used, end, lits, out, st)
+    if (out.n - sizeBefore > (1 << 17) + (1 << 10))
+      bail("oversized_block") // spec: a block decodes to at most 128 KB
+  }
+
   // ---- frame walk + stored-mode decode ----
 
   /** Per-frame census row. */
@@ -108,7 +668,8 @@ object Zstd {
       contentSize: Long, // -1 when the header omits it
       windowLog: Int, // -1 for single-segment / skippable
       nBlocks: Int, nRaw: Int, nRle: Int,
-      content: Array[Byte]) // empty for skippable frames
+      content: Array[Byte], // empty for skippable frames
+      nCompressed: Int = 0) // entropy-coded (FSE/Huffman) blocks
 
   private val Magic = 0xFD2FB528
   private val SkippableBase = 0x184D2A50
@@ -168,9 +729,10 @@ object Zstd {
             contentSize = if (fcsLen == 2) v + 256 else v
             i += fcsLen
           }
-          val content = new java.io.ByteArrayOutputStream()
+          val content = new OutBuf
+          val st = new FrameState
           var last = false
-          var nBlocks = 0; var nRaw = 0; var nRle = 0
+          var nBlocks = 0; var nRaw = 0; var nRle = 0; var nCompressed = 0
           while (!last) {
             if (i + 3 > b.length) bail("truncated_block_header")
             val hdr = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
@@ -183,21 +745,24 @@ object Zstd {
             btype match {
               case 0 => // Raw: bsize literal bytes
                 if (i + bsize > b.length) bail("truncated_block")
-                content.write(b, i, bsize)
+                content.append(b, i, bsize)
                 i += bsize
                 nRaw += 1
               case 1 => // RLE: one byte repeated bsize times
                 if (i >= b.length) bail("truncated_block")
                 val v = b(i); i += 1
-                var k = 0
-                while (k < bsize) { content.write(v); k += 1 }
+                content.appendRun(v, bsize)
                 nRle += 1
-              case 2 => bail("compressed_block_unsupported")
+              case 2 => // Compressed: the full entropy layer
+                if (i + bsize > b.length) bail("truncated_block")
+                decodeCompressedBlock(b, i, i + bsize, content, st)
+                i += bsize
+                nCompressed += 1
               case _ => bail("reserved_block_type")
             }
-            if (content.size() > (1 << 26)) bail("oversized")
+            if (content.n > (1 << 26)) bail("oversized")
           }
-          val data = content.toByteArray
+          val data = content.toArray
           if (contentSize >= 0 && data.length != contentSize)
             bail("content_size_mismatch")
           if (hasChecksum) {
@@ -206,7 +771,7 @@ object Zstd {
             if ((xxh64(data) & 0xffffffffL) != want) bail("checksum_mismatch")
           }
           out += FrameInfo(skippable = false, singleSegment, hasChecksum,
-            contentSize, windowLog, nBlocks, nRaw, nRle, data)
+            contentSize, windowLog, nBlocks, nRaw, nRle, data, nCompressed)
         } else bail("bad_magic")
       }
       Right(out.result())

@@ -6667,6 +6667,54 @@ object LlmQueries {
           }
           .toDF("doc_id", "n_frames", "n_blocks", "n_rle", "has_checksum",
             "single_segment", "content_len", "content_md5")
+    },
+
+    // Zstd ENTROPY LAYER (RFC 8878 §4) — q237 walks the frame grammar;
+    // this decodes the payload: FSE table descriptions + decoding
+    // tables, Huffman literals (both weight transports, 1/4-stream
+    // backward bitstreams), sequences (Predefined/RLE/FSE/Repeat modes,
+    // three interleaved states) and execution with the repeat-offset
+    // history. Fixtures come from a REAL encoder — zstd-jni (on Spark's
+    // classpath; test-side only, the decode path is from scratch) at
+    // level 3 with the content checksum on, so every row round-trips
+    // genuine FSE/Huffman streams against the from-scratch XXH64
+    // verify. The 8x-repeated text guarantees Compressed blocks at any
+    // document length. The oracle replays decoded length and md5 from
+    // the same repeat formula; entropy_coded pins that the entropy path
+    // (not a raw-block fallback) actually ran.
+    OpQuery.sql(
+      "q238_zstd_entropy_decode",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    repeat(text || '|', 8) AS data FROM documents)
+        |SELECT id AS doc_id,
+        |  CAST(1 AS INTEGER) AS n_frames,
+        |  true AS has_checksum,
+        |  true AS entropy_coded,
+        |  CAST(length(data) AS BIGINT) AS content_len,
+        |  md5(data) AS content_md5
+        |FROM v""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+          .mapPartitions { it =>
+            val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+            ctx.setLevel(3)
+            ctx.setChecksum(true)
+            it.map { case (id, text) =>
+              val data = ((text + "|") * 8).getBytes("UTF-8")
+              val blob = ctx.compress(data)
+              val frames = graft.operators.Zstd.decode(blob)
+                .getOrElse(throw new IllegalStateException("fixture must decode"))
+              val fr = frames.head
+              (id, frames.length, fr.hasChecksum, fr.nCompressed > 0,
+                fr.content.length.toLong,
+                java.security.MessageDigest.getInstance("MD5")
+                  .digest(fr.content).map("%02x".format(_)).mkString)
+            }
+          }
+          .toDF("doc_id", "n_frames", "has_checksum", "entropy_coded",
+            "content_len", "content_md5")
     }
   )
 

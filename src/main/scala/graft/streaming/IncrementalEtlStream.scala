@@ -139,6 +139,16 @@ object IncrementalEtlStream {
       .option("recursiveFileLookup", "true")
       .parquet(obsDir)
 
+    // person is a STATIC dimension within one run: the voided persons'
+    // bucket set (the purge probe's file-level prune) cannot change
+    // between this run's micro-batches, so collect it once here instead
+    // of re-running the collect job every batch. (A superset stays safe
+    // across runs too — extra buckets only widen the probe's read.)
+    lazy val voidedBuckets: Set[Int] =
+      graft.operators.BucketedSink.collectBuckets(
+        person.filter(col("voided") === 1).select("person_id"),
+        pipeline.sinkBuckets)
+
     val query = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
@@ -146,7 +156,8 @@ object IncrementalEtlStream {
         if (pipeline.sinkBuckets > 0)
           cascadeBatchBucketed(
             spark, rawBatch, obsDir, encounter, orders, person, pipeline,
-            batchSourceFiles(spark, checkpointDir, batchId))
+            batchSourceFiles(spark, checkpointDir, batchId),
+            () => voidedBuckets)
         else
           cascadeBatchSnapshot(
             spark, rawBatch, obsDir, encounter, orders, person, pipeline)
@@ -297,7 +308,16 @@ object IncrementalEtlStream {
       // the batch's source files (from the stream's checkpointed source
       // log): the version log's defer path records these as a residue
       // pointer instead of rewriting the rows when the batch is dense
-      batchFiles: Seq[String]): Unit = {
+      batchFiles: Seq[String],
+      // voided persons' bucket set, memoized once per run by the caller
+      // (person is static within a run)
+      voidedBucketsOnce: () => Set[Int]): Unit = {
+    // A/B instrumentation (SCALE.md round-11 pricing of the r9-retained
+    // O(delta) machinery): default true = the shipped shape; false
+    // reverts the component to its r8 form. Not a user knob.
+    def confOn(key: String): Boolean =
+      spark.conf.getOption(key).forall(_ == "true")
+    val prunedProbe = confOn("graft.cascade.prunedPurgeProbe")
     def t[A](label: String)(f: => A): A = timed(spark, label)(f)
     val batch = rawBatch.persist()
     try {
@@ -389,11 +409,11 @@ object IncrementalEtlStream {
       // contribute — a file-level prune instead of the full-table
       // person_id scan (the last per-batch read that grew with table
       // size rather than delta size).
-      val voidedBuckets = graft.operators.BucketedSink.collectBuckets(
-        person.filter(col("voided") === 1).select("person_id"),
-        pipeline.sinkBuckets)
       val purge = FlatObs.voidedPurgeSet(
-        person, Some(pipeline.readFlatBuckets("flat_obs", voidedBuckets)))
+        person,
+        Some(if (prunedProbe)
+          pipeline.readFlatBuckets("flat_obs", voidedBucketsOnce())
+        else pipeline.readFlat("flat_obs").get)) // r8 form: full-table scan
         .persist()
       val foQueue = FlatObs.touchedPersons(batch, encounter, person,
         wm, None, Some(batch), purgeSet = Some(purge))

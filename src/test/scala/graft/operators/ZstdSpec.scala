@@ -63,13 +63,15 @@ class ZstdSpec extends AnyFunSuite {
     (1 until good.length by 7).foreach { cut =>
       assert(Zstd.decode(java.util.Arrays.copyOf(good, cut)).isLeft)
     }
-    // compressed block type rejects by name (craft: set type bits to 2)
+    // a raw payload relabeled as a Compressed block is entropy-layer
+    // garbage: it must quarantine with a NAMED reason, never crash or
+    // silently decode
     val noCk = Zstd.encode(bytes(4, 50), checksum = false,
       withContentSize = false)
     // frame: magic(4) + fhd(1) + window(1), block header at offset 6
     val c3 = noCk.clone()
     c3(6) = ((c3(6) & ~0x06) | (2 << 1)).toByte
-    assert(Zstd.decode(c3) == Left(Zstd.Rejected("compressed_block_unsupported")))
+    assert(Zstd.decode(c3).isLeft)
   }
 
   test("FHD Unused bit (0x10) passes; Reserved bit (0x08) rejects") {
@@ -79,6 +81,114 @@ class ZstdSpec extends AnyFunSuite {
     assert(Zstd.decode(unused).toOption.get.head.content.toSeq == bytes(6, 40).toSeq)
     val reserved = good.clone(); reserved(4) = (reserved(4) | 0x08).toByte
     assert(Zstd.decode(reserved) == Left(Zstd.Rejected("reserved_fhd_bits")))
+  }
+
+  // ---- entropy-layer interop: frames from a REAL zstd encoder ----
+  // zstd-jni ships on Spark's classpath; using it here (tests only)
+  // pins the from-scratch decoder against genuine FSE/Huffman streams
+  // instead of a self-consistent roundtrip.
+
+  private def jniCompress(data: Array[Byte], level: Int,
+      checksum: Boolean = true): Array[Byte] = {
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    try {
+      ctx.setLevel(level)
+      ctx.setChecksum(checksum)
+      ctx.compress(data)
+    } finally ctx.close()
+  }
+
+  private def textish(id: Long, n: Int): Array[Byte] = {
+    val words = Array("the", "quick", "brown", "fox", "jumps", "over",
+      "lazy", "dogs", "zstd", "frame", "entropy", "sequence")
+    val sb = new StringBuilder
+    var k = 0L
+    while (sb.length < n) {
+      sb.append(words(((id + k * 7) % words.length).toInt)).append(' ')
+      if (k % 13 == 0) sb.append(id % 100).append('\n')
+      k += 1
+    }
+    sb.toString.take(n).getBytes("US-ASCII")
+  }
+
+  test("interop: real-encoder frames decode exactly (levels x shapes x sizes)") {
+    val shapes: Seq[(String, Long => Array[Byte])] = Seq(
+      ("text", id => textish(id, 800 + id.toInt * 371)),
+      ("repetitive", id => (("abcdefgh" * 40) + id.toString).getBytes("US-ASCII")),
+      ("binary", id => bytes(id, 2000 + id.toInt * 127)),
+      ("runs", id => textish(id, 300) ++ Array.fill(500)('x'.toByte) ++ bytes(id, 200)))
+    for (level <- Seq(1, 3, 9, 19); (name, gen) <- shapes; id <- 0L until 3L) {
+      val data = gen(id)
+      val blob = jniCompress(data, level, checksum = id % 2 == 0)
+      val got = Zstd.decode(blob)
+      assert(got.isRight, s"level=$level shape=$name id=$id: $got")
+      val fr = got.toOption.get.head
+      assert(fr.content.toSeq == data.toSeq, s"level=$level shape=$name id=$id")
+    }
+  }
+
+  test("interop: compressible input actually exercises the entropy layer") {
+    val data = textish(5, 4000)
+    val fr = Zstd.decode(jniCompress(data, 3)).toOption.get.head
+    assert(fr.nCompressed >= 1, "level-3 text must produce Compressed blocks")
+    assert(fr.content.toSeq == data.toSeq)
+  }
+
+  test("interop: multi-block frame (>128 KB) with Treeless/Repeat carry-over") {
+    // > 128 KB forces multiple blocks; repeated-but-drifting content
+    // keeps later blocks compressed so Treeless literals / Repeat FSE
+    // modes (cross-block state) actually occur for some encoder choice
+    val data = (0 until 4000).map(k => s"line $k ${textish(k, 60).length} lorem ipsum dolor sit amet\n")
+      .mkString.getBytes("US-ASCII")
+    assert(data.length > (1 << 17))
+    for (level <- Seq(1, 3, 19)) {
+      val fr = Zstd.decode(jniCompress(data, level)).toOption.get.head
+      assert(fr.nBlocks >= 2, s"level=$level: expected multiple blocks")
+      assert(fr.content.toSeq == data.toSeq, s"level=$level")
+    }
+  }
+
+  test("interop: empty and tiny inputs") {
+    Seq(0, 1, 2, 5).foreach { n =>
+      val data = bytes(9, n)
+      val fr = Zstd.decode(jniCompress(data, 3)).toOption.get.head
+      assert(fr.content.toSeq == data.toSeq, s"n=$n")
+    }
+  }
+
+  test("hostile: truncation sweep over a real compressed frame never crashes") {
+    val blob = jniCompress(textish(7, 3000), 3)
+    (0 until blob.length by 3).foreach { cut =>
+      assert(Zstd.decode(java.util.Arrays.copyOf(blob, cut)).isLeft, s"cut=$cut")
+    }
+  }
+
+  test("hostile: bit-flip sweep over a real compressed frame never crashes") {
+    val blob = jniCompress(textish(8, 1500), 3)
+    (4 until blob.length).foreach { i => // past magic (flipped magic = bad_magic, covered)
+      val c = blob.clone()
+      c(i) = (c(i) ^ 0x20).toByte
+      Zstd.decode(c) // must not throw; checksum guards silent corruption
+      ()
+    }
+  }
+
+  test("hostile: checksum catches content corruption through the entropy layer") {
+    val data = textish(11, 2500)
+    val blob = jniCompress(data, 3, checksum = true)
+    var caught = 0
+    (6 until blob.length - 4).foreach { i =>
+      val c = blob.clone()
+      c(i) = (c(i) ^ 0x01).toByte
+      Zstd.decode(c) match {
+        case Left(_) => caught += 1
+        case Right(frames) =>
+          // a flip that still decodes AND passes XXH64 must be content-
+          // preserving (it flipped a dont-care bit) — assert that
+          assert(frames.head.content.toSeq == data.toSeq, s"flip at $i slipped through")
+      }
+    }
+    assert(caught > 0)
   }
 
   test("dictionary frames reject by name") {
