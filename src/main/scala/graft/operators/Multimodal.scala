@@ -1890,6 +1890,52 @@ object Multimodal {
     }).toDF("media_id", "n_px", "r_sum", "g_sum", "b_sum")
   }
 
+  /** WebP-LOSSY (VP8) fixtures (q239): key frames from the exactness
+    * encoder — DC-only residuals at quantizer 0, where dequant + IWHT +
+    * IDCT are integer identities, so the decoder must reproduce the
+    * per-macroblock target formulas BIT-FOR-BIT (Vp8.encode scaladoc).
+    * Sizes include ragged (non-MB-multiple) crops; the token-partition
+    * count rotates 1/2/4 and every fourth row exercises the segment
+    * map. Full real-stream coverage (probability updates, loop filter,
+    * every encoder-chosen mode) is pinned separately by Vp8InteropSpec
+    * against libwebp-produced files. */
+  def webpLossyImagesFromDocuments(
+      spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.filter(col("doc_id") % 3 === 1).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 16 + (id % 5).toInt * 16 + (id % 7).toInt
+        val h = 16 + (id % 3).toInt * 16 + (id % 5).toInt
+        val blob = Vp8.encode(w, h,
+          (mx, my) => ((id * 7 + 29 * mx + 31 * my) % 256).toInt,
+          (mx, my) => ((id * 11 + 13 * mx + 17 * my) % 256).toInt,
+          (mx, my) => ((id * 5 + 19 * mx + 23 * my) % 256).toInt,
+          nTokenParts = 1 << (id % 3).toInt,
+          withSegmentation = id % 4 == 1)
+        MediaRow(id, "image", blob)
+      })
+  }
+
+  /** VP8 lossy decode to per-image YUV plane sums; rejects yield no
+    * rows. Sums are over the CROPPED planes (luma w x h, chroma
+    * ceil-half dims) — the oracle replays them from the target
+    * formulas. */
+  def decodeWebpLossyYuvStats(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      Vp8.decode(r.payload).toOption.iterator.map { yuv =>
+        var ys = 0L; var us = 0L; var vs = 0L
+        var k = 0
+        while (k < yuv.y.length) { ys += yuv.y(k) & 0xff; k += 1 }
+        k = 0
+        while (k < yuv.u.length) {
+          us += yuv.u(k) & 0xff; vs += yuv.v(k) & 0xff; k += 1
+        }
+        (r.media_id, yuv.y.length, ys, us, vs)
+      }
+    }).toDF("media_id", "n_px", "y_sum", "u_sum", "v_sum")
+  }
+
   def jpegColorImagesFromDocuments(
       spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._

@@ -6715,6 +6715,43 @@ object LlmQueries {
           }
           .toDF("doc_id", "n_frames", "has_checksum", "entropy_coded",
             "content_len", "content_md5")
+    },
+
+    // WebP LOSSY (VP8, RFC 6386) — the majority of real-crawl .webp.
+    // Full intra-frame decode: boolean arithmetic decoder, segmentation
+    // + probability updates, keyframe mode trees, DCT-token decode,
+    // dequant, IWHT/IDCT, all intra predictors, loop filter. Fixtures
+    // use the exactness encoder (DC-only residuals at quantizer 0 are
+    // integer-exact through dequant+IWHT+IDCT), so the oracle replays
+    // every plane sum from the per-macroblock target formulas; ragged
+    // crops, token partitions 1/2/4, and the segment map rotate by id.
+    // Real libwebp-encoded streams (prob updates, loop filter, every
+    // encoder-chosen mode) are pinned bit-exactly in Vp8InteropSpec.
+    OpQuery.sql(
+      "q239_webp_lossy_decode",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(16 + (doc_id % 5) * 16 + doc_id % 7 AS BIGINT) AS w,
+        |    CAST(16 + (doc_id % 3) * 16 + doc_id % 5 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |yy AS (SELECT *, unnest(generate_series(0, h - 1)) AS py FROM v),
+        |yx AS (SELECT *, unnest(generate_series(0, w - 1)) AS px FROM yy),
+        |ys AS (SELECT id, sum((id * 7 + 29 * (px // 16) + 31 * (py // 16)) % 256) AS y_sum,
+        |    count(*) AS n_px FROM yx GROUP BY 1),
+        |cv AS (SELECT id, (w + 1) // 2 AS cw, (h + 1) // 2 AS ch FROM v),
+        |cy AS (SELECT *, unnest(generate_series(0, ch - 1)) AS py FROM cv),
+        |cx AS (SELECT *, unnest(generate_series(0, cw - 1)) AS px FROM cy),
+        |cs AS (SELECT id,
+        |    sum((id * 11 + 13 * (px // 8) + 17 * (py // 8)) % 256) AS u_sum,
+        |    sum((id * 5 + 19 * (px // 8) + 23 * (py // 8)) % 256) AS v_sum
+        |  FROM cx GROUP BY 1)
+        |SELECT ys.id AS media_id, CAST(ys.n_px AS INTEGER) AS n_px,
+        |  CAST(ys.y_sum AS BIGINT) AS y_sum,
+        |  CAST(cs.u_sum AS BIGINT) AS u_sum,
+        |  CAST(cs.v_sum AS BIGINT) AS v_sum
+        |FROM ys JOIN cs ON ys.id = cs.id""".stripMargin) {
+      (s, dir) =>
+        Multimodal.decodeWebpLossyYuvStats(
+          Multimodal.webpLossyImagesFromDocuments(s, load(s, dir, "documents")))
     }
   )
 

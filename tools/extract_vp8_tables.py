@@ -41,10 +41,15 @@ dcq_at = find_once(bytes([4, 5, 6, 7, 8, 9, 10, 10, 11, 12, 13, 14, 15, 16, 17, 
 dcq = list(lib[dcq_at:dcq_at + 128])
 assert dcq[127] == 157, dcq[-5:]
 
-# default coefficient probabilities (RFC 13.5): [4][8][3][11] uint8;
-# first row is known from the RFC text
-defp_at = find_once(bytes([253, 136, 254, 255, 228, 219, 128, 128, 128, 128, 128]), "default probs")
+# default coefficient probabilities (RFC 13.5): [4][8][3][11] uint8.
+# The probe row {253,136,...} is type 0 BAND 1 ctx 0 — type 0 (Y after
+# Y2) starts at coefficient 1, so its band 0 is never read and the
+# table fills it with one band (3 rows) of 128s, which sit immediately
+# before the probe. Anchor one band earlier.
+defp_at = find_once(bytes([253, 136, 254, 255, 228, 219, 128, 128, 128, 128, 128]), "default probs") - 33
 defp = list(lib[defp_at:defp_at + 1056])
+assert defp[:33] == [128] * 33, "type0 band0 must be the unused all-128 band"
+assert all(b >= 1 for b in defp), "probabilities are 1..255"
 
 # coefficient-probability UPDATE probabilities (RFC 13.4): same shape,
 # dominated by 255s; sits directly before the kf b-mode table
@@ -55,9 +60,20 @@ frac255 = sum(1 for b in upd if b == 255) / 1056
 assert frac255 > 0.8, frac255
 assert all(b >= 1 for b in upd), "probabilities are 1..255"
 
-# keyframe 4x4 mode probabilities (RFC 11.4): [10][10][9] uint8
-kfb = list(lib[kfb_at:kfb_at + 900])
-assert all(b >= 1 for b in kfb)
+# keyframe 4x4 mode probabilities (RFC 11.4): [10][10][9] uint8.
+# libwebp's 4x4-mode enum orders the diagonals RD,VR,LD,VL (indices
+# 4..7) where the RFC orders them LD,RD,VR,VL — permute rows/columns
+# into RFC id order so decoder code written against the RFC indexes
+# the right [above][left] cell. (The 9 per-row probabilities pair with
+# tree NODES, which are identical in both orderings.)
+kfb_raw = list(lib[kfb_at:kfb_at + 900])
+assert all(b >= 1 for b in kfb_raw)
+rfc2webp = [0, 1, 2, 3, 6, 4, 5, 7, 8, 9]  # RFC id -> libwebp id
+kfb = []
+for a in range(10):
+    for l in range(10):
+        src = (rfc2webp[a] * 10 + rfc2webp[l]) * 9
+        kfb += kfb_raw[src:src + 9]
 
 
 def scala4(name, flat, d1, d2, d3, d4):
