@@ -194,4 +194,81 @@ object CharsetSniff {
           .startsWith("content-type:") =>
         l.substring("content-type:".length).trim
     }
+
+  /** The Content-Encoding value (first token, lowercased), if present.
+    * Multi-codings ("gzip, br") keep the full list — the decoder below
+    * rejects them by name rather than guessing an order. */
+  def contentEncodingOf(headerBlock: String): Option[String] =
+    headerBlock.split("\r\n").iterator.drop(1).collectFirst {
+      case l if l.toLowerCase(java.util.Locale.ROOT)
+          .startsWith("content-encoding:") =>
+        l.substring("content-encoding:".length).trim
+          .toLowerCase(java.util.Locale.ROOT)
+    }
+
+  /** Undo the HTTP Content-Encoding BEFORE the charset gate — a gzip'd
+    * body handed straight to the sniffer quarantines as
+    * `undeclared_not_utf8` (compressed bytes are never valid UTF-8),
+    * which mislabels a perfectly decodable page. identity/absent pass
+    * through; gzip/x-gzip inflate via the JDK with the size cap applied
+    * BEFORE allocation grows past it (bomb guard); deflate tries the
+    * RFC 9110 zlib wrapping first and falls back to raw deflate (the
+    * well-known server quirk — both are deterministic, no guessing
+    * beyond the documented fallback); br/zstd/compress and multi-coding
+    * chains reject by name. */
+  def decodeContentEncoding(body: Array[Byte], encoding: Option[String],
+      maxOut: Int = 1 << 24): Either[Rejected, Array[Byte]] =
+    encoding.map(_.trim).filter(e => e.nonEmpty && e != "identity") match {
+      case None => Right(body)
+      case Some(e) if e == "gzip" || e == "x-gzip" =>
+        try {
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(body))
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](16 * 1024)
+          var n = in.read(buf)
+          while (n >= 0) {
+            out.write(buf, 0, n)
+            if (out.size() > maxOut) return Left(Rejected("encoding_bomb"))
+            n = in.read(buf)
+          }
+          Right(out.toByteArray)
+        } catch {
+          case _: java.io.EOFException => Left(Rejected("truncated_gzip_body"))
+          case _: java.io.IOException => Left(Rejected("corrupt_gzip_body"))
+        }
+      case Some("deflate") =>
+        def inflate(raw: Boolean): Either[Rejected, Array[Byte]] = {
+          val inf = new java.util.zip.Inflater(raw)
+          try {
+            inf.setInput(body)
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](16 * 1024)
+            while (!inf.finished()) {
+              val n = inf.inflate(buf)
+              if (n == 0) {
+                if (inf.needsInput() || inf.needsDictionary())
+                  return Left(Rejected("truncated_deflate_body"))
+              } else {
+                out.write(buf, 0, n)
+                if (out.size() > maxOut) return Left(Rejected("encoding_bomb"))
+              }
+            }
+            Right(out.toByteArray)
+          } catch {
+            case _: java.util.zip.DataFormatException =>
+              Left(Rejected("corrupt_deflate_body"))
+          } finally inf.end()
+        }
+        inflate(raw = false) match {
+          case r @ Right(_) => r
+          case Left(_) => inflate(raw = true) match {
+            case r @ Right(_) => r
+            case Left(_) => Left(Rejected("corrupt_deflate_body"))
+          }
+        }
+      case Some(other) =>
+        Left(Rejected(
+          s"unsupported_encoding_${other.replaceAll("[^a-z0-9x-]", "_")}"))
+    }
 }

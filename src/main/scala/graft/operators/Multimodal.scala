@@ -1667,8 +1667,43 @@ object Multimodal {
         val out = new java.io.ByteArrayOutputStream()
         row.getSeq[org.apache.spark.sql.Row](1).foreach { d =>
           val id = d.getLong(0)
-          val (body, ct) = encode(id, d.getString(1))
-          val head = (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
+          val (rawBody, ct) = encode(id, d.getString(1))
+          // Content-Encoding layer (id-rotated): gzip / zlib-deflate /
+          // raw-deflate members decode transparently before the charset
+          // gate; a brotli-labeled body and a truncated gzip member
+          // exercise the named rejections. Precedence mirrors the
+          // q231/q232 oracles' CASE order exactly.
+          def gz(b: Array[Byte]): Array[Byte] = {
+            val bos = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(bos)
+            g.write(b); g.close()
+            bos.toByteArray
+          }
+          def defl(b: Array[Byte], raw: Boolean): Array[Byte] = {
+            val df = new java.util.zip.Deflater(
+              java.util.zip.Deflater.DEFAULT_COMPRESSION, raw)
+            df.setInput(b); df.finish()
+            val bos = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](16 * 1024)
+            while (!df.finished()) bos.write(buf, 0, df.deflate(buf))
+            df.end()
+            bos.toByteArray
+          }
+          val (body, encHeader) =
+            if (id % 13 == 11)
+              (Array.tabulate[Byte](40)(k => (k * 31 + 7).toByte),
+                "Content-Encoding: br\r\n")
+            else if (id % 17 == 13) {
+              val g = gz(rawBody)
+              (java.util.Arrays.copyOf(g, math.max(4, g.length - 5)),
+                "Content-Encoding: gzip\r\n")
+            } else if (id % 7 == 2) (gz(rawBody), "Content-Encoding: gzip\r\n")
+            else if (id % 7 == 4)
+              (defl(rawBody, raw = false), "Content-Encoding: deflate\r\n")
+            else if (id % 23 == 21)
+              (defl(rawBody, raw = true), "Content-Encoding: deflate\r\n")
+            else (rawBody, "")
+          val head = (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" + encHeader +
             s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1")
           val payload = new Array[Byte](head.length + body.length)
           System.arraycopy(head, 0, payload, 0, head.length)

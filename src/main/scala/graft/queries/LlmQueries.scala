@@ -6332,7 +6332,8 @@ object LlmQueries {
       "q231_charset_sniff",
       """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
         |c AS (SELECT id,
-        |    CASE WHEN id % 11 = 7 THEN NULL
+        |    CASE WHEN id % 13 = 11 OR id % 17 = 13 THEN NULL
+        |         WHEN id % 11 = 7 THEN NULL
         |         WHEN id % 8 = 0 THEN 'utf-8'
         |         WHEN id % 8 = 1 THEN 'windows-1252'
         |         WHEN id % 8 = 2 THEN 'iso-8859-1'
@@ -6341,7 +6342,8 @@ object LlmQueries {
         |         WHEN id % 8 = 5 THEN 'shift_jis'
         |         WHEN id % 8 = 6 THEN 'gbk'
         |         ELSE 'euc-kr' END AS charset,
-        |    CASE WHEN id % 11 = 7 THEN NULL
+        |    CASE WHEN id % 13 = 11 OR id % 17 = 13 THEN NULL
+        |         WHEN id % 11 = 7 THEN NULL
         |         WHEN id % 8 = 0 THEN 'header'
         |         WHEN id % 8 = 1 THEN 'meta'
         |         WHEN id % 8 = 2 THEN 'header'
@@ -6349,9 +6351,12 @@ object LlmQueries {
         |         WHEN id % 8 = 4 THEN 'utf8-valid'
         |         WHEN id % 8 = 6 THEN 'meta'
         |         ELSE 'header' END AS source,
-        |    CASE WHEN id % 11 = 7 THEN 'malformed_utf-8'
+        |    CASE WHEN id % 13 = 11 THEN 'unsupported_encoding_br'
+        |         WHEN id % 17 = 13 THEN 'truncated_gzip_body'
+        |         WHEN id % 11 = 7 THEN 'malformed_utf-8'
         |         ELSE 'decoded' END AS fate,
-        |    CASE WHEN id % 11 = 7 THEN NULL
+        |    CASE WHEN id % 13 = 11 OR id % 17 = 13 THEN NULL
+        |         WHEN id % 11 = 7 THEN NULL
         |         WHEN id % 8 = 0 THEN text || ' héllo'
         |         WHEN id % 8 = 1 THEN '<meta charset=windows-1252>' || text || ' €uro™'
         |         WHEN id % 8 = 2 THEN text || ' café ±'
@@ -6383,7 +6388,8 @@ object LlmQueries {
       "q232_web_ingest_charset_capstone",
       s"""WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
          |c AS (SELECT id,
-         |    CASE WHEN id % 11 = 7 THEN NULL
+         |    CASE WHEN id % 13 = 11 OR id % 17 = 13 THEN NULL
+         |         WHEN id % 11 = 7 THEN NULL
          |         WHEN id % 8 = 0 THEN text || ' héllo'
          |         WHEN id % 8 = 1 THEN '<meta charset=windows-1252>' || text || ' €uro™'
          |         WHEN id % 8 = 2 THEN text || ' café ±'
@@ -6416,7 +6422,10 @@ object LlmQueries {
          |         WHEN id = keep_id THEN 'kept' ELSE 'dup' END AS fate
          |  FROM l LEFT JOIN k USING (ch)
          |  UNION ALL
-         |  SELECT '(rejected)', 0, 'charset' FROM c WHERE decoded IS NULL)
+         |  SELECT '(rejected)', 0,
+         |    CASE WHEN id % 13 = 11 OR id % 17 = 13 THEN 'encoding'
+         |         ELSE 'charset' END
+         |  FROM c WHERE decoded IS NULL)
          |SELECT lang_pred,
          |  CAST(sum(CASE WHEN fate = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  CAST(sum(CASE WHEN fate = 'kept' THEN n_words ELSE 0 END) AS BIGINT)
@@ -6426,7 +6435,9 @@ object LlmQueries {
          |  CAST(sum(CASE WHEN fate = 'dup' THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_dropped_dup,
          |  CAST(sum(CASE WHEN fate = 'charset' THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_dropped_charset
+         |    AS n_dropped_charset,
+         |  CAST(sum(CASE WHEN fate = 'encoding' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dropped_encoding
          |FROM fu GROUP BY 1""".stripMargin) {
       (s, dir) =>
         val g = charsetGate(s, dir)
@@ -6446,9 +6457,14 @@ object LlmQueries {
               .when(col("doc_id") === col("keep_id"), "kept")
               .otherwise("dup"))
           .select(col("lang_pred"), col("n_words"), col("fate"))
+        val encodingRejects = Seq("truncated_gzip_body", "corrupt_gzip_body",
+          "truncated_deflate_body", "corrupt_deflate_body", "encoding_bomb")
         val rejected = g.filter(col("fate") =!= "decoded")
           .select(lit("(rejected)").as("lang_pred"),
-            lit(0).as("n_words"), lit("charset").as("fate"))
+            lit(0).as("n_words"),
+            when(col("fate").startsWith("unsupported_encoding_") ||
+              col("fate").isin(encodingRejects: _*), "encoding")
+              .otherwise("charset").as("fate"))
         funnel.unionByName(rejected)
           .groupBy("lang_pred")
           .agg(
@@ -6461,7 +6477,9 @@ object LlmQueries {
             sum(when(col("fate") === "dup", 1).otherwise(0)).cast("long")
               .as("n_dropped_dup"),
             sum(when(col("fate") === "charset", 1).otherwise(0)).cast("long")
-              .as("n_dropped_charset"))
+              .as("n_dropped_charset"),
+            sum(when(col("fate") === "encoding", 1).otherwise(0)).cast("long")
+              .as("n_dropped_encoding"))
     },
 
     // PROGRESSIVE JPEG (T.81 Annex G) — q93's streams re-encoded with
@@ -6752,6 +6770,39 @@ object LlmQueries {
       (s, dir) =>
         Multimodal.decodeWebpLossyYuvStats(
           Multimodal.webpLossyImagesFromDocuments(s, load(s, dir, "documents")))
+    },
+
+    // Content-encoding / charset FATE CENSUS — the pre-flight report a
+    // 100 TB ingest runs before committing decode compute: one pass
+    // over the WARC batch counting every (fate, charset) bucket, so the
+    // operator sees "how much of this crawl is brotli we can't read /
+    // mislabeled latin-1 / truncated members" as numbers before any
+    // expensive stage runs. Composes q231's charset gate with the
+    // round-11 Content-Encoding stage; one shuffle (the groupBy).
+    OpQuery.sql(
+      "q240_encoding_fate_census",
+      """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |c AS (SELECT id,
+        |    CASE WHEN id % 13 = 11 THEN 'unsupported_encoding_br'
+        |         WHEN id % 17 = 13 THEN 'truncated_gzip_body'
+        |         WHEN id % 11 = 7 THEN 'malformed_utf-8'
+        |         ELSE 'decoded' END AS fate,
+        |    CASE WHEN id % 13 = 11 OR id % 17 = 13 OR id % 11 = 7 THEN NULL
+        |         WHEN id % 8 = 0 THEN 'utf-8'
+        |         WHEN id % 8 = 1 THEN 'windows-1252'
+        |         WHEN id % 8 = 2 THEN 'iso-8859-1'
+        |         WHEN id % 8 = 3 THEN 'utf-16le'
+        |         WHEN id % 8 = 4 THEN 'utf-8'
+        |         WHEN id % 8 = 5 THEN 'shift_jis'
+        |         WHEN id % 8 = 6 THEN 'gbk'
+        |         ELSE 'euc-kr' END AS charset
+        |  FROM f)
+        |SELECT fate, charset, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM c GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        charsetGate(s, dir)
+          .groupBy(col("fate"), col("charset"))
+          .agg(count(lit(1)).cast("long").as("n_docs"))
     }
   )
 
@@ -6796,11 +6847,18 @@ object LlmQueries {
             (id, None: Option[String], None: Option[String], "bad_http",
               None: Option[String])
           case Some((head, body)) =>
-            graft.operators.CharsetSniff.sniff(body,
-                graft.operators.CharsetSniff.contentTypeOf(head)) match {
+            // Content-Encoding FIRST: compressed bytes handed straight
+            // to the sniffer would quarantine as undeclared_not_utf8
+            graft.operators.CharsetSniff.decodeContentEncoding(body,
+                graft.operators.CharsetSniff.contentEncodingOf(head)) match {
               case Left(r) => (id, None, None, r.reason, None)
-              case Right(sn) =>
-                (id, Some(sn.charset), Some(sn.source), "decoded", Some(sn.text))
+              case Right(raw) =>
+                graft.operators.CharsetSniff.sniff(raw,
+                    graft.operators.CharsetSniff.contentTypeOf(head)) match {
+                  case Left(r) => (id, None, None, r.reason, None)
+                  case Right(sn) =>
+                    (id, Some(sn.charset), Some(sn.source), "decoded", Some(sn.text))
+                }
             }
         }
       }.toDF("doc_id", "charset", "source", "fate", "text2")

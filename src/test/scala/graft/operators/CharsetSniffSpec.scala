@@ -125,6 +125,71 @@ class CharsetSniffSpec extends AnyFunSuite {
       "GARBAGE\r\n\r\nbody".getBytes("UTF-8")).isEmpty)
   }
 
+  private def gz(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  private def defl(b: Array[Byte], raw: Boolean): Array[Byte] = {
+    val df = new java.util.zip.Deflater(6, raw)
+    df.setInput(b); df.finish()
+    val bos = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!df.finished()) bos.write(buf, 0, df.deflate(buf))
+    df.end()
+    bos.toByteArray
+  }
+
+  test("content-encoding: gzip / zlib-deflate / raw-deflate all inflate") {
+    val body = ("x" * 500 + " payload").getBytes("UTF-8")
+    assert(CharsetSniff.decodeContentEncoding(gz(body), Some("gzip"))
+      .toOption.get.toSeq == body.toSeq)
+    assert(CharsetSniff.decodeContentEncoding(gz(body), Some("x-gzip"))
+      .toOption.get.toSeq == body.toSeq)
+    assert(CharsetSniff.decodeContentEncoding(defl(body, raw = false),
+      Some("deflate")).toOption.get.toSeq == body.toSeq)
+    // the raw-deflate server quirk decodes via the documented fallback
+    assert(CharsetSniff.decodeContentEncoding(defl(body, raw = true),
+      Some("deflate")).toOption.get.toSeq == body.toSeq)
+    // identity / absent pass through untouched
+    assert(CharsetSniff.decodeContentEncoding(body, None).toOption.get eq body)
+    assert(CharsetSniff.decodeContentEncoding(body, Some("identity"))
+      .toOption.get.toSeq == body.toSeq)
+  }
+
+  test("content-encoding hostility: truncation, corruption, bomb, names") {
+    val body = ("y" * 400).getBytes("UTF-8")
+    val g = gz(body)
+    assert(CharsetSniff.decodeContentEncoding(
+      java.util.Arrays.copyOf(g, g.length - 5), Some("gzip")) ==
+      Left(CharsetSniff.Rejected("truncated_gzip_body")))
+    val corrupt = g.clone(); corrupt(12) = (corrupt(12) ^ 0x55).toByte
+    assert(CharsetSniff.decodeContentEncoding(corrupt, Some("gzip")).isLeft)
+    // wrong declared encoding: plain text labeled gzip rejects by name
+    assert(CharsetSniff.decodeContentEncoding(body, Some("gzip")).isLeft)
+    assert(CharsetSniff.decodeContentEncoding(body, Some("deflate")) ==
+      Left(CharsetSniff.Rejected("corrupt_deflate_body")))
+    // bomb cap fires BEFORE the output materializes past the limit
+    val bomb = gz(new Array[Byte](1 << 22))
+    assert(CharsetSniff.decodeContentEncoding(bomb, Some("gzip"),
+      maxOut = 1 << 16) == Left(CharsetSniff.Rejected("encoding_bomb")))
+    // unknown and multi-codings reject by name, never guess
+    assert(CharsetSniff.decodeContentEncoding(g, Some("br")) ==
+      Left(CharsetSniff.Rejected("unsupported_encoding_br")))
+    assert(CharsetSniff.decodeContentEncoding(g, Some("zstd")) ==
+      Left(CharsetSniff.Rejected("unsupported_encoding_zstd")))
+    assert(CharsetSniff.decodeContentEncoding(g, Some("gzip, br")).isLeft)
+  }
+
+  test("content-encoding header extraction") {
+    val payload = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Content-Encoding: GZip\r\n\r\nbody").getBytes("ISO-8859-1")
+    val Some((head, _)) = CharsetSniff.splitHttpResponse(payload)
+    assert(CharsetSniff.contentEncodingOf(head).contains("gzip"))
+  }
+
   test("quoted and unquoted charset params both parse") {
     assert(CharsetSniff.declaredInContentType("text/html; charset=\"UTF-8\"")
       .contains("utf-8"))
