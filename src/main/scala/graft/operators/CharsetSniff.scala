@@ -48,7 +48,11 @@ object CharsetSniff {
     * and specs assert on them. */
   final case class Rejected(reason: String)
 
-  private val Supported: Map[String, String] = Map(
+  /** label (lowercased alias) -> JDK charset name. Shared with the MIME
+    * walk: RFC 2047 encoded-words carry the same real-world labels this
+    * table already covers, so a `=?Shift_JIS?B?...?=` subject decodes
+    * strictly instead of passing through undecoded. */
+  private[operators] val Supported: Map[String, String] = Map(
     "utf-8" -> "UTF-8", "utf8" -> "UTF-8",
     "us-ascii" -> "US-ASCII", "ascii" -> "US-ASCII",
     "iso-8859-1" -> "ISO-8859-1", "latin-1" -> "ISO-8859-1",

@@ -16,8 +16,11 @@ import java.nio.charset.{Charset, StandardCharsets}
   *    lines (leading WSP) unfolded with a single space;
   *  - RFC 2047 encoded-words in Subject (`=?cs?B?…?=` base64,
   *    `=?cs?Q?…?=` quoted-printable-for-headers with `_` = space);
-  *    UTF-8 / US-ASCII / ISO-8859-1 charsets decoded, any other
-  *    charset leaves the word as-is (disclosed, not guessed);
+  *    charset labels route through CharsetSniff.Supported's real-world
+  *    alias table (UTF-8/latin-1 through Shift_JIS/GBK/Big5/EUC-KR/
+  *    windows-125x) and decode STRICTLY — a wrong declaration
+  *    quarantines the message rather than mojibaking; labels outside
+  *    the table leave the word as-is (disclosed, not guessed);
   *  - multipart bodies split on the declared boundary, parts
   *    walked recursively to depth 3 (deeper nesting → quarantine);
   *  - Content-Transfer-Encoding 7bit/8bit/binary (raw), base64
@@ -103,16 +106,21 @@ object Mime {
 
   private val EncodedWord = "=\\?([^?]+)\\?([BbQq])\\?([^?]*)\\?=".r
 
-  private def charsetOf(name: String): Option[Charset] =
-    name.toLowerCase match {
-      case "utf-8" | "us-ascii" => Some(StandardCharsets.UTF_8)
-      case "iso-8859-1" => Some(StandardCharsets.ISO_8859_1)
-      case _ => None
-    }
+  /** RFC 2047 charset labels route through the charset sniffer's
+    * real-world alias table (CharsetSniff.Supported) — Shift_JIS / GBK /
+    * Big5 / EUC-KR / windows-125x subjects decode STRICTLY instead of
+    * passing through undecoded. RFC 2047 also allows an RFC 2231
+    * language suffix (`=?utf-8*en?B?...?=`) — stripped before lookup. */
+  private def charsetOf(name: String): Option[String] = {
+    val label = name.takeWhile(_ != '*').trim.toLowerCase(java.util.Locale.ROOT)
+    CharsetSniff.Supported.get(label)
+      .filter(Charset.isSupported)
+  }
 
   /** Decode RFC 2047 encoded-words; whitespace BETWEEN two encoded
     * words is transparent (per spec). Unknown charsets leave the word
-    * untouched; a malformed payload inside a word yields None
+    * untouched; a malformed payload inside a word — including bytes the
+    * DECLARED charset rejects under strict decoding — yields None
     * (quarantine — a header that lies about its encoding). */
   def decodeEncodedWords(s: String): Option[String] = {
     // drop whitespace between adjacent encoded words first
@@ -123,7 +131,7 @@ object Mime {
       sb.append(joined.substring(last, m.start))
       charsetOf(m.group(1)) match {
         case None => sb.append(m.matched)
-        case Some(cs) =>
+        case Some(javaName) =>
           val payload = m.group(3)
           val bytes: Array[Byte] =
             if (m.group(2).equalsIgnoreCase("B")) {
@@ -133,7 +141,8 @@ object Mime {
               decodeQp(payload.replace('_', ' '), softBreaks = false)
                 .getOrElse(return None)
             }
-          sb.append(new String(bytes, cs))
+          sb.append(CharsetSniff.decodeStrict(bytes, 0, javaName)
+            .getOrElse(return None))
       }
       last = m.end
     }
@@ -293,6 +302,15 @@ object Mime {
   def bWord(s: String): String =
     "=?UTF-8?B?" + java.util.Base64.getEncoder
       .encodeToString(s.getBytes(StandardCharsets.UTF_8)) + "?="
+
+  /** B-word in an arbitrary supported charset label (fixture builder for
+    * the non-Latin header regimes — Shift_JIS/GBK/EUC-KR subjects). */
+  def bWordIn(s: String, label: String): String = {
+    val javaName = CharsetSniff.Supported(
+      label.toLowerCase(java.util.Locale.ROOT))
+    s"=?$label?B?" + java.util.Base64.getEncoder
+      .encodeToString(s.getBytes(javaName)) + "?="
+  }
 
   def base64Body(bytes: Array[Byte]): String =
     java.util.Base64.getMimeEncoder(60, "\n".getBytes).encodeToString(bytes)

@@ -5505,7 +5505,9 @@ object LlmQueries {
         |k AS (SELECT * FROM v WHERE NOT (id % 6 = 0 AND id % 31 = 17))
         |SELECT id AS doc_id,
         |  'user' || (id % 7) || '@example.org' AS from_addr,
-        |  'Re: report ' || id AS subject,
+        |  'Re: report ' || id ||
+        |    CASE WHEN id % 8 = 3 THEN ' こんにちは'
+        |         WHEN id % 8 = 7 THEN ' 한국어' ELSE '' END AS subject,
         |  '<msg-' || id || '@example.org>' AS message_id,
         |  CAST(CASE WHEN id % 3 = 0
         |    THEN 2 + CASE WHEN id % 6 = 0 THEN 1 ELSE 0 END
@@ -5529,9 +5531,13 @@ object LlmQueries {
             val lines = (0 until nl).map(j => s"mail body line $j")
             val plain = lines.mkString("\n") + "\n"
             val subjRaw = s"Re: report $id"
-            val subject = (id % 4) match {
-              case 0 => graft.operators.Mime.bWord(subjRaw)
-              case 1 => graft.operators.Mime.qWord(subjRaw)
+            // non-Latin regimes: the RFC 2047 label routes through the
+            // charset sniffer's alias table and decodes STRICTLY
+            val subject = (id % 8) match {
+              case 0 | 4 => graft.operators.Mime.bWord(subjRaw)
+              case 1 | 5 => graft.operators.Mime.qWord(subjRaw)
+              case 3 => graft.operators.Mime.bWordIn(subjRaw + " こんにちは", "Shift_JIS")
+              case 7 => graft.operators.Mime.bWordIn(subjRaw + " 한국어", "euc-kr")
               case _ => subjRaw
             }
             val from =

@@ -30,9 +30,36 @@ class MimeSpec extends AnyFunSuite {
     val i = Mime.info(simple("b\n", subject = s)).get
     // whitespace between two encoded words is transparent
     assert(i.subject == "Héllowörld x")
-    // unknown charset: word left as-is, not guessed
-    val j = Mime.info(simple("b\n", subject = "=?KOI8-R?B?AAAA?= tail")).get
-    assert(j.subject == "=?KOI8-R?B?AAAA?= tail")
+    // truly-unknown charset: word left as-is, not guessed
+    val j = Mime.info(simple("b\n", subject = "=?X-MYSTERY?B?AAAA?= tail")).get
+    assert(j.subject == "=?X-MYSTERY?B?AAAA?= tail")
+  }
+
+  test("RFC 2047 non-Latin charsets decode strictly via the sniffer table") {
+    for ((label, text) <- Seq(("Shift_JIS", "こんにちは 報告"),
+        ("GBK", "中文测试"), ("euc-kr", "한국어 제목"), ("Big5", "中文標題"),
+        ("KOI8-R", "привет"), ("windows-1251", "тема письма"))) {
+      val i = Mime.info(simple("b\n", subject = Mime.bWordIn(text, label)))
+      assert(i.isDefined, label)
+      assert(i.get.subject == text, label)
+    }
+    // RFC 2231 language suffix on the label is stripped before lookup
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      "hello".getBytes("US-ASCII"))
+    assert(Mime.info(simple("b\n", subject = s"=?utf-8*en?B?$b64?="))
+      .get.subject == "hello")
+  }
+
+  test("RFC 2047 wrong declared label quarantines instead of mojibake") {
+    // bytes no Shift_JIS stream can contain (0xFF; truncated lead at
+    // end): the strict decoder rejects, so the MESSAGE quarantines
+    for (bad <- Seq(Array(0xff.toByte, 0x41.toByte),
+        Array(0x82.toByte) /* lone lead byte */ )) {
+      val lying = "=?Shift_JIS?B?" +
+        java.util.Base64.getEncoder.encodeToString(bad) + "?="
+      assert(Mime.info(simple("b\n", subject = lying)).isEmpty,
+        bad.map(b => f"$b%02x").mkString)
+    }
   }
 
   test("multipart: text + html + base64 attachment, nested depth") {
