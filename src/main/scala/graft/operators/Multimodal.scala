@@ -65,6 +65,9 @@ object Multimodal {
       "png"
     else if (p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) "jpeg"
     else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') "gif"
+    else if (p.length >= 16 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+      p(3) == 'F' && p(8) == 'W' && p(9) == 'E' && p(10) == 'B' && p(11) == 'P')
+      "webp"
     else "unknown"
 
   /** (width, height) from the image header:
@@ -78,7 +81,36 @@ object Multimodal {
     case "png" if p.length >= 24 => Some((be32(p, 16), be32(p, 20)))
     case "gif" => Some((le16(p, 6), le16(p, 8)))
     case "jpeg" => jpegDims(p)
+    case "webp" => webpDims(p)
     case _ => None
+  }
+
+  /** WebP dims per chunk kind: VP8L packs 14-bit w-1/h-1 after the 0x2f
+    * signature; lossy VP8 carries them in the key-frame header past the
+    * start code; VP8X holds a 24-bit canvas size minus one. */
+  private def webpDims(p: Array[Byte]): Option[(Int, Int)] = {
+    if (p.length < 30) return None
+    val kind = new String(p, 12, 4, "US-ASCII")
+    kind match {
+      case "VP8L" =>
+        if ((p(20) & 0xff) != 0x2f) None
+        else {
+          val bits = (p(21) & 0xff) | ((p(22) & 0xff) << 8) |
+            ((p(23) & 0xff) << 16) | ((p(24) & 0xff).toLong << 24).toInt
+          Some((1 + (bits & 0x3fff), 1 + ((bits >> 14) & 0x3fff)))
+        }
+      case "VP8 " =>
+        // frame tag(3) then 9d 01 2a then 16-bit w/h with scale bits
+        if ((p(23) & 0xff) != 0x9d || (p(24) & 0xff) != 0x01 ||
+          (p(25) & 0xff) != 0x2a) None
+        else Some((((p(26) & 0xff) | ((p(27) & 0xff) << 8)) & 0x3fff,
+          ((p(28) & 0xff) | ((p(29) & 0xff) << 8)) & 0x3fff))
+      case "VP8X" =>
+        def u24(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
+          ((p(o + 2) & 0xff) << 16)
+        Some((1 + u24(24), 1 + u24(27)))
+      case _ => None
+    }
   }
 
   private def jpegDims(p: Array[Byte]): Option[(Int, Int)] = {

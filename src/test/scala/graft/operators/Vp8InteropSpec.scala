@@ -54,6 +54,21 @@ class Vp8InteropSpec extends AnyFunSuite {
     }
   }
 
+  test("container sniff: detectFormat + imageDims on real webp files") {
+    for (i <- 0 until 8) {
+      val blob = read(s"lossy_$i.webp")
+      val exp = read(s"lossy_$i.yuv")
+      assert(Multimodal.detectFormat(blob) == "webp")
+      assert(Multimodal.imageDims(blob).contains((le32(exp, 0), le32(exp, 4))))
+    }
+    for (i <- 0 until 5) {
+      val blob = read(s"lossless_$i.webp")
+      val exp = read(s"lossless_$i.argb")
+      assert(Multimodal.detectFormat(blob) == "webp")
+      assert(Multimodal.imageDims(blob).contains((le32(exp, 0), le32(exp, 4))))
+    }
+  }
+
   for (i <- 0 until 5) {
     test(s"lossless_$i (real libwebp VP8L) decodes bit-exactly to ARGB") {
       val blob = read(s"lossless_$i.webp")
