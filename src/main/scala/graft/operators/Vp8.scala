@@ -840,8 +840,11 @@ object Vp8 {
 
   // ---- RIFF container ----
 
-  /** The VP8 (lossy) chunk payload. VP8X extended containers and
-    * lossless streams are named rejections here. */
+  /** The VP8 (lossy) chunk payload. VP8X extended containers holding a
+    * plain STILL (metadata chunks like EXIF/XMP/ICCP, no alpha, no
+    * animation) unwrap to their inner VP8 chunk — the common
+    * metadata-bearing crawl case; alpha and animation reject by name,
+    * as do lossless streams (Vp8l's entry point handles those). */
   def unwrapRiff(b: Array[Byte]): Either[Rejected, Array[Byte]] = {
     def fourcc(o: Int) = new String(b, o, 4, "US-ASCII")
     def u32(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
@@ -854,7 +857,33 @@ object Vp8 {
         if (n < 0 || 20 + n > b.length) return Left(Rejected("truncated_chunk"))
         Right(java.util.Arrays.copyOfRange(b, 20, 20 + n))
       case "VP8L" => Left(Rejected("lossless_stream")) // Vp8l handles these
-      case "VP8X" => Left(Rejected("vp8x_unsupported"))
+      case "VP8X" =>
+        val n = u32(16)
+        if (n < 10 || 20 + n > b.length) return Left(Rejected("truncated_chunk"))
+        val flags = u32(20) // LE; high 8 bits are reserved in byte order
+        // container-spec flag bits (libwebp mux constants): ICC 0x20,
+        // alpha 0x10, EXIF 0x08, XMP 0x04, animation 0x02
+        if ((flags & 0x02) != 0) return Left(Rejected("vp8x_animation_unsupported"))
+        if ((flags & 0x10) != 0) return Left(Rejected("vp8x_alpha_unsupported"))
+        // walk chunks after the VP8X payload for the image chunk;
+        // metadata chunks (EXIF/XMP/ICCP) skip by size (+pad)
+        var o = 20 + n + (n & 1)
+        while (o + 8 <= b.length) {
+          val cc = fourcc(o)
+          val size = u32(o + 4)
+          if (size < 0 || o + 8 + size > b.length)
+            return Left(Rejected("truncated_chunk"))
+          cc match {
+            case "VP8 " =>
+              return Right(java.util.Arrays.copyOfRange(b, o + 8, o + 8 + size))
+            case "VP8L" => return Left(Rejected("lossless_stream"))
+            case "ALPH" => return Left(Rejected("vp8x_alpha_unsupported"))
+            case "ANIM" | "ANMF" =>
+              return Left(Rejected("vp8x_animation_unsupported"))
+            case _ => o += 8 + size + (size & 1) // EXIF/XMP/ICCP/unknown
+          }
+        }
+        Left(Rejected("vp8x_no_image_chunk"))
       case _ => Left(Rejected("bad_container"))
     }
   }

@@ -6698,8 +6698,9 @@ object LlmQueries {
     // tables, Huffman literals (both weight transports, 1/4-stream
     // backward bitstreams), sequences (Predefined/RLE/FSE/Repeat modes,
     // three interleaved states) and execution with the repeat-offset
-    // history. Fixtures come from a REAL encoder — zstd-jni (on Spark's
-    // classpath; test-side only, the decode path is from scratch) at
+    // history. Fixtures come from a REAL encoder — zstd-jni (already on
+    // Spark's classpath; used on the fixture/test side only, the decode
+    // path is from scratch) at
     // level 3 with the content checksum on, so every row round-trips
     // genuine FSE/Huffman streams against the from-scratch XXH64
     // verify. The 8x-repeated text guarantees Compressed blocks at any

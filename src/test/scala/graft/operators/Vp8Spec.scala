@@ -120,19 +120,70 @@ class Vp8Spec extends AnyFunSuite {
     assert(Vp8.decode(blob).isRight)
   }
 
-  test("named rejections: container, start code, interframe, vp8x") {
+  /** Hand-assemble a VP8X container around a raw VP8 chunk payload. */
+  private def vp8x(vp8Chunk: Array[Byte], flags: Int,
+      extraChunks: Seq[(String, Array[Byte])] = Seq.empty): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+    def chunk(cc: String, body: Array[Byte]): Unit = {
+      out.write(cc.getBytes("US-ASCII")); le32(body.length)
+      out.write(body, 0, body.length)
+      if ((body.length & 1) == 1) out.write(0)
+    }
+    out.write("RIFF".getBytes("US-ASCII")); le32(0) // size patched below
+    out.write("WEBP".getBytes("US-ASCII"))
+    val x = new Array[Byte](10)
+    x(0) = flags.toByte // LE flag word, low byte carries the known bits
+    chunk("VP8X", x)
+    extraChunks.foreach { case (cc, b) => chunk(cc, b) }
+    chunk("VP8 ", vp8Chunk)
+    val bytes = out.toByteArray
+    val size = bytes.length - 8
+    bytes(4) = (size & 0xff).toByte; bytes(5) = ((size >> 8) & 0xff).toByte
+    bytes(6) = ((size >> 16) & 0xff).toByte; bytes(7) = ((size >> 24) & 0xff).toByte
+    bytes
+  }
+
+  test("named rejections: container, start code, interframe") {
     assert(Vp8.decode("junk".getBytes("US-ASCII")) ==
       Left(Vp8.Rejected("bad_container")))
     val good = Vp8.encode(16, 16, tY(1), tU(1), tV(1))
-    val l = good.clone()
-    System.arraycopy("VP8X".getBytes("US-ASCII"), 0, l, 12, 4)
-    assert(Vp8.decode(l) == Left(Vp8.Rejected("vp8x_unsupported")))
     val inter = good.clone()
     inter(20) = (inter(20) | 1).toByte // frame type bit -> interframe
     assert(Vp8.decode(inter) == Left(Vp8.Rejected("not_a_keyframe")))
     val sc = good.clone()
     sc(23) = 0x00 // start code byte
     assert(Vp8.decode(sc) == Left(Vp8.Rejected("bad_start_code")))
+  }
+
+  test("VP8X stills: metadata-bearing container unwraps; alpha/anim reject") {
+    val riff = Vp8.encode(33, 21, tY(9), tU(9), tV(9))
+    val plain = Vp8.decode(riff).toOption.get
+    // extract the raw VP8 chunk payload from the plain container
+    val chunkLen = (riff(16) & 0xff) | ((riff(17) & 0xff) << 8) |
+      ((riff(18) & 0xff) << 16)
+    val vp8Chunk = java.util.Arrays.copyOfRange(riff, 20, 20 + chunkLen)
+    // EXIF flag + an EXIF chunk before the image: decodes identically
+    val exif = Array.tabulate[Byte](23)(k => (k * 3).toByte) // odd -> pad path
+    val withMeta = vp8x(vp8Chunk, flags = 0x08, Seq(("EXIF", exif)))
+    val got = Vp8.decode(withMeta)
+    assert(got.isRight, s"$got")
+    assert(got.toOption.get.y.toSeq == plain.y.toSeq)
+    assert(got.toOption.get.u.toSeq == plain.u.toSeq)
+    // alpha / animation flags and chunks reject by name
+    assert(Vp8.decode(vp8x(vp8Chunk, flags = 0x10)) ==
+      Left(Vp8.Rejected("vp8x_alpha_unsupported")))
+    assert(Vp8.decode(vp8x(vp8Chunk, flags = 0x02)) ==
+      Left(Vp8.Rejected("vp8x_animation_unsupported")))
+    assert(Vp8.decode(vp8x(vp8Chunk, flags = 0,
+      Seq(("ALPH", Array[Byte](1, 2, 3))))) ==
+      Left(Vp8.Rejected("vp8x_alpha_unsupported")))
+    // no image chunk at all
+    val noImg = vp8x(Array.empty[Byte], flags = 0)
+    val trimmed = java.util.Arrays.copyOf(noImg, noImg.length - 8) // drop VP8 hdr
+    trimmed(4) = ((trimmed.length - 8) & 0xff).toByte
+    assert(Vp8.decode(trimmed) == Left(Vp8.Rejected("vp8x_no_image_chunk")))
   }
 
   test("truncation sweep never crashes") {
