@@ -321,9 +321,11 @@ object Vp8 {
   // ---- decoded frame ----
 
   /** Decoded YUV 4:2:0 planes, cropped to the declared dimensions
-    * (chroma is ceil(w/2) x ceil(h/2)). */
+    * (chroma is ceil(w/2) x ceil(h/2)); `alpha` is the w x h plane from
+    * an ALPH chunk when the container carries one. */
   final case class Yuv(w: Int, h: Int,
-      y: Array[Byte], u: Array[Byte], v: Array[Byte]) {
+      y: Array[Byte], u: Array[Byte], v: Array[Byte],
+      alpha: Option[Array[Byte]] = None) {
     def uvW: Int = (w + 1) / 2
     def uvH: Int = (h + 1) / 2
   }
@@ -840,12 +842,14 @@ object Vp8 {
 
   // ---- RIFF container ----
 
-  /** The VP8 (lossy) chunk payload. VP8X extended containers holding a
-    * plain STILL (metadata chunks like EXIF/XMP/ICCP, no alpha, no
-    * animation) unwrap to their inner VP8 chunk — the common
-    * metadata-bearing crawl case; alpha and animation reject by name,
-    * as do lossless streams (Vp8l's entry point handles those). */
-  def unwrapRiff(b: Array[Byte]): Either[Rejected, Array[Byte]] = {
+  /** The container's lossy payload: the VP8 chunk plus the ALPH chunk
+    * when transparency is present. VP8X extended containers holding a
+    * STILL (metadata chunks like EXIF/XMP/ICCP; alpha via ALPH) unwrap;
+    * animation rejects by name, as do lossless streams (Vp8l's entry
+    * point handles those). */
+  final case class LossyChunks(vp8: Array[Byte], alph: Option[Array[Byte]])
+
+  def unwrapRiff(b: Array[Byte]): Either[Rejected, LossyChunks] = {
     def fourcc(o: Int) = new String(b, o, 4, "US-ASCII")
     def u32(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
       ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
@@ -855,7 +859,7 @@ object Vp8 {
       case "VP8 " =>
         val n = u32(16)
         if (n < 0 || 20 + n > b.length) return Left(Rejected("truncated_chunk"))
-        Right(java.util.Arrays.copyOfRange(b, 20, 20 + n))
+        Right(LossyChunks(java.util.Arrays.copyOfRange(b, 20, 20 + n), None))
       case "VP8L" => Left(Rejected("lossless_stream")) // Vp8l handles these
       case "VP8X" =>
         val n = u32(16)
@@ -864,10 +868,10 @@ object Vp8 {
         // container-spec flag bits (libwebp mux constants): ICC 0x20,
         // alpha 0x10, EXIF 0x08, XMP 0x04, animation 0x02
         if ((flags & 0x02) != 0) return Left(Rejected("vp8x_animation_unsupported"))
-        if ((flags & 0x10) != 0) return Left(Rejected("vp8x_alpha_unsupported"))
-        // walk chunks after the VP8X payload for the image chunk;
-        // metadata chunks (EXIF/XMP/ICCP) skip by size (+pad)
+        // walk chunks after the VP8X payload: an optional ALPH chunk
+        // precedes the image chunk; metadata (EXIF/XMP/ICCP) skips
         var o = 20 + n + (n & 1)
+        var alph: Option[Array[Byte]] = None
         while (o + 8 <= b.length) {
           val cc = fourcc(o)
           val size = u32(o + 4)
@@ -875,9 +879,12 @@ object Vp8 {
             return Left(Rejected("truncated_chunk"))
           cc match {
             case "VP8 " =>
-              return Right(java.util.Arrays.copyOfRange(b, o + 8, o + 8 + size))
+              return Right(LossyChunks(
+                java.util.Arrays.copyOfRange(b, o + 8, o + 8 + size), alph))
             case "VP8L" => return Left(Rejected("lossless_stream"))
-            case "ALPH" => return Left(Rejected("vp8x_alpha_unsupported"))
+            case "ALPH" =>
+              alph = Some(java.util.Arrays.copyOfRange(b, o + 8, o + 8 + size))
+              o += 8 + size + (size & 1)
             case "ANIM" | "ANMF" =>
               return Left(Rejected("vp8x_animation_unsupported"))
             case _ => o += 8 + size + (size & 1) // EXIF/XMP/ICCP/unknown
@@ -886,6 +893,65 @@ object Vp8 {
         Left(Rejected("vp8x_no_image_chunk"))
       case _ => Left(Rejected("bad_container"))
     }
+  }
+
+  // ---- ALPH chunk (container spec: alpha plane for lossy stills) ----
+
+  /** Decode an ALPH chunk to the w x h alpha plane. Header byte: bits
+    * 0-1 compression (0 raw, 1 lossless-coded with alpha in GREEN),
+    * bits 2-3 the per-row prediction filter (none/horizontal/vertical/
+    * gradient), bits 4-5 pre-processing (level reduction — a decoder
+    * only records it). */
+  private def decodeAlpha(chunk: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    if (chunk.isEmpty) bail("truncated_alpha")
+    val hdr = chunk(0) & 0xff
+    val compression = hdr & 3
+    val filter = (hdr >> 2) & 3
+    if (compression > 1) bail("bad_alpha_compression")
+    val a = new Array[Byte](w * h)
+    if (compression == 0) {
+      if (chunk.length < 1 + w * h) bail("truncated_alpha")
+      System.arraycopy(chunk, 1, a, 0, w * h)
+    } else {
+      val px = Vp8l.decodeRawStream(
+        java.util.Arrays.copyOfRange(chunk, 1, chunk.length), w, h) match {
+        case Left(r) => bail(s"alpha_${r.reason}")
+        case Right(p) => p
+      }
+      var i = 0
+      while (i < w * h) { a(i) = ((px(i) >> 8) & 0xff).toByte; i += 1 }
+    }
+    // inverse prediction filter (container spec; libwebp filters.c
+    // semantics: row 0 and column 0 fall back as below)
+    if (filter > 0) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val pred =
+            if (x == 0 && y == 0) 0
+            else filter match {
+              case 1 => // horizontal: left; leftmost predicts from above
+                if (x == 0) a((y - 1) * w) & 0xff else a(y * w + x - 1) & 0xff
+              case 2 => // vertical: above; top row predicts from left
+                if (y == 0) a(x - 1) & 0xff else a((y - 1) * w + x) & 0xff
+              case _ => // gradient: clamp(left + above - above-left)
+                if (y == 0) a(x - 1) & 0xff
+                else if (x == 0) a((y - 1) * w) & 0xff
+                else {
+                  val l = a(y * w + x - 1) & 0xff
+                  val t = a((y - 1) * w + x) & 0xff
+                  val tl = a((y - 1) * w + x - 1) & 0xff
+                  clamp255(l + t - tl)
+                }
+            }
+          a(y * w + x) = ((a(y * w + x) & 0xff) + pred).toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
+    a
   }
 
   def wrapRiff(vp8: Array[Byte]): Array[Byte] = {
@@ -907,7 +973,16 @@ object Vp8 {
   // ---- frame decode ----
 
   def decode(riff: Array[Byte]): Either[Rejected, Yuv] =
-    unwrapRiff(riff).flatMap(decodeFrame)
+    unwrapRiff(riff).flatMap { ch =>
+      decodeFrame(ch.vp8).flatMap { yuv =>
+        ch.alph match {
+          case None => Right(yuv)
+          case Some(chunk) =>
+            try Right(yuv.copy(alpha = Some(decodeAlpha(chunk, yuv.w, yuv.h))))
+            catch { case e: Bail => Left(Rejected(e.reason)) }
+        }
+      }
+    }
 
   def decodeFrame(b: Array[Byte]): Either[Rejected, Yuv] =
     try {

@@ -464,7 +464,25 @@ object Vp8l {
       if (br.bits(3) != 0) return Left(Rejected("bad_version"))
       if (br.truncated) return Left(Rejected("truncated_header"))
       if (w.toLong * h > (1L << 24)) return Left(Rejected("oversized"))
+      Right((w, h, decodeBody(br, w, h)))
+    } catch { case e: Bail => Left(Rejected(e.reason)) }
 
+  /** Decode a HEADERLESS lossless stream at known dimensions — the form
+    * an ALPH chunk carries (container spec: the VP8L bitstream without
+    * RIFF framing, signature, or the size fields; the image's GREEN
+    * channel is the alpha plane). Starts directly at the transform
+    * loop, exactly like the top-level image. */
+  def decodeRawStream(payload: Array[Byte], w: Int,
+      h: Int): Either[Rejected, Array[Int]] =
+    try {
+      if (w < 1 || h < 1 || w.toLong * h > (1L << 24))
+        return Left(Rejected("oversized"))
+      Right(decodeBody(new BitReader(payload), w, h))
+    } catch { case e: Bail => Left(Rejected(e.reason)) }
+
+  /** Transform loop + entropy-coded image + inverse transforms (the
+    * part after the 5-byte header). Throws Bail on violation. */
+  private def decodeBody(br: BitReader, w: Int, h: Int): Array[Int] = {
       // transforms, in stream order; applied inverse in REVERSE order
       var transforms = List.empty[Transform]
       var effW = w // color indexing bundles sub-byte pixels: width shrinks
@@ -568,8 +586,8 @@ object Vp8l {
           px = out
           curW = w
       }
-      Right((w, h, px))
-    } catch { case e: Bail => Left(Rejected(e.reason)) }
+      px
+  }
 
   private val ClcOrder =
     Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)

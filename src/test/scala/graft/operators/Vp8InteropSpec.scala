@@ -61,7 +61,7 @@ class Vp8InteropSpec extends AnyFunSuite {
       assert(Multimodal.detectFormat(blob) == "webp")
       assert(Multimodal.imageDims(blob).contains((le32(exp, 0), le32(exp, 4))))
     }
-    for (i <- 0 until 5) {
+    for (i <- 0 until 7) {
       val blob = read(s"lossless_$i.webp")
       val exp = read(s"lossless_$i.argb")
       assert(Multimodal.detectFormat(blob) == "webp")
@@ -69,7 +69,7 @@ class Vp8InteropSpec extends AnyFunSuite {
     }
   }
 
-  for (i <- 0 until 5) {
+  for (i <- 0 until 7) {
     test(s"lossless_$i (real libwebp VP8L) decodes bit-exactly to ARGB") {
       val blob = read(s"lossless_$i.webp")
       val exp = read(s"lossless_$i.argb")
@@ -93,6 +93,43 @@ class Vp8InteropSpec extends AnyFunSuite {
         k += 1
       }
       assert(bad == 0, s"$bad mismatched pixels; first: $first")
+    }
+  }
+
+  for (i <- 0 until 3) {
+    test(s"alpha_$i (VP8X + ALPH) decodes color AND alpha bit-exactly") {
+      val blob = read(s"alpha_$i.webp")
+      val exp = read(s"alpha_$i.yuva")
+      val w = le32(exp, 0); val h = le32(exp, 4)
+      val uvW = (w + 1) / 2; val uvH = (h + 1) / 2
+      val got = Vp8.decode(blob)
+      assert(got.isRight, s"$got")
+      val yuv = got.toOption.get
+      assert((yuv.w, yuv.h) == (w, h))
+      assert(yuv.alpha.isDefined, "ALPH chunk must yield an alpha plane")
+      val yOff = 8
+      val uOff = yOff + w * h
+      val vOff = uOff + uvW * uvH
+      val aOff = vOff + uvW * uvH
+      var bad = 0
+      var first = ""
+      var k = 0
+      while (k < w * h) {
+        if (yuv.y(k) != exp(yOff + k)) { bad += 1; if (first.isEmpty) first = s"y[$k]" }
+        if (yuv.alpha.get(k) != exp(aOff + k)) {
+          bad += 1
+          if (first.isEmpty)
+            first = s"a[${k % w},${k / w}]: got ${yuv.alpha.get(k) & 0xff} want ${exp(aOff + k) & 0xff}"
+        }
+        k += 1
+      }
+      k = 0
+      while (k < uvW * uvH) {
+        if (yuv.u(k) != exp(uOff + k)) { bad += 1; if (first.isEmpty) first = s"u[$k]" }
+        if (yuv.v(k) != exp(vOff + k)) { bad += 1; if (first.isEmpty) first = s"v[$k]" }
+        k += 1
+      }
+      assert(bad == 0, s"$bad mismatched samples; first: $first")
     }
   }
 }

@@ -171,14 +171,22 @@ class Vp8Spec extends AnyFunSuite {
     assert(got.isRight, s"$got")
     assert(got.toOption.get.y.toSeq == plain.y.toSeq)
     assert(got.toOption.get.u.toSeq == plain.u.toSeq)
-    // alpha / animation flags and chunks reject by name
-    assert(Vp8.decode(vp8x(vp8Chunk, flags = 0x10)) ==
-      Left(Vp8.Rejected("vp8x_alpha_unsupported")))
+    // animation rejects by name; hostile ALPH chunks quarantine
     assert(Vp8.decode(vp8x(vp8Chunk, flags = 0x02)) ==
       Left(Vp8.Rejected("vp8x_animation_unsupported")))
-    assert(Vp8.decode(vp8x(vp8Chunk, flags = 0,
-      Seq(("ALPH", Array[Byte](1, 2, 3))))) ==
-      Left(Vp8.Rejected("vp8x_alpha_unsupported")))
+    val badAlph = Vp8.decode(vp8x(vp8Chunk, flags = 0x10,
+      Seq(("ALPH", Array[Byte](1, 2, 3))))) // lossless-coded garbage
+    assert(badAlph.isLeft, s"$badAlph")
+    assert(Vp8.decode(vp8x(vp8Chunk, flags = 0x10,
+      Seq(("ALPH", Array[Byte](2))))) == // reserved compression method
+      Left(Vp8.Rejected("bad_alpha_compression")))
+    // raw (uncompressed, unfiltered) ALPH decodes to its plane
+    val rawAlpha = Array.tabulate[Byte](33 * 21)(k => (k * 7).toByte)
+    val withAlpha = Vp8.decode(vp8x(vp8Chunk, flags = 0x10,
+      Seq(("ALPH", Array[Byte](0) ++ rawAlpha))))
+    assert(withAlpha.isRight, s"$withAlpha")
+    assert(withAlpha.toOption.get.alpha.get.toSeq == rawAlpha.toSeq)
+    assert(withAlpha.toOption.get.y.toSeq == plain.y.toSeq)
     // no image chunk at all
     val noImg = vp8x(Array.empty[Byte], flags = 0)
     val trimmed = java.util.Arrays.copyOf(noImg, noImg.length - 8) // drop VP8 hdr

@@ -42,6 +42,10 @@ LIB.WebPDecodeARGB.restype = ctypes.POINTER(ctypes.c_uint8)
 LIB.WebPDecodeARGB.argtypes = [
     ctypes.c_char_p, ctypes.c_size_t,
     ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+LIB.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+LIB.WebPDecodeRGBA.argtypes = [
+    ctypes.c_char_p, ctypes.c_size_t,
+    ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
 LIB.WebPFree.argtypes = [ctypes.c_void_p]
 
 
@@ -52,8 +56,10 @@ def lcg(seed):
         yield (s >> 16) & 0xFF
 
 
-def image(kind, w, h, seed):
-    """Deterministic RGBA content: gradients, blocks, noise, edges."""
+def image(kind, w, h, seed, alpha=False):
+    """Deterministic RGBA content: gradients, blocks, noise, edges.
+    `alpha` adds a deterministic non-255 alpha ramp (forces an ALPH
+    chunk in lossy encodes / real alpha in lossless ones)."""
     rnd = lcg(seed)
     buf = bytearray(w * h * 4)
     for y in range(h):
@@ -75,7 +81,7 @@ def image(kind, w, h, seed):
             buf[i] = r
             buf[i + 1] = g
             buf[i + 2] = b
-            buf[i + 3] = 255
+            buf[i + 3] = (40 + (x * 5 + y * 9 + seed) % 200) if alpha else 255
     return bytes(buf)
 
 
@@ -132,6 +138,16 @@ def decode_argb(blob):
     return w.value, h.value, data
 
 
+def decode_argb_rgba(blob):
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    p = LIB.WebPDecodeRGBA(blob, len(blob), ctypes.byref(w), ctypes.byref(h))
+    assert p
+    data = ctypes.string_at(p, w.value * h.value * 4)
+    LIB.WebPFree(p)
+    return w.value, h.value, data
+
+
 def main():
     lossy_cases = [
         ("gradient", 64, 48, 75), ("blocks", 80, 64, 50),
@@ -154,11 +170,14 @@ def main():
         print(f"lossy_{i}: {kind} {w}x{h} q{q} -> {len(blob)} bytes")
 
     lossless_cases = [
-        ("gradient", 40, 30), ("blocks", 64, 64), ("noise", 32, 24),
-        ("edges", 77, 45), ("blocks", 16, 200),
+        ("gradient", 40, 30, False), ("blocks", 64, 64, False),
+        ("noise", 32, 24, False), ("edges", 77, 45, False),
+        ("blocks", 16, 200, False),
+        # real transparency: VP8L carries alpha natively in ARGB
+        ("gradient", 48, 32, True), ("blocks", 33, 57, True),
     ]
-    for i, (kind, w, h) in enumerate(lossless_cases):
-        rgba = image(kind, w, h, seed=i * 104729 + 5)
+    for i, (kind, w, h, al) in enumerate(lossless_cases):
+        rgba = image(kind, w, h, seed=i * 104729 + 5, alpha=al)
         blob = encode_lossless(rgba, w, h)
         W, H, argb = decode_argb(blob)
         assert (W, H) == (w, h)
@@ -166,7 +185,30 @@ def main():
         with open(f"{OUT}/lossless_{i}.argb", "wb") as f:
             f.write(struct.pack("<ii", W, H))
             f.write(argb)
-        print(f"lossless_{i}: {kind} {w}x{h} -> {len(blob)} bytes")
+        print(f"lossless_{i}: {kind} {w}x{h} alpha={al} -> {len(blob)} bytes")
+
+    # lossy WITH TRANSPARENCY: VP8X container + ALPH chunk + VP8 frame.
+    # Expected alpha = the A channel of libwebp's own RGBA decode (the
+    # color planes are already pinned by the plain lossy cases; alpha is
+    # what these add).
+    alpha_cases = [("gradient", 64, 48, 75), ("edges", 49, 33, 40),
+                   ("blocks", 96, 64, 60)]
+    for i, (kind, w, h, q) in enumerate(alpha_cases):
+        rgba = image(kind, w, h, seed=i * 31337 + 3, alpha=True)
+        blob = encode_lossy(rgba, w, h, q)
+        assert b"ALPH" in blob and b"VP8X" in blob, "alpha fixture must carry ALPH"
+        W, H, yb, ub, vb = decode_yuv(blob)
+        assert (W, H) == (w, h)
+        Wa, Ha, argb_out = decode_argb_rgba(blob)
+        a_plane = bytes(argb_out[k * 4 + 3] for k in range(w * h))
+        open(f"{OUT}/alpha_{i}.webp", "wb").write(blob)
+        with open(f"{OUT}/alpha_{i}.yuva", "wb") as f:
+            f.write(struct.pack("<ii", W, H))
+            f.write(yb)
+            f.write(ub)
+            f.write(vb)
+            f.write(a_plane)
+        print(f"alpha_{i}: {kind} {w}x{h} q{q} -> {len(blob)} bytes")
 
 
 if __name__ == "__main__":
