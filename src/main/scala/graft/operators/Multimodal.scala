@@ -1973,12 +1973,23 @@ object Multimodal {
       .mapPartitions(_.map { id =>
         val w = 16 + (id % 5).toInt * 16 + (id % 7).toInt
         val h = 16 + (id % 3).toInt * 16 + (id % 5).toInt
-        val blob = Vp8.encode(w, h,
+        val plain = Vp8.encode(w, h,
           (mx, my) => ((id * 7 + 29 * mx + 31 * my) % 256).toInt,
           (mx, my) => ((id * 11 + 13 * mx + 17 * my) % 256).toInt,
           (mx, my) => ((id * 5 + 19 * mx + 23 * my) % 256).toInt,
           nTokenParts = 1 << (id % 3).toInt,
           withSegmentation = id % 4 == 1)
+        // every fifth row ships as VP8X + ALPH with a per-pixel alpha
+        // formula, forward-filtered by id so every inverse filter
+        // (none/horizontal/vertical/gradient) is oracle-gated
+        val blob =
+          if (id % 5 == 2) {
+            val alpha = Array.tabulate[Byte](w * h) { k =>
+              val px = k % w; val py = k / w
+              ((id * 3 + 7 * px + 11 * py) % 256).toByte
+            }
+            Vp8.wrapWithAlpha(plain, alpha, w, h, filter = (id % 4).toInt)
+          } else plain
         MediaRow(id, "image", blob)
       })
   }
@@ -1998,9 +2009,12 @@ object Multimodal {
         while (k < yuv.u.length) {
           us += yuv.u(k) & 0xff; vs += yuv.v(k) & 0xff; k += 1
         }
-        (r.media_id, yuv.y.length, ys, us, vs)
+        // -1 distinguishes "no alpha plane" from an all-zero one
+        val as = yuv.alpha.map(_.foldLeft(0L)((acc, b) => acc + (b & 0xff)))
+          .getOrElse(-1L)
+        (r.media_id, yuv.y.length, ys, us, vs, as)
       }
-    }).toDF("media_id", "n_px", "y_sum", "u_sum", "v_sum")
+    }).toDF("media_id", "n_px", "y_sum", "u_sum", "v_sum", "a_sum")
   }
 
   def jpegColorImagesFromDocuments(

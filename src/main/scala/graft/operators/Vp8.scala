@@ -1292,6 +1292,66 @@ object Vp8 {
 
   // ---- fixture encoder ----
 
+  /** Wrap a plain lossy container in VP8X with a raw ALPH chunk: the
+    * alpha plane is FORWARD-filtered with the given method (0-3) so the
+    * decoder's inverse filter is load-bearing for the replay. */
+  def wrapWithAlpha(riff: Array[Byte], alpha: Array[Byte], w: Int, h: Int,
+      filter: Int): Array[Byte] = {
+    require(alpha.length == w * h && filter >= 0 && filter <= 3)
+    val chunkLen = (riff(16) & 0xff) | ((riff(17) & 0xff) << 8) |
+      ((riff(18) & 0xff) << 16)
+    val vp8Chunk = java.util.Arrays.copyOfRange(riff, 20, 20 + chunkLen)
+    // forward filter: residual = value - pred over the ORIGINAL plane
+    val filtered = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val pred =
+          if (x == 0 && y == 0) 0
+          else filter match {
+            case 0 => 0
+            case 1 => if (x == 0) alpha((y - 1) * w) & 0xff
+              else alpha(y * w + x - 1) & 0xff
+            case 2 => if (y == 0) alpha(x - 1) & 0xff
+              else alpha((y - 1) * w + x) & 0xff
+            case _ =>
+              if (y == 0) alpha(x - 1) & 0xff
+              else if (x == 0) alpha((y - 1) * w) & 0xff
+              else clamp255((alpha(y * w + x - 1) & 0xff) +
+                (alpha((y - 1) * w + x) & 0xff) -
+                (alpha((y - 1) * w + x - 1) & 0xff))
+          }
+        filtered(y * w + x) = ((alpha(y * w + x) & 0xff) - pred).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+    def chunk(cc: String, body: Array[Byte]): Unit = {
+      out.write(cc.getBytes("US-ASCII")); le32(body.length)
+      out.write(body, 0, body.length)
+      if ((body.length & 1) == 1) out.write(0)
+    }
+    out.write("RIFF".getBytes("US-ASCII")); le32(0)
+    out.write("WEBP".getBytes("US-ASCII"))
+    val x = new Array[Byte](10)
+    x(0) = 0x10 // alpha flag
+    def w24(o: Int, v: Int): Unit = { x(o) = (v & 0xff).toByte
+      x(o + 1) = ((v >> 8) & 0xff).toByte; x(o + 2) = ((v >> 16) & 0xff).toByte }
+    w24(4, w - 1); w24(7, h - 1)
+    chunk("VP8X", x)
+    chunk("ALPH", Array[Byte]((filter << 2).toByte) ++ filtered)
+    chunk("VP8 ", vp8Chunk)
+    val bytes = out.toByteArray
+    val size = bytes.length - 8
+    bytes(4) = (size & 0xff).toByte; bytes(5) = ((size >> 8) & 0xff).toByte
+    bytes(6) = ((size >> 16) & 0xff).toByte; bytes(7) = ((size >> 24) & 0xff).toByte
+    bytes
+  }
+
   /** Encode target YUV planes (values constant per MACROBLOCK in every
     * plane — asserted) as a VP8 key frame that the decoder reconstructs
     * BIT-FOR-BIT: quantizer index 0 gives dc step 4 / y2-dc step 8,

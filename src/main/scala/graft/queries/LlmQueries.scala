@@ -6750,8 +6750,11 @@ object LlmQueries {
     // integer-exact through dequant+IWHT+IDCT), so the oracle replays
     // every plane sum from the per-macroblock target formulas; ragged
     // crops, token partitions 1/2/4, and the segment map rotate by id.
-    // Real libwebp-encoded streams (prob updates, loop filter, every
-    // encoder-chosen mode) are pinned bit-exactly in Vp8InteropSpec.
+    // Every fifth row wraps in VP8X + a raw ALPH chunk whose per-pixel
+    // alpha formula is forward-filtered by id, oracle-gating all four
+    // inverse alpha filters. Real libwebp-encoded streams (prob
+    // updates, loop filter, every encoder-chosen mode, lossless-coded
+    // filtered ALPH) are pinned bit-exactly in Vp8InteropSpec.
     OpQuery.sql(
       "q239_webp_lossy_decode",
       """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
@@ -6761,6 +6764,7 @@ object LlmQueries {
         |yy AS (SELECT *, unnest(generate_series(0, h - 1)) AS py FROM v),
         |yx AS (SELECT *, unnest(generate_series(0, w - 1)) AS px FROM yy),
         |ys AS (SELECT id, sum((id * 7 + 29 * (px // 16) + 31 * (py // 16)) % 256) AS y_sum,
+        |    sum((id * 3 + 7 * px + 11 * py) % 256) AS a_raw,
         |    count(*) AS n_px FROM yx GROUP BY 1),
         |cv AS (SELECT id, (w + 1) // 2 AS cw, (h + 1) // 2 AS ch FROM v),
         |cy AS (SELECT *, unnest(generate_series(0, ch - 1)) AS py FROM cv),
@@ -6772,7 +6776,9 @@ object LlmQueries {
         |SELECT ys.id AS media_id, CAST(ys.n_px AS INTEGER) AS n_px,
         |  CAST(ys.y_sum AS BIGINT) AS y_sum,
         |  CAST(cs.u_sum AS BIGINT) AS u_sum,
-        |  CAST(cs.v_sum AS BIGINT) AS v_sum
+        |  CAST(cs.v_sum AS BIGINT) AS v_sum,
+        |  CAST(CASE WHEN ys.id % 5 = 2 THEN ys.a_raw ELSE -1 END AS BIGINT)
+        |    AS a_sum
         |FROM ys JOIN cs ON ys.id = cs.id""".stripMargin) {
       (s, dir) =>
         Multimodal.decodeWebpLossyYuvStats(
