@@ -902,6 +902,13 @@ object Vp8 {
     * bits 2-3 the per-row prediction filter (none/horizontal/vertical/
     * gradient), bits 4-5 pre-processing (level reduction — a decoder
     * only records it). */
+  /** Either-typed entry for callers outside this object (the animation
+    * walk decodes per-frame ALPH chunks). */
+  private[operators] def decodeAlphaChunk(chunk: Array[Byte], w: Int,
+      h: Int): Either[Rejected, Array[Byte]] =
+    try Right(decodeAlpha(chunk, w, h))
+    catch { case e: Bail => Left(Rejected(e.reason)) }
+
   private def decodeAlpha(chunk: Array[Byte], w: Int, h: Int): Array[Byte] = {
     if (chunk.isEmpty) bail("truncated_alpha")
     val hdr = chunk(0) & 0xff

@@ -6816,6 +6816,118 @@ object LlmQueries {
         charsetGate(s, dir)
           .groupBy(col("fate"), col("charset"))
           .agg(count(lit(1)).cast("long").as("n_docs"))
+    },
+
+    // ANIMATED WebP census (VP8X + ANIM/ANMF) — the sticker/short-loop
+    // format beside GIF: canvas + loop metadata, and per ANMF frame the
+    // placement, timing, blend/dispose flags, and the frame payload
+    // decoded by the reference-sealed still decoders (VP8L frames to
+    // exact ARGB, lossy VP8 frames to exact YUV). Frames alternate
+    // lossless/lossy by formula; the oracle replays every field and
+    // every plane sum. Cross-frame composition is deliberately out of
+    // scope (YUV->RGB is renderer-chosen, not bitstream-normative —
+    // WebpAnim scaladoc); the census is what a dedup/curation pipeline
+    // consumes.
+    OpQuery.sql(
+      "q241_webp_anim_census",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |fr AS (SELECT id, unnest(generate_series(0, 1 + id % 3)) AS f FROM v),
+        |m AS (SELECT id, f, (id + f) % 2 = 0 AS lossless,
+        |    CASE WHEN (id + f) % 2 = 0 THEN 8 + (id + f) % 10
+        |         ELSE 16 * (1 + (id + f) % 2) + (id + f) % 5 END AS w,
+        |    CASE WHEN (id + f) % 2 = 0 THEN 6 + (id + 2 * f) % 8
+        |         ELSE 16 + (id + 3 * f) % 7 END AS h,
+        |    2 * ((id + f) % 4) AS x, 2 * (f % 3) AS y,
+        |    CAST(30 + 10 * f AS BIGINT) AS duration_ms,
+        |    f % 4 IN (2, 3) AS no_blend,
+        |    f % 4 IN (1, 3) AS dispose_bg
+        |  FROM fr),
+        |py AS (SELECT m.*, unnest(generate_series(0, h - 1)) AS yy FROM m),
+        |pxl AS (SELECT *, unnest(generate_series(0, w - 1)) AS xx FROM py),
+        |luma AS (SELECT id, f,
+        |    sum(CASE WHEN lossless THEN (id * 3 + f * 7 + xx * 5 + yy * 2) % 256
+        |        ELSE ((id + f) * 7 + 29 * (xx // 16) + 31 * (yy // 16)) % 256
+        |        END) AS s1,
+        |    sum(CASE WHEN lossless THEN (id * 5 + f * 11 + xx * 3 + yy * 7) % 256 END) AS g_sum,
+        |    sum(CASE WHEN lossless THEN (id * 7 + f * 13 + xx + yy * 3) % 256 END) AS b_sum
+        |  FROM pxl GROUP BY 1, 2),
+        |cy AS (SELECT id, f, w, h, (w + 1) // 2 AS cw, (h + 1) // 2 AS ch
+        |  FROM m WHERE NOT lossless),
+        |cyy AS (SELECT *, unnest(generate_series(0, ch - 1)) AS yy FROM cy),
+        |cxx AS (SELECT *, unnest(generate_series(0, cw - 1)) AS xx FROM cyy),
+        |chroma AS (SELECT id, f,
+        |    sum(((id + f) * 11 + 13 * (xx // 8) + 17 * (yy // 8)) % 256) AS u_sum,
+        |    sum(((id + f) * 5 + 19 * (xx // 8) + 23 * (yy // 8)) % 256) AS v_sum
+        |  FROM cxx GROUP BY 1, 2)
+        |SELECT m.id AS media_id, CAST(m.f AS INTEGER) AS frame_ix,
+        |  CAST(m.x AS INTEGER) AS x, CAST(m.y AS INTEGER) AS y,
+        |  CAST(m.w AS INTEGER) AS w, CAST(m.h AS INTEGER) AS h,
+        |  m.duration_ms, m.no_blend, m.dispose_bg, m.lossless,
+        |  CAST(luma.s1 AS BIGINT) AS s1,
+        |  CAST(CASE WHEN m.lossless THEN luma.g_sum ELSE chroma.u_sum END
+        |    AS BIGINT) AS s2,
+        |  CAST(CASE WHEN m.lossless THEN luma.b_sum ELSE chroma.v_sum END
+        |    AS BIGINT) AS s3
+        |FROM m JOIN luma ON m.id = luma.id AND m.f = luma.f
+        |LEFT JOIN chroma ON m.id = chroma.id AND m.f = chroma.f""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val nFrames = 2 + (id % 3).toInt
+            val stills = (0 until nFrames).map { f =>
+              val lossless = (id + f) % 2 == 0
+              val blob =
+                if (lossless) {
+                  val w = (8 + (id + f) % 10).toInt
+                  val h = (6 + (id + 2 * f) % 8).toInt
+                  val px = Array.tabulate(w * h) { k =>
+                    val x = k % w; val y = k / w
+                    (0xff << 24) |
+                      (((id * 3 + f * 7 + x * 5 + y * 2) % 256).toInt << 16) |
+                      (((id * 5 + f * 11 + x * 3 + y * 7) % 256).toInt << 8) |
+                      ((id * 7 + f * 13 + x + y * 3) % 256).toInt
+                  }
+                  graft.operators.Vp8l.encode(w, h, px, cacheBits = 3)
+                } else {
+                  val w = (16 * (1 + (id + f) % 2) + (id + f) % 5).toInt
+                  val h = (16 + (id + 3 * f) % 7).toInt
+                  graft.operators.Vp8.encode(w, h,
+                    (mx, my) => (((id + f) * 7 + 29 * mx + 31 * my) % 256).toInt,
+                    (mx, my) => (((id + f) * 11 + 13 * mx + 17 * my) % 256).toInt,
+                    (mx, my) => (((id + f) * 5 + 19 * mx + 23 * my) % 256).toInt)
+                }
+              (2 * ((id + f) % 4).toInt, 2 * (f % 3), 30 + 10 * f, f % 4, blob)
+            }
+            val anim = graft.operators.WebpAnim.encode(64, 48, 0, 2, stills)
+            graft.operators.WebpAnim.decode(anim) match {
+              case Left(r) => throw new IllegalStateException(s"fixture: ${r.reason}")
+              case Right(a) => a.frames.map { fr =>
+                val (s1, s2, s3) = (fr.argb, fr.yuv) match {
+                  case (Some(px), _) =>
+                    var rs = 0L; var gs = 0L; var bs = 0L
+                    px.foreach { p =>
+                      rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+                    }
+                    (rs, gs, bs)
+                  case (_, Some(yuv)) =>
+                    var ys = 0L; var us = 0L; var vs = 0L
+                    yuv.y.foreach(b => ys += b & 0xff)
+                    yuv.u.foreach(b => us += b & 0xff)
+                    yuv.v.foreach(b => vs += b & 0xff)
+                    (ys, us, vs)
+                  case _ => (0L, 0L, 0L)
+                }
+                (id, fr.index, fr.x, fr.y, fr.w, fr.h, fr.durationMs.toLong,
+                  fr.noBlend, fr.disposeToBackground, fr.argb.isDefined,
+                  s1, s2, s3)
+              }
+            }
+          })
+          .toDF("media_id", "frame_ix", "x", "y", "w", "h", "duration_ms",
+            "no_blend", "dispose_bg", "lossless", "s1", "s2", "s3")
     }
   )
 
