@@ -97,6 +97,15 @@ object Exif {
     None
   }
 
+  /** EXIF from a raw TIFF block — the shape WebP's EXIF chunk carries
+    * (with or without the JPEG-style "Exif\0\0" prefix; both occur in
+    * the wild, so try the prefixed form first). */
+  def exifFromTiff(p: Array[Byte]): Option[ExifMeta] =
+    if (p.length >= ExifHeader.length &&
+        ExifHeader.indices.forall(k => p(k) == ExifHeader(k)))
+      parseTiff(p, ExifHeader.length, p.length - ExifHeader.length)
+    else parseTiff(p, 0, p.length)
+
   /** Parse IFD0 of a TIFF block at p[base, base+size). */
   private def parseTiff(p: Array[Byte], base: Int, size: Int)
       : Option[ExifMeta] = {

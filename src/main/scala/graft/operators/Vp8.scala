@@ -895,6 +895,28 @@ object Vp8 {
     }
   }
 
+  /** A metadata chunk ("EXIF", "XMP ", "ICCP") from a VP8X container —
+    * EXIF payloads feed [[Exif.exifFromTiff]] (the same TIFF walk the
+    * JPEG tier uses). None for plain containers or absent chunks. */
+  def metadataChunk(b: Array[Byte], kind: String): Option[Array[Byte]] = {
+    def fourcc(o: Int) = new String(b, o, 4, "US-ASCII")
+    def u32(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    if (b.length < 30 || fourcc(0) != "RIFF" || fourcc(8) != "WEBP" ||
+        fourcc(12) != "VP8X") return None
+    val n = u32(16)
+    if (n < 10 || 20 + n > b.length) return None
+    var o = 20 + n + (n & 1)
+    while (o + 8 <= b.length) {
+      val size = u32(o + 4)
+      if (size < 0 || o + 8 + size > b.length) return None
+      if (fourcc(o) == kind)
+        return Some(java.util.Arrays.copyOfRange(b, o + 8, o + 8 + size))
+      o += 8 + size + (size & 1)
+    }
+    None
+  }
+
   // ---- ALPH chunk (container spec: alpha plane for lossy stills) ----
 
   /** Decode an ALPH chunk to the w x h alpha plane. Header byte: bits

@@ -145,6 +145,26 @@ class Vp8Spec extends AnyFunSuite {
     bytes
   }
 
+  test("VP8X EXIF chunk feeds the JPEG tier's TIFF walk") {
+    val riff = Vp8.encode(16, 16, tY(2), tU(2), tV(2))
+    val chunkLen = (riff(16) & 0xff) | ((riff(17) & 0xff) << 8) |
+      ((riff(18) & 0xff) << 16)
+    val vp8Chunk = java.util.Arrays.copyOfRange(riff, 20, 20 + chunkLen)
+    // WebP EXIF chunk = the APP1 payload (Exif\0\0 + TIFF) without the
+    // JPEG marker framing
+    val tiff = Exif.app1Exif(6, "graftcam", "2024:02:03 04:05:06",
+      littleEndian = true).drop(4)
+    val blob = vp8x(vp8Chunk, flags = 0x08, Seq(("EXIF", tiff)))
+    assert(Vp8.decode(blob).isRight)
+    val meta = Vp8.metadataChunk(blob, "EXIF").flatMap(Exif.exifFromTiff)
+    assert(meta.isDefined)
+    assert(meta.get.orientation == 6)
+    assert(meta.get.make == "graftcam")
+    assert(meta.get.datetime == "2024:02:03 04:05:06")
+    assert(Vp8.metadataChunk(blob, "XMP ").isEmpty)
+    assert(Vp8.metadataChunk(riff, "EXIF").isEmpty) // plain container
+  }
+
   test("named rejections: container, start code, interframe") {
     assert(Vp8.decode("junk".getBytes("US-ASCII")) ==
       Left(Vp8.Rejected("bad_container")))
