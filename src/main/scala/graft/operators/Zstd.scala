@@ -25,9 +25,16 @@ package graft.operators
   *    literals and Repeat table modes carry state across blocks within
   *    a frame, as the spec requires.
   *
+  * DICTIONARY frames (RFC 8878 §5) decode when the dictionary is
+  * supplied: formatted ZDICT output (magic, id, starting entropy
+  * tables parsed with the same readers as compressed blocks, repeat
+  * offsets, content history) and raw-content dictionaries (the
+  * out-of-band `zstd -D` pairing). Without the dictionary such frames
+  * quarantine by name; with the wrong one, on the id.
+  *
   * Reject-don't-guess: bad magic, reserved block type, truncated
   * headers/payloads, content-size or checksum mismatches,
-  * dictionary-referencing frames (undecodable without the dictionary),
+  * dictionary frames without their dictionary,
   * and every entropy-layer grammar violation (non-exact FSE count
   * totals, oversubscribed or overlong Huffman weights, offsets past the
   * produced history, bitstreams that do not land on their padding
@@ -174,7 +181,7 @@ object Zstd {
 
   /** One FSE decoding table: per state, the emitted symbol and the
     * (nbBits, baseline) state-update rule. */
-  private final case class Fse(log: Int, sym: Array[Int], nb: Array[Int],
+  private[operators] final case class Fse(log: Int, sym: Array[Int], nb: Array[Int],
       base: Array[Int])
 
   /** FSE table description (RFC 8878 §4.1.1): accuracy log, then
@@ -302,7 +309,7 @@ object Zstd {
 
   /** Huffman decode table: peek `log` bits of the backward stream as an
     * index; each entry holds (symbol, code length). */
-  private final case class Huf(log: Int, sym: Array[Byte], nb: Array[Int])
+  private[operators] final case class Huf(log: Int, sym: Array[Byte], nb: Array[Int])
 
   /** Build the decode table from weights (the last weight implied).
     * Per §4.2.1: symbols sorted by weight then index get ascending
@@ -427,6 +434,10 @@ object Zstd {
   private final class OutBuf {
     var a = new Array[Byte](64 * 1024)
     var n = 0
+    /** Bytes before this mark are dictionary-content history: matches
+      * may reach into them, but they are not part of the frame's own
+      * output (content size, checksum, FrameInfo.content). */
+    var base = 0
     private def ensure(extra: Int): Unit = {
       if (n + extra > (1 << 26)) bail("oversized")
       if (n + extra > a.length) {
@@ -448,7 +459,8 @@ object Zstd {
       var i = 0
       while (i < len) { a(n) = a(n - dist); n += 1; i += 1 }
     }
-    def toArray: Array[Byte] = java.util.Arrays.copyOf(a, n)
+    def toArray: Array[Byte] = java.util.Arrays.copyOfRange(a, base, n)
+    def dataLength: Int = n - base
   }
 
   /** Literals section (§3.1.1.3.1): header, optional Huffman tree,
@@ -658,6 +670,63 @@ object Zstd {
       bail("oversized_block") // spec: a block decodes to at most 128 KB
   }
 
+  // ---- dictionaries (RFC 8878 §5) ----
+
+  /** A parsed zstd dictionary: starting entropy tables, starting repeat
+    * offsets, and the content prefix match offsets may reach into.
+    * Opaque outside the codec (the table types are internal). */
+  final class Dict private[operators] (
+      val id: Long,
+      private[operators] val huf: Huf,
+      private[operators] val ll: Fse,
+      private[operators] val of: Fse,
+      private[operators] val ml: Fse,
+      private[operators] val rep1: Long,
+      private[operators] val rep2: Long,
+      private[operators] val rep3: Long,
+      private[operators] val content: Array[Byte]) {
+    def contentLength: Int = content.length
+  }
+
+  private val DictMagic = 0xEC30A437
+
+  /** Parse a FORMATTED dictionary (the ZDICT trainer's output: magic,
+    * dict id, entropy tables in compressed-block format, rep offsets,
+    * content). A blob without the magic is treated as a RAW-CONTENT
+    * dictionary (id 0, default tables) — both forms real corpora use. */
+  def parseDictionary(b: Array[Byte]): Either[Rejected, Dict] =
+    try {
+      if (b.length < 8 || u32l(b, 0).toInt != DictMagic)
+        return Right(new Dict(0L, null, null, null, null, 1L, 4L, 8L, b))
+      val id = u32l(b, 4)
+      var o = 8
+      val (huf, hufUsed) = readHuffman(b, o, b.length)
+      o += hufUsed
+      // entropy tables after the Huffman table travel in the order
+      // Offsets, Match_Lengths, Literals_Lengths, each a full FSE table
+      // description byte-aligned
+      val fwOf = new Fwd(b, o, b.length)
+      val (ofC, ofLog) = readFseCounts(fwOf, maxSym = 31, maxLog = 8)
+      val of = buildFse(ofC, ofLog)
+      o += fwOf.bytesConsumed
+      val fwMl = new Fwd(b, o, b.length)
+      val (mlC, mlLog) = readFseCounts(fwMl, maxSym = 52, maxLog = 9)
+      val ml = buildFse(mlC, mlLog)
+      o += fwMl.bytesConsumed
+      val fwLl = new Fwd(b, o, b.length)
+      val (llC, llLog) = readFseCounts(fwLl, maxSym = 35, maxLog = 9)
+      val ll = buildFse(llC, llLog)
+      o += fwLl.bytesConsumed
+      if (o + 12 > b.length) bail("truncated_dictionary")
+      val r1 = u32l(b, o); val r2 = u32l(b, o + 4); val r3 = u32l(b, o + 8)
+      o += 12
+      val content = java.util.Arrays.copyOfRange(b, o, b.length)
+      if (r1 == 0 || r2 == 0 || r3 == 0 ||
+          r1 > content.length || r2 > content.length || r3 > content.length)
+        bail("bad_dictionary_offsets")
+      Right(new Dict(id, huf, ll, of, ml, r1, r2, r3, content))
+    } catch { case e: Bail => Left(Rejected(e.reason)) }
+
   // ---- frame walk + stored-mode decode ----
 
   /** Per-frame census row. */
@@ -675,8 +744,15 @@ object Zstd {
   private val SkippableBase = 0x184D2A50
 
   /** Walk a (possibly multi-frame) zstd stream: per-frame metadata plus
-    * the reconstructed content of stored-mode frames. */
+    * reconstructed content. `dict` supplies an RFC 8878 §5 dictionary
+    * for frames whose header references one (starting entropy tables,
+    * repeat offsets, and content history) — without it such frames
+    * quarantine by name, with a WRONG one they quarantine on the id. */
   def decode(b: Array[Byte]): Either[Rejected, Seq[FrameInfo]] =
+    decode(b, None)
+
+  def decode(b: Array[Byte],
+      dict: Option[Dict]): Either[Rejected, Seq[FrameInfo]] =
     try {
       val out = Seq.newBuilder[FrameInfo]
       var i = 0
@@ -712,9 +788,25 @@ object Zstd {
           val didLen = didFlag match {
             case 0 => 0; case 1 => 1; case 2 => 2; case _ => 4
           }
+          // raw-content dictionaries carry no id, so frames built with
+          // one have NO dictionary-id field — the pairing is
+          // out-of-band, exactly like `zstd -D`: an explicitly supplied
+          // raw dict (id 0) seeds every frame
+          var frameDict: Option[Dict] = dict.filter(_.id == 0L)
           if (didLen > 0) {
-            // frames needing an external dictionary are undecodable here
-            bail("dictionary_frame")
+            if (i + didLen > b.length) bail("truncated_header")
+            var did = 0L
+            var k = 0
+            while (k < didLen) { did |= (b(i + k) & 0xffL) << (8 * k); k += 1 }
+            i += didLen
+            dict match {
+              case None => bail("dictionary_frame") // undecodable without it
+              case Some(d) =>
+                // raw-content dictionaries carry no id (0 here): accept
+                // any reference; formatted ids must match exactly
+                if (d.id != 0L && d.id != did) bail("dictionary_mismatch")
+                frameDict = Some(d)
+            }
           }
           val fcsLen = fcsFlag match {
             case 0 => if (singleSegment) 1 else 0
@@ -731,6 +823,14 @@ object Zstd {
           }
           val content = new OutBuf
           val st = new FrameState
+          frameDict.foreach { d =>
+            content.append(d.content, 0, d.content.length)
+            content.base = content.n
+            if (d.huf != null) { // formatted dicts seed the entropy state
+              st.huf = d.huf; st.ll = d.ll; st.of = d.of; st.ml = d.ml
+            }
+            st.rep1 = d.rep1; st.rep2 = d.rep2; st.rep3 = d.rep3
+          }
           var last = false
           var nBlocks = 0; var nRaw = 0; var nRle = 0; var nCompressed = 0
           while (!last) {
@@ -760,7 +860,7 @@ object Zstd {
                 nCompressed += 1
               case _ => bail("reserved_block_type")
             }
-            if (content.n > (1 << 26)) bail("oversized")
+            if (content.dataLength > (1 << 26)) bail("oversized")
           }
           val data = content.toArray
           if (contentSize >= 0 && data.length != contentSize)

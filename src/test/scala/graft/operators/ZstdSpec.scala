@@ -191,6 +191,68 @@ class ZstdSpec extends AnyFunSuite {
     assert(caught > 0)
   }
 
+  test("dictionary frames: trained ZDICT dictionary decodes; absence/mismatch reject") {
+    // train a real dictionary (zstd-jni ZDICT) over repetitive samples
+    val trainer = new com.github.luben.zstd.ZstdDictTrainer(1 << 20, 16 * 1024)
+    (0 until 64).foreach { k =>
+      trainer.addSample((s"sample record $k: " + textish(k, 300).map(_.toChar).mkString).getBytes("US-ASCII"))
+    }
+    val dictBytes = trainer.trainSamples()
+    val dict = Zstd.parseDictionary(dictBytes).toOption.get
+    assert(dict.id != 0L, "ZDICT output carries a real dictionary id")
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    val data = ("sample record 999: " + textish(9, 700).map(_.toChar).mkString)
+      .getBytes("US-ASCII")
+    val blob =
+      try {
+        ctx.setLevel(3); ctx.setChecksum(true); ctx.loadDict(dictBytes)
+        ctx.compress(data)
+      } finally ctx.close()
+    // without the dictionary: named rejection
+    assert(Zstd.decode(blob) == Left(Zstd.Rejected("dictionary_frame")))
+    // with it: exact content through the XXH64 verify
+    val got = Zstd.decode(blob, Some(dict))
+    assert(got.isRight, s"$got")
+    assert(got.toOption.get.head.content.toSeq == data.toSeq)
+    // a wrong formatted dictionary: id mismatch by name
+    val other = new com.github.luben.zstd.ZstdDictTrainer(1 << 20, 16 * 1024)
+    (0 until 64).foreach(k => other.addSample(bytes(k + 1000, 400)))
+    val wrong = Zstd.parseDictionary(other.trainSamples()).toOption.get
+    if (wrong.id != dict.id)
+      assert(Zstd.decode(blob, Some(wrong)) ==
+        Left(Zstd.Rejected("dictionary_mismatch")))
+  }
+
+  test("dictionary frames: raw-content dictionary (out-of-band pairing)") {
+    val rawDict = ("shared prefix vocabulary: " + textish(3, 2000).map(_.toChar).mkString)
+      .getBytes("US-ASCII")
+    val data = ("shared prefix vocabulary: " + textish(3, 500).map(_.toChar).mkString +
+      " plus novel tail").getBytes("US-ASCII")
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    val blob =
+      try {
+        ctx.setLevel(19); ctx.setChecksum(true); ctx.loadDict(rawDict)
+        ctx.compress(data)
+      } finally ctx.close()
+    val dict = Zstd.parseDictionary(rawDict).toOption.get
+    assert(dict.id == 0L)
+    val got = Zstd.decode(blob, Some(dict))
+    assert(got.isRight, s"$got")
+    assert(got.toOption.get.head.content.toSeq == data.toSeq)
+  }
+
+  test("hostile: truncated/garbled formatted dictionaries reject by name") {
+    val trainer = new com.github.luben.zstd.ZstdDictTrainer(1 << 20, 8 * 1024)
+    (0 until 32).foreach(k => trainer.addSample(bytes(k, 500) ++ bytes(k, 200)))
+    val dictBytes = trainer.trainSamples()
+    (8 until math.min(dictBytes.length, 60)).foreach { cut =>
+      Zstd.parseDictionary(java.util.Arrays.copyOf(dictBytes, cut)) match {
+        case Left(r) => assert(r.reason.nonEmpty)
+        case Right(d) => assert(d.id != 0) // parsed a shorter-but-legal prefix
+      }
+    }
+  }
+
   test("dictionary frames reject by name") {
     val good = Zstd.encode(bytes(5, 30), checksum = false, withContentSize = false)
     val c = good.clone()
