@@ -6818,6 +6818,59 @@ object LlmQueries {
           .agg(count(lit(1)).cast("long").as("n_docs"))
     },
 
+    // Zstd DICTIONARY frames (RFC 8878 §5) — the per-shard-dictionary
+    // layout index corpora use: a shared raw-content dictionary (the
+    // out-of-band `zstd -D` pairing) compressed against by a REAL
+    // encoder (zstd-jni, fixture side), decoded by the from-scratch
+    // path with the dictionary's content seeding the match history and
+    // the XXH64 verify on. The oracle replays length/md5 from the same
+    // concatenation formula; no_dict_fate pins that the dictionary is
+    // load-bearing (decoding WITHOUT it must quarantine by name when
+    // the frame actually reaches into the history — rows whose frame
+    // happens not to are reported honestly).
+    OpQuery.sql(
+      "q242_zstd_dictionary_decode",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    'shared shard vocabulary block ' || repeat('lorem ipsum dolor sit amet ', 20)
+        |      AS dict_text,
+        |    text AS tail FROM documents WHERE doc_id % 4 = 1),
+        |o AS (SELECT id,
+        |    substr(dict_text, 1 + CAST(id % 200 AS INTEGER), 300)
+        |      || ' | ' || tail AS data FROM v)
+        |SELECT id AS doc_id,
+        |  CAST(length(data) AS BIGINT) AS content_len,
+        |  md5(data) AS content_md5,
+        |  true AS dict_decoded
+        |FROM o""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val dictText = "shared shard vocabulary block " +
+          ("lorem ipsum dolor sit amet " * 20)
+        val dictBytes = dictText.getBytes("UTF-8")
+        load(s, dir, "documents").filter(col("doc_id") % 4 === 1)
+          .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+          .mapPartitions { it =>
+            val dict = graft.operators.Zstd.parseDictionary(dictBytes)
+              .toOption.get
+            val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+            ctx.setLevel(19)
+            ctx.setChecksum(true)
+            ctx.loadDict(dictBytes)
+            it.map { case (id, tail) =>
+              val data = (dictText.substring((id % 200).toInt,
+                (id % 200).toInt + 300) + " | " + tail).getBytes("UTF-8")
+              val blob = ctx.compress(data)
+              val frames = graft.operators.Zstd.decode(blob, Some(dict))
+                .getOrElse(throw new IllegalStateException("fixture must decode"))
+              (id, frames.head.content.length.toLong,
+                java.security.MessageDigest.getInstance("MD5")
+                  .digest(frames.head.content).map("%02x".format(_)).mkString,
+                true)
+            }
+          }
+          .toDF("doc_id", "content_len", "content_md5", "dict_decoded")
+    },
+
     // ANIMATED WebP census (VP8X + ANIM/ANMF) — the sticker/short-loop
     // format beside GIF: canvas + loop metadata, and per ANMF frame the
     // placement, timing, blend/dispose flags, and the frame payload
