@@ -218,7 +218,10 @@ object CharsetSniff {
     * BEFORE allocation grows past it (bomb guard); deflate tries the
     * RFC 9110 zlib wrapping first and falls back to raw deflate (the
     * well-known server quirk — both are deterministic, no guessing
-    * beyond the documented fallback); br/zstd/compress and multi-coding
+    * beyond the documented fallback); br decodes via the from-scratch
+    * RFC 7932 decoder (graft.operators.Brotli, interop-pinned against
+    * the system libbrotli) with the same bomb cap and named
+    * truncation/corruption fates; zstd/compress and multi-coding
     * chains reject by name. */
   def decodeContentEncoding(body: Array[Byte], encoding: Option[String],
       maxOut: Int = 1 << 24): Either[Rejected, Array[Byte]] =
@@ -270,6 +273,15 @@ object CharsetSniff {
             case r @ Right(_) => r
             case Left(_) => Left(Rejected("corrupt_deflate_body"))
           }
+        }
+      case Some("br") =>
+        Brotli.decode(body, maxOut) match {
+          case Right(d) => Right(d.content)
+          case Left(Brotli.Rejected("truncated_brotli")) =>
+            Left(Rejected("truncated_br_body"))
+          case Left(Brotli.Rejected("brotli_bomb")) =>
+            Left(Rejected("encoding_bomb"))
+          case Left(_) => Left(Rejected("corrupt_br_body"))
         }
       case Some(other) =>
         Left(Rejected(

@@ -1700,11 +1700,14 @@ object Multimodal {
         row.getSeq[org.apache.spark.sql.Row](1).foreach { d =>
           val id = d.getLong(0)
           val (rawBody, ct) = encode(id, d.getString(1))
-          // Content-Encoding layer (id-rotated): gzip / zlib-deflate /
-          // raw-deflate members decode transparently before the charset
-          // gate; a brotli-labeled body and a truncated gzip member
-          // exercise the named rejections. Precedence mirrors the
-          // q231/q232 oracles' CASE order exactly.
+          // Content-Encoding layer (id-rotated): brotli / gzip /
+          // zlib-deflate / raw-deflate members decode transparently
+          // before the charset gate (the br rows carry REAL RFC 7932
+          // streams from graft's own encoder — round 12; before that
+          // they exercised the unsupported_encoding_br rejection); a
+          // truncated gzip member exercises the named rejections.
+          // Precedence mirrors the q231/q232 oracles' CASE order
+          // exactly.
           def gz(b: Array[Byte]): Array[Byte] = {
             val bos = new java.io.ByteArrayOutputStream()
             val g = new java.util.zip.GZIPOutputStream(bos)
@@ -1723,8 +1726,7 @@ object Multimodal {
           }
           val (body, encHeader) =
             if (id % 13 == 11)
-              (Array.tabulate[Byte](40)(k => (k * 31 + 7).toByte),
-                "Content-Encoding: br\r\n")
+              (Brotli.encode(rawBody), "Content-Encoding: br\r\n")
             else if (id % 17 == 13) {
               val g = gz(rawBody)
               (java.util.Arrays.copyOf(g, math.max(4, g.length - 5)),

@@ -175,9 +175,11 @@ class CharsetSniffSpec extends AnyFunSuite {
     val bomb = gz(new Array[Byte](1 << 22))
     assert(CharsetSniff.decodeContentEncoding(bomb, Some("gzip"),
       maxOut = 1 << 16) == Left(CharsetSniff.Rejected("encoding_bomb")))
-    // unknown and multi-codings reject by name, never guess
+    // br decodes since round 12 — a gzip blob LABELED br is corrupt by
+    // name, not unsupported (real br flows are pinned in BrotliSpec)
     assert(CharsetSniff.decodeContentEncoding(g, Some("br")) ==
-      Left(CharsetSniff.Rejected("unsupported_encoding_br")))
+      Left(CharsetSniff.Rejected("corrupt_br_body")))
+    // unknown and multi-codings reject by name, never guess
     assert(CharsetSniff.decodeContentEncoding(g, Some("zstd")) ==
       Left(CharsetSniff.Rejected("unsupported_encoding_zstd")))
     assert(CharsetSniff.decodeContentEncoding(g, Some("gzip, br")).isLeft)
