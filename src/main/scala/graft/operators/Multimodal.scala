@@ -1996,6 +1996,59 @@ object Multimodal {
       })
   }
 
+  /** q244's fixture: lossy WebP with CONSTANT chroma planes — the shape
+    * whose fancy upsampling is an exact pass-through (a 9/3/3/1 average
+    * of a constant is the constant), so the SQL oracle can apply the
+    * libwebp fixed-point matrix to (yFormula, cu, cv) directly. The
+    * varying-chroma upsampler itself is pinned sample-exactly against
+    * real libwebp RGBA dumps in WebpRgbSpec (the q239 split). Every
+    * fifth row carries an ALPH plane so the A channel of the RGBA
+    * output is oracle-gated too. */
+  def webpLossyConstChromaFromDocuments(
+      spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.filter(col("doc_id") % 3 === 2).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 16 + (id % 5).toInt * 16 + (id % 7).toInt
+        val h = 16 + (id % 3).toInt * 16 + (id % 5).toInt
+        val plain = Vp8.encode(w, h,
+          (mx, my) => ((id * 7 + 29 * mx + 31 * my) % 256).toInt,
+          (_, _) => ((id * 11 + 37) % 256).toInt,
+          (_, _) => ((id * 19 + 53) % 256).toInt,
+          nTokenParts = 1 << (id % 3).toInt)
+        val blob =
+          if (id % 5 == 2) {
+            val alpha = Array.tabulate[Byte](w * h) { k =>
+              val px = k % w; val py = k / w
+              ((id * 3 + 7 * px + 11 * py) % 256).toByte
+            }
+            Vp8.wrapWithAlpha(plain, alpha, w, h, filter = (id % 4).toInt)
+          } else plain
+        MediaRow(id, "image", blob)
+      })
+  }
+
+  /** Lossy WebP decode all the way to RGBA (the WebPDecodeRGBA-pinned
+    * color space): per-image RGBA channel sums. Rejects yield no rows. */
+  def decodeWebpRgbaStats(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      Vp8.decode(r.payload).toOption.iterator.map { yuv =>
+        val rgba = WebpRgb.toRgba(yuv)
+        var rs = 0L; var gs = 0L; var bs = 0L; var as = 0L
+        var k = 0
+        while (k < rgba.length) {
+          rs += rgba(k) & 0xff
+          gs += rgba(k + 1) & 0xff
+          bs += rgba(k + 2) & 0xff
+          as += rgba(k + 3) & 0xff
+          k += 4
+        }
+        (r.media_id, yuv.w * yuv.h, rs, gs, bs, as)
+      }
+    }).toDF("media_id", "n_px", "r_sum", "g_sum", "b_sum", "a_sum")
+  }
+
   /** VP8 lossy decode to per-image YUV plane sums; rejects yield no
     * rows. Sums are over the CROPPED planes (luma w x h, chroma
     * ceil-half dims) — the oracle replays them from the target

@@ -7034,6 +7034,140 @@ object LlmQueries {
               true)
           })
           .toDF("file_id", "content_len", "content_md5", "decoded")
+    },
+
+    // WebP lossy -> RGBA, the WebPDecodeRGBA-pinned color space (round
+    // 11's Missing #2: decoded lossy frames stopped at YUV). Fixtures
+    // keep the chroma planes CONSTANT per image, the shape whose fancy
+    // upsampling is an exact pass-through, so the oracle replays every
+    // RGBA channel sum by applying libwebp's fixed-point matrix
+    // (yuv.h: mh(a,c)=(a*c)//256, clip(v)=v//64 in [0,16384) else
+    // saturate) to the Y formula + the two chroma constants; the
+    // varying-chroma upsampler is pinned sample-exactly against real
+    // libwebp RGBA dumps in WebpRgbSpec. Every fifth row's ALPH plane
+    // gates the A channel; the rest decode A=255.
+    OpQuery.sql(
+      "q244_webp_rgba_decode",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(16 + (doc_id % 5) * 16 + doc_id % 7 AS BIGINT) AS w,
+        |    CAST(16 + (doc_id % 3) * 16 + doc_id % 5 AS BIGINT) AS h,
+        |    (doc_id * 11 + 37) % 256 AS cu,
+        |    (doc_id * 19 + 53) % 256 AS cv
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |yy AS (SELECT *, unnest(generate_series(0, h - 1)) AS py FROM v),
+        |xx AS (SELECT *, unnest(generate_series(0, w - 1)) AS px FROM yy),
+        |p AS (SELECT id, px, py, cu, cv,
+        |    (id * 7 + 29 * (px // 16) + 31 * (py // 16)) % 256 AS yv FROM xx),
+        |m AS (SELECT id, px, py,
+        |    (yv * 19077) // 256 + (cv * 26149) // 256 - 14234 AS rr,
+        |    (yv * 19077) // 256 - (cu * 6419) // 256
+        |      - (cv * 13320) // 256 + 8708 AS gg,
+        |    (yv * 19077) // 256 + (cu * 33050) // 256 - 17685 AS bb
+        |  FROM p),
+        |c AS (SELECT id,
+        |    CASE WHEN rr < 0 THEN 0 WHEN rr >= 16384 THEN 255
+        |         ELSE rr // 64 END AS r,
+        |    CASE WHEN gg < 0 THEN 0 WHEN gg >= 16384 THEN 255
+        |         ELSE gg // 64 END AS g,
+        |    CASE WHEN bb < 0 THEN 0 WHEN bb >= 16384 THEN 255
+        |         ELSE bb // 64 END AS b,
+        |    CASE WHEN id % 5 = 2 THEN (id * 3 + 7 * px + 11 * py) % 256
+        |         ELSE 255 END AS a
+        |  FROM m)
+        |SELECT id AS media_id, CAST(count(*) AS INTEGER) AS n_px,
+        |  CAST(sum(r) AS BIGINT) AS r_sum, CAST(sum(g) AS BIGINT) AS g_sum,
+        |  CAST(sum(b) AS BIGINT) AS b_sum, CAST(sum(a) AS BIGINT) AS a_sum
+        |FROM c GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        Multimodal.decodeWebpRgbaStats(
+          Multimodal.webpLossyConstChromaFromDocuments(
+            s, load(s, dir, "documents")))
+    },
+
+    // CROSS-FORMAT perceptual hash — the query Missing #2 unblocks: the
+    // SAME synthetic content encoded as a color JPEG (JFIF pipeline)
+    // and as a lossy WebP (libwebp pipeline) must land on the SAME
+    // dHash, because dHash compares gray-level ORDERING and both
+    // formats' decodes are strictly monotone in the shared Y pattern
+    // (both exactness encoders reproduce the block-flat Y plane
+    // exactly; chroma is constant per image; ranges chosen clip-free).
+    // The oracle replays the hash itself from the Y formula through the
+    // 9x8 nearest-neighbor resize — a JPEG<->WebP near-dup join is the
+    // deployment shape (one hash space across container formats).
+    OpQuery.sql(
+      "q246_crossformat_phash",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    16 * (2 + doc_id % 3) AS w, 16 * (2 + doc_id % 2) AS h
+        |  FROM documents WHERE doc_id % 6 = 1),
+        |yy AS (SELECT *, unnest(generate_series(0, 7)) AS oy FROM v),
+        |cc AS (SELECT *, unnest(generate_series(0, 8)) AS ox FROM yy),
+        |sp AS (SELECT id, oy, ox,
+        |    60 + (id * 7 + 29 * (((ox * w) // 9) // 16)
+        |      + 31 * (((oy * h) // 8) // 16)) % 130 AS yv FROM cc),
+        |nbr AS (SELECT id, oy, ox, yv,
+        |    lead(yv) OVER (PARTITION BY id, oy ORDER BY ox) AS nxt FROM sp),
+        |bits AS (SELECT id, oy * 8 + ox AS idx,
+        |    CASE WHEN yv > nxt THEN 1 ELSE 0 END AS b
+        |  FROM nbr WHERE ox < 8),
+        |dh AS (SELECT id,
+        |  CAST(sum(CASE WHEN b = 1 THEN
+        |        CASE WHEN idx = 63 THEN -9223372036854775807 - 1
+        |             ELSE 1::BIGINT << idx END
+        |      ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY 1)
+        |SELECT id AS doc_id, dhash AS dhash_jpeg, dhash AS dhash_webp,
+        |  CAST(0 AS INTEGER) AS hamming
+        |FROM dh""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val frames = load(s, dir, "documents").filter(col("doc_id") % 6 === 1)
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val w = 16 * (2 + (id % 3)).toInt
+            val h = 16 * (2 + (id % 2)).toInt
+            def yAt(bx: Int, by: Int): Int =
+              (60 + (id * 7 + 29 * bx + 31 * by) % 130).toInt
+            val cb = (118 + id % 20).toInt
+            val cr = (120 + id % 16).toInt
+            def gray(w0: Int, h0: Int, rgbAt: Int => (Int, Int, Int)) =
+              Array.tabulate[Byte](w0 * h0) { k =>
+                val (r, g, b) = rgbAt(k)
+                ((77 * r + 150 * g + 29 * b) >> 8).toByte
+              }
+            // JPEG side (JFIF pipeline, q105's exactness argument)
+            val yP = Array.tabulate[Byte](w * h)(k =>
+              yAt((k % w) / 16, (k / w) / 16).toByte)
+            val jpeg = graft.operators.Jpeg.encodeColor420(w, h, yP,
+              Array.fill[Byte](w * h)(cb.toByte),
+              Array.fill[Byte](w * h)(cr.toByte))
+            val jFrame = graft.operators.Jpeg.decodeRgb(jpeg).map {
+              case (jw, jh, rgb) =>
+                Multimodal.FrameRow(id * 2, 0, jw, jh, gray(jw, jh, k =>
+                  (rgb(3 * k) & 0xff, rgb(3 * k + 1) & 0xff,
+                    rgb(3 * k + 2) & 0xff)))
+            }
+            // WebP side (libwebp pipeline: RFC 6386 + WebPDecodeRGBA space)
+            val webp = graft.operators.Vp8.encode(w, h,
+              (mx, my) => yAt(mx, my), (_, _) => cb, (_, _) => cr)
+            val wFrame = graft.operators.Vp8.decode(webp).toOption.map { yuv =>
+              val rgba = graft.operators.WebpRgb.toRgba(yuv)
+              Multimodal.FrameRow(id * 2 + 1, 0, yuv.w, yuv.h,
+                gray(yuv.w, yuv.h, k =>
+                  (rgba(4 * k) & 0xff, rgba(4 * k + 1) & 0xff,
+                    rgba(4 * k + 2) & 0xff)))
+            }
+            jFrame.iterator ++ wFrame.iterator
+          })
+        graft.operators.ImageHash.dhash64(frames)
+          .select((col("media_id") / 2).cast("long").as("doc_id"),
+            (col("media_id") % 2).as("fmt"), col("dhash"))
+          .groupBy("doc_id")
+          .agg(
+            max(when(col("fmt") === 0, col("dhash"))).as("dhash_jpeg"),
+            max(when(col("fmt") === 1, col("dhash"))).as("dhash_webp"))
+          .select(col("doc_id"), col("dhash_jpeg"), col("dhash_webp"),
+            bit_count(col("dhash_jpeg").bitwiseXOR(col("dhash_webp")))
+              .cast("int").as("hamming"))
     }
   )
 

@@ -210,6 +210,23 @@ def main():
             f.write(a_plane)
         print(f"alpha_{i}: {kind} {w}x{h} q{q} -> {len(blob)} bytes")
 
+    # RGBA expected output (round 12): WebPDecodeRGBA dumps for every
+    # lossy/alpha fixture — the bit-exact target of graft's fancy
+    # upsampler + fixed-point YUV->RGB (WebpRgb / WebpRgbSpec).
+    for i in range(len(lossy_cases)):
+        dump_rgba(f"{OUT}/lossy_{i}.webp", f"{OUT}/lossy_{i}.rgba")
+    for i in range(len(alpha_cases)):
+        dump_rgba(f"{OUT}/alpha_{i}.webp", f"{OUT}/alpha_{i}.rgba")
+
+
+def dump_rgba(webp_path, out_path):
+    blob = open(webp_path, "rb").read()
+    w, h, rgba = decode_argb_rgba(blob)
+    with open(out_path, "wb") as f:
+        f.write(struct.pack("<ii", w, h))
+        f.write(rgba)
+    print(f"{out_path}: {w}x{h}")
+
 
 if __name__ == "__main__":
     main()
