@@ -234,14 +234,26 @@ object Gif {
     * past the sub-block terminator). */
   private def decodeFrame(
       p: Array[Byte], start: Int, sw: Int, sh: Int,
-      palSize: Int): Option[(Array[Byte], Int)] = {
+      palSize: Int): Option[(Array[Byte], Int)] =
+    decodeImageBlock(p, start, sw, sh, palSize) match {
+      case Some((0, 0, w, h, px, next)) if w == sw && h == sh =>
+        Some((px, next))
+      case _ => None // full-canvas contract of decodeFrames
+    }
+
+  /** One image block at `start` allowing SUB-RECTANGLE placement (the
+    * animation shape [[decodeAnim]] consumes): returns
+    * (left, top, w, h, display-order indices, next offset). */
+  private def decodeImageBlock(
+      p: Array[Byte], start: Int, sw: Int, sh: Int,
+      palSize: Int): Option[(Int, Int, Int, Int, Array[Byte], Int)] = {
     def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
     var i = start
     if (i + 10 > p.length) return None
     val left = le16(i + 1); val top = le16(i + 3)
     val w = le16(i + 5); val h = le16(i + 7)
     val iflags = p(i + 9) & 0xff
-    if (left != 0 || top != 0 || w != sw || h != sh) return None
+    if (w == 0 || h == 0 || left + w > sw || top + h > sh) return None
     if ((iflags & 0x80) != 0) return None // local color table off-contract
     val interlaced = (iflags & 0x40) != 0
     i += 10
@@ -363,7 +375,175 @@ object Gif {
         }
         d2
       }
-    Some((display, i))
+    Some((left, top, w, h, display, i))
+  }
+
+  // ---- full-fidelity animation: sub-rects, disposal, transparency ----
+
+  /** One animation frame with its graphic-control state. `disposal`:
+    * 0/1 keep, 2 restore-to-background (the rect clears to transparent
+    * after display — the browser convention), 3 restore-to-previous.
+    * `transparentIndex` -1 when the frame is fully opaque. */
+  final case class AnimFrame(
+      x: Int, y: Int, w: Int, h: Int, delayCs: Int,
+      disposal: Int, transparentIndex: Int, indices: Array[Byte])
+
+  /** GIF89a with the full per-frame graphic-control vocabulary the
+    * plain [[encodeAnimated]] deliberately leaves out: sub-rectangle
+    * placement, disposal methods 0-3, and a transparent index. */
+  def encodeAnimatedComposed(
+      w: Int, h: Int, palette: Array[Int],
+      frames: Seq[AnimFrame]): Array[Byte] = {
+    require(frames.nonEmpty)
+    require(palette.length >= 2 && palette.length <= 256 &&
+      Integer.bitCount(palette.length) == 1)
+    frames.foreach { f =>
+      require(f.indices.length == f.w * f.h)
+      require(f.x >= 0 && f.y >= 0 && f.x + f.w <= w && f.y + f.h <= h)
+      require(f.disposal >= 0 && f.disposal <= 3)
+    }
+    val palBits = 32 - Integer.numberOfLeadingZeros(palette.length - 1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(w); le16(h)
+    out.write(0x80 | (palBits - 1))
+    out.write(0); out.write(0)
+    palette.foreach { c =>
+      out.write((c >> 16) & 0xff); out.write((c >> 8) & 0xff); out.write(c & 0xff)
+    }
+    val minCode = math.max(2, palBits)
+    frames.foreach { f =>
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write((f.disposal << 2) | (if (f.transparentIndex >= 0) 1 else 0))
+      le16(f.delayCs)
+      out.write(math.max(0, f.transparentIndex))
+      out.write(0)
+      out.write(0x2c)
+      le16(f.x); le16(f.y); le16(f.w); le16(f.h)
+      out.write(0) // no local table, not interlaced
+      out.write(minCode)
+      out.write(lzwEncode(f.indices, minCode))
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** Decode a GIF89a animation with full graphic-control fidelity:
+    * (canvasW, canvasH, palette, frames). Rejects (None) on the same
+    * grammar violations as [[decodeFrames]]; sub-rectangles allowed. */
+  def decodeAnim(p: Array[Byte])
+      : Option[(Int, Int, Array[Int], Seq[AnimFrame])] = {
+    if (p.length < 14) return None
+    val sig = new String(p, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    val sw = le16(6); val sh = le16(8)
+    val flags = p(10) & 0xff
+    if ((flags & 0x80) == 0) return None
+    val palSize = 1 << ((flags & 0x07) + 1)
+    if (sw <= 0 || sh <= 0 || sw.toLong * sh > (1L << 26)) return None
+    var i = 13
+    if (i + 3 * palSize > p.length) return None
+    val palette = Array.tabulate(palSize) { c =>
+      ((p(i + 3 * c) & 0xff) << 16) | ((p(i + 3 * c + 1) & 0xff) << 8) |
+        (p(i + 3 * c + 2) & 0xff)
+    }
+    i += 3 * palSize
+    val frames = Seq.newBuilder[AnimFrame]
+    var nFrames = 0
+    var trailer = false
+    var delayCs = 0
+    var disposal = 0
+    var transparentIndex = -1
+    while (!trailer) {
+      while (i < p.length && (p(i) & 0xff) == 0x21) {
+        val label = if (i + 1 < p.length) p(i + 1) & 0xff else -1
+        i += 2
+        if (label == 0xf9) {
+          // graphic control: read it instead of skipping
+          if (i + 6 > p.length) return None
+          val n = p(i) & 0xff
+          if (n != 4) return None
+          val gflags = p(i + 1) & 0xff
+          disposal = (gflags >> 2) & 7
+          if (disposal > 3) return None
+          delayCs = (p(i + 2) & 0xff) | ((p(i + 3) & 0xff) << 8)
+          transparentIndex =
+            if ((gflags & 1) != 0) p(i + 4) & 0xff else -1
+          i += 5
+          if ((p(i) & 0xff) != 0) return None // block terminator
+          i += 1
+        } else {
+          var more = true
+          while (more) {
+            if (i >= p.length) return None
+            val n = p(i) & 0xff
+            i += 1
+            if (n == 0) more = false else i += n
+          }
+        }
+      }
+      if (i >= p.length) return None
+      (p(i) & 0xff) match {
+        case 0x3b => trailer = true
+        case 0x2c =>
+          if ((nFrames + 1).toLong * sw * sh > (1L << 26)) return None
+          decodeImageBlock(p, i, sw, sh, palSize) match {
+            case Some((l, t, w, h, px, next)) =>
+              frames += AnimFrame(l, t, w, h, delayCs, disposal,
+                transparentIndex, px)
+              nFrames += 1
+              i = next
+              delayCs = 0; disposal = 0; transparentIndex = -1
+            case None => return None
+          }
+        case _ => return None
+      }
+    }
+    if (nFrames == 0) None else Some((sw, sh, palette, frames.result()))
+  }
+
+  /** Canvas composition per the GIF89a disposal semantics — the same
+    * replay [[WebpAnim.compose]] runs for ANMF frames: the canvas
+    * starts fully transparent; each frame paints its rect skipping the
+    * transparent index; after display, disposal 2 clears the rect to
+    * transparent and disposal 3 restores the pre-frame canvas. Returns
+    * one ARGB canvas per frame (opaque pixels 0xFF......, untouched
+    * pixels 0). */
+  def compose(canvasW: Int, canvasH: Int, palette: Array[Int],
+      frames: Seq[AnimFrame]): Seq[Array[Int]] = {
+    val canvas = new Array[Int](canvasW * canvasH)
+    frames.map { f =>
+      val snapshot = if (f.disposal == 3) canvas.clone() else null
+      var y = 0
+      while (y < f.h) {
+        var x = 0
+        while (x < f.w) {
+          val idx = f.indices(y * f.w + x) & 0xff
+          if (idx != f.transparentIndex)
+            canvas((f.y + y) * canvasW + (f.x + x)) =
+              0xff000000 | palette(idx)
+          x += 1
+        }
+        y += 1
+      }
+      val shown = canvas.clone()
+      if (f.disposal == 2) {
+        var yy = 0
+        while (yy < f.h) {
+          var xx = 0
+          while (xx < f.w) {
+            canvas((f.y + yy) * canvasW + (f.x + xx)) = 0
+            xx += 1
+          }
+          yy += 1
+        }
+      } else if (f.disposal == 3) {
+        System.arraycopy(snapshot, 0, canvas, 0, canvas.length)
+      }
+      shown
+    }
   }
 
   /** Decode to interleaved RGB via the palette. */

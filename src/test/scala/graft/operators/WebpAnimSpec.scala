@@ -92,4 +92,78 @@ class WebpAnimSpec extends AnyFunSuite {
       ()
     }
   }
+
+  // ---- canvas composition (round 12) ----
+
+  private def argbStill(w: Int, h: Int, px: Array[Int]): Array[Byte] =
+    Vp8l.encode(w, h, px, cacheBits = 2)
+
+  test("rect-clipped blend: a blending frame touches ONLY its rect") {
+    // frame 0 fills the canvas opaque; frame 1 blends a small rect with
+    // a mix of opaque, transparent, and fractional alpha
+    val base = Array.fill(16 * 8)(0xff102030)
+    val patch = Array.tabulate(4 * 4) { k =>
+      val a = Seq(255, 0, 128, 64)(k % 4)
+      (a << 24) | 0x00ffeedd
+    }
+    val anim = WebpAnim.decode(WebpAnim.encode(16, 8, 0, 0, Seq(
+      (0, 0, 10, 0, argbStill(16, 8, base)),
+      (4, 2, 10, 0, argbStill(4, 4, patch))))).toOption.get
+    val Seq(c0, c1) = WebpAnim.compose(anim)
+    assert(c0.argb.forall(_ == 0xff102030))
+    (0 until 16 * 8).foreach { k =>
+      val x = k % 16; val y = k / 16
+      val inRect = x >= 4 && x < 8 && y >= 2 && y < 6
+      if (!inRect) assert(c1.argb(k) == 0xff102030, s"outside rect at $x,$y")
+      else {
+        val src = patch((y - 2) * 4 + (x - 4))
+        assert(c1.argb(k) == WebpAnim.blendPixel(src, 0xff102030))
+      }
+    }
+    // fractional alpha onto an opaque background: da=255 collapses the
+    // formula to a=255, ch = (sc*sa + dc*(255-sa))/255 — check exactly
+    val mixed = WebpAnim.blendPixel((128 << 24) | 0x00ffeedd, 0xff102030)
+    assert((mixed >>> 24) == 255)
+    assert(((mixed >> 16) & 0xff) == (0xff * 128 + 0x10 * 127) / 255)
+    assert(((mixed >> 8) & 0xff) == (0xee * 128 + 0x20 * 127) / 255)
+    assert((mixed & 0xff) == (0xdd * 128 + 0x30 * 127) / 255)
+    // and onto a fractional-alpha background, the full non-premult form
+    val m2 = WebpAnim.blendPixel((100 << 24) | 0x00804020,
+      (50 << 24) | 0x00103050)
+    val scale = 50 * (255 - 100) / 255
+    val a2 = 100 + scale
+    assert((m2 >>> 24) == a2)
+    assert(((m2 >> 16) & 0xff) == (0x80 * 100 + 0x10 * scale) / a2)
+  }
+
+  test("no-blend REPLACES, including transparent source pixels over old content") {
+    val base = Array.fill(8 * 8)(0xffaabbcc)
+    val patch = Array.fill(4 * 4)(0x00112233) // fully transparent, rgb set
+    val anim = WebpAnim.decode(WebpAnim.encode(8, 8, 0, 0, Seq(
+      (0, 0, 10, 0, argbStill(8, 8, base)),
+      (2, 2, 10, 2, argbStill(4, 4, patch))))).toOption.get // flags=2: no-blend
+    val c1 = WebpAnim.compose(anim)(1)
+    assert(c1.argb(3 * 8 + 3) == 0x00112233, "replace must copy RGBA verbatim")
+    assert(c1.argb(0) == 0xffaabbcc)
+  }
+
+  test("dispose-to-background clears the rect for the NEXT frame only") {
+    val base = Array.fill(8 * 8)(0xff445566)
+    val tiny = Array.fill(2 * 2)(0xffffffff)
+    val anim = WebpAnim.decode(WebpAnim.encode(8, 8, 0, 0, Seq(
+      (0, 0, 10, 1, argbStill(8, 8, base)), // flags=1: dispose
+      (0, 0, 10, 2, argbStill(2, 2, tiny))))).toOption.get
+    val Seq(c0, c1) = WebpAnim.compose(anim)
+    assert(c0.argb.forall(_ == 0xff445566), "dispose happens AFTER display")
+    assert(c1.argb(0) == 0xffffffff.toInt)
+    assert(c1.argb(5) == 0, "disposed region is transparent under frame 1")
+  }
+
+  test("lossy frames compose through the WebPDecodeRGBA-pinned space") {
+    val anim = WebpAnim.decode(WebpAnim.encode(32, 16, 0, 0, Seq(
+      (0, 0, 10, 0, lossyStill(9, 32, 16))))).toOption.get
+    val c0 = WebpAnim.compose(anim).head
+    val yuv = anim.frames.head.yuv.get
+    assert(c0.argb.toSeq == WebpRgb.toArgb(yuv).toSeq)
+  }
 }
