@@ -307,9 +307,11 @@ class Pipeline(
     // either is cheap.)
     // `graft.cascade.queueCheckpoint=false` reverts to the r8 cache()
     // form — A/B instrumentation for SCALE.md's pricing of this
-    // component, not a user knob.
+    // component, not a user knob (CascadeToggles scaladoc; default-on
+    // pinned by CascadeTogglesSpec).
     val q =
-      if (spark.conf.getOption("graft.cascade.queueCheckpoint").forall(_ == "true"))
+      if (graft.streaming.CascadeToggles.on(spark,
+          graft.streaming.CascadeToggles.QueueCheckpoint))
         queue.localCheckpoint()
       else queue.cache()
     val p = bucketedDataPath(name).toString

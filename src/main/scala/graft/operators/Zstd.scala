@@ -427,6 +427,13 @@ object Zstd {
     var of: Fse = null
     var ml: Fse = null
     var rep1 = 1L; var rep2 = 4L; var rep3 = 8L
+    /** RFC 8878 Window_Size (exponent + mantissa form) when the frame
+      * carries a window descriptor; -1 for single-segment frames, whose
+      * window is the frame content itself. Offsets beyond it reject
+      * (round-12 conformance tightening: produced-history and
+      * allocation-cap bounds alone accepted a conforming-looking frame
+      * whose matches reached further back than its declared window). */
+    var windowSize = -1L
   }
 
   /** Growable output buffer with random access (sequence execution
@@ -647,6 +654,8 @@ object Zstd {
       out.append(lits, litPos, litLen)
       litPos += litLen
       if (offset > Int.MaxValue) bail("bad_offset")
+      if (st.windowSize >= 0 && offset > st.windowSize)
+        bail("offset_beyond_window")
       out.copyMatch(offset.toInt, matchLen)
       i += 1
       if (i < nSeq) { // last sequence: no state updates
@@ -780,10 +789,13 @@ object Zstd {
           val hasChecksum = (fhd & 0x04) != 0
           val didFlag = fhd & 0x03
           var windowLog = -1
+          var windowSize = -1L
           if (!singleSegment) {
             if (i >= b.length) bail("truncated_header")
             val wd = b(i) & 0xff; i += 1
-            windowLog = 10 + (wd >> 3) // mantissa refines, exponent sizes
+            windowLog = 10 + (wd >> 3) // exponent sizes, mantissa refines
+            val windowBase = 1L << windowLog
+            windowSize = windowBase + (windowBase / 8) * (wd & 7)
           }
           val didLen = didFlag match {
             case 0 => 0; case 1 => 1; case 2 => 2; case _ => 4
@@ -823,6 +835,7 @@ object Zstd {
           }
           val content = new OutBuf
           val st = new FrameState
+          st.windowSize = windowSize
           frameDict.foreach { d =>
             content.append(d.content, 0, d.content.length)
             content.base = content.n

@@ -314,10 +314,10 @@ object IncrementalEtlStream {
       voidedBucketsOnce: () => Set[Int]): Unit = {
     // A/B instrumentation (SCALE.md round-11 pricing of the r9-retained
     // O(delta) machinery): default true = the shipped shape; false
-    // reverts the component to its r8 form. Not a user knob.
-    def confOn(key: String): Boolean =
-      spark.conf.getOption(key).forall(_ == "true")
-    val prunedProbe = confOn("graft.cascade.prunedPurgeProbe")
+    // reverts the component to its r8 form. Not a user knob
+    // (CascadeToggles scaladoc; default-on pinned by CascadeTogglesSpec).
+    val prunedProbe =
+      CascadeToggles.on(spark, CascadeToggles.PrunedPurgeProbe)
     def t[A](label: String)(f: => A): A = timed(spark, label)(f)
     val batch = rawBatch.persist()
     try {

@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
   * doubling is the super-linear flag.
   *
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.tools.ScaleProbe
+  *
+  * `SPARK_GRAFT_SCALES` overrides the ladder (round-12 ask #5: one more
+  * doubling for the steepest families, e.g. SPARK_GRAFT_SCALES=1,2,4,8
+  * with the q55/q73/q129 leaders as args — distinguishing "linear with
+  * constants" from "n log n creeping" needs the extra point).
   */
 object ScaleProbe {
 
@@ -50,7 +55,8 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val scales = Seq(1, 2, 4)
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,2,4")
+      .split(",").map(_.trim.toInt).toSeq
     val dirs = scales.map(k => k -> prepare(spark, baseDir, k)).toMap
     val results = scala.collection.mutable.Map.empty[(String, Int), Double]
     for (k <- scales; name <- queries) {
@@ -66,10 +72,19 @@ object ScaleProbe {
       println(f"[probe] ${k}x $name%-28s $best%7.2f s")
     }
     println("\n==== scale probe (best-of-" + reps + ") ====")
-    println(f"${"query"}%-28s ${"1x"}%7s ${"2x"}%7s ${"4x"}%7s  2x/1x  4x/2x")
+    val ratioHdr = scales.sliding(2).map {
+      case Seq(a, b) => f"${s"${b}x/${a}x"}%7s"
+      case _ => ""
+    }.mkString
+    println(f"${"query"}%-28s" +
+      scales.map(k => f"${s"${k}x"}%8s").mkString + "  " + ratioHdr)
     queries.foreach { name =>
-      val t1 = results((name, 1)); val t2 = results((name, 2)); val t4 = results((name, 4))
-      println(f"$name%-28s $t1%7.2f $t2%7.2f $t4%7.2f  ${t2 / t1}%5.2f  ${t4 / t2}%5.2f")
+      val ts = scales.map(k => results((name, k)))
+      val ratios = ts.sliding(2).map {
+        case Seq(a, b) => f"${b / a}%7.2f"
+        case _ => ""
+      }.mkString
+      println(f"$name%-28s" + ts.map(t => f"$t%8.2f").mkString + "  " + ratios)
     }
     spark.stop()
   }

@@ -259,4 +259,26 @@ class ZstdSpec extends AnyFunSuite {
     c(4) = (c(4) | 0x01).toByte // DID flag = 1
     assert(Zstd.decode(c).isLeft)
   }
+
+  test("windowLog conformance: offsets beyond the declared window reject (RFC 8878)") {
+    // a real-encoder frame whose only long match spans ~1.5 KB, written
+    // WITHOUT content size so the header carries a window descriptor
+    val rnd = new scala.util.Random(42)
+    val x = Array.fill[Byte](700)(rnd.nextInt(256).toByte)
+    val filler = Array.fill[Byte](800)(rnd.nextInt(256).toByte)
+    val data = x ++ filler ++ x
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new com.github.luben.zstd.ZstdOutputStream(bos, 19)
+    zos.write(data); zos.close()
+    val blob = bos.toByteArray
+    assert((blob(4) & 0x20) == 0, "streaming frame must not be single-segment")
+    // untouched: decodes fine under its true window
+    assert(Zstd.decode(blob).toOption.get.head.content.toSeq == data.toSeq)
+    // same bytes, but the header now DECLARES a 1 KiB window: the
+    // 1.5 KB-back match is off-contract even though the produced
+    // history could serve it — round 11 accepted this, round 12 rejects
+    val shrunk = blob.clone()
+    shrunk(5) = 0 // window descriptor: exponent 0, mantissa 0 -> 1024
+    assert(Zstd.decode(shrunk) == Left(Zstd.Rejected("offset_beyond_window")))
+  }
 }
