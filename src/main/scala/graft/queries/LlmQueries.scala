@@ -7326,6 +7326,66 @@ object LlmQueries {
           .toDF("media_id", "kind", "frame_ix", "r_sum", "g_sum", "b_sum",
             "a_sum")
           .withColumn("frame_ix", col("frame_ix").cast("int"))
+    },
+
+    // MP3 LAYER III SPECTRAL decode (the r11 Missing #4 stretch, scoped
+    // honestly): side info, BIT RESERVOIR (tight-packed frames whose
+    // main_data_begin reaches into earlier slots vs self-contained
+    // begin-0 frames, rotating by id), scalefactor fields with scfsi
+    // sharing, the count1 region through the STRUCTURAL table B
+    // (4-bit complement codes + sign bits — the one Layer III Huffman
+    // table the spec defines by formula), and requantization. Fixtures
+    // plant +-1 lines at global_gain 210+4k, so every spectral value is
+    // an exact +-2^k integer and the oracle replays each granule's
+    // census. The arbitrary Huffman tables and the PCM synthesis window
+    // have NO on-system reference source (no libmad/lame/mpg123/ffmpeg)
+    // and reject by name rather than ship guessed constants —
+    // Mp3Layer3 scaladoc + SCALE.md round-12 seam note.
+    OpQuery.sql(
+      "q247_mp3_spectrum_decode",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents
+        |  WHERE doc_id % 5 = 3),
+        |fr AS (SELECT id, unnest(generate_series(0, id % 3)) AS f FROM v),
+        |gr AS (SELECT id, f, unnest(generate_series(0, 1)) AS g FROM fr),
+        |m AS (SELECT id, f, g,
+        |    8 + (id + 3 * f + 5 * g) % 24 AS n_quads,
+        |    (id + f) % 3 AS k FROM gr),
+        |ln AS (SELECT id, f, g, n_quads, k,
+        |    unnest(generate_series(0, 4 * n_quads - 1)) AS l FROM m),
+        |xv AS (SELECT id, f, g, n_quads, k,
+        |    ((id + 7 * f + 3 * g + l) % 3) - 1 AS v FROM ln)
+        |SELECT id AS media_id, CAST(f AS INTEGER) AS frame_ix,
+        |  CAST(g AS INTEGER) AS granule,
+        |  CAST(n_quads AS INTEGER) AS n_quads,
+        |  CAST(CASE WHEN id % 2 = 0 AND f > 0 THEN 200 ELSE 0 END
+        |    AS INTEGER) AS main_begin,
+        |  CAST(sum(v * (1 << k)) AS BIGINT) AS xr_sum,
+        |  CAST(sum(abs(v) * (1 << k)) AS BIGINT) AS abs_sum
+        |FROM xv GROUP BY 1, 2, 3, 4, 5""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents").filter(col("doc_id") % 5 === 3)
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            def gspec(f: Int, g: Int) = graft.operators.Mp3Layer3.GranuleSpec(
+              Array.tabulate((4 * (8 + (id + 3 * f + 5 * g) % 24)).toInt)(
+                l => (((id + 7 * f + 3 * g + l) % 3) - 1).toInt),
+              ((id + f) % 3).toInt,
+              sfCompress = ((id + g) % 16).toInt)
+            val frames = (0 to (id % 3).toInt).map(f => (gspec(f, 0), gspec(f, 1)))
+            val blob = graft.operators.Mp3Layer3.encode(frames,
+              scfsi = (id % 16).toInt, reservoir = id % 2 == 0)
+            graft.operators.Mp3Layer3.decode(blob)
+              .getOrElse(throw new IllegalStateException("fixture must decode"))
+              .map { g =>
+                var xr = 0.0; var ab = 0.0
+                g.xr.foreach { x => xr += x; ab += math.abs(x) }
+                (id, g.frame, g.granule, g.count1Quads, g.mainDataBegin,
+                  math.rint(xr).toLong, math.rint(ab).toLong)
+              }
+          })
+          .toDF("media_id", "frame_ix", "granule", "n_quads", "main_begin",
+            "xr_sum", "abs_sum")
     }
   )
 
