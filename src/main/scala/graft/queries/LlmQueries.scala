@@ -7174,11 +7174,15 @@ object LlmQueries {
     // the pinned YUV->RGB): q241 exposed per-frame planes + flags;
     // this REPLAYS the blend/dispose state machine into full composed
     // canvases — the scene-level view a dedup pipeline hashes. WebP
-    // rows: overlapping VP8L frames with binary alpha exercise BOTH
-    // blend modes (alpha-blend vs replace, incl. replace writing
-    // transparent pixels OVER older content) and dispose-to-background;
-    // GIF rows: sub-rectangle frames with transparent indices exercise
-    // all three GIF disposal semantics (keep / restore-background /
+    // rows: overlapping frames exercise BOTH blend modes (alpha-blend
+    // vs replace, incl. replace writing transparent pixels OVER older
+    // content) and dispose-to-background; every (id+g)%4==3 frame is a
+    // LOSSY VP8 still (constant chroma) whose paint value the oracle
+    // computes through the libwebp fixed-point matrix — pinning the
+    // WebpRgb conversion INSIDE the composition path, not just in its
+    // spec; the rest are VP8L frames with binary alpha. GIF rows:
+    // sub-rectangle frames with transparent indices exercise all three
+    // GIF disposal semantics (keep / restore-background /
     // restore-previous). The oracle replays every composed canvas via
     // an event model (latest paint-or-clear event per pixel; a
     // restore-previous frame's paint is visible only at its own frame)
@@ -7190,17 +7194,40 @@ object LlmQueries {
       """WITH wv AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents
         |  WHERE doc_id % 4 = 0),
         |wfr AS (SELECT id, unnest(generate_series(0, 1 + id % 3)) AS g FROM wv),
-        |wm AS (SELECT id, g,
-        |    2 * ((id + g) % 5) AS x0, 2 * (g % 4) AS y0,
-        |    8 + 2 * ((id + g) % 5) AS wf, 6 + 2 * ((id + 2 * g) % 4) AS hf,
-        |    g % 2 = 1 AS no_blend, (id + g) % 3 = 1 AS dispose
+        |wm0 AS (SELECT id, g, (id + g) % 4 = 3 AS lossy,
+        |    2 * ((id + g) % 5) AS x0,
+        |    g % 2 = 1 AS no_blend, (id + g) % 3 = 1 AS dispose,
+        |    (id * 7 + g * 29) % 256 AS yv,
+        |    (id * 11 + g * 5 + 37) % 256 AS cu,
+        |    (id * 19 + g * 3 + 53) % 256 AS cv
         |  FROM wfr),
+        |wm1 AS (SELECT *,
+        |    CASE WHEN lossy THEN 2 * (g % 3) ELSE 2 * (g % 4) END AS y0,
+        |    CASE WHEN lossy THEN 16 ELSE 8 + 2 * ((id + g) % 5) END AS wf,
+        |    CASE WHEN lossy THEN 16 ELSE 6 + 2 * ((id + 2 * g) % 4) END AS hf,
+        |    (yv * 19077) // 256 + (cv * 26149) // 256 - 14234 AS rr,
+        |    (yv * 19077) // 256 - (cu * 6419) // 256
+        |      - (cv * 13320) // 256 + 8708 AS gr,
+        |    (yv * 19077) // 256 + (cu * 33050) // 256 - 17685 AS br
+        |  FROM wm0),
+        |wm AS (SELECT id, g, lossy, x0, y0, wf, hf, no_blend, dispose,
+        |    CASE WHEN rr < 0 THEN 0 WHEN rr >= 16384 THEN 255
+        |         ELSE rr // 64 END AS lr,
+        |    CASE WHEN gr < 0 THEN 0 WHEN gr >= 16384 THEN 255
+        |         ELSE gr // 64 END AS lg,
+        |    CASE WHEN br < 0 THEN 0 WHEN br >= 16384 THEN 255
+        |         ELSE br // 64 END AS lb
+        |  FROM wm1),
         |wly AS (SELECT *, unnest(generate_series(0, hf - 1)) AS ly FROM wm),
         |wpx AS (SELECT id, g, no_blend, dispose, x0 + lx AS cx, y0 + ly AS cy,
-        |    CASE WHEN (lx + ly + g + id) % 3 = 0 THEN 0 ELSE 255 END AS a,
-        |    (id * 3 + g * 7 + lx * 5 + ly * 2) % 256 AS r,
-        |    (id * 5 + g * 11 + lx * 3 + ly * 7) % 256 AS gg,
-        |    (id * 7 + g * 13 + lx + ly * 3) % 256 AS b
+        |    CASE WHEN lossy THEN 255
+        |         WHEN (lx + ly + g + id) % 3 = 0 THEN 0 ELSE 255 END AS a,
+        |    CASE WHEN lossy THEN lr
+        |         ELSE (id * 3 + g * 7 + lx * 5 + ly * 2) % 256 END AS r,
+        |    CASE WHEN lossy THEN lg
+        |         ELSE (id * 5 + g * 11 + lx * 3 + ly * 7) % 256 END AS gg,
+        |    CASE WHEN lossy THEN lb
+        |         ELSE (id * 7 + g * 13 + lx + ly * 3) % 256 END AS b
         |  FROM (SELECT *, unnest(generate_series(0, wf - 1)) AS lx FROM wly)),
         |wev AS (
         |  SELECT id, 2 * g AS pos, cx, cy, a, r, gg, b FROM wpx
@@ -7263,21 +7290,31 @@ object LlmQueries {
         val webp = docs.filter(_ % 4 == 0).mapPartitions(_.flatMap { id =>
           val stills = (0 until (2 + (id % 3)).toInt).map { g =>
             val x0 = 2 * ((id + g) % 5).toInt
-            val y0 = 2 * (g % 4)
-            val wf = 8 + 2 * ((id + g) % 5).toInt
-            val hf = 6 + 2 * ((id + 2 * g) % 4).toInt
-            val px = Array.tabulate(wf * hf) { k =>
-              val lx = k % wf; val ly = k / wf
-              val a = if ((lx + ly + g + id) % 3 == 0) 0 else 255
-              (a << 24) |
-                (((id * 3 + g * 7 + lx * 5 + ly * 2) % 256).toInt << 16) |
-                (((id * 5 + g * 11 + lx * 3 + ly * 7) % 256).toInt << 8) |
-                ((id * 7 + g * 13 + lx + ly * 3) % 256).toInt
-            }
             val flags = (if (g % 2 == 1) 2 else 0) |
               (if ((id + g) % 3 == 1) 1 else 0)
-            (x0, y0, 30 + 10 * g, flags,
-              graft.operators.Vp8l.encode(wf, hf, px, cacheBits = 2))
+            if ((id + g) % 4 == 3) {
+              // lossy frame: constant chroma, so the oracle computes the
+              // painted color through the libwebp fixed-point matrix
+              val blob = graft.operators.Vp8.encode(16, 16,
+                (_, _) => ((id * 7 + g * 29) % 256).toInt,
+                (_, _) => ((id * 11 + g * 5 + 37) % 256).toInt,
+                (_, _) => ((id * 19 + g * 3 + 53) % 256).toInt)
+              (x0, 2 * (g % 3), 30 + 10 * g, flags, blob)
+            } else {
+              val y0 = 2 * (g % 4)
+              val wf = 8 + 2 * ((id + g) % 5).toInt
+              val hf = 6 + 2 * ((id + 2 * g) % 4).toInt
+              val px = Array.tabulate(wf * hf) { k =>
+                val lx = k % wf; val ly = k / wf
+                val a = if ((lx + ly + g + id) % 3 == 0) 0 else 255
+                (a << 24) |
+                  (((id * 3 + g * 7 + lx * 5 + ly * 2) % 256).toInt << 16) |
+                  (((id * 5 + g * 11 + lx * 3 + ly * 7) % 256).toInt << 8) |
+                  ((id * 7 + g * 13 + lx + ly * 3) % 256).toInt
+              }
+              (x0, y0, 30 + 10 * g, flags,
+                graft.operators.Vp8l.encode(wf, hf, px, cacheBits = 2))
+            }
           }
           val blob = graft.operators.WebpAnim.encode(24, 20, 0, 0, stills)
           val anim = graft.operators.WebpAnim.decode(blob)
