@@ -114,6 +114,19 @@ object Brotli {
       if (p >= total) 0
       else (b((p >> 3).toInt) >> (p & 7).toInt) & 1
     }
+    /** The next `n <= 8` stream bits assembled as an MSB-first
+      * prefix-code key (bit 0 of the stream lands in the key's top
+      * bit), zero-padded past the end — the root-table fast path's
+      * index. Bulk extraction: two bytes gathered, low 8 stream bits
+      * bit-reversed via the table. */
+    def peekCode(n: Int): Int = {
+      val byteIx = (pos >> 3).toInt
+      val sh = (pos & 7).toInt
+      var v = 0
+      if (byteIx < b.length) v = (b(byteIx) & 0xff) >>> sh
+      if (byteIx + 1 < b.length) v |= (b(byteIx + 1) & 0xff) << (8 - sh)
+      Rev8(v & 0xff) >>> (8 - n)
+    }
     def advance(n: Int): Unit = {
       if (pos + n > total) bail("truncated_brotli")
       pos += n
@@ -133,18 +146,62 @@ object Brotli {
   // ---- canonical prefix codes ----
 
   private val MaxCodeLen = 15
+  /** 8-bit reversal (stream bits are LSB-first, prefix keys MSB-first). */
+  private val Rev8: Array[Int] = Array.tabulate(256) { v =>
+    var r = 0
+    var i = 0
+    while (i < 8) { r = (r << 1) | ((v >> i) & 1); i += 1 }
+    r
+  }
 
-  /** Canonical prefix decoder; `single` >= 0 marks a 0-bit code. */
+  /** Canonical prefix decoder; `single` >= 0 marks a 0-bit code. A
+    * root lookup table over the first min(maxLen, 8) code bits resolves
+    * the common short codes in one step; longer codes continue the
+    * canonical walk from the root depth. */
   private final class Prefix(
       val count: Array[Int],
       val firstCode: Array[Int],
       val offset: Array[Int],
       val syms: Array[Int],
       val single: Int) {
+    private var rootBits = 0
+    private var rootSym: Array[Int] = null
+    private var rootLen: Array[Byte] = null
+    if (single < 0) {
+      var maxLen = MaxCodeLen
+      while (maxLen > 1 && count(maxLen) == 0) maxLen -= 1
+      rootBits = math.min(maxLen, 8)
+      rootSym = new Array[Int](1 << rootBits)
+      rootLen = new Array[Byte](1 << rootBits)
+      var len = 1
+      while (len <= rootBits) {
+        var i = 0
+        while (i < count(len)) {
+          val code = firstCode(len) + i
+          val base = code << (rootBits - len)
+          var k = 0
+          while (k < (1 << (rootBits - len))) {
+            rootSym(base + k) = syms(offset(len) + i)
+            rootLen(base + k) = len.toByte
+            k += 1
+          }
+          i += 1
+        }
+        len += 1
+      }
+    }
     def decode(bits: Bits): Int = {
       if (single >= 0) return single
-      var code = 0
-      var len = 0
+      val key = bits.peekCode(rootBits)
+      val l = rootLen(key)
+      if (l > 0) {
+        bits.advance(l)
+        return rootSym(key)
+      }
+      // long code: the root bits are a strict prefix; continue the walk
+      bits.advance(rootBits)
+      var code = key
+      var len = rootBits
       while (len < MaxCodeLen) {
         code = (code << 1) | bits.read1()
         len += 1
