@@ -55,7 +55,11 @@ object Brotli {
   private final class Bail(val reason: String) extends RuntimeException(reason)
   private def bail(reason: String): Nothing = throw new Bail(reason)
 
-  /** Decoded stream + the census facts a pre-flight report consumes. */
+  /** Decoded stream + the census facts a pre-flight report consumes,
+    * plus machinery hit-rate counters (the Vp8 predictor-coverage
+    * discipline: BrotliSpec asserts the real-encoder fixture set drives
+    * every decoder subsystem, so none of them is dead code that only
+    * LOOKS interop-verified). */
   final case class Decoded(
       content: Array[Byte],
       windowBits: Int,
@@ -63,7 +67,16 @@ object Brotli {
       nCompressed: Int,
       nUncompressed: Int,
       nMetadata: Int,
-      nDictWords: Int)
+      nDictWords: Int,
+      maxBlockTypes: Int,
+      maxLitTrees: Int,
+      maxDistTrees: Int,
+      nBlockSwitches: Int,
+      usedImtf: Boolean,
+      maxNpostfix: Int,
+      maxNdirect: Int,
+      usedSimpleCode: Boolean,
+      maxCodeLen: Int)
 
   // ---- static dictionary (RFC 7932 Appendix A; runtime resource) ----
 
@@ -246,6 +259,19 @@ object Brotli {
     new Prefix(count, firstCode, offset, syms, -1)
   }
 
+  /** Per-stream machinery counters (see [[Decoded]]). */
+  private final class Stats {
+    var maxBlockTypes = 1
+    var maxLitTrees = 1
+    var maxDistTrees = 1
+    var nBlockSwitches = 0
+    var usedImtf = false
+    var maxNpostfix = 0
+    var maxNdirect = 0
+    var usedSimpleCode = false
+    var maxCodeLen = 0
+  }
+
   // fixed code for the code-length-code lengths (RFC 7932 sec. 3.5):
   // 4-bit LSB-first lookup -> (bits consumed, code length value)
   private val ClcLen = Array(2, 2, 2, 3, 2, 2, 2, 4, 2, 2, 2, 3, 2, 2, 2, 4)
@@ -254,9 +280,11 @@ object Brotli {
     Array(1, 2, 3, 4, 0, 5, 17, 6, 16, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
   /** Read a prefix code for `alphabetSize` symbols (RFC sec. 3.4/3.5). */
-  private def readPrefixCode(bits: Bits, alphabetSize: Int): Prefix = {
+  private def readPrefixCode(bits: Bits, alphabetSize: Int,
+      stats: Stats): Prefix = {
     val hskip = bits.read(2)
     if (hskip == 1) {
+      stats.usedSimpleCode = true
       // simple code: 1-4 symbols listed explicitly
       val nsym = bits.read(2) + 1
       val abits =
@@ -346,6 +374,7 @@ object Brotli {
       if (space2 < 0) bail("brotli_oversubscribed_code")
       if (space2 > 0 && nz != 1) bail("brotli_incomplete_code")
       if (nz == 0) bail("brotli_empty_code")
+      stats.maxCodeLen = math.max(stats.maxCodeLen, lens.max)
       if (nz == 1) buildPrefix(Array((lastNzSym, 1)))
       else buildPrefix((0 until alphabetSize).map(j => (j, lens(j))).toArray)
     }
@@ -396,11 +425,11 @@ object Brotli {
   // ---- context maps ----
 
   private def readContextMap(bits: Bits, numTrees: Int,
-      size: Int): Array[Byte] = {
+      size: Int, stats: Stats): Array[Byte] = {
     val map = new Array[Byte](size)
     if (numTrees == 1) return map
     val rleMax = if (bits.read1() == 1) bits.read(4) + 1 else 0
-    val tree = readPrefixCode(bits, numTrees + rleMax)
+    val tree = readPrefixCode(bits, numTrees + rleMax, stats)
     var i = 0
     while (i < size) {
       val s = tree.decode(bits)
@@ -415,6 +444,7 @@ object Brotli {
       }
     }
     if (bits.read1() == 1) {
+      stats.usedImtf = true
       // inverse move-to-front
       val mtf = Array.tabulate(256)(_.toByte)
       var j = 0
@@ -434,7 +464,8 @@ object Brotli {
 
   // ---- block-category state ----
 
-  private final class BlockState(bits: Bits, val nTypes: Int) {
+  private final class BlockState(bits: Bits, val nTypes: Int,
+      stats: Stats) {
     private var typeTree: Prefix = null
     private var countTree: Prefix = null
     var btype = 0
@@ -442,13 +473,14 @@ object Brotli {
     private var last = 0
     private var secondLast = 1
     if (nTypes >= 2) {
-      typeTree = readPrefixCode(bits, nTypes + 2)
-      countTree = readPrefixCode(bits, 26)
+      typeTree = readPrefixCode(bits, nTypes + 2, stats)
+      countTree = readPrefixCode(bits, 26, stats)
       remaining = readBlockLength(countTree, bits)
     }
     def switchIfNeeded(): Unit =
       if (remaining == 0) {
         if (nTypes < 2) bail("brotli_block_underflow")
+        stats.nBlockSwitches += 1
         val s = typeTree.decode(bits)
         var nt =
           if (s == 0) secondLast
@@ -563,6 +595,7 @@ object Brotli {
     val distRb = Array(16, 15, 11, 4)
     val rbIdx = Array(3) // index of the most recently written slot
     var nMeta, nCompressed, nUncompressed, nMetadata, nDictWords = 0
+    val stats = new Stats
     var isLast = false
 
     while (!isLast) {
@@ -609,7 +642,7 @@ object Brotli {
             nCompressed += 1
             nDictWords +=
               decodeCompressedMetaBlock(bits, out, mlen, windowSize,
-                distRb, rbIdx)
+                distRb, rbIdx, stats)
           }
         }
       }
@@ -617,31 +650,42 @@ object Brotli {
     bits.alignZero()
     if (!bits.atEnd) bail("brotli_trailing_garbage")
     Decoded(out.toArray, wbits, nMeta, nCompressed, nUncompressed,
-      nMetadata, nDictWords)
+      nMetadata, nDictWords, stats.maxBlockTypes, stats.maxLitTrees,
+      stats.maxDistTrees, stats.nBlockSwitches, stats.usedImtf,
+      stats.maxNpostfix, stats.maxNdirect, stats.usedSimpleCode,
+      stats.maxCodeLen)
   }
 
   private def decodeCompressedMetaBlock(bits: Bits, out: Out, mlen: Int,
-      windowSize: Int, distRb: Array[Int], rbIdxBox: Array[Int]): Int = {
+      windowSize: Int, distRb: Array[Int], rbIdxBox: Array[Int],
+      stats: Stats): Int = {
     // 1-3. block categories: literals, insert&copy, distances
-    val blkL = new BlockState(bits, readVarLenCount(bits))
-    val blkI = new BlockState(bits, readVarLenCount(bits))
-    val blkD = new BlockState(bits, readVarLenCount(bits))
+    val blkL = new BlockState(bits, readVarLenCount(bits), stats)
+    val blkI = new BlockState(bits, readVarLenCount(bits), stats)
+    val blkD = new BlockState(bits, readVarLenCount(bits), stats)
+    stats.maxBlockTypes = math.max(stats.maxBlockTypes,
+      math.max(blkL.nTypes, math.max(blkI.nTypes, blkD.nTypes)))
     // 4. distance parameters
     val npostfix = bits.read(2)
     val ndirect = bits.read(4) << npostfix
+    stats.maxNpostfix = math.max(stats.maxNpostfix, npostfix)
+    stats.maxNdirect = math.max(stats.maxNdirect, ndirect)
     val postfixMask = (1 << npostfix) - 1
     // 5. context modes (2 bits per literal block type)
     val contextModes = Array.fill(blkL.nTypes)(bits.read(2))
     // 6-7. context maps
     val nTreesL = readVarLenCount(bits)
-    val cmapL = readContextMap(bits, nTreesL, 64 * blkL.nTypes)
+    val cmapL = readContextMap(bits, nTreesL, 64 * blkL.nTypes, stats)
     val nTreesD = readVarLenCount(bits)
-    val cmapD = readContextMap(bits, nTreesD, 4 * blkD.nTypes)
+    val cmapD = readContextMap(bits, nTreesD, 4 * blkD.nTypes, stats)
+    stats.maxLitTrees = math.max(stats.maxLitTrees, nTreesL)
+    stats.maxDistTrees = math.max(stats.maxDistTrees, nTreesD)
     // 8-10. prefix code arrays
-    val litTrees = Array.fill(nTreesL)(readPrefixCode(bits, 256))
-    val cmdTrees = Array.fill(blkI.nTypes)(readPrefixCode(bits, 704))
+    val litTrees = Array.fill(nTreesL)(readPrefixCode(bits, 256, stats))
+    val cmdTrees = Array.fill(blkI.nTypes)(readPrefixCode(bits, 704, stats))
     val distAlphabet = 16 + ndirect + (48 << npostfix)
-    val distTrees = Array.fill(nTreesD)(readPrefixCode(bits, distAlphabet))
+    val distTrees =
+      Array.fill(nTreesD)(readPrefixCode(bits, distAlphabet, stats))
 
     val lut = BrotliTables.ContextLut
     var remaining = mlen

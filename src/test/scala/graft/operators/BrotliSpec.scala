@@ -46,6 +46,26 @@ class BrotliSpec extends AnyFunSuite {
     assert(multi.nMetaBlocks > 1, "FLUSH stream must carry several meta-blocks")
   }
 
+  test("interop: the fixture set drives EVERY decoder subsystem (hit-rate gate)") {
+    // the Vp8 predictor-coverage discipline: byte-exactness only proves
+    // the paths that RAN; this pins that the real-encoder set runs all
+    // of them, so no subsystem is dead code behind the interop claim
+    val all = interopIds.map(i =>
+      Brotli.decode(resource(f"interop_$i%02d.br"), 1 << 26).toOption.get)
+    assert(all.map(_.maxBlockTypes).max >= 4, "multi block types")
+    assert(all.map(_.nBlockSwitches).sum >= 10, "block switching")
+    assert(all.map(_.maxLitTrees).max >= 2, "literal context maps")
+    assert(all.map(_.maxDistTrees).max >= 2, "distance context maps")
+    assert(all.exists(_.usedImtf), "inverse move-to-front")
+    assert(all.map(_.maxNpostfix).max >= 1, "postfix distance params")
+    assert(all.map(_.maxNdirect).max >= 16, "direct distance codes")
+    assert(all.exists(_.usedSimpleCode), "simple prefix codes")
+    assert(all.map(_.maxCodeLen).max == 15, "max-depth complex codes")
+    assert(all.map(_.nDictWords).sum >= 30, "static dictionary")
+    assert(all.exists(_.nUncompressed > 0), "uncompressed meta-blocks")
+    assert(all.exists(_.nMetaBlocks > 1), "multi-meta-block streams")
+  }
+
   test("interop: uncompressed meta-blocks and the empty stream") {
     val empty = Brotli.decode(resource("interop_15.br")).toOption.get
     assert(empty.content.isEmpty && empty.nMetaBlocks == 0)
