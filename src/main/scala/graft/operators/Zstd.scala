@@ -429,11 +429,17 @@ object Zstd {
     var rep1 = 1L; var rep2 = 4L; var rep3 = 8L
     /** RFC 8878 Window_Size (exponent + mantissa form) when the frame
       * carries a window descriptor; -1 for single-segment frames, whose
-      * window is the frame content itself. Offsets beyond it reject
-      * (round-12 conformance tightening: produced-history and
-      * allocation-cap bounds alone accepted a conforming-looking frame
-      * whose matches reached further back than its declared window). */
+      * window is the frame content itself. Offsets beyond it PLUS the
+      * dictionary content reject (round-12 conformance tightening:
+      * produced-history and allocation-cap bounds alone accepted a
+      * conforming-looking frame whose matches reached further back than
+      * its declared window). The dictionary allowance is not a
+      * loophole: the ZstdDiff differential sweep caught the REAL
+      * encoder emitting dictionary-frame offsets beyond the declared
+      * window — reference zstd bounds offsets by prefix+dictionary, so
+      * a window-only bound would reject compliant encoder output. */
     var windowSize = -1L
+    var dictLen = 0L
   }
 
   /** Growable output buffer with random access (sequence execution
@@ -654,7 +660,7 @@ object Zstd {
       out.append(lits, litPos, litLen)
       litPos += litLen
       if (offset > Int.MaxValue) bail("bad_offset")
-      if (st.windowSize >= 0 && offset > st.windowSize)
+      if (st.windowSize >= 0 && offset > st.windowSize + st.dictLen)
         bail("offset_beyond_window")
       out.copyMatch(offset.toInt, matchLen)
       i += 1
@@ -839,6 +845,7 @@ object Zstd {
           frameDict.foreach { d =>
             content.append(d.content, 0, d.content.length)
             content.base = content.n
+            st.dictLen = d.content.length
             if (d.huf != null) { // formatted dicts seed the entropy state
               st.huf = d.huf; st.ll = d.ll; st.of = d.of; st.ml = d.ml
             }
