@@ -21,6 +21,10 @@ LIB.WebPEncodeRGBA.restype = ctypes.c_size_t
 LIB.WebPEncodeRGBA.argtypes = [
     ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+LIB.WebPEncodeLosslessRGBA.restype = ctypes.c_size_t
+LIB.WebPEncodeLosslessRGBA.argtypes = [
+    ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
 LIB.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
 LIB.WebPDecodeRGBA.argtypes = [
     ctypes.c_char_p, ctypes.c_size_t,
@@ -65,8 +69,11 @@ def main():
         q = rnd.randrange(10, 100)
         rgba = image(rnd, w, h, alpha)
         out = ctypes.POINTER(ctypes.c_uint8)()
-        n = LIB.WebPEncodeRGBA(rgba, w, h, w * 4, ctypes.c_float(q),
-                               ctypes.byref(out))
+        if rnd.random() < 0.35:  # VP8L: encoder-chosen transform mixes
+            n = LIB.WebPEncodeLosslessRGBA(rgba, w, h, w * 4, ctypes.byref(out))
+        else:
+            n = LIB.WebPEncodeRGBA(rgba, w, h, w * 4, ctypes.c_float(q),
+                                   ctypes.byref(out))
         assert n > 0
         blob = ctypes.string_at(out, n)
         LIB.WebPFree(out)
