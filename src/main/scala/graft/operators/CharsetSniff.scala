@@ -221,11 +221,29 @@ object CharsetSniff {
     * beyond the documented fallback); br decodes via the from-scratch
     * RFC 7932 decoder (graft.operators.Brotli, interop-pinned against
     * the system libbrotli) with the same bomb cap and named
-    * truncation/corruption fates; zstd/compress and multi-coding
-    * chains reject by name. */
+    * truncation/corruption fates; MULTI-CODING chains ("br, gzip" =
+    * br applied first, gzip second — RFC 9110 lists codings in
+    * application order) undo right-to-left with the cap enforced at
+    * EVERY stage (a chain is two bomb opportunities, not one);
+    * zstd/compress reject by name. */
   def decodeContentEncoding(body: Array[Byte], encoding: Option[String],
-      maxOut: Int = 1 << 24): Either[Rejected, Array[Byte]] =
-    encoding.map(_.trim).filter(e => e.nonEmpty && e != "identity") match {
+      maxOut: Int = 1 << 24): Either[Rejected, Array[Byte]] = {
+    val codings = encoding.map(_.trim).filter(_.nonEmpty).toSeq
+      .flatMap(_.split(",").iterator.map(_.trim).filter(_.nonEmpty))
+      .filter(_ != "identity")
+    if (codings.length > 1) {
+      if (codings.length > 4) return Left(Rejected("encoding_chain_too_long"))
+      return codings.reverse.foldLeft(
+        Right(body): Either[Rejected, Array[Byte]]) { (acc, enc) =>
+        acc.flatMap(b => decodeOneEncoding(b, enc, maxOut))
+      }
+    }
+    decodeOneEncoding(body, codings.headOption.orNull, maxOut)
+  }
+
+  private def decodeOneEncoding(body: Array[Byte], enc: String,
+      maxOut: Int): Either[Rejected, Array[Byte]] =
+    Option(enc) match {
       case None => Right(body)
       case Some(e) if e == "gzip" || e == "x-gzip" =>
         try {

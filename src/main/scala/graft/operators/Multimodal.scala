@@ -1725,7 +1725,11 @@ object Multimodal {
             bos.toByteArray
           }
           val (body, encHeader) =
-            if (id % 13 == 11)
+            if (id % 29 == 17)
+              // multi-coding chain: br applied first, gzip second
+              // (RFC 9110 order) — the decoder undoes right-to-left
+              (gz(Brotli.encode(rawBody)), "Content-Encoding: br, gzip\r\n")
+            else if (id % 13 == 11)
               (Brotli.encode(rawBody), "Content-Encoding: br\r\n")
             else if (id % 17 == 13) {
               val g = gz(rawBody)

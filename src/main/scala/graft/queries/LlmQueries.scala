@@ -6338,7 +6338,7 @@ object LlmQueries {
       "q231_charset_sniff",
       """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
         |c AS (SELECT id,
-        |    CASE WHEN id % 17 = 13 AND id % 13 <> 11 THEN NULL
+        |    CASE WHEN id % 17 = 13 AND id % 13 <> 11 AND id % 29 <> 17 THEN NULL
         |         WHEN id % 11 = 7 THEN NULL
         |         WHEN id % 8 = 0 THEN 'utf-8'
         |         WHEN id % 8 = 1 THEN 'windows-1252'
@@ -6348,7 +6348,7 @@ object LlmQueries {
         |         WHEN id % 8 = 5 THEN 'shift_jis'
         |         WHEN id % 8 = 6 THEN 'gbk'
         |         ELSE 'euc-kr' END AS charset,
-        |    CASE WHEN id % 17 = 13 AND id % 13 <> 11 THEN NULL
+        |    CASE WHEN id % 17 = 13 AND id % 13 <> 11 AND id % 29 <> 17 THEN NULL
         |         WHEN id % 11 = 7 THEN NULL
         |         WHEN id % 8 = 0 THEN 'header'
         |         WHEN id % 8 = 1 THEN 'meta'
@@ -6357,10 +6357,10 @@ object LlmQueries {
         |         WHEN id % 8 = 4 THEN 'utf8-valid'
         |         WHEN id % 8 = 6 THEN 'meta'
         |         ELSE 'header' END AS source,
-        |    CASE WHEN id % 17 = 13 AND id % 13 <> 11 THEN 'truncated_gzip_body'
+        |    CASE WHEN id % 17 = 13 AND id % 13 <> 11 AND id % 29 <> 17 THEN 'truncated_gzip_body'
         |         WHEN id % 11 = 7 THEN 'malformed_utf-8'
         |         ELSE 'decoded' END AS fate,
-        |    CASE WHEN id % 17 = 13 AND id % 13 <> 11 THEN NULL
+        |    CASE WHEN id % 17 = 13 AND id % 13 <> 11 AND id % 29 <> 17 THEN NULL
         |         WHEN id % 11 = 7 THEN NULL
         |         WHEN id % 8 = 0 THEN text || ' héllo'
         |         WHEN id % 8 = 1 THEN '<meta charset=windows-1252>' || text || ' €uro™'
@@ -6393,7 +6393,7 @@ object LlmQueries {
       "q232_web_ingest_charset_capstone",
       s"""WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
          |c AS (SELECT id,
-         |    CASE WHEN id % 17 = 13 AND id % 13 <> 11 THEN NULL
+         |    CASE WHEN id % 17 = 13 AND id % 13 <> 11 AND id % 29 <> 17 THEN NULL
          |         WHEN id % 11 = 7 THEN NULL
          |         WHEN id % 8 = 0 THEN text || ' héllo'
          |         WHEN id % 8 = 1 THEN '<meta charset=windows-1252>' || text || ' €uro™'
@@ -6428,7 +6428,7 @@ object LlmQueries {
          |  FROM l LEFT JOIN k USING (ch)
          |  UNION ALL
          |  SELECT '(rejected)', 0,
-         |    CASE WHEN id % 17 = 13 AND id % 13 <> 11 THEN 'encoding'
+         |    CASE WHEN id % 17 = 13 AND id % 13 <> 11 AND id % 29 <> 17 THEN 'encoding'
          |         ELSE 'charset' END
          |  FROM c WHERE decoded IS NULL)
          |SELECT lang_pred,
@@ -6799,10 +6799,10 @@ object LlmQueries {
       "q240_encoding_fate_census",
       """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
         |c AS (SELECT id,
-        |    CASE WHEN id % 17 = 13 AND id % 13 <> 11 THEN 'truncated_gzip_body'
+        |    CASE WHEN id % 17 = 13 AND id % 13 <> 11 AND id % 29 <> 17 THEN 'truncated_gzip_body'
         |         WHEN id % 11 = 7 THEN 'malformed_utf-8'
         |         ELSE 'decoded' END AS fate,
-        |    CASE WHEN (id % 17 = 13 AND id % 13 <> 11) OR id % 11 = 7 THEN NULL
+        |    CASE WHEN (id % 17 = 13 AND id % 13 <> 11 AND id % 29 <> 17) OR id % 11 = 7 THEN NULL
         |         WHEN id % 8 = 0 THEN 'utf-8'
         |         WHEN id % 8 = 1 THEN 'windows-1252'
         |         WHEN id % 8 = 2 THEN 'iso-8859-1'

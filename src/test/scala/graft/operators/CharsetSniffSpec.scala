@@ -179,10 +179,35 @@ class CharsetSniffSpec extends AnyFunSuite {
     // name, not unsupported (real br flows are pinned in BrotliSpec)
     assert(CharsetSniff.decodeContentEncoding(g, Some("br")) ==
       Left(CharsetSniff.Rejected("corrupt_br_body")))
-    // unknown and multi-codings reject by name, never guess
+    // unknown codings reject by name, never guess
     assert(CharsetSniff.decodeContentEncoding(g, Some("zstd")) ==
       Left(CharsetSniff.Rejected("unsupported_encoding_zstd")))
-    assert(CharsetSniff.decodeContentEncoding(g, Some("gzip, br")).isLeft)
+    // a gzip blob labeled "gzip, br" fails at the br stage (undone first)
+    assert(CharsetSniff.decodeContentEncoding(g, Some("gzip, br")) ==
+      Left(CharsetSniff.Rejected("corrupt_br_body")))
+  }
+
+  test("multi-coding chains undo right-to-left with per-stage caps") {
+    val body = ("chain " * 100).getBytes("UTF-8")
+    // "br, gzip" = br applied first, then gzip: decoder undoes gzip, br
+    val wire = gz(Brotli.encode(body))
+    assert(CharsetSniff.decodeContentEncoding(wire, Some("br, gzip"))
+      .map(_.toSeq) == Right(body.toSeq))
+    // identity members are transparent inside a chain
+    assert(CharsetSniff.decodeContentEncoding(wire,
+      Some("br, identity, gzip")).map(_.toSeq) == Right(body.toSeq))
+    // the INNER stage's expansion hits the cap even when the outer
+    // layer is small — a chain is two bomb opportunities, not one
+    val bomb = gz(Brotli.encode(Array.fill(17 * 1024 * 1024)('x'.toByte)))
+    assert(CharsetSniff.decodeContentEncoding(bomb, Some("br, gzip")) ==
+      Left(CharsetSniff.Rejected("encoding_bomb")))
+    // absurd chain lengths reject by name before any work
+    assert(CharsetSniff.decodeContentEncoding(wire,
+      Some("gzip, gzip, gzip, gzip, gzip")) ==
+      Left(CharsetSniff.Rejected("encoding_chain_too_long")))
+    // wrong order rejects with the stage that failed
+    assert(CharsetSniff.decodeContentEncoding(wire, Some("gzip, br")) ==
+      Left(CharsetSniff.Rejected("corrupt_br_body")))
   }
 
   test("content-encoding header extraction") {
