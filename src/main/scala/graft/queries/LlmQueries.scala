@@ -7423,6 +7423,113 @@ object LlmQueries {
           })
           .toDF("media_id", "frame_ix", "granule", "n_quads", "main_begin",
             "xr_sum", "abs_sum")
+    },
+
+    // SCENE-LEVEL animation dedup — the capability the r11 verdict
+    // called blocked ("frame-level dedup works, scene-level doesn't")
+    // and q245's composition unblocks: animations whose FRAME HISTORIES
+    // differ but whose composed final scene is identical must collide.
+    // Fixture groups of three (gid = id/3): members 0 and 1 paint
+    // DIFFERENT intermediate frames but the same full-canvas final
+    // frame (same composed scene, different byte streams — exact/frame
+    // hashing cannot pair them); member 2 perturbs the scene. The scene
+    // key is the dHash of the composed last canvas; the final frame is
+    // full-canvas opaque, so the oracle replays the hash from the gray
+    // formula through the 9x8 resize (r=g=b makes the 77/150/29 luma
+    // the identity), while the CODE still composes the whole history.
+    // is_scene_dup compares each member's hash to its group keeper's —
+    // the oracle computes BOTH hashes from formulas, assuming nothing.
+    OpQuery.sql(
+      "q248_scene_dedup",
+      """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    CAST(doc_id // 3 AS BIGINT) AS gid,
+        |    CAST(doc_id % 3 AS BIGINT) AS m
+        |  FROM documents WHERE (doc_id // 3) % 2 = 1),
+        |yy AS (SELECT *, unnest(generate_series(0, 7)) AS oy FROM v),
+        |cc AS (SELECT *, unnest(generate_series(0, 8)) AS ox FROM yy),
+        |sp AS (SELECT id, gid, m, oy, ox,
+        |    (ox * 24) // 9 AS sx, 2 * oy AS sy FROM cc),
+        |px AS (SELECT id, gid, m, oy, ox,
+        |    (gid * 37 + 47 * (sx // 8) + 83 * (sy // 8)
+        |      + CASE WHEN m = 2 THEN 59 * (sx // 8 + sy // 8) ELSE 0 END)
+        |      % 256 AS val,
+        |    (gid * 37 + 47 * (sx // 8) + 83 * (sy // 8)) % 256 AS val0
+        |  FROM sp),
+        |nbr AS (SELECT id, gid, m, oy, ox, val, val0,
+        |    lead(val) OVER (PARTITION BY id, oy ORDER BY ox) AS nxt,
+        |    lead(val0) OVER (PARTITION BY id, oy ORDER BY ox) AS nxt0
+        |  FROM px),
+        |bits AS (SELECT id, gid, m, oy * 8 + ox AS idx,
+        |    CASE WHEN val > nxt THEN 1 ELSE 0 END AS b,
+        |    CASE WHEN val0 > nxt0 THEN 1 ELSE 0 END AS b0
+        |  FROM nbr WHERE ox < 8),
+        |dh AS (SELECT id, gid, m,
+        |  CAST(sum(CASE WHEN b = 1 THEN
+        |        CASE WHEN idx = 63 THEN -9223372036854775807 - 1
+        |             ELSE 1::BIGINT << idx END
+        |      ELSE 0 END) AS BIGINT) AS scene_hash,
+        |  CAST(sum(CASE WHEN b0 = 1 THEN
+        |        CASE WHEN idx = 63 THEN -9223372036854775807 - 1
+        |             ELSE 1::BIGINT << idx END
+        |      ELSE 0 END) AS BIGINT) AS keeper_hash
+        |  FROM bits GROUP BY 1, 2, 3)
+        |SELECT id AS media_id, scene_hash,
+        |  (m > 0 AND scene_hash = keeper_hash) AS is_scene_dup
+        |FROM dh""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val hashes = load(s, dir, "documents")
+          .filter((col("doc_id") / 3).cast("long") % 2 === 1)
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            val gid = id / 3
+            val m = (id % 3).toInt
+            def gray(w: Int, h: Int, f: (Int, Int) => Long): Array[Int] =
+              Array.tabulate(w * h) { k =>
+                val v = (f(k % w, k / w) % 256).toInt
+                (0xff << 24) | (v << 16) | (v << 8) | v
+              }
+            // intermediate frames differ per member (different history,
+            // same final scene for m 0/1)
+            val mid = gray(10, 8, (x, y) => gid * 5 + 7 * x + 11 * y + 13 * m)
+            val fin = gray(24, 16, (x, y) =>
+              gid * 37 + 47 * (x / 8) + 83 * (y / 8) +
+                (if (m == 2) 59 * (x / 8 + y / 8) else 0))
+            val blob = graft.operators.WebpAnim.encode(24, 16, 0, 0, Seq(
+              (2 * (m % 3), 2, 40, 0,
+                graft.operators.Vp8l.encode(10, 8, mid, cacheBits = 2)),
+              (0, 0, 40, 2, // no-blend full-canvas final scene
+                graft.operators.Vp8l.encode(24, 16, fin, cacheBits = 2))))
+            val anim = graft.operators.WebpAnim.decode(blob)
+              .getOrElse(throw new IllegalStateException("fixture must decode"))
+            val last = graft.operators.WebpAnim.compose(anim).last
+            // 9x8 nearest thumbnail of the gray canvas -> dHash
+            var hsh = 0L
+            var ty = 0
+            while (ty < 8) {
+              var tx = 0
+              while (tx < 8) {
+                def g(ox: Int): Int = {
+                  val sx = (ox * 24) / 9
+                  val sy = (ty * 16) / 8
+                  val p = last.argb(sy * 24 + sx)
+                  (77 * ((p >> 16) & 0xff) + 150 * ((p >> 8) & 0xff) +
+                    29 * (p & 0xff)) >> 8
+                }
+                if (g(tx) > g(tx + 1)) hsh |= 1L << (ty * 8 + tx)
+                tx += 1
+              }
+              ty += 1
+            }
+            (id, gid, m, hsh)
+          })
+          .toDF("media_id", "gid", "m", "scene_hash")
+        val keepers = hashes.filter(col("m") === 0)
+          .select(col("gid"), col("scene_hash").as("keeper_hash"))
+        hashes.join(broadcast(keepers), Seq("gid"), "left")
+          .select(col("media_id"), col("scene_hash"),
+            (col("m") > 0 && col("scene_hash") === col("keeper_hash"))
+              .as("is_scene_dup"))
     }
   )
 
