@@ -199,9 +199,9 @@ object CharsetSniff {
         l.substring("content-type:".length).trim
     }
 
-  /** The Content-Encoding value (first token, lowercased), if present.
-    * Multi-codings ("gzip, br") keep the full list — the decoder below
-    * rejects them by name rather than guessing an order. */
+  /** The Content-Encoding value (lowercased, full list), if present.
+    * Multi-codings ("br, gzip") keep the full list — the decoder below
+    * undoes the chain right-to-left per RFC 9110 application order. */
   def contentEncodingOf(headerBlock: String): Option[String] =
     headerBlock.split("\r\n").iterator.drop(1).collectFirst {
       case l if l.toLowerCase(java.util.Locale.ROOT)
@@ -221,15 +221,24 @@ object CharsetSniff {
     * beyond the documented fallback); br decodes via the from-scratch
     * RFC 7932 decoder (graft.operators.Brotli, interop-pinned against
     * the system libbrotli) with the same bomb cap and named
-    * truncation/corruption fates; MULTI-CODING chains ("br, gzip" =
-    * br applied first, gzip second — RFC 9110 lists codings in
-    * application order) undo right-to-left with the cap enforced at
-    * EVERY stage (a chain is two bomb opportunities, not one);
-    * zstd/compress reject by name. */
+    * truncation/corruption fates; zstd (RFC 9659's content coding)
+    * decodes via the from-scratch RFC 8878 decoder
+    * (graft.operators.Zstd, interop-pinned against zstd-jni) with the
+    * same cap threaded through (enforced before allocation) and named
+    * truncated/corrupt fates — a multi-frame body concatenates frame
+    * contents, skippable frames skipped, per the RFC's stream shape;
+    * MULTI-CODING chains ("br, gzip" = br applied first, gzip second —
+    * RFC 9110 lists codings in application order) undo right-to-left
+    * with the cap enforced at EVERY stage (a chain is two bomb
+    * opportunities, not one); compress rejects by name. Coding tokens
+    * are matched case-insensitively (RFC 9110 §8.4.1: content-coding
+    * values are case-insensitive) — 'Br'/'GZIP' decode, not
+    * quarantine. */
   def decodeContentEncoding(body: Array[Byte], encoding: Option[String],
       maxOut: Int = 1 << 24): Either[Rejected, Array[Byte]] = {
     val codings = encoding.map(_.trim).filter(_.nonEmpty).toSeq
-      .flatMap(_.split(",").iterator.map(_.trim).filter(_.nonEmpty))
+      .flatMap(_.split(",").iterator
+        .map(_.trim.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty))
       .filter(_ != "identity")
     if (codings.length > 1) {
       if (codings.length > 4) return Left(Rejected("encoding_chain_too_long"))
@@ -300,6 +309,29 @@ object CharsetSniff {
           case Left(Brotli.Rejected("brotli_bomb")) =>
             Left(Rejected("encoding_bomb"))
           case Left(_) => Left(Rejected("corrupt_br_body"))
+        }
+      case Some("zstd") =>
+        Zstd.decode(body, None, maxOut) match {
+          case Right(frames) =>
+            val data = frames.filterNot(_.skippable)
+            val total = data.foldLeft(0L)(_ + _.content.length)
+            if (total > maxOut) Left(Rejected("encoding_bomb"))
+            else if (data.isEmpty) Left(Rejected("corrupt_zstd_body"))
+            else if (data.length == 1) Right(data.head.content)
+            else {
+              val out = new Array[Byte](total.toInt)
+              var off = 0
+              data.foreach { f =>
+                System.arraycopy(f.content, 0, out, off, f.content.length)
+                off += f.content.length
+              }
+              Right(out)
+            }
+          case Left(Zstd.Rejected("oversized")) =>
+            Left(Rejected("encoding_bomb"))
+          case Left(Zstd.Rejected(r)) if r.startsWith("truncated_") =>
+            Left(Rejected("truncated_zstd_body"))
+          case Left(_) => Left(Rejected("corrupt_zstd_body"))
         }
       case Some(other) =>
         Left(Rejected(

@@ -1700,14 +1700,15 @@ object Multimodal {
         row.getSeq[org.apache.spark.sql.Row](1).foreach { d =>
           val id = d.getLong(0)
           val (rawBody, ct) = encode(id, d.getString(1))
-          // Content-Encoding layer (id-rotated): brotli / gzip /
+          // Content-Encoding layer (id-rotated): brotli / zstd / gzip /
           // zlib-deflate / raw-deflate members decode transparently
           // before the charset gate (the br rows carry REAL RFC 7932
-          // streams from graft's own encoder — round 12; before that
-          // they exercised the unsupported_encoding_br rejection); a
-          // truncated gzip member exercises the named rejections.
-          // Precedence mirrors the q231/q232 oracles' CASE order
-          // exactly.
+          // streams from graft's own encoder — round 12; the zstd rows
+          // REAL RFC 8878 streams from zstd-jni with the XXH64
+          // checksum on — round 13, the RFC 9659 content coding);
+          // truncated gzip and truncated zstd members exercise the
+          // named rejections. Precedence mirrors the q231/q232/q240
+          // oracles' CASE order exactly.
           def gz(b: Array[Byte]): Array[Byte] = {
             val bos = new java.io.ByteArrayOutputStream()
             val g = new java.util.zip.GZIPOutputStream(bos)
@@ -1724,14 +1725,33 @@ object Multimodal {
             df.end()
             bos.toByteArray
           }
+          def zstdC(b: Array[Byte]): Array[Byte] = {
+            val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+            ctx.setLevel(3); ctx.setChecksum(true)
+            try ctx.compress(b) finally ctx.close()
+          }
           val (body, encHeader) =
             if (id % 29 == 17)
               // multi-coding chain: br applied first, gzip second
               // (RFC 9110 order) — the decoder undoes right-to-left
               (gz(Brotli.encode(rawBody)), "Content-Encoding: br, gzip\r\n")
+            else if (id % 31 == 5)
+              // zstd-in-chain, with mixed-case tokens: RFC 9110 §8.4.1
+              // says codings are case-insensitive, so the gate must
+              // decode 'Zstd, GZIP' exactly as 'zstd, gzip'
+              (gz(zstdC(rawBody)), "Content-Encoding: Zstd, GZIP\r\n")
             else if (id % 13 == 11)
               (Brotli.encode(rawBody), "Content-Encoding: br\r\n")
-            else if (id % 17 == 13) {
+            else if (id % 19 == 3)
+              (zstdC(rawBody), "Content-Encoding: zstd\r\n")
+            else if (id % 37 == 9) {
+              // truncated zstd member: the XXH64 checksum is on, so
+              // chopping the tail lands in truncated_checksum or
+              // truncated_block — the named truncation fate either way
+              val z = zstdC(rawBody)
+              (java.util.Arrays.copyOf(z, math.max(4, z.length - 5)),
+                "Content-Encoding: zstd\r\n")
+            } else if (id % 17 == 13) {
               val g = gz(rawBody)
               (java.util.Arrays.copyOf(g, math.max(4, g.length - 5)),
                 "Content-Encoding: gzip\r\n")

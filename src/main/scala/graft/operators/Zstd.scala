@@ -451,8 +451,12 @@ object Zstd {
       * may reach into them, but they are not part of the frame's own
       * output (content size, checksum, FrameInfo.content). */
     var base = 0
+    /** Output ceiling, enforced BEFORE allocation grows past it — the
+      * caller-supplied bomb cap (Content-Encoding threads its per-stage
+      * cap here; the default is the engine-wide 64 MiB media cap). */
+    var cap: Int = 1 << 26
     private def ensure(extra: Int): Unit = {
-      if (n + extra > (1 << 26)) bail("oversized")
+      if (n - base + extra > cap) bail("oversized")
       if (n + extra > a.length) {
         var cap = a.length
         while (cap < n + extra) cap <<= 1
@@ -768,6 +772,13 @@ object Zstd {
 
   def decode(b: Array[Byte],
       dict: Option[Dict]): Either[Rejected, Seq[FrameInfo]] =
+    decode(b, dict, 1 << 26)
+
+  /** As above, with a caller-supplied per-frame output cap (bomb guard
+    * enforced before allocation — the Content-Encoding stage threads
+    * its per-stage cap here). */
+  def decode(b: Array[Byte], dict: Option[Dict],
+      maxOut: Int): Either[Rejected, Seq[FrameInfo]] =
     try {
       val out = Seq.newBuilder[FrameInfo]
       var i = 0
@@ -840,6 +851,7 @@ object Zstd {
             i += fcsLen
           }
           val content = new OutBuf
+          content.cap = maxOut
           val st = new FrameState
           st.windowSize = windowSize
           frameDict.foreach { d =>
@@ -880,7 +892,7 @@ object Zstd {
                 nCompressed += 1
               case _ => bail("reserved_block_type")
             }
-            if (content.dataLength > (1 << 26)) bail("oversized")
+            if (content.dataLength > maxOut) bail("oversized")
           }
           val data = content.toArray
           if (contentSize >= 0 && data.length != contentSize)

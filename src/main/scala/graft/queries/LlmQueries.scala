@@ -6337,8 +6337,14 @@ object LlmQueries {
     OpQuery.sql(
       "q231_charset_sniff",
       """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+        |e AS (SELECT id, text,
+        |    id % 37 = 9 AND id % 29 <> 17 AND id % 31 <> 5
+        |      AND id % 13 <> 11 AND id % 19 <> 3 AS tz,
+        |    id % 17 = 13 AND id % 29 <> 17 AND id % 31 <> 5
+        |      AND id % 13 <> 11 AND id % 19 <> 3 AND id % 37 <> 9 AS tg
+        |  FROM f),
         |c AS (SELECT id,
-        |    CASE WHEN id % 17 = 13 AND id % 13 <> 11 AND id % 29 <> 17 THEN NULL
+        |    CASE WHEN tz OR tg THEN NULL
         |         WHEN id % 11 = 7 THEN NULL
         |         WHEN id % 8 = 0 THEN 'utf-8'
         |         WHEN id % 8 = 1 THEN 'windows-1252'
@@ -6348,7 +6354,7 @@ object LlmQueries {
         |         WHEN id % 8 = 5 THEN 'shift_jis'
         |         WHEN id % 8 = 6 THEN 'gbk'
         |         ELSE 'euc-kr' END AS charset,
-        |    CASE WHEN id % 17 = 13 AND id % 13 <> 11 AND id % 29 <> 17 THEN NULL
+        |    CASE WHEN tz OR tg THEN NULL
         |         WHEN id % 11 = 7 THEN NULL
         |         WHEN id % 8 = 0 THEN 'header'
         |         WHEN id % 8 = 1 THEN 'meta'
@@ -6357,10 +6363,11 @@ object LlmQueries {
         |         WHEN id % 8 = 4 THEN 'utf8-valid'
         |         WHEN id % 8 = 6 THEN 'meta'
         |         ELSE 'header' END AS source,
-        |    CASE WHEN id % 17 = 13 AND id % 13 <> 11 AND id % 29 <> 17 THEN 'truncated_gzip_body'
+        |    CASE WHEN tz THEN 'truncated_zstd_body'
+        |         WHEN tg THEN 'truncated_gzip_body'
         |         WHEN id % 11 = 7 THEN 'malformed_utf-8'
         |         ELSE 'decoded' END AS fate,
-        |    CASE WHEN id % 17 = 13 AND id % 13 <> 11 AND id % 29 <> 17 THEN NULL
+        |    CASE WHEN tz OR tg THEN NULL
         |         WHEN id % 11 = 7 THEN NULL
         |         WHEN id % 8 = 0 THEN text || ' héllo'
         |         WHEN id % 8 = 1 THEN '<meta charset=windows-1252>' || text || ' €uro™'
@@ -6370,7 +6377,7 @@ object LlmQueries {
         |         WHEN id % 8 = 5 THEN text || ' こんにちは'
         |         WHEN id % 8 = 6 THEN '<meta charset=gbk>' || text || ' 中文测试'
         |         ELSE text || ' 한국어' END AS decoded
-        |  FROM f)
+        |  FROM e)
         |SELECT id AS doc_id, charset, source, fate,
         |  CAST(length(decoded) AS BIGINT) AS n_chars,
         |  md5(decoded) AS text_md5
@@ -6392,8 +6399,14 @@ object LlmQueries {
     OpQuery.sql(
       "q232_web_ingest_charset_capstone",
       s"""WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
-         |c AS (SELECT id,
-         |    CASE WHEN id % 17 = 13 AND id % 13 <> 11 AND id % 29 <> 17 THEN NULL
+         |e AS (SELECT id, text,
+         |    id % 37 = 9 AND id % 29 <> 17 AND id % 31 <> 5
+         |      AND id % 13 <> 11 AND id % 19 <> 3 AS tz,
+         |    id % 17 = 13 AND id % 29 <> 17 AND id % 31 <> 5
+         |      AND id % 13 <> 11 AND id % 19 <> 3 AND id % 37 <> 9 AS tg
+         |  FROM f),
+         |c AS (SELECT id, tz, tg,
+         |    CASE WHEN tz OR tg THEN NULL
          |         WHEN id % 11 = 7 THEN NULL
          |         WHEN id % 8 = 0 THEN text || ' héllo'
          |         WHEN id % 8 = 1 THEN '<meta charset=windows-1252>' || text || ' €uro™'
@@ -6403,7 +6416,7 @@ object LlmQueries {
          |         WHEN id % 8 = 5 THEN text || ' こんにちは'
          |         WHEN id % 8 = 6 THEN '<meta charset=gbk>' || text || ' 中文测试'
          |         ELSE text || ' 한국어' END AS decoded
-         |  FROM f),
+         |  FROM e),
          |n AS (SELECT id, $DuckNorm2 AS nm,
          |    string_split($DuckNorm2, ' ') AS ws FROM c WHERE decoded IS NOT NULL),
          |s AS (SELECT id, nm,
@@ -6428,7 +6441,7 @@ object LlmQueries {
          |  FROM l LEFT JOIN k USING (ch)
          |  UNION ALL
          |  SELECT '(rejected)', 0,
-         |    CASE WHEN id % 17 = 13 AND id % 13 <> 11 AND id % 29 <> 17 THEN 'encoding'
+         |    CASE WHEN tz OR tg THEN 'encoding'
          |         ELSE 'charset' END
          |  FROM c WHERE decoded IS NULL)
          |SELECT lang_pred,
@@ -6464,7 +6477,8 @@ object LlmQueries {
           .select(col("lang_pred"), col("n_words"), col("fate"))
         val encodingRejects = Seq("truncated_gzip_body", "corrupt_gzip_body",
           "truncated_deflate_body", "corrupt_deflate_body",
-          "truncated_br_body", "corrupt_br_body", "encoding_bomb")
+          "truncated_br_body", "corrupt_br_body",
+          "truncated_zstd_body", "corrupt_zstd_body", "encoding_bomb")
         val rejected = g.filter(col("fate") =!= "decoded")
           .select(lit("(rejected)").as("lang_pred"),
             lit(0).as("n_words"),
@@ -6792,17 +6806,37 @@ object LlmQueries {
     // truncated members" as numbers before any expensive stage runs.
     // Composes q231's charset gate with the round-11 Content-Encoding
     // stage; one shuffle (the groupBy). Round 12: the brotli rows that
-    // used to quarantine (`unsupported_encoding_br`) now DECODE — the
-    // fixture's br bodies are real RFC 7932 streams and the census
-    // shows the fate flip the judge asked for.
+    // used to quarantine (`unsupported_encoding_br`) now DECODE.
+    // Round 13: the census gains the declared-coding dimension and the
+    // fixture gains zstd regimes (RFC 9659) — zstd and zstd-in-chain
+    // rows show `decoded` via the from-scratch RFC 8878 decoder, and
+    // truncated zstd members land the named `truncated_zstd_body`
+    // fate, all replayed by the oracle's id formulas.
     OpQuery.sql(
       "q240_encoding_fate_census",
       """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
-        |c AS (SELECT id,
-        |    CASE WHEN id % 17 = 13 AND id % 13 <> 11 AND id % 29 <> 17 THEN 'truncated_gzip_body'
+        |e AS (SELECT id,
+        |    id % 37 = 9 AND id % 29 <> 17 AND id % 31 <> 5
+        |      AND id % 13 <> 11 AND id % 19 <> 3 AS tz,
+        |    id % 17 = 13 AND id % 29 <> 17 AND id % 31 <> 5
+        |      AND id % 13 <> 11 AND id % 19 <> 3 AND id % 37 <> 9 AS tg,
+        |    CASE WHEN id % 29 = 17 THEN 'br, gzip'
+        |         WHEN id % 31 = 5 THEN 'zstd, gzip'
+        |         WHEN id % 13 = 11 THEN 'br'
+        |         WHEN id % 19 = 3 THEN 'zstd'
+        |         WHEN id % 37 = 9 THEN 'zstd'
+        |         WHEN id % 17 = 13 THEN 'gzip'
+        |         WHEN id % 7 = 2 THEN 'gzip'
+        |         WHEN id % 7 = 4 THEN 'deflate'
+        |         WHEN id % 23 = 21 THEN 'deflate'
+        |         ELSE 'identity' END AS encoding
+        |  FROM f),
+        |c AS (SELECT id, encoding,
+        |    CASE WHEN tz THEN 'truncated_zstd_body'
+        |         WHEN tg THEN 'truncated_gzip_body'
         |         WHEN id % 11 = 7 THEN 'malformed_utf-8'
         |         ELSE 'decoded' END AS fate,
-        |    CASE WHEN (id % 17 = 13 AND id % 13 <> 11 AND id % 29 <> 17) OR id % 11 = 7 THEN NULL
+        |    CASE WHEN tz OR tg OR id % 11 = 7 THEN NULL
         |         WHEN id % 8 = 0 THEN 'utf-8'
         |         WHEN id % 8 = 1 THEN 'windows-1252'
         |         WHEN id % 8 = 2 THEN 'iso-8859-1'
@@ -6811,12 +6845,12 @@ object LlmQueries {
         |         WHEN id % 8 = 5 THEN 'shift_jis'
         |         WHEN id % 8 = 6 THEN 'gbk'
         |         ELSE 'euc-kr' END AS charset
-        |  FROM f)
-        |SELECT fate, charset, CAST(count(*) AS BIGINT) AS n_docs
-        |FROM c GROUP BY 1, 2""".stripMargin) {
+        |  FROM e)
+        |SELECT fate, charset, encoding, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM c GROUP BY 1, 2, 3""".stripMargin) {
       (s, dir) =>
         charsetGate(s, dir)
-          .groupBy(col("fate"), col("charset"))
+          .groupBy(col("fate"), col("charset"), col("encoding"))
           .agg(count(lit(1)).cast("long").as("n_docs"))
     },
 
@@ -7524,12 +7558,151 @@ object LlmQueries {
             (id, gid, m, hsh)
           })
           .toDF("media_id", "gid", "m", "scene_hash")
-        val keepers = hashes.filter(col("m") === 0)
-          .select(col("gid"), col("scene_hash").as("keeper_hash"))
-        hashes.join(broadcast(keepers), Seq("gid"), "left")
+        // keeper lookup as a window over gid, NOT a broadcast self-join:
+        // the keeper side is one row per dedup GROUP (O(corpus)), so a
+        // broadcast would grow with the data and OOM the driver at
+        // 100×; the window shuffles once on gid and — unlike a
+        // self-join — runs the expensive encode/compose pipeline ONCE
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("gid")
+        hashes
+          .withColumn("keeper_hash",
+            max(when(col("m") === 0, col("scene_hash"))).over(w))
           .select(col("media_id"), col("scene_hash"),
             (col("m") > 0 && col("scene_hash") === col("keeper_hash"))
               .as("is_scene_dup"))
+    },
+
+    // XML STRUCTURE CENSUS — the q224-for-XML: the one tree format
+    // office documents, EPUB, and half of web APIs ride, walked by the
+    // generic event parser (operators/XmlWalk — strict XML 1.0 subset,
+    // reject-don't-guess: DTDs quarantine by name as the
+    // billion-laughs gate, depth caps at 64 like JsonWalk). Fixture
+    // documents are id-formula XML with planted malformed classes
+    // (mismatched tags / truncation / DOCTYPE), so every counter and
+    // every fate replays in closed form. Per-row mapPartitions, no
+    // shuffle — linear over a 100 TB content column.
+    OpQuery.sql(
+      "q249_xml_census",
+      """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |r AS (SELECT id,
+        |    CASE WHEN id % 13 = 4 THEN 'mismatched_tag'
+        |         WHEN id % 17 = 6 THEN 'truncated_xml'
+        |         WHEN id % 19 = 8 THEN 'dtd_unsupported'
+        |         ELSE 'ok' END AS fate,
+        |    1 + id % 5 AS k,
+        |    id % 3 = 0 AS nested, id % 2 = 0 AS pi, id % 7 = 1 AS cd
+        |  FROM f)
+        |SELECT id AS doc_id, fate,
+        |  CASE WHEN fate = 'ok' THEN 'doc' END AS root_tag,
+        |  CAST(CASE WHEN fate = 'ok' THEN
+        |      CASE WHEN nested THEN 4 ELSE 2 END END AS INTEGER) AS max_depth,
+        |  CAST(CASE WHEN fate = 'ok' THEN 1 + k
+        |      + CASE WHEN nested THEN 3 ELSE 0 END
+        |      + CASE WHEN cd THEN 1 ELSE 0 END END AS BIGINT) AS n_elements,
+        |  CAST(CASE WHEN fate = 'ok' THEN 2 + k END AS BIGINT) AS n_attrs,
+        |  CAST(CASE WHEN fate = 'ok' THEN 3 * k
+        |      + CASE WHEN nested THEN 1 ELSE 0 END
+        |      + CASE WHEN cd THEN 15 ELSE 0 END END AS BIGINT) AS n_text_chars,
+        |  CAST(CASE WHEN fate = 'ok' THEN
+        |      CASE WHEN cd THEN 1 ELSE 0 END END AS BIGINT) AS n_cdata,
+        |  CAST(CASE WHEN fate = 'ok' THEN 1 END AS BIGINT) AS n_comments,
+        |  CAST(CASE WHEN fate = 'ok' THEN
+        |      CASE WHEN pi THEN 1 ELSE 0 END END AS BIGINT) AS n_pis
+        |FROM r""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            val k = (1 + id % 5).toInt
+            val nested = id % 3 == 0
+            val pi = id % 2 == 0
+            val cd = id % 7 == 1
+            val xml =
+              if (id % 13 == 4) "<doc><item>x</doc></item>"
+              else {
+                val sb = new StringBuilder
+                sb.append(s"""<doc id="$id" v="1"><!-- meta -->""")
+                (0 until k).foreach(j => sb.append(s"""<item n="$j">x $j</item>"""))
+                if (nested) sb.append("<a><b><c>&amp;</c></b></a>")
+                if (pi) sb.append("<?proc data?>")
+                if (cd) sb.append("<cd><![CDATA[raw <b> & stuff]]></cd>")
+                sb.append("</doc>")
+                val decl = "<?xml version=\"1.0\"?>"
+                // regimes mirror the oracle's CASE order exactly:
+                // truncation (17) outranks the DTD class (19)
+                if (id % 17 == 6) (decl + sb).dropRight(6) // lop "</doc>"
+                else if (id % 19 == 8) decl + "<!DOCTYPE doc>" + sb
+                else decl + sb
+              }
+            graft.operators.XmlWalk.census(xml) match {
+              case Left(reason) =>
+                (id, reason, None: Option[String], None: Option[Int],
+                  None: Option[Long], None: Option[Long], None: Option[Long],
+                  None: Option[Long], None: Option[Long], None: Option[Long])
+              case Right(i) =>
+                (id, "ok", Some(i.rootTag), Some(i.maxDepth),
+                  Some(i.nElements), Some(i.nAttrs), Some(i.nTextChars),
+                  Some(i.nCdata), Some(i.nComments), Some(i.nPis))
+            }
+          })
+          .toDF("doc_id", "fate", "root_tag", "max_depth", "n_elements",
+            "n_attrs", "n_text_chars", "n_cdata", "n_comments", "n_pis")
+    },
+
+    // DOCX TEXT EXTRACTION — the biggest real-corpus format the
+    // pipeline previously couldn't ingest: OPC container (ZipArchive)
+    // + WordprocessingML tree (XmlWalk) + the run-reassembly rules in
+    // operators/Docx. Fixture .docx packages are written through the
+    // real ZIP writer with runs SPLIT at word boundaries (the Word
+    // formatting-boundary quirk) and a field-code instrText paragraph
+    // the extractor must drop; a planted truncation class exercises
+    // the zip_invalid fate. The oracle replays paragraph/run counts
+    // and the full extracted-text md5 from the same formulas.
+    OpQuery.sql(
+      "q250_docx_extract",
+      """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+        |p AS (SELECT id, text, 'tail ' || CAST(id AS VARCHAR) AS t2 FROM f),
+        |r AS (SELECT id,
+        |    chr(10) || text || chr(10) || t2 AS extracted,
+        |    CAST(length(text) - length(replace(text, ' ', ''))
+        |      + CASE WHEN text = '' THEN 0
+        |             WHEN text LIKE '% ' THEN 0 ELSE 1 END
+        |      + length(t2) - length(replace(t2, ' ', ''))
+        |      + 1 AS BIGINT) AS runs
+        |  FROM p)
+        |SELECT id AS doc_id,
+        |  CASE WHEN id % 23 = 7 THEN 'zip_invalid' ELSE 'extracted' END AS fate,
+        |  CAST(CASE WHEN id % 23 <> 7 THEN 3 END AS BIGINT) AS n_paragraphs,
+        |  CASE WHEN id % 23 <> 7 THEN runs END AS n_runs,
+        |  CAST(CASE WHEN id % 23 <> 7 THEN length(extracted) END AS BIGINT)
+        |    AS n_chars,
+        |  CASE WHEN id % 23 <> 7 THEN md5(extracted) END AS text_md5
+        |FROM r""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val blob = graft.operators.Docx.write(Seq(text, s"tail $id"))
+            val wire =
+              if (id % 23 == 7) java.util.Arrays.copyOf(blob, blob.length - 7)
+              else blob
+            graft.operators.Docx.extract(wire) match {
+              case Left(r) =>
+                (id, r.reason, None: Option[Long], None: Option[Long],
+                  None: Option[Long], None: Option[String])
+              case Right(ex) =>
+                (id, "extracted", Some(ex.nParagraphs), Some(ex.nRuns),
+                  Some(ex.text.length.toLong),
+                  Some(java.security.MessageDigest.getInstance("MD5")
+                    .digest(ex.text.getBytes("UTF-8"))
+                    .map("%02x".format(_)).mkString))
+            }
+          })
+          .toDF("doc_id", "fate", "n_paragraphs", "n_runs", "n_chars",
+            "text_md5")
     }
   )
 
@@ -7572,23 +7745,28 @@ object LlmQueries {
         graft.operators.CharsetSniff.splitHttpResponse(payload) match {
           case None =>
             (id, None: Option[String], None: Option[String], "bad_http",
-              None: Option[String])
+              None: Option[String], "identity")
           case Some((head, body)) =>
+            // the declared coding chain (lowercased; absent = identity)
+            // rides along so the fate census can slice by encoding
+            val enc = graft.operators.CharsetSniff.contentEncodingOf(head)
+            val encLabel = enc.getOrElse("identity")
             // Content-Encoding FIRST: compressed bytes handed straight
             // to the sniffer would quarantine as undeclared_not_utf8
             graft.operators.CharsetSniff.decodeContentEncoding(body,
-                graft.operators.CharsetSniff.contentEncodingOf(head)) match {
-              case Left(r) => (id, None, None, r.reason, None)
+                enc) match {
+              case Left(r) => (id, None, None, r.reason, None, encLabel)
               case Right(raw) =>
                 graft.operators.CharsetSniff.sniff(raw,
                     graft.operators.CharsetSniff.contentTypeOf(head)) match {
-                  case Left(r) => (id, None, None, r.reason, None)
+                  case Left(r) => (id, None, None, r.reason, None, encLabel)
                   case Right(sn) =>
-                    (id, Some(sn.charset), Some(sn.source), "decoded", Some(sn.text))
+                    (id, Some(sn.charset), Some(sn.source), "decoded",
+                      Some(sn.text), encLabel)
                 }
             }
         }
-      }.toDF("doc_id", "charset", "source", "fate", "text2")
+      }.toDF("doc_id", "charset", "source", "fate", "text2", "encoding")
   }
 
   /** One persisted HNSW generation per sf dir, built once and reused

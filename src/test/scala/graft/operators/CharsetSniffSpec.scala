@@ -179,9 +179,13 @@ class CharsetSniffSpec extends AnyFunSuite {
     // name, not unsupported (real br flows are pinned in BrotliSpec)
     assert(CharsetSniff.decodeContentEncoding(g, Some("br")) ==
       Left(CharsetSniff.Rejected("corrupt_br_body")))
-    // unknown codings reject by name, never guess
+    // zstd decodes since round 13 — a gzip blob LABELED zstd is corrupt
+    // by name (bad magic), not unsupported
     assert(CharsetSniff.decodeContentEncoding(g, Some("zstd")) ==
-      Left(CharsetSniff.Rejected("unsupported_encoding_zstd")))
+      Left(CharsetSniff.Rejected("corrupt_zstd_body")))
+    // genuinely unknown codings still reject by name, never guess
+    assert(CharsetSniff.decodeContentEncoding(g, Some("compress")) ==
+      Left(CharsetSniff.Rejected("unsupported_encoding_compress")))
     // a gzip blob labeled "gzip, br" fails at the br stage (undone first)
     assert(CharsetSniff.decodeContentEncoding(g, Some("gzip, br")) ==
       Left(CharsetSniff.Rejected("corrupt_br_body")))
@@ -208,6 +212,43 @@ class CharsetSniffSpec extends AnyFunSuite {
     // wrong order rejects with the stage that failed
     assert(CharsetSniff.decodeContentEncoding(wire, Some("gzip, br")) ==
       Left(CharsetSniff.Rejected("corrupt_br_body")))
+  }
+
+  test("content-encoding: zstd decodes, truncates, bombs, chains") {
+    val body = ("z" * 600 + " rfc9659 payload").getBytes("UTF-8")
+    def zc(b: Array[Byte]): Array[Byte] = {
+      val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+      ctx.setLevel(3); ctx.setChecksum(true)
+      try ctx.compress(b) finally ctx.close()
+    }
+    val z = zc(body)
+    assert(CharsetSniff.decodeContentEncoding(z, Some("zstd"))
+      .map(_.toSeq) == Right(body.toSeq))
+    // RFC 9110 §8.4.1: content-coding tokens are case-insensitive
+    assert(CharsetSniff.decodeContentEncoding(z, Some("ZSTD"))
+      .map(_.toSeq) == Right(body.toSeq))
+    assert(CharsetSniff.decodeContentEncoding(gz(z), Some("Zstd, GZIP"))
+      .map(_.toSeq) == Right(body.toSeq))
+    // truncation lands the named fate (checksum or block tail missing)
+    assert(CharsetSniff.decodeContentEncoding(
+      java.util.Arrays.copyOf(z, z.length - 5), Some("zstd")) ==
+      Left(CharsetSniff.Rejected("truncated_zstd_body")))
+    // corruption: flip a byte inside the frame body
+    val corrupt = z.clone(); corrupt(z.length / 2) =
+      (corrupt(z.length / 2) ^ 0x55).toByte
+    assert(CharsetSniff.decodeContentEncoding(corrupt, Some("zstd")).isLeft)
+    // bomb cap enforced before allocation grows past it
+    val bomb = zc(new Array[Byte](1 << 22))
+    assert(CharsetSniff.decodeContentEncoding(bomb, Some("zstd"),
+      maxOut = 1 << 16) == Left(CharsetSniff.Rejected("encoding_bomb")))
+    // zstd-in-chain with the INNER expansion hitting the cap
+    val chainBomb = gz(zc(Array.fill(17 * 1024 * 1024)('x'.toByte)))
+    assert(CharsetSniff.decodeContentEncoding(chainBomb, Some("zstd, gzip")) ==
+      Left(CharsetSniff.Rejected("encoding_bomb")))
+    // multi-frame bodies concatenate; skippable frames are transparent
+    val two = zc(body.take(100)) ++ zc(body.drop(100))
+    assert(CharsetSniff.decodeContentEncoding(two, Some("zstd"))
+      .map(_.toSeq) == Right(body.toSeq))
   }
 
   test("content-encoding header extraction") {

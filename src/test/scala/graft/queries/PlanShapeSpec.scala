@@ -95,6 +95,53 @@ class PlanShapeSpec extends SparkSuite {
       s"unlabeled all-pairs join planned by: ${offenders.mkString(", ")}")
   }
 
+  /** Queries allowed to broadcast a frame whose lineage reaches a
+    * corpus-scale table WITHOUT a plan-visible cardinality bound (global
+    * aggregate or limit) — each because a literal FILTER bounds the side
+    * by construction. This list is exact: any new broadcast of a
+    * corpus-derived frame (the q248 round-12 defect class — a side that
+    * grows O(corpus) and OOMs the driver at 100×) must either carry a
+    * plan-visible bound or be adjudicated here with its stated bound.
+    */
+  private val corpusBroadcastAllowed: Map[String, String] = Map.empty
+
+  test("no catalog query broadcasts an unbounded corpus-derived frame") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val corpusTables =
+      Seq("documents", "embeddings", "lineitem", "orders", "events")
+    def unboundedCorpusBroadcasts(plan: SparkPlan): Seq[String] =
+      plan.collect {
+        case b: BroadcastExchangeExec =>
+          val sub = b.child.toString
+          val scanned = corpusTables.filter(t => sub.contains(s"$t.parquet"))
+          // a 1-row global aggregate or a limit anywhere below the
+          // exchange bounds the broadcast side regardless of corpus size
+          val bounded = b.child.collect {
+            case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+                if a.groupingExpressions.isEmpty => a
+            case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+            case l: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => l
+            // a literal pushed filter on the scan (vec_id < 5 query
+            // sets) is the bounded-query-set ANN pattern; it shows up
+            // as a non-empty PushedFilters list with a comparison
+          }.nonEmpty
+          if (scanned.nonEmpty && !bounded) scanned else Nil
+      }.flatten.distinct
+    val offenders = graft.SparkEntry.catalog.flatMap { q =>
+      if (corpusBroadcastAllowed.contains(q.name)) None
+      else {
+        val tables = unboundedCorpusBroadcasts(
+          q.run(spark, dir).queryExecution.executedPlan)
+        if (tables.nonEmpty) Some(s"${q.name} (${tables.mkString("/")})")
+        else None
+      }
+    }
+    assert(offenders.isEmpty,
+      s"corpus-derived broadcast without a plan-visible bound: " +
+        offenders.mkString(", "))
+  }
+
   test("filter pushdown and column pruning reach the parquet scan") {
     val plan = planOf("q01_scan_project_filter")
     // the filter arrives at the scan as a data filter, not post-scan only
