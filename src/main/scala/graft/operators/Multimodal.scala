@@ -1556,7 +1556,13 @@ object Multimodal {
     * cycles 1..6 against heights 4..16, so most images span several
     * strips and the last strip is usually SHORT — the two walk bugs
     * (fixed-size strips, unchecked tail) a naive reader ships with. The
-    * byte order alternates II/MM with the id, same as the EXIF fixtures. */
+    * byte order alternates II/MM with the id, same as the EXIF
+    * fixtures. Round 13: COMPRESSION rotates by id over none / LZW /
+    * Adobe-deflate / PackBits with the horizontal-differencing
+    * predictor on the LZW/deflate rows where id % 5 == 0 — the pixels
+    * are unchanged, so q166's checksum oracle covers the compressed
+    * walk verbatim (the decode path is pinned bit-exact against
+    * libtiff by TiffInteropSpec + tools/fuzz_tiff_diff.py). */
   def tiffImagesFromDocuments(
       spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
@@ -1566,8 +1572,14 @@ object Multimodal {
         val h = 4 + (id % 13).toInt
         val px = Array.tabulate(w * h)(i =>
           ((id + 3L * (i % w) + 7L * (i / w)) % 256).toByte)
+        val compression = (id % 4).toInt match {
+          case 0 => 1; case 1 => 5; case 2 => 8; case _ => 32773
+        }
+        val predictor =
+          if (id % 5 == 0 && (compression == 5 || compression == 8)) 2 else 1
         MediaRow(id, "image", Tiff.encodeGray(w, h, px,
-          rowsPerStrip = 1 + (id % 6).toInt, littleEndian = id % 2 == 0))
+          rowsPerStrip = 1 + (id % 6).toInt, littleEndian = id % 2 == 0,
+          compression = compression, predictor = predictor))
       })
   }
 

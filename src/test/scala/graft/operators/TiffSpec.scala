@@ -38,11 +38,16 @@ class TiffSpec extends SparkSuite {
     // truncation: strips fall off the end of the file
     assert(Tiff.decodeGray(good.dropRight(10)).isEmpty)
 
-    // compression tag != 1 rejects (entry 3 = compression; II layout:
-    // IFD at 8, entries from 10, entry 3 value field at 10+3*12+8)
+    // a LYING compression tag rejects: claiming LZW over raw strip
+    // bytes must fail the strict decode, not pass them through (entry
+    // 3 = compression; II: IFD at 8, entry 3 value at 10+3*12+8)
     val comp = good.clone()
-    comp(10 + 3 * 12 + 8) = 5 // LZW
+    comp(10 + 3 * 12 + 8) = 5 // LZW label on uncompressed data
     assert(Tiff.decodeGray(comp).isEmpty)
+    // an UNSUPPORTED compression rejects by name (CCITT G4 fax)
+    val fax = good.clone()
+    fax(10 + 3 * 12 + 8) = 4
+    assert(Tiff.decodeGray(fax).isEmpty)
 
     // photometric 0 (WhiteIsZero) is out of contract — reject, don't
     // silently invert
