@@ -333,6 +333,19 @@ object CharsetSniff {
             Left(Rejected("truncated_zstd_body"))
           case Left(_) => Left(Rejected("corrupt_zstd_body"))
         }
+      case Some(e) if e == "bzip2" || e == "x-bzip2" =>
+        // not an IANA-registered coding, but real servers ship it; the
+        // from-scratch RFC-shaped decoder (graft.operators.Bzip2,
+        // 900/900 against libbz2) makes decode strictly better than a
+        // named quarantine
+        Bzip2.decode(body, maxOut) match {
+          case Right(d) => Right(d)
+          case Left(Bzip2.Rejected("bzip2_bomb")) =>
+            Left(Rejected("encoding_bomb"))
+          case Left(Bzip2.Rejected("truncated_bzip2")) =>
+            Left(Rejected("truncated_bzip2_body"))
+          case Left(_) => Left(Rejected("corrupt_bzip2_body"))
+        }
       case Some(other) =>
         Left(Rejected(
           s"unsupported_encoding_${other.replaceAll("[^a-z0-9x-]", "_")}"))

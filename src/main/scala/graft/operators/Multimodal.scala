@@ -1772,7 +1772,15 @@ object Multimodal {
               (defl(rawBody, raw = false), "Content-Encoding: deflate\r\n")
             else if (id % 23 == 21)
               (defl(rawBody, raw = true), "Content-Encoding: deflate\r\n")
-            else (rawBody, "")
+            else if (id % 41 == 11) {
+              // bzip2 via the real encoder (commons-compress) — decoded
+              // by the from-scratch graft.operators.Bzip2 (round 13)
+              val bos = new java.io.ByteArrayOutputStream()
+              val z = new org.apache.commons.compress.compressors.bzip2
+                .BZip2CompressorOutputStream(bos, 5)
+              z.write(rawBody); z.close()
+              (bos.toByteArray, "Content-Encoding: bzip2\r\n")
+            } else (rawBody, "")
           val head = (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" + encHeader +
             s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1")
           val payload = new Array[Byte](head.length + body.length)

@@ -6478,7 +6478,8 @@ object LlmQueries {
         val encodingRejects = Seq("truncated_gzip_body", "corrupt_gzip_body",
           "truncated_deflate_body", "corrupt_deflate_body",
           "truncated_br_body", "corrupt_br_body",
-          "truncated_zstd_body", "corrupt_zstd_body", "encoding_bomb")
+          "truncated_zstd_body", "corrupt_zstd_body",
+          "truncated_bzip2_body", "corrupt_bzip2_body", "encoding_bomb")
         val rejected = g.filter(col("fate") =!= "decoded")
           .select(lit("(rejected)").as("lang_pred"),
             lit(0).as("n_words"),
@@ -6829,6 +6830,7 @@ object LlmQueries {
         |         WHEN id % 7 = 2 THEN 'gzip'
         |         WHEN id % 7 = 4 THEN 'deflate'
         |         WHEN id % 23 = 21 THEN 'deflate'
+        |         WHEN id % 41 = 11 THEN 'bzip2'
         |         ELSE 'identity' END AS encoding
         |  FROM f),
         |c AS (SELECT id, encoding,
@@ -7703,6 +7705,43 @@ object LlmQueries {
           })
           .toDF("doc_id", "fate", "n_paragraphs", "n_runs", "n_chars",
             "text_md5")
+    },
+
+    // TAR.BZ2 BUNDLE EXTRACTION — the archive coding `.tar.gz` ingest
+    // couldn't reach before round 13: q140's ustar bundles compressed
+    // by the REAL bzip2 encoder (commons-compress, fixture side) and
+    // decoded by the from-scratch BWT+MTF+Huffman decoder
+    // (operators/Bzip2 — 900/900 differential sweep against libbz2,
+    // tools/fuzz_bzip2_diff.py) before the same member walk. The
+    // oracle is q140's member-replay shape verbatim: one wrong
+    // Huffman width, MTF step, BWT pointer, RLE1 count, or CRC loses
+    // that archive's rows.
+    OpQuery.sql(
+      "q251_tar_bz2_extract",
+      """SELECT CAST(doc_id // 5 AS BIGINT) AS archive_id,
+        |  'doc-' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS body_md5
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val bundles = graft.operators.Tar.tarFilesFromDocuments(
+            s, load(s, dir, "documents"))
+          .map { r =>
+            val bos = new java.io.ByteArrayOutputStream()
+            val z = new org.apache.commons.compress.compressors.bzip2
+              .BZip2CompressorOutputStream(bos, 1 + (r.media_id % 9).toInt)
+            z.write(r.payload); z.close()
+            graft.operators.Multimodal.MediaRow(
+              r.media_id, "tar.bz2", bos.toByteArray)
+          }
+        graft.operators.Tar.extractTarMembers(
+            bundles.flatMap { r =>
+              graft.operators.Bzip2.decode(r.payload).toOption.map(tar =>
+                graft.operators.Multimodal.MediaRow(r.media_id, "tar", tar))
+            })
+          .select(col("archive_id"), col("name"), col("n_bytes"),
+            md5(col("body")).as("body_md5"))
     }
   )
 

@@ -251,6 +251,30 @@ class CharsetSniffSpec extends AnyFunSuite {
       .map(_.toSeq) == Right(body.toSeq))
   }
 
+  test("content-encoding: bzip2 decodes with named fates") {
+    val body = ("b" * 700 + " bzip2 payload").getBytes("UTF-8")
+    def bzc(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorOutputStream(bos, 5)
+      z.write(b); z.close()
+      bos.toByteArray
+    }
+    val z = bzc(body)
+    assert(CharsetSniff.decodeContentEncoding(z, Some("bzip2"))
+      .map(_.toSeq) == Right(body.toSeq))
+    assert(CharsetSniff.decodeContentEncoding(z, Some("x-bzip2"))
+      .map(_.toSeq) == Right(body.toSeq))
+    assert(CharsetSniff.decodeContentEncoding(
+      java.util.Arrays.copyOf(z, z.length - 5), Some("bzip2")) ==
+      Left(CharsetSniff.Rejected("truncated_bzip2_body")))
+    assert(CharsetSniff.decodeContentEncoding(body, Some("bzip2")) ==
+      Left(CharsetSniff.Rejected("corrupt_bzip2_body")))
+    val bomb = bzc(new Array[Byte](1 << 22))
+    assert(CharsetSniff.decodeContentEncoding(bomb, Some("bzip2"),
+      maxOut = 1 << 16) == Left(CharsetSniff.Rejected("encoding_bomb")))
+  }
+
   test("content-encoding header extraction") {
     val payload = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
       "Content-Encoding: GZip\r\n\r\nbody").getBytes("ISO-8859-1")
