@@ -7742,6 +7742,84 @@ object LlmQueries {
             })
           .select(col("archive_id"), col("name"), col("n_bytes"),
             md5(col("body")).as("body_md5"))
+    },
+
+    // LZ4-FRAME + SNAPPY-FRAMED DECODE — the two data-lake payload
+    // codings beside zstd, decoded by the from-scratch grammars in
+    // operators/Lz4 (frame walk, xxh32 header/content checksums,
+    // sequence grammar) and operators/Snappy (chunk walk, masked
+    // CRC32C, varint+tag raw blocks). Fixture streams come from the
+    // REAL reference codecs on the classpath (lz4-java /
+    // snappy-java — the zstd-jni pattern, 900/900 sweeps in
+    // tools/fuzz_lz4_snappy_diff.py); a planted truncation class
+    // exercises the named fates. The oracle replays format, fate,
+    // length, and md5 from the documents table alone.
+    OpQuery.sql(
+      "q252_lz4_snappy_decode",
+      """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+        |d AS (SELECT id,
+        |    text || ' | payload ' || CAST(id AS VARCHAR) AS data,
+        |    CASE WHEN id % 2 = 0 THEN 'lz4' ELSE 'snappy' END AS format,
+        |    id % 19 = 5 AS trunc FROM f)
+        |SELECT id AS doc_id, format,
+        |  CASE WHEN NOT trunc THEN 'decoded'
+        |       WHEN id % 2 = 0 THEN 'truncated_lz4'
+        |       ELSE 'truncated_snappy' END AS fate,
+        |  CAST(CASE WHEN NOT trunc THEN length(data) END AS BIGINT)
+        |    AS n_bytes,
+        |  CASE WHEN NOT trunc THEN md5(data) END AS content_md5
+        |FROM d""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val data = (text + " | payload " + id).getBytes("UTF-8")
+            val isLz4 = id % 2 == 0
+            val wire0 =
+              if (isLz4) {
+                val bos = new java.io.ByteArrayOutputStream()
+                val z = new net.jpountz.lz4.LZ4FrameOutputStream(bos,
+                  net.jpountz.lz4.LZ4FrameOutputStream.BLOCKSIZE.SIZE_64KB,
+                  data.length.toLong,
+                  net.jpountz.lz4.LZ4FrameOutputStream.FLG.Bits.BLOCK_INDEPENDENCE,
+                  net.jpountz.lz4.LZ4FrameOutputStream.FLG.Bits.CONTENT_CHECKSUM)
+                z.write(data); z.close()
+                bos.toByteArray
+              } else {
+                val bos = new java.io.ByteArrayOutputStream()
+                val z = new org.xerial.snappy.SnappyFramedOutputStream(bos)
+                z.write(data); z.close()
+                bos.toByteArray
+              }
+            val wire =
+              if (id % 19 == 5)
+                java.util.Arrays.copyOf(wire0, math.max(4, wire0.length - 6))
+              else wire0
+            val result: Either[String, Array[Byte]] =
+              if (isLz4) graft.operators.Lz4.decode(wire)
+                .left.map(r => r.reason match {
+                  case "truncated_lz4" => "truncated_lz4"
+                  case other => s"lz4_$other"
+                })
+              else graft.operators.Snappy.decode(wire)
+                .left.map(r => r.reason match {
+                  case "truncated_snappy" => "truncated_snappy"
+                  case other => s"snappy_$other"
+                })
+            result match {
+              case Left(reason) =>
+                (id, if (isLz4) "lz4" else "snappy", reason,
+                  None: Option[Long], None: Option[String])
+              case Right(got) =>
+                (id, if (isLz4) "lz4" else "snappy", "decoded",
+                  Some(got.length.toLong),
+                  Some(java.security.MessageDigest.getInstance("MD5")
+                    .digest(got).map("%02x".format(_)).mkString))
+            }
+          })
+          .toDF("doc_id", "format", "fate", "n_bytes", "content_md5")
     }
   )
 
