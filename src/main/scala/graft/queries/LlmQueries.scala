@@ -7820,6 +7820,70 @@ object LlmQueries {
             }
           })
           .toDF("doc_id", "format", "fate", "n_bytes", "content_md5")
+    },
+
+    // HEIF/AVIF CONTAINER CENSUS — the modern-crawl image formats,
+    // honestly scoped (the q247 pattern): brand, primary item,
+    // ASSOCIATED-ispe dimensions, item inventory, and payload size
+    // from the ISO-BMFF meta tree alone (operators/Heif), with HEVC/
+    // AV1 pixel decode REJECTING BY NAME in the pixel_fate column —
+    // a guessed partial video codec would be worse than routing those
+    // shards onward. The constructed containers are validated against
+    // the real parsers (libheif + libavif read all 12 HeifSpec dumps,
+    // tools/verify_heif_census.py); a planted truncation class lands
+    // the named extent_escapes_file fate, replayed by the oracle.
+    OpQuery.sql(
+      "q253_heif_avif_census",
+      """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |r AS (SELECT id, id % 2 = 0 AS avif, id % 3 = 0 AS ex,
+        |    id % 17 = 2 AS bad,
+        |    16 + id % 50 AS w, 12 + id % 40 AS h,
+        |    64 + id % 100 AS pl FROM f)
+        |SELECT id AS doc_id,
+        |  CASE WHEN bad THEN 'extent_escapes_file' ELSE 'ok' END AS fate,
+        |  CASE WHEN bad THEN NULL WHEN avif THEN 'avif' ELSE 'heic' END
+        |    AS brand,
+        |  CASE WHEN bad THEN NULL WHEN avif THEN 'av01' ELSE 'hvc1' END
+        |    AS primary_type,
+        |  CAST(CASE WHEN NOT bad THEN w END AS INTEGER) AS width,
+        |  CAST(CASE WHEN NOT bad THEN h END AS INTEGER) AS height,
+        |  CAST(CASE WHEN NOT bad THEN
+        |      CASE WHEN ex THEN 2 ELSE 1 END END AS BIGINT) AS n_items,
+        |  CAST(CASE WHEN NOT bad THEN
+        |      pl + CASE WHEN ex THEN 8 ELSE 0 END END AS BIGINT)
+        |    AS mdat_bytes,
+        |  CASE WHEN bad THEN NULL
+        |       WHEN avif THEN 'av1_pixels_unsupported'
+        |       ELSE 'hevc_pixels_unsupported' END AS pixel_fate
+        |FROM r""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            val blob0 = graft.operators.Heif.encode(
+              avif = id % 2 == 0,
+              w = (16 + id % 50).toInt, h = (12 + id % 40).toInt,
+              payloadLen = (64 + id % 100).toInt, seed = id,
+              withExif = id % 3 == 0)
+            val blob =
+              if (id % 17 == 2)
+                java.util.Arrays.copyOf(blob0, blob0.length - 60)
+              else blob0
+            graft.operators.Heif.census(blob) match {
+              case Left(reason) =>
+                (id, reason, None: Option[String], None: Option[String],
+                  None: Option[Int], None: Option[Int], None: Option[Long],
+                  None: Option[Long], None: Option[String])
+              case Right(i) =>
+                (id, "ok", Some(i.brand), Some(i.primaryType),
+                  Some(i.primaryWidth), Some(i.primaryHeight),
+                  Some(i.nItems.toLong), Some(i.mdatBytes),
+                  Some(i.pixelFate))
+            }
+          })
+          .toDF("doc_id", "fate", "brand", "primary_type", "width",
+            "height", "n_items", "mdat_bytes", "pixel_fate")
     }
   )
 
