@@ -346,6 +346,18 @@ object CharsetSniff {
             Left(Rejected("truncated_bzip2_body"))
           case Left(_) => Left(Rejected("corrupt_bzip2_body"))
         }
+      case Some(e) if e == "xz" || e == "x-xz" =>
+        // same footing as bzip2: unofficial but shipped; from-scratch
+        // container+LZMA2 decode (graft.operators.Xz, 900/900 against
+        // liblzma)
+        Xz.decode(body, maxOut) match {
+          case Right(d) => Right(d)
+          case Left(Xz.Rejected("lzma2_bomb")) =>
+            Left(Rejected("encoding_bomb"))
+          case Left(Xz.Rejected(r)) if r.startsWith("truncated_") =>
+            Left(Rejected("truncated_xz_body"))
+          case Left(_) => Left(Rejected("corrupt_xz_body"))
+        }
       case Some(other) =>
         Left(Rejected(
           s"unsupported_encoding_${other.replaceAll("[^a-z0-9x-]", "_")}"))

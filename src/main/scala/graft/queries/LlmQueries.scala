@@ -7884,6 +7884,45 @@ object LlmQueries {
           })
           .toDF("doc_id", "fate", "brand", "primary_type", "width",
             "height", "n_items", "mdat_bytes", "pixel_fate")
+    },
+
+    // TAR.XZ BUNDLE EXTRACTION — the last of the three archive
+    // codings (.tar.gz / .tar.bz2 / .tar.xz): q140's ustar bundles
+    // through the REAL xz encoder (xz-java, id-rotated presets and
+    // check types incl. SHA-256) and the from-scratch container +
+    // LZMA2 decoder (operators/Xz + operators/Lzma2 — range coder,
+    // 12-state machine, rep-distance history, chunked LZMA2 envelope;
+    // 900/900 differential sweep against liblzma,
+    // tools/fuzz_xz_diff.py). q140's member-replay oracle verbatim.
+    OpQuery.sql(
+      "q254_tar_xz_extract",
+      """SELECT CAST(doc_id // 5 AS BIGINT) AS archive_id,
+        |  'doc-' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS body_md5
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val checks = Array(org.tukaani.xz.XZ.CHECK_CRC32,
+          org.tukaani.xz.XZ.CHECK_CRC64, org.tukaani.xz.XZ.CHECK_SHA256)
+        val bundles = graft.operators.Tar.tarFilesFromDocuments(
+            s, load(s, dir, "documents"))
+          .map { r =>
+            val bos = new java.io.ByteArrayOutputStream()
+            val opts = new org.tukaani.xz.LZMA2Options((r.media_id % 7).toInt)
+            val z = new org.tukaani.xz.XZOutputStream(bos, opts,
+              checks((r.media_id % 3).toInt))
+            z.write(r.payload); z.close()
+            graft.operators.Multimodal.MediaRow(
+              r.media_id, "tar.xz", bos.toByteArray)
+          }
+        graft.operators.Tar.extractTarMembers(
+            bundles.flatMap { r =>
+              graft.operators.Xz.decode(r.payload).toOption.map(tar =>
+                graft.operators.Multimodal.MediaRow(r.media_id, "tar", tar))
+            })
+          .select(col("archive_id"), col("name"), col("n_bytes"),
+            md5(col("body")).as("body_md5"))
     }
   )
 

@@ -275,6 +275,28 @@ class CharsetSniffSpec extends AnyFunSuite {
       maxOut = 1 << 16) == Left(CharsetSniff.Rejected("encoding_bomb")))
   }
 
+  test("content-encoding: xz decodes with named fates") {
+    val body = ("q" * 800 + " xz payload").getBytes("UTF-8")
+    def xzc(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new org.tukaani.xz.XZOutputStream(bos,
+        new org.tukaani.xz.LZMA2Options(4))
+      z.write(b); z.close()
+      bos.toByteArray
+    }
+    val z = xzc(body)
+    assert(CharsetSniff.decodeContentEncoding(z, Some("xz"))
+      .map(_.toSeq) == Right(body.toSeq))
+    assert(CharsetSniff.decodeContentEncoding(
+      java.util.Arrays.copyOf(z, z.length - 7), Some("xz")) ==
+      Left(CharsetSniff.Rejected("truncated_xz_body")))
+    assert(CharsetSniff.decodeContentEncoding(body, Some("xz")) ==
+      Left(CharsetSniff.Rejected("corrupt_xz_body")))
+    val bomb = xzc(new Array[Byte](1 << 22))
+    assert(CharsetSniff.decodeContentEncoding(bomb, Some("xz"),
+      maxOut = 1 << 16) == Left(CharsetSniff.Rejected("encoding_bomb")))
+  }
+
   test("content-encoding header extraction") {
     val payload = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
       "Content-Encoding: GZip\r\n\r\nbody").getBytes("ISO-8859-1")

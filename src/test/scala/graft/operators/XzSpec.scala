@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Interop against the REAL xz codec on the classpath (xz-java —
+  * org.tukaani): every stream decoded here was written by
+  * XZOutputStream. The broad sweep through CPython's liblzma is
+  * tools/fuzz_xz_diff.py. */
+class XzSpec extends AnyFunSuite {
+
+  private def xz(data: Array[Byte], preset: Int = 6,
+      check: Int = org.tukaani.xz.XZ.CHECK_CRC64): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val opts = new org.tukaani.xz.LZMA2Options(preset)
+    val z = new org.tukaani.xz.XZOutputStream(bos, opts, check)
+    z.write(data); z.close()
+    bos.toByteArray
+  }
+
+  private def lcg(n: Int, seed: Int): Array[Byte] = {
+    var s = seed
+    Array.fill(n) { s = s * 1103515245 + 12345; ((s >> 16) & 0xff).toByte }
+  }
+
+  test("real-encoder xz streams decode byte-exact across presets") {
+    val text = ("xz rides lzma2 which rides lzma " * 800).getBytes("UTF-8")
+    val cases: Seq[Array[Byte]] = Seq(
+      text,
+      lcg(120000, 7),
+      Array.fill[Byte](60000)(42),
+      Array.emptyByteArray,
+      "a".getBytes("UTF-8"),
+      lcg(987, 3) ++ Array.fill[Byte](9000)(0) ++ lcg(987, 4))
+    cases.zipWithIndex.foreach { case (data, ci) =>
+      Seq(0, 3, 6, 9).foreach { preset =>
+        val dec = Xz.decode(xz(data, preset))
+        assert(dec.isRight,
+          s"case $ci preset $preset: ${dec.swap.getOrElse("")}")
+        assert(dec.toOption.get.sameElements(data),
+          s"case $ci preset $preset bytes differ")
+      }
+    }
+  }
+
+  test("all four check types verify (none / CRC32 / CRC64 / SHA-256)") {
+    import org.tukaani.xz.XZ
+    val data = lcg(50000, 11)
+    Seq(XZ.CHECK_NONE, XZ.CHECK_CRC32, XZ.CHECK_CRC64, XZ.CHECK_SHA256)
+      .foreach { c =>
+        assert(Xz.decode(xz(data, 6, c)).toOption.get.sameElements(data),
+          s"check $c")
+      }
+  }
+
+  test("crc64 matches the published ECMA-182 check value") {
+    // the widely published CRC-64/XZ vector: "123456789"
+    assert(Xz.crc64("123456789".getBytes, 0, 9) == 0x995DC9BBDF1939FAL)
+  }
+
+  test("multi-stream concatenation with stream padding decodes fully") {
+    val a = lcg(4000, 21); val b = lcg(6000, 22)
+    val cat = xz(a) ++ xz(b)
+    assert(Xz.decode(cat).toOption.get.sameElements(a ++ b))
+    // with 4-aligned zero stream padding between
+    val padded = xz(a) ++ Array.fill[Byte](8)(0) ++ xz(b)
+    assert(Xz.decode(padded).toOption.get.sameElements(a ++ b))
+  }
+
+  test("hostile streams reject with named reasons") {
+    val good = xz(lcg(30000, 5))
+    val m = good.clone(); m(0) = 'X'
+    assert(Xz.decode(m) == Left(Xz.Rejected("bad_magic")))
+    assert(Xz.decode(java.util.Arrays.copyOf(good, good.length - 8)).isLeft)
+    // flip a byte in the compressed body: check or grammar catches it
+    val c = good.clone(); c(good.length / 2) =
+      (c(good.length / 2) ^ 0x41).toByte
+    assert(Xz.decode(c).isLeft)
+    // flip a check byte (CRC64 sits before the index)
+    val c2 = good.clone()
+    c2(good.length - 30) = (c2(good.length - 30) ^ 1).toByte
+    assert(Xz.decode(c2).isLeft)
+    // truncate the footer magic
+    assert(Xz.decode(java.util.Arrays.copyOf(good, good.length - 1)).isLeft)
+    assert(Xz.decode(Array.emptyByteArray) ==
+      Left(Xz.Rejected("truncated_xz")))
+  }
+
+  test("bomb cap fires during LZMA2 expansion") {
+    val data = Array.fill[Byte](4 * 1024 * 1024)(7)
+    val blob = xz(data)
+    assert(blob.length < 4096)
+    assert(Xz.decode(blob, maxOut = 65536) == Left(Xz.Rejected("lzma2_bomb")))
+    assert(Xz.decode(blob).toOption.get.sameElements(data))
+  }
+
+  test("BCJ filter chains reject by name") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val opts = new org.tukaani.xz.LZMA2Options(3)
+    val x86 = new org.tukaani.xz.X86Options()
+    val z = new org.tukaani.xz.XZOutputStream(bos,
+      Array[org.tukaani.xz.FilterOptions](x86, opts))
+    z.write(lcg(5000, 9)); z.close()
+    assert(Xz.decode(bos.toByteArray) ==
+      Left(Xz.Rejected("filter_unsupported_bcj")))
+  }
+}
