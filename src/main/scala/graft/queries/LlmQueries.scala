@@ -7909,7 +7909,10 @@ object LlmQueries {
             s, load(s, dir, "documents"))
           .map { r =>
             val bos = new java.io.ByteArrayOutputStream()
-            val opts = new org.tukaani.xz.LZMA2Options((r.media_id % 7).toInt)
+            // presets 0-3: preset rotation exercises the decoder the
+            // same (chunk shapes/dict sizes differ), while presets >= 4
+            // would quintuple the FIXTURE-side encode cost in bench
+            val opts = new org.tukaani.xz.LZMA2Options((r.media_id % 4).toInt)
             val z = new org.tukaani.xz.XZOutputStream(bos, opts,
               checks((r.media_id % 3).toInt))
             z.write(r.payload); z.close()
@@ -7923,6 +7926,125 @@ object LlmQueries {
             })
           .select(col("archive_id"), col("name"), col("n_bytes"),
             md5(col("body")).as("body_md5"))
+    },
+
+    // XLSX CENSUS — the spreadsheet sibling of q250's DOCX (same OPC
+    // container, SpreadsheetML): sheet/row/cell counts, exact numeric
+    // sum, and the shared-string table whose FIRST entry is written as
+    // split rich-text runs (the reassembly quirk) carrying the corpus
+    // text. operators/Xlsx rides ZipArchive + XmlWalk; a planted
+    // truncation class lands zip_invalid. Every census number replays
+    // in closed form; the string-table md5 replays from the text
+    // column.
+    OpQuery.sql(
+      "q255_xlsx_census",
+      """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+        |p AS (SELECT id, text, 2 + id % 5 AS r, 2 + id % 4 AS c,
+        |    id % 23 = 9 AS bad FROM f),
+        |t AS (SELECT id, bad, r, c,
+        |    CAST(r * c * id + 3 * c * (r * (r + 1) // 2)
+        |      + 7 * r * (c * (c - 1) // 2) AS BIGINT) AS nsum,
+        |    text || list_aggregate(list_transform(range(1, c),
+        |      j -> chr(10) || 'col ' || CAST(j AS VARCHAR)),
+        |      'string_agg', '') AS shared
+        |  FROM p)
+        |SELECT id AS doc_id,
+        |  CASE WHEN bad THEN 'zip_invalid' ELSE 'ok' END AS fate,
+        |  CAST(CASE WHEN NOT bad THEN 1 END AS BIGINT) AS n_sheets,
+        |  CAST(CASE WHEN NOT bad THEN r + 1 END AS BIGINT) AS n_rows,
+        |  CAST(CASE WHEN NOT bad THEN (r + 1) * c END AS BIGINT) AS n_cells,
+        |  CAST(CASE WHEN NOT bad THEN r * c END AS BIGINT) AS n_numeric,
+        |  CAST(CASE WHEN NOT bad THEN c END AS BIGINT) AS n_shared,
+        |  CASE WHEN NOT bad THEN nsum END AS numeric_sum,
+        |  CASE WHEN NOT bad THEN md5(shared) END AS shared_md5
+        |FROM t""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val r = (2 + id % 5).toInt
+            val c = (2 + id % 4).toInt
+            val headers = text +: (1 until c).map(j => s"col $j")
+            val body = (1 to r).map(i =>
+              (0 until c).map(j => id + 3L * i + 7L * j))
+            val blob0 = graft.operators.Xlsx.write(headers, body)
+            val blob =
+              if (id % 23 == 9)
+                java.util.Arrays.copyOf(blob0, blob0.length - 9)
+              else blob0
+            graft.operators.Xlsx.extract(blob) match {
+              case Left(rej) =>
+                (id, rej.reason, None: Option[Long], None: Option[Long],
+                  None: Option[Long], None: Option[Long], None: Option[Long],
+                  None: Option[Long], None: Option[String])
+              case Right(ex) =>
+                (id, "ok", Some(ex.nSheets), Some(ex.nRows), Some(ex.nCells),
+                  Some(ex.nNumeric), Some(ex.nShared), Some(ex.numericSum),
+                  Some(java.security.MessageDigest.getInstance("MD5")
+                    .digest(ex.sharedText.getBytes("UTF-8"))
+                    .map("%02x".format(_)).mkString))
+            }
+          })
+          .toDF("doc_id", "fate", "n_sheets", "n_rows", "n_cells",
+            "n_numeric", "n_shared", "numeric_sum", "shared_md5")
+    },
+
+    // EPUB TEXT EXTRACTION — the e-book format beside the office
+    // documents: OCF mimetype gate, container.xml -> OPF rootfile,
+    // dc metadata, manifest, and the SPINE as reading order — the
+    // fixture deliberately lists chapters in REVERSE member order, so
+    // a zip-order reader misassembles every book and fails the md5.
+    // operators/Epub = ZipArchive + XmlWalk + the chapter XHTML walk
+    // (head content dropped, '\n' between block elements). The oracle
+    // replays title/language/counts and the full extracted-text md5.
+    OpQuery.sql(
+      "q256_epub_extract",
+      """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+        |p AS (SELECT id, text, 1 + id % 3 AS n FROM f),
+        |ch AS (SELECT id, n, unnest(generate_series(0, n - 1)) AS k FROM p),
+        |ct AS (SELECT ch.id, ch.n, ch.k,
+        |    'ch ' || CAST(ch.k AS VARCHAR) || ' p0 '
+        |      || substr(p.text, 1, 40 + ch.k) || chr(10)
+        |      || 'ch ' || CAST(ch.k AS VARCHAR) || ' p1 of doc '
+        |      || CAST(ch.id AS VARCHAR) AS chapter
+        |  FROM ch JOIN p ON ch.id = p.id),
+        |agg AS (SELECT id, any_value(n) AS n,
+        |    string_agg(chapter, chr(10) ORDER BY k DESC) AS extracted
+        |  FROM ct GROUP BY id)
+        |SELECT id AS doc_id, 'Doc ' || CAST(id AS VARCHAR) AS title,
+        |  CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'de'
+        |       ELSE 'fr' END AS language,
+        |  CAST(n AS BIGINT) AS n_manifest,
+        |  CAST(n AS BIGINT) AS n_spine,
+        |  CAST(length(extracted) AS BIGINT) AS n_chars,
+        |  md5(extracted) AS text_md5
+        |FROM agg""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val n = (1 + id % 3).toInt
+            val lang = (id % 3) match {
+              case 0 => "en"; case 1 => "de"; case _ => "fr"
+            }
+            val chapters = (0 until n).map(k => Seq(
+              s"ch $k p0 " + text.substring(0, math.min(40 + k, text.length)),
+              s"ch $k p1 of doc $id"))
+            val ex = graft.operators.Epub.extract(
+              graft.operators.Epub.write(s"Doc $id", lang, chapters))
+              .toOption.get
+            (id, ex.title, ex.language, ex.nManifest, ex.nSpine,
+              ex.text.length.toLong,
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(ex.text.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString)
+          })
+          .toDF("doc_id", "title", "language", "n_manifest", "n_spine",
+            "n_chars", "text_md5")
     }
   )
 
