@@ -8045,6 +8045,53 @@ object LlmQueries {
           })
           .toDF("doc_id", "title", "language", "n_manifest", "n_spine",
             "n_chars", "text_md5")
+    },
+
+    // PPTX TEXT EXTRACTION — the third office format (DrawingML text
+    // bodies on slide parts): a:t runs split at word boundaries
+    // reassemble, slides read in NUMERIC part order (ids with 10+
+    // slides make lexicographic order fail the md5), and the planted
+    // presenter-notes part is counted but never leaks into body text.
+    // operators/Pptx = ZipArchive + XmlWalk, per-row, no shuffle.
+    OpQuery.sql(
+      "q257_pptx_extract",
+      """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+        |p AS (SELECT id, text,
+        |    1 + id % 4 + CASE WHEN id % 11 = 0 THEN 9 ELSE 0 END AS n,
+        |    id % 2 = 0 AS notes FROM f),
+        |sl AS (SELECT id, n, notes, unnest(generate_series(0, n - 1)) AS k
+        |  FROM p),
+        |st AS (SELECT sl.id, sl.n, sl.notes, sl.k,
+        |    's ' || CAST(sl.k AS VARCHAR) || ' '
+        |      || substr(p.text, 1, 30 + sl.k % 7) AS slide_text
+        |  FROM sl JOIN p ON sl.id = p.id),
+        |agg AS (SELECT id, any_value(n) AS n, any_value(notes) AS notes,
+        |    string_agg(slide_text, chr(10) ORDER BY k) AS extracted
+        |  FROM st GROUP BY id)
+        |SELECT id AS doc_id,
+        |  CAST(n AS BIGINT) AS n_slides,
+        |  CAST(CASE WHEN notes THEN 1 ELSE 0 END AS BIGINT) AS n_notes,
+        |  CAST(length(extracted) AS BIGINT) AS n_chars,
+        |  md5(extracted) AS text_md5
+        |FROM agg""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val n = (1 + id % 4 + (if (id % 11 == 0) 9 else 0)).toInt
+            val slides = (0 until n).map(k => Seq(
+              s"s $k " + text.substring(0, math.min(30 + k % 7, text.length))))
+            val ex = graft.operators.Pptx.extract(
+              graft.operators.Pptx.write(slides, withNotes = id % 2 == 0))
+              .toOption.get
+            (id, ex.nSlides, ex.nNotesSlides, ex.text.length.toLong,
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(ex.text.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString)
+          })
+          .toDF("doc_id", "n_slides", "n_notes", "n_chars", "text_md5")
     }
   )
 
