@@ -1,0 +1,72 @@
+package graft.operators
+
+/** Office/e-book format ROUTER — the dispatch a real ingest runs on a
+  * mixed blob column: detect the concrete format from the container's
+  * own declarations (never the file extension, which crawls lie
+  * about), then route to the right extractor:
+  *
+  *   - zip + `mimetype` = `application/epub+zip`            → [[Epub]]
+  *   - zip + `mimetype` = `application/vnd.oasis...text`    → [[Odt]]
+  *   - zip + `[Content_Types].xml` declaring wordprocessingml /
+  *     spreadsheetml / presentationml main parts → [[Docx]] /
+  *     [[Xlsx]] / [[Pptx]]
+  *   - a valid zip that is none of these → `unrouted_zip` (named —
+  *     route those shards onward, don't guess);
+  *   - not a zip → `not_a_container`.
+  *
+  * One pass over the member list for detection; extraction reuses the
+  * format operators verbatim, so the router adds no parsing of its
+  * own to maintain. Per-row, no shuffle.
+  */
+object OfficeRouter {
+
+  /** format ∈ docx/xlsx/pptx/epub/odt; text = the extractor's body
+    * text; units = the format's natural count (paragraphs / cells /
+    * slides / spine items / paragraphs). */
+  final case class Routed(format: String, text: String, units: Long)
+
+  final case class Rejected(reason: String)
+
+  def route(blob: Array[Byte]): Either[Rejected, Routed] =
+    ZipArchive.parse(blob) match {
+      case None => Left(Rejected("not_a_container"))
+      case Some(members) =>
+        val byName = members.map(m => m.name -> m).toMap
+        val mime = byName.get("mimetype")
+          .map(m => new String(m.body, "US-ASCII"))
+        val contentTypes = byName.get("[Content_Types].xml")
+          .flatMap(m => CharsetSniff.decodeStrict(m.body, 0, "UTF-8"))
+        mime match {
+          case Some("application/epub+zip") =>
+            Epub.extract(blob) match {
+              case Right(e) => Right(Routed("epub", e.text, e.nSpine))
+              case Left(r) => Left(Rejected(r.reason))
+            }
+          case Some("application/vnd.oasis.opendocument.text") =>
+            Odt.extract(blob) match {
+              case Right(e) => Right(Routed("odt", e.text, e.nParagraphs))
+              case Left(r) => Left(Rejected(r.reason))
+            }
+          case _ =>
+            contentTypes match {
+              case Some(ct) if ct.contains("wordprocessingml.document.main") =>
+                Docx.extract(blob) match {
+                  case Right(e) => Right(Routed("docx", e.text, e.nParagraphs))
+                  case Left(r) => Left(Rejected(r.reason))
+                }
+              case Some(ct) if ct.contains("spreadsheetml.sheet.main") =>
+                Xlsx.extract(blob) match {
+                  case Right(e) =>
+                    Right(Routed("xlsx", e.sharedText, e.nCells))
+                  case Left(r) => Left(Rejected(r.reason))
+                }
+              case Some(ct) if ct.contains("presentationml.presentation.main") =>
+                Pptx.extract(blob) match {
+                  case Right(e) => Right(Routed("pptx", e.text, e.nSlides))
+                  case Left(r) => Left(Rejected(r.reason))
+                }
+              case _ => Left(Rejected("unrouted_zip"))
+            }
+        }
+    }
+}

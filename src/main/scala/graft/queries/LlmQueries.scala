@@ -8092,6 +8092,64 @@ object LlmQueries {
                 .map("%02x".format(_)).mkString)
           })
           .toDF("doc_id", "n_slides", "n_notes", "n_chars", "text_md5")
+    },
+
+    // OFFICE ROUTER CAPSTONE — the dispatch a real ingest runs on a
+    // mixed blob column: formats rotate by id (docx / xlsx / pptx /
+    // epub / odt / a plain unroutable zip), detection reads the
+    // CONTAINER's own declarations ([Content_Types].xml main parts,
+    // OCF mimetype) — never a file extension — and extraction reuses
+    // the five format operators verbatim under ONE oracle (format,
+    // fate, natural unit count, extracted-text md5 per format's
+    // rules: DOCX field-code paragraph, XLSX string table, PPTX
+    // slides, EPUB spine order, ODT footnote exclusion).
+    OpQuery.sql(
+      "q258_office_router",
+      """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+        |r AS (SELECT id, text, id % 6 AS m FROM f)
+        |SELECT id AS doc_id,
+        |  CASE m WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx' WHEN 2 THEN 'pptx'
+        |         WHEN 3 THEN 'epub' WHEN 4 THEN 'odt' END AS format,
+        |  CASE WHEN m = 5 THEN 'unrouted_zip' ELSE 'routed' END AS fate,
+        |  CAST(CASE m WHEN 0 THEN 3 WHEN 1 THEN 4 WHEN 2 THEN 1
+        |         WHEN 3 THEN 1 WHEN 4 THEN 1 END AS BIGINT) AS n_units,
+        |  CASE m WHEN 0 THEN md5(chr(10) || text || chr(10) || 'tail '
+        |           || CAST(id AS VARCHAR))
+        |         WHEN 1 THEN md5(text || chr(10) || 'col 1')
+        |         WHEN 2 THEN md5('s0 ' || text)
+        |         WHEN 3 THEN md5('e0 ' || substr(text, 1, 50))
+        |         WHEN 4 THEN md5(text) END AS text_md5
+        |FROM r""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val blob = (id % 6) match {
+              case 0 => graft.operators.Docx.write(Seq(text, s"tail $id"))
+              case 1 => graft.operators.Xlsx.write(Seq(text, "col 1"),
+                Seq(Seq(id, id + 1)))
+              case 2 => graft.operators.Pptx.write(Seq(Seq(s"s0 " + text)))
+              case 3 => graft.operators.Epub.write(s"Doc $id", "en",
+                Seq(Seq("e0 " + text.substring(0, math.min(50, text.length)))))
+              case 4 => graft.operators.Odt.write(Seq(text))
+              case _ => graft.operators.ZipArchive.write(Seq(
+                graft.operators.ZipArchive.ZipMember("readme.txt",
+                  text.getBytes("UTF-8"))), _ => true)
+            }
+            graft.operators.OfficeRouter.route(blob) match {
+              case Left(r) =>
+                (id, None: Option[String], r.reason, None: Option[Long],
+                  None: Option[String])
+              case Right(routed) =>
+                (id, Some(routed.format), "routed", Some(routed.units),
+                  Some(java.security.MessageDigest.getInstance("MD5")
+                    .digest(routed.text.getBytes("UTF-8"))
+                    .map("%02x".format(_)).mkString))
+            }
+          })
+          .toDF("doc_id", "format", "fate", "n_units", "text_md5")
     }
   )
 

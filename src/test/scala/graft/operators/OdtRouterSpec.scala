@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class OdtRouterSpec extends AnyFunSuite {
+
+  test("odt write/extract round-trips spans, space runs, tabs") {
+    val paras = Seq("hello split span world", "second paragraph here")
+    val ex = Odt.extract(Odt.write(paras)).toOption.get
+    assert(ex.text == paras.mkString("\n"))
+    assert(ex.nParagraphs == 2 && ex.nNotes == 1)
+    // double and triple spaces ride text:s and must reassemble
+    val spaced = Seq("a  b", "c   d")
+    assert(Odt.extract(Odt.write(spaced, withNote = false)).toOption.get
+      .text == spaced.mkString("\n"))
+  }
+
+  test("odt footnote content never leaks into body text") {
+    val ex = Odt.extract(Odt.write(Seq("body text only"))).toOption.get
+    assert(!ex.text.contains("DECOY"))
+    assert(ex.text == "body text only")
+  }
+
+  test("odt named rejections") {
+    assert(Odt.extract("x".getBytes) == Left(Odt.Rejected("zip_invalid")))
+    val wrongMime = ZipArchive.write(Seq(
+      ZipArchive.ZipMember("mimetype", "text/plain".getBytes),
+      ZipArchive.ZipMember("content.xml", "<a/>".getBytes)), _ => false)
+    assert(Odt.extract(wrongMime) == Left(Odt.Rejected("bad_mimetype")))
+    val noContent = ZipArchive.write(Seq(
+      ZipArchive.ZipMember("styles.xml", "<a/>".getBytes)), _ => false)
+    assert(Odt.extract(noContent) ==
+      Left(Odt.Rejected("missing_content_xml")))
+    val badXml = ZipArchive.write(Seq(
+      ZipArchive.ZipMember("content.xml",
+        "<office:document-content>".getBytes)), _ => false)
+    assert(Odt.extract(badXml) == Left(Odt.Rejected("xml_truncated_xml")))
+  }
+
+  test("router detects every format from container declarations") {
+    val docx = Docx.write(Seq("docx body paragraph"))
+    val xlsx = Xlsx.write(Seq("xlsx header"), Seq(Seq(1L, 2L)))
+    val pptx = Pptx.write(Seq(Seq("pptx slide text")))
+    val epub = Epub.write("T", "en", Seq(Seq("epub chapter text")))
+    val odt = Odt.write(Seq("odt paragraph text"))
+    assert(OfficeRouter.route(docx).toOption.get.format == "docx")
+    assert(OfficeRouter.route(xlsx).toOption.get.format == "xlsx")
+    assert(OfficeRouter.route(pptx).toOption.get.format == "pptx")
+    assert(OfficeRouter.route(epub).toOption.get.format == "epub")
+    assert(OfficeRouter.route(odt).toOption.get.format == "odt")
+    // extraction rides the format operators verbatim
+    assert(OfficeRouter.route(docx).toOption.get.text.endsWith(
+      "docx body paragraph"))
+    assert(OfficeRouter.route(epub).toOption.get.text == "epub chapter text")
+  }
+
+  test("router names the unroutable cases") {
+    assert(OfficeRouter.route("junk".getBytes) ==
+      Left(OfficeRouter.Rejected("not_a_container")))
+    val plainZip = ZipArchive.write(Seq(
+      ZipArchive.ZipMember("readme.txt", "hi".getBytes)), _ => false)
+    assert(OfficeRouter.route(plainZip) ==
+      Left(OfficeRouter.Rejected("unrouted_zip")))
+  }
+}
