@@ -8150,6 +8150,41 @@ object LlmQueries {
             }
           })
           .toDF("doc_id", "format", "fate", "n_units", "text_md5")
+    },
+
+    // RTF TEXT EXTRACTION — the one legacy office format that is NOT
+    // a zip: group-stack control-word markup where a naive
+    // strip-the-braces reader leaks font tables, stylesheets, and
+    // generator stamps into body text. operators/Rtf keeps the group
+    // stack with group-scoped \uc state, decodes \'xx as cp1252 and
+    // \uN with fallback skipping (the double-emission bug), skips
+    // destinations whole, keeps \fldrslt. The fixture plants cp1252
+    // AND \uN characters plus four decoy destinations; the oracle
+    // replays the full extracted text's md5 per document.
+    OpQuery.sql(
+      "q259_rtf_extract",
+      """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents)
+        |SELECT id AS doc_id,
+        |  CAST(length(text || ' café – x' || chr(10) || 'tail '
+        |    || CAST(id AS VARCHAR) || ' ☃') AS BIGINT) AS n_chars,
+        |  md5(text || ' café – x' || chr(10) || 'tail '
+        |    || CAST(id AS VARCHAR) || ' ☃') AS text_md5
+        |FROM f""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val paras = Seq(text + " café – x", s"tail $id ☃")
+            val ex = graft.operators.Rtf.extract(
+              graft.operators.Rtf.write(paras)).toOption.get
+            (id, ex.text.codePointCount(0, ex.text.length).toLong,
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(ex.text.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString)
+          })
+          .toDF("doc_id", "n_chars", "text_md5")
     }
   )
 
