@@ -30,6 +30,26 @@ object Bench {
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Fixed-cost calibration canary: a data-independent, CPU-bound plan
+    * (xxhash64 chain over spark.range, no I/O, no shuffle beyond the
+    * final 1-row agg) timed best-of-3 BEFORE and AFTER the sweep. The
+    * r13 official total moved 216→276 s on byte-identical shared code
+    * and the ambient-drift explanation had to be reconstructed from
+    * archives; the canary puts the machine-state measurement INSIDE the
+    * artifact. Controlled floor on an idle machine is recorded in
+    * SCALE.md — a pre/post reading well above it marks the sweep as
+    * drift-inflated; a reading at it marks the totals as load-bearing. */
+  private[graft] def canary(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val times = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val hashed = (1 to 8).foldLeft(xxhash64(col("id")))((e, _) => xxhash64(e))
+      force(spark.range(0, 800000000L, 1, 32).select(hashed.as("h")))
+      (System.nanoTime() - t0) / 1e9
+    }
+    times.min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -69,6 +89,8 @@ object Bench {
       }
     }
 
+    val canaryPre = canary(spark)
+
     val results = SparkEntry.catalog.map { q =>
       // immutable fixture prep (streaming source splits etc.) runs OFF
       // the clock: it is harness cost, not stream/query execution. A
@@ -88,12 +110,16 @@ object Bench {
       }
       q.name -> times.min
     }
+    val canaryPost = canary(spark)
+
     // 0.1ms resolution keeps the artifact line compact enough to survive
     // a log-tail scrape (full-precision doubles tripled its length)
     def r4(v: Double): Double = math.round(v * 1e4) / 1e4
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val total = r4(results.map(_._2).sum)
+    val canaryJson =
+      s""","canary":{"pre":${r4(canaryPre)},"post":${r4(canaryPost)}}"""
     // end-to-end incremental pipeline tick (typed obs + bucketed sink):
     // full build vs delta tick wall time and write volume
     val tick =
@@ -112,7 +138,7 @@ object Bench {
           s""","tick_error":"$msg""""
       }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs$tick,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs$canaryJson$tick,"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
@@ -125,20 +151,22 @@ object Bench {
     // [success] chatter.
     spark.stop()
     println(json)
-    println(summaryLine(total, reps, tick, results.size, sfDir))
+    println(summaryLine(total, reps, tick, results.size, sfDir, canaryJson))
     System.out.flush()
   }
 
   /** The driver-facing final line. Must stay complete inside a ~2 KB
-    * log tail even with sbt epilogue lines after it. */
+    * log tail even with sbt epilogue lines after it. The canary rides
+    * in the summary so the drift measurement survives the log-tail
+    * scrape even when the per-query line does not. */
   def summaryLine(total: Double, reps: Int, tickJson: String,
-      nQueries: Int, sfDir: String): String = {
+      nQueries: Int, sfDir: String, canaryJson: String = ""): String = {
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_queries":$nQueries$tickJson,"queries_file":"target/bench.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_queries":$nQueries$canaryJson$tickJson,"queries_file":"target/bench.json","sf":"$sfDir"}"""
     // tick holds a handful of scalar metrics; if it ever grows past the
     // scrape budget, drop it here rather than ship an unparseable tail
     if (line.length <= 1000) line
     else
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_queries":$nQueries,"queries_file":"target/bench.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_queries":$nQueries$canaryJson,"queries_file":"target/bench.json","sf":"$sfDir"}"""
   }
 }

@@ -47,6 +47,10 @@ object Heif {
   }
   private def bail(reason: String): Nothing = throw new Bail(reason)
 
+  private def u8(b: Array[Byte], p: Int): Int = {
+    if (p < 0 || p >= b.length) bail("truncated_box")
+    b(p) & 0xff
+  }
   private def u16(b: Array[Byte], p: Int): Int = {
     if (p + 2 > b.length) bail("truncated_box")
     ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
@@ -102,7 +106,7 @@ object Heif {
             if (metaSeen) bail("duplicate_meta")
             metaSeen = true
             if (end - body < 4) bail("truncated_box")
-            if (bytes(body) != 0) bail("bad_meta_version")
+            if (u8(bytes, body) != 0) bail("bad_meta_version")
             var p = body + 4 // fullbox: version + flags
             var hdlrPict = false
             while (p < end) {
@@ -112,12 +116,12 @@ object Heif {
                   if (ce - cb < 12) bail("truncated_box")
                   hdlrPict = typ(bytes, cb + 8) == "pict"
                 case "pitm" =>
-                  val v = bytes(cb) & 0xff
+                  val v = u8(bytes, cb)
                   primaryItemId =
                     if (v == 0) u16(bytes, cb + 4)
                     else u32(bytes, cb + 4).toInt
                 case "iinf" =>
-                  val v = bytes(cb) & 0xff
+                  val v = u8(bytes, cb)
                   var q = cb + 4
                   val n = if (v == 0) { q += 2; u16(bytes, cb + 4) }
                     else { q += 4; u32(bytes, cb + 4).toInt }
@@ -125,7 +129,7 @@ object Heif {
                   while (k < n) {
                     val (ib, ie) = boxHeader(bytes, q, ce)
                     if (typ(bytes, q + 4) != "infe") bail("bad_iinf_entry")
-                    val iv = bytes(ib) & 0xff
+                    val iv = u8(bytes, ib)
                     if (iv < 2) bail("infe_version_unsupported")
                     val itemId =
                       if (iv == 2) u16(bytes, ib + 4)
@@ -153,21 +157,24 @@ object Heif {
                           r = xe
                         }
                       case "ipma" =>
-                        val v = bytes(pb) & 0xff
+                        val v = u8(bytes, pb)
                         val flags = u32(bytes, pb).toInt & 0xffffff
                         val wideIdx = (flags & 1) != 0
                         var r = pb + 4
                         val n = u32(bytes, r).toInt; r += 4
                         var k = 0
                         while (k < n) {
+                          // an oversized entry count must not walk past
+                          // the ipma body into sibling boxes' bytes
+                          if (r >= pe) bail("truncated_box")
                           val itemId =
                             if (v == 0) { val x = u16(bytes, r); r += 2; x }
                             else { val x = u32(bytes, r).toInt; r += 4; x }
-                          val cnt = { val x = bytes(r) & 0xff; r += 1; x }
+                          val cnt = { val x = u8(bytes, r); r += 1; x }
                           val idxs = (0 until cnt).map { _ =>
                             if (wideIdx) {
                               val x = u16(bytes, r) & 0x7fff; r += 2; x
-                            } else { val x = bytes(r) & 0x7f; r += 1; x }
+                            } else { val x = u8(bytes, r) & 0x7f; r += 1; x }
                           }
                           assoc(itemId) = idxs
                           k += 1
@@ -177,7 +184,7 @@ object Heif {
                     q = pe
                   }
                 case "iloc" =>
-                  val v = bytes(cb) & 0xff
+                  val v = u8(bytes, cb)
                   if (v > 2) bail("iloc_version_unsupported")
                   var q = cb + 4
                   val sizes = u16(bytes, q); q += 2

@@ -26,6 +26,10 @@ object Odt {
 
   final case class Rejected(reason: String)
 
+  private final class OdtBomb(val n: Int) extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
   private final class OdtHandler extends XmlWalk.Handler {
     private val paragraphs = Seq.newBuilder[String]
     private var para: java.lang.StringBuilder = null
@@ -47,6 +51,11 @@ object Odt {
         if (noteDepth == 0 && para != null) {
           val n = attrs.collectFirst { case ("text:c", v) => v }
             .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(1)
+          // text:c is attacker-controlled amplification: a few input
+          // bytes can declare billions of spaces. Every other expansion
+          // path here (bzip2/xz/lz4/zstd) threads a bomb cap; this one
+          // caps too — no legitimate document runs a 1M-space gap.
+          if (n < 0 || n > 1000000) throw new OdtBomb(n)
           var k = 0
           while (k < n) { para.append(' '); k += 1 }
         }
@@ -84,10 +93,12 @@ object Odt {
               case None => Left(Rejected("content_not_utf8"))
               case Some(xml) =>
                 val h = new OdtHandler
-                XmlWalk.walk(xml, h) match {
+                try XmlWalk.walk(xml, h) match {
                   case Left(reason) => Left(Rejected(s"xml_$reason"))
                   case Right(()) =>
                     Right(Extracted(h.result, h.nParagraphs, h.nNotes))
+                } catch {
+                  case _: OdtBomb => Left(Rejected("space_run_bomb"))
                 }
             }
         }

@@ -12,7 +12,16 @@ package graft.operators
   *     [[Xlsx]] / [[Pptx]]
   *   - a valid zip that is none of these → `unrouted_zip` (named —
   *     route those shards onward, don't guess);
-  *   - not a zip → `not_a_container`.
+  *   - CFB magic (`D0 CF 11 E0`) → the legacy binary Office family:
+  *     a `WordDocument` stream routes to [[Doc]] (text extracted via
+  *     the piece table); `Workbook`/`Book` and `PowerPoint Document`
+  *     are recognized and REJECTED BY NAME (`ole2_xls` / `ole2_ppt` —
+  *     payload decode out of scope); any other compound file is
+  *     `ole2_unknown`; a malformed one is `cfb_<reason>`. Before
+  *     round 14 these all fell through as `not_a_container`, which
+  *     made the fate census blind to how much legacy Office a shard
+  *     carries;
+  *   - not a zip and not CFB → `not_a_container`.
   *
   * One pass over the member list for detection; extraction reuses the
   * format operators verbatim, so the router adds no parsing of its
@@ -28,7 +37,8 @@ object OfficeRouter {
   final case class Rejected(reason: String)
 
   def route(blob: Array[Byte]): Either[Rejected, Routed] =
-    ZipArchive.parse(blob) match {
+    if (Cfb.looksLikeCfb(blob)) routeCfb(blob)
+    else ZipArchive.parse(blob) match {
       case None => Left(Rejected("not_a_container"))
       case Some(members) =>
         val byName = members.map(m => m.name -> m).toMap
@@ -68,5 +78,25 @@ object OfficeRouter {
               case _ => Left(Rejected("unrouted_zip"))
             }
         }
+    }
+
+  /** Legacy compound-file dispatch: the format is declared by the
+    * directory entry NAMES ([MS-DOC]/[MS-XLS]/[MS-PPT] all pin
+    * theirs), never the extension. */
+  private def routeCfb(blob: Array[Byte]): Either[Rejected, Routed] =
+    Cfb.parse(blob) match {
+      case Left(reason) => Left(Rejected(s"cfb_$reason"))
+      case Right(parsed) =>
+        val names = parsed.streams.keySet
+        if (names.contains("WordDocument"))
+          Doc.extractFromCfb(parsed) match {
+            case Right(e) => Right(Routed("doc", e.text, e.nParagraphs))
+            case Left(r) => Left(Rejected(r.reason))
+          }
+        else if (names.contains("Workbook") || names.contains("Book"))
+          Left(Rejected("ole2_xls")) // recognized; decode out of scope
+        else if (names.contains("PowerPoint Document"))
+          Left(Rejected("ole2_ppt")) // recognized; decode out of scope
+        else Left(Rejected("ole2_unknown"))
     }
 }

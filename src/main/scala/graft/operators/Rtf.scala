@@ -179,7 +179,12 @@ object Rtf {
             }
           case '\r' | '\n' => i += 1 // raw newlines are markup whitespace
           case _ =>
-            emit((c & 0xff).toChar)
+            // raw (unescaped) high bytes are cp1252 text exactly like
+            // the \'xx escapes — many generators write them directly,
+            // so 0x80-0x9F must route through the same mapping or a
+            // raw 0x93 yields U+0093 instead of the intended U+201C
+            val v = c & 0xff
+            emit(if (v >= 0x80 && v <= 0x9F) Cp1252High(v - 0x80) else v.toChar)
             i += 1
         }
       }

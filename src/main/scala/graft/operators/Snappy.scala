@@ -127,7 +127,12 @@ object Snappy {
             litLen = 0
             var k = 0
             while (k < extra) { litLen |= (src(i + k) & 0xff) << (8 * k); k += 1 }
-            if (litLen < 0) bail("bad_literal_length")
+            // reject BEFORE the +1: 0x7FFFFFFF would pass a <0 check and
+            // then overflow to Int.MinValue, turning both bounds checks
+            // below into always-true negative comparisons. A literal can
+            // never exceed the declared output size (itself capped at
+            // maxLen), so anything at or past that is hostile.
+            if (litLen < 0 || litLen >= maxLen) bail("bad_literal_length")
             i += extra
           }
           litLen += 1

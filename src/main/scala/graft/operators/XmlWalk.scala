@@ -249,7 +249,12 @@ object XmlWalk {
     def document(): Unit = {
       // optional BOM + XML declaration (a PI-shaped prolog)
       if (!eof && cur == '\uFEFF') i += 1 // decoded BOM, if the transcoder left it
-      if (s.startsWith("<?xml", i)) {
+      // the declaration is exactly '<?xml' followed by whitespace or
+      // '?' — a PI whose target merely STARTS with 'xml' (e.g.
+      // <?xml-stylesheet ...?>) is an ordinary PI per the XML 1.0
+      // grammar and must fall through to piBody() to be counted
+      if (s.startsWith("<?xml", i) && i + 5 < s.length &&
+          (s.charAt(i + 5) == '?' || Character.isWhitespace(s.charAt(i + 5)))) {
         val end = s.indexOf("?>", i)
         if (end < 0) bail("truncated_xml")
         i = end + 2

@@ -8098,27 +8098,35 @@ object LlmQueries {
     // mixed blob column: formats rotate by id (docx / xlsx / pptx /
     // epub / odt / a plain unroutable zip), detection reads the
     // CONTAINER's own declarations ([Content_Types].xml main parts,
-    // OCF mimetype) — never a file extension — and extraction reuses
-    // the five format operators verbatim under ONE oracle (format,
-    // fate, natural unit count, extracted-text md5 per format's
-    // rules: DOCX field-code paragraph, XLSX string table, PPTX
-    // slides, EPUB spine order, ODT footnote exclusion).
+    // OCF mimetype, CFB magic + directory-entry names) — never a file
+    // extension — and extraction reuses the format operators verbatim
+    // under ONE oracle (format, fate, natural unit count,
+    // extracted-text md5 per format's rules: DOCX field-code
+    // paragraph, XLSX string table, PPTX slides, EPUB spine order,
+    // ODT footnote exclusion, legacy .doc piece table). Legacy
+    // .xls and unrecognized compound files land in the named
+    // ole2_xls / ole2_unknown fates.
     OpQuery.sql(
       "q258_office_router",
       """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
-        |r AS (SELECT id, text, id % 6 AS m FROM f)
+        |r AS (SELECT id, text, id % 9 AS m FROM f)
         |SELECT id AS doc_id,
         |  CASE m WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx' WHEN 2 THEN 'pptx'
-        |         WHEN 3 THEN 'epub' WHEN 4 THEN 'odt' END AS format,
-        |  CASE WHEN m = 5 THEN 'unrouted_zip' ELSE 'routed' END AS fate,
+        |         WHEN 3 THEN 'epub' WHEN 4 THEN 'odt'
+        |         WHEN 6 THEN 'doc' END AS format,
+        |  CASE m WHEN 5 THEN 'unrouted_zip' WHEN 7 THEN 'ole2_xls'
+        |         WHEN 8 THEN 'ole2_unknown' ELSE 'routed' END AS fate,
         |  CAST(CASE m WHEN 0 THEN 3 WHEN 1 THEN 4 WHEN 2 THEN 1
-        |         WHEN 3 THEN 1 WHEN 4 THEN 1 END AS BIGINT) AS n_units,
+        |         WHEN 3 THEN 1 WHEN 4 THEN 1 WHEN 6 THEN 2 END AS BIGINT)
+        |    AS n_units,
         |  CASE m WHEN 0 THEN md5(chr(10) || text || chr(10) || 'tail '
         |           || CAST(id AS VARCHAR))
         |         WHEN 1 THEN md5(text || chr(10) || 'col 1')
         |         WHEN 2 THEN md5('s0 ' || text)
         |         WHEN 3 THEN md5('e0 ' || substr(text, 1, 50))
-        |         WHEN 4 THEN md5(text) END AS text_md5
+        |         WHEN 4 THEN md5(text)
+        |         WHEN 6 THEN md5(text || chr(10) || 'tail '
+        |           || CAST(id AS VARCHAR) || chr(10)) END AS text_md5
         |FROM r""".stripMargin) {
       (s, dir) =>
         import s.implicits._
@@ -8126,7 +8134,7 @@ object LlmQueries {
           .select(col("doc_id").cast("long"), col("text"))
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, text) =>
-            val blob = (id % 6) match {
+            val blob = (id % 9) match {
               case 0 => graft.operators.Docx.write(Seq(text, s"tail $id"))
               case 1 => graft.operators.Xlsx.write(Seq(text, "col 1"),
                 Seq(Seq(id, id + 1)))
@@ -8134,6 +8142,11 @@ object LlmQueries {
               case 3 => graft.operators.Epub.write(s"Doc $id", "en",
                 Seq(Seq("e0 " + text.substring(0, math.min(50, text.length)))))
               case 4 => graft.operators.Odt.write(Seq(text))
+              case 6 => graft.operators.Doc.write(Seq(text, s"tail $id"))
+              case 7 => graft.operators.Cfb.write(Seq(
+                "Workbook" -> Array.fill[Byte](600)((id % 127).toByte)))
+              case 8 => graft.operators.Cfb.write(Seq(
+                "Contents" -> Array.fill[Byte](64)((id % 127).toByte)))
               case _ => graft.operators.ZipArchive.write(Seq(
                 graft.operators.ZipArchive.ZipMember("readme.txt",
                   text.getBytes("UTF-8"))), _ => true)
@@ -8185,6 +8198,115 @@ object LlmQueries {
                 .map("%02x".format(_)).mkString)
           })
           .toDF("doc_id", "n_chars", "text_md5")
+    },
+
+    // CFB / OLE2 COMPOUND-FILE CENSUS — the legacy binary Office
+    // container (magic D0 CF 11 E0) that crawls are full of and the
+    // router previously mislabeled not_a_container. operators/Cfb
+    // walks header → DIFAT → FAT → directory sibling tree → miniFAT,
+    // cycle-guarded and bounds-checked at every chain. Fixtures mix
+    // mini-stream (<4096) and regular-stream bodies so both
+    // allocation paths run; planted truncation and not-CFB regimes
+    // exercise the named fates. The oracle replays stream counts and
+    // total byte accounting from the same size formulas.
+    OpQuery.sql(
+      "q260_cfb_census",
+      """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |r AS (SELECT id, 1 + id % 4 AS k,
+        |    CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END AS big,
+        |    id % 50 + 1 AS base, id % 11 AS m FROM f)
+        |SELECT id AS doc_id,
+        |  CASE WHEN m = 3 THEN 'truncated_cfb'
+        |       WHEN m = 7 THEN 'not_cfb' ELSE 'ok' END AS fate,
+        |  CAST(CASE WHEN m NOT IN (3, 7) THEN k + big END AS INTEGER)
+        |    AS n_streams,
+        |  CAST(CASE WHEN m NOT IN (3, 7) THEN k END AS INTEGER) AS n_mini,
+        |  CAST(CASE WHEN m NOT IN (3, 7)
+        |    THEN 32 * k * (k - 1) + k * base + big * 5000 END AS BIGINT)
+        |    AS total_bytes,
+        |  CAST(CASE WHEN m NOT IN (3, 7) THEN 512 END AS INTEGER)
+        |    AS sector_size,
+        |  CASE WHEN m NOT IN (3, 7) THEN 'S0' END AS first_path
+        |FROM r""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            val k = (1 + id % 4).toInt
+            val big = id % 2 == 0
+            val base = (id % 50).toInt + 1
+            val streams = (0 until k).map { j =>
+              s"S$j" -> Array.tabulate[Byte](64 * j + base)(b =>
+                ((id + 31L * j + b) % 256).toByte)
+            } ++ (if (big) Seq("Big0" -> Array.tabulate[Byte](5000)(b =>
+              ((id + b) % 256).toByte)) else Nil)
+            val cfb = graft.operators.Cfb.write(streams)
+            val wire =
+              if (id % 11 == 3) java.util.Arrays.copyOf(cfb, 300)
+              else if (id % 11 == 7) s"plain text $id, no magic".getBytes
+              else cfb
+            graft.operators.Cfb.parse(wire) match {
+              case Left(reason) =>
+                (id, reason, None: Option[Int], None: Option[Int],
+                  None: Option[Long], None: Option[Int],
+                  None: Option[String])
+              case Right(p) =>
+                (id, "ok", Some(p.nStreams),
+                  Some(p.entries.count(e =>
+                    e.objectType == 2 && e.size < 4096)),
+                  Some(p.entries.filter(_.objectType == 2).map(_.size).sum),
+                  Some(p.sectorSize), Some(p.entries.head.path))
+            }
+          })
+          .toDF("doc_id", "fate", "n_streams", "n_mini", "total_bytes",
+            "sector_size", "first_path")
+    },
+
+    // LEGACY .DOC TEXT EXTRACTION — Word 97 binary over the CFB walk:
+    // FIB → fWhichTblStm-selected table stream → Clx → PlcPcd piece
+    // table, each fixture deliberately TWO pieces (cp1252-compressed
+    // head + UTF-16LE tail, the fast-save mixed encoding that breaks
+    // fixed-offset extractors). A planted truncation regime lands in
+    // the container-level fate. The oracle replays paragraph counts
+    // and the extracted-text md5.
+    OpQuery.sql(
+      "q261_doc_extract",
+      """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents)
+        |SELECT id AS doc_id,
+        |  CASE WHEN id % 19 = 5 THEN 'cfb_truncated_cfb'
+        |       ELSE 'extracted' END AS fate,
+        |  CAST(CASE WHEN id % 19 <> 5 THEN 2 END AS BIGINT) AS n_paragraphs,
+        |  CAST(CASE WHEN id % 19 <> 5 THEN 2 END AS INTEGER) AS n_pieces,
+        |  CAST(CASE WHEN id % 19 <> 5 THEN 1 END AS INTEGER)
+        |    AS n_unicode_pieces,
+        |  CASE WHEN id % 19 <> 5 THEN md5(text || chr(10) || 'tail '
+        |    || CAST(id AS VARCHAR) || chr(10)) END AS text_md5
+        |FROM f""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val blob = graft.operators.Doc.write(Seq(text, s"tail $id"))
+            val wire =
+              if (id % 19 == 5) java.util.Arrays.copyOf(blob, 400)
+              else blob
+            graft.operators.Doc.extract(wire) match {
+              case Left(r) =>
+                (id, r.reason, None: Option[Long], None: Option[Int],
+                  None: Option[Int], None: Option[String])
+              case Right(ex) =>
+                (id, "extracted", Some(ex.nParagraphs), Some(ex.nPieces),
+                  Some(ex.nUnicodePieces),
+                  Some(java.security.MessageDigest.getInstance("MD5")
+                    .digest(ex.text.getBytes("UTF-8"))
+                    .map("%02x".format(_)).mkString))
+            }
+          })
+          .toDF("doc_id", "fate", "n_paragraphs", "n_pieces",
+            "n_unicode_pieces", "text_md5")
     }
   )
 

@@ -42,8 +42,11 @@ class BenchLineSpec extends AnyFunSuite {
     depth == 0 && !inStr
   }
 
+  private val canary = ""","canary":{"pre":1.8421,"post":2.1034}"""
+
   test("summary line survives a 2,000-char log tail with sbt epilogue") {
-    val summary = Bench.summaryLine(90.5997, 3, tick, 91, "/root/testdata/sf0.1")
+    val summary =
+      Bench.summaryLine(90.5997, 3, tick, 91, "/root/testdata/sf0.1", canary)
     assert(summary.length <= 1000, s"summary is ${summary.length} chars")
     val log = Seq(
       "[info] running (fork) graft.Bench",
@@ -65,15 +68,19 @@ class BenchLineSpec extends AnyFunSuite {
     assert(lastJson.contains("\"metric\":\"total\""))
     assert(lastJson.contains("\"value\":90.5997"))
     assert(lastJson.contains("\"tick\":{"))
+    assert(lastJson.contains("\"canary\":{\"pre\":1.8421,\"post\":2.1034}"))
     assert(lastJson.contains("\"queries_file\":\"target/bench.json\""))
   }
 
   test("oversized tick degrades to a tick-free summary, never an unparseable tail") {
     val hugeTick = ""","tick":{""" +
       (1 to 100).map(i => s""""metric_$i":$i.0""").mkString(",") + "}"
-    val summary = Bench.summaryLine(1.0, 3, hugeTick, 91, "/root/testdata/sf0.1")
+    val summary =
+      Bench.summaryLine(1.0, 3, hugeTick, 91, "/root/testdata/sf0.1", canary)
     assert(summary.length <= 1000)
     assert(balancedJson(summary))
     assert(!summary.contains("tick"))
+    // the drift measurement must survive even the degraded form
+    assert(summary.contains("\"canary\":{"))
   }
 }

@@ -68,6 +68,29 @@ class HeifSpec extends AnyFunSuite {
       Left("extent_escapes_file"))
   }
 
+  test("body-at-EOF boxes bail by name instead of crashing (advice r13)") {
+    def be32(v: Int) = Array[Byte](
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(t: String, body: Array[Byte]) =
+      be32(8 + body.length) ++ t.getBytes("ISO-8859-1") ++ body
+    val ftyp = box("ftyp", "avif".getBytes ++ be32(0) ++ "avif".getBytes)
+    val hdlr = box("hdlr",
+      be32(0) ++ be32(0) ++ "pict".getBytes) // fullbox + pre_defined + type
+    // an 8-byte pitm (header only, zero body) as the LAST child of the
+    // LAST box: its version byte sits exactly at EOF — the raw bytes(cb)
+    // read was an ArrayIndexOutOfBoundsException escaping the Either
+    val pitm = box("pitm", Array.emptyByteArray)
+    val blob = ftyp ++ box("meta", be32(0) ++ hdlr ++ pitm)
+    assert(Heif.census(blob) == Left("truncated_box"))
+    // an ipma declaring more entries than its body holds must stop at
+    // the box boundary, not walk into sibling bytes
+    val ipma = box("ipma", be32(0) ++ be32(1000)) // 1000 entries, no data
+    val iprp = box("iprp", box("ipco", Array.emptyByteArray) ++ ipma)
+    val blob2 = ftyp ++ box("meta", be32(0) ++ hdlr ++ iprp) ++
+      box("free", new Array[Byte](64))
+    assert(Heif.census(blob2) == Left("truncated_box"))
+  }
+
   test("fixture dump for the reference-parser cross-check") {
     val outDir = new java.io.File("target/heif_encoder_out")
     outDir.mkdirs()

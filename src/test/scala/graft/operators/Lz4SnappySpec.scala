@@ -120,4 +120,18 @@ class Lz4SnappySpec extends AnyFunSuite {
     assert(Snappy.decode(wire, maxOut = 1024) ==
       Left(Snappy.Rejected("snappy_bomb")))
   }
+
+  test("raw literal length 0x7FFFFFFF rejects instead of overflowing") {
+    // 4-byte extended literal length of Int.MaxValue: the +1 would wrap
+    // to Int.MinValue and sail past both negative bounds checks into an
+    // uncaught IndexOutOfBoundsException (advice r13)
+    val raw = Array[Byte](100, // varint expected length
+      0xFC.toByte, // literal tag, litLen field 63 -> 4 extra bytes
+      0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0x7F) // LE 0x7FFFFFFF
+    val chunk = Array[Byte](0x00, (raw.length + 4).toByte, 0, 0,
+      0, 0, 0, 0) ++ raw // compressed chunk, bogus CRC (checked AFTER decode)
+    val wire = Array[Byte](0xFF.toByte, 6, 0, 0,
+      's', 'N', 'a', 'P', 'p', 'Y') ++ chunk
+    assert(Snappy.decode(wire) == Left(Snappy.Rejected("bad_literal_length")))
+  }
 }

@@ -35,6 +35,15 @@ class OdtRouterSpec extends AnyFunSuite {
       ZipArchive.ZipMember("content.xml",
         "<office:document-content>".getBytes)), _ => false)
     assert(Odt.extract(badXml) == Left(Odt.Rejected("xml_truncated_xml")))
+    // text:s amplification: a few bytes declaring 2e9 spaces is a
+    // decompression-bomb-class expansion and must reject, not allocate
+    val bomb = ZipArchive.write(Seq(
+      ZipArchive.ZipMember("content.xml",
+        ("""<office:document-content><office:body><office:text>""" +
+          """<text:p>a<text:s text:c="2000000000"/>b</text:p>""" +
+          """</office:text></office:body></office:document-content>""")
+          .getBytes)), _ => false)
+    assert(Odt.extract(bomb) == Left(Odt.Rejected("space_run_bomb")))
   }
 
   test("router detects every format from container declarations") {
@@ -61,5 +70,31 @@ class OdtRouterSpec extends AnyFunSuite {
       ZipArchive.ZipMember("readme.txt", "hi".getBytes)), _ => false)
     assert(OfficeRouter.route(plainZip) ==
       Left(OfficeRouter.Rejected("unrouted_zip")))
+  }
+
+  test("router routes legacy CFB office by directory-entry names") {
+    // .doc extracts for real through the piece table
+    val doc = Doc.write(Seq("legacy word body", "second paragraph"))
+    val routed = OfficeRouter.route(doc).toOption.get
+    assert(routed.format == "doc")
+    assert(routed.text == "legacy word body\nsecond paragraph\n")
+    assert(routed.units == 2)
+    // .xls / .ppt are recognized BY NAME, decode out of scope
+    val xls = Cfb.write(Seq("Workbook" -> Array.fill[Byte](600)(1)))
+    assert(OfficeRouter.route(xls) == Left(OfficeRouter.Rejected("ole2_xls")))
+    val book = Cfb.write(Seq("Book" -> Array.fill[Byte](60)(2))) // BIFF5
+    assert(OfficeRouter.route(book) == Left(OfficeRouter.Rejected("ole2_xls")))
+    val ppt = Cfb.write(Seq(
+      "PowerPoint Document" -> Array.fill[Byte](600)(3),
+      "Current User" -> Array.fill[Byte](20)(4)))
+    assert(OfficeRouter.route(ppt) == Left(OfficeRouter.Rejected("ole2_ppt")))
+    // a compound file that is none of the three
+    val other = Cfb.write(Seq("Contents" -> Array.fill[Byte](100)(5)))
+    assert(OfficeRouter.route(other) ==
+      Left(OfficeRouter.Rejected("ole2_unknown")))
+    // a malformed compound file carries the parser's named reason
+    val broken = java.util.Arrays.copyOf(doc, 400)
+    assert(OfficeRouter.route(broken) ==
+      Left(OfficeRouter.Rejected("cfb_truncated_cfb")))
   }
 }

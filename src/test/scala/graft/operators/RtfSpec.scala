@@ -59,4 +59,14 @@ class RtfSpec extends AnyFunSuite {
     assert(Rtf.extract("{\\rtf1 \\bin99 x}".getBytes) ==
       Left(Rtf.Rejected("truncated_rtf")))
   }
+
+  test("raw unescaped cp1252 high bytes map like the escaped ones") {
+    // generators often write cp1252 bytes directly instead of \'xx;
+    // 0x93/0x94 are curly quotes, not C1 controls (advice r13)
+    val blob = "{\\rtf1 a".getBytes("ISO-8859-1") ++
+      Array[Byte](0x93.toByte, 'q'.toByte, 0x94.toByte) ++
+      " bé}".getBytes("ISO-8859-1")
+    val ex = Rtf.extract(blob).toOption.get
+    assert(ex.text == "a“q” bé")
+  }
 }

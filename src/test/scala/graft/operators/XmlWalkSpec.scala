@@ -89,4 +89,13 @@ class XmlWalkSpec extends AnyFunSuite {
     assert(XmlWalk.walk("<r>one&amp;<c/>two<![CDATA[three]]></r>", h).isRight)
     assert(got.toString == "one&twothree")
   }
+
+  test("xml-stylesheet PI is a PI, not the declaration (advice r13)") {
+    // a PI whose target merely STARTS with 'xml' must be counted; only
+    // exactly '<?xml' + whitespace/'?' is the declaration
+    assert(info("<?xml-stylesheet type=\"text/xsl\" href=\"s.xsl\"?><r/>")
+      .nPis == 1)
+    assert(info("<?xml version=\"1.0\"?><r/>").nPis == 0)
+    assert(info("<?xml?><r/>").nPis == 0) // declaration-shaped, tolerated
+  }
 }
