@@ -16,10 +16,12 @@ package graft.operators
   *   footer  = CRC32(backward size + flags) + backward size
   *             (= index size) + the SAME stream flags + 'YZ'
   *
-  * Streams may concatenate with 4-aligned zero stream padding. Only
-  * the LZMA2 filter (0x21) decodes; delta/BCJ filter chains reject by
-  * NAME (`filter_unsupported_*`) — they are transforms this engine
-  * has no use for until a real corpus shows them. CRC64 is the
+  * Streams may concatenate with 4-aligned zero stream padding. The
+  * LZMA2 filter (0x21) decodes, as does a single x86 BCJ branch
+  * converter (0x04, see [[Bcj]]) ahead of it — the chain real
+  * `xz -F x86` archives carry; delta and the non-x86 branch
+  * converters reject by NAME (`filter_unsupported_*`) until a real
+  * corpus shows them. CRC64 is the
   * ECMA-182 reflected polynomial, implemented here; CRC32 is the
   * JDK's; SHA-256 is MessageDigest. Reject-don't-guess with named
   * reasons; the output cap rides [[Lzma2]]'s in-decode enforcement.
@@ -158,22 +160,40 @@ object Xz {
         i += 2
         val declaredComp = if (hasCompSize) vli() else -1L
         val declaredUncomp = if (hasUncompSize) vli() else -1L
-        // filter list: only a single LZMA2 filter decodes
+        // filter list, in ENCODE order: LZMA2 must be last; a single
+        // x86 BCJ ahead of it decodes (filter id 0x04 — real
+        // `xz -F x86` archives); the other branch converters and
+        // delta keep rejecting by name until a corpus shows them
         var lzma2Props = -1
+        var x86Filter = false
+        var x86Start = 0L
         var f = 0
         while (f < nFilters) {
           val id = vli()
           val propsSize = vli()
           if (i + propsSize > headerEnd) bail("bad_block_header")
           if (id == 0x21) {
+            if (f != nFilters - 1) bail("lzma2_not_last_filter")
             if (propsSize != 1) bail("bad_lzma2_props")
             lzma2Props = b(i) & 0xff
             if ((lzma2Props & 0xC0) != 0 || (lzma2Props & 0x3F) > 40)
               bail("bad_lzma2_dictsize")
+          } else if (id == 0x04) {
+            if (f != 0 || x86Filter) bail("bad_filter_chain")
+            // optional 4-byte LE start offset (alignment 1 for x86)
+            if (propsSize != 0 && propsSize != 4) bail("bad_bcj_props")
+            if (propsSize == 4) x86Start = u32le(b, i)
+            x86Filter = true
           } else {
             val name = id match {
               case 0x03 => "delta"
-              case x if x >= 0x04 && x <= 0x0B => "bcj"
+              case 0x05 => "bcj_ppc"
+              case 0x06 => "bcj_ia64"
+              case 0x07 => "bcj_arm"
+              case 0x08 => "bcj_armthumb"
+              case 0x09 => "bcj_sparc"
+              case 0x0A => "bcj_arm64"
+              case 0x0B => "bcj_riscv"
               case _ => f"0x$id%02x"
             }
             bail(s"filter_unsupported_$name")
@@ -203,6 +223,10 @@ object Xz {
           decodeLzma2Tracked(b, dataStart, maxData, budget)
         if (declaredComp >= 0 && consumed != declaredComp)
           bail("compressed_size_mismatch")
+        // decode filters reverse in anti-encode order: LZMA2 already
+        // ran; the branch converter restores the original bytes the
+        // block check and sizes are defined over
+        if (x86Filter) Bcj.x86Decode(content, x86Start)
         if (declaredUncomp >= 0 && content.length.toLong != declaredUncomp)
           bail("uncompressed_size_mismatch")
         out.write(content)

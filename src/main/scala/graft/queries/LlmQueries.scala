@@ -7911,9 +7911,14 @@ object LlmQueries {
             val bos = new java.io.ByteArrayOutputStream()
             // presets 0-3: preset rotation exercises the decoder the
             // same (chunk shapes/dict sizes differ), while presets >= 4
-            // would quintuple the FIXTURE-side encode cost in bench
+            // would quintuple the FIXTURE-side encode cost in bench;
+            // every fifth archive rides the x86 BCJ chain (`xz -F x86`)
             val opts = new org.tukaani.xz.LZMA2Options((r.media_id % 4).toInt)
-            val z = new org.tukaani.xz.XZOutputStream(bos, opts,
+            val filters: Array[org.tukaani.xz.FilterOptions] =
+              if (r.media_id % 5 == 2)
+                Array(new org.tukaani.xz.X86Options(), opts)
+              else Array(opts)
+            val z = new org.tukaani.xz.XZOutputStream(bos, filters,
               checks((r.media_id % 3).toInt))
             z.write(r.payload); z.close()
             graft.operators.Multimodal.MediaRow(
@@ -8307,6 +8312,81 @@ object LlmQueries {
           })
           .toDF("doc_id", "fate", "n_paragraphs", "n_pieces",
             "n_unicode_pieces", "text_md5")
+    },
+
+    // MATROSKA / WEBM EBML CENSUS — the crawl's dominant open video
+    // container (MP4 and AVI walks already exist; EBML did not).
+    // operators/Ebml walks header → Segment → Info/Tracks/Clusters
+    // with the varint grammar, counts blocks and payload bytes, and
+    // rejects sample decode by codec name. Fixture regimes rotate
+    // doctype, audio presence, cluster/block shapes, and the
+    // unknown-size streaming-muxer Segment (census must be identical
+    // to the sized form); a planted truncation class lands in the
+    // named overrun fate. Every census number replays in closed form.
+    OpQuery.sql(
+      "q262_mkv_census",
+      """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |r AS (SELECT id, id % 2 = 0 AS webm, id % 3 = 0 AS aud,
+        |    160 + id % 320 AS w, 120 + id % 240 AS h,
+        |    1 + id % 4 AS nc, 2 + id % 3 AS bpc, 20 + id % 40 AS pl,
+        |    id % 17 = 4 AS bad FROM f)
+        |SELECT id AS doc_id,
+        |  CASE WHEN bad THEN 'element_overruns_parent' ELSE 'ok' END AS fate,
+        |  CASE WHEN bad THEN NULL WHEN webm THEN 'webm'
+        |       ELSE 'matroska' END AS doc_type,
+        |  CAST(CASE WHEN NOT bad THEN CASE WHEN aud THEN 2 ELSE 1 END END
+        |    AS INTEGER) AS n_tracks,
+        |  CASE WHEN bad THEN NULL WHEN webm THEN 'V_VP8'
+        |       ELSE 'V_MPEG4/ISO/AVC' END AS video_codec,
+        |  CAST(CASE WHEN NOT bad THEN w END AS INTEGER) AS width,
+        |  CAST(CASE WHEN NOT bad THEN h END AS INTEGER) AS height,
+        |  CAST(CASE WHEN NOT bad AND aud THEN 48000 END AS INTEGER)
+        |    AS audio_hz,
+        |  CAST(CASE WHEN NOT bad THEN nc END AS BIGINT) AS n_clusters,
+        |  CAST(CASE WHEN NOT bad THEN nc * bpc END AS BIGINT) AS n_blocks,
+        |  CAST(CASE WHEN NOT bad THEN nc * bpc * pl END AS BIGINT)
+        |    AS block_bytes,
+        |  CAST(CASE WHEN NOT bad THEN 5000 END AS BIGINT) AS duration_ms,
+        |  CASE WHEN bad THEN NULL WHEN webm THEN 'v_vp8_samples_unsupported'
+        |       ELSE 'v_mpeg4_iso_avc_samples_unsupported' END AS sample_fate
+        |FROM r""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            val blob0 = graft.operators.Ebml.write(
+              webm = id % 2 == 0,
+              w = (160 + id % 320).toInt, h = (120 + id % 240).toInt,
+              withAudio = id % 3 == 0,
+              nClusters = (1 + id % 4).toInt,
+              blocksPerCluster = (2 + id % 3).toInt,
+              payloadLen = (20 + id % 40).toInt, seed = id,
+              unknownSizeSegment = id % 7 == 1)
+            val blob =
+              if (id % 17 == 4)
+                java.util.Arrays.copyOf(blob0, blob0.length - 10)
+              else blob0
+            graft.operators.Ebml.census(blob) match {
+              case Left(reason) =>
+                (id, reason, None: Option[String], None: Option[Int],
+                  None: Option[String], None: Option[Int],
+                  None: Option[Int], None: Option[Int],
+                  None: Option[Long], None: Option[Long],
+                  None: Option[Long], None: Option[Long],
+                  None: Option[String])
+              case Right(i) =>
+                val v = i.tracks.head
+                val hz = i.tracks.find(_.trackType == 2).map(_.samplingHz)
+                (id, "ok", Some(i.docType), Some(i.tracks.length),
+                  Some(v.codecId), Some(v.width), Some(v.height), hz,
+                  Some(i.nClusters), Some(i.nBlocks), Some(i.blockBytes),
+                  Some(i.durationMs), Some(i.sampleFate))
+            }
+          })
+          .toDF("doc_id", "fate", "doc_type", "n_tracks", "video_codec",
+            "width", "height", "audio_hz", "n_clusters", "n_blocks",
+            "block_bytes", "duration_ms", "sample_fate")
     }
   )
 

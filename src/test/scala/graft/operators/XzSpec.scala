@@ -93,14 +93,58 @@ class XzSpec extends AnyFunSuite {
     assert(Xz.decode(blob).toOption.get.sameElements(data))
   }
 
-  test("BCJ filter chains reject by name") {
+  private def xzChain(data: Array[Byte],
+      filters: Array[org.tukaani.xz.FilterOptions]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
+    val z = new org.tukaani.xz.XZOutputStream(bos, filters)
+    z.write(data); z.close()
+    bos.toByteArray
+  }
+
+  test("x86 BCJ chains decode byte-exact against xz-java") {
     val opts = new org.tukaani.xz.LZMA2Options(3)
     val x86 = new org.tukaani.xz.X86Options()
-    val z = new org.tukaani.xz.XZOutputStream(bos,
-      Array[org.tukaani.xz.FilterOptions](x86, opts))
-    z.write(lcg(5000, 9)); z.close()
-    assert(Xz.decode(bos.toByteArray) ==
-      Left(Xz.Rejected("filter_unsupported_bcj")))
+    // shapes that exercise the converter: random bytes (accidental
+    // E8/E9 + mask machinery), dense synthetic CALL sites with
+    // 00/FF top bytes (every branch converts), overlapping E8 runs
+    // (the mask's reject path), and tiny/empty buffers
+    val callSites = {
+      val a = new Array[Byte](8192)
+      var i = 0
+      var s = 11
+      while (i + 5 <= a.length) {
+        s = s * 1103515245 + 12345
+        a(i) = (if ((s & 4) == 0) 0xE8 else 0xE9).toByte
+        a(i + 1) = (s >> 8).toByte; a(i + 2) = (s >> 16).toByte
+        a(i + 3) = (s >> 18).toByte
+        a(i + 4) = (if ((s & 8) == 0) 0x00 else 0xFF).toByte
+        i += 5 + (s & 3)
+      }
+      a
+    }
+    val e8run = Array.fill[Byte](4096)(0xE8.toByte)
+    for (data <- Seq(lcg(5000, 9), lcg(70000, 10), callSites, e8run,
+        lcg(4, 2), Array.emptyByteArray)) {
+      val wire = xzChain(data,
+        Array[org.tukaani.xz.FilterOptions](x86, opts))
+      val dec = Xz.decode(wire)
+      assert(dec.isRight, s"len=${data.length}: ${dec.swap.getOrElse("")}")
+      assert(dec.toOption.get.sameElements(data), s"len=${data.length}")
+    }
+  }
+
+  test("non-x86 BCJ and delta filters still reject by name") {
+    val opts = new org.tukaani.xz.LZMA2Options(3)
+    val data = lcg(5000, 9)
+    assert(Xz.decode(xzChain(data, Array(
+      new org.tukaani.xz.ARMOptions(), opts))) ==
+      Left(Xz.Rejected("filter_unsupported_bcj_arm")))
+    assert(Xz.decode(xzChain(data, Array(
+      new org.tukaani.xz.SPARCOptions(), opts))) ==
+      Left(Xz.Rejected("filter_unsupported_bcj_sparc")))
+    val delta = new org.tukaani.xz.DeltaOptions()
+    delta.setDistance(4)
+    assert(Xz.decode(xzChain(data, Array(delta, opts))) ==
+      Left(Xz.Rejected("filter_unsupported_delta")))
   }
 }

@@ -2,8 +2,9 @@
 """Broad-coverage xz differential sweep (the fuzz_bzip2_diff pattern):
 compress N seeded random cases with CPython's lzma module — which IS
 the system liblzma — across presets 0..9 (incl. EXTREME), check types
-CRC32/CRC64/SHA256/none, and content shapes (text, high entropy,
-ramps, long runs, mixed, empty, 1-byte, multi-MB), plus multi-stream
+CRC32/CRC64/SHA256/none, content shapes (text, high entropy, ramps,
+long runs, mixed, empty, 1-byte, multi-MB), x86 BCJ filter chains
+(~25% of cases, the `xz -F x86` regime), plus multi-stream
 concatenation — then require graft.operators.Xz to decode every one
 byte-exactly (graft.tools.XzDiff). Seeded, so a failure reproduces.
 
@@ -63,8 +64,15 @@ try:
         if rnd.random() < 0.2:
             preset |= lzma.PRESET_EXTREME
         check = rnd.choice(CHECKS)
-        blob = lzma.compress(data, format=lzma.FORMAT_XZ, check=check,
-                             preset=preset)
+        if rnd.random() < 0.25:  # x86 BCJ chain (xz -F x86)
+            blob = lzma.compress(
+                data, format=lzma.FORMAT_XZ, check=check,
+                filters=[{"id": lzma.FILTER_X86},
+                         {"id": lzma.FILTER_LZMA2,
+                          "preset": preset & 0x0F}])
+        else:
+            blob = lzma.compress(data, format=lzma.FORMAT_XZ, check=check,
+                                 preset=preset)
         if rnd.random() < 0.15:  # concatenated second stream
             extra = content(rnd.randint(0, 4), rnd.randint(0, 20000))
             blob += lzma.compress(extra, format=lzma.FORMAT_XZ,
