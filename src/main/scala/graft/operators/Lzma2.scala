@@ -37,6 +37,28 @@ object Lzma2 {
     try Right(run(src, off, len, maxOut))
     catch { case e: Bail => Left(e.reason) }
 
+  /** Raw LZMA1 — the 7z folder coder 03 01 01: one packed props byte
+    * (lc/lp/pb), dictionary size carried separately, OUTPUT SIZE KNOWN
+    * from the folder's unpack size (7z encoders write end-marker-free
+    * streams when the size is recorded, which it always is). One
+    * whole-stream chunk over the same range decoder as LZMA2. */
+  private[operators] def lzma1Decode(src: Array[Byte], off: Int, len: Int,
+      props: Int, outLen: Int, maxOut: Int): Either[String, Array[Byte]] =
+    try {
+      if (outLen < 0 || outLen > maxOut) bail("lzma_bomb")
+      if (props > (4 * 5 + 4) * 9 + 8) bail("bad_lzma_props")
+      val lc = props % 9
+      val lp = (props / 9) % 5
+      val pb = props / 45
+      val out = new Array[Byte](outLen)
+      if (outLen > 0) {
+        val p = newProbs(lc, lp)
+        lzmaDecode(src, off, len, out, 0, outLen, 0, p, lc, lp, pb,
+          0, 0, 0, 0, 0)
+      }
+      Right(out)
+    } catch { case e: Bail => Left(e.reason) }
+
   private def run(src: Array[Byte], off: Int, len: Int,
       maxOut: Int): Array[Byte] = {
     var i = off

@@ -8387,6 +8387,139 @@ object LlmQueries {
           .toDF("doc_id", "fate", "doc_type", "n_tracks", "video_codec",
             "width", "height", "audio_hz", "n_clusters", "n_blocks",
             "block_bytes", "duration_ms", "sample_fate")
+    },
+
+    // 7Z ARCHIVE EXTRACTION — plain `.7z` is the most common wild
+    // habitat of LZMA2, and the round-13 decoder stopped one container
+    // short of it. operators/SevenZip walks signature header → (maybe
+    // LZMA-compressed) property header → folders, restricted to
+    // single-coder LZMA2/LZMA1/Copy with chains and encryption
+    // rejecting by name; fixtures come from the REAL generator
+    // (commons-compress SevenZOutputFile), content method rotated per
+    // archive so all three supported coders run. q140's member-replay
+    // oracle verbatim.
+    OpQuery.sql(
+      "q263_7z_extract",
+      """SELECT CAST(doc_id // 5 AS BIGINT) AS archive_id,
+        |  'doc-' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS body_md5
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)]
+          .groupByKey(_._1 / 5)
+          .flatMapGroups { (aid, it) =>
+            val ch = new org.apache.commons.compress.utils
+              .SeekableInMemoryByteChannel()
+            val z = new org.apache.commons.compress.archivers.sevenz
+              .SevenZOutputFile(ch)
+            val method = (aid % 3) match {
+              case 0 => org.apache.commons.compress.archivers.sevenz
+                .SevenZMethod.LZMA2
+              case 1 => org.apache.commons.compress.archivers.sevenz
+                .SevenZMethod.COPY
+              case _ => org.apache.commons.compress.archivers.sevenz
+                .SevenZMethod.LZMA
+            }
+            z.setContentMethods(java.util.Collections.singletonList(
+              new org.apache.commons.compress.archivers.sevenz
+                .SevenZMethodConfiguration(method)))
+            it.toSeq.sortBy(_._1).foreach { case (id, text) =>
+              val e = new org.apache.commons.compress.archivers.sevenz
+                .SevenZArchiveEntry()
+              e.setName(s"doc-$id.txt")
+              z.putArchiveEntry(e)
+              z.write(Option(text).getOrElse("").getBytes("UTF-8"))
+              z.closeArchiveEntry()
+            }
+            z.close()
+            val blob = java.util.Arrays.copyOf(ch.array(), ch.size().toInt)
+            graft.operators.SevenZip.parse(blob) match {
+              case Right(p) => p.members.map(m => (aid, m.name,
+                m.body.length.toLong,
+                java.security.MessageDigest.getInstance("MD5")
+                  .digest(m.body).map("%02x".format(_)).mkString))
+              case Left(_) => Seq.empty
+            }
+          }
+          .toDF("archive_id", "name", "n_bytes", "body_md5")
+    },
+
+    // OGG CONTAINER CENSUS — the open audio container the family was
+    // missing (WAV/FLAC/MP3 decode exist; no page walk did).
+    // operators/Ogg walks pages with the UNREFLECTED Ogg CRC-32,
+    // reassembles packets through lacing tables, reads Vorbis/Opus id
+    // + comment headers, and rejects sample decode by codec name.
+    // Regimes rotate codec, channel count, comment count, page/packet
+    // shapes; a planted payload flip lands in the CRC fate. Every
+    // census number replays in closed form (opus durations tick at
+    // 48 kHz minus the 312-sample pre-skip the writer pins).
+    OpQuery.sql(
+      "q264_ogg_census",
+      """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |r AS (SELECT id, id % 2 = 0 AS opus, 1 + id % 2 AS ch,
+        |    id % 4 AS ncom, 1 + id % 3 AS np, 2 + id % 2 AS ppp,
+        |    id % 17 = 6 AS bad FROM f),
+        |g AS (SELECT *, np * 960 * ppp AS granule FROM r)
+        |SELECT id AS doc_id,
+        |  CASE WHEN bad THEN 'page_crc_mismatch' ELSE 'ok' END AS fate,
+        |  CASE WHEN bad THEN NULL WHEN opus THEN 'opus'
+        |       ELSE 'vorbis' END AS codec,
+        |  CAST(CASE WHEN NOT bad THEN ch END AS INTEGER) AS channels,
+        |  CAST(CASE WHEN NOT bad THEN
+        |      CASE WHEN opus THEN 48000 ELSE 44100 END END AS INTEGER)
+        |    AS sample_rate,
+        |  CAST(CASE WHEN NOT bad THEN 2 + np END AS BIGINT) AS n_pages,
+        |  CAST(CASE WHEN NOT bad THEN 2 + np * ppp END AS BIGINT)
+        |    AS n_packets,
+        |  CAST(CASE WHEN NOT bad THEN ncom END AS INTEGER) AS n_comments,
+        |  CAST(CASE WHEN NOT bad THEN
+        |      CASE WHEN opus THEN (granule - 312) * 1000 // 48000
+        |           ELSE granule * 1000 // 44100 END END AS BIGINT)
+        |    AS duration_ms,
+        |  CASE WHEN bad THEN NULL WHEN opus THEN 'opus_samples_unsupported'
+        |       ELSE 'vorbis_samples_unsupported' END AS sample_fate
+        |FROM g""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            val blob0 = graft.operators.Ogg.write(
+              opus = id % 2 == 0, serial = 0x1000 + id,
+              channels = (1 + id % 2).toInt,
+              sampleRate = if (id % 2 == 0) 48000 else 44100,
+              comments = (0 until (id % 4).toInt)
+                .map(k => s"K$k" -> s"v$k"),
+              nAudioPages = (1 + id % 3).toInt,
+              packetsPerPage = (2 + id % 2).toInt,
+              payloadLen = (30 + id % 50).toInt, seed = id)
+            val blob =
+              if (id % 17 == 6) {
+                val c = blob0.clone()
+                c(c.length - 5) = (c(c.length - 5) ^ 0x41).toByte
+                c
+              } else blob0
+            graft.operators.Ogg.census(blob) match {
+              case Left(reason) =>
+                (id, reason, None: Option[String], None: Option[Int],
+                  None: Option[Int], None: Option[Long],
+                  None: Option[Long], None: Option[Int],
+                  None: Option[Long], None: Option[String])
+              case Right(info) =>
+                val st = info.streams.head
+                (id, "ok", Some(st.codec), Some(st.channels),
+                  Some(st.sampleRate), Some(info.nPages),
+                  Some(st.nPackets), Some(st.nComments),
+                  Some(st.durationMs), Some(st.sampleFate))
+            }
+          })
+          .toDF("doc_id", "fate", "codec", "channels", "sample_rate",
+            "n_pages", "n_packets", "n_comments", "duration_ms",
+            "sample_fate")
     }
   )
 
