@@ -8416,17 +8416,28 @@ object LlmQueries {
               .SeekableInMemoryByteChannel()
             val z = new org.apache.commons.compress.archivers.sevenz
               .SevenZOutputFile(ch)
-            val method = (aid % 3) match {
-              case 0 => org.apache.commons.compress.archivers.sevenz
-                .SevenZMethod.LZMA2
-              case 1 => org.apache.commons.compress.archivers.sevenz
-                .SevenZMethod.COPY
-              case _ => org.apache.commons.compress.archivers.sevenz
-                .SevenZMethod.LZMA
+            // preset 1 + 64 KiB dict: the default preset-6 options
+            // allocate an 8 MiB dictionary + BT4 match finder PER
+            // ARCHIVE on the fixture side — 1000 tiny archives paid
+            // ~46 s of pure encoder allocation before the fix. The
+            // decoder under test sees the same grammar either way.
+            val lzOpts = new org.tukaani.xz.LZMA2Options(1)
+            lzOpts.setDictSize(1 << 16)
+            val cfg = (aid % 3) match {
+              case 0 => new org.apache.commons.compress.archivers.sevenz
+                .SevenZMethodConfiguration(
+                  org.apache.commons.compress.archivers.sevenz
+                    .SevenZMethod.LZMA2, lzOpts)
+              case 1 => new org.apache.commons.compress.archivers.sevenz
+                .SevenZMethodConfiguration(
+                  org.apache.commons.compress.archivers.sevenz
+                    .SevenZMethod.COPY)
+              case _ => new org.apache.commons.compress.archivers.sevenz
+                .SevenZMethodConfiguration(
+                  org.apache.commons.compress.archivers.sevenz
+                    .SevenZMethod.LZMA, lzOpts)
             }
-            z.setContentMethods(java.util.Collections.singletonList(
-              new org.apache.commons.compress.archivers.sevenz
-                .SevenZMethodConfiguration(method)))
+            z.setContentMethods(java.util.Collections.singletonList(cfg))
             it.toSeq.sortBy(_._1).foreach { case (id, text) =>
               val e = new org.apache.commons.compress.archivers.sevenz
                 .SevenZArchiveEntry()
