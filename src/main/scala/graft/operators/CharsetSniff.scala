@@ -230,7 +230,9 @@ object CharsetSniff {
     * MULTI-CODING chains ("br, gzip" = br applied first, gzip second —
     * RFC 9110 lists codings in application order) undo right-to-left
     * with the cap enforced at EVERY stage (a chain is two bomb
-    * opportunities, not one); compress rejects by name. Coding tokens
+    * opportunities, not one); compress (Unix LZW, the last registered
+    * coding) decodes via graft.operators.UnixCompress, encoder-pinned
+    * against the system gzip. Coding tokens
     * are matched case-insensitively (RFC 9110 §8.4.1: content-coding
     * values are case-insensitive) — 'Br'/'GZIP' decode, not
     * quarantine. */
@@ -357,6 +359,19 @@ object CharsetSniff {
           case Left(Xz.Rejected(r)) if r.startsWith("truncated_") =>
             Left(Rejected("truncated_xz_body"))
           case Left(_) => Left(Rejected("corrupt_xz_body"))
+        }
+      case Some(e) if e == "compress" || e == "x-compress" =>
+        // the last registered coding (RFC 9110 lists it; ancient
+        // servers still emit it): Unix LZW via
+        // graft.operators.UnixCompress, encoder-pinned against the
+        // system gzip (tools/fuzz_compress_diff.py)
+        UnixCompress.decode(body, maxOut) match {
+          case Right(d) => Right(d)
+          case Left(UnixCompress.Rejected("lzw_bomb")) =>
+            Left(Rejected("encoding_bomb"))
+          case Left(UnixCompress.Rejected("truncated_z")) =>
+            Left(Rejected("truncated_compress_body"))
+          case Left(_) => Left(Rejected("corrupt_compress_body"))
         }
       case Some(other) =>
         Left(Rejected(

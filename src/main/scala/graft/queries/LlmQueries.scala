@@ -8531,6 +8531,41 @@ object LlmQueries {
           .toDF("doc_id", "fate", "codec", "channels", "sample_rate",
             "n_pages", "n_packets", "n_comments", "duration_ms",
             "sample_fate")
+    },
+
+    // TAR.Z BUNDLE EXTRACTION — the fourth archive coding beside
+    // .tar.gz/.tar.bz2/.tar.xz: Unix compress (LZW) through
+    // operators/UnixCompress, whose encoder is pinned against the
+    // system gzip (the on-system reference decoder for .Z —
+    // tools/fuzz_compress_diff.py, 300/300 both directions incl. the
+    // -b9 width-overshoot and group-padding quirks) and whose decoder
+    // also backs the `compress` Content-Encoding. maxbits rotates
+    // 9/12/16 per archive so clears, width bumps, and the overshoot
+    // path all run. q140's member-replay oracle verbatim.
+    OpQuery.sql(
+      "q265_tar_z_extract",
+      """SELECT CAST(doc_id // 5 AS BIGINT) AS archive_id,
+        |  'doc-' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS body_md5
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val bundles = graft.operators.Tar.tarFilesFromDocuments(
+            s, load(s, dir, "documents"))
+          .map { r =>
+            val maxBits = Seq(9, 12, 16)((r.media_id % 3).toInt)
+            graft.operators.Multimodal.MediaRow(r.media_id, "tar.Z",
+              graft.operators.UnixCompress.encode(r.payload, maxBits))
+          }
+        graft.operators.Tar.extractTarMembers(
+            bundles.flatMap { r =>
+              graft.operators.UnixCompress.decode(r.payload).toOption
+                .map(tar =>
+                  graft.operators.Multimodal.MediaRow(r.media_id, "tar", tar))
+            })
+          .select(col("archive_id"), col("name"), col("n_bytes"),
+            md5(col("body")).as("body_md5"))
     }
   )
 

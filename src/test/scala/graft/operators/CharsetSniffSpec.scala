@@ -183,9 +183,18 @@ class CharsetSniffSpec extends AnyFunSuite {
     // by name (bad magic), not unsupported
     assert(CharsetSniff.decodeContentEncoding(g, Some("zstd")) ==
       Left(CharsetSniff.Rejected("corrupt_zstd_body")))
-    // genuinely unknown codings still reject by name, never guess
+    // compress decodes since round 14 — a gzip blob LABELED compress
+    // is corrupt by name (bad magic), not unsupported
     assert(CharsetSniff.decodeContentEncoding(g, Some("compress")) ==
-      Left(CharsetSniff.Rejected("unsupported_encoding_compress")))
+      Left(CharsetSniff.Rejected("corrupt_compress_body")))
+    // genuinely unknown codings still reject by name, never guess
+    assert(CharsetSniff.decodeContentEncoding(g, Some("lzip")) ==
+      Left(CharsetSniff.Rejected("unsupported_encoding_lzip")))
+    // the real thing round-trips through the coding layer
+    val zBody = ("compress coding " * 50).getBytes("UTF-8")
+    assert(CharsetSniff.decodeContentEncoding(
+      UnixCompress.encode(zBody), Some("x-compress"))
+      .toOption.get.sameElements(zBody))
     // a gzip blob labeled "gzip, br" fails at the br stage (undone first)
     assert(CharsetSniff.decodeContentEncoding(g, Some("gzip, br")) ==
       Left(CharsetSniff.Rejected("corrupt_br_body")))
