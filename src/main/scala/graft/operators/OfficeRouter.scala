@@ -13,14 +13,15 @@ package graft.operators
   *   - a valid zip that is none of these → `unrouted_zip` (named —
   *     route those shards onward, don't guess);
   *   - CFB magic (`D0 CF 11 E0`) → the legacy binary Office family:
-  *     a `WordDocument` stream routes to [[Doc]] (text extracted via
-  *     the piece table); `Workbook`/`Book` and `PowerPoint Document`
-  *     are recognized and REJECTED BY NAME (`ole2_xls` / `ole2_ppt` —
-  *     payload decode out of scope); any other compound file is
-  *     `ole2_unknown`; a malformed one is `cfb_<reason>`. Before
-  *     round 14 these all fell through as `not_a_container`, which
-  *     made the fate census blind to how much legacy Office a shard
-  *     carries;
+  *     a `WordDocument` stream routes to [[Doc]] (text via the piece
+  *     table), `Workbook`/`Book` to [[Xls]] (BIFF8 shared-string text
+  *     + cells; BIFF5 `Book` rejects with its version name),
+  *     `PowerPoint Document` to [[Ppt]] (record-tree text atoms);
+  *     any other compound file is `ole2_unknown`; a malformed one
+  *     is `cfb_<reason>`.
+  *     Before round 14 these all fell through as `not_a_container`,
+  *     which made the fate census blind to how much legacy Office a
+  *     shard carries;
   *   - not a zip and not CFB → `not_a_container`.
   *
   * One pass over the member list for detection; extraction reuses the
@@ -94,9 +95,15 @@ object OfficeRouter {
             case Left(r) => Left(Rejected(r.reason))
           }
         else if (names.contains("Workbook") || names.contains("Book"))
-          Left(Rejected("ole2_xls")) // recognized; decode out of scope
+          Xls.extractFromCfb(parsed) match {
+            case Right(e) => Right(Routed("xls", e.sstText, e.nLabelCells))
+            case Left(r) => Left(Rejected(r.reason))
+          }
         else if (names.contains("PowerPoint Document"))
-          Left(Rejected("ole2_ppt")) // recognized; decode out of scope
+          Ppt.extractFromCfb(parsed) match {
+            case Right(e) => Right(Routed("ppt", e.text, e.nSlides))
+            case Left(r) => Left(Rejected(r.reason))
+          }
         else Left(Rejected("ole2_unknown"))
     }
 }

@@ -8114,15 +8114,17 @@ object LlmQueries {
     OpQuery.sql(
       "q258_office_router",
       """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
-        |r AS (SELECT id, text, id % 9 AS m FROM f)
+        |r AS (SELECT id, text, id % 10 AS m FROM f)
         |SELECT id AS doc_id,
         |  CASE m WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx' WHEN 2 THEN 'pptx'
         |         WHEN 3 THEN 'epub' WHEN 4 THEN 'odt'
-        |         WHEN 6 THEN 'doc' END AS format,
-        |  CASE m WHEN 5 THEN 'unrouted_zip' WHEN 7 THEN 'ole2_xls'
+        |         WHEN 6 THEN 'doc' WHEN 7 THEN 'xls'
+        |         WHEN 9 THEN 'ppt' END AS format,
+        |  CASE m WHEN 5 THEN 'unrouted_zip'
         |         WHEN 8 THEN 'ole2_unknown' ELSE 'routed' END AS fate,
         |  CAST(CASE m WHEN 0 THEN 3 WHEN 1 THEN 4 WHEN 2 THEN 1
-        |         WHEN 3 THEN 1 WHEN 4 THEN 1 WHEN 6 THEN 2 END AS BIGINT)
+        |         WHEN 3 THEN 1 WHEN 4 THEN 1 WHEN 6 THEN 2
+        |         WHEN 7 THEN 2 WHEN 9 THEN 1 END AS BIGINT)
         |    AS n_units,
         |  CASE m WHEN 0 THEN md5(chr(10) || text || chr(10) || 'tail '
         |           || CAST(id AS VARCHAR))
@@ -8131,7 +8133,10 @@ object LlmQueries {
         |         WHEN 3 THEN md5('e0 ' || substr(text, 1, 50))
         |         WHEN 4 THEN md5(text)
         |         WHEN 6 THEN md5(text || chr(10) || 'tail '
-        |           || CAST(id AS VARCHAR) || chr(10)) END AS text_md5
+        |           || CAST(id AS VARCHAR) || chr(10))
+        |         WHEN 7 THEN md5(text || chr(10) || 'cell '
+        |           || CAST(id AS VARCHAR))
+        |         WHEN 9 THEN md5('slide ' || text) END AS text_md5
         |FROM r""".stripMargin) {
       (s, dir) =>
         import s.implicits._
@@ -8139,7 +8144,7 @@ object LlmQueries {
           .select(col("doc_id").cast("long"), col("text"))
           .as[(Long, String)]
           .mapPartitions(_.map { case (id, text) =>
-            val blob = (id % 9) match {
+            val blob = (id % 10) match {
               case 0 => graft.operators.Docx.write(Seq(text, s"tail $id"))
               case 1 => graft.operators.Xlsx.write(Seq(text, "col 1"),
                 Seq(Seq(id, id + 1)))
@@ -8148,10 +8153,11 @@ object LlmQueries {
                 Seq(Seq("e0 " + text.substring(0, math.min(50, text.length)))))
               case 4 => graft.operators.Odt.write(Seq(text))
               case 6 => graft.operators.Doc.write(Seq(text, s"tail $id"))
-              case 7 => graft.operators.Cfb.write(Seq(
-                "Workbook" -> Array.fill[Byte](600)((id % 127).toByte)))
+              case 7 => graft.operators.Xls.write(Seq("Sheet1"),
+                Seq(text, s"cell $id"), Nil, labelsPerSheet = 2)
               case 8 => graft.operators.Cfb.write(Seq(
                 "Contents" -> Array.fill[Byte](64)((id % 127).toByte)))
+              case 9 => graft.operators.Ppt.write(Seq(s"slide $text"))
               case _ => graft.operators.ZipArchive.write(Seq(
                 graft.operators.ZipArchive.ZipMember("readme.txt",
                   text.getBytes("UTF-8"))), _ => true)
@@ -8566,6 +8572,108 @@ object LlmQueries {
             })
           .select(col("archive_id"), col("name"), col("n_bytes"),
             md5(col("body")).as("body_md5"))
+    },
+
+    // LEGACY .XLS (BIFF8) EXTRACTION — closes the router's ole2_xls
+    // stopgap into real decode: operators/Xls walks the Workbook BIFF
+    // record stream (BoundSheet8 names, SST with CONTINUE-record
+    // string splits that re-declare the compression flag mid-string —
+    // every fixture plants one — LabelSst/Number/RK/MulRk cells).
+    // Numeric sums replay bit-exactly (halves and small ints only);
+    // a planted truncation class lands in the container fate.
+    OpQuery.sql(
+      "q266_xls_extract",
+      """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+        |r AS (SELECT id, text, 1 + id % 2 AS ns, id % 23 = 3 AS bad FROM f)
+        |SELECT id AS doc_id,
+        |  CASE WHEN bad THEN 'cfb_truncated_cfb' ELSE 'extracted' END
+        |    AS fate,
+        |  CAST(CASE WHEN NOT bad THEN ns END AS INTEGER) AS n_sheets,
+        |  CAST(CASE WHEN NOT bad THEN 2 END AS BIGINT) AS n_strings,
+        |  CAST(CASE WHEN NOT bad THEN 2 * ns END AS BIGINT)
+        |    AS n_label_cells,
+        |  CAST(CASE WHEN NOT bad THEN 3 * ns END AS BIGINT)
+        |    AS n_number_cells,
+        |  CASE WHEN NOT bad THEN
+        |    ns * (id + 0.5) + CASE ns WHEN 1 THEN 42 ELSE 85 END END
+        |    AS numeric_sum,
+        |  CASE WHEN NOT bad THEN md5(text || chr(10) || 'tail '
+        |    || CAST(id AS VARCHAR)) END AS text_md5
+        |FROM r""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val ns = (1 + id % 2).toInt
+            val blob0 = graft.operators.Xls.write(
+              (0 until ns).map(i => s"Sheet$i"),
+              Seq(text, s"tail $id"),
+              Seq(id.toDouble, 0.5), labelsPerSheet = 2)
+            val blob =
+              if (id % 23 == 3) java.util.Arrays.copyOf(blob0, 400)
+              else blob0
+            graft.operators.Xls.extract(blob) match {
+              case Left(r) =>
+                (id, r.reason, None: Option[Int], None: Option[Long],
+                  None: Option[Long], None: Option[Long],
+                  None: Option[Double], None: Option[String])
+              case Right(ex) =>
+                (id, "extracted", Some(ex.sheetNames.length),
+                  Some(ex.nStrings), Some(ex.nLabelCells),
+                  Some(ex.nNumberCells), Some(ex.numericSum),
+                  Some(java.security.MessageDigest.getInstance("MD5")
+                    .digest(ex.sstText.getBytes("UTF-8"))
+                    .map("%02x".format(_)).mkString))
+            }
+          })
+          .toDF("doc_id", "fate", "n_sheets", "n_strings",
+            "n_label_cells", "n_number_cells", "numeric_sum", "text_md5")
+    },
+
+    // LEGACY .PPT EXTRACTION — the last ole2_* stopgap closed:
+    // operators/Ppt walks the PowerPoint Document record tree
+    // (8-byte headers, recVer 0xF containers), collecting
+    // TextBytesAtom (one byte per char) and TextCharsAtom (UTF-16LE)
+    // in stream order and counting SlidePersistAtoms; decoy CString
+    // atoms never leak; encryption rejects by name. Fixtures
+    // alternate byte and UTF-16 atoms; a planted truncation class
+    // lands in the container fate.
+    OpQuery.sql(
+      "q267_ppt_extract",
+      """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents)
+        |SELECT id AS doc_id,
+        |  CASE WHEN id % 29 = 8 THEN 'cfb_truncated_cfb'
+        |       ELSE 'extracted' END AS fate,
+        |  CAST(CASE WHEN id % 29 <> 8 THEN 2 END AS BIGINT) AS n_slides,
+        |  CAST(CASE WHEN id % 29 <> 8 THEN 2 END AS BIGINT) AS n_text_atoms,
+        |  CASE WHEN id % 29 <> 8 THEN md5(text || chr(10) || 'slide2 '
+        |    || CAST(id AS VARCHAR)) END AS text_md5
+        |FROM f""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val blob0 = graft.operators.Ppt.write(
+              Seq(text, s"slide2 $id"))
+            val blob =
+              if (id % 29 == 8) java.util.Arrays.copyOf(blob0, 400)
+              else blob0
+            graft.operators.Ppt.extract(blob) match {
+              case Left(r) =>
+                (id, r.reason, None: Option[Long], None: Option[Long],
+                  None: Option[String])
+              case Right(ex) =>
+                (id, "extracted", Some(ex.nSlides), Some(ex.nTextAtoms),
+                  Some(java.security.MessageDigest.getInstance("MD5")
+                    .digest(ex.text.getBytes("UTF-8"))
+                    .map("%02x".format(_)).mkString))
+            }
+          })
+          .toDF("doc_id", "fate", "n_slides", "n_text_atoms", "text_md5")
     }
   )
 

@@ -79,15 +79,34 @@ class OdtRouterSpec extends AnyFunSuite {
     assert(routed.format == "doc")
     assert(routed.text == "legacy word body\nsecond paragraph\n")
     assert(routed.units == 2)
-    // .xls / .ppt are recognized BY NAME, decode out of scope
-    val xls = Cfb.write(Seq("Workbook" -> Array.fill[Byte](600)(1)))
-    assert(OfficeRouter.route(xls) == Left(OfficeRouter.Rejected("ole2_xls")))
-    val book = Cfb.write(Seq("Book" -> Array.fill[Byte](60)(2))) // BIFF5
-    assert(OfficeRouter.route(book) == Left(OfficeRouter.Rejected("ole2_xls")))
-    val ppt = Cfb.write(Seq(
+    // .xls extracts for real through the BIFF8 walk
+    val xls = Xls.write(Seq("Sheet1"), Seq("cell text", "more"),
+      Seq(2.0), labelsPerSheet = 3)
+    val routedXls = OfficeRouter.route(xls).toOption.get
+    assert(routedXls.format == "xls")
+    assert(routedXls.text == "cell text\nmore")
+    assert(routedXls.units == 3)
+    // a Workbook stream that isn't BIFF carries the parser's reason
+    val junkWb = Cfb.write(Seq("Workbook" -> Array.fill[Byte](600)(1)))
+    assert(OfficeRouter.route(junkWb).isLeft)
+    // BIFF5 ("Book") rejects with its version name
+    val book = Xls.write(Seq("S"), Seq("x"), Nil, labelsPerSheet = 1)
+    val parsed5 = Cfb.parse(book).toOption.get
+    val wb5 = parsed5.streams("Workbook").clone()
+    wb5(4) = 0x00; wb5(5) = 0x05
+    assert(OfficeRouter.route(Cfb.write(Seq("Book" -> wb5))) ==
+      Left(OfficeRouter.Rejected("biff_version_unsupported_0x0500")))
+    // .ppt extracts for real through the record-tree walk
+    val ppt = Ppt.write(Seq("slide one text", "second slide"))
+    val routedPpt = OfficeRouter.route(ppt).toOption.get
+    assert(routedPpt.format == "ppt")
+    assert(routedPpt.text == "slide one text\nsecond slide")
+    assert(routedPpt.units == 2)
+    // a PowerPoint Document stream that isn't records carries a reason
+    val junkPpt = Cfb.write(Seq(
       "PowerPoint Document" -> Array.fill[Byte](600)(3),
       "Current User" -> Array.fill[Byte](20)(4)))
-    assert(OfficeRouter.route(ppt) == Left(OfficeRouter.Rejected("ole2_ppt")))
+    assert(OfficeRouter.route(junkPpt).isLeft)
     // a compound file that is none of the three
     val other = Cfb.write(Seq("Contents" -> Array.fill[Byte](100)(5)))
     assert(OfficeRouter.route(other) ==
