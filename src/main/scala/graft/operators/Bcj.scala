@@ -80,4 +80,137 @@ object Bcj {
       }
     }
   }
+
+  // ----------------------------------------------------------------
+  // The stateless fixed-width converters (one page each, from the
+  // same public filter family as x86). All run in place over one
+  // block; `startOffset` is the optional filter property. Each is
+  // validated differentially against BOTH liblzma (CPython's lzma)
+  // and xz-java in the sweep.
+  // ----------------------------------------------------------------
+
+  /** ARM (filter 0x07): 32-bit BL (0xEB opcode byte), 4-aligned. */
+  def armDecode(buf: Array[Byte], startOffset: Long): Unit = {
+    val now = startOffset.toInt
+    var i = 0
+    while (i + 4 <= buf.length) {
+      if ((buf(i + 3) & 0xff) == 0xEB) {
+        val src = (((buf(i + 2) & 0xff) << 16) | ((buf(i + 1) & 0xff) << 8) |
+          (buf(i) & 0xff)) << 2
+        val dest = (src - (now + i + 8)) >>> 2
+        buf(i + 2) = (dest >>> 16).toByte
+        buf(i + 1) = (dest >>> 8).toByte
+        buf(i) = dest.toByte
+      }
+      i += 4
+    }
+  }
+
+  /** ARM-Thumb (0x08): 16-bit BL pair (0xF0.., 0xF8..), 2-aligned. */
+  def armThumbDecode(buf: Array[Byte], startOffset: Long): Unit = {
+    val now = startOffset.toInt
+    var i = 0
+    while (i + 4 <= buf.length) {
+      if ((buf(i + 1) & 0xF8) == 0xF0 && (buf(i + 3) & 0xF8) == 0xF8) {
+        val src = (((buf(i + 1) & 7) << 19) | ((buf(i) & 0xff) << 11) |
+          ((buf(i + 3) & 7) << 8) | (buf(i + 2) & 0xff)) << 1
+        val dest = (src - (now + i + 4)) >>> 1
+        buf(i + 1) = (0xF0 | ((dest >>> 19) & 7)).toByte
+        buf(i) = (dest >>> 11).toByte
+        buf(i + 3) = (0xF8 | ((dest >>> 8) & 7)).toByte
+        buf(i + 2) = dest.toByte
+        i += 2
+      }
+      i += 2
+    }
+  }
+
+  /** PowerPC (0x05): big-endian `b` / `bl` (0x48 opcode group, low
+    * bits AA=0 LK=1), 4-aligned. */
+  def ppcDecode(buf: Array[Byte], startOffset: Long): Unit = {
+    val now = startOffset.toInt
+    var i = 0
+    while (i + 4 <= buf.length) {
+      if ((buf(i) & 0xFC) == 0x48 && (buf(i + 3) & 3) == 1) {
+        val src = ((buf(i) & 3) << 24) | ((buf(i + 1) & 0xff) << 16) |
+          ((buf(i + 2) & 0xff) << 8) | (buf(i + 3) & 0xFC)
+        val dest = src - (now + i)
+        buf(i) = (0x48 | ((dest >>> 24) & 3)).toByte
+        buf(i + 1) = (dest >>> 16).toByte
+        buf(i + 2) = (dest >>> 8).toByte
+        buf(i + 3) = ((buf(i + 3) & 3) | (dest & 0xFC)).toByte
+      }
+      i += 4
+    }
+  }
+
+  /** SPARC (0x09): big-endian CALL (0x40 with clear/0x7F with set
+    * high bits), 4-aligned; the result re-canonicalizes the sign
+    * bits exactly as the reference does. */
+  def sparcDecode(buf: Array[Byte], startOffset: Long): Unit = {
+    val now = startOffset.toInt
+    var i = 0
+    while (i + 4 <= buf.length) {
+      val b0 = buf(i) & 0xff
+      val b1 = buf(i + 1) & 0xff
+      if ((b0 == 0x40 && (b1 & 0xC0) == 0) ||
+        (b0 == 0x7F && (b1 & 0xC0) == 0xC0)) {
+        val src = ((b0 << 24) | (b1 << 16) | ((buf(i + 2) & 0xff) << 8) |
+          (buf(i + 3) & 0xff)) << 2
+        var dest = (src - (now + i)) >>> 2
+        dest = (0x40000000 - (dest & 0x400000)) | 0x40000000 |
+          (dest & 0x3FFFFF)
+        buf(i) = (dest >>> 24).toByte
+        buf(i + 1) = (dest >>> 16).toByte
+        buf(i + 2) = (dest >>> 8).toByte
+        buf(i + 3) = dest.toByte
+      }
+      i += 4
+    }
+  }
+
+  /** ARM64 (0x0A): BL imm26 (pc in words) + ADRP imm21 (pc in 4 KiB
+    * pages, only the ±512 MiB range converts), 4-aligned. */
+  def arm64Decode(buf: Array[Byte], startOffset: Long): Unit = {
+    val now = startOffset.toInt
+    var i = 0
+    while (i + 4 <= buf.length) {
+      val instr = (buf(i) & 0xff) | ((buf(i + 1) & 0xff) << 8) |
+        ((buf(i + 2) & 0xff) << 16) | ((buf(i + 3) & 0xff) << 24)
+      val pc = now + i
+      var out = 0
+      var write = false
+      if ((instr >>> 26) == 0x25) { // BL
+        write = true
+        out = 0x94000000 | ((instr - (pc >>> 2)) & 0x03FFFFFF)
+      } else if ((instr & 0x9F000000) == 0x90000000) { // ADRP
+        val src = ((instr >>> 29) & 3) | ((instr >>> 3) & 0x001FFFFC)
+        // only +/-512 MiB converts: imm21's top nibble all-0 or all-1
+        if ((src & 0x001E0000) == 0 || (src & 0x001E0000) == 0x001E0000) {
+          write = true
+          val dest = src - (pc >>> 12)
+          out = (instr & 0x9000001F) | ((dest & 3) << 29) |
+            ((dest & 0x0003FFFC) << 3) |
+            ((0 - (dest & 0x00020000)) & 0x00E00000)
+        }
+      }
+      if (write) {
+        buf(i) = out.toByte
+        buf(i + 1) = (out >>> 8).toByte
+        buf(i + 2) = (out >>> 16).toByte
+        buf(i + 3) = (out >>> 24).toByte
+      }
+      i += 4
+    }
+  }
+
+  /** xz delta filter (0x03) decode: `out[i] += out[i - dist]` with a
+    * zeroed pre-history, dist 1..256 from the 1-byte property. */
+  def deltaDecode(buf: Array[Byte], dist: Int): Unit = {
+    var i = dist
+    while (i < buf.length) {
+      buf(i) = (buf(i) + buf(i - dist)).toByte
+      i += 1
+    }
+  }
 }

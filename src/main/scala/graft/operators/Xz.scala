@@ -17,10 +17,11 @@ package graft.operators
   *             (= index size) + the SAME stream flags + 'YZ'
   *
   * Streams may concatenate with 4-aligned zero stream padding. The
-  * LZMA2 filter (0x21) decodes, as does a single x86 BCJ branch
-  * converter (0x04, see [[Bcj]]) ahead of it — the chain real
-  * `xz -F x86` archives carry; delta and the non-x86 branch
-  * converters reject by NAME (`filter_unsupported_*`) until a real
+  * LZMA2 filter (0x21) decodes, as does a single pre-filter ahead of
+  * it (see [[Bcj]]): the x86/ARM/ARM-Thumb/PowerPC/SPARC/ARM64
+  * branch converters and delta — every chain `xz -F <filter>`
+  * produces on the architectures a crawl actually carries; IA64 and
+  * RISC-V reject by NAME (`filter_unsupported_*`) until a real
   * corpus shows them. CRC64 is the
   * ECMA-182 reflected polynomial, implemented here; CRC32 is the
   * JDK's; SHA-256 is MessageDigest. Reject-don't-guess with named
@@ -160,13 +161,18 @@ object Xz {
         i += 2
         val declaredComp = if (hasCompSize) vli() else -1L
         val declaredUncomp = if (hasUncompSize) vli() else -1L
-        // filter list, in ENCODE order: LZMA2 must be last; a single
-        // x86 BCJ ahead of it decodes (filter id 0x04 — real
-        // `xz -F x86` archives); the other branch converters and
-        // delta keep rejecting by name until a corpus shows them
+        // filter list, in ENCODE order: LZMA2 must be last; ONE
+        // pre-filter ahead of it decodes — the x86/ARM/ARM-Thumb/PPC/
+        // SPARC/ARM64 branch converters and delta (the chains real
+        // `xz -F <filter>` archives carry, each differentially pinned
+        // in XzSpec + the liblzma sweep); IA64 and RISC-V keep
+        // rejecting by name until a corpus shows them
+        val bcjAlignment = Map(0x04L -> 1, 0x05L -> 4, 0x07L -> 4,
+          0x08L -> 2, 0x09L -> 4, 0x0AL -> 4)
         var lzma2Props = -1
-        var x86Filter = false
-        var x86Start = 0L
+        var preFilter = -1L
+        var preStart = 0L
+        var deltaDist = 0
         var f = 0
         while (f < nFilters) {
           val id = vli()
@@ -178,21 +184,23 @@ object Xz {
             lzma2Props = b(i) & 0xff
             if ((lzma2Props & 0xC0) != 0 || (lzma2Props & 0x3F) > 40)
               bail("bad_lzma2_dictsize")
-          } else if (id == 0x04) {
-            if (f != 0 || x86Filter) bail("bad_filter_chain")
-            // optional 4-byte LE start offset (alignment 1 for x86)
+          } else if (bcjAlignment.contains(id)) {
+            if (f != 0 || preFilter >= 0) bail("bad_filter_chain")
+            // optional 4-byte LE start offset, alignment-validated
             if (propsSize != 0 && propsSize != 4) bail("bad_bcj_props")
-            if (propsSize == 4) x86Start = u32le(b, i)
-            x86Filter = true
+            if (propsSize == 4) {
+              preStart = u32le(b, i)
+              if (preStart % bcjAlignment(id) != 0) bail("bad_bcj_props")
+            }
+            preFilter = id
+          } else if (id == 0x03) { // delta
+            if (f != 0 || preFilter >= 0) bail("bad_filter_chain")
+            if (propsSize != 1) bail("bad_delta_props")
+            deltaDist = (b(i) & 0xff) + 1
+            preFilter = id
           } else {
             val name = id match {
-              case 0x03 => "delta"
-              case 0x05 => "bcj_ppc"
               case 0x06 => "bcj_ia64"
-              case 0x07 => "bcj_arm"
-              case 0x08 => "bcj_armthumb"
-              case 0x09 => "bcj_sparc"
-              case 0x0A => "bcj_arm64"
               case 0x0B => "bcj_riscv"
               case _ => f"0x$id%02x"
             }
@@ -224,9 +232,18 @@ object Xz {
         if (declaredComp >= 0 && consumed != declaredComp)
           bail("compressed_size_mismatch")
         // decode filters reverse in anti-encode order: LZMA2 already
-        // ran; the branch converter restores the original bytes the
-        // block check and sizes are defined over
-        if (x86Filter) Bcj.x86Decode(content, x86Start)
+        // ran; the pre-filter restores the original bytes the block
+        // check and sizes are defined over
+        preFilter match {
+          case 0x03 => Bcj.deltaDecode(content, deltaDist)
+          case 0x04 => Bcj.x86Decode(content, preStart)
+          case 0x05 => Bcj.ppcDecode(content, preStart)
+          case 0x07 => Bcj.armDecode(content, preStart)
+          case 0x08 => Bcj.armThumbDecode(content, preStart)
+          case 0x09 => Bcj.sparcDecode(content, preStart)
+          case 0x0A => Bcj.arm64Decode(content, preStart)
+          case _ => ()
+        }
         if (declaredUncomp >= 0 && content.length.toLong != declaredUncomp)
           bail("uncompressed_size_mismatch")
         out.write(content)

@@ -133,18 +133,71 @@ class XzSpec extends AnyFunSuite {
     }
   }
 
-  test("non-x86 BCJ and delta filters still reject by name") {
+  test("all simple pre-filter chains decode byte-exact against xz-java") {
+    val opts = new org.tukaani.xz.LZMA2Options(3)
+    // per-architecture synthetic "code": densely planted convertible
+    // branch patterns (so the converter actually fires) mixed with
+    // random bytes; plus plain random and a zero run
+    def planted(pattern: Int => Array[Byte], stride: Int): Array[Byte] = {
+      val a = new Array[Byte](8192)
+      var s = 17
+      var i = 0
+      while (i + stride <= a.length) {
+        s = s * 1103515245 + 12345
+        if ((s & 3) != 0) {
+          val p = pattern(s)
+          System.arraycopy(p, 0, a, i, p.length)
+        } else {
+          var k = 0
+          while (k < stride) { a(i + k) = (s >> (8 * (k % 4))).toByte; k += 1 }
+        }
+        i += stride
+      }
+      a
+    }
+    val armCode = planted(s => Array[Byte](s.toByte, (s >> 8).toByte,
+      (s >> 16).toByte, 0xEB.toByte), 4)
+    val thumbCode = planted(s => Array[Byte](s.toByte,
+      (0xF0 | ((s >> 8) & 7)).toByte, (s >> 16).toByte,
+      (0xF8 | ((s >> 24) & 7)).toByte), 4)
+    val ppcCode = planted(s => Array[Byte]((0x48 | (s & 3)).toByte,
+      (s >> 8).toByte, (s >> 16).toByte, ((s >> 24) & 0xFC | 1).toByte), 4)
+    val sparcCode = planted(s => Array[Byte](0x40, (s & 0x3F).toByte,
+      (s >> 8).toByte, (s >> 16).toByte), 4)
+    val arm64Code = planted({ s =>
+      val instr =
+        if ((s & 4) == 0) 0x94000000 | (s & 0x03FFFFFF) // BL
+        else 0x90000000 | ((s & 3) << 29) | ((s & 0x1FFFC) << 3) // ADRP near
+      Array[Byte](instr.toByte, (instr >> 8).toByte, (instr >> 16).toByte,
+        (instr >> 24).toByte)
+    }, 4)
+    val cases: Seq[(String, org.tukaani.xz.FilterOptions, Array[Byte])] =
+      Seq(
+        ("arm", new org.tukaani.xz.ARMOptions(), armCode),
+        ("armthumb", new org.tukaani.xz.ARMThumbOptions(), thumbCode),
+        ("ppc", new org.tukaani.xz.PowerPCOptions(), ppcCode),
+        ("sparc", new org.tukaani.xz.SPARCOptions(), sparcCode),
+        ("arm64", new org.tukaani.xz.ARM64Options(), arm64Code),
+        ("delta", { val d = new org.tukaani.xz.DeltaOptions()
+          d.setDistance(4); d }, lcg(9000, 21)))
+    for ((name, fo, code) <- cases; data <- Seq(code, lcg(5000, 9),
+        new Array[Byte](2048), lcg(3, 5))) {
+      val wire = xzChain(data, Array(fo, opts))
+      val dec = Xz.decode(wire)
+      assert(dec.isRight, s"$name len=${data.length}: " +
+        dec.swap.map(_.reason).getOrElse(""))
+      assert(dec.toOption.get.sameElements(data), s"$name len=${data.length}")
+    }
+  }
+
+  test("ia64 and riscv filters still reject by name") {
     val opts = new org.tukaani.xz.LZMA2Options(3)
     val data = lcg(5000, 9)
     assert(Xz.decode(xzChain(data, Array(
-      new org.tukaani.xz.ARMOptions(), opts))) ==
-      Left(Xz.Rejected("filter_unsupported_bcj_arm")))
+      new org.tukaani.xz.IA64Options(), opts))) ==
+      Left(Xz.Rejected("filter_unsupported_bcj_ia64")))
     assert(Xz.decode(xzChain(data, Array(
-      new org.tukaani.xz.SPARCOptions(), opts))) ==
-      Left(Xz.Rejected("filter_unsupported_bcj_sparc")))
-    val delta = new org.tukaani.xz.DeltaOptions()
-    delta.setDistance(4)
-    assert(Xz.decode(xzChain(data, Array(delta, opts))) ==
-      Left(Xz.Rejected("filter_unsupported_delta")))
+      new org.tukaani.xz.RISCVOptions(), opts))) ==
+      Left(Xz.Rejected("filter_unsupported_bcj_riscv")))
   }
 }

@@ -3,8 +3,10 @@
 compress N seeded random cases with CPython's lzma module — which IS
 the system liblzma — across presets 0..9 (incl. EXTREME), check types
 CRC32/CRC64/SHA256/none, content shapes (text, high entropy, ramps,
-long runs, mixed, empty, 1-byte, multi-MB), x86 BCJ filter chains
-(~25% of cases, the `xz -F x86` regime), plus multi-stream
+long runs, mixed, empty, 1-byte, multi-MB), pre-filter chains (~45%
+of cases across x86/ARM/ARM-Thumb/PowerPC/SPARC branch converters and
+delta with random distances — every `xz -F <filter>` regime liblzma
+exposes here; ARM64 is xz-java-pinned in XzSpec), plus multi-stream
 concatenation — then require graft.operators.Xz to decode every one
 byte-exactly (graft.tools.XzDiff). Seeded, so a failure reproduces.
 
@@ -64,12 +66,19 @@ try:
         if rnd.random() < 0.2:
             preset |= lzma.PRESET_EXTREME
         check = rnd.choice(CHECKS)
-        if rnd.random() < 0.25:  # x86 BCJ chain (xz -F x86)
+        if rnd.random() < 0.45:  # pre-filter chains (xz -F <filter>)
+            pre = rnd.choice([
+                {"id": lzma.FILTER_X86},
+                {"id": lzma.FILTER_ARM},
+                {"id": lzma.FILTER_ARMTHUMB},
+                {"id": lzma.FILTER_POWERPC},
+                {"id": lzma.FILTER_SPARC},
+                {"id": lzma.FILTER_DELTA, "dist": rnd.randint(1, 256)},
+            ])
             blob = lzma.compress(
                 data, format=lzma.FORMAT_XZ, check=check,
-                filters=[{"id": lzma.FILTER_X86},
-                         {"id": lzma.FILTER_LZMA2,
-                          "preset": preset & 0x0F}])
+                filters=[pre, {"id": lzma.FILTER_LZMA2,
+                               "preset": preset & 0x0F}])
         else:
             blob = lzma.compress(data, format=lzma.FORMAT_XZ, check=check,
                                  preset=preset)
