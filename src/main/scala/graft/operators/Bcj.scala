@@ -213,4 +213,62 @@ object Bcj {
       i += 1
     }
   }
+
+  /** Branch slots per IA-64 bundle template (indexed by the 5-bit
+    * template field): bit k set = slot k holds a convertible branch. */
+  private val Ia64Branches = Array(
+    0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0,
+    4, 4, 6, 6, 0, 0, 7, 7,
+    4, 4, 0, 0, 4, 4, 0, 0)
+
+  /** IA-64 (0x06): 16-byte bundles of three 41-bit slots; a relative
+    * `brl`-class branch (opcode 5, the middle 27 bits zero) carries a
+    * 21-bit, 16-byte-scaled displacement split across the slot. */
+  def ia64Decode(buf: Array[Byte], startOffset: Long): Unit = {
+    val now = startOffset.toInt
+    var i = 0
+    while (i + 16 <= buf.length) {
+      val template = buf(i) & 0x1F
+      val mask = Ia64Branches(template)
+      var slot = 0
+      while (slot < 3) {
+        if (((mask >> slot) & 1) != 0) {
+          val bitPos = 5 + slot * 41
+          val bytePos = bitPos >> 3
+          val bitRes = bitPos & 7
+          var instruction = 0L
+          var k = 0
+          while (k < 6) {
+            instruction |= (buf(i + bytePos + k) & 0xffL) << (8 * k)
+            k += 1
+          }
+          var instNorm = instruction >>> bitRes
+          // brl class: opcode 5 with btype (3 bits at bit 9) zero —
+          // pinned against liblzma: a 27-bit-zeros over-restriction
+          // here silently skips real branches
+          if (((instNorm >>> 37) & 0xF) == 5 &&
+            ((instNorm >>> 9) & 0x7) == 0) {
+            var src = ((instNorm >>> 13) & 0xFFFFF) |
+              (((instNorm >>> 36) & 1) << 20)
+            src <<= 4
+            var dest = (src - (now + i).toLong) & 0xFFFFFFFFL // mod 2^32
+            dest >>>= 4
+            instNorm &= ~(0x8FFFFFL << 13)
+            instNorm |= (dest & 0xFFFFF) << 13
+            instNorm |= (dest & 0x100000) << (36 - 20)
+            instruction &= (1L << bitRes) - 1
+            instruction |= instNorm << bitRes
+            k = 0
+            while (k < 6) {
+              buf(i + bytePos + k) = (instruction >>> (8 * k)).toByte
+              k += 1
+            }
+          }
+        }
+        slot += 1
+      }
+      i += 16
+    }
+  }
 }

@@ -19,10 +19,11 @@ package graft.operators
   * Streams may concatenate with 4-aligned zero stream padding. The
   * LZMA2 filter (0x21) decodes, as does a single pre-filter ahead of
   * it (see [[Bcj]]): the x86/ARM/ARM-Thumb/PowerPC/SPARC/ARM64
-  * branch converters and delta — every chain `xz -F <filter>`
-  * produces on the architectures a crawl actually carries; IA64 and
-  * RISC-V reject by NAME (`filter_unsupported_*`) until a real
-  * corpus shows them. CRC64 is the
+  * branch converters, IA64's bundle-slot
+  * converter, and delta — every chain `xz -F <filter>` produces
+  * except RISC-V, which rejects by NAME (`filter_unsupported_*`;
+  * its compressed-instruction handling is the one genuinely fiddly
+  * member and no corpus has shown it). CRC64 is the
   * ECMA-182 reflected polynomial, implemented here; CRC32 is the
   * JDK's; SHA-256 is MessageDigest. Reject-don't-guess with named
   * reasons; the output cap rides [[Lzma2]]'s in-decode enforcement.
@@ -163,12 +164,12 @@ object Xz {
         val declaredUncomp = if (hasUncompSize) vli() else -1L
         // filter list, in ENCODE order: LZMA2 must be last; ONE
         // pre-filter ahead of it decodes — the x86/ARM/ARM-Thumb/PPC/
-        // SPARC/ARM64 branch converters and delta (the chains real
+        // SPARC/ARM64/IA64 converters and delta (the chains real
         // `xz -F <filter>` archives carry, each differentially pinned
-        // in XzSpec + the liblzma sweep); IA64 and RISC-V keep
-        // rejecting by name until a corpus shows them
-        val bcjAlignment = Map(0x04L -> 1, 0x05L -> 4, 0x07L -> 4,
-          0x08L -> 2, 0x09L -> 4, 0x0AL -> 4)
+        // in XzSpec + the liblzma sweep); RISC-V keeps rejecting by
+        // name until a corpus shows it
+        val bcjAlignment = Map(0x04L -> 1, 0x05L -> 4, 0x06L -> 16,
+          0x07L -> 4, 0x08L -> 2, 0x09L -> 4, 0x0AL -> 4)
         var lzma2Props = -1
         var preFilter = -1L
         var preStart = 0L
@@ -200,7 +201,6 @@ object Xz {
             preFilter = id
           } else {
             val name = id match {
-              case 0x06 => "bcj_ia64"
               case 0x0B => "bcj_riscv"
               case _ => f"0x$id%02x"
             }
@@ -238,6 +238,7 @@ object Xz {
           case 0x03 => Bcj.deltaDecode(content, deltaDist)
           case 0x04 => Bcj.x86Decode(content, preStart)
           case 0x05 => Bcj.ppcDecode(content, preStart)
+          case 0x06 => Bcj.ia64Decode(content, preStart)
           case 0x07 => Bcj.armDecode(content, preStart)
           case 0x08 => Bcj.armThumbDecode(content, preStart)
           case 0x09 => Bcj.sparcDecode(content, preStart)

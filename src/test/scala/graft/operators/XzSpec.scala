@@ -171,6 +171,25 @@ class XzSpec extends AnyFunSuite {
       Array[Byte](instr.toByte, (instr >> 8).toByte, (instr >> 16).toByte,
         (instr >> 24).toByte)
     }, 4)
+    // IA-64 bundles: template 0x16/0x17 (three branch slots) with a
+    // brl-shaped 41-bit slot payload so the converter fires
+    val ia64Code = {
+      val a = new Array[Byte](8192)
+      var s = 23
+      var i = 0
+      while (i + 16 <= a.length) {
+        s = s * 1103515245 + 12345
+        a(i) = (0x16 | (s & 1)).toByte
+        // slot 2 (bits 87..127): opcode 5 at the top of the slot
+        // (byte-level: put 0xA0 in the last byte => opcode bits 5)
+        a(i + 15) = (0xA0 | ((s >> 8) & 0x0F)).toByte
+        a(i + 14) = ((s >> 4) & 0x18).toByte // keep middle-27 zeros
+        a(i + 12) = (s >> 16).toByte // displacement bits
+        a(i + 11) = (s >> 20).toByte
+        i += 16
+      }
+      a
+    }
     val cases: Seq[(String, org.tukaani.xz.FilterOptions, Array[Byte])] =
       Seq(
         ("arm", new org.tukaani.xz.ARMOptions(), armCode),
@@ -178,6 +197,7 @@ class XzSpec extends AnyFunSuite {
         ("ppc", new org.tukaani.xz.PowerPCOptions(), ppcCode),
         ("sparc", new org.tukaani.xz.SPARCOptions(), sparcCode),
         ("arm64", new org.tukaani.xz.ARM64Options(), arm64Code),
+        ("ia64", new org.tukaani.xz.IA64Options(), ia64Code),
         ("delta", { val d = new org.tukaani.xz.DeltaOptions()
           d.setDistance(4); d }, lcg(9000, 21)))
     for ((name, fo, code) <- cases; data <- Seq(code, lcg(5000, 9),
@@ -190,12 +210,9 @@ class XzSpec extends AnyFunSuite {
     }
   }
 
-  test("ia64 and riscv filters still reject by name") {
+  test("riscv filter still rejects by name") {
     val opts = new org.tukaani.xz.LZMA2Options(3)
     val data = lcg(5000, 9)
-    assert(Xz.decode(xzChain(data, Array(
-      new org.tukaani.xz.IA64Options(), opts))) ==
-      Left(Xz.Rejected("filter_unsupported_bcj_ia64")))
     assert(Xz.decode(xzChain(data, Array(
       new org.tukaani.xz.RISCVOptions(), opts))) ==
       Left(Xz.Rejected("filter_unsupported_bcj_riscv")))

@@ -73,6 +73,7 @@ try:
                 {"id": lzma.FILTER_ARMTHUMB},
                 {"id": lzma.FILTER_POWERPC},
                 {"id": lzma.FILTER_SPARC},
+                {"id": lzma.FILTER_IA64},
                 {"id": lzma.FILTER_DELTA, "dist": rnd.randint(1, 256)},
             ])
             blob = lzma.compress(
