@@ -8674,6 +8674,69 @@ object LlmQueries {
             }
           })
           .toDF("doc_id", "fate", "n_slides", "n_text_atoms", "text_md5")
+    },
+
+    // SQLITE DATABASE CENSUS — .sqlite/.db files are the most common
+    // structured binary in a crawl after office documents.
+    // operators/Sqlite walks the header, the sqlite_master b-tree on
+    // page 1 (records through overflow chains), and each table's
+    // b-tree for row counts; fixtures come from the Scala writer
+    // whose files the REAL engine opens clean (tools/verify_sqlite.py
+    // 12/12 incl. integrity_check) while SqliteSpec reads real-engine
+    // databases back (multi-level b-trees, overflow, three
+    // encodings). The oracle replays page/table/row accounting in
+    // closed form; a planted truncation class lands by name.
+    OpQuery.sql(
+      "q268_sqlite_census",
+      """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+        |r AS (SELECT id, text, 1 + id % 3 AS k, id % 19 = 7 AS bad FROM f)
+        |SELECT id AS doc_id,
+        |  CASE WHEN bad THEN 'truncated_sqlite' ELSE 'ok' END AS fate,
+        |  CAST(CASE WHEN NOT bad THEN 4096 END AS INTEGER) AS page_size,
+        |  CAST(CASE WHEN NOT bad THEN 1 + k END AS BIGINT) AS n_pages,
+        |  CAST(CASE WHEN NOT bad THEN k END AS INTEGER) AS n_tables,
+        |  CAST(CASE WHEN NOT bad THEN k +
+        |      CASE k WHEN 1 THEN id % 5
+        |             WHEN 2 THEN id % 5 + (id + 1) % 5
+        |             ELSE id % 5 + (id + 1) % 5 + (id + 2) % 5 END
+        |    END AS BIGINT) AS total_rows,
+        |  CASE WHEN NOT bad THEN 'utf-8' END AS encoding,
+        |  CASE WHEN NOT bad THEN
+        |    md5('CREATE TABLE t0 (id INTEGER PRIMARY KEY, body TEXT)')
+        |  END AS first_sql_md5
+        |FROM r""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val k = (1 + id % 3).toInt
+            val tables = (0 until k).map { j =>
+              s"t$j" -> (0 until (1 + (id + j) % 5).toInt)
+                .map(r => s"$text $j-$r")
+            }
+            val blob0 = graft.operators.Sqlite.write(tables)
+            val blob =
+              if (id % 19 == 7) java.util.Arrays.copyOf(blob0, 300)
+              else blob0
+            graft.operators.Sqlite.parse(blob) match {
+              case Left(reason) =>
+                (id, reason, None: Option[Int], None: Option[Long],
+                  None: Option[Int], None: Option[Long],
+                  None: Option[String], None: Option[String])
+              case Right(info) =>
+                (id, "ok", Some(info.pageSize), Some(info.nPages),
+                  Some(info.nTables),
+                  Some(info.tableRows.map(_.nRows).sum),
+                  Some(info.encoding),
+                  Some(java.security.MessageDigest.getInstance("MD5")
+                    .digest(info.schema.head.sql.getBytes("UTF-8"))
+                    .map("%02x".format(_)).mkString))
+            }
+          })
+          .toDF("doc_id", "fate", "page_size", "n_pages", "n_tables",
+            "total_rows", "encoding", "first_sql_md5")
     }
   )
 

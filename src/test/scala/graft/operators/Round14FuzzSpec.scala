@@ -116,4 +116,10 @@ class Round14FuzzSpec extends AnyFunSuite {
     assertTotal("compress", blob,
       UnixCompress.decode(_: Array[Byte], 1 << 22), 37)
   }
+
+  test("sqlite parse is total under mutation") {
+    val blob = Sqlite.write(Seq(
+      "a" -> Seq("row one body", "two"), "b" -> Seq("three")))
+    assertTotal("sqlite", blob, Sqlite.parse(_: Array[Byte]), 41)
+  }
 }
