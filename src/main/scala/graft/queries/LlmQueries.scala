@@ -8737,6 +8737,59 @@ object LlmQueries {
           })
           .toDF("doc_id", "fate", "page_size", "n_pages", "n_tables",
             "total_rows", "encoding", "first_sql_md5")
+    },
+
+    // PARQUET FOOTER CENSUS — the data-lake format itself, censused
+    // from RAW BYTES through the from-scratch thrift-compact walk
+    // (operators/ParquetFooter) over the driver's actual testdata
+    // files (pyarrow-written — a different real writer than the
+    // parquet-mr on our classpath). The oracle is DuckDB's OWN
+    // parquet reader: row counts come from the table views and
+    // column counts from pragma_table_info, so the comparison is
+    // graft-footer-walk vs a second independent implementation over
+    // the same physical files. Row-group shape is writer-private and
+    // deliberately not oracled.
+    OpQuery.sql(
+      "q269_parquet_footer_census", {
+        val tables = Seq("region", "nation", "customer", "supplier",
+          "part", "orders", "lineitem", "events", "documents",
+          "embeddings")
+        tables.map { t =>
+          s"""SELECT '$t' AS tbl, 'ok' AS fate,
+             |  (SELECT count(*) FROM $t) AS n_rows,
+             |  (SELECT count(*) FROM pragma_table_info('$t'))
+             |    AS n_leaf_columns
+             |""".stripMargin
+        }.mkString("", "UNION ALL\n", "")
+      }) {
+      (s, dir) =>
+        import s.implicits._
+        val tables = Seq("region", "nation", "customer", "supplier",
+          "part", "orders", "lineitem", "events", "documents",
+          "embeddings")
+        s.createDataset(tables).repartition(tables.length)
+          .mapPartitions(_.map { t =>
+            val base = new java.io.File(s"$dir/$t.parquet")
+            val parts =
+              if (base.isDirectory)
+                base.listFiles().filter(_.getName.endsWith(".parquet"))
+                  .sortBy(_.getName).toSeq
+              else Seq(base)
+            var rows = 0L
+            var cols = 0
+            var fate = "ok"
+            parts.foreach { f =>
+              val blob = java.nio.file.Files.readAllBytes(f.toPath)
+              graft.operators.ParquetFooter.census(blob) match {
+                case Right(info) =>
+                  rows += info.nRows
+                  cols = info.nLeafColumns
+                case Left(r) => fate = r
+              }
+            }
+            (t, fate, rows, cols.toLong)
+          })
+          .toDF("tbl", "fate", "n_rows", "n_leaf_columns")
     }
   )
 

@@ -122,4 +122,14 @@ class Round14FuzzSpec extends AnyFunSuite {
       "a" -> Seq("row one body", "two"), "b" -> Seq("three")))
     assertTotal("sqlite", blob, Sqlite.parse(_: Array[Byte]), 41)
   }
+
+  test("parquet footer census is total under mutation") {
+    val dir = new java.io.File("/root/testdata/sf0.001/region.parquet")
+    val f =
+      if (dir.isDirectory)
+        dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+      else dir
+    val blob = java.nio.file.Files.readAllBytes(f.toPath)
+    assertTotal("parquet", blob, ParquetFooter.census(_: Array[Byte]), 43)
+  }
 }
