@@ -8790,6 +8790,76 @@ object LlmQueries {
             (t, fate, rows, cols.toLong)
           })
           .toDF("tbl", "fate", "n_rows", "n_leaf_columns")
+    },
+
+    // AVRO CONTAINER CENSUS — the Kafka-archive/export-dump sibling
+    // of the parquet census: operators/Avro walks magic → metadata
+    // map → sync-framed data blocks; record counts are container
+    // truth (no payload decode). Fixtures from the REAL avro-java on
+    // the classpath, codec rotated null/deflate/snappy, explicit
+    // sync() boundaries so block counts replay in closed form; a
+    // planted last-sync flip lands the torn-file sync_mismatch fate.
+    OpQuery.sql(
+      "q270_avro_census",
+      """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |r AS (SELECT id, 1 + id % 8 AS n, id % 21 = 9 AS bad,
+        |    CASE id % 3 WHEN 0 THEN 'null' WHEN 1 THEN 'deflate'
+        |         ELSE 'snappy' END AS codec FROM f)
+        |SELECT id AS doc_id,
+        |  CASE WHEN bad THEN 'sync_mismatch' ELSE 'ok' END AS fate,
+        |  CASE WHEN NOT bad THEN codec END AS codec,
+        |  CAST(CASE WHEN NOT bad THEN n END AS BIGINT) AS n_records,
+        |  CAST(CASE WHEN NOT bad THEN (n + 1) // 2 END AS BIGINT)
+        |    AS n_blocks
+        |FROM r""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            val schema = new org.apache.avro.Schema.Parser().parse(
+              """{"type":"record","name":"doc","fields":[
+                |{"name":"body","type":"string"},
+                |{"name":"n","type":"long"}]}""".stripMargin
+                .replace("\n", ""))
+            it.map { case (id, text) =>
+              val writer = new org.apache.avro.file.DataFileWriter(
+                new org.apache.avro.generic.GenericDatumWriter[
+                  org.apache.avro.generic.GenericRecord](schema))
+              (id % 3) match {
+                case 1 => writer.setCodec(
+                  org.apache.avro.file.CodecFactory.deflateCodec(6))
+                case 2 => writer.setCodec(
+                  org.apache.avro.file.CodecFactory.snappyCodec())
+                case _ => ()
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              writer.create(schema, bos)
+              val n = (1 + id % 8).toInt
+              (0 until n).foreach { r =>
+                val rec = new org.apache.avro.generic.GenericData
+                  .Record(schema)
+                rec.put("body", s"$text $r")
+                rec.put("n", java.lang.Long.valueOf(id + r))
+                writer.append(rec)
+                if ((r + 1) % 2 == 0) writer.sync()
+              }
+              writer.close()
+              val blob = bos.toByteArray
+              if (id % 21 == 9)
+                blob(blob.length - 3) = (blob(blob.length - 3) ^ 0x41).toByte
+              graft.operators.Avro.census(blob) match {
+                case Left(reason) =>
+                  (id, reason, None: Option[String], None: Option[Long],
+                    None: Option[Long])
+                case Right(info) =>
+                  (id, "ok", Some(info.codec), Some(info.nRecords),
+                    Some(info.nBlocks))
+              }
+            }
+          }
+          .toDF("doc_id", "fate", "codec", "n_records", "n_blocks")
     }
   )
 
