@@ -190,6 +190,26 @@ object Lz4 {
       Right(out.toByteArray)
     } catch { case e: Bail => Left(Rejected(e.reason)) }
 
+  /** One RAW LZ4 block outside the frame format — the shape ORC's
+    * compressed-stream chunks carry. Fresh window per block. */
+  private[operators] def rawDecode(src: Array[Byte], off: Int, len: Int,
+      maxOut: Int): Either[String, Array[Byte]] =
+    try {
+      var outBuf = new Array[Byte](math.max(64, math.min(maxOut, 64 * 1024)))
+      var outN = 0
+      def ensure(extra: Int): Unit = {
+        if (outN + extra > maxOut) bail("lz4_bomb")
+        if (outN + extra > outBuf.length) {
+          var cap = outBuf.length
+          while (cap < outN + extra) cap <<= 1
+          outBuf = java.util.Arrays.copyOf(outBuf, math.min(cap, maxOut))
+        }
+      }
+      outN = decodeBlock(src, off, len, 0, ensure _,
+        () => outN, n => outN = n, () => outBuf)
+      Right(java.util.Arrays.copyOf(outBuf, outN))
+    } catch { case e: Bail => Left(e.reason) }
+
   /** One compressed block of the LZ4 sequence grammar; returns the new
     * output length. Matches may reach back to `windowStart` (the frame
     * start for linked blocks, the block start for independent ones). */

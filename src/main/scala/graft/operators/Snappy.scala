@@ -96,6 +96,14 @@ object Snappy {
       Right(out.toByteArray)
     } catch { case e: Bail => Left(Rejected(e.reason)) }
 
+  /** [[rawDecode]] behind an Either — for callers outside the framed
+    * path (ORC compressed-stream chunks) that must not see the
+    * internal control-flow exception. */
+  private[operators] def rawDecodeSafe(src: Array[Byte], off: Int,
+      len: Int, maxLen: Int): Either[String, Array[Byte]] =
+    try Right(rawDecode(src, off, len, maxLen))
+    catch { case e: Bail => Left(e.reason) }
+
   /** Decode one RAW snappy block (the format_description.txt grammar),
     * strictly: declared length respected exactly, offsets validated. */
   private[operators] def rawDecode(src: Array[Byte], off: Int, len: Int,

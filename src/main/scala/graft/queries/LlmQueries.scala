@@ -8860,6 +8860,90 @@ object LlmQueries {
             }
           }
           .toDF("doc_id", "fate", "codec", "n_records", "n_blocks")
+    },
+
+    // ORC TAIL CENSUS — the third of the data-lake trio:
+    // operators/OrcFooter walks postscript (uncompressed protobuf) →
+    // footer (protobuf under ORC's 3-byte chunk framing, ZLIB/SNAPPY/
+    // ZSTD/LZ4 through the engine's own decoders) for stripe
+    // directories, type trees, and row counts. Fixtures from the REAL
+    // orc-core writer on the classpath (the implementation Spark
+    // embeds), memoized per (rows, compression) regime so the bench
+    // pays ~35 writer invocations per partition, not one per row.
+    OpQuery.sql(
+      "q271_orc_census",
+      """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |r AS (SELECT id, 1 + id % 7 AS n, id % 23 = 4 AS bad,
+        |    CASE id % 5 WHEN 0 THEN 'none' WHEN 1 THEN 'zlib'
+        |         WHEN 2 THEN 'snappy' WHEN 3 THEN 'zstd'
+        |         ELSE 'lz4' END AS compress FROM f)
+        |SELECT id AS doc_id,
+        |  CASE WHEN bad THEN 'truncated_orc' ELSE 'ok' END AS fate,
+        |  CASE WHEN NOT bad THEN compress END AS compression,
+        |  CAST(CASE WHEN NOT bad THEN n END AS BIGINT) AS n_rows,
+        |  CAST(CASE WHEN NOT bad THEN 1 END AS INTEGER) AS n_stripes,
+        |  CAST(CASE WHEN NOT bad THEN 3 END AS INTEGER) AS n_types,
+        |  CASE WHEN NOT bad THEN 'id,body' END AS root_fields
+        |FROM r""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions { it =>
+            val memo = scala.collection.mutable.HashMap
+              .empty[(Int, String), Array[Byte]]
+            def fixture(n: Int, compress: String): Array[Byte] =
+              memo.getOrElseUpdate((n, compress), {
+                import org.apache.orc.{OrcFile, TypeDescription,
+                  CompressionKind}
+                val f = java.io.File.createTempFile("graft_orc_q", ".orc")
+                f.delete()
+                val conf = new org.apache.hadoop.conf.Configuration()
+                val schema = TypeDescription.fromString(
+                  "struct<id:bigint,body:string>")
+                val writer = OrcFile.createWriter(
+                  new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+                  OrcFile.writerOptions(conf).setSchema(schema)
+                    .compress(CompressionKind.valueOf(
+                      compress.toUpperCase)))
+                val batch = schema.createRowBatch()
+                val idCol = batch.cols(0).asInstanceOf[
+                  org.apache.hadoop.hive.ql.exec.vector.LongColumnVector]
+                val bodyCol = batch.cols(1).asInstanceOf[
+                  org.apache.hadoop.hive.ql.exec.vector.BytesColumnVector]
+                (0 until n).foreach { r =>
+                  idCol.vector(r) = r.toLong
+                  bodyCol.setVal(r, s"orc row $r".getBytes("UTF-8"))
+                  batch.size += 1
+                }
+                writer.addRowBatch(batch)
+                writer.close()
+                val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+                f.delete()
+                bytes
+              })
+            it.map { id =>
+              val n = (1 + id % 7).toInt
+              val compress = Seq("none", "zlib", "snappy", "zstd",
+                "lz4")((id % 5).toInt)
+              val blob0 = fixture(n, compress)
+              val blob =
+                if (id % 23 == 4) java.util.Arrays.copyOf(blob0, 10)
+                else blob0
+              graft.operators.OrcFooter.census(blob) match {
+                case Left(reason) =>
+                  (id, reason, None: Option[String], None: Option[Long],
+                    None: Option[Int], None: Option[Int],
+                    None: Option[String])
+                case Right(info) =>
+                  (id, "ok", Some(info.compression), Some(info.nRows),
+                    Some(info.nStripes), Some(info.nTypes),
+                    Some(info.rootFieldNames.mkString(",")))
+              }
+            }
+          }
+          .toDF("doc_id", "fate", "compression", "n_rows", "n_stripes",
+            "n_types", "root_fields")
     }
   )
 
