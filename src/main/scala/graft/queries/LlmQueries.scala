@@ -8920,6 +8920,10 @@ object LlmQueries {
                 writer.close()
                 val bytes = java.nio.file.Files.readAllBytes(f.toPath)
                 f.delete()
+                // hadoop's local FS writes a .crc sidecar the temp-file
+                // API doesn't know about
+                new java.io.File(f.getParentFile,
+                  "." + f.getName + ".crc").delete()
                 bytes
               })
             it.map { id =>

@@ -43,6 +43,7 @@ class OrcFooterSpec extends AnyFunSuite {
     writer.close()
     val bytes = java.nio.file.Files.readAllBytes(f.toPath)
     f.delete()
+    new java.io.File(f.getParentFile, "." + f.getName + ".crc").delete()
     bytes
   }
 
