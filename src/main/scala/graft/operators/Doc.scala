@@ -64,12 +64,13 @@ object Doc {
       : Either[Rejected, Extracted] =
     Cfb.parse(blob, maxOut) match {
       case Left(reason) => Left(Rejected(s"cfb_$reason"))
-      case Right(parsed) => extractFromCfb(parsed)
+      case Right(parsed) => extractFromCfb(parsed, maxOut)
     }
 
   /** Extract from an already-parsed container (the router path —
     * avoids paying the CFB walk twice). */
-  def extractFromCfb(parsed: Cfb.Parsed): Either[Rejected, Extracted] =
+  def extractFromCfb(parsed: Cfb.Parsed, maxOut: Int = 1 << 26)
+      : Either[Rejected, Extracted] =
     try {
       val word = parsed.streams.getOrElse("WordDocument",
         bail("missing_worddocument"))
@@ -82,6 +83,10 @@ object Doc {
         bail("missing_table_stream"))
       val ccpText = u32(word, OffCcpText)
       if (ccpText < 0) bail("bad_ccptext")
+      // amplification bomb: overlapping pieces may each map up to the
+      // whole WordDocument stream, so a 64 MB hostile .doc can legally
+      // declare ccpText near 2^31 — cap BEFORE the decode loop runs
+      if (ccpText > maxOut) bail("doc_text_bomb")
       val fcClx = u32(word, OffFcClx)
       val lcbClx = u32(word, OffLcbClx)
       if (lcbClx <= 0 || fcClx < 0 || fcClx.toLong + lcbClx > table.length)

@@ -116,6 +116,10 @@ object ParquetFooter {
       if (n > (1 << 24)) bail("thrift_string_too_long")
       s.bytes(n.toInt)
     case 9 | 10 => // list / set
+      // containers count against depth too: list-of-list-of-... is one
+      // byte per level, so recursing with the SAME depth lets a tiny
+      // footer drive a StackOverflowError
+      if (depth > 16) bail("thrift_too_deep")
       val head = s.u8()
       val elemType = head & 0xF
       val n0 = (head >> 4) & 0xF
@@ -125,9 +129,10 @@ object ParquetFooter {
         if (elemType == 1 || elemType == 2) {
           // bools in collections are full bytes
           java.lang.Boolean.valueOf(s.u8() == 1)
-        } else readValue(s, elemType, depth)
+        } else readValue(s, elemType, depth + 1)
       }
     case 11 => // map
+      if (depth > 16) bail("thrift_too_deep")
       val n = s.varint()
       if (n < 0 || n > (1 << 22)) bail("thrift_list_too_long")
       if (n == 0) Map.empty[Any, Any]
@@ -136,7 +141,7 @@ object ParquetFooter {
         val kt = (kv >> 4) & 0xF
         val vt = kv & 0xF
         (0L until n).map(_ =>
-          readValue(s, kt, depth) -> readValue(s, vt, depth)).toMap
+          readValue(s, kt, depth + 1) -> readValue(s, vt, depth + 1)).toMap
       }
     case 12 => readStruct(s, depth + 1)
     case _ => bail(s"thrift_type_unsupported_$tpe")

@@ -330,12 +330,17 @@ object SevenZip {
   private def codecName(id: Array[Byte]): String =
     id.map(b => f"${b & 0xff}%02x").mkString
 
-  /** Decode one folder's packed bytes to its declared unpack size. */
-  private def decodeFolder(coder: Coder, blob: Array[Byte], off: Int,
-      packLen: Int, unpackLen: Long, maxOut: Int): Array[Byte] = {
+  /** Decode one folder's packed bytes to its declared unpack size.
+    * Offsets/lengths arrive as Long straight from the header — bound
+    * them HERE before any narrowing (a crafted packPos near 2^63 must
+    * not wrap into a plausible Int). */
+  private def decodeFolder(coder: Coder, blob: Array[Byte], offL: Long,
+      packLenL: Long, unpackLen: Long, maxOut: Int): Array[Byte] = {
     if (unpackLen < 0 || unpackLen > maxOut) bail("7z_bomb")
-    if (off < 0 || packLen < 0 || off.toLong + packLen > blob.length)
-      bail("pack_stream_out_of_file")
+    if (offL < 0 || packLenL < 0 || offL > blob.length ||
+      packLenL > blob.length - offL) bail("pack_stream_out_of_file")
+    val off = offL.toInt
+    val packLen = packLenL.toInt
     val id = coder.id
     if (id.length == 1 && id(0) == 0x00) { // Copy
       if (packLen.toLong != unpackLen) bail("copy_size_mismatch")
@@ -371,8 +376,11 @@ object SevenZip {
       val nextSize = leU64(blob, 20)
       val nextCrc = leU32(blob, 28)
       if (nextSize == 0) bail("empty_archive")
+      // bound each term individually BEFORE summing: nextOff near 2^63
+      // passes a <0 check but wraps the sum negative (hostile header)
       if (nextOff < 0 || nextSize < 0 || nextSize > Int.MaxValue ||
-        32 + nextOff + nextSize > blob.length) bail("truncated_7z")
+        nextOff > blob.length - 32 ||
+        nextSize > blob.length - 32 - nextOff) bail("truncated_7z")
       val hStart = (32 + nextOff).toInt
       if (crc32(blob, hStart, nextSize.toInt) != nextCrc)
         bail("header_crc_mismatch")
@@ -383,10 +391,11 @@ object SevenZip {
       s.num() match {
         case KEncodedHeader =>
           val si = parseStreamsInfo(s, 1 << 20)
-          if (si.coders.length != 1) bail("bad_encoded_header")
-          val off = (32 + si.packPos).toInt
-          headerBytes = decodeFolder(si.coders(0), blob, off,
-            si.packSizes(0).toInt, si.folderSizes(0), maxOut)
+          // kUnpackInfo without kPackInfo leaves packSizes empty
+          if (si.coders.length != 1 || si.packSizes.isEmpty)
+            bail("bad_encoded_header")
+          headerBytes = decodeFolder(si.coders(0), blob, 32 + si.packPos,
+            si.packSizes(0), si.folderSizes(0), maxOut)
           headerScan = new Scan(headerBytes, 0, headerBytes.length)
           if (headerScan.num() != KHeader) bail("bad_encoded_header")
         case KHeader =>
@@ -485,8 +494,8 @@ object SevenZip {
             case "030101" => "lzma"
             case other => other
           })
-          val out = decodeFolder(si.coders(f), blob, packOff.toInt,
-            si.packSizes(f).toInt, si.folderSizes(f), maxOut)
+          val out = decodeFolder(si.coders(f), blob, packOff,
+            si.packSizes(f), si.folderSizes(f), maxOut)
           if (si.folderCrcDefined(f) &&
             crc32(out, 0, out.length) != si.folderCrcs(f))
             bail("folder_crc_mismatch")

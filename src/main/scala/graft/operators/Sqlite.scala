@@ -233,14 +233,18 @@ object Sqlite {
             case 8 => java.lang.Long.valueOf(0L)
             case 9 => java.lang.Long.valueOf(1L)
             case t if t >= 13 && t % 2 == 1 =>
-              val n = ((t - 13) / 2).toInt
-              if (body + n > payload.length) bail("truncated_record")
+              // bound in Long BEFORE narrowing: t near 2^33 makes the
+              // Int-narrowed length wrap negative (hostile record)
+              val nL = (t - 13) / 2
+              if (nL > payload.length - body) bail("truncated_record")
+              val n = nL.toInt
               val s = new String(payload, body, n, charset)
               body += n
               s
             case t if t >= 12 && t % 2 == 0 =>
-              val n = ((t - 12) / 2).toInt
-              if (body + n > payload.length) bail("truncated_record")
+              val nL = (t - 12) / 2
+              if (nL > payload.length - body) bail("truncated_record")
+              val n = nL.toInt
               val out = java.util.Arrays.copyOfRange(payload, body, body + n)
               body += n
               out

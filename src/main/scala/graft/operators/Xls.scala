@@ -231,10 +231,14 @@ object Xls {
               k += 1
             }
           case RecLabelSst =>
+            if (len < 10) bail("truncated_record")
             nLabel += 1
             val isst = u32(wb, body + 6)
             if (isst >= nStrings) bail("sst_index_out_of_range")
           case RecNumber =>
+            // rw(2) col(2) ixfe(2) num(8): anything shorter is a lie —
+            // the direct indexing below must never run past the record
+            if (len < 14) bail("truncated_record")
             nNumber += 1
             var bits = 0L
             var k = 0
@@ -243,6 +247,7 @@ object Xls {
             }
             numericSum += java.lang.Double.longBitsToDouble(bits)
           case RecRk =>
+            if (len < 10) bail("truncated_record")
             nNumber += 1
             numericSum += rkValue(u32(wb, body + 6))
           case RecMulRk =>
