@@ -89,7 +89,27 @@ object Bench {
       }
     }
 
-    val canaryPre = canary(spark)
+    // Controlled canary band (idle-machine best-of-3 floor, three runs,
+    // SCALE.md "controlled floors"). Overridable when the hardware
+    // changes: SPARK_GRAFT_CANARY_BAND="lo,hi".
+    val Array(bandLo, bandHi) =
+      sys.env.getOrElse("SPARK_GRAFT_CANARY_BAND", "2.24,2.5")
+        .split(",").map(_.toDouble)
+
+    // ACT on an out-of-band pre-canary instead of filing it: r12-r14
+    // each started their sweep on a drift-inflated machine and the
+    // official total rose three rounds running on byte-identical code.
+    // Bounded retries — wait out a transient spike (15 s apart, up to
+    // 4 readings) before committing ~5 min of sweep to a bad window.
+    var canaryPre = canary(spark)
+    var preAttempts = 1
+    while (canaryPre > bandHi && preAttempts < 4) {
+      System.err.println(
+        f"[bench] pre-canary $canaryPre%.3f above band ($bandLo,$bandHi) — waiting for the machine to settle (attempt $preAttempts)")
+      Thread.sleep(15000)
+      canaryPre = math.min(canaryPre, canary(spark))
+      preAttempts += 1
+    }
 
     val results = SparkEntry.catalog.map { q =>
       // immutable fixture prep (streaming source splits etc.) runs OFF
@@ -118,8 +138,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val total = r4(results.map(_._2).sum)
+    // The artifact self-adjudicates: drift=true whenever either canary
+    // reading sits above the controlled band, and total_normalized
+    // rescales the total by the band midpoint over the mean canary —
+    // a deflate-only correction (a faster-than-floor machine never
+    // inflates the number) so a drift-window sweep still carries a
+    // comparable figure instead of needing an after-the-fact appendix.
+    val drift = canaryPre > bandHi || canaryPost > bandHi
+    val bandMid = (bandLo + bandHi) / 2
+    val canaryMean = (canaryPre + canaryPost) / 2
+    val normFactor = math.min(1.0, bandMid / canaryMean)
+    val totalNormalized = r4(total * normFactor)
     val canaryJson =
-      s""","canary":{"pre":${r4(canaryPre)},"post":${r4(canaryPost)}}"""
+      s""","canary":{"pre":${r4(canaryPre)},"post":${r4(canaryPost)},"band":[$bandLo,$bandHi],"pre_attempts":$preAttempts},"drift":$drift,"total_normalized":$totalNormalized"""
     // end-to-end incremental pipeline tick (typed obs + bucketed sink):
     // full build vs delta tick wall time and write volume
     val tick =

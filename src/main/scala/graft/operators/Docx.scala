@@ -22,7 +22,8 @@ package graft.operators
   *   - tables fall out naturally: their cells contain `<w:p>`.
   *
   * Reject-don't-guess, each with a named fate: a blob that isn't a
-  * valid ZIP (`zip_invalid`), has no `word/document.xml`
+  * valid ZIP (the `zip_*` fate straight from [[ZipArchive]]),
+  * has no `word/document.xml`
   * (`missing_document_xml`), whose document part isn't strict UTF-8
   * (`document_not_utf8`), or whose XML is malformed (the walk's named
   * reason, prefixed `xml_`) quarantines instead of yielding partial
@@ -74,8 +75,8 @@ object Docx {
   /** Extract body text from a .docx blob. */
   def extract(blob: Array[Byte]): Either[Rejected, Extracted] =
     ZipArchive.parse(blob) match {
-      case None => Left(Rejected("zip_invalid"))
-      case Some(members) =>
+      case Left(r) => Left(Rejected(r.reason))
+      case Right(members) =>
         members.find(_.name == "word/document.xml") match {
           case None => Left(Rejected("missing_document_xml"))
           case Some(m) =>

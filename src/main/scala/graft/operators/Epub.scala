@@ -94,8 +94,8 @@ object Epub {
 
   def extract(blob: Array[Byte]): Either[Rejected, Extracted] =
     ZipArchive.parse(blob) match {
-      case None => Left(Rejected("zip_invalid"))
-      case Some(members) =>
+      case Left(r) => Left(Rejected(r.reason))
+      case Right(members) =>
         val byName = members.map(m => m.name -> m).toMap
         byName.get("mimetype") match {
           case None => return Left(Rejected("missing_mimetype"))

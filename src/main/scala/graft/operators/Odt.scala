@@ -78,8 +78,8 @@ object Odt {
 
   def extract(blob: Array[Byte]): Either[Rejected, Extracted] =
     ZipArchive.parse(blob) match {
-      case None => Left(Rejected("zip_invalid"))
-      case Some(members) =>
+      case Left(r) => Left(Rejected(r.reason))
+      case Right(members) =>
         val byName = members.map(m => m.name -> m).toMap
         byName.get("mimetype").foreach { m =>
           if (new String(m.body, "US-ASCII") !=

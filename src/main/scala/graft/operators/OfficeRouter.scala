@@ -22,6 +22,10 @@ package graft.operators
   *     Before round 14 these all fell through as `not_a_container`,
   *     which made the fate census blind to how much legacy Office a
   *     shard carries;
+  *   - a MALFORMED zip (truncated, encrypted, bad descriptor, zip64
+  *     violation, ...) → its `zip_*` reason straight from
+  *     [[ZipArchive]] — the fate census counts failure classes, it
+  *     doesn't flatten them;
   *   - not a zip and not CFB → `not_a_container`.
   *
   * One pass over the member list for detection; extraction reuses the
@@ -40,8 +44,8 @@ object OfficeRouter {
   def route(blob: Array[Byte]): Either[Rejected, Routed] =
     if (Cfb.looksLikeCfb(blob)) routeCfb(blob)
     else ZipArchive.parse(blob) match {
-      case None => Left(Rejected("not_a_container"))
-      case Some(members) =>
+      case Left(r) => Left(Rejected(r.reason)) // zip_* named fates
+      case Right(members) =>
         val byName = members.map(m => m.name -> m).toMap
         val mime = byName.get("mimetype")
           .map(m => new String(m.body, "US-ASCII"))

@@ -60,8 +60,8 @@ object Pptx {
 
   def extract(blob: Array[Byte]): Either[Rejected, Extracted] =
     ZipArchive.parse(blob) match {
-      case None => Left(Rejected("zip_invalid"))
-      case Some(members) =>
+      case Left(r) => Left(Rejected(r.reason))
+      case Right(members) =>
         val slides = members.flatMap(m => m.name match {
           case SlideName(n) => Some((n.toInt, m))
           case _ => None

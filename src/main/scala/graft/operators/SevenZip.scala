@@ -10,12 +10,18 @@ package graft.operators
   * LZMA-compressed (kEncodedHeader, decoded through the same folder
   * machinery, one level deep).
   *
-  * Scope (honest): folders restricted to a SINGLE simple coder —
-  * LZMA2 (id 0x21), LZMA1 (03 01 01, via [[Lzma2.lzma1Decode]]), or
-  * Copy (0x00) — which is what 7z/commons-compress write by default.
-  * Coder chains (BCJ+LZMA2, delta), multi-stream bind graphs, and
-  * AES-encrypted folders (id 06 ...) reject by NAME
-  * (`coder_chain_unsupported`, `7z_encrypted`,
+  * Scope (honest): folders of one or two SIMPLE coders. Single-coder
+  * folders decode LZMA2 (id 0x21), LZMA1 (03 01 01, via
+  * [[Lzma2.lzma1Decode]]), or Copy (0x00) — what 7z/commons-compress
+  * write by default for data. Two-coder folders decode the
+  * FILTER+compressor chain 7z writes by default for EXECUTABLES: the
+  * packed stream through LZMA1/LZMA2/Copy, then the bind-pair-chained
+  * length-preserving filter — any of the seven [[Bcj]] converters
+  * (x86, ARM, ARM-Thumb, PPC, SPARC, ARM64, IA64) or delta — applied
+  * in place. Longer chains, multi-stream coders (BCJ2), reversed
+  * chains (a compressor where the filter belongs), and AES-encrypted
+  * folders (id 06 ...) reject by NAME (`coder_chain_unsupported`,
+  * `coder_chain_order_unsupported`, `7z_encrypted`,
   * `codec_unsupported_*`). Every substream CRC present in the header
   * is verified; the next-header CRC always is. Numbers use the 7z
   * variable-length encoding; all counts are bounds-checked and the
@@ -143,11 +149,31 @@ object SevenZip {
 
   private final case class Coder(id: Array[Byte], props: Array[Byte])
 
+  /** One folder: 1-2 SIMPLE coders (1 in / 1 out each), bind pairs
+    * wiring output j into input i, and the derived decode chain. With
+    * two coders the packed stream feeds the decompressor whose output
+    * feeds a length-preserving FILTER (BCJ/delta) — the shape 7z
+    * writes by default for executables. `outSizes` carries
+    * kCodersUnpackSize's one-entry-per-output-stream values; the
+    * folder's unpack size is the final (unbound) output's. */
+  private final case class FolderDef(
+      coders: Array[Coder],
+      bindPairs: Array[(Int, Int)], // (inIndex, outIndex)
+      packedInput: Int,
+      var outSizes: Array[Long]) {
+    def finalOut: Int = {
+      val bound = bindPairs.map(_._2).toSet
+      val idx = coders.indices.filterNot(bound)
+      if (idx.length != 1) bail("bad_bind_graph")
+      idx.head
+    }
+    def unpackSize: Long = outSizes(finalOut)
+  }
+
   private final case class StreamsInfo(
       packPos: Long,
       packSizes: Array[Long],
-      coders: Array[Coder], // one per folder (single-coder scope)
-      folderSizes: Array[Long],
+      folders: Array[FolderDef],
       folderCrcDefined: Array[Boolean],
       folderCrcs: Array[Long],
       numUnpack: Array[Int], // substreams per folder
@@ -158,8 +184,7 @@ object SevenZip {
   private def parseStreamsInfo(s: Scan, cap: Int): StreamsInfo = {
     var packPos = 0L
     var packSizes: Array[Long] = new Array[Long](0)
-    var coders: Array[Coder] = new Array[Coder](0)
-    var folderSizes: Array[Long] = new Array[Long](0)
+    var folders: Array[FolderDef] = new Array[FolderDef](0)
     var folderCrcDefined: Array[Boolean] = new Array[Boolean](0)
     var folderCrcs: Array[Long] = new Array[Long](0)
     var numUnpack: Array[Int] = null
@@ -191,14 +216,20 @@ object SevenZip {
       if (s.num() != KFolder) bail("bad_unpack_info")
       val nFolders = s.numInt(cap, "num_folders")
       if (s.u8() != 0) bail("external_folders_unsupported")
-      coders = new Array[Coder](nFolders)
+      folders = new Array[FolderDef](nFolders)
       var f = 0
       while (f < nFolders) {
-        coders(f) = parseFolder(s)
+        folders(f) = parseFolder(s)
         f += 1
       }
       if (s.num() != KCodersUnpackSize) bail("bad_unpack_info")
-      folderSizes = Array.fill(nFolders)(s.num())
+      // one size per OUTPUT STREAM, folder by folder (a two-coder
+      // chain carries an intermediate size plus the final one)
+      f = 0
+      while (f < nFolders) {
+        folders(f).outSizes = Array.fill(folders(f).coders.length)(s.num())
+        f += 1
+      }
       folderCrcDefined = new Array[Boolean](nFolders)
       folderCrcs = new Array[Long](nFolders)
       var inner = s.num()
@@ -218,7 +249,7 @@ object SevenZip {
       id = s.num()
     }
 
-    val nFolders = coders.length
+    val nFolders = folders.length
     if (id == KSubStreamsInfo) {
       var inner = s.num()
       if (inner == KNumUnpackStream) {
@@ -237,8 +268,8 @@ object SevenZip {
           var k = 0
           while (k < n - 1) { sizes(k) = s.num(); sum += sizes(k); k += 1 }
           if (n > 0) {
-            if (sum > folderSizes(f)) bail("substream_sizes_exceed_folder")
-            sizes(n - 1) = folderSizes(f) - sum
+            if (sum > folders(f).unpackSize) bail("substream_sizes_exceed_folder")
+            sizes(n - 1) = folders(f).unpackSize - sum
           }
           subSizes(f) = sizes
           f += 1
@@ -248,7 +279,7 @@ object SevenZip {
         var f = 0
         while (f < nFolders) {
           if (nu(f) != 1) bail("missing_substream_sizes")
-          subSizes(f) = Array(folderSizes(f))
+          subSizes(f) = Array(folders(f).unpackSize)
           f += 1
         }
       }
@@ -294,7 +325,7 @@ object SevenZip {
       id = s.num()
     } else {
       numUnpack = Array.fill(nFolders)(1)
-      subSizes = Array.tabulate(nFolders)(f => Array(folderSizes(f)))
+      subSizes = Array.tabulate(nFolders)(f => Array(folders(f).unpackSize))
       val flat = nFolders
       subCrcDefined = new Array[Boolean](flat)
       subCrcs = new Array[Long](flat)
@@ -307,34 +338,106 @@ object SevenZip {
       }
     }
     if (id != KEnd) bail("bad_streams_info")
-    StreamsInfo(packPos, packSizes, coders, folderSizes, folderCrcDefined,
+    StreamsInfo(packPos, packSizes, folders, folderCrcDefined,
       folderCrcs, numUnpack, subSizes, subCrcDefined, subCrcs)
   }
 
-  /** Parse one folder, enforcing the single-simple-coder scope. */
-  private def parseFolder(s: Scan): Coder = {
+  /** Parse one folder: 1-2 SIMPLE coders plus the bind-pair wiring.
+    * Two-coder folders (the BCJ/delta + LZMA shape 7z writes by
+    * default for executables) are decoded; anything longer, any
+    * multi-stream coder (BCJ2), and any bind graph that isn't a
+    * single chain rejects by NAME. */
+  private def parseFolder(s: Scan): FolderDef = {
     val numCoders = s.numInt(64, "num_coders")
-    if (numCoders != 1) bail("coder_chain_unsupported")
-    val flags = s.u8()
-    val idSize = flags & 0x0F
-    val isComplex = (flags & 0x10) != 0
-    val hasAttrs = (flags & 0x20) != 0
-    val id = s.bytes(idSize)
-    if (isComplex) bail("coder_chain_unsupported")
-    val props = if (hasAttrs) s.bytes(s.numInt(1 << 16, "props_size"))
-      else Array.emptyByteArray
-    // single simple coder: 1 in, 1 out, 0 bind pairs, 1 packed stream
-    Coder(id, props)
+    if (numCoders < 1 || numCoders > 2) bail("coder_chain_unsupported")
+    val coders = new Array[Coder](numCoders)
+    var c = 0
+    while (c < numCoders) {
+      val flags = s.u8()
+      val idSize = flags & 0x0F
+      val isComplex = (flags & 0x10) != 0
+      val hasAttrs = (flags & 0x20) != 0
+      val id = s.bytes(idSize)
+      if (isComplex) bail("coder_chain_unsupported") // BCJ2 et al.
+      val props = if (hasAttrs) s.bytes(s.numInt(1 << 16, "props_size"))
+        else Array.emptyByteArray
+      coders(c) = Coder(id, props)
+      c += 1
+    }
+    // all-simple: totalOut = numCoders, so numBindPairs = numCoders-1
+    // and exactly one packed stream (the unbound input) — no explicit
+    // packed-index vector on the wire
+    val bindPairs = new Array[(Int, Int)](numCoders - 1)
+    var k = 0
+    while (k < bindPairs.length) {
+      val in = s.numInt(numCoders - 1, "bind_in")
+      val out = s.numInt(numCoders - 1, "bind_out")
+      bindPairs(k) = (in, out)
+      k += 1
+    }
+    val boundIn = bindPairs.map(_._1).toSet
+    val freeIn = coders.indices.filterNot(boundIn)
+    if (freeIn.length != 1) bail("bad_bind_graph")
+    FolderDef(coders, bindPairs, freeIn.head, null)
   }
 
   private def codecName(id: Array[Byte]): String =
     id.map(b => f"${b & 0xff}%02x").mkString
 
-  /** Decode one folder's packed bytes to its declared unpack size.
-    * Offsets/lengths arrive as Long straight from the header — bound
-    * them HERE before any narrowing (a crafted packPos near 2^63 must
-    * not wrap into a plausible Int). */
-  private def decodeFolder(coder: Coder, blob: Array[Byte], offL: Long,
+  private def codecFriendly(id: Array[Byte]): String = codecName(id) match {
+    case "00" => "copy"
+    case "21" => "lzma2"
+    case "030101" => "lzma"
+    case "03" => "delta"
+    case "03030103" => "bcj_x86"
+    case "03030205" => "bcj_ppc"
+    case "03030401" => "bcj_ia64"
+    case "03030501" => "bcj_arm"
+    case "03030701" => "bcj_armt"
+    case "03030805" => "bcj_sparc"
+    case "0a" => "bcj_arm64"
+    case other => other
+  }
+
+  /** Apply a length-preserving filter coder IN PLACE, or bail by name:
+    * the second stage of a decode chain must be a filter — a
+    * compressor there means the archive's bind graph is a shape this
+    * reader doesn't own (or a hostile reversal). */
+  private def applyFilter(c: Coder, buf: Array[Byte]): Unit =
+    codecName(c.id) match {
+      case "03030103" | "03030205" | "03030401" | "03030501" |
+          "03030701" | "03030805" | "0a" =>
+        // 7z BCJ coders may carry a 4-byte start offset; nobody's
+        // writer emits one — reject rather than guess the semantics
+        if (c.props.nonEmpty) bail("filter_props_unsupported")
+        codecName(c.id) match {
+          case "03030103" => Bcj.x86Decode(buf, 0L)
+          case "03030205" => Bcj.ppcDecode(buf, 0L)
+          case "03030401" => Bcj.ia64Decode(buf, 0L)
+          case "03030501" => Bcj.armDecode(buf, 0L)
+          case "03030701" => Bcj.armThumbDecode(buf, 0L)
+          case "03030805" => Bcj.sparcDecode(buf, 0L)
+          case _ => Bcj.arm64Decode(buf, 0L)
+        }
+      case "03" =>
+        if (c.props.length != 1) bail("bad_delta_props")
+        Bcj.deltaDecode(buf, (c.props(0) & 0xff) + 1)
+      case id if id.startsWith("06") => bail("7z_encrypted")
+      case "00" | "21" | "030101" => bail("coder_chain_order_unsupported")
+      case other => bail(s"codec_unsupported_$other")
+    }
+
+  private def isFilterId(id: Array[Byte]): Boolean = codecName(id) match {
+    case "03" | "03030103" | "03030205" | "03030401" | "03030501" |
+        "03030701" | "03030805" | "0a" => true
+    case _ => false
+  }
+
+  /** Decode one packed stream through a (non-filter) coder. Offsets/
+    * lengths arrive as Long straight from the header — bound them HERE
+    * before any narrowing (a crafted packPos near 2^63 must not wrap
+    * into a plausible Int). */
+  private def decodePacked(coder: Coder, blob: Array[Byte], offL: Long,
       packLenL: Long, unpackLen: Long, maxOut: Int): Array[Byte] = {
     if (unpackLen < 0 || unpackLen > maxOut) bail("7z_bomb")
     if (offL < 0 || packLenL < 0 || offL > blob.length ||
@@ -362,7 +465,33 @@ object SevenZip {
         case Left(r) => bail(r)
       }
     } else if (id.length >= 1 && id(0) == 0x06) bail("7z_encrypted")
+    else if (isFilterId(id)) bail("coder_chain_order_unsupported")
     else bail(s"codec_unsupported_${codecName(id)}")
+  }
+
+  /** Decode a folder end-to-end: packed bytes through the decompressor,
+    * then each bind-pair-chained FILTER in place, finishing at the
+    * folder's unbound output. */
+  private def decodeFolder(folder: FolderDef, blob: Array[Byte], offL: Long,
+      packLenL: Long, maxOut: Int): Array[Byte] = {
+    val finalOut = folder.finalOut
+    if (folder.unpackSize < 0 || folder.unpackSize > maxOut) bail("7z_bomb")
+    var idx = folder.packedInput
+    var cur = decodePacked(folder.coders(idx), blob, offL, packLenL,
+      folder.outSizes(idx), maxOut)
+    var steps = 0
+    while (idx != finalOut) {
+      steps += 1
+      if (steps > folder.coders.length) bail("bad_bind_graph")
+      val next = folder.bindPairs.collectFirst {
+        case (in, out) if out == idx => in
+      }.getOrElse(bail("bad_bind_graph"))
+      if (folder.outSizes(next) != cur.length.toLong)
+        bail("filter_size_mismatch")
+      applyFilter(folder.coders(next), cur)
+      idx = next
+    }
+    cur
   }
 
   def parse(blob: Array[Byte], maxOut: Int = 1 << 26)
@@ -392,10 +521,10 @@ object SevenZip {
         case KEncodedHeader =>
           val si = parseStreamsInfo(s, 1 << 20)
           // kUnpackInfo without kPackInfo leaves packSizes empty
-          if (si.coders.length != 1 || si.packSizes.isEmpty)
+          if (si.folders.length != 1 || si.packSizes.isEmpty)
             bail("bad_encoded_header")
-          headerBytes = decodeFolder(si.coders(0), blob, 32 + si.packPos,
-            si.packSizes(0), si.folderSizes(0), maxOut)
+          headerBytes = decodeFolder(si.folders(0), blob, 32 + si.packPos,
+            si.packSizes(0), maxOut)
           headerScan = new Scan(headerBytes, 0, headerBytes.length)
           if (headerScan.num() != KHeader) bail("bad_encoded_header")
         case KHeader =>
@@ -476,26 +605,21 @@ object SevenZip {
       val codecs = Set.newBuilder[String]
       val bodies = Seq.newBuilder[Array[Byte]]
       if (si != null) {
-        if (si.coders.length != si.folderSizes.length ||
-          si.packSizes.length < si.coders.length)
+        if (si.packSizes.length < si.folders.length)
           bail("bad_streams_info")
         var total = 0L
-        si.folderSizes.foreach { fs =>
+        si.folders.foreach { fd =>
+          val fs = fd.unpackSize
           total += fs
           if (fs < 0 || total > maxOut) bail("7z_bomb")
         }
         var packOff = 32 + si.packPos
         var flat = 0
         var f = 0
-        while (f < si.coders.length) {
-          codecs += (codecName(si.coders(f).id) match {
-            case "00" => "copy"
-            case "21" => "lzma2"
-            case "030101" => "lzma"
-            case other => other
-          })
-          val out = decodeFolder(si.coders(f), blob, packOff,
-            si.packSizes(f), si.folderSizes(f), maxOut)
+        while (f < si.folders.length) {
+          si.folders(f).coders.foreach(c => codecs += codecFriendly(c.id))
+          val out = decodeFolder(si.folders(f), blob, packOff,
+            si.packSizes(f), maxOut)
           if (si.folderCrcDefined(f) &&
             crc32(out, 0, out.length) != si.folderCrcs(f))
             bail("folder_crc_mismatch")
@@ -536,7 +660,7 @@ object SevenZip {
       if (next != bodySeq.length) bail("more_substreams_than_files")
       Right(Parsed(members.result(), si match {
         case null => 0
-        case x => x.coders.length
+        case x => x.folders.length
       }, nEmptyFiles, nDirs, codecs.result()))
     } catch { case e: Bail => Left(e.reason) }
 

@@ -106,8 +106,8 @@ object Xlsx {
   /** Extract census + string table from an .xlsx blob. */
   def extract(blob: Array[Byte]): Either[Rejected, Extracted] =
     ZipArchive.parse(blob) match {
-      case None => Left(Rejected("zip_invalid"))
-      case Some(members) =>
+      case Left(r) => Left(Rejected(r.reason))
+      case Right(members) =>
         val byName = members.map(m => m.name -> m).toMap
         if (!byName.contains("xl/workbook.xml"))
           return Left(Rejected("missing_workbook"))

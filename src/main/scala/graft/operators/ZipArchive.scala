@@ -1,33 +1,59 @@
 package graft.operators
 
-/** Minimal ZIP reader/writer (PKWARE APPNOTE.TXT grammar) — the other
-  * container crawled corpora and document dumps actually arrive in
-  * (e-book bundles, office documents, dataset shards). Stored (method 0)
-  * and deflate (method 8) members via `java.util.zip`, which is the
-  * public JDK surface.
+/** ZIP reader/writer (PKWARE APPNOTE.TXT grammar) — the container
+  * crawled corpora and document dumps actually arrive in (e-book
+  * bundles, office documents, dataset shards, "download as zip"
+  * endpoints). Stored (method 0) and deflate (method 8) members via
+  * `java.util.zip`, which is the public JDK surface.
   *
-  * Same reject-don't-guess contract as [[Warc]] and the codecs: a blob
-  * violating the grammar anywhere — bad signature, data-descriptor
-  * framing this reader doesn't accept, truncated member, CRC-32 or
-  * size mismatch after inflation, central directory disagreeing with
-  * the members walked — parses to None, never a partial member list.
-  * A 100 TB ingest wants corrupt shards quarantined, not half-read.
+  * The reader walks CENTRAL-DIRECTORY-FIRST: the CD always carries the
+  * true sizes/CRC even when the member was written by a streaming
+  * writer (flag bit 3: local sizes deferred to a data descriptor past
+  * the payload — the default output of Java's `ZipOutputStream`, Go's
+  * `archive/zip`, and every web service zipping to a socket). Local
+  * headers are then verified AGAINST the CD truth, data descriptors
+  * checked where bit 3 declares them, and zip64 honored end-to-end
+  * (EOCD64 + locator, 0xFFFFFFFF sentinels resolved through the
+  * 0x0001 extended-information extra field).
   *
-  * Allocation cap: total UNCOMPRESSED bytes declared across members must
-  * stay under 1 << 26 (the codecs' shared cap; deflate expands ~1000x,
-  * so a small hostile archive may declare huge members — reject before
-  * allocating).
+  * Same reject-don't-guess contract as [[Warc]] and the codecs, but
+  * with NAMED fates (house `Either`): a blob violating the grammar
+  * anywhere — no EOCD, CD/local disagreement, descriptor mismatch,
+  * zip64 sentinel without its extra field, CRC-32 or size mismatch
+  * after inflation, bytes between members the CD cannot account for —
+  * quarantines under its reason, never a partial member list. A
+  * 100 TB ingest wants corrupt shards counted BY FAILURE CLASS, not
+  * swallowed into an anonymous bucket.
+  *
+  * Allocation cap: total UNCOMPRESSED bytes declared across members
+  * must stay under 1 << 26 (the codecs' shared cap; deflate expands
+  * ~1000x, so a small hostile archive may declare huge members —
+  * `zip_bomb` before allocating).
   */
 object ZipArchive {
 
   final case class ZipMember(name: String, body: Array[Byte])
 
-  private val LocalSig = 0x04034b50
-  private val CentralSig = 0x02014b50
-  private val EocdSig = 0x06054b50
+  final case class Rejected(reason: String)
+
+  private final class Bail(val reason: String) extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+  private def bail(reason: String): Nothing = throw new Bail(reason)
+
+  private val LocalSig = 0x04034b50L
+  private val CentralSig = 0x02014b50L
+  private val EocdSig = 0x06054b50L
+  private val Eocd64Sig = 0x06064b50L
+  private val Eocd64LocSig = 0x07064b50L
+  private val DescSig = 0x08074b50L
   private val MaxTotalBytes = 1L << 26
+  private val MaxMembers = 1 << 18
 
   import LE.{putU16, putU32, u16, u32}
+
+  private def u64(b: Array[Byte], i: Int): Long =
+    u32(b, i) | (u32(b, i + 4) << 32)
 
   private def crc32(data: Array[Byte]): Long = {
     val c = new java.util.zip.CRC32(); c.update(data); c.getValue
@@ -77,101 +103,361 @@ object ZipArchive {
     out.toByteArray
   }
 
-  /** Parse a whole archive into its members, or None on ANY violation.
-    * Walks local headers sequentially (CRC + both sizes verified per
-    * member), then requires the central directory's entry count and the
-    * EOCD to agree with what was walked. Rejects data-descriptor framing
-    * (flag bit 3: sizes deferred past the payload — a streaming writer's
-    * shape this deterministic reader does not accept), encrypted members
-    * (flag bit 0), and unknown methods.
-    */
-  def parse(blob: Array[Byte]): Option[Seq[ZipMember]] = {
-    val out = Seq.newBuilder[ZipMember]
-    var i = 0
-    var nMembers = 0
-    var totalDeclared = 0L
-    var done = false
-    while (!done) {
-      if (i + 4 > blob.length) return None
-      val sig = u32(blob, i)
-      if (sig == CentralSig || sig == EocdSig) done = true
-      else if (sig != LocalSig) return None
-      else {
-        if (i + 30 > blob.length) return None
-        val flags = u16(blob, i + 6)
-        val method = u16(blob, i + 8)
-        if ((flags & 0x1) != 0 || (flags & 0x8) != 0) return None
-        if (method != 0 && method != 8) return None
-        val crc = u32(blob, i + 14)
-        val csize = u32(blob, i + 18)
-        val usize = u32(blob, i + 22)
-        val nameLen = u16(blob, i + 26)
-        val extraLen = u16(blob, i + 28)
-        totalDeclared += usize
-        if (totalDeclared > MaxTotalBytes) return None
-        val dataStart = i + 30 + nameLen + extraLen
-        if (dataStart + csize > blob.length) return None
-        val name = new String(blob, i + 30, nameLen, "UTF-8")
-        val raw = java.util.Arrays.copyOfRange(blob, dataStart, dataStart + csize.toInt)
-        val body =
-          if (method == 0) {
-            if (csize != usize) return None
-            raw
-          } else {
-            val inf = new java.util.zip.Inflater(true)
-            inf.setInput(raw)
-            val dst = new Array[Byte](usize.toInt)
-            try {
-              var total = 0
-              var n = if (dst.length > 0) inf.inflate(dst) else 0
-              while (n > 0 && total + n < dst.length) {
-                total += n
-                n = inf.inflate(dst, total, dst.length - total)
-              }
-              total += n
-              if (!inf.finished()) {
-                // drive the trailer (empty members, tiny final blocks);
-                // any EXTRA byte means the declared size lied
-                val probe = new Array[Byte](1)
-                if (inf.inflate(probe) > 0) return None
-              }
-              // a valid member inflates to exactly usize and consumes raw
-              if (total != usize || !inf.finished()) return None
-            } catch {
-              case _: java.util.zip.DataFormatException => return None
-            } finally inf.end()
-            dst
-          }
-        if (crc32(body) != crc) return None
-        out += ZipMember(name, body)
-        nMembers += 1
-        i = dataStart + csize.toInt
+  /** 1990-01-01 local midnight: inside the DOS-time range, so the JDK
+    * writer emits a plain dostime with NO extended-timestamp extra —
+    * deterministic fixture bytes. */
+  private lazy val FixedEntryTime: Long = {
+    val c = java.util.Calendar.getInstance()
+    c.clear(); c.set(1990, 0, 1, 0, 0, 0)
+    c.getTimeInMillis
+  }
+
+  /** Deterministic STREAMED archive through the JDK's own streaming
+    * writer (`ZipOutputStream` over an unseekable stream): every
+    * DEFLATED member gets flag bit 3 and a signed data descriptor —
+    * the wire shape every zip-to-a-socket service produces and the
+    * one the pre-round-15 reader rejected blind. */
+  def writeStreamed(members: Seq[ZipMember]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    members.foreach { m =>
+      val e = new java.util.zip.ZipEntry(m.name)
+      e.setTime(FixedEntryTime)
+      z.putNextEntry(e)
+      z.write(m.body)
+      z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  /** Deterministic STREAMED zip64 archive via commons-compress (the
+    * streaming writer on the classpath that can FORCE zip64):
+    * `Zip64Mode.Always` plants 0xFFFFFFFF sentinels + 0x0001 extras in
+    * every header, 8-byte data descriptors, and an EOCD64 + locator —
+    * the framing of >4 GB dataset dumps, exercised here without
+    * writing 4 GB. */
+  def writeZip64Streamed(members: Seq[ZipMember]): Array[Byte] = {
+    import org.apache.commons.compress.archivers.zip.{Zip64Mode, ZipArchiveEntry, ZipArchiveOutputStream}
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new ZipArchiveOutputStream(bos)
+    z.setUseZip64(Zip64Mode.Always)
+    members.foreach { m =>
+      val e = new ZipArchiveEntry(m.name)
+      e.setTime(FixedEntryTime)
+      z.putArchiveEntry(e)
+      z.write(m.body)
+      z.closeArchiveEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  // ---- reader -------------------------------------------------------
+
+  private final case class CdEntry(
+      name: String,
+      flags: Int,
+      method: Int,
+      crc: Long,
+      csize: Long,
+      usize: Long,
+      localOff: Long)
+
+  private def decodeName(b: Array[Byte], off: Int, len: Int,
+      utf8Flag: Boolean): String =
+    CharsetSniff.decodeStrict(java.util.Arrays.copyOfRange(b, off, off + len),
+        0, "UTF-8") match {
+      case Some(s) => s
+      case None =>
+        if (utf8Flag) bail("zip_name_bad_utf8")
+        // pre-Unicode writers: IBM437 per APPNOTE (total, never fails)
+        new String(b, off, len, java.nio.charset.Charset.forName("IBM437"))
+    }
+
+  /** Resolve 0xFFFFFFFF/0xFFFF sentinels through the 0x0001 zip64
+    * extended-information extra field. Values appear in a FIXED order,
+    * only for fields that were sentinels. Returns (usize, csize,
+    * localOff, sawZip64Extra). */
+  private def resolveZip64(b: Array[Byte], extraOff: Int, extraLen: Int,
+      usize0: Long, csize0: Long, localOff0: Long, disk0: Int)
+      : (Long, Long, Long, Boolean) = {
+    val needU = usize0 == 0xFFFFFFFFL
+    val needC = csize0 == 0xFFFFFFFFL
+    val needO = localOff0 == 0xFFFFFFFFL
+    val needD = disk0 == 0xFFFF
+    var p = extraOff
+    val end = extraOff + extraLen
+    var found = false
+    var usize = usize0; var csize = csize0; var localOff = localOff0
+    while (p + 4 <= end && !found) {
+      val id = u16(b, p)
+      val sz = u16(b, p + 2)
+      if (p + 4 + sz > end) bail("zip_bad_extra")
+      if (id == 0x0001) {
+        found = true
+        var q = p + 4
+        val qEnd = p + 4 + sz
+        def take8(): Long = {
+          if (q + 8 > qEnd) bail("zip64_extra_missing")
+          val v = u64(b, q); q += 8; v
+        }
+        if (needU) usize = take8()
+        if (needC) csize = take8()
+        if (needO) localOff = take8()
+        if (needD) { if (q + 4 > qEnd) bail("zip64_extra_missing"); q += 4 }
       }
+      p += 4 + sz
     }
-    // central directory: skip entries, then EOCD must declare the same
-    // member count we walked
-    var cdEntries = 0
-    while (i + 4 <= blob.length && u32(blob, i) == CentralSig) {
-      if (i + 46 > blob.length) return None
-      val nameLen = u16(blob, i + 28)
-      val extraLen = u16(blob, i + 30)
-      val commentLen = u16(blob, i + 32)
-      i += 46 + nameLen + extraLen + commentLen
-      cdEntries += 1
+    if ((needU || needC || needO || needD) && !found)
+      bail("zip64_extra_missing")
+    if (usize < 0 || csize < 0 || localOff < 0) bail("zip64_bad_sizes")
+    (usize, csize, localOff, found)
+  }
+
+  /** Does a local-header extra block carry the 0x0001 zip64 field?
+    * (Per APPNOTE 4.3.9.2 that is what widens the data descriptor's
+    * size fields to 8 bytes.) */
+  private def localHasZip64(b: Array[Byte], extraOff: Int, extraLen: Int)
+      : Boolean = {
+    var p = extraOff
+    val end = extraOff + extraLen
+    while (p + 4 <= end) {
+      val id = u16(b, p)
+      val sz = u16(b, p + 2)
+      if (p + 4 + sz > end) bail("zip_bad_extra")
+      if (id == 0x0001) return true
+      p += 4 + sz
     }
-    if (i + 22 > blob.length || u32(blob, i) != EocdSig) return None
-    val eocdCount = u16(blob, i + 10)
-    val commentLen = u16(blob, i + 20)
-    if (i + 22 + commentLen != blob.length) return None
-    if (cdEntries != nMembers || eocdCount != nMembers) return None
-    if (nMembers == 0) None else Some(out.result())
+    false
+  }
+
+  /** Parse a whole archive into its members, or a NAMED rejection on
+    * ANY violation. Central-directory-first: find the EOCD (and the
+    * EOCD64 behind its locator when zip64), walk the CD for the true
+    * per-member sizes/CRCs, then verify each local header against CD
+    * truth — including streamed members (flag bit 3 + data descriptor)
+    * and zip64 sentinel resolution. Every byte of [0, cdStart) must be
+    * tiled by the members walked (no smuggled gaps). */
+  def parse(blob: Array[Byte]): Either[Rejected, Seq[ZipMember]] =
+    try Right(parseOrBail(blob))
+    catch { case e: Bail => Left(Rejected(e.reason)) }
+
+  private def parseOrBail(blob: Array[Byte]): Seq[ZipMember] = {
+    if (blob == null || blob.length < 4) bail("not_a_container")
+    val looksZip = u32(blob, 0) == LocalSig || u32(blob, 0) == EocdSig
+    if (blob.length < 22) {
+      if (looksZip) bail("zip_no_eocd") else bail("not_a_container")
+    }
+
+    // ---- EOCD: comment must fill to end of file (house-strict) ------
+    var eocd = -1
+    var e = blob.length - 22
+    val lo = math.max(0, blob.length - 22 - 65535)
+    while (e >= lo && eocd < 0) {
+      if (u32(blob, e) == EocdSig && e + 22 + u16(blob, e + 20) == blob.length)
+        eocd = e
+      e -= 1
+    }
+    if (eocd < 0) {
+      if (looksZip) bail("zip_no_eocd") else bail("not_a_container")
+    }
+
+    var nEntries: Long = u16(blob, eocd + 10).toLong
+    var cdSize: Long = u32(blob, eocd + 12)
+    var cdOff: Long = u32(blob, eocd + 16)
+    val diskNo = u16(blob, eocd + 4)
+    val cdDisk = u16(blob, eocd + 6)
+    val nThisDisk = u16(blob, eocd + 8)
+    val anySentinel = nEntries == 0xFFFFL || nThisDisk == 0xFFFF ||
+      cdSize == 0xFFFFFFFFL || cdOff == 0xFFFFFFFFL ||
+      diskNo == 0xFFFF || cdDisk == 0xFFFF
+
+    // ---- zip64: locator sits immediately before the EOCD ------------
+    var cdEndMustBe: Long = eocd.toLong
+    if (eocd >= 20 && u32(blob, eocd - 20) == Eocd64LocSig) {
+      val locDisk = u32(blob, eocd - 16)
+      val eocd64Off = u64(blob, eocd - 12)
+      val totalDisks = u32(blob, eocd - 4)
+      if (locDisk != 0 || totalDisks != 1) bail("zip_multidisk")
+      if (eocd64Off < 0 || eocd64Off + 56 > eocd - 20)
+        bail("zip64_bad_eocd64")
+      val z = eocd64Off.toInt
+      if (u32(blob, z) != Eocd64Sig) bail("zip64_bad_eocd64")
+      val recSize = u64(blob, z + 4)
+      // record must run exactly up to its locator (strict adjacency)
+      if (recSize < 44 || z + 12 + recSize != eocd - 20)
+        bail("zip64_bad_eocd64")
+      if (u32(blob, z + 16) != 0 || u32(blob, z + 20) != 0)
+        bail("zip_multidisk")
+      val nThis64 = u64(blob, z + 24)
+      val nTotal64 = u64(blob, z + 32)
+      if (nThis64 != nTotal64) bail("zip_multidisk")
+      nEntries = nTotal64
+      cdSize = u64(blob, z + 40)
+      cdOff = u64(blob, z + 48)
+      cdEndMustBe = eocd64Off
+    } else {
+      if (anySentinel) bail("zip64_missing_eocd64")
+      if (diskNo != 0 || cdDisk != 0 || nThisDisk != nEntries)
+        bail("zip_multidisk")
+    }
+
+    if (nEntries == 0) bail("zip_empty")
+    if (nEntries > MaxMembers) bail("zip_too_many_members")
+    if (cdOff < 0 || cdSize < 0 || cdOff + cdSize != cdEndMustBe)
+      bail("zip_bad_cd")
+    if (nEntries > cdSize / 46 + 1) bail("zip_bad_cd")
+
+    // ---- central directory walk: CD truth per member ----------------
+    val entries = new Array[CdEntry](nEntries.toInt)
+    var p = cdOff.toInt
+    val cdEnd = (cdOff + cdSize).toInt
+    var k = 0
+    var totalDeclared = 0L
+    while (k < nEntries) {
+      if (p + 46 > cdEnd || u32(blob, p) != CentralSig) bail("zip_bad_cd")
+      val flags = u16(blob, p + 8)
+      val method = u16(blob, p + 10)
+      val crc = u32(blob, p + 16)
+      val csize0 = u32(blob, p + 20)
+      val usize0 = u32(blob, p + 24)
+      val nameLen = u16(blob, p + 28)
+      val extraLen = u16(blob, p + 30)
+      val commentLen = u16(blob, p + 32)
+      val diskStart = u16(blob, p + 34)
+      val localOff0 = u32(blob, p + 42)
+      if (p + 46 + nameLen + extraLen + commentLen > cdEnd) bail("zip_bad_cd")
+      if ((flags & 0x1) != 0 || (flags & 0x40) != 0) bail("zip_encrypted")
+      if (method != 0 && method != 8) bail(s"zip_method_unsupported_$method")
+      val (usize, csize, localOff, _) = resolveZip64(blob, p + 46 + nameLen,
+        extraLen, usize0, csize0, localOff0, diskStart)
+      if (diskStart != 0 && diskStart != 0xFFFF) bail("zip_multidisk")
+      val name = decodeName(blob, p + 46, nameLen, (flags & 0x800) != 0)
+      totalDeclared += usize
+      if (totalDeclared > MaxTotalBytes) bail("zip_bomb")
+      entries(k) = CdEntry(name, flags, method, crc, csize, usize, localOff)
+      p += 46 + nameLen + extraLen + commentLen
+      k += 1
+    }
+    if (p != cdEnd) bail("zip_bad_cd")
+
+    // ---- local walk: verify each member against CD truth ------------
+    val bodies = new Array[ZipMember](entries.length)
+    val spans = new Array[(Long, Long)](entries.length) // [start, end)
+    k = 0
+    while (k < entries.length) {
+      val en = entries(k)
+      if (en.localOff < 0 || en.localOff + 30 > cdOff)
+        bail("zip_bad_local_offset")
+      val lh = en.localOff.toInt
+      if (u32(blob, lh) != LocalSig) bail("zip_bad_local_offset")
+      val lflags = u16(blob, lh + 6)
+      val lmethod = u16(blob, lh + 8)
+      val lcrc = u32(blob, lh + 14)
+      val lcsize = u32(blob, lh + 18)
+      val lusize = u32(blob, lh + 22)
+      val lnameLen = u16(blob, lh + 26)
+      val lextraLen = u16(blob, lh + 28)
+      if (lh + 30 + lnameLen + lextraLen > cdOff) bail("zip_bad_local_offset")
+      // encryption/descriptor bits and the method must agree with CD
+      if (lmethod != en.method || ((lflags ^ en.flags) & 0x9) != 0)
+        bail("zip_cd_local_mismatch")
+      val streamed = (lflags & 0x8) != 0
+      val lhZip64 = localHasZip64(blob, lh + 30 + lnameLen, lextraLen)
+      if (!streamed) {
+        // non-streamed: the local header states sizes — they must be
+        // the CD's (resolving local zip64 sentinels the same way)
+        val (lu, lc, _, _) =
+          if (lcsize == 0xFFFFFFFFL || lusize == 0xFFFFFFFFL)
+            resolveZip64(blob, lh + 30 + lnameLen, lextraLen,
+              lusize, lcsize, 0L, 0)
+          else (lusize, lcsize, 0L, false)
+        if (lcrc != en.crc || lc != en.csize || lu != en.usize)
+          bail("zip_cd_local_mismatch")
+      }
+      val dataStart = en.localOff + 30 + lnameLen + lextraLen
+      if (en.csize < 0 || dataStart + en.csize > cdOff)
+        bail("zip_member_overruns_cd")
+      var end = dataStart + en.csize
+      if (streamed) {
+        // data descriptor follows the payload: optional signature,
+        // crc, then sizes — 8 bytes each iff the local header used
+        // zip64 (APPNOTE 4.3.9), 4 otherwise. All must match CD truth.
+        var q = end
+        if (q + 4 <= cdOff && u32(blob, q.toInt) == DescSig) q += 4
+        val szW = if (lhZip64) 8 else 4
+        if (q + 4 + 2L * szW > cdOff) bail("zip_descriptor_mismatch")
+        val dcrc = u32(blob, q.toInt)
+        val dcs = if (lhZip64) u64(blob, q.toInt + 4) else u32(blob, q.toInt + 4)
+        val dus = if (lhZip64) u64(blob, q.toInt + 12) else u32(blob, q.toInt + 8)
+        if (dcrc != en.crc || dcs != en.csize || dus != en.usize)
+          bail("zip_descriptor_mismatch")
+        end = q + 4 + 2L * szW
+      }
+      spans(k) = (en.localOff, end)
+
+      // ---- decode against CD truth ----------------------------------
+      val cs = en.csize.toInt
+      val us = en.usize.toInt
+      val raw = java.util.Arrays.copyOfRange(blob, dataStart.toInt,
+        dataStart.toInt + cs)
+      val body =
+        if (en.method == 0) {
+          if (en.csize != en.usize) bail("zip_size_mismatch")
+          raw
+        } else {
+          val inf = new java.util.zip.Inflater(true)
+          inf.setInput(raw)
+          val dst = new Array[Byte](us)
+          try {
+            var total = 0
+            var n = if (dst.length > 0) inf.inflate(dst) else 0
+            while (n > 0 && total + n < dst.length) {
+              total += n
+              n = inf.inflate(dst, total, dst.length - total)
+            }
+            total += n
+            if (!inf.finished()) {
+              // drive the trailer (empty members, tiny final blocks);
+              // any EXTRA byte means the declared size lied
+              val probe = new Array[Byte](1)
+              if (inf.inflate(probe) > 0) bail("zip_size_mismatch")
+            }
+            if (total != us || !inf.finished()) bail("zip_size_mismatch")
+          } catch {
+            case _: java.util.zip.DataFormatException =>
+              bail("zip_inflate_error")
+          } finally inf.end()
+          dst
+        }
+      if (crc32(body) != en.crc) bail("zip_crc_mismatch")
+      bodies(k) = ZipMember(en.name, body)
+      k += 1
+    }
+
+    // ---- coverage: members must tile [0, cdStart) exactly -----------
+    // (catches smuggled bytes: descriptors without bit 3, preambles,
+    // self-overlapping entries)
+    val sorted = spans.sortBy(_._1)
+    var cursor = 0L
+    sorted.foreach { case (s0, e0) =>
+      if (s0 != cursor) bail("zip_layout_gap")
+      cursor = e0
+    }
+    if (cursor != cdOff) bail("zip_layout_gap")
+
+    bodies.toSeq
   }
 
   /** ZIP fixture corpus: every 4 consecutive documents become one
     * archive (archive_id = doc_id / 4), each doc a member named
-    * `doc-<id>.txt` with its UTF-8 text as the body — alternating
-    * stored/deflate members so both method paths are exercised on
-    * every archive. Deterministic byte-for-byte (zeroed timestamps). */
+    * `doc-<id>.txt` with its UTF-8 text as the body. Three writer
+    * regimes by archive id — the in-house deterministic writer
+    * (alternating stored/deflate members), the JDK's own STREAMING
+    * writer (data descriptors, flag bit 3), and the forced-zip64
+    * streaming writer (sentinels + EOCD64) — so all three wire shapes
+    * a crawl carries are exercised on every run. */
   def zipFilesFromDocuments(
       spark: org.apache.spark.sql.SparkSession,
       documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
@@ -183,7 +469,12 @@ object ZipArchive {
         val members = it.toSeq.sortBy(_._1).map { case (id, text) =>
           ZipMember(s"doc-$id.txt", Option(text).getOrElse("").getBytes("UTF-8"))
         }
-        Multimodal.MediaRow(aid, "zip", write(members, i => i % 2 == 1))
+        val blob = (aid % 3) match {
+          case 1 => writeStreamed(members)
+          case 2 => writeZip64Streamed(members)
+          case _ => write(members, i => i % 2 == 1)
+        }
+        Multimodal.MediaRow(aid, "zip", blob)
       }
   }
 
@@ -195,9 +486,9 @@ object ZipArchive {
     import media.sparkSession.implicits._
     media.flatMap { row =>
       parse(row.payload) match {
-        case Some(ms) =>
+        case Right(ms) =>
           ms.map(m => (row.media_id, m.name, m.body.length.toLong, m.body))
-        case None => Seq.empty
+        case Left(_) => Seq.empty
       }
     }.toDF("archive_id", "name", "n_bytes", "body")
   }

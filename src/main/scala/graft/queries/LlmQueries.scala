@@ -7659,7 +7659,8 @@ object LlmQueries {
     // real ZIP writer with runs SPLIT at word boundaries (the Word
     // formatting-boundary quirk) and a field-code instrText paragraph
     // the extractor must drop; a planted truncation class exercises
-    // the zip_invalid fate. The oracle replays paragraph/run counts
+    // the zip_no_eocd fate (the tail cut removes the EOCD the
+    // CD-first reader anchors on). The oracle replays paragraph/run counts
     // and the full extracted-text md5 from the same formulas.
     OpQuery.sql(
       "q250_docx_extract",
@@ -7674,7 +7675,7 @@ object LlmQueries {
         |      + 1 AS BIGINT) AS runs
         |  FROM p)
         |SELECT id AS doc_id,
-        |  CASE WHEN id % 23 = 7 THEN 'zip_invalid' ELSE 'extracted' END AS fate,
+        |  CASE WHEN id % 23 = 7 THEN 'zip_no_eocd' ELSE 'extracted' END AS fate,
         |  CAST(CASE WHEN id % 23 <> 7 THEN 3 END AS BIGINT) AS n_paragraphs,
         |  CASE WHEN id % 23 <> 7 THEN runs END AS n_runs,
         |  CAST(CASE WHEN id % 23 <> 7 THEN length(extracted) END AS BIGINT)
@@ -7938,7 +7939,7 @@ object LlmQueries {
     // sum, and the shared-string table whose FIRST entry is written as
     // split rich-text runs (the reassembly quirk) carrying the corpus
     // text. operators/Xlsx rides ZipArchive + XmlWalk; a planted
-    // truncation class lands zip_invalid. Every census number replays
+    // truncation class lands zip_no_eocd. Every census number replays
     // in closed form; the string-table md5 replays from the text
     // column.
     OpQuery.sql(
@@ -7954,7 +7955,7 @@ object LlmQueries {
         |      'string_agg', '') AS shared
         |  FROM p)
         |SELECT id AS doc_id,
-        |  CASE WHEN bad THEN 'zip_invalid' ELSE 'ok' END AS fate,
+        |  CASE WHEN bad THEN 'zip_no_eocd' ELSE 'ok' END AS fate,
         |  CAST(CASE WHEN NOT bad THEN 1 END AS BIGINT) AS n_sheets,
         |  CAST(CASE WHEN NOT bad THEN r + 1 END AS BIGINT) AS n_rows,
         |  CAST(CASE WHEN NOT bad THEN (r + 1) * c END AS BIGINT) AS n_cells,
@@ -8398,12 +8399,14 @@ object LlmQueries {
     // 7Z ARCHIVE EXTRACTION — plain `.7z` is the most common wild
     // habitat of LZMA2, and the round-13 decoder stopped one container
     // short of it. operators/SevenZip walks signature header → (maybe
-    // LZMA-compressed) property header → folders, restricted to
-    // single-coder LZMA2/LZMA1/Copy with chains and encryption
-    // rejecting by name; fixtures come from the REAL generator
-    // (commons-compress SevenZOutputFile), content method rotated per
-    // archive so all three supported coders run. q140's member-replay
-    // oracle verbatim.
+    // LZMA-compressed) property header → folders: single-coder
+    // LZMA2/LZMA1/Copy plus the two-coder FILTER chains 7z writes by
+    // default for executables (BCJ-x86 + LZMA2, delta + LZMA2 — the
+    // bind graph wired into operators/Bcj's converters); longer
+    // chains and encryption reject by name. Fixtures come from the
+    // REAL generator (commons-compress SevenZOutputFile), content
+    // method rotated per archive so all five regimes run. q140's
+    // member-replay oracle verbatim.
     OpQuery.sql(
       "q263_7z_extract",
       """SELECT CAST(doc_id // 5 AS BIGINT) AS archive_id,
@@ -8429,21 +8432,24 @@ object LlmQueries {
             // decoder under test sees the same grammar either way.
             val lzOpts = new org.tukaani.xz.LZMA2Options(1)
             lzOpts.setDictSize(1 << 16)
-            val cfg = (aid % 3) match {
-              case 0 => new org.apache.commons.compress.archivers.sevenz
-                .SevenZMethodConfiguration(
-                  org.apache.commons.compress.archivers.sevenz
-                    .SevenZMethod.LZMA2, lzOpts)
-              case 1 => new org.apache.commons.compress.archivers.sevenz
-                .SevenZMethodConfiguration(
-                  org.apache.commons.compress.archivers.sevenz
-                    .SevenZMethod.COPY)
-              case _ => new org.apache.commons.compress.archivers.sevenz
-                .SevenZMethodConfiguration(
-                  org.apache.commons.compress.archivers.sevenz
-                    .SevenZMethod.LZMA, lzOpts)
+            def cfgOf(m: org.apache.commons.compress.archivers.sevenz
+                .SevenZMethod) =
+              new org.apache.commons.compress.archivers.sevenz
+                .SevenZMethodConfiguration(m,
+                  if (m == org.apache.commons.compress.archivers.sevenz
+                    .SevenZMethod.LZMA2 ||
+                    m == org.apache.commons.compress.archivers.sevenz
+                      .SevenZMethod.LZMA) lzOpts else null)
+            import org.apache.commons.compress.archivers.sevenz.SevenZMethod._
+            val cfgs = (aid % 5) match {
+              case 0 => Seq(cfgOf(LZMA2))
+              case 1 => Seq(cfgOf(COPY))
+              case 2 => Seq(cfgOf(LZMA))
+              // the default-for-executables chains: filter, then coder
+              case 3 => Seq(cfgOf(BCJ_X86_FILTER), cfgOf(LZMA2))
+              case _ => Seq(cfgOf(DELTA_FILTER), cfgOf(LZMA2))
             }
-            z.setContentMethods(java.util.Collections.singletonList(cfg))
+            z.setContentMethods(java.util.Arrays.asList(cfgs: _*))
             it.toSeq.sortBy(_._1).foreach { case (id, text) =>
               val e = new org.apache.commons.compress.archivers.sevenz
                 .SevenZArchiveEntry()

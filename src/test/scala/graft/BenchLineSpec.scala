@@ -42,7 +42,9 @@ class BenchLineSpec extends AnyFunSuite {
     depth == 0 && !inStr
   }
 
-  private val canary = ""","canary":{"pre":1.8421,"post":2.1034}"""
+  private val canary =
+    ""","canary":{"pre":1.8421,"post":2.1034,"band":[2.24,2.5],""" +
+      """"pre_attempts":1},"drift":false,"total_normalized":90.5997"""
 
   test("summary line survives a 2,000-char log tail with sbt epilogue") {
     val summary =
@@ -68,7 +70,10 @@ class BenchLineSpec extends AnyFunSuite {
     assert(lastJson.contains("\"metric\":\"total\""))
     assert(lastJson.contains("\"value\":90.5997"))
     assert(lastJson.contains("\"tick\":{"))
-    assert(lastJson.contains("\"canary\":{\"pre\":1.8421,\"post\":2.1034}"))
+    assert(lastJson.contains("\"canary\":{\"pre\":1.8421,\"post\":2.1034"))
+    // the drift adjudication fields must survive the scrape too
+    assert(lastJson.contains("\"drift\":false"))
+    assert(lastJson.contains("\"total_normalized\":90.5997"))
     assert(lastJson.contains("\"queries_file\":\"target/bench.json\""))
   }
 

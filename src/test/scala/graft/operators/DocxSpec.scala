@@ -33,7 +33,7 @@ class DocxSpec extends AnyFunSuite {
 
   test("named rejections: bad zip, missing part, malformed xml, non-utf8") {
     assert(Docx.extract("not a zip".getBytes("UTF-8")) ==
-      Left(Docx.Rejected("zip_invalid")))
+      Left(Docx.Rejected("not_a_container")))
     val noDoc = ZipArchive.write(
       Seq(ZipArchive.ZipMember("word/other.xml", "<a/>".getBytes("UTF-8"))),
       _ => false)

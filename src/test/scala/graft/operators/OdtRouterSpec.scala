@@ -22,7 +22,7 @@ class OdtRouterSpec extends AnyFunSuite {
   }
 
   test("odt named rejections") {
-    assert(Odt.extract("x".getBytes) == Left(Odt.Rejected("zip_invalid")))
+    assert(Odt.extract("x".getBytes) == Left(Odt.Rejected("not_a_container")))
     val wrongMime = ZipArchive.write(Seq(
       ZipArchive.ZipMember("mimetype", "text/plain".getBytes),
       ZipArchive.ZipMember("content.xml", "<a/>".getBytes)), _ => false)

@@ -29,7 +29,7 @@ class PptxSpec extends AnyFunSuite {
   }
 
   test("named rejections: zip, slides, xml") {
-    assert(Pptx.extract("x".getBytes) == Left(Pptx.Rejected("zip_invalid")))
+    assert(Pptx.extract("x".getBytes) == Left(Pptx.Rejected("not_a_container")))
     val noSlides = ZipArchive.write(Seq(
       ZipArchive.ZipMember("ppt/presentation.xml", "<p/>".getBytes)),
       _ => false)

@@ -71,19 +71,85 @@ class SevenZipSpec extends AnyFunSuite {
     }
   }
 
-  test("coder chains and unsupported codecs reject by name") {
+  test("BCJ/delta + LZMA2 coder chains decode byte-exact") {
+    val filters = Seq(
+      SevenZMethod.BCJ_X86_FILTER -> "bcj_x86",
+      SevenZMethod.BCJ_ARM_FILTER -> "bcj_arm",
+      SevenZMethod.BCJ_ARM_THUMB_FILTER -> "bcj_armt",
+      SevenZMethod.BCJ_PPC_FILTER -> "bcj_ppc",
+      SevenZMethod.BCJ_SPARC_FILTER -> "bcj_sparc",
+      SevenZMethod.BCJ_IA64_FILTER -> "bcj_ia64",
+      SevenZMethod.DELTA_FILTER -> "delta")
+    for ((f, name) <- filters) {
+      // executable-shaped payload: dense relative-branch opcodes so
+      // the filter actually rewrites bytes (a no-op transform would
+      // hide a broken chain)
+      val body = lcg(30000, 11).zipWithIndex.map { case (b, i) =>
+        if (i % 5 == 0) 0xE8.toByte else b
+      }
+      val entries = Seq("prog.bin" -> body,
+        "t.txt" -> ("chain body " * 50).getBytes("UTF-8"))
+      val blob = write7z(entries, methods = Seq(f, SevenZMethod.LZMA2))
+      SevenZip.parse(blob) match {
+        case Right(p) =>
+          assert(p.codecs.contains("lzma2") && p.codecs.contains(name),
+            s"$name codecs=${p.codecs}")
+          val byName = p.members.map(m => m.name -> m.body).toMap
+          entries.foreach { case (n, b) =>
+            assert(byName(n).sameElements(b), s"$name/$n")
+          }
+        case Left(r) => fail(s"$name chain rejected: $r")
+      }
+    }
+  }
+
+  test("reversed chains, long chains, unsupported codecs reject by name") {
     val entries = Seq("x.bin" -> lcg(3000, 5))
-    val delta = write7z(entries,
-      methods = Seq(SevenZMethod.DELTA_FILTER, SevenZMethod.LZMA2))
-    assert(SevenZip.parse(delta) == Left("coder_chain_unsupported"))
-    val bcj = write7z(entries,
-      methods = Seq(SevenZMethod.BCJ_X86_FILTER, SevenZMethod.LZMA2))
-    assert(SevenZip.parse(bcj) == Left("coder_chain_unsupported"))
+    // compressor-then-filter: the shape no real writer produces — the
+    // packed stream would feed the FILTER first
+    val reversed = write7z(entries,
+      methods = Seq(SevenZMethod.LZMA2, SevenZMethod.BCJ_X86_FILTER))
+    assert(SevenZip.parse(reversed) == Left("coder_chain_order_unsupported"))
+    // three coders stays out of scope by name
+    val long = write7z(entries, methods = Seq(SevenZMethod.DELTA_FILTER,
+      SevenZMethod.BCJ_X86_FILTER, SevenZMethod.LZMA2))
+    assert(SevenZip.parse(long) == Left("coder_chain_unsupported"))
     val bz = write7z(entries, methods = Seq(SevenZMethod.BZIP2))
     assert(SevenZip.parse(bz) match {
       case Left(r) => r.startsWith("codec_unsupported_")
       case _ => false
     })
+  }
+
+  test("unknown filter id in a chain rejects by name") {
+    // patch the x86 filter's coder id (03 03 01 03) to a nonexistent
+    // one and re-seal both header CRCs — the reader must name the id,
+    // not guess a transform
+    val blob = write7z(Seq("x.bin" -> lcg(2000, 13)),
+      methods = Seq(SevenZMethod.BCJ_X86_FILTER, SevenZMethod.LZMA2))
+    def le64(b: Array[Byte], p: Int): Long =
+      (0 until 8).map(k => (b(p + k) & 0xffL) << (8 * k)).reduce(_ | _)
+    val hStart = (32 + le64(blob, 12)).toInt
+    val hLen = le64(blob, 20).toInt
+    val mut = blob.clone()
+    var patched = false
+    var i = hStart
+    while (i < hStart + hLen - 4 && !patched) {
+      if (mut(i) == 0x03 && mut(i + 1) == 0x03 && mut(i + 2) == 0x01 &&
+        mut(i + 3) == 0x03) {
+        mut(i + 2) = 0x09
+        patched = true
+      }
+      i += 1
+    }
+    assert(patched, "filter id not found in plain header")
+    val c = new java.util.zip.CRC32()
+    c.update(mut, hStart, hLen)
+    for (k <- 0 until 4) mut(28 + k) = ((c.getValue >> (8 * k)) & 0xff).toByte
+    val sc = new java.util.zip.CRC32()
+    sc.update(mut, 12, 20)
+    for (k <- 0 until 4) mut(8 + k) = ((sc.getValue >> (8 * k)) & 0xff).toByte
+    assert(SevenZip.parse(mut) == Left("codec_unsupported_03030903"))
   }
 
   test("hostile archives reject with named reasons") {

@@ -25,13 +25,13 @@ class XlsxEpubSpec extends AnyFunSuite {
   }
 
   test("xlsx named rejections: zip, workbook, shared index, xml") {
-    assert(Xlsx.extract("nope".getBytes) == Left(Xlsx.Rejected("zip_invalid")))
+    assert(Xlsx.extract("nope".getBytes) == Left(Xlsx.Rejected("not_a_container")))
     val noWb = ZipArchive.write(Seq(
       ZipArchive.ZipMember("xl/other.xml", "<a/>".getBytes)), _ => false)
     assert(Xlsx.extract(noWb) == Left(Xlsx.Rejected("missing_workbook")))
     // out-of-range shared-string reference
     val blob = Xlsx.write(Seq("h"), Seq(Seq(1L)))
-    val members = ZipArchive.parse(blob).get.map { m =>
+    val members = ZipArchive.parse(blob).toOption.get.map { m =>
       if (m.name == "xl/worksheets/sheet1.xml")
         m.copy(body = new String(m.body, "UTF-8")
           .replace("""t="s"><v>0</v>""", """t="s"><v>9</v>""")
@@ -41,7 +41,7 @@ class XlsxEpubSpec extends AnyFunSuite {
     assert(Xlsx.extract(ZipArchive.write(members, _ => false)) ==
       Left(Xlsx.Rejected("shared_string_out_of_range")))
     // malformed worksheet xml
-    val badXml = ZipArchive.parse(blob).get.map { m =>
+    val badXml = ZipArchive.parse(blob).toOption.get.map { m =>
       if (m.name == "xl/worksheets/sheet1.xml")
         m.copy(body = "<worksheet><sheetData>".getBytes("UTF-8"))
       else m
@@ -74,9 +74,9 @@ class XlsxEpubSpec extends AnyFunSuite {
   }
 
   test("epub named rejections: mimetype, container, spine, chapter") {
-    assert(Epub.extract("zzz".getBytes) == Left(Epub.Rejected("zip_invalid")))
+    assert(Epub.extract("zzz".getBytes) == Left(Epub.Rejected("not_a_container")))
     val good = Epub.write("t", "en", Seq(Seq("p")))
-    val members = ZipArchive.parse(good).get
+    val members = ZipArchive.parse(good).toOption.get
     // wrong mimetype content
     val badMime = members.map(m =>
       if (m.name == "mimetype") m.copy(body = "text/plain".getBytes) else m)
