@@ -8100,32 +8100,40 @@ object LlmQueries {
           .toDF("doc_id", "n_slides", "n_notes", "n_chars", "text_md5")
     },
 
-    // OFFICE ROUTER CAPSTONE — the dispatch a real ingest runs on a
-    // mixed blob column: formats rotate by id (docx / xlsx / pptx /
-    // epub / odt / a plain unroutable zip), detection reads the
-    // CONTAINER's own declarations ([Content_Types].xml main parts,
-    // OCF mimetype, CFB magic + directory-entry names) — never a file
-    // extension — and extraction reuses the format operators verbatim
-    // under ONE oracle (format, fate, natural unit count,
-    // extracted-text md5 per format's rules: DOCX field-code
-    // paragraph, XLSX string table, PPTX slides, EPUB spine order,
-    // ODT footnote exclusion, legacy .doc piece table). Legacy
-    // .xls and unrecognized compound files land in the named
-    // ole2_xls / ole2_unknown fates.
+    // INGEST ROUTER CAPSTONE — the dispatch a real ingest runs on a
+    // mixed blob column: SIXTEEN format regimes rotate by id (docx /
+    // xlsx / pptx / epub / odt / a plain unroutable zip / doc / xls /
+    // an unknown compound file / ppt / 7z / rar4+rar5 / sqlite /
+    // avro / orc / tar.Z), detection reads each CONTAINER's own
+    // magic and declarations — never a file extension — through
+    // operators/IngestRouter, which routes to the owning parser and
+    // surfaces its named fate unchanged. This is the seam that keeps
+    // the container parsers reachable from the GENERIC census, not
+    // only their dedicated queries: the .tar.Z regime decodes the
+    // compress wrapper then walks the inner tar; rar alternates both
+    // generations; 7z/sqlite/avro/orc land in their census parsers.
+    // One oracle replays format, fate, natural unit count, and the
+    // extracted-text md5 per format's rules.
     OpQuery.sql(
       "q258_office_router",
       """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
-        |r AS (SELECT id, text, id % 10 AS m FROM f)
+        |r AS (SELECT id, text, id % 16 AS m FROM f)
         |SELECT id AS doc_id,
         |  CASE m WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx' WHEN 2 THEN 'pptx'
         |         WHEN 3 THEN 'epub' WHEN 4 THEN 'odt'
         |         WHEN 6 THEN 'doc' WHEN 7 THEN 'xls'
-        |         WHEN 9 THEN 'ppt' END AS format,
+        |         WHEN 9 THEN 'ppt' WHEN 10 THEN '7z'
+        |         WHEN 11 THEN (CASE WHEN id % 32 = 11 THEN 'rar4'
+        |                            ELSE 'rar5' END)
+        |         WHEN 12 THEN 'sqlite' WHEN 13 THEN 'avro'
+        |         WHEN 14 THEN 'orc' WHEN 15 THEN 'tar.Z' END AS format,
         |  CASE m WHEN 5 THEN 'unrouted_zip'
         |         WHEN 8 THEN 'ole2_unknown' ELSE 'routed' END AS fate,
         |  CAST(CASE m WHEN 0 THEN 3 WHEN 1 THEN 4 WHEN 2 THEN 1
         |         WHEN 3 THEN 1 WHEN 4 THEN 1 WHEN 6 THEN 2
-        |         WHEN 7 THEN 2 WHEN 9 THEN 1 END AS BIGINT)
+        |         WHEN 7 THEN 2 WHEN 9 THEN 1 WHEN 10 THEN 1
+        |         WHEN 11 THEN 1 WHEN 12 THEN 1 WHEN 13 THEN 1
+        |         WHEN 14 THEN 1 WHEN 15 THEN 1 END AS BIGINT)
         |    AS n_units,
         |  CASE m WHEN 0 THEN md5(chr(10) || text || chr(10) || 'tail '
         |           || CAST(id AS VARCHAR))
@@ -8137,15 +8145,55 @@ object LlmQueries {
         |           || CAST(id AS VARCHAR) || chr(10))
         |         WHEN 7 THEN md5(text || chr(10) || 'cell '
         |           || CAST(id AS VARCHAR))
-        |         WHEN 9 THEN md5('slide ' || text) END AS text_md5
+        |         WHEN 9 THEN md5('slide ' || text)
+        |         WHEN 10 THEN md5(text)
+        |         WHEN 11 THEN md5(text)
+        |         WHEN 12 THEN
+        |           md5('CREATE TABLE docs (id INTEGER PRIMARY KEY, body TEXT)')
+        |         WHEN 13 THEN md5('codec=null records=1')
+        |         WHEN 14 THEN md5('id,body')
+        |         WHEN 15 THEN md5(text) END AS text_md5
         |FROM r""".stripMargin) {
       (s, dir) =>
         import s.implicits._
         load(s, dir, "documents")
           .select(col("doc_id").cast("long"), col("text"))
           .as[(Long, String)]
-          .mapPartitions(_.map { case (id, text) =>
-            val blob = (id % 10) match {
+          .mapPartitions { it =>
+            // the ORC regime's blob is id-independent: memoize the
+            // (temp-file-writing) orc-core invocation per partition
+            lazy val orcBlob: Array[Byte] = {
+              import org.apache.orc.{CompressionKind, OrcFile, TypeDescription}
+              val f = java.io.File.createTempFile("graft_orc_router", ".orc")
+              f.delete()
+              val conf = new org.apache.hadoop.conf.Configuration()
+              val schema = TypeDescription.fromString(
+                "struct<id:bigint,body:string>")
+              val writer = OrcFile.createWriter(
+                new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+                OrcFile.writerOptions(conf).setSchema(schema)
+                  .compress(CompressionKind.NONE))
+              val batch = schema.createRowBatch()
+              batch.cols(0).asInstanceOf[
+                org.apache.hadoop.hive.ql.exec.vector.LongColumnVector]
+                .vector(0) = 1L
+              batch.cols(1).asInstanceOf[
+                org.apache.hadoop.hive.ql.exec.vector.BytesColumnVector]
+                .setVal(0, "orc row".getBytes("UTF-8"))
+              batch.size = 1
+              writer.addRowBatch(batch)
+              writer.close()
+              val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+              f.delete()
+              new java.io.File(f.getParentFile,
+                "." + f.getName + ".crc").delete()
+              bytes
+            }
+            lazy val avroSchema = new org.apache.avro.Schema.Parser().parse(
+              """{"type":"record","name":"doc","fields":[""" +
+                """{"name":"body","type":"string"}]}""")
+            it.map { case (id, text) =>
+            val blob = (id % 16) match {
               case 0 => graft.operators.Docx.write(Seq(text, s"tail $id"))
               case 1 => graft.operators.Xlsx.write(Seq(text, "col 1"),
                 Seq(Seq(id, id + 1)))
@@ -8159,11 +8207,51 @@ object LlmQueries {
               case 8 => graft.operators.Cfb.write(Seq(
                 "Contents" -> Array.fill[Byte](64)((id % 127).toByte)))
               case 9 => graft.operators.Ppt.write(Seq(s"slide $text"))
+              case 10 =>
+                val ch = new org.apache.commons.compress.utils
+                  .SeekableInMemoryByteChannel()
+                val z = new org.apache.commons.compress.archivers.sevenz
+                  .SevenZOutputFile(ch)
+                z.setContentMethods(java.util.Collections.singletonList(
+                  new org.apache.commons.compress.archivers.sevenz
+                    .SevenZMethodConfiguration(
+                      org.apache.commons.compress.archivers.sevenz
+                        .SevenZMethod.COPY)))
+                val e = new org.apache.commons.compress.archivers.sevenz
+                  .SevenZArchiveEntry()
+                e.setName("doc.txt")
+                z.putArchiveEntry(e)
+                z.write(text.getBytes("UTF-8"))
+                z.closeArchiveEntry()
+                z.close()
+                java.util.Arrays.copyOf(ch.array(), ch.size().toInt)
+              case 11 =>
+                val entry = Seq(graft.operators.Rar.Entry("doc.txt",
+                  text.getBytes("UTF-8")))
+                if (id % 32 == 11) graft.operators.Rar.write4(entry)
+                else graft.operators.Rar.write5(entry)
+              case 12 => graft.operators.Sqlite.write(Seq("docs" -> Seq(text)))
+              case 13 =>
+                val writer = new org.apache.avro.file.DataFileWriter(
+                  new org.apache.avro.generic.GenericDatumWriter[
+                    org.apache.avro.generic.GenericRecord](avroSchema))
+                val bos = new java.io.ByteArrayOutputStream()
+                writer.create(avroSchema, bos)
+                val rec = new org.apache.avro.generic.GenericData
+                  .Record(avroSchema)
+                rec.put("body", text)
+                writer.append(rec)
+                writer.close()
+                bos.toByteArray
+              case 14 => orcBlob
+              case 15 => graft.operators.UnixCompress.encode(
+                graft.operators.Tar.write(Seq(graft.operators.Tar.TarMember(
+                  "doc.txt", text.getBytes("UTF-8")))))
               case _ => graft.operators.ZipArchive.write(Seq(
                 graft.operators.ZipArchive.ZipMember("readme.txt",
                   text.getBytes("UTF-8"))), _ => true)
             }
-            graft.operators.OfficeRouter.route(blob) match {
+            graft.operators.IngestRouter.route(blob) match {
               case Left(r) =>
                 (id, None: Option[String], r.reason, None: Option[Long],
                   None: Option[String])
@@ -8173,7 +8261,7 @@ object LlmQueries {
                     .digest(routed.text.getBytes("UTF-8"))
                     .map("%02x".format(_)).mkString))
             }
-          })
+          } }
           .toDF("doc_id", "format", "fate", "n_units", "text_md5")
     },
 
@@ -8954,6 +9042,93 @@ object LlmQueries {
           }
           .toDF("doc_id", "fate", "compression", "n_rows", "n_stripes",
             "n_types", "root_fields")
+    },
+
+    // RAR ARCHIVE CENSUS — the last common wild archive family with no
+    // named handling (both generations). The decode algorithms are not
+    // public, so this is the honest-census mold (q253/q262):
+    // operators/Rar walks RAR4 blocks (16-bit truncated header CRCs)
+    // and RAR5 vint blocks (full CRC over size-field..extra-area),
+    // counts names/sizes/methods/dirs, extracts STORED members
+    // CRC-verified, censuses compressed members by method name, and
+    // rejects encryption/truncation by name. Fixtures come from the
+    // spec-faithful writers that the REAL reader (libarchive bsdtar)
+    // lists and extracts in RarSpec; generation alternates per
+    // archive, with planted truncation, encryption, and
+    // compressed-member regimes. The oracle replays every census
+    // number and the stored-body concat md5 in closed form.
+    OpQuery.sql(
+      "q272_rar_census",
+      """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+        |g AS (SELECT id, text, CAST(id // 4 AS BIGINT) AS aid FROM f),
+        |agg AS (SELECT aid,
+        |    CAST(count(*) AS BIGINT) AS n_files,
+        |    CAST(sum(octet_length(encode(text))) AS BIGINT) AS unp,
+        |    md5(string_agg(CASE WHEN aid % 19 = 7 AND id % 4 = 1
+        |      THEN NULL ELSE text END, '' ORDER BY id)) AS smd5,
+        |    CAST(sum(CASE WHEN aid % 19 = 7 AND id % 4 = 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ncomp
+        |  FROM g GROUP BY aid)
+        |SELECT aid AS archive_id,
+        |  CAST(CASE WHEN aid % 2 = 0 THEN 4 ELSE 5 END AS INTEGER)
+        |    AS generation,
+        |  CASE WHEN aid % 19 = 3 THEN 'rar_truncated'
+        |       WHEN aid % 19 = 11 THEN 'rar_encrypted'
+        |       ELSE 'ok' END AS fate,
+        |  CAST(CASE WHEN aid % 19 IN (3, 11) THEN NULL
+        |       ELSE n_files + 1 END AS BIGINT) AS n_members,
+        |  CAST(CASE WHEN aid % 19 IN (3, 11) THEN NULL
+        |       ELSE 1 END AS BIGINT) AS n_dirs,
+        |  CAST(CASE WHEN aid % 19 IN (3, 11) THEN NULL
+        |       ELSE n_files - ncomp END AS BIGINT) AS n_stored,
+        |  CAST(CASE WHEN aid % 19 IN (3, 11) THEN NULL
+        |       ELSE ncomp END AS BIGINT) AS n_compressed,
+        |  CAST(CASE WHEN aid % 19 IN (3, 11) THEN NULL
+        |       ELSE unp END AS BIGINT) AS total_unpacked,
+        |  CASE WHEN aid % 19 IN (3, 11) THEN NULL
+        |       ELSE smd5 END AS stored_md5
+        |FROM agg""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)]
+          .groupByKey(_._1 / 4)
+          .mapGroups { (aid, it) =>
+            val docs = it.toSeq.sortBy(_._1)
+            val entries = docs.map { case (id, text) =>
+              graft.operators.Rar.Entry(s"doc-$id.txt",
+                Option(text).getOrElse("").getBytes("UTF-8"),
+                markCompressed = aid % 19 == 7 && id % 4 == 1)
+            }
+            val dirs = Seq(s"dir-$aid")
+            val enc = aid % 19 == 11
+            val blob0 =
+              if (aid % 2 == 0) graft.operators.Rar.write4(entries, dirs, enc)
+              else graft.operators.Rar.write5(entries, dirs, enc)
+            val blob =
+              if (aid % 19 == 3)
+                java.util.Arrays.copyOf(blob0, blob0.length - 11)
+              else blob0
+            val gen = if (aid % 2 == 0) 4 else 5
+            graft.operators.Rar.parse(blob) match {
+              case Left(reason) =>
+                (aid, gen, reason, None: Option[Long], None: Option[Long],
+                  None: Option[Long], None: Option[Long],
+                  None: Option[Long], None: Option[String])
+              case Right(p) =>
+                val stored = p.members.flatMap(_.body)
+                val md = java.security.MessageDigest.getInstance("MD5")
+                stored.foreach(md.update)
+                (aid, p.generation, "ok",
+                  Some(p.members.length.toLong), Some(p.nDirs.toLong),
+                  Some(p.nStored.toLong), Some(p.nCompressed.toLong),
+                  Some(p.members.map(_.unpackedSize).sum),
+                  Some(md.digest().map("%02x".format(_)).mkString))
+            }
+          }
+          .toDF("archive_id", "generation", "fate", "n_members", "n_dirs",
+            "n_stored", "n_compressed", "total_unpacked", "stored_md5")
     }
   )
 
