@@ -161,7 +161,11 @@ object OrcFooter {
                   out.write(f.content))
               case Left(r) => bail(s"orc_zstd_${r.reason}")
             }
-          case 3 => bail("orc_compression_unsupported_lzo")
+          case 3 => // LZO1X raw block
+            Lzo.rawDecode(data, i, len, maxOut - out.size()) match {
+              case Right(d) => out.write(d)
+              case Left(r) => bail(s"orc_$r")
+            }
           case k => bail(s"orc_compression_unsupported_$k")
         }
         i += len

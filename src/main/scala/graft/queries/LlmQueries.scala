@@ -8958,8 +8958,9 @@ object LlmQueries {
 
     // ORC TAIL CENSUS — the third of the data-lake trio:
     // operators/OrcFooter walks postscript (uncompressed protobuf) →
-    // footer (protobuf under ORC's 3-byte chunk framing, ZLIB/SNAPPY/
-    // ZSTD/LZ4 through the engine's own decoders) for stripe
+    // footer (protobuf under ORC's 3-byte chunk framing, ZLIB through
+    // the JDK Inflater, SNAPPY/ZSTD/LZ4/LZO through the engine's own
+    // decoders — all SIX orc compressions now decode) for stripe
     // directories, type trees, and row counts. Fixtures from the REAL
     // orc-core writer on the classpath (the implementation Spark
     // embeds), memoized per (rows, compression) regime so the bench
@@ -8968,9 +8969,9 @@ object LlmQueries {
       "q271_orc_census",
       """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
         |r AS (SELECT id, 1 + id % 7 AS n, id % 23 = 4 AS bad,
-        |    CASE id % 5 WHEN 0 THEN 'none' WHEN 1 THEN 'zlib'
+        |    CASE id % 6 WHEN 0 THEN 'none' WHEN 1 THEN 'zlib'
         |         WHEN 2 THEN 'snappy' WHEN 3 THEN 'zstd'
-        |         ELSE 'lz4' END AS compress FROM f)
+        |         WHEN 4 THEN 'lz4' ELSE 'lzo' END AS compress FROM f)
         |SELECT id AS doc_id,
         |  CASE WHEN bad THEN 'truncated_orc' ELSE 'ok' END AS fate,
         |  CASE WHEN NOT bad THEN compress END AS compression,
@@ -9023,7 +9024,7 @@ object LlmQueries {
             it.map { id =>
               val n = (1 + id % 7).toInt
               val compress = Seq("none", "zlib", "snappy", "zstd",
-                "lz4")((id % 5).toInt)
+                "lz4", "lzo")((id % 6).toInt)
               val blob0 = fixture(n, compress)
               val blob =
                 if (id % 23 == 4) java.util.Arrays.copyOf(blob0, 10)

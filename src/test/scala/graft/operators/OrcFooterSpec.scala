@@ -49,7 +49,7 @@ class OrcFooterSpec extends AnyFunSuite {
 
   test("real orc-core files census exactly across compressions") {
     for {
-      compress <- Seq("NONE", "ZLIB", "SNAPPY", "ZSTD", "LZ4")
+      compress <- Seq("NONE", "ZLIB", "SNAPPY", "ZSTD", "LZ4", "LZO")
       n <- Seq(0, 5, 1000)
     } {
       val blob = realOrc(n, compress)
