@@ -125,8 +125,8 @@ object IngestRouter {
       }
     else if (looksLikeTar(blob))
       Tar.parse(blob) match {
-        case None => Left(Rejected("tar_invalid"))
-        case Some(ms) =>
+        case Left(r) => Left(Rejected(r.reason))
+        case Right(ms) =>
           utf8All(ms.map(_.body)).map(texts =>
             Routed("tar", texts.mkString("\n"), ms.length.toLong))
       }

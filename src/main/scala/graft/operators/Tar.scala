@@ -6,14 +6,19 @@ package graft.operators
   * and a spaces-substituted checksum, file data padded to block
   * boundaries, archive terminated by two zero blocks.
   *
-  * Reject-don't-guess: a bad magic, checksum mismatch, malformed octal
-  * field, truncated data, missing terminator, or an unsupported entry
-  * type (only regular files — '0' or NUL) parses the WHOLE archive to
-  * None. Total declared bytes capped at 1 << 26 before any allocation.
+  * Reject-don't-guess with NAMED fates (house `Either`, the same
+  * round-15 upgrade [[ZipArchive]] got): a bad magic, checksum
+  * mismatch, malformed octal field, truncated data, missing
+  * terminator, or an unsupported entry type (only regular files —
+  * '0' or NUL) quarantines the WHOLE archive under its reason. Total
+  * declared bytes capped at 1 << 26 before any allocation
+  * (`tar_bomb`).
   */
 object Tar {
 
   final case class TarMember(name: String, body: Array[Byte])
+
+  final case class Rejected(reason: String)
 
   private val Block = 512
   private val MaxTotalBytes = 1L << 26
@@ -79,50 +84,64 @@ object Tar {
     out.toByteArray
   }
 
-  /** Parse a whole archive, or None on ANY violation. */
-  def parse(blob: Array[Byte]): Option[Seq[TarMember]] = {
-    if (blob.length % Block != 0) return None
+  /** Parse a whole archive, or a NAMED rejection on ANY violation. */
+  def parse(blob: Array[Byte]): Either[Rejected, Seq[TarMember]] = {
+    def no(reason: String) = Left(Rejected(reason))
+    if (blob.length % Block != 0) return no("tar_not_block_aligned")
     val out = Seq.newBuilder[TarMember]
     var i = 0
     var total = 0L
     var n = 0
     var terminated = false
     while (!terminated) {
-      if (i + Block > blob.length) return None
+      if (i + Block > blob.length) return no("tar_truncated")
       val hdr = java.util.Arrays.copyOfRange(blob, i, i + Block)
       if (hdr.forall(_ == 0)) {
         // first zero block: require a second, and nothing but zeros after
-        if (i + 2 * Block > blob.length) return None
+        if (i + 2 * Block > blob.length) return no("tar_truncated")
         var j = i + Block
-        while (j < blob.length) { if (blob(j) != 0) return None; j += 1 }
+        while (j < blob.length) {
+          if (blob(j) != 0) return no("tar_trailing_garbage")
+          j += 1
+        }
         terminated = true
       } else {
         val magic = new String(hdr, 257, 5, "US-ASCII")
-        if (magic != "ustar") return None
-        val declared = parseOctal(hdr, 148, 8).getOrElse(return None)
-        if (headerChecksum(hdr) != declared) return None
-        if (hdr(156) != '0' && hdr(156) != 0) return None // regular files only
-        val size = parseOctal(hdr, 124, 12).getOrElse(return None)
+        if (magic != "ustar") return no("tar_bad_magic")
+        val declared = parseOctal(hdr, 148, 8) match {
+          case Some(v) => v
+          case None => return no("tar_bad_octal")
+        }
+        if (headerChecksum(hdr) != declared) return no("tar_bad_checksum")
+        if (hdr(156) != '0' && hdr(156) != 0)
+          return no("tar_entry_type_unsupported") // regular files only
+        val size = parseOctal(hdr, 124, 12) match {
+          case Some(v) => v
+          case None => return no("tar_bad_octal")
+        }
         total += size
-        if (total > MaxTotalBytes) return None
+        if (total > MaxTotalBytes) return no("tar_bomb")
         var nameLen = 0
         while (nameLen < 100 && hdr(nameLen) != 0) nameLen += 1
-        if (nameLen == 0) return None
+        if (nameLen == 0) return no("tar_bad_name")
         val name = new String(hdr, 0, nameLen, "UTF-8")
         val dataStart = i + Block
         val padded = ((size + Block - 1) / Block * Block).toInt
-        if (dataStart + padded > blob.length) return None
+        if (dataStart + padded > blob.length) return no("tar_truncated")
         // padding after the data must be zeros (a smuggled byte there
         // is corruption, not slack)
         var j = dataStart + size.toInt
-        while (j < dataStart + padded) { if (blob(j) != 0) return None; j += 1 }
+        while (j < dataStart + padded) {
+          if (blob(j) != 0) return no("tar_bad_padding")
+          j += 1
+        }
         out += TarMember(name,
           java.util.Arrays.copyOfRange(blob, dataStart, dataStart + size.toInt))
         n += 1
         i = dataStart + padded
       }
     }
-    if (n == 0) None else Some(out.result())
+    if (n == 0) no("tar_empty") else Right(out.result())
   }
 
   /** TAR fixture corpus: every 5 consecutive documents become one
@@ -149,9 +168,9 @@ object Tar {
     import media.sparkSession.implicits._
     media.flatMap { row =>
       parse(row.payload) match {
-        case Some(ms) =>
+        case Right(ms) =>
           ms.map(m => (row.media_id, m.name, m.body.length.toLong, m.body))
-        case None => Seq.empty
+        case Left(_) => Seq.empty
       }
     }.toDF("archive_id", "name", "n_bytes", "body")
   }
