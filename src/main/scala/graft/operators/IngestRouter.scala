@@ -17,9 +17,10 @@ package graft.operators
   *   - ORC magic               → [[OrcFooter]]  (tail census)
   *   - parquet magic           → [[ParquetFooter]] (footer census)
   *   - ustar magic at 257      → [[Tar]]        (members)
-  *   - compress/gzip/xz/bz2    → decode ONE layer, re-route the inner
-  *     blob (`tar.Z`, `tar.gz`, `tar.xz`, `tar.bz2`, ... — depth 1,
-  *     a wrapper-of-wrapper rejects as `nested_wrapper`)
+  *   - compress/gzip/xz/bz2/zstd/lz4-frame → decode ONE layer,
+  *     re-route the inner blob (`tar.Z`, `tar.gz`, `tar.xz`,
+  *     `tar.bz2`, `tar.zst`, `tar.lz4`, ... — depth 1, a
+  *     wrapper-of-wrapper rejects as `nested_wrapper`)
   *   - zip / CFB / otherwise   → [[OfficeRouter]] (office family,
   *     `unrouted_zip`, `ole2_unknown`, `zip_*`, `not_a_container`)
   *
@@ -73,6 +74,16 @@ object IngestRouter {
       Some(("xz", () => Xz.decode(b).left.map(_.reason)))
     else if (b.length >= 3 && b(0) == 'B' && b(1) == 'Z' && b(2) == 'h')
       Some(("bz2", () => Bzip2.decode(b).left.map(_.reason)))
+    else if (b.length >= 4 && (b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
+      (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd)
+      Some(("zst", () => Zstd.decode(b).map { frames =>
+        val out = new java.io.ByteArrayOutputStream()
+        frames.filterNot(_.skippable).foreach(f => out.write(f.content))
+        out.toByteArray
+      }.left.map(_.reason)))
+    else if (b.length >= 4 && (b(0) & 0xff) == 0x04 && (b(1) & 0xff) == 0x22 &&
+      (b(2) & 0xff) == 0x4d && (b(3) & 0xff) == 0x18)
+      Some(("lz4", () => Lz4.decode(b).left.map(_.reason)))
     else None
 
   def route(blob: Array[Byte], maxOut: Int = 1 << 26)

@@ -171,8 +171,14 @@ object ZipArchive {
       case Some(s) => s
       case None =>
         if (utf8Flag) bail("zip_name_bad_utf8")
-        // pre-Unicode writers: IBM437 per APPNOTE (total, never fails)
-        new String(b, off, len, java.nio.charset.Charset.forName("IBM437"))
+        // pre-Unicode writers: IBM437 per APPNOTE (total, never fails);
+        // latin-1 stands in on a JRE without the extended charsets —
+        // still total and deterministic
+        val cs =
+          if (java.nio.charset.Charset.isSupported("IBM437"))
+            java.nio.charset.Charset.forName("IBM437")
+          else java.nio.charset.StandardCharsets.ISO_8859_1
+        new String(b, off, len, cs)
     }
 
   /** Resolve 0xFFFFFFFF/0xFFFF sentinels through the 0x0001 zip64

@@ -21,6 +21,11 @@ class IngestRouterSpec extends AnyFunSuite {
       ("tar", tar, "tar", 2L),
       ("tar.Z", UnixCompress.encode(tar), "tar.Z", 2L),
       ("tar.gz", Warc.gzipMember(tar), "tar.gz", 2L),
+      ("tar.zst", {
+        val bos = new java.io.ByteArrayOutputStream()
+        val z = new com.github.luben.zstd.ZstdOutputStream(bos)
+        z.write(tar); z.close(); bos.toByteArray
+      }, "tar.zst", 2L),
       ("zip(docx)", Docx.write(Seq(text)), "docx", 2L))
     cases.foreach { case (label, blob, format, units) =>
       IngestRouter.route(blob) match {
