@@ -41,9 +41,14 @@ object Lzma2 {
     * (lc/lp/pb), dictionary size carried separately, OUTPUT SIZE KNOWN
     * from the folder's unpack size (7z encoders write end-marker-free
     * streams when the size is recorded, which it always is). One
-    * whole-stream chunk over the same range decoder as LZMA2. */
+    * whole-stream chunk over the same range decoder as LZMA2.
+    *
+    * `eos = true` is the ZIP method-14 shape (APPNOTE 5.8 / liblzma
+    * raw LZMA1): the stream ends with the 0xFFFFFFFF END MARKER after
+    * exactly `outLen` bytes, followed only by range-coder flush tail. */
   private[operators] def lzma1Decode(src: Array[Byte], off: Int, len: Int,
-      props: Int, outLen: Int, maxOut: Int): Either[String, Array[Byte]] =
+      props: Int, outLen: Int, maxOut: Int, eos: Boolean = false)
+      : Either[String, Array[Byte]] =
     try {
       if (outLen < 0 || outLen > maxOut) bail("lzma_bomb")
       if (props > (4 * 5 + 4) * 9 + 8) bail("bad_lzma_props")
@@ -51,10 +56,10 @@ object Lzma2 {
       val lp = (props / 9) % 5
       val pb = props / 45
       val out = new Array[Byte](outLen)
-      if (outLen > 0) {
+      if (outLen > 0 || eos) {
         val p = newProbs(lc, lp)
         lzmaDecode(src, off, len, out, 0, outLen, 0, p, lc, lp, pb,
-          0, 0, 0, 0, 0)
+          0, 0, 0, 0, 0, eos)
       }
       Right(out)
     } catch { case e: Bail => Left(e.reason) }
@@ -160,11 +165,14 @@ object Lzma2 {
     a
   }
 
-  /** Decode one LZMA chunk; returns Array(state, rep0..rep3). */
+  /** Decode one LZMA chunk; returns Array(state, rep0..rep3). With
+    * `eos`, one extra symbol is decoded once the output is full and it
+    * must be the 0xFFFFFFFF end marker (the zip/raw-liblzma shape). */
   private def lzmaDecode(src: Array[Byte], srcOff: Int, srcLen: Int,
       out: Array[Byte], outOff: Int, outLen: Int, dictStart: Int,
       p: Array[Short], lc: Int, lp: Int, pb: Int,
-      state0: Int, r0: Int, r1: Int, r2: Int, r3: Int): Array[Int] = {
+      state0: Int, r0: Int, r1: Int, r2: Int, r3: Int,
+      eos: Boolean = false): Array[Int] = {
     var state = state0
     var rep0 = r0; var rep1 = r1; var rep2 = r2; var rep3 = r3
     val srcEnd = srcOff + srcLen
@@ -249,13 +257,15 @@ object Lzma2 {
     var n = outOff
     val outEnd = outOff + outLen
 
-    while (n < outEnd) {
+    var eosSeen = false
+    while (n < outEnd || (eos && !eosSeen)) {
       // position contexts count bytes SINCE THE DICTIONARY RESET, not
       // absolute output offset (the xz LZDecoder contract)
       val rp = n - dictStart
       val posState = rp & posMask
       if (bit(OffIsMatch + (state << 4) + posState) == 0) {
         // literal
+        if (n >= outEnd) bail("chunk_output_overrun")
         val prevByte = if (n > dictStart) out(n - 1) & 0xff else 0
         val litState =
           ((rp & litPosMask) << lc) + (prevByte >>> (8 - lc))
@@ -302,10 +312,12 @@ object Lzma2 {
               dist += bitTreeReverse(OffAlign, 4)
             }
             if (dist == -1) {
-              // 0xFFFFFFFF end marker: only legal exactly at outEnd
-              bail("unexpected_end_marker")
-            }
-            rep0 = dist
+              // 0xFFFFFFFF end marker: only legal in eos mode with the
+              // output exactly full
+              if (!eos || n != outEnd) bail("unexpected_end_marker")
+              eosSeen = true
+              len = 0 // nothing to copy
+            } else rep0 = dist
           }
           state = if (state < 7) 7 else 10
         } else {
@@ -313,6 +325,7 @@ object Lzma2 {
           if (bit(OffIsRepG0 + state) == 0) {
             if (bit(OffIsRep0Long + (state << 4) + posState) == 0) {
               // short rep: 1 byte at rep0
+              if (n >= outEnd) bail("chunk_output_overrun")
               if (n - rep0 - 1 < dictStart) bail("bad_distance")
               out(n) = out(n - rep0 - 1)
               n += 1
@@ -345,7 +358,12 @@ object Lzma2 {
       }
     }
     // the chunk must consume its input exactly (up to range-coder tail)
-    if (ip != srcEnd) bail("lzma_chunk_size_mismatch")
+    if (eos) {
+      if (!eosSeen) bail("missing_end_marker")
+      // the encoder's flush leaves at most the range coder's look-ahead
+      // unread; anything more is smuggled bytes
+      if (srcEnd - ip > 8) bail("lzma_chunk_size_mismatch")
+    } else if (ip != srcEnd) bail("lzma_chunk_size_mismatch")
     Array(state, rep0, rep1, rep2, rep3)
   }
 }

@@ -3,8 +3,12 @@ package graft.operators
 /** ZIP reader/writer (PKWARE APPNOTE.TXT grammar) — the container
   * crawled corpora and document dumps actually arrive in (e-book
   * bundles, office documents, dataset shards, "download as zip"
-  * endpoints). Stored (method 0) and deflate (method 8) members via
-  * `java.util.zip`, which is the public JDK surface.
+  * endpoints). Member codings: stored (0) and deflate (8) via
+  * `java.util.zip`, bzip2 (12) and LZMA (14, with the APPNOTE 5.8
+  * version/props framing and the flag-bit-1 end-of-stream marker)
+  * through the engine's own [[Bzip2]]/[[Lzma2]] decoders — the
+  * non-deflate methods 7-Zip commonly writes; zstd (93), xz (95),
+  * deflate64 (9) and the rest reject by method id.
   *
   * The reader walks CENTRAL-DIRECTORY-FIRST: the CD always carries the
   * true sizes/CRC even when the member was written by a streaming
@@ -335,7 +339,11 @@ object ZipArchive {
       val localOff0 = u32(blob, p + 42)
       if (p + 46 + nameLen + extraLen + commentLen > cdEnd) bail("zip_bad_cd")
       if ((flags & 0x1) != 0 || (flags & 0x40) != 0) bail("zip_encrypted")
-      if (method != 0 && method != 8) bail(s"zip_method_unsupported_$method")
+      // 0 stored, 8 deflate (JDK), 12 bzip2 and 14 lzma through the
+      // engine's own decoders (7-Zip's common non-deflate zip methods);
+      // 93 zstd / 95 xz / 9 deflate64 / encryption methods reject by id
+      if (method != 0 && method != 8 && method != 12 && method != 14)
+        bail(s"zip_method_unsupported_$method")
       val (usize, csize, localOff, _) = resolveZip64(blob, p + 46 + nameLen,
         extraLen, usize0, csize0, localOff0, diskStart)
       if (diskStart != 0 && diskStart != 0xFFFF) bail("zip_multidisk")
@@ -412,6 +420,26 @@ object ZipArchive {
         if (en.method == 0) {
           if (en.csize != en.usize) bail("zip_size_mismatch")
           raw
+        } else if (en.method == 12) { // bzip2: a complete .bz2 stream
+          Bzip2.decode(raw, us) match {
+            case Right(d) =>
+              if (d.length != us) bail("zip_size_mismatch")
+              d
+            case Left(r) => bail(s"zip_bzip2_${r.reason}")
+          }
+        } else if (en.method == 14) {
+          // zip-LZMA framing (APPNOTE 5.8): version u16, properties
+          // size u16 (5), the 5 LZMA props bytes (lc/lp/pb + dict
+          // size), then the raw LZMA stream; decode exactly usize
+          // bytes (flag bit 1's optional EOS marker may follow)
+          if (raw.length < 9 || u16(raw, 2) != 5) bail("zip_lzma_header")
+          // flag bit 1 declares the end-of-stream marker (what every
+          // real writer sets for method 14)
+          Lzma2.lzma1Decode(raw, 9, raw.length - 9, raw(4) & 0xff,
+            us, us, eos = (en.flags & 0x2) != 0) match {
+            case Right(d) => d
+            case Left(r) => bail(s"zip_lzma_$r")
+          }
         } else {
           val inf = new java.util.zip.Inflater(true)
           inf.setInput(raw)

@@ -173,6 +173,45 @@ class ZipArchiveSpec extends AnyFunSuite {
       Left(ZipArchive.Rejected("zip_no_eocd")))
   }
 
+  test("bzip2 and lzma zip methods decode (CPython zipfile fixtures)") {
+    // the REAL writer for methods 12/14 on this system is CPython's
+    // zipfile (ZIP_BZIP2 / ZIP_LZMA — what 7-Zip also writes); the
+    // SqliteSpec shell-out pattern
+    assume(new java.io.File("/usr/bin/python3").canExecute ||
+      new java.io.File("/root/miniconda/bin/python3").canExecute)
+    val f = java.io.File.createTempFile("graft_zipm", ".zip")
+    try {
+      val py =
+        """import sys, zipfile
+          |zf = zipfile.ZipFile(sys.argv[1], 'w')
+          |data1 = b'bzip2 member body ' * 400
+          |data2 = b'lzma member body ' * 300
+          |zf.writestr(zipfile.ZipInfo('bz.txt'), data1,
+          |            compress_type=zipfile.ZIP_BZIP2)
+          |zf.writestr(zipfile.ZipInfo('lz.txt'), data2,
+          |            compress_type=zipfile.ZIP_LZMA)
+          |zf.writestr(zipfile.ZipInfo('st.txt'), b'stored',
+          |            compress_type=zipfile.ZIP_STORED)
+          |zf.close()
+          |""".stripMargin
+      val pr = new ProcessBuilder("python3", "-c", py, f.getAbsolutePath)
+        .redirectErrorStream(true).start()
+      val log = new String(pr.getInputStream.readAllBytes(), "UTF-8")
+      assert(pr.waitFor() == 0, s"python zip writer failed: $log")
+      val blob = java.nio.file.Files.readAllBytes(f.toPath)
+      val got = ZipArchive.parse(blob) match {
+        case Right(ms) => ms
+        case Left(r) => fail(s"parse failed: ${r.reason}")
+      }
+      val byName = got.map(m => m.name -> m.body).toMap
+      assert(byName("bz.txt").sameElements(
+        ("bzip2 member body " * 400).getBytes("US-ASCII")))
+      assert(byName("lz.txt").sameElements(
+        ("lzma member body " * 300).getBytes("US-ASCII")))
+      assert(byName("st.txt").sameElements("stored".getBytes("US-ASCII")))
+    } finally f.delete()
+  }
+
   test("a DOCX repacked by a streaming writer routes and extracts") {
     val docx = Docx.write(Seq("streamed body", "second paragraph"))
     val membersIn = ZipArchive.parse(docx).toOption.get
