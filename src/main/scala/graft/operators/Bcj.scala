@@ -204,6 +204,94 @@ object Bcj {
     }
   }
 
+  /** RISC-V branch/address converter decode (xz filter id 0x0B, the
+    * last member of the pre-filter family). Semantics extracted
+    * BLACK-BOX from liblzma 5.8 (chosen-plaintext probes of
+    * `xz --filters='riscv lzma2'`, the derivation in
+    * tools/fuzz_riscv_diff.py's header) and pinned differentially
+    * against it — no xz source was available or consulted on this
+    * system. The encoder's scheme, as recovered:
+    *
+    *   - JAL with rd = x1/x5 (byte0 0xEF, byte1 & 0x0D == 0): the
+    *     scattered J-immediate becomes the absolute HALFWORD address
+    *     ((jimm + pc) >> 1, 20 bits) stored byte-reversed in bits
+    *     12..31; advance 4.
+    *   - AUIPC rd ∉ {x0,x2} whose NEXT word has (w2 & 3) == 3 and
+    *     rs1(w2) == rd — the "pair shape" — is PACKED: word1 becomes
+    *     the marker `inst2[19:0] << 12 | 0x117` (an AUIPC-x2 no
+    *     compiler emits), word2 the absolute address
+    *     (imm20 << 12) + signext(imm12) + pc stored BIG-endian;
+    *     advance 8.
+    *   - AUIPC-x2 words whose imm happens to LOOK like a packed
+    *     marker ((imm & 3) == 3, rs1(imm) ∉ {0,2}) are ESCAPED into
+    *     the pair-shape space the packing vacated: word1' =
+    *     (w2 >>> 12) << 12 | rs1(imm) << 7 | 0x17, word2' =
+    *     (w2 & 0xFFF) << 20 | imm; advance 8. The two swaps make the
+    *     whole transform a bijection.
+    *   - Non-converting AUIPCs still consume scan positions: a failed
+    *     pair advances 6, a failed marker/escape 4 — the decoder must
+    *     replay the exact same skips or it desyncs.
+    *
+    * This decode reverses all of it in place. */
+  def riscvDecode(buf: Array[Byte], startOffset: Long): Unit = {
+    val pc0 = startOffset.toInt
+    val n = buf.length
+    @inline def w32(p: Int): Int =
+      (buf(p) & 0xff) | ((buf(p + 1) & 0xff) << 8) |
+        ((buf(p + 2) & 0xff) << 16) | ((buf(p + 3) & 0xff) << 24)
+    @inline def put32(p: Int, v: Int): Unit = {
+      buf(p) = v.toByte; buf(p + 1) = (v >>> 8).toByte
+      buf(p + 2) = (v >>> 16).toByte; buf(p + 3) = (v >>> 24).toByte
+    }
+    var i = 0
+    while (i + 8 <= n) {
+      val b0 = buf(i) & 0xff
+      if (b0 == 0xEF && (buf(i + 1) & 0x0D) == 0) {
+        val w = w32(i)
+        val a = ((w >>> 24) & 0xFF) | (((w >>> 16) & 0xFF) << 8) |
+          (((w >>> 12) & 0xF) << 16)
+        val imm = ((a << 1) - (pc0 + i)) & 0x1FFFFF
+        put32(i, ((imm >>> 20) & 1) << 31 | ((imm >>> 1) & 0x3FF) << 21 |
+          ((imm >>> 11) & 1) << 20 | ((imm >>> 12) & 0xFF) << 12 |
+          (w & 0xFFF))
+        i += 4
+      } else if ((b0 & 0x7F) == 0x17) {
+        val w1 = w32(i)
+        val w2 = w32(i + 4)
+        if ((w1 & 0xE80) != 0) {
+          val rd = (w1 >>> 7) & 0x1F
+          if ((w2 & 3) == 3 && ((w2 >>> 15) & 0x1F) == rd) {
+            // pair shape: an escaped AUIPC-x2 — restore it
+            val imm20 = w2 & 0xFFFFF
+            put32(i, (imm20 << 12) | 0x117)
+            put32(i + 4, ((w2 >>> 20) & 0xFFF) | ((w1 >>> 12) << 12))
+            i += 8
+          } else i += 6
+        } else {
+          var unpacked = false
+          if ((w1 & 0xFFF) == 0x117) {
+            val inst2 = w1 >>> 12
+            val rs1 = (inst2 >>> 15) & 0x1F
+            if ((inst2 & 3) == 3 && rs1 != 0 && rs1 != 2) {
+              // packed marker: restore (AUIPC rs1, inst2 + imm12)
+              val addr = ((buf(i + 4) & 0xff) << 24) |
+                ((buf(i + 5) & 0xff) << 16) |
+                ((buf(i + 6) & 0xff) << 8) | (buf(i + 7) & 0xff)
+              val rel = addr - (pc0 + i)
+              val imm12 = rel & 0xFFF
+              val imm20 = ((rel + 0x800) >>> 12) & 0xFFFFF
+              put32(i, (imm20 << 12) | (rs1 << 7) | 0x17)
+              put32(i + 4, (imm12 << 20) | (inst2 & 0xFFFFF))
+              i += 8
+              unpacked = true
+            }
+          }
+          if (!unpacked) i += 4
+        }
+      } else i += 2
+    }
+  }
+
   /** xz delta filter (0x03) decode: `out[i] += out[i - dist]` with a
     * zeroed pre-history, dist 1..256 from the 1-byte property. */
   def deltaDecode(buf: Array[Byte], dist: Int): Unit = {

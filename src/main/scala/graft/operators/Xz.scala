@@ -18,12 +18,12 @@ package graft.operators
   *
   * Streams may concatenate with 4-aligned zero stream padding. The
   * LZMA2 filter (0x21) decodes, as does a single pre-filter ahead of
-  * it (see [[Bcj]]): the x86/ARM/ARM-Thumb/PowerPC/SPARC/ARM64
+  * it (see [[Bcj]]): the x86/ARM/ARM-Thumb/PowerPC/SPARC/ARM64/RISC-V
   * branch converters, IA64's bundle-slot
-  * converter, and delta — every chain `xz -F <filter>` produces
-  * except RISC-V, which rejects by NAME (`filter_unsupported_*`;
-  * its compressed-instruction handling is the one genuinely fiddly
-  * member and no corpus has shown it). CRC64 is the
+  * converter, and delta — EVERY chain `xz -F <filter>` produces.
+  * RISC-V, the last member, was extracted black-box from liblzma
+  * (no xz source on this system) and is pinned by the same
+  * differential sweep as the rest. CRC64 is the
   * ECMA-182 reflected polynomial, implemented here; CRC32 is the
   * JDK's; SHA-256 is MessageDigest. Reject-don't-guess with named
   * reasons; the output cap rides [[Lzma2]]'s in-decode enforcement.
@@ -164,12 +164,12 @@ object Xz {
         val declaredUncomp = if (hasUncompSize) vli() else -1L
         // filter list, in ENCODE order: LZMA2 must be last; ONE
         // pre-filter ahead of it decodes — the x86/ARM/ARM-Thumb/PPC/
-        // SPARC/ARM64/IA64 converters and delta (the chains real
-        // `xz -F <filter>` archives carry, each differentially pinned
-        // in XzSpec + the liblzma sweep); RISC-V keeps rejecting by
-        // name until a corpus shows it
+        // SPARC/ARM64/IA64/RISC-V converters and delta (the chains
+        // real `xz -F <filter>` archives carry, each differentially
+        // pinned in XzSpec + the liblzma sweep; RISC-V's semantics
+        // were extracted black-box from liblzma — Bcj.riscvDecode)
         val bcjAlignment = Map(0x04L -> 1, 0x05L -> 4, 0x06L -> 16,
-          0x07L -> 4, 0x08L -> 2, 0x09L -> 4, 0x0AL -> 4)
+          0x07L -> 4, 0x08L -> 2, 0x09L -> 4, 0x0AL -> 4, 0x0BL -> 2)
         var lzma2Props = -1
         var preFilter = -1L
         var preStart = 0L
@@ -200,11 +200,7 @@ object Xz {
             deltaDist = (b(i) & 0xff) + 1
             preFilter = id
           } else {
-            val name = id match {
-              case 0x0B => "bcj_riscv"
-              case _ => f"0x$id%02x"
-            }
-            bail(s"filter_unsupported_$name")
+            bail(f"filter_unsupported_0x$id%02x")
           }
           i += propsSize.toInt
           f += 1
@@ -243,6 +239,7 @@ object Xz {
           case 0x08 => Bcj.armThumbDecode(content, preStart)
           case 0x09 => Bcj.sparcDecode(content, preStart)
           case 0x0A => Bcj.arm64Decode(content, preStart)
+          case 0x0B => Bcj.riscvDecode(content, preStart)
           case _ => ()
         }
         if (declaredUncomp >= 0 && content.length.toLong != declaredUncomp)

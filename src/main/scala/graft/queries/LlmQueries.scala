@@ -7914,10 +7914,14 @@ object LlmQueries {
             // same (chunk shapes/dict sizes differ), while presets >= 4
             // would quintuple the FIXTURE-side encode cost in bench;
             // every fifth archive rides the x86 BCJ chain (`xz -F x86`)
+            // and every tenth-plus-seven the RISC-V chain (the last
+            // pre-filter, black-box-extracted from liblzma this round)
             val opts = new org.tukaani.xz.LZMA2Options((r.media_id % 4).toInt)
             val filters: Array[org.tukaani.xz.FilterOptions] =
               if (r.media_id % 5 == 2)
                 Array(new org.tukaani.xz.X86Options(), opts)
+              else if (r.media_id % 10 == 7)
+                Array(new org.tukaani.xz.RISCVOptions(), opts)
               else Array(opts)
             val z = new org.tukaani.xz.XZOutputStream(bos, filters,
               checks((r.media_id % 3).toInt))

@@ -210,11 +210,44 @@ class XzSpec extends AnyFunSuite {
     }
   }
 
-  test("riscv filter still rejects by name") {
+  test("riscv chains decode byte-exact against xz-java") {
     val opts = new org.tukaani.xz.LZMA2Options(3)
-    val data = lcg(5000, 9)
-    assert(Xz.decode(xzChain(data, Array(
-      new org.tukaani.xz.RISCVOptions(), opts))) ==
-      Left(Xz.Rejected("filter_unsupported_bcj_riscv")))
+    // trigger-dense payload: JALs (0xEF + clean rd nibble), AUIPC
+    // pairs (rs1(w2) == rd, (w2 & 3) == 3), escape-shaped AUIPC-x2
+    // markers, plus plain noise — every branch of the recovered
+    // bijection (pack / escape / shield-6 / shield-4 / JAL) runs
+    def w32(v: Long): Array[Byte] = Array(
+      v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    var s = 99
+    def nx(): Int = { s = s * 1103515245 + 12345; (s >>> 16) & 0x7fff }
+    val words = Array.newBuilder[Byte]
+    for (k <- 0 until 4000) {
+      val r = nx() % 10
+      val w: Long =
+        if (r < 2) { // JAL x1/x5
+          val rd = if (nx() % 2 == 0) 1 else 5
+          (nx().toLong << 17 | nx().toLong) << 12 & 0xFFFFF000L |
+            (rd << 7) | 0x6F
+        } else if (r < 4) { // AUIPC + maybe-pair second word
+          val rd = 1 + nx() % 31
+          (nx().toLong & 0xFFFFF) << 12 | (rd << 7) | 0x17
+        } else if (r < 6) { // pair-shaped second word
+          val rs1 = nx() % 32
+          (nx().toLong & 0xFFF) << 20 | (rs1 << 15) |
+            ((nx() & 0xFF) << 7) | 0x03
+        } else if (r < 7) { // marker-shaped AUIPC-x2
+          (nx().toLong & 0xFFFFF) << 12 | 0x117
+        } else nx().toLong << 17 | nx().toLong
+      words ++= w32(w & 0xFFFFFFFFL)
+    }
+    val payloads = Seq(words.result(), lcg(20000, 9),
+      new Array[Byte](2048), lcg(7, 5))
+    for (data <- payloads) {
+      val wire = xzChain(data, Array(new org.tukaani.xz.RISCVOptions(), opts))
+      val dec = Xz.decode(wire)
+      assert(dec.isRight, s"riscv len=${data.length}: " +
+        dec.swap.map(_.reason).getOrElse(""))
+      assert(dec.toOption.get.sameElements(data), s"riscv len=${data.length}")
+    }
   }
 }

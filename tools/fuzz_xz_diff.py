@@ -66,7 +66,30 @@ try:
         if rnd.random() < 0.2:
             preset |= lzma.PRESET_EXTREME
         check = rnd.choice(CHECKS)
-        if rnd.random() < 0.45:  # pre-filter chains (xz -F <filter>)
+        if rnd.random() < 0.08 and n < 500000:
+            # RISC-V pre-filter: CPython's lzma module predates
+            # FILTER_RISCV, so these go through the xz CLI (same
+            # liblzma). Salt the content with trigger-dense words so
+            # the JAL/AUIPC-pair/escape paths all run.
+            salt = bytearray(data)
+            j = 0
+            while j + 8 <= len(salt):
+                r = rnd.random()
+                if r < 0.08:
+                    salt[j] = 0xEF
+                elif r < 0.16:
+                    salt[j] = rnd.choice([0x17, 0x97])
+                j += rnd.randrange(2, 10, 2)
+            data = bytes(salt)
+            blob = subprocess.run(
+                ["xz", "--filters=riscv lzma2:preset=" +
+                 str(preset & 0x0F), "-c", "-T1",
+                 "--check=" + {lzma.CHECK_CRC32: "crc32",
+                               lzma.CHECK_CRC64: "crc64",
+                               lzma.CHECK_SHA256: "sha256",
+                               lzma.CHECK_NONE: "none"}[check]],
+                input=data, capture_output=True, check=True).stdout
+        elif rnd.random() < 0.45:  # pre-filter chains (xz -F <filter>)
             pre = rnd.choice([
                 {"id": lzma.FILTER_X86},
                 {"id": lzma.FILTER_ARM},
