@@ -106,4 +106,22 @@ class Round15FuzzSpec extends AnyFunSuite {
     assertTotal("ingest-tar.Z", UnixCompress.encode(tar),
       (b: Array[Byte]) => IngestRouter.route(b), 157)
   }
+
+  test("xz decode is total under mutation (riscv chain streams)") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new org.tukaani.xz.XZOutputStream(bos,
+      Array[org.tukaani.xz.FilterOptions](
+        new org.tukaani.xz.RISCVOptions(),
+        new org.tukaani.xz.LZMA2Options(3)))
+    // trigger-dense payload so mutations land inside converted regions
+    var s = 42
+    val payload = Array.fill[Byte](8000) {
+      s = s * 1103515245 + 12345
+      (Seq(0xEF, 0x17, 0x97, 0x03, 0x00, (s >>> 16) & 0xff)((s >>> 8) & 0x3)
+        & 0xff).toByte
+    }
+    z.write(payload); z.close()
+    assertTotal("xz-riscv", bos.toByteArray,
+      (b: Array[Byte]) => Xz.decode(b), 158)
+  }
 }
