@@ -50,6 +50,27 @@ object Bench {
     times.min
   }
 
+  /** "lo,hi" with 0 < lo < hi, or a NAMED failure (a malformed
+    * override used to surface as an opaque MatchError). */
+  private[graft] def parseBand(raw: String): (Double, Double) =
+    raw.split(",").map(s => scala.util.Try(s.trim.toDouble).toOption) match {
+      case Array(Some(lo), Some(hi)) if lo > 0 && hi > lo => (lo, hi)
+      case _ => sys.error(
+        s"bad SPARK_GRAFT_CANARY_BAND '$raw': expected 'lo,hi' with 0 < lo < hi")
+    }
+
+  /** "name=sec,name=sec" with sec > 0, or a NAMED failure. */
+  private[graft] def parseSweepFloors(raw: String): Seq[(String, Double)] =
+    raw.split(",").toSeq.map { kv =>
+      kv.split("=").map(_.trim) match {
+        case Array(k, v) if k.nonEmpty &&
+          scala.util.Try(v.toDouble).toOption.exists(_ > 0) =>
+          k -> v.toDouble
+        case _ => sys.error(
+          s"bad SPARK_GRAFT_SWEEP_FLOORS entry '$kv': expected name=sec")
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -91,25 +112,68 @@ object Bench {
 
     // Controlled canary band (idle-machine best-of-3 floor, three runs,
     // SCALE.md "controlled floors"). Overridable when the hardware
-    // changes: SPARK_GRAFT_CANARY_BAND="lo,hi".
-    val Array(bandLo, bandHi) =
-      sys.env.getOrElse("SPARK_GRAFT_CANARY_BAND", "2.24,2.5")
-        .split(",").map(_.toDouble)
+    // changes: SPARK_GRAFT_CANARY_BAND="lo,hi". A malformed override
+    // fails with a NAMED error, not a MatchError.
+    val (bandLo, bandHi) =
+      parseBand(sys.env.getOrElse("SPARK_GRAFT_CANARY_BAND", "2.24,2.5"))
 
     // ACT on an out-of-band pre-canary instead of filing it: r12-r14
     // each started their sweep on a drift-inflated machine and the
     // official total rose three rounds running on byte-identical code.
     // Bounded retries — wait out a transient spike (15 s apart, up to
     // 4 readings) before committing ~5 min of sweep to a bad window.
-    var canaryPre = canary(spark)
-    var preAttempts = 1
-    while (canaryPre > bandHi && preAttempts < 4) {
+    // The PUBLISHED reading is the LAST (post-settle) one, not the min
+    // across attempts: the sweep starts in the machine state of the
+    // final reading, so an early lucky sample must not set drift=false
+    // for a sweep that then runs on a still-drifting host. All attempt
+    // readings ride in the artifact.
+    val preReadings = scala.collection.mutable.ArrayBuffer(canary(spark))
+    while (preReadings.last > bandHi && preReadings.size < 4) {
       System.err.println(
-        f"[bench] pre-canary $canaryPre%.3f above band ($bandLo,$bandHi) — waiting for the machine to settle (attempt $preAttempts)")
+        f"[bench] pre-canary ${preReadings.last}%.3f above band ($bandLo,$bandHi) — waiting for the machine to settle (attempt ${preReadings.size})")
       Thread.sleep(15000)
-      canaryPre = math.min(canaryPre, canary(spark))
-      preAttempts += 1
+      preReadings += canary(spark)
     }
+    val canaryPre = preReadings.last
+    val preAttempts = preReadings.size
+
+    // SWEEP-SHAPED canary (r15 verdict #3): the CPU-bound canary read
+    // in-band while the driver's sweep still ran a median 1.13x over
+    // the builder archive on byte-identical code — JIT warm-in, page
+    // cache, and IO state are costs the xxhash plan never pays. Price
+    // them in the sweep's own currency: three fixed mid-cost catalog
+    // queries (parquet-scan/join heavy, shuffle heavy, codec heavy)
+    // timed best-of-2 against their controlled floors (SCALE.md
+    // round-16 floors table; override with
+    // SPARK_GRAFT_SWEEP_FLOORS="name=sec,name=sec"). Their median
+    // measured/floor ratio is the sweep drift factor the artifact
+    // publishes and total_normalized deflates by.
+    val sweepFloorDefaults = Seq(
+      "q43_flat_obs_stage" -> 3.10, // parquet scan + joins (ETL stage)
+      "q12_group_concat_obsmap" -> 2.05, // shuffle-heavy grouped agg
+      "q205_compressibility_proxy" -> 3.20) // per-row deflate codec work
+    val sweepFloors: Seq[(String, Double)] =
+      sys.env.get("SPARK_GRAFT_SWEEP_FLOORS") match {
+        case None => sweepFloorDefaults
+        case Some(raw) => parseSweepFloors(raw)
+      }
+    val sweepReadings = sweepFloors.flatMap { case (name, floor) =>
+      SparkEntry.catalog.find(_.name == name).map { q =>
+        try q.prepare.foreach(_(spark, sfDir)) catch { case _: Throwable => () }
+        val best = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try force(q.run(spark, sfDir)) catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        (name, floor, best)
+      }
+    }
+    val sweepRatio =
+      if (sweepReadings.isEmpty) 1.0
+      else {
+        val rs = sweepReadings.map { case (_, f, t) => t / f }.sorted
+        rs(rs.size / 2)
+      }
 
     val results = SparkEntry.catalog.map { q =>
       // immutable fixture prep (streaming source splits etc.) runs OFF
@@ -144,13 +208,23 @@ object Bench {
     // a deflate-only correction (a faster-than-floor machine never
     // inflates the number) so a drift-window sweep still carries a
     // comparable figure instead of needing an after-the-fact appendix.
-    val drift = canaryPre > bandHi || canaryPost > bandHi
+    // drift when EITHER canary is out of band: the CPU canary above its
+    // controlled band, or the sweep-shaped trio reading >10% over its
+    // floors (the 1.13x class the CPU canary is blind to)
+    val drift = canaryPre > bandHi || canaryPost > bandHi || sweepRatio > 1.10
     val bandMid = (bandLo + bandHi) / 2
     val canaryMean = (canaryPre + canaryPost) / 2
-    val normFactor = math.min(1.0, bandMid / canaryMean)
+    // deflate-only, by the MORE drifted of the two canaries: a
+    // faster-than-floor machine never inflates the number
+    val normFactor =
+      math.min(1.0, math.min(bandMid / canaryMean, 1.0 / sweepRatio))
     val totalNormalized = r4(total * normFactor)
+    val preJson = preReadings.map(r4).mkString("[", ",", "]")
+    val sweepJson = sweepReadings.map { case (n, f, t) =>
+      "\"" + n + "\":[" + r4(t) + "," + f + "]"
+    }.mkString("{", ",", "}")
     val canaryJson =
-      s""","canary":{"pre":${r4(canaryPre)},"post":${r4(canaryPost)},"band":[$bandLo,$bandHi],"pre_attempts":$preAttempts},"drift":$drift,"total_normalized":$totalNormalized"""
+      s""","canary":{"pre":${r4(canaryPre)},"post":${r4(canaryPost)},"pre_readings":$preJson,"band":[$bandLo,$bandHi],"pre_attempts":$preAttempts},"sweep_canary":{"ratio":${r4(sweepRatio)},"measured_vs_floor":$sweepJson},"drift":$drift,"total_normalized":$totalNormalized"""
     // end-to-end incremental pipeline tick (typed obs + bucketed sink):
     // full build vs delta tick wall time and write volume
     val tick =

@@ -290,7 +290,9 @@ object ZipArchive {
       val eocd64Off = u64(blob, eocd - 12)
       val totalDisks = u32(blob, eocd - 4)
       if (locDisk != 0 || totalDisks != 1) bail("zip_multidisk")
-      if (eocd64Off < 0 || eocd64Off + 56 > eocd - 20)
+      // subtraction form: an attacker-controlled u64 near 2^63 would
+      // wrap `eocd64Off + 56` negative and sail past an additive check
+      if (eocd64Off < 0 || eocd64Off > eocd - 20 - 56)
         bail("zip64_bad_eocd64")
       val z = eocd64Off.toInt
       if (u32(blob, z) != Eocd64Sig) bail("zip64_bad_eocd64")
@@ -303,6 +305,9 @@ object ZipArchive {
       val nThis64 = u64(blob, z + 24)
       val nTotal64 = u64(blob, z + 32)
       if (nThis64 != nTotal64) bail("zip_multidisk")
+      // a u64 count >= 2^63 reads as a negative Long and would pass the
+      // ==0 / >MaxMembers guards into a NegativeArraySizeException
+      if (nTotal64 <= 0) bail("zip64_bad_eocd64")
       nEntries = nTotal64
       cdSize = u64(blob, z + 40)
       cdOff = u64(blob, z + 48)
@@ -362,7 +367,9 @@ object ZipArchive {
     k = 0
     while (k < entries.length) {
       val en = entries(k)
-      if (en.localOff < 0 || en.localOff + 30 > cdOff)
+      // subtraction form (see EOCD64 check): localOff comes from the CD
+      // zip64 extra and can wrap an additive bound
+      if (en.localOff < 0 || en.localOff > cdOff - 30)
         bail("zip_bad_local_offset")
       val lh = en.localOff.toInt
       if (u32(blob, lh) != LocalSig) bail("zip_bad_local_offset")
@@ -391,7 +398,9 @@ object ZipArchive {
           bail("zip_cd_local_mismatch")
       }
       val dataStart = en.localOff + 30 + lnameLen + lextraLen
-      if (en.csize < 0 || dataStart + en.csize > cdOff)
+      // csize also comes from a zip64 extra: same wrap-safe subtraction
+      // (dataStart <= cdOff is already guaranteed two checks up)
+      if (en.csize < 0 || en.csize > cdOff - dataStart)
         bail("zip_member_overruns_cd")
       var end = dataStart + en.csize
       if (streamed) {
