@@ -19,10 +19,26 @@ package graft.operators
   *   - ustar magic at 257      → [[Tar]]        (members)
   *   - compress/gzip/xz/bz2/zstd/lz4-frame → decode ONE layer,
   *     re-route the inner blob (`tar.Z`, `tar.gz`, `tar.xz`,
-  *     `tar.bz2`, `tar.zst`, `tar.lz4`, ... — depth 1, a
-  *     wrapper-of-wrapper rejects as `nested_wrapper`)
-  *   - zip / CFB / otherwise   → [[OfficeRouter]] (office family,
-  *     `unrouted_zip`, `ole2_unknown`, `zip_*`, `not_a_container`)
+  *     `tar.bz2`, `tar.zst`, `tar.lz4`, `tar.gz.gz`, ... — wrapper
+  *     layers and zip-member recursion share ONE depth budget of
+  *     [[MaxDepth]]; past it, `wrapper_depth_exceeded`)
+  *   - zip / CFB / otherwise   → [[OfficeRouter]] FIRST (a DOCX must
+  *     stay a DOCX). A valid zip the office family does not claim
+  *     (`unrouted_zip`) then censuses PER MEMBER: each member body is
+  *     routed back through this dispatch one level deeper — parquet /
+  *     Avro / SQLite / tar.gz / nested-zip members land in their real
+  *     parsers, strict-UTF-8 members census as `text`, and every
+  *     member's fate (format or named reject reason) is surfaced in
+  *     `memberFates` in member order. Before round 16 this was the
+  *     widest seam left: the single most common wild data-dump shape
+  *     (a zip of data blobs) died as `unrouted_zip` with every member
+  *     format's parser one hop away.
+  *
+  * Bomb posture: per-parser caps are unchanged, and the whole
+  * recursion additionally charges every DERIVED blob (a wrapper
+  * decode, a zip member body) against one cumulative byte budget of
+  * `maxOut` — a zip of many maximal members cannot multiply the cap.
+  * Budget exhaustion quarantines the whole blob as `ingest_bomb`.
   *
   * `text` carries each format's natural replayable text (member
   * bodies, schema SQL, field names) decoded STRICTLY — a member that
@@ -33,8 +49,20 @@ package graft.operators
   */
 object IngestRouter {
 
-  final case class Routed(format: String, text: String, units: Long)
+  final case class Routed(format: String, text: String, units: Long,
+      memberFates: Seq[String] = Nil)
   final case class Rejected(reason: String)
+
+  /** Shared recursion budget: wrapper layers AND zip-member hops both
+    * count. Depth 3 covers the real population (`x.gz.gz`,
+    * `tar.gz`-inside-a-zip, zip-of-zip-of-data) while keeping a
+    * crafted million-layer blob O(1). */
+  private val MaxDepth = 3
+
+  /** Cumulative derived-byte budget across one route() call. */
+  private final class Budget(var remaining: Long) {
+    def charge(n: Long): Boolean = { remaining -= n; remaining >= 0 }
+  }
 
   private def utf8All(bodies: Seq[Array[Byte]])
       : Either[Rejected, Seq[String]] = {
@@ -87,10 +115,27 @@ object IngestRouter {
     else None
 
   def route(blob: Array[Byte], maxOut: Int = 1 << 26)
-      : Either[Rejected, Routed] = routeDepth(blob, maxOut, 0)
-
-  private def routeDepth(blob: Array[Byte], maxOut: Int, depth: Int)
       : Either[Rejected, Routed] =
+    routeDepth(blob, maxOut, 0, new Budget(maxOut.toLong))
+
+  /** Inner-level dispatch with a strict-UTF-8 `text` fallback: a blob
+    * that is NO known container but decodes as UTF-8 is the most
+    * common wild wrapper/member payload (`.txt.gz`, `.csv` in a zip).
+    * Top-level (depth 0) behavior is unchanged — a bare text blob is
+    * not a container, the census must say so. */
+  private def routeDepth(blob: Array[Byte], maxOut: Int, depth: Int,
+      budget: Budget): Either[Rejected, Routed] =
+    dispatch(blob, maxOut, depth, budget) match {
+      case Left(Rejected("not_a_container")) if depth > 0 =>
+        CharsetSniff.decodeStrict(blob, 0, "UTF-8") match {
+          case Some(s) => Right(Routed("text", s, 1L))
+          case None => Left(Rejected("not_a_container"))
+        }
+      case other => other
+    }
+
+  private def dispatch(blob: Array[Byte], maxOut: Int, depth: Int,
+      budget: Budget): Either[Rejected, Routed] =
     if (blob == null || blob.length < 4)
       Left(Rejected("not_a_container"))
     else if (SevenZip.looksLike7z(blob))
@@ -143,17 +188,55 @@ object IngestRouter {
       }
     else wrapper(blob) match {
       case Some((ext, dec)) =>
-        if (depth > 0) Left(Rejected("nested_wrapper"))
+        if (depth + 1 > MaxDepth) Left(Rejected("wrapper_depth_exceeded"))
         else dec() match {
           case Left(r) => Left(Rejected(r))
           case Right(inner) =>
-            routeDepth(inner, maxOut, depth + 1).map(r =>
+            if (!budget.charge(inner.length.toLong))
+              Left(Rejected("ingest_bomb"))
+            else routeDepth(inner, maxOut, depth + 1, budget).map(r =>
               r.copy(format = s"${r.format}.$ext"))
         }
       case None =>
         OfficeRouter.route(blob) match {
+          case Left(OfficeRouter.Rejected("unrouted_zip")) =>
+            routeZipMembers(blob, maxOut, depth, budget)
           case Left(r) => Left(Rejected(r.reason))
           case Right(r) => Right(Routed(r.format, r.text, r.units))
         }
+    }
+
+  /** Per-member census of a valid zip the office family does not
+    * claim. Each member re-enters the full dispatch one level deeper
+    * (office-first again: a DOCX member stays a DOCX). A member that
+    * is no known container censuses as strict-UTF-8 `text`; one that
+    * is neither carries its named reject reason as its fate. The zip
+    * itself always routes (`format = "zip"`) — fates are per member,
+    * in member order: `<name>=<format>` / `<name>!<reason>`. */
+  private def routeZipMembers(blob: Array[Byte], maxOut: Int, depth: Int,
+      budget: Budget): Either[Rejected, Routed] =
+    ZipArchive.parse(blob) match {
+      case Left(r) => Left(Rejected(r.reason)) // unreachable after OfficeRouter
+      case Right(members) =>
+        val fates = Seq.newBuilder[String]
+        val texts = Seq.newBuilder[String]
+        members.foreach { m =>
+          if (!budget.charge(m.body.length.toLong))
+            return Left(Rejected("ingest_bomb"))
+          if (depth + 1 > MaxDepth)
+            fates += s"${m.name}!wrapper_depth_exceeded"
+          else routeDepth(m.body, maxOut, depth + 1, budget) match {
+            case Right(r) =>
+              fates += s"${m.name}=${r.format}"
+              if (r.text.nonEmpty) texts += r.text
+            case Left(Rejected("not_a_container")) =>
+              // at depth > 0 the text fallback already ran, so this can
+              // only be a NON-UTF-8 blob that is no known container
+              fates += s"${m.name}!member_not_utf8"
+            case Left(r) => fates += s"${m.name}!${r.reason}"
+          }
+        }
+        Right(Routed("zip", texts.result().mkString("\n"),
+          members.length.toLong, fates.result()))
     }
 }

@@ -8106,9 +8106,10 @@ object LlmQueries {
 
     // INGEST ROUTER CAPSTONE — the dispatch a real ingest runs on a
     // mixed blob column: SIXTEEN format regimes rotate by id (docx /
-    // xlsx / pptx / epub / odt / a plain unroutable zip / doc / xls /
-    // an unknown compound file / ppt / 7z / rar4+rar5 / sqlite /
-    // avro / orc / tar.Z), detection reads each CONTAINER's own
+    // xlsx / pptx / epub / odt / a plain data zip (per-member census
+    // since r16) / doc / xls / an unknown compound file / ppt / 7z /
+    // rar4+rar5 / sqlite / avro / orc / tar.Z), detection reads each
+    // CONTAINER's own
     // magic and declarations — never a file extension — through
     // operators/IngestRouter, which routes to the owning parser and
     // surfaces its named fate unchanged. This is the seam that keeps
@@ -8124,17 +8125,16 @@ object LlmQueries {
         |r AS (SELECT id, text, id % 16 AS m FROM f)
         |SELECT id AS doc_id,
         |  CASE m WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx' WHEN 2 THEN 'pptx'
-        |         WHEN 3 THEN 'epub' WHEN 4 THEN 'odt'
+        |         WHEN 3 THEN 'epub' WHEN 4 THEN 'odt' WHEN 5 THEN 'zip'
         |         WHEN 6 THEN 'doc' WHEN 7 THEN 'xls'
         |         WHEN 9 THEN 'ppt' WHEN 10 THEN '7z'
         |         WHEN 11 THEN (CASE WHEN id % 32 = 11 THEN 'rar4'
         |                            ELSE 'rar5' END)
         |         WHEN 12 THEN 'sqlite' WHEN 13 THEN 'avro'
         |         WHEN 14 THEN 'orc' WHEN 15 THEN 'tar.Z' END AS format,
-        |  CASE m WHEN 5 THEN 'unrouted_zip'
-        |         WHEN 8 THEN 'ole2_unknown' ELSE 'routed' END AS fate,
+        |  CASE m WHEN 8 THEN 'ole2_unknown' ELSE 'routed' END AS fate,
         |  CAST(CASE m WHEN 0 THEN 3 WHEN 1 THEN 4 WHEN 2 THEN 1
-        |         WHEN 3 THEN 1 WHEN 4 THEN 1 WHEN 6 THEN 2
+        |         WHEN 3 THEN 1 WHEN 4 THEN 1 WHEN 5 THEN 1 WHEN 6 THEN 2
         |         WHEN 7 THEN 2 WHEN 9 THEN 1 WHEN 10 THEN 1
         |         WHEN 11 THEN 1 WHEN 12 THEN 1 WHEN 13 THEN 1
         |         WHEN 14 THEN 1 WHEN 15 THEN 1 END AS BIGINT)
@@ -8144,7 +8144,7 @@ object LlmQueries {
         |         WHEN 1 THEN md5(text || chr(10) || 'col 1')
         |         WHEN 2 THEN md5('s0 ' || text)
         |         WHEN 3 THEN md5('e0 ' || substr(text, 1, 50))
-        |         WHEN 4 THEN md5(text)
+        |         WHEN 4 THEN md5(text) WHEN 5 THEN md5(text)
         |         WHEN 6 THEN md5(text || chr(10) || 'tail '
         |           || CAST(id AS VARCHAR) || chr(10))
         |         WHEN 7 THEN md5(text || chr(10) || 'cell '
@@ -9134,6 +9134,95 @@ object LlmQueries {
           }
           .toDF("archive_id", "generation", "fate", "n_members", "n_dirs",
             "n_stored", "n_compressed", "total_unpacked", "stored_md5")
+    },
+
+    // ZIP MEMBER ROUTING — the r15 verdict's highest-leverage seam:
+    // a zip of DATA blobs (the single most common wild data-dump
+    // shape) used to die as unrouted_zip with every member format's
+    // parser one hop away. Since r16 operators/IngestRouter keeps the
+    // office-first claim (a DOCX stays a DOCX, also one level down),
+    // then censuses an unclaimed zip PER MEMBER through the full
+    // dispatch: sqlite / tar.gz / docx / nested-zip / gz-wrapped and
+    // plain text members land in their real parsers, a non-UTF-8
+    // member quarantines by name, and wrapper layers + member hops
+    // share ONE bounded depth budget (the m=4 regime nests four zips
+    // deep: the zips route, the too-deep member carries
+    // wrapper_depth_exceeded and its text never surfaces). Six regimes
+    // rotate by id; the oracle replays member count, the ordered
+    // per-member fate line, and the concatenated extracted text's md5.
+    OpQuery.sql(
+      "q273_zip_member_routing",
+      """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+        |r AS (SELECT id, text, id % 6 AS m FROM f)
+        |SELECT id AS doc_id,
+        |  'zip' AS format,
+        |  CAST(CASE m WHEN 0 THEN 3 WHEN 4 THEN 1 ELSE 2 END AS BIGINT)
+        |    AS n_members,
+        |  CASE m
+        |    WHEN 0 THEN 'notes.txt=text,db.sqlite=sqlite,readme.md=text'
+        |    WHEN 1 THEN 'bundle.tar.gz=tar.gz,data.csv=text'
+        |    WHEN 2 THEN 'word.docx=docx,junk.bin!member_not_utf8'
+        |    WHEN 3 THEN 'inner.zip=zip,logs.txt.gz=text.gz'
+        |    WHEN 4 THEN 'l4.zip=zip'
+        |    WHEN 5 THEN 'a.txt=text,b.txt=text' END AS fates,
+        |  CASE m
+        |    WHEN 0 THEN md5(text || chr(10)
+        |      || 'CREATE TABLE docs (id INTEGER PRIMARY KEY, body TEXT)'
+        |      || chr(10) || 'tail ' || CAST(id AS VARCHAR))
+        |    WHEN 1 THEN md5(text || chr(10) || 'id,body' || chr(10)
+        |      || CAST(id AS VARCHAR) || ',x')
+        |    WHEN 2 THEN md5(chr(10) || text)
+        |    WHEN 3 THEN md5('deep ' || CAST(id AS VARCHAR) || chr(10)
+        |      || 'log ' || text)
+        |    WHEN 4 THEN md5('')
+        |    WHEN 5 THEN md5(text || chr(10) || 'b ' || CAST(id AS VARCHAR))
+        |    END AS text_md5
+        |FROM r""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            import graft.operators.{Docx, IngestRouter, Sqlite, Tar, Warc, ZipArchive}
+            import ZipArchive.ZipMember
+            def zip(ms: (String, Array[Byte])*): Array[Byte] =
+              ZipArchive.write(ms.map { case (n, b) => ZipMember(n, b) },
+                _ % 2 == 0)
+            val tb = text.getBytes("UTF-8")
+            val blob = (id % 6) match {
+              case 0 => zip(
+                "notes.txt" -> tb,
+                "db.sqlite" -> Sqlite.write(Seq("docs" -> Seq(text))),
+                "readme.md" -> s"tail $id".getBytes("UTF-8"))
+              case 1 => zip(
+                "bundle.tar.gz" -> Warc.gzipMember(
+                  Tar.write(Seq(Tar.TarMember("in.txt", tb)))),
+                "data.csv" -> s"id,body\n$id,x".getBytes("UTF-8"))
+              case 2 => zip(
+                "word.docx" -> Docx.write(Seq(text)),
+                "junk.bin" -> Array[Byte](0xC3.toByte, 0x28,
+                  (id & 0x7f).toByte, 1))
+              case 3 => zip(
+                "inner.zip" -> zip("deep.txt" -> s"deep $id".getBytes("UTF-8")),
+                "logs.txt.gz" -> Warc.gzipMember(s"log $text".getBytes("UTF-8")))
+              case 4 => zip("l4.zip" -> zip("l3.zip" -> zip("l2.zip" ->
+                zip("deep.txt" -> s"deep $id".getBytes("UTF-8")))))
+              case _ => zip("a.txt" -> tb, "b.txt" -> s"b $id".getBytes("UTF-8"))
+            }
+            IngestRouter.route(blob) match {
+              case Left(r) =>
+                (id, r.reason, None: Option[Long], None: Option[String],
+                  None: Option[String])
+              case Right(routed) =>
+                (id, routed.format, Some(routed.units),
+                  Some(routed.memberFates.mkString(",")),
+                  Some(java.security.MessageDigest.getInstance("MD5")
+                    .digest(routed.text.getBytes("UTF-8"))
+                    .map("%02x".format(_)).mkString))
+            }
+          })
+          .toDF("doc_id", "format", "n_members", "fates", "text_md5")
     }
   )
 

@@ -37,13 +37,86 @@ class IngestRouterSpec extends AnyFunSuite {
     }
   }
 
-  test("wrapped routes carry the inner text; nesting stops at one layer") {
+  test("wrapped routes carry the inner text; nesting stops at the budget") {
     val tar = Tar.write(Seq(Tar.TarMember("a.txt", text.getBytes("UTF-8"))))
     val z = UnixCompress.encode(tar)
     assert(IngestRouter.route(z).toOption.get.text == text)
-    // a wrapper of a wrapper is a shape worth naming, not recursing into
-    assert(IngestRouter.route(Warc.gzipMember(z)) ==
-      Left(IngestRouter.Rejected("nested_wrapper")))
+    // wrapper-of-wrapper is the real population (double-gzipped logs,
+    // re-wrapped mirrors): bounded recursion, formats compose
+    val zz = IngestRouter.route(Warc.gzipMember(z)).toOption.get
+    assert(zz.format == "tar.Z.gz" && zz.text == text)
+    val zzz = IngestRouter.route(Warc.gzipMember(Warc.gzipMember(z)))
+      .toOption.get
+    assert(zzz.format == "tar.Z.gz.gz" && zzz.text == text)
+    // one layer past the shared depth budget: NAMED fate at the cap
+    assert(IngestRouter.route(
+      Warc.gzipMember(Warc.gzipMember(Warc.gzipMember(z)))) ==
+      Left(IngestRouter.Rejected("wrapper_depth_exceeded")))
+  }
+
+  test("wrapped plain text routes as text below the top level") {
+    // .txt.gz — the most common wild wrapper payload
+    val g = IngestRouter.route(Warc.gzipMember(text.getBytes("UTF-8")))
+      .toOption.get
+    assert(g.format == "text.gz" && g.text == text && g.units == 1L)
+    // but a BARE text blob at the top stays not_a_container: the
+    // census must not claim containment it didn't find
+    assert(IngestRouter.route(text.getBytes("UTF-8")) ==
+      Left(IngestRouter.Rejected("not_a_container")))
+  }
+
+  test("a data zip censuses per member through the full dispatch") {
+    val tar = Tar.write(Seq(Tar.TarMember("in.txt", "tarred".getBytes("UTF-8"))))
+    val zip = ZipArchive.write(Seq(
+      ZipArchive.ZipMember("notes.txt", text.getBytes("UTF-8")),
+      ZipArchive.ZipMember("db.sqlite",
+        Sqlite.write(Seq("docs" -> Seq("row body")))),
+      ZipArchive.ZipMember("bundle.tar.gz", Warc.gzipMember(tar)),
+      ZipArchive.ZipMember("word.docx", Docx.write(Seq("docx para"))),
+      ZipArchive.ZipMember("junk.bin", Array[Byte](0xC3.toByte, 0x28, 1, 2)),
+      ZipArchive.ZipMember("inner.zip", ZipArchive.write(Seq(
+        ZipArchive.ZipMember("deep.txt", "deep text".getBytes("UTF-8"))),
+        _ => false))), _ => false)
+    val r = IngestRouter.route(zip).toOption.getOrElse(fail("zip rejected"))
+    assert(r.format == "zip" && r.units == 6L)
+    assert(r.memberFates == Seq(
+      "notes.txt=text",
+      "db.sqlite=sqlite",
+      "bundle.tar.gz=tar.gz",
+      "word.docx=docx", // office-first survives one level down
+      "junk.bin!member_not_utf8",
+      "inner.zip=zip"))
+    // member texts concatenate in member order, each format's natural
+    // text: body / schema SQL / inner member bodies / paragraphs (the
+    // docx writer plants an empty field-code paragraph, hence "\ndocx")
+    assert(r.text == Seq(text,
+      "CREATE TABLE docs (id INTEGER PRIMARY KEY, body TEXT)",
+      "tarred", "\ndocx para", "deep text").mkString("\n"))
+  }
+
+  test("zip-of-zip nesting shares the wrapper depth budget") {
+    def zipN(k: Int): Array[Byte] =
+      if (k == 1) ZipArchive.write(Seq(ZipArchive.ZipMember("deep.txt",
+        "nested payload".getBytes("UTF-8"))), _ => false)
+      else ZipArchive.write(Seq(ZipArchive.ZipMember(s"level$k.zip",
+        zipN(k - 1))), _ => false)
+    // member hops 1..3 reach the innermost text
+    assert(IngestRouter.route(zipN(3)).toOption.get.text == "nested payload")
+    // one more level: the zips still route, but the member past the
+    // budget carries the named fate and its text never surfaces
+    val r4 = IngestRouter.route(zipN(4)).toOption.get
+    assert(r4.format == "zip" && r4.text == "")
+    assert(r4.memberFates == Seq("level4.zip=zip"))
+  }
+
+  test("cumulative member bytes charge one budget: ingest_bomb") {
+    val big = Array.fill[Byte](4096)('a')
+    val zip = ZipArchive.write(
+      (1 to 8).map(i => ZipArchive.ZipMember(s"m$i.txt", big)), _ => false)
+    assert(IngestRouter.route(zip, maxOut = 16 * 1024) ==
+      Left(IngestRouter.Rejected("ingest_bomb")))
+    // under the budget the same shape routes
+    assert(IngestRouter.route(zip).toOption.get.units == 8L)
   }
 
   test("parser fates pass through unchanged") {
