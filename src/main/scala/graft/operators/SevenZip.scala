@@ -149,18 +149,30 @@ object SevenZip {
 
   private final case class Coder(id: Array[Byte], props: Array[Byte])
 
-  /** One folder: 1-2 SIMPLE coders (1 in / 1 out each), bind pairs
-    * wiring output j into input i, and the derived decode chain. With
-    * two coders the packed stream feeds the decompressor whose output
-    * feeds a length-preserving FILTER (BCJ/delta) — the shape 7z
-    * writes by default for executables. `outSizes` carries
-    * kCodersUnpackSize's one-entry-per-output-stream values; the
-    * folder's unpack size is the final (unbound) output's. */
+  /** One folder: either 1-2 SIMPLE coders (1 in / 1 out each) — the
+    * shapes 7z writes by default for data (single LZMA2/LZMA1/Copy)
+    * and executables (BCJ/delta filter + compressor) — or the
+    * FOUR-CODER [[Bcj2]] shape (three single-stream decompressors
+    * plus the 4-in/1-out BCJ2 converter, 3 bind pairs, 4 packed
+    * streams). Inputs are indexed GLOBALLY across coders in
+    * declaration order (`numIns`/`inStart`); every accepted coder has
+    * exactly one output, so output index = coder index.
+    * `packedIndices` lists the unbound inputs in PACK-STREAM order
+    * (implicit for one packed stream, an explicit wire vector
+    * otherwise). `outSizes` carries kCodersUnpackSize's
+    * one-entry-per-output-stream values; the folder's unpack size is
+    * the final (unbound) output's. */
   private final case class FolderDef(
       coders: Array[Coder],
-      bindPairs: Array[(Int, Int)], // (inIndex, outIndex)
-      packedInput: Int,
+      numIns: Array[Int],
+      bindPairs: Array[(Int, Int)], // (globalInIndex, outIndex)
+      packedIndices: Array[Int], // global input indices, pack-stream order
       var outSizes: Array[Long]) {
+    def inStart(c: Int): Int = {
+      var s = 0; var k = 0
+      while (k < c) { s += numIns(k); k += 1 }
+      s
+    }
     def finalOut: Int = {
       val bound = bindPairs.map(_._2).toSet
       val idx = coders.indices.filterNot(bound)
@@ -342,15 +354,18 @@ object SevenZip {
       folderCrcs, numUnpack, subSizes, subCrcDefined, subCrcs)
   }
 
-  /** Parse one folder: 1-2 SIMPLE coders plus the bind-pair wiring.
-    * Two-coder folders (the BCJ/delta + LZMA shape 7z writes by
-    * default for executables) are decoded; anything longer, any
-    * multi-stream coder (BCJ2), and any bind graph that isn't a
-    * single chain rejects by NAME. */
+  /** Parse one folder: 1-2 SIMPLE coders plus the bind-pair wiring,
+    * or the 4-coder [[Bcj2]] shape (the only MULTI-STREAM coder this
+    * reader owns: exactly one complex coder, id `03 03 01 1B`,
+    * 4 in / 1 out, alongside three simple coders). Anything else —
+    * longer simple chains, other complex coders, a bind graph whose
+    * packed/bound sets don't tile the inputs — rejects by NAME. */
   private def parseFolder(s: Scan): FolderDef = {
     val numCoders = s.numInt(64, "num_coders")
-    if (numCoders < 1 || numCoders > 2) bail("coder_chain_unsupported")
+    if (numCoders < 1 || numCoders > 4) bail("coder_chain_unsupported")
     val coders = new Array[Coder](numCoders)
+    val numIns = new Array[Int](numCoders)
+    var nBcj2 = 0
     var c = 0
     while (c < numCoders) {
       val flags = s.u8()
@@ -358,27 +373,65 @@ object SevenZip {
       val isComplex = (flags & 0x10) != 0
       val hasAttrs = (flags & 0x20) != 0
       val id = s.bytes(idSize)
-      if (isComplex) bail("coder_chain_unsupported") // BCJ2 et al.
+      numIns(c) = 1
+      if (isComplex) {
+        // the one multi-stream coder with public semantics this reader
+        // implements; any other complex coder rejects by name
+        if (codecName(id) != "0303011b") bail("coder_chain_unsupported")
+        val nIn = s.numInt(64, "num_in_streams")
+        val nOut = s.numInt(64, "num_out_streams")
+        if (nIn != 4 || nOut != 1) bail("coder_chain_unsupported")
+        numIns(c) = 4
+        nBcj2 += 1
+      } else if (codecName(id) == "0303011b") {
+        // BCJ2 declared simple contradicts its own stream contract
+        bail("coder_chain_unsupported")
+      }
       val props = if (hasAttrs) s.bytes(s.numInt(1 << 16, "props_size"))
         else Array.emptyByteArray
       coders(c) = Coder(id, props)
       c += 1
     }
-    // all-simple: totalOut = numCoders, so numBindPairs = numCoders-1
-    // and exactly one packed stream (the unbound input) — no explicit
-    // packed-index vector on the wire
+    if (nBcj2 == 0 && numCoders > 2) bail("coder_chain_unsupported")
+    // one BCJ2 + 1-3 simple coders: covers both real wire shapes — the
+    // 2-coder LZMA+BCJ2 with call/jump/rc packed raw (the shape
+    // libarchive reads; cross-checked in Bcj2Spec) and the 4-coder
+    // compressor-per-stream shape 7-Zip writes by default
+    if (nBcj2 > 1 || (nBcj2 == 1 && numCoders < 2))
+      bail("coder_chain_unsupported")
+    val totalIn = numIns.sum
+    // every accepted coder has exactly one output: totalOut = numCoders
     val bindPairs = new Array[(Int, Int)](numCoders - 1)
     var k = 0
     while (k < bindPairs.length) {
-      val in = s.numInt(numCoders - 1, "bind_in")
+      val in = s.numInt(totalIn - 1, "bind_in")
       val out = s.numInt(numCoders - 1, "bind_out")
       bindPairs(k) = (in, out)
       k += 1
     }
+    if (bindPairs.map(_._1).distinct.length != bindPairs.length ||
+      bindPairs.map(_._2).distinct.length != bindPairs.length)
+      bail("bad_bind_graph")
     val boundIn = bindPairs.map(_._1).toSet
-    val freeIn = coders.indices.filterNot(boundIn)
-    if (freeIn.length != 1) bail("bad_bind_graph")
-    FolderDef(coders, bindPairs, freeIn.head, null)
+    val freeIn = (0 until totalIn).filterNot(boundIn)
+    val nPacked = totalIn - bindPairs.length
+    if (freeIn.length != nPacked) bail("bad_bind_graph")
+    val packedIndices =
+      if (nPacked == 1) Array(freeIn.head)
+      else {
+        // >1 packed stream: the wire carries an explicit index vector
+        // mapping pack-stream order to input-stream indices
+        val v = new Array[Int](nPacked)
+        var p = 0
+        while (p < nPacked) {
+          v(p) = s.numInt(totalIn - 1, "packed_index")
+          p += 1
+        }
+        if (v.distinct.length != nPacked || v.exists(boundIn))
+          bail("bad_bind_graph")
+        v
+      }
+    FolderDef(coders, numIns, bindPairs, packedIndices, null)
   }
 
   private def codecName(id: Array[Byte]): String =
@@ -396,6 +449,7 @@ object SevenZip {
     case "03030701" => "bcj_armt"
     case "03030805" => "bcj_sparc"
     case "0a" => "bcj_arm64"
+    case "0303011b" => "bcj2"
     case other => other
   }
 
@@ -433,24 +487,18 @@ object SevenZip {
     case _ => false
   }
 
-  /** Decode one packed stream through a (non-filter) coder. Offsets/
-    * lengths arrive as Long straight from the header — bound them HERE
-    * before any narrowing (a crafted packPos near 2^63 must not wrap
-    * into a plausible Int). */
-  private def decodePacked(coder: Coder, blob: Array[Byte], offL: Long,
-      packLenL: Long, unpackLen: Long, maxOut: Int): Array[Byte] = {
+  /** Decode one coder's single input stream through a (non-filter)
+    * decompressor. Input arrives as an already-bounds-checked slice. */
+  private def decodePacked(coder: Coder, in: Array[Byte],
+      unpackLen: Long, maxOut: Int): Array[Byte] = {
     if (unpackLen < 0 || unpackLen > maxOut) bail("7z_bomb")
-    if (offL < 0 || packLenL < 0 || offL > blob.length ||
-      packLenL > blob.length - offL) bail("pack_stream_out_of_file")
-    val off = offL.toInt
-    val packLen = packLenL.toInt
     val id = coder.id
     if (id.length == 1 && id(0) == 0x00) { // Copy
-      if (packLen.toLong != unpackLen) bail("copy_size_mismatch")
-      java.util.Arrays.copyOfRange(blob, off, off + packLen)
+      if (in.length.toLong != unpackLen) bail("copy_size_mismatch")
+      in
     } else if (id.length == 1 && id(0) == 0x21) { // LZMA2
       if (coder.props.length != 1) bail("bad_lzma2_props")
-      Lzma2.decode(blob, off, packLen, unpackLen.toInt) match {
+      Lzma2.decode(in, 0, in.length, unpackLen.toInt) match {
         case Right(out) =>
           if (out.length.toLong != unpackLen) bail("unpack_size_mismatch")
           out
@@ -459,7 +507,7 @@ object SevenZip {
     } else if (id.length == 3 && id(0) == 0x03 && id(1) == 0x01 &&
       id(2) == 0x01) { // LZMA1
       if (coder.props.length != 5) bail("bad_lzma_props")
-      Lzma2.lzma1Decode(blob, off, packLen, coder.props(0) & 0xff,
+      Lzma2.lzma1Decode(in, 0, in.length, coder.props(0) & 0xff,
         unpackLen.toInt, maxOut) match {
         case Right(out) => out
         case Left(r) => bail(r)
@@ -469,29 +517,78 @@ object SevenZip {
     else bail(s"codec_unsupported_${codecName(id)}")
   }
 
-  /** Decode a folder end-to-end: packed bytes through the decompressor,
-    * then each bind-pair-chained FILTER in place, finishing at the
-    * folder's unbound output. */
-  private def decodeFolder(folder: FolderDef, blob: Array[Byte], offL: Long,
-      packLenL: Long, maxOut: Int): Array[Byte] = {
-    val finalOut = folder.finalOut
+  /** Decode a folder end-to-end by evaluating the bind graph from its
+    * unbound output: decompressors pull PACKED streams, filters
+    * transform a bound producer's output in place, and [[Bcj2]] joins
+    * its four inputs. `packOffs`/`packLens` are this folder's pack
+    * streams in pack-stream order; offsets/lengths arrive as Long
+    * straight from the header — bound HERE before any narrowing (a
+    * crafted packPos near 2^63 must not wrap into a plausible Int). */
+  private def decodeFolder(folder: FolderDef, blob: Array[Byte],
+      packOffs: Array[Long], packLens: Array[Long], maxOut: Int)
+      : Array[Byte] = {
     if (folder.unpackSize < 0 || folder.unpackSize > maxOut) bail("7z_bomb")
-    var idx = folder.packedInput
-    var cur = decodePacked(folder.coders(idx), blob, offL, packLenL,
-      folder.outSizes(idx), maxOut)
-    var steps = 0
-    while (idx != finalOut) {
-      steps += 1
-      if (steps > folder.coders.length) bail("bad_bind_graph")
-      val next = folder.bindPairs.collectFirst {
-        case (in, out) if out == idx => in
-      }.getOrElse(bail("bad_bind_graph"))
-      if (folder.outSizes(next) != cur.length.toLong)
-        bail("filter_size_mismatch")
-      applyFilter(folder.coders(next), cur)
-      idx = next
+    if (packOffs.length != folder.packedIndices.length)
+      bail("bad_streams_info")
+    val boundByIn = folder.bindPairs.toMap // globalIn -> producer coder
+    val packedPos = folder.packedIndices.zipWithIndex.toMap
+    val memo = new Array[Array[Byte]](folder.coders.length)
+    val visiting = new Array[Boolean](folder.coders.length)
+    def packedBytes(k: Int): Array[Byte] = {
+      val offL = packOffs(k)
+      val lenL = packLens(k)
+      if (offL < 0 || lenL < 0 || offL > blob.length ||
+        lenL > blob.length - offL) bail("pack_stream_out_of_file")
+      java.util.Arrays.copyOfRange(blob, offL.toInt, (offL + lenL).toInt)
     }
-    cur
+    def inputBytes(gIn: Int): Array[Byte] = boundByIn.get(gIn) match {
+      case Some(producer) => evalOut(producer)
+      case None => packedPos.get(gIn) match {
+        case Some(k) => packedBytes(k)
+        case None => bail("bad_bind_graph")
+      }
+    }
+    def evalOut(c: Int): Array[Byte] = {
+      if (memo(c) != null) return memo(c)
+      if (visiting(c)) bail("bad_bind_graph")
+      visiting(c) = true
+      val coder = folder.coders(c)
+      val declared = folder.outSizes(c)
+      if (declared < 0 || declared > maxOut) bail("7z_bomb")
+      val gIn = folder.inStart(c)
+      val name = codecName(coder.id)
+      val out: Array[Byte] =
+        if (name == "0303011b") {
+          Bcj2.decode(inputBytes(gIn), inputBytes(gIn + 1),
+            inputBytes(gIn + 2), inputBytes(gIn + 3), declared.toInt) match {
+            case Right(o) => o
+            case Left(r) => bail(r)
+          }
+        } else if (isFilterId(coder.id)) {
+          // a filter fed straight from a packed stream is the reversed
+          // shape no real writer produces
+          if (!boundByIn.contains(gIn)) bail("coder_chain_order_unsupported")
+          val buf = inputBytes(gIn)
+          if (declared != buf.length.toLong) bail("filter_size_mismatch")
+          applyFilter(coder, buf)
+          buf
+        } else {
+          // unknown/encrypted ids name themselves BEFORE any chain-
+          // order adjudication (legacy fate precedence)
+          if (name.startsWith("06")) bail("7z_encrypted")
+          if (name != "00" && name != "21" && name != "030101")
+            bail(s"codec_unsupported_$name")
+          // decompressors consume packed streams only: a compressor in
+          // a bound position means a chain shape this reader rejects
+          if (boundByIn.contains(gIn)) bail("coder_chain_order_unsupported")
+          decodePacked(coder, inputBytes(gIn), declared, maxOut)
+        }
+      if (out.length.toLong != declared) bail("unpack_size_mismatch")
+      visiting(c) = false
+      memo(c) = out
+      out
+    }
+    evalOut(folder.finalOut)
   }
 
   def parse(blob: Array[Byte], maxOut: Int = 1 << 26)
@@ -521,10 +618,17 @@ object SevenZip {
         case KEncodedHeader =>
           val si = parseStreamsInfo(s, 1 << 20)
           // kUnpackInfo without kPackInfo leaves packSizes empty
-          if (si.folders.length != 1 || si.packSizes.isEmpty)
+          if (si.folders.length != 1 ||
+            si.packSizes.length < si.folders(0).packedIndices.length ||
+            si.packSizes.isEmpty)
             bail("bad_encoded_header")
-          headerBytes = decodeFolder(si.folders(0), blob, 32 + si.packPos,
-            si.packSizes(0), maxOut)
+          val n0 = si.folders(0).packedIndices.length
+          val offs0 = new Array[Long](n0)
+          var o0 = 32 + si.packPos
+          var p0 = 0
+          while (p0 < n0) { offs0(p0) = o0; o0 += si.packSizes(p0); p0 += 1 }
+          headerBytes = decodeFolder(si.folders(0), blob, offs0,
+            java.util.Arrays.copyOf(si.packSizes, n0), maxOut)
           headerScan = new Scan(headerBytes, 0, headerBytes.length)
           if (headerScan.num() != KHeader) bail("bad_encoded_header")
         case KHeader =>
@@ -605,8 +709,8 @@ object SevenZip {
       val codecs = Set.newBuilder[String]
       val bodies = Seq.newBuilder[Array[Byte]]
       if (si != null) {
-        if (si.packSizes.length < si.folders.length)
-          bail("bad_streams_info")
+        if (si.folders.map(_.packedIndices.length.toLong).sum >
+          si.packSizes.length) bail("bad_streams_info")
         var total = 0L
         si.folders.foreach { fd =>
           val fs = fd.unpackSize
@@ -614,12 +718,24 @@ object SevenZip {
           if (fs < 0 || total > maxOut) bail("7z_bomb")
         }
         var packOff = 32 + si.packPos
+        var packIdx = 0
         var flat = 0
         var f = 0
         while (f < si.folders.length) {
           si.folders(f).coders.foreach(c => codecs += codecFriendly(c.id))
-          val out = decodeFolder(si.folders(f), blob, packOff,
-            si.packSizes(f), maxOut)
+          // this folder consumes its packed streams in pack-stream order
+          val nPack = si.folders(f).packedIndices.length
+          val offs = new Array[Long](nPack)
+          val lens = new Array[Long](nPack)
+          var p = 0
+          while (p < nPack) {
+            offs(p) = packOff
+            lens(p) = si.packSizes(packIdx + p)
+            packOff += lens(p)
+            p += 1
+          }
+          packIdx += nPack
+          val out = decodeFolder(si.folders(f), blob, offs, lens, maxOut)
           if (si.folderCrcDefined(f) &&
             crc32(out, 0, out.length) != si.folderCrcs(f))
             bail("folder_crc_mismatch")
@@ -639,7 +755,6 @@ object SevenZip {
             flat += 1
             k += 1
           }
-          packOff += si.packSizes(f)
           f += 1
         }
       }
@@ -670,4 +785,178 @@ object SevenZip {
 
   private def leU64(b: Array[Byte], p: Int): Long =
     leU32(b, p) | (leU32(b, p + 4) << 32)
+
+  // ---- BCJ2 fixture writer ------------------------------------------
+
+  private def putNum(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    // 7z variable-length number: k high bits of the first byte flag k
+    // extra little-endian bytes; capacity 7*(k+1) bits
+    require(v >= 0)
+    var k = 0
+    while (k < 8 && v >= (1L << (7 * (k + 1)))) k += 1
+    val mask = (0x100 - (0x100 >> k)) & 0xFF
+    o.write(mask | ((v >>> (8 * k)) & 0xFF).toInt)
+    var j = 0
+    while (j < k) { o.write(((v >>> (8 * j)) & 0xFF).toInt); j += 1 }
+  }
+
+  private def putU32le(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+    o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
+  }
+
+  private def putU64le(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    putU32le(o, v & 0xFFFFFFFFL); putU32le(o, (v >>> 32) & 0xFFFFFFFFL)
+  }
+
+  /** Write a `.7z` archive whose single folder carries the
+    * FOUR-STREAM [[Bcj2]] coder (`03 03 01 1B`, 4 in / 1 out). Two
+    * real wire shapes:
+    *
+    *   - `wide = false` (default): TWO coders — raw LZMA1 for `main`
+    *     (the REAL encoder on the classpath, xz-java's
+    *     `LZMAOutputStream`), BCJ2 second, `call`/`jump`/`rc` packed
+    *     directly. This is the shape libarchive reads: the Bcj2Spec
+    *     cross-check extracts it byte-exact through bsdtar.
+    *   - `wide = true`: FOUR coders, one LZMA per compressible stream
+    *     plus BCJ2, three bind pairs, explicit packed-index vector —
+    *     the compressor-per-stream shape 7-Zip emits by default for
+    *     large executables (in-house-verified; libarchive reads only
+    *     the narrow shapes).
+    *
+    * Members become substreams of the one folder (all bodies must be
+    * non-empty). Fixture-writer mold (Cfb/Rar): spec-faithful writer
+    * verified against the real reader AND the in-house parser. */
+  def writeBcj2(members: Seq[(String, Array[Byte])],
+      wide: Boolean = false): Array[Byte] = {
+    require(members.nonEmpty && members.forall(_._2.nonEmpty),
+      "writeBcj2: non-empty member bodies only")
+    val data = {
+      val o = new java.io.ByteArrayOutputStream()
+      members.foreach(m => o.write(m._2))
+      o.toByteArray
+    }
+    val st = Bcj2.encode(data)
+    val lzOpts = new org.tukaani.xz.LZMA2Options(1)
+    lzOpts.setDictSize(1 << 16)
+    def lzma(raw: Array[Byte]): (Array[Byte], Array[Byte]) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val os = new org.tukaani.xz.LZMAOutputStream(bos, lzOpts, false)
+      os.write(raw)
+      os.finish()
+      val props = new java.io.ByteArrayOutputStream()
+      props.write(os.getProps)
+      putU32le(props, lzOpts.getDictSize.toLong)
+      (bos.toByteArray, props.toByteArray)
+    }
+    val (mainP, mainProps) = lzma(st.main)
+    val widePairs = if (wide) Some((lzma(st.call), lzma(st.jump))) else None
+    val packs: Seq[Array[Byte]] = widePairs match {
+      case Some(((callP, _), (jumpP, _))) => Seq(mainP, callP, jumpP, st.rc)
+      case None => Seq(mainP, st.call, st.jump, st.rc)
+    }
+
+    val h = new java.io.ByteArrayOutputStream()
+    h.write(KHeader)
+    h.write(KMainStreamsInfo)
+    // ---- pack info --------------------------------------------------
+    h.write(KPackInfo)
+    putNum(h, 0L) // packPos
+    putNum(h, packs.length.toLong)
+    h.write(KSize)
+    packs.foreach(p => putNum(h, p.length.toLong))
+    h.write(KEnd)
+    // ---- unpack info: the one BCJ2 folder ---------------------------
+    h.write(KUnpackInfo)
+    h.write(KFolder)
+    putNum(h, 1L) // numFolders
+    h.write(0) // not external
+    def lzmaCoder(props: Array[Byte]): Unit = {
+      h.write(0x23) // idSize 3 | hasAttrs
+      h.write(0x03); h.write(0x01); h.write(0x01)
+      putNum(h, props.length.toLong)
+      h.write(props)
+    }
+    def bcj2Coder(): Unit = {
+      h.write(0x14) // idSize 4 | complex
+      h.write(0x03); h.write(0x03); h.write(0x01); h.write(0x1B)
+      putNum(h, 4L) // numInStreams
+      putNum(h, 1L) // numOutStreams
+    }
+    if (wide) {
+      putNum(h, 4L) // numCoders
+      val ((_, callProps), (_, jumpProps)) = widePairs.get
+      lzmaCoder(mainProps) // out 0 -> bcj2 main
+      lzmaCoder(callProps) // out 1 -> bcj2 call
+      lzmaCoder(jumpProps) // out 2 -> bcj2 jump
+      bcj2Coder()
+      // bind pairs: bcj2 inputs (global 3,4,5) <- lzma outputs 0,1,2
+      Seq((3L, 0L), (4L, 1L), (5L, 2L)).foreach { case (in, out) =>
+        putNum(h, in); putNum(h, out)
+      }
+      // packed-index vector: inputs 0,1,2 (lzma) and 6 (bcj2 rc)
+      Seq(0L, 1L, 2L, 6L).foreach(putNum(h, _))
+      h.write(KCodersUnpackSize)
+      Seq(st.main.length, st.call.length, st.jump.length, data.length)
+        .foreach(n => putNum(h, n.toLong))
+    } else {
+      putNum(h, 2L) // numCoders
+      lzmaCoder(mainProps) // out 0 -> bcj2 main
+      bcj2Coder()
+      putNum(h, 1L); putNum(h, 0L) // bind: bcj2 main (global in 1) <- out 0
+      // packed-index vector: lzma input 0, bcj2 call/jump/rc (2,3,4)
+      Seq(0L, 2L, 3L, 4L).foreach(putNum(h, _))
+      h.write(KCodersUnpackSize)
+      Seq(st.main.length, data.length).foreach(n => putNum(h, n.toLong))
+    }
+    h.write(KCrc)
+    h.write(1) // allAreDefined
+    putU32le(h, crc32(data, 0, data.length))
+    h.write(KEnd)
+    // ---- substreams: one per member ---------------------------------
+    h.write(KSubStreamsInfo)
+    if (members.length > 1) {
+      h.write(KNumUnpackStream)
+      putNum(h, members.length.toLong)
+      h.write(KSize)
+      members.init.foreach(m => putNum(h, m._2.length.toLong))
+      h.write(KCrc)
+      h.write(1) // allAreDefined (none inherit the folder CRC)
+      members.foreach(m => putU32le(h, crc32(m._2, 0, m._2.length)))
+    }
+    h.write(KEnd)
+    h.write(KEnd) // end of streams info
+    // ---- files info -------------------------------------------------
+    h.write(KFilesInfo)
+    putNum(h, members.length.toLong)
+    val nameProp = new java.io.ByteArrayOutputStream()
+    nameProp.write(0) // not external
+    members.foreach { m =>
+      m._1.foreach { ch =>
+        nameProp.write(ch.toInt & 0xff); nameProp.write((ch.toInt >> 8) & 0xff)
+      }
+      nameProp.write(0); nameProp.write(0)
+    }
+    h.write(KName)
+    putNum(h, nameProp.size().toLong)
+    h.write(nameProp.toByteArray)
+    h.write(KEnd)
+    h.write(KEnd) // end of header
+    val header = h.toByteArray
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Magic)
+    out.write(0x00); out.write(0x04) // version
+    val packedLen = packs.map(_.length.toLong).sum
+    val start = new java.io.ByteArrayOutputStream()
+    putU64le(start, packedLen) // next header offset (right after packs)
+    putU64le(start, header.length.toLong)
+    putU32le(start, crc32(header, 0, header.length))
+    val startBytes = start.toByteArray
+    putU32le(out, crc32(startBytes, 0, startBytes.length))
+    out.write(startBytes)
+    packs.foreach(out.write)
+    out.write(header)
+    out.toByteArray
+  }
 }

@@ -8492,13 +8492,18 @@ object LlmQueries {
     // habitat of LZMA2, and the round-13 decoder stopped one container
     // short of it. operators/SevenZip walks signature header → (maybe
     // LZMA-compressed) property header → folders: single-coder
-    // LZMA2/LZMA1/Copy plus the two-coder FILTER chains 7z writes by
+    // LZMA2/LZMA1/Copy, the two-coder FILTER chains 7z writes by
     // default for executables (BCJ-x86 + LZMA2, delta + LZMA2 — the
-    // bind graph wired into operators/Bcj's converters); longer
-    // chains and encryption reject by name. Fixtures come from the
-    // REAL generator (commons-compress SevenZOutputFile), content
-    // method rotated per archive so all five regimes run. q140's
-    // member-replay oracle verbatim.
+    // bind graph wired into operators/Bcj's converters), and since
+    // r16 the FOUR-STREAM BCJ2 shapes (operators/Bcj2: range-coded
+    // branch conversion over main/call/jump/rc, both the 2-coder
+    // wire shape libarchive reads — bsdtar-cross-checked in Bcj2Spec
+    // — and the 4-coder compressor-per-stream shape, rotating by
+    // archive id); longer chains and encryption reject by name.
+    // Fixtures come from the REAL generator (commons-compress
+    // SevenZOutputFile) for regimes 0-4 and the in-house
+    // SevenZip.writeBcj2 for regime 5. q140's member-replay oracle
+    // verbatim.
     OpQuery.sql(
       "q263_7z_extract",
       """SELECT CAST(doc_id // 5 AS BIGINT) AS archive_id,
@@ -8533,25 +8538,35 @@ object LlmQueries {
                     m == org.apache.commons.compress.archivers.sevenz
                       .SevenZMethod.LZMA) lzOpts else null)
             import org.apache.commons.compress.archivers.sevenz.SevenZMethod._
-            val cfgs = (aid % 5) match {
-              case 0 => Seq(cfgOf(LZMA2))
-              case 1 => Seq(cfgOf(COPY))
-              case 2 => Seq(cfgOf(LZMA))
-              // the default-for-executables chains: filter, then coder
-              case 3 => Seq(cfgOf(BCJ_X86_FILTER), cfgOf(LZMA2))
-              case _ => Seq(cfgOf(DELTA_FILTER), cfgOf(LZMA2))
+            val docs = it.toSeq.sortBy(_._1)
+            val blob = if (aid % 6 == 5) {
+              // BCJ2 regime, in-house writer: narrow (libarchive's
+              // shape) and wide (7-Zip's default) alternate
+              graft.operators.SevenZip.writeBcj2(
+                docs.map { case (id, text) => s"doc-$id.txt" ->
+                  Option(text).getOrElse("").getBytes("UTF-8") },
+                wide = aid % 12 == 11)
+            } else {
+              val cfgs = (aid % 6) match {
+                case 0 => Seq(cfgOf(LZMA2))
+                case 1 => Seq(cfgOf(COPY))
+                case 2 => Seq(cfgOf(LZMA))
+                // the default-for-executables chains: filter, then coder
+                case 3 => Seq(cfgOf(BCJ_X86_FILTER), cfgOf(LZMA2))
+                case _ => Seq(cfgOf(DELTA_FILTER), cfgOf(LZMA2))
+              }
+              z.setContentMethods(java.util.Arrays.asList(cfgs: _*))
+              docs.foreach { case (id, text) =>
+                val e = new org.apache.commons.compress.archivers.sevenz
+                  .SevenZArchiveEntry()
+                e.setName(s"doc-$id.txt")
+                z.putArchiveEntry(e)
+                z.write(Option(text).getOrElse("").getBytes("UTF-8"))
+                z.closeArchiveEntry()
+              }
+              z.close()
+              java.util.Arrays.copyOf(ch.array(), ch.size().toInt)
             }
-            z.setContentMethods(java.util.Arrays.asList(cfgs: _*))
-            it.toSeq.sortBy(_._1).foreach { case (id, text) =>
-              val e = new org.apache.commons.compress.archivers.sevenz
-                .SevenZArchiveEntry()
-              e.setName(s"doc-$id.txt")
-              z.putArchiveEntry(e)
-              z.write(Option(text).getOrElse("").getBytes("UTF-8"))
-              z.closeArchiveEntry()
-            }
-            z.close()
-            val blob = java.util.Arrays.copyOf(ch.array(), ch.size().toInt)
             graft.operators.SevenZip.parse(blob) match {
               case Right(p) => p.members.map(m => (aid, m.name,
                 m.body.length.toLong,
