@@ -148,10 +148,12 @@ object Bench {
     // SPARK_GRAFT_SWEEP_FLOORS="name=sec,name=sec"). Their median
     // measured/floor ratio is the sweep drift factor the artifact
     // publishes and total_normalized deflates by.
+    // measured best-of-5 on an idle machine, 2026-08-17 (SCALE.md
+    // round-16 controlled floors table)
     val sweepFloorDefaults = Seq(
-      "q43_flat_obs_stage" -> 3.10, // parquet scan + joins (ETL stage)
-      "q12_group_concat_obsmap" -> 2.05, // shuffle-heavy grouped agg
-      "q205_compressibility_proxy" -> 3.20) // per-row deflate codec work
+      "q43_flat_obs_stage" -> 3.16, // parquet scan + joins (ETL stage)
+      "q12_group_concat_obsmap" -> 2.19, // shuffle-heavy grouped agg
+      "q205_compressibility_proxy" -> 3.42) // per-row deflate codec work
     val sweepFloors: Seq[(String, Double)] =
       sys.env.get("SPARK_GRAFT_SWEEP_FLOORS") match {
         case None => sweepFloorDefaults
