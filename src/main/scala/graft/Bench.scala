@@ -103,12 +103,7 @@ object Bench {
       "q94_stream_etl_cascade", "q125_stream_etl_cascade_bucketed",
       "q100_stream_stream_join")
 
-    if (warmup) {
-      val warmupDir = "/root/testdata/sf0.001"
-      SparkEntry.catalog.foreach { q =>
-        try force(q.run(spark, warmupDir)) catch { case _: Throwable => () }
-      }
-    }
+    val warmupDir = "/root/testdata/sf0.001"
 
     // Controlled canary band (idle-machine best-of-3 floor, three runs,
     // SCALE.md "controlled floors"). Overridable when the hardware
@@ -159,8 +154,17 @@ object Bench {
         case None => sweepFloorDefaults
         case Some(raw) => parseSweepFloors(raw)
       }
+    // The sweep canary runs BEFORE the global warmup pass, each query
+    // individually warmed at sf0.001 first: its floors come from
+    // ScaleProbe (a JVM holding only the probed queries' generated
+    // code), so timing it after 273 queries' warmup compiles would bake
+    // a systematic JVM-context bias into the ratio — the first r16 run
+    // measured 1.42x of which only part was real machine drift.
     val sweepReadings = sweepFloors.flatMap { case (name, floor) =>
       SparkEntry.catalog.find(_.name == name).map { q =>
+        try q.prepare.foreach(_(spark, warmupDir)) catch {
+          case _: Throwable => () }
+        try force(q.run(spark, warmupDir)) catch { case _: Throwable => () }
         try q.prepare.foreach(_(spark, sfDir)) catch { case _: Throwable => () }
         val best = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
@@ -176,6 +180,12 @@ object Bench {
         val rs = sweepReadings.map { case (_, f, t) => t / f }.sorted
         rs(rs.size / 2)
       }
+
+    if (warmup) {
+      SparkEntry.catalog.foreach { q =>
+        try force(q.run(spark, warmupDir)) catch { case _: Throwable => () }
+      }
+    }
 
     val results = SparkEntry.catalog.map { q =>
       // immutable fixture prep (streaming source splits etc.) runs OFF

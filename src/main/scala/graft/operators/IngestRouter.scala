@@ -10,7 +10,7 @@ package graft.operators
   * lands in its real operator here.
   *
   * Dispatch order (first magic wins):
-  *   - 7z signature            → [[SevenZip]]   (members; incl. BCJ chains)
+  *   - 7z signature            → [[SevenZip]]   (members; incl. BCJ/BCJ2)
   *   - RAR4/RAR5 signatures    → [[Rar]]        (census + stored bodies)
   *   - SQLite header           → [[Sqlite]]     (schema census)
   *   - Avro object container   → [[Avro]]       (block/record census)
@@ -24,15 +24,17 @@ package graft.operators
   *     [[MaxDepth]]; past it, `wrapper_depth_exceeded`)
   *   - zip / CFB / otherwise   → [[OfficeRouter]] FIRST (a DOCX must
   *     stay a DOCX). A valid zip the office family does not claim
-  *     (`unrouted_zip`) then censuses PER MEMBER: each member body is
-  *     routed back through this dispatch one level deeper — parquet /
-  *     Avro / SQLite / tar.gz / nested-zip members land in their real
-  *     parsers, strict-UTF-8 members census as `text`, and every
-  *     member's fate (format or named reject reason) is surfaced in
-  *     `memberFates` in member order. Before round 16 this was the
-  *     widest seam left: the single most common wild data-dump shape
-  *     (a zip of data blobs) died as `unrouted_zip` with every member
-  *     format's parser one hop away.
+  *     (`unrouted_zip`) then censuses PER MEMBER — and so does EVERY
+  *     member-bearing container (tar / 7z / rar stored bodies): each
+  *     extracted member body is routed back through this dispatch one
+  *     level deeper, so parquet / Avro / SQLite / tar.gz / nested-zip
+  *     members land in their real parsers, strict-UTF-8 members
+  *     census as `text`, and every member's fate (format or named
+  *     reject reason) is surfaced in `memberFates` in member order.
+  *     Before round 16 this was the widest seam left: the single most
+  *     common wild data-dump shape (an archive of data blobs) died as
+  *     `unrouted_zip`/`member_not_utf8` with every member format's
+  *     parser one hop away.
   *
   * Bomb posture: per-parser caps are unchanged, and the whole
   * recursion additionally charges every DERIVED blob (a wrapper
@@ -62,18 +64,6 @@ object IngestRouter {
   /** Cumulative derived-byte budget across one route() call. */
   private final class Budget(var remaining: Long) {
     def charge(n: Long): Boolean = { remaining -= n; remaining >= 0 }
-  }
-
-  private def utf8All(bodies: Seq[Array[Byte]])
-      : Either[Rejected, Seq[String]] = {
-    val out = Seq.newBuilder[String]
-    bodies.foreach { b =>
-      CharsetSniff.decodeStrict(b, 0, "UTF-8") match {
-        case Some(s) => out += s
-        case None => return Left(Rejected("member_not_utf8"))
-      }
-    }
-    Right(out.result())
   }
 
   private def looksLikeAvro(b: Array[Byte]): Boolean =
@@ -142,16 +132,17 @@ object IngestRouter {
       SevenZip.parse(blob, maxOut) match {
         case Left(r) => Left(Rejected(r))
         case Right(p) =>
-          utf8All(p.members.map(_.body)).map(texts =>
-            Routed("7z", texts.mkString("\n"), p.members.length.toLong))
+          routeMembers("7z", p.members.map(m => m.name -> Some(m.body)),
+            maxOut, depth, budget)
       }
     else if (Rar.generation(blob) != 0)
       Rar.parse(blob, maxOut) match {
         case Left(r) => Left(Rejected(r))
         case Right(p) =>
-          utf8All(p.members.flatMap(_.body)).map(texts =>
-            Routed(s"rar${p.generation}", texts.mkString("\n"),
-              p.members.length.toLong))
+          // compressed rar members are censused, not extracted (decode
+          // is not public): their fate says so by name
+          routeMembers(s"rar${p.generation}",
+            p.members.map(m => m.name -> m.body), maxOut, depth, budget)
       }
     else if (Sqlite.looksLikeSqlite(blob))
       Sqlite.parse(blob, maxOut) match {
@@ -183,8 +174,8 @@ object IngestRouter {
       Tar.parse(blob) match {
         case Left(r) => Left(Rejected(r.reason))
         case Right(ms) =>
-          utf8All(ms.map(_.body)).map(texts =>
-            Routed("tar", texts.mkString("\n"), ms.length.toLong))
+          routeMembers("tar", ms.map(m => m.name -> Some(m.body)),
+            maxOut, depth, budget)
       }
     else wrapper(blob) match {
       case Some((ext, dec)) =>
@@ -207,36 +198,55 @@ object IngestRouter {
     }
 
   /** Per-member census of a valid zip the office family does not
-    * claim. Each member re-enters the full dispatch one level deeper
-    * (office-first again: a DOCX member stays a DOCX). A member that
-    * is no known container censuses as strict-UTF-8 `text`; one that
-    * is neither carries its named reject reason as its fate. The zip
-    * itself always routes (`format = "zip"`) — fates are per member,
-    * in member order: `<name>=<format>` / `<name>!<reason>`. */
+    * claim: parse once more (cheap — the CD walk), then the shared
+    * member recursion. */
   private def routeZipMembers(blob: Array[Byte], maxOut: Int, depth: Int,
       budget: Budget): Either[Rejected, Routed] =
     ZipArchive.parse(blob) match {
       case Left(r) => Left(Rejected(r.reason)) // unreachable after OfficeRouter
       case Right(members) =>
-        val fates = Seq.newBuilder[String]
-        val texts = Seq.newBuilder[String]
-        members.foreach { m =>
-          if (!budget.charge(m.body.length.toLong))
+        routeMembers("zip", members.map(m => m.name -> Some(m.body)),
+          maxOut, depth, budget)
+    }
+
+  /** Shared per-member recursion for every member-bearing container
+    * (zip / tar / 7z / rar): each extracted member body re-enters the
+    * full dispatch one level deeper (office-first again: a DOCX
+    * member stays a DOCX), so data members — parquet, Avro, SQLite,
+    * tar.gz, nested archives — land in their real parsers. A member
+    * that is no known container censuses as strict-UTF-8 `text`; a
+    * non-UTF-8 non-container carries `member_not_utf8`; a member the
+    * parser censused but could not extract (compressed RAR) carries
+    * `member_not_extracted`; past the shared depth budget,
+    * `wrapper_depth_exceeded`. The container itself always routes —
+    * fates are per member, in member order:
+    * `<name>=<format>` / `<name>!<reason>`. */
+  private def routeMembers(format: String,
+      members: Seq[(String, Option[Array[Byte]])], maxOut: Int, depth: Int,
+      budget: Budget): Either[Rejected, Routed] = {
+    val fates = Seq.newBuilder[String]
+    val texts = Seq.newBuilder[String]
+    members.foreach { case (name, bodyOpt) =>
+      bodyOpt match {
+        case None => fates += s"$name!member_not_extracted"
+        case Some(body) =>
+          if (!budget.charge(body.length.toLong))
             return Left(Rejected("ingest_bomb"))
           if (depth + 1 > MaxDepth)
-            fates += s"${m.name}!wrapper_depth_exceeded"
-          else routeDepth(m.body, maxOut, depth + 1, budget) match {
+            fates += s"$name!wrapper_depth_exceeded"
+          else routeDepth(body, maxOut, depth + 1, budget) match {
             case Right(r) =>
-              fates += s"${m.name}=${r.format}"
+              fates += s"$name=${r.format}"
               if (r.text.nonEmpty) texts += r.text
             case Left(Rejected("not_a_container")) =>
               // at depth > 0 the text fallback already ran, so this can
               // only be a NON-UTF-8 blob that is no known container
-              fates += s"${m.name}!member_not_utf8"
-            case Left(r) => fates += s"${m.name}!${r.reason}"
+              fates += s"$name!member_not_utf8"
+            case Left(r) => fates += s"$name!${r.reason}"
           }
-        }
-        Right(Routed("zip", texts.result().mkString("\n"),
-          members.length.toLong, fates.result()))
+      }
     }
+    Right(Routed(format, texts.result().mkString("\n"),
+      members.length.toLong, fates.result()))
+  }
 }

@@ -9238,6 +9238,78 @@ object LlmQueries {
             }
           })
           .toDF("doc_id", "format", "n_members", "fates", "text_md5")
+    },
+
+    // ARCHIVE MEMBER ROUTING — the q273 seam extended to every
+    // member-bearing container: tar / 7z / rar members now re-enter
+    // the full dispatch one level deeper too (r16; before, a tar of
+    // parquet shards — the single most common dataset-dump shape —
+    // died whole as member_not_utf8). Three regimes: a tar of DATA
+    // blobs (sqlite + zip + csv), a 7z in the four-stream BCJ2 wire
+    // shape carrying text + sqlite members, and a rar5 whose
+    // compressed member carries the census-only member_not_extracted
+    // fate while its stored sibling routes. The oracle replays
+    // format, member count, the ordered fate line, and the joined
+    // extracted-text md5.
+    OpQuery.sql(
+      "q274_archive_member_routing",
+      """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+        |r AS (SELECT id, text, id % 3 AS m FROM f)
+        |SELECT id AS doc_id,
+        |  CASE m WHEN 0 THEN 'tar' WHEN 1 THEN '7z' ELSE 'rar5' END
+        |    AS format,
+        |  CAST(CASE m WHEN 0 THEN 3 ELSE 2 END AS BIGINT) AS n_members,
+        |  CASE m
+        |    WHEN 0 THEN 'db.sqlite=sqlite,data.csv=text,bundle.zip=zip'
+        |    WHEN 1 THEN 'doc.txt=text,db.sqlite=sqlite'
+        |    ELSE 'kept.txt=text,packed.bin!member_not_extracted' END
+        |    AS fates,
+        |  CASE m
+        |    WHEN 0 THEN md5(
+        |      'CREATE TABLE docs (id INTEGER PRIMARY KEY, body TEXT)'
+        |      || chr(10) || 'id,body' || chr(10) || CAST(id AS VARCHAR)
+        |      || ',x' || chr(10) || 'zipped ' || CAST(id AS VARCHAR))
+        |    WHEN 1 THEN md5(text || chr(10)
+        |      || 'CREATE TABLE docs (id INTEGER PRIMARY KEY, body TEXT)')
+        |    ELSE md5(text) END AS text_md5
+        |FROM r""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        load(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            import graft.operators.{IngestRouter, Rar, SevenZip, Sqlite, Tar, ZipArchive}
+            val blob = (id % 3) match {
+              case 0 => Tar.write(Seq(
+                Tar.TarMember("db.sqlite",
+                  Sqlite.write(Seq("docs" -> Seq(text)))),
+                Tar.TarMember("data.csv", s"id,body\n$id,x".getBytes("UTF-8")),
+                Tar.TarMember("bundle.zip", ZipArchive.write(Seq(
+                  ZipArchive.ZipMember("inner.txt",
+                    s"zipped $id".getBytes("UTF-8"))), _ => true))))
+              case 1 => SevenZip.writeBcj2(Seq(
+                "doc.txt" -> text.getBytes("UTF-8"),
+                "db.sqlite" -> Sqlite.write(Seq("docs" -> Seq(text)))),
+                wide = id % 6 == 1)
+              case _ => Rar.write5(Seq(
+                Rar.Entry("kept.txt", text.getBytes("UTF-8")),
+                Rar.Entry("packed.bin", s"p $id".getBytes("UTF-8"),
+                  markCompressed = true)))
+            }
+            IngestRouter.route(blob) match {
+              case Left(r) =>
+                (id, r.reason, None: Option[Long], None: Option[String],
+                  None: Option[String])
+              case Right(routed) =>
+                (id, routed.format, Some(routed.units),
+                  Some(routed.memberFates.mkString(",")),
+                  Some(java.security.MessageDigest.getInstance("MD5")
+                    .digest(routed.text.getBytes("UTF-8"))
+                    .map("%02x".format(_)).mkString))
+            }
+          })
+          .toDF("doc_id", "format", "n_members", "fates", "text_md5")
     }
   )
 

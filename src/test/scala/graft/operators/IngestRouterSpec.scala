@@ -45,10 +45,15 @@ class IngestRouterSpec extends AnyFunSuite {
     // re-wrapped mirrors): bounded recursion, formats compose
     val zz = IngestRouter.route(Warc.gzipMember(z)).toOption.get
     assert(zz.format == "tar.Z.gz" && zz.text == text)
+    // three hops spent on wrappers: the tar still routes but its
+    // member sits past the shared budget — per-member NAMED fate,
+    // text never surfaces (wrapper layers and member recursion spend
+    // the SAME budget since r16's member routing)
     val zzz = IngestRouter.route(Warc.gzipMember(Warc.gzipMember(z)))
       .toOption.get
-    assert(zzz.format == "tar.Z.gz.gz" && zzz.text == text)
-    // one layer past the shared depth budget: NAMED fate at the cap
+    assert(zzz.format == "tar.Z.gz.gz" && zzz.text == "")
+    assert(zzz.memberFates == Seq("a.txt!wrapper_depth_exceeded"))
+    // one layer past the budget at the WRAPPER level: whole-blob fate
     assert(IngestRouter.route(
       Warc.gzipMember(Warc.gzipMember(Warc.gzipMember(z)))) ==
       Left(IngestRouter.Rejected("wrapper_depth_exceeded")))
@@ -132,10 +137,45 @@ class IngestRouterSpec extends AnyFunSuite {
     // plain bytes
     assert(IngestRouter.route("just some text".getBytes) ==
       Left(IngestRouter.Rejected("not_a_container")))
-    // a member that is not UTF-8 must not mojibake into the corpus
-    val binTar = Tar.write(Seq(Tar.TarMember("b.bin",
-      Array[Byte](0xC3.toByte, 0x28)))) // invalid UTF-8 sequence
-    assert(IngestRouter.route(binTar) ==
-      Left(IngestRouter.Rejected("member_not_utf8")))
+    // a member that is not UTF-8 must not mojibake into the corpus —
+    // since r16 it carries a PER-MEMBER fate instead of killing the tar
+    val binTar = Tar.write(Seq(
+      Tar.TarMember("a.txt", "fine".getBytes("UTF-8")),
+      Tar.TarMember("b.bin", Array[Byte](0xC3.toByte, 0x28, 1, 2))))
+    val bt = IngestRouter.route(binTar).toOption.get
+    assert(bt.format == "tar" && bt.text == "fine")
+    assert(bt.memberFates == Seq("a.txt=text", "b.bin!member_not_utf8"))
+  }
+
+  test("tar / 7z / rar members route through the full dispatch") {
+    // tar of DATA blobs: sqlite + a zip + plain text
+    val dataTar = Tar.write(Seq(
+      Tar.TarMember("db.sqlite", Sqlite.write(Seq("docs" -> Seq("row")))),
+      Tar.TarMember("bundle.zip", ZipArchive.write(Seq(
+        ZipArchive.ZipMember("inner.txt", "zipped".getBytes("UTF-8"))),
+        _ => true)),
+      Tar.TarMember("notes.txt", text.getBytes("UTF-8"))))
+    val t = IngestRouter.route(dataTar).toOption.get
+    assert(t.format == "tar" && t.units == 3L)
+    assert(t.memberFates == Seq("db.sqlite=sqlite", "bundle.zip=zip",
+      "notes.txt=text"))
+    assert(t.text == Seq(
+      "CREATE TABLE docs (id INTEGER PRIMARY KEY, body TEXT)",
+      "zipped", text).mkString("\n"))
+    // 7z (BCJ2 wire shape) of a sqlite member: double seam coverage
+    val sevenZ = SevenZip.writeBcj2(Seq(
+      "db.sqlite" -> Sqlite.write(Seq("t7" -> Seq("seven")))))
+    val s7 = IngestRouter.route(sevenZ).toOption.get
+    assert(s7.format == "7z" && s7.memberFates == Seq("db.sqlite=sqlite"))
+    assert(s7.text ==
+      "CREATE TABLE t7 (id INTEGER PRIMARY KEY, body TEXT)")
+    // rar with a compressed (census-only) member: named per-member fate
+    val rar = Rar.write5(Seq(
+      Rar.Entry("kept.txt", "stored body".getBytes("UTF-8")),
+      Rar.Entry("packed.bin", "x".getBytes("UTF-8"), markCompressed = true)))
+    val r = IngestRouter.route(rar).toOption.get
+    assert(r.format == "rar5" && r.text == "stored body")
+    assert(r.memberFates ==
+      Seq("kept.txt=text", "packed.bin!member_not_extracted"))
   }
 }
