@@ -181,10 +181,32 @@ object Bench {
         rs(rs.size / 2)
       }
 
+    // OFF-CLOCK JVM hygiene between queries (r16, guide §1.1/§5): one
+    // long-lived session runs 274 queries x 3 reps, and 18 of them
+    // .cache() corpus frames they never unpersist — the entries (plus
+    // their InMemoryRelation plans and file indexes) accumulate across
+    // the sweep, squeezing execution memory and leaving each later query
+    // to pay the previous queries' GC debt inside ITS timed region
+    // (measured: q172 benched 10.79 s mid-sweep vs 6.78 s warm-isolated
+    // on the same build — the residual the r15 sweep canary detected but
+    // could not price). Clearing the SQL cache after each query's reps
+    // (and collecting the garbage off the clock) makes every timed
+    // region start from the same JVM state. Within-query behavior is
+    // unchanged: rep 1 still builds the query's own caches, reps 2-3
+    // still reuse them, best-of-N unchanged. SPARK_GRAFT_CLEAR_CACHE=0
+    // reverts to the accumulate-forever form for A/B.
+    val clearBetween =
+      sys.env.getOrElse("SPARK_GRAFT_CLEAR_CACHE", "1") == "1"
+    def offClockClear(): Unit = if (clearBetween) {
+      spark.catalog.clearCache()
+      System.gc()
+    }
+
     if (warmup) {
       SparkEntry.catalog.foreach { q =>
         try force(q.run(spark, warmupDir)) catch { case _: Throwable => () }
       }
+      offClockClear()
     }
 
     val results = SparkEntry.catalog.map { q =>
@@ -204,6 +226,7 @@ object Bench {
         try { force(q.run(spark, sfDir)) } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
+      offClockClear()
       q.name -> times.min
     }
     val canaryPost = canary(spark)
