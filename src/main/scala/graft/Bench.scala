@@ -132,6 +132,28 @@ object Bench {
     val canaryPre = preReadings.last
     val preAttempts = preReadings.size
 
+    // OFF-CLOCK JVM hygiene between timed regions (r16, guide §1.1/§5):
+    // one long-lived session runs 274 queries x 3 reps, and 18 of them
+    // .cache() corpus frames they never unpersist — the entries (plus
+    // their InMemoryRelation plans and file indexes) accumulate across
+    // the sweep, squeezing execution memory and leaving each later query
+    // to pay the previous queries' GC debt inside ITS timed region
+    // (measured: q172 benched 10.79 s mid-sweep vs 6.78 s warm-isolated
+    // on the same build — the residual the r15 sweep canary detected but
+    // could not price). Clearing the SQL cache and collecting garbage
+    // between reps, off the clock, makes every timed region start from
+    // the same JVM state AND compute from the parquet inputs (a cache
+    // carried rep-to-rep reported a cached rerun — the "persisted
+    // intermediates" class the round rules name as gaming); within-rep
+    // multi-consumer caching is untouched. SPARK_GRAFT_CLEAR_CACHE=0
+    // reverts to the accumulate-forever form for A/B.
+    val clearBetween =
+      sys.env.getOrElse("SPARK_GRAFT_CLEAR_CACHE", "1") == "1"
+    def offClockClear(): Unit = if (clearBetween) {
+      spark.catalog.clearCache()
+      System.gc()
+    }
+
     // SWEEP-SHAPED canary (r15 verdict #3): the CPU-bound canary read
     // in-band while the driver's sweep still ran a median 1.13x over
     // the builder archive on byte-identical code — JIT warm-in, page
@@ -167,6 +189,7 @@ object Bench {
         try force(q.run(spark, warmupDir)) catch { case _: Throwable => () }
         try q.prepare.foreach(_(spark, sfDir)) catch { case _: Throwable => () }
         val best = (1 to 2).map { _ =>
+          offClockClear() // same between-reps discipline as the sweep
           val t0 = System.nanoTime()
           try force(q.run(spark, sfDir)) catch { case _: Throwable => () }
           (System.nanoTime() - t0) / 1e9
@@ -180,27 +203,6 @@ object Bench {
         val rs = sweepReadings.map { case (_, f, t) => t / f }.sorted
         rs(rs.size / 2)
       }
-
-    // OFF-CLOCK JVM hygiene between queries (r16, guide §1.1/§5): one
-    // long-lived session runs 274 queries x 3 reps, and 18 of them
-    // .cache() corpus frames they never unpersist — the entries (plus
-    // their InMemoryRelation plans and file indexes) accumulate across
-    // the sweep, squeezing execution memory and leaving each later query
-    // to pay the previous queries' GC debt inside ITS timed region
-    // (measured: q172 benched 10.79 s mid-sweep vs 6.78 s warm-isolated
-    // on the same build — the residual the r15 sweep canary detected but
-    // could not price). Clearing the SQL cache after each query's reps
-    // (and collecting the garbage off the clock) makes every timed
-    // region start from the same JVM state. Within-query behavior is
-    // unchanged: rep 1 still builds the query's own caches, reps 2-3
-    // still reuse them, best-of-N unchanged. SPARK_GRAFT_CLEAR_CACHE=0
-    // reverts to the accumulate-forever form for A/B.
-    val clearBetween =
-      sys.env.getOrElse("SPARK_GRAFT_CLEAR_CACHE", "1") == "1"
-    def offClockClear(): Unit = if (clearBetween) {
-      spark.catalog.clearCache()
-      System.gc()
-    }
 
     if (warmup) {
       SparkEntry.catalog.foreach { q =>
@@ -222,11 +224,19 @@ object Bench {
       }
       val qReps = if (streamingReps(q.name)) math.min(2, reps) else reps
       val times = (1 to qReps).map { _ =>
+        // clear BETWEEN reps as well (r16): a query that .cache()s an
+        // intermediate for its multiple consumers used to hand that cache
+        // to its next rep, so best-of-N reported a cached rerun rather
+        // than a from-parquet computation — exactly the "persisted
+        // intermediates" class the round rules name as gaming. With the
+        // clear, every rep computes from the parquet inputs; within-rep
+        // multi-consumer caching (the legitimate optimization) is
+        // untouched. The clear itself runs off the clock.
+        offClockClear()
         val t0 = System.nanoTime()
         try { force(q.run(spark, sfDir)) } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      offClockClear()
       q.name -> times.min
     }
     val canaryPost = canary(spark)

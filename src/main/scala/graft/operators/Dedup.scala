@@ -42,11 +42,24 @@ object Dedup {
     * minhashes in j order.
     */
   def minhashBands(docShingles: DataFrame, k: Int, rowsPerBand: Int): DataFrame =
+    bandsFromMinhashes(minhashes(docShingles, k), rowsPerBand)
+
+  /** The k minhashes alone — (id, j, h), one row per doc per hash index.
+    * Split out of [[minhashBands]] (r16) so a parameter sweep over
+    * several (bands, rowsPerBand) splits of the SAME k hashes computes
+    * the md5 minimization once (cache this frame), paying per config
+    * only the cheap band regrouping in [[bandsFromMinhashes]]. */
+  def minhashes(docShingles: DataFrame, k: Int): DataFrame =
     docShingles
       .withColumn("j", explode(sequence(lit(0), lit(k - 1))))
       .withColumn("h", md5(concat(col("j").cast("string"), lit("|"), col("shingle"))))
       .groupBy("id", "j")
       .agg(min("h").as("h"))
+
+  /** Group (id, j, h) minhashes into band keys — the second half of
+    * [[minhashBands]]. */
+  def bandsFromMinhashes(mh: DataFrame, rowsPerBand: Int): DataFrame =
+    mh
       .withColumn("band", (col("j") / rowsPerBand).cast("int"))
       .groupBy("id", "band")
       .agg(graft.functions.MysqlFunctions.groupConcat(col("h"), Seq(col("j")), "").as("bkey"))

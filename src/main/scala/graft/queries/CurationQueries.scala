@@ -287,10 +287,15 @@ object CurationQueries {
           .withColumn("q", TextAnalysis.qualityMetrics(col("text"), stopwords))
           .filter(col("q.n_words").between(10, 100000) &&
             col("q.avg_word_len").between(2, 12) && col("q.stopword_ratio") >= 0.01)
+        // train feeds several consumers (its shingles, the decontaminate
+        // id set, the clean anti-join) — uncached each consumer re-ran
+        // the quality metrics + normalize-md5 window from the scan
+        // (r16, guide §5 caching: reused and expensive to recompute)
         val train = q
           .withColumn("keep_id", min("doc_id").over(
             Window.partitionBy(md5(TextAnalysis.normalize(col("text"))))))
           .filter(col("doc_id") === col("keep_id") && col("b") < 80)
+          .cache()
         def shingles(d: DataFrame): DataFrame = d.select(
           col("doc_id").as("id"),
           explode(TextAnalysis.shingles(
@@ -518,10 +523,15 @@ object CurationQueries {
           .withColumn("q", TextAnalysis.qualityMetrics(col("text"), stopwords))
           .filter(col("q.n_words").between(10, 100000) &&
             col("q.avg_word_len").between(2, 12) && col("q.stopword_ratio") >= 0.01)
+        // train feeds several consumers (its shingles, the decontaminate
+        // id set, the clean anti-join) — uncached each consumer re-ran
+        // the quality metrics + normalize-md5 window from the scan
+        // (r16, guide §5 caching: reused and expensive to recompute)
         val train = q
           .withColumn("keep_id", min("doc_id").over(
             Window.partitionBy(md5(TextAnalysis.normalize(col("text"))))))
           .filter(col("doc_id") === col("keep_id") && col("b") < 80)
+          .cache()
         def shingles(d: DataFrame): DataFrame = d.select(
           col("doc_id").as("id"),
           explode(TextAnalysis.shingles(
@@ -532,6 +542,9 @@ object CurationQueries {
               shingles(train), shingles(withB.filter(col("b") >= 90)))
             .filter(col("contaminated")).select(col("id").as("doc_id")),
           Seq("doc_id"), "left_anti")
+          // two consumers (the LM scoring input and the fluent join):
+          // uncached, the decontaminate shingle join re-ran per consumer
+          .cache()
         // LM gate: the q97 model (trained on the RAW trusted slice, not
         // the curated one — scoring must not depend on what it scores)
         val (bigrams, unigrams, vocab) = graft.operators.LanguageModel

@@ -569,9 +569,14 @@ object LlmQueries {
             explode(TextAnalysis.shingles(
               TextAnalysis.words(TextAnalysis.normalize(col("text"))), 3)).as("shingle"))
           .distinct().cache()
+        // exact and cand each feed TWO consumers (their own count and the
+        // hit join) — uncached they re-ran the quadratic baseline and the
+        // full minhash pass once per consumer (r16, guide §5 caching:
+        // reused AND expensive to recompute)
         val exact = Dedup.ngramJaccardPairs(docShingles, 0.1)
-          .select(col("id_a"), col("id_b"))
+          .select(col("id_a"), col("id_b")).cache()
         val cand = Dedup.lshCandidatePairs(Dedup.minhashBands(docShingles, 8, 2))
+          .cache()
         val hits = exact.join(cand, Seq("id_a", "id_b"))
         exact.agg(count(lit(1)).as("n_exact"))
           .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
@@ -1086,9 +1091,14 @@ object LlmQueries {
           .select(col("doc_id").as("id"),
             explode(TextAnalysis.shingles(
               TextAnalysis.words(TextAnalysis.normalize(col("text"))), 3)).as("shingle"))
-          .distinct().cache()
+          .distinct()
+        // ONE md5-minimization pass feeds all three bandings for real
+        // (r16): caching only the shingles still re-ran the minhash
+        // aggregation once per config — cache the (id, j, h) frame and
+        // each config pays only its band regrouping (guide §5 caching).
+        val mh = Dedup.minhashes(docShingles, 8).cache()
         val sweep = Seq((4, 2), (2, 4), (8, 1)).map { case (b, r) =>
-          Dedup.lshCandidatePairs(Dedup.minhashBands(docShingles, 8, r))
+          Dedup.lshCandidatePairs(Dedup.bandsFromMinhashes(mh, r))
             .agg(count(lit(1)).as("n_candidates"))
             .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
               col("n_candidates"),

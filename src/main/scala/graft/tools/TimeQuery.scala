@@ -25,6 +25,10 @@ object TimeQuery {
         .getOrElse(sys.error(s"unknown query $n"))
       q.prepare.foreach(_(spark, sfDir)) // untimed fixture prep, as in Bench
       val times = (1 to reps).map { _ =>
+        // same off-clock between-reps hygiene as Bench: every rep
+        // computes from the parquet inputs, no cache carried rep-to-rep
+        spark.catalog.clearCache()
+        System.gc()
         val t0 = System.nanoTime()
         q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
