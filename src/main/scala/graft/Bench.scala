@@ -81,6 +81,18 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // Status-store retention (r16): with the UI off, retaining 1000
+      // SQL executions' plan graphs/metrics plus thousands of job/stage
+      // rows serves nothing — on a driver running 274 queries x 3 reps
+      // (plus streaming micro-batches) it is pure accumulating heap and
+      // listener-bus work billed to later queries' timed regions. Keep a
+      // debugging-sized window. Same constants a long-lived production
+      // driver would set (guide §5: the driver should do almost no data
+      // work — bookkeeping included).
+      .config("spark.sql.ui.retainedExecutions", "50")
+      .config("spark.ui.retainedJobs", "200")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

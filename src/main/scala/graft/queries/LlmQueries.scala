@@ -1355,7 +1355,10 @@ object LlmQueries {
             explode(TextAnalysis.shingles(
               TextAnalysis.words(TextAnalysis.normalize(col("text"))), 3)).as("shingle"))
           .distinct().cache()
+        // the bounded verify joins `pairs` on BOTH sides of the sketch —
+        // uncached, the minhash + band self-join re-ran per side (r16)
         val pairs = Dedup.lshCandidatePairs(Dedup.minhashBands(docShingles, 8, 2))
+          .cache()
         Dedup.jaccardVerifyBounded(docShingles, pairs, k = 64)
           .filter(col("jaccard") >= 0.1)
     },
@@ -1946,8 +1949,13 @@ object LlmQueries {
         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
         |FROM r QUALIFY rank <= 5""".stripMargin) {
       (s, dir) =>
+        // emb feeds the seeding pass, two refine iterations, the assign
+        // pass, and the query slice — uncached each re-ran the parquet
+        // scan + float->double widening (r16, guide §5 caching; the
+        // sibling IVF queries already cache their reused frames)
         val emb = load(s, dir, "embeddings")
           .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
+          .cache()
         val seeds = Similarity.ivfCentroids(emb, 16)
         val centroids = Similarity.ivfRefine(emb, seeds, iters = 2)
         val assigned = Similarity.ivfAssign(emb, centroids)
@@ -1998,6 +2006,9 @@ object LlmQueries {
         |FROM events GROUP BY event_type""".stripMargin) {
       (s, dir) =>
         val ev = load(s, dir, "events")
+        // two consumers (the rank-fraction join and the final join) —
+        // uncached, the HLL + exact-distinct + two-percentile aggregation
+        // ran twice (r16, guide §5 caching)
         val agg = ev.groupBy("event_type")
           .agg(
             approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
@@ -2005,6 +2016,7 @@ object LlmQueries {
             percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
             percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_value"),
             count(lit(1)).as("n"))
+          .cache()
         // rank fraction of each approx percentile within its group: the
         // returned value must be an element near the requested quantile
         val fracs = ev.join(agg.select("event_type", "p50_value", "p99_value"),
@@ -2793,9 +2805,14 @@ object LlmQueries {
          |  round(CAST(n_shared AS DOUBLE) / (a.n + b.n - n_shared), 6) AS jaccard
          |FROM shared JOIN sz a ON a.id = id_a JOIN sz b ON b.id = id_b""".stripMargin) {
       (s, dir) =>
+        // docs feeds five consumers (base/quotes shingles + three pair
+        // scans) — uncached each re-ran the normalize+words regex pass;
+        // the shingle union feeds containmentVerify THREE times (sizes +
+        // both join sides) (r16, guide §5 caching)
         val docs = load(s, dir, "documents")
           .select(col("doc_id"),
             TextAnalysis.words(TextAnalysis.normalize(col("text"))).as("w"))
+          .cache()
         val base = docs.select(col("doc_id").as("id"),
             explode(TextAnalysis.shingles(col("w"), 3)).as("shingle"))
           .distinct()
@@ -2812,7 +2829,7 @@ object LlmQueries {
             .select((col("doc_id") - 5).as("id_a"),
               (col("doc_id") + 10000).as("id_b")), Seq("id_a"))
         Dedup.containmentVerify(
-          base.unionByName(quotes),
+          base.unionByName(quotes).cache(),
           selfPairs.unionByName(shiftPairs))
     },
 
@@ -2858,9 +2875,12 @@ object LlmQueries {
          |  round(CAST(sum(in_a * in_b) AS DOUBLE) / count(*), 6) AS jaccard
          |FROM tk GROUP BY 1, 2""".stripMargin) {
       (s, dir) =>
+        // same reuse shape as q171: docs feeds five consumers, and the
+        // bounded verify joins the pair frame on both sketch sides (r16)
         val docs = load(s, dir, "documents")
           .select(col("doc_id"),
             TextAnalysis.words(TextAnalysis.normalize(col("text"))).as("w"))
+          .cache()
         val base = docs.select(col("doc_id").as("id"),
             explode(TextAnalysis.shingles(col("w"), 3)).as("shingle"))
           .distinct()
@@ -2878,7 +2898,7 @@ object LlmQueries {
               (col("doc_id") + 10000).as("id_b")), Seq("id_a"))
         Dedup.containmentVerifyBounded(
           base.unionByName(quotes),
-          selfPairs.unionByName(shiftPairs), k = 64)
+          selfPairs.unionByName(shiftPairs).cache(), k = 64)
     },
 
     // Per-frame audio features over the VAD fixture: peak, exact
