@@ -2323,8 +2323,13 @@ object LlmQueries {
         |      FROM adc) ranked
         |WHERE rank <= 5""".stripMargin) {
       (s, dir) =>
+        // emb itself feeds the seeding pass, both refine iterations, the
+        // assign pass, and the query slice — uncached, each re-ran the
+        // parquet scan + float->double widening (r16, guide §5; q113 got
+        // the same treatment)
         val emb = load(s, dir, "embeddings")
           .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
+          .cache()
         val seeds = Similarity.ivfCentroids(emb, 16)
         // centroids/books are 16- and 32-row tables referenced by several
         // plan subtrees (assignment, residuals, probes, LUT, cross
@@ -2373,8 +2378,13 @@ object LlmQueries {
         |    JOIN v q ON q.vec_id = c.qid) exact) ranked
         |WHERE rank <= 5""".stripMargin) {
       (s, dir) =>
+        // emb itself feeds the seeding pass, both refine iterations, the
+        // assign pass, and the query slice — uncached, each re-ran the
+        // parquet scan + float->double widening (r16, guide §5; q113 got
+        // the same treatment)
         val emb = load(s, dir, "embeddings")
           .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
+          .cache()
         val seeds = Similarity.ivfCentroids(emb, 16)
         // centroids/books are 16- and 32-row tables referenced by several
         // plan subtrees (assignment, residuals, probes, LUT, cross
